@@ -36,6 +36,38 @@ object SparkEntry {
     "q17_in_not_exists"   -> (Relational.q17InNotExists _),
     "q18_lag_lead"        -> (Relational.q18LagLead _),
     "q19_top_k"           -> (Relational.q19TopK _),
+    // text analysis (SURVEY north-star extensions)
+    "text_token_stats"    -> (Text.tokenStats _),
+    "text_quality_score"  -> (Text.qualityScore _),
+    "text_corpus_profile" -> (Text.corpusProfile _),
+    "text_fingerprint"    -> (Text.fingerprint _),
+    "text_lang_id"        -> (Text.languageId _),
+    // dedup / similarity
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_minhash_fast"  -> (Dedup.minhashLshFast _),
+    "dedup_simhash"       -> (Dedup.simhash _),
+    // time-series (Timestream-shaped)
+    "ts_tumbling_window"  -> (TimeSeries.tumbling _),
+    "ts_sliding_window"   -> (TimeSeries.sliding _),
+    "ts_sessionize"       -> (TimeSeries.sessionize _),
+    "ts_top_users"        -> (TimeSeries.topUsers _),
+    // key-value (DynamoDB-shaped)
+    "kv_point_lookup"     -> (KeyValue.pointLookup _),
+    "kv_range_query"      -> (KeyValue.rangeQuery _),
+    "kv_batch_get"        -> (KeyValue.batchGet _),
+    // vectors (S3 Vectors-shaped + ANN)
+    "vec_knn_exact"       -> (Vectors.knnExact _),
+    "vec_label_stats"     -> (Vectors.labelStats _),
+    "vec_knn_lsh"         -> (Vectors.knnLsh _),
+    // graph (Neptune-shaped)
+    "graph_two_hop"       -> (Graph.twoHop _),
+    "graph_motif"         -> (Graph.motif _),
+    "graph_flatten_props" -> (Graph.flattenProps _),
+    // search (OpenSearch-shaped)
+    "search_match_query"  -> (Search.matchQuery _),
+    // data quality (DQDL-shaped)
+    "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -58,5 +90,28 @@ object SparkEntry {
     "q17_in_not_exists"   -> Relational.q17OracleSql,
     "q18_lag_lead"        -> Relational.q18OracleSql,
     "q19_top_k"           -> Relational.q19OracleSql,
+    "text_token_stats"    -> Text.tokenStatsOracle,
+    "text_quality_score"  -> Text.qualityScoreOracle,
+    "text_corpus_profile" -> Text.corpusProfileOracle,
+    "text_fingerprint"    -> Text.fingerprintOracle,
+    "text_lang_id"        -> Text.languageIdOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
+    // dedup_minhash_fast / dedup_simhash / ts_sliding_window / vec_knn_lsh:
+    // Spark-specific hash families or window semantics — rows-only check,
+    // covered by ScalaTest specs instead.
+    "ts_tumbling_window"  -> TimeSeries.tumblingOracle,
+    "ts_sessionize"       -> TimeSeries.sessionizeOracle,
+    "ts_top_users"        -> TimeSeries.topUsersOracle,
+    "kv_point_lookup"     -> KeyValue.pointLookupOracle,
+    "kv_range_query"      -> KeyValue.rangeQueryOracle,
+    "kv_batch_get"        -> KeyValue.batchGetOracle,
+    "vec_knn_exact"       -> Vectors.knnExactOracle,
+    "vec_label_stats"     -> Vectors.labelStatsOracle,
+    "graph_two_hop"       -> Graph.twoHopOracle,
+    "graph_motif"         -> Graph.motifOracle,
+    "graph_flatten_props" -> Graph.flattenPropsOracle,
+    "search_match_query"  -> Search.matchQueryOracle,
+    "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
   )
 }

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-quality rule engine — the Glue Data Quality / DQDL surface of the
+  * reference (`data_quality/_create.py:40-371`): declarative rules
+  * compiled to aggregate expressions, evaluated in ONE pass over the
+  * table (a single Aggregate node computes every rule's metric — no
+  * per-rule scans), verdicts returned as a DataFrame.
+  */
+object DataQuality {
+
+  /** A compiled rule: name, metric expression (aggregate), pass predicate
+    * over the metric value. */
+  final case class Rule(name: String, metric: Column, passed: Column => Column)
+
+  /** DQDL-ish rule constructors (RowCount, Completeness, Uniqueness,
+    * ColumnValues between — `data_quality/_create.py:27-37` renders these
+    * as `Rules = [ ... ]` docs; here they compile straight to Catalyst). */
+  object Rules {
+    def rowCount(min: Long): Rule =
+      Rule("row_count", count(lit(1)).cast("double"), _ >= min.toDouble)
+    def completeness(c: String, minRatio: Double): Rule =
+      Rule(s"completeness_$c",
+        count(col(c)).cast("double") / count(lit(1)).cast("double"),
+        _ >= minRatio)
+    def uniqueness(c: String, minRatio: Double): Rule =
+      Rule(s"uniqueness_$c",
+        countDistinct(col(c)).cast("double") / count(lit(1)).cast("double"),
+        _ >= minRatio)
+    def minValue(c: String, bound: Double): Rule =
+      Rule(s"min_$c", min(col(c)).cast("double"), _ >= bound)
+    def maxValue(c: String, bound: Double): Rule =
+      Rule(s"max_$c", max(col(c)).cast("double"), _ <= bound)
+  }
+
+  /** Evaluate a ruleset in one aggregate pass; explode to one row per
+    * rule with (rule, metric, passed). */
+  def evaluate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val metricCols = rules.map(r => r.metric.as(r.name))
+    val one = df.agg(metricCols.head, metricCols.tail: _*)
+    val asRows = rules.map { r =>
+      struct(lit(r.name).as("rule"), col(r.name).as("metric"),
+        r.passed(col(r.name)).as("passed"))
+    }
+    one.select(explode(array(asRows: _*)).as("r"))
+      .select(col("r.rule"), col("r.metric"), col("r.passed"))
+  }
+
+  /** The declared ruleset evaluated over lineitem for the oracle gate. */
+  def lineitemRuleset(s: SparkSession, dir: String): DataFrame =
+    evaluate(Tables.lineitem(s, dir), Seq(
+      Rules.rowCount(1000L),
+      Rules.completeness("l_shipdate", 1.0),
+      Rules.uniqueness("l_orderkey", 0.05),
+      Rules.minValue("l_quantity", 1.0),
+      Rules.maxValue("l_discount", 0.5)))
+
+  def lineitemRulesetOracle: String =
+    """WITH m AS (
+      |  SELECT cast(count(*) as double) AS row_count,
+      |    cast(count(l_shipdate) as double) / cast(count(*) as double) AS completeness_l_shipdate,
+      |    cast(count(DISTINCT l_orderkey) as double) / cast(count(*) as double) AS uniqueness_l_orderkey,
+      |    cast(min(l_quantity) as double) AS min_l_quantity,
+      |    cast(max(l_discount) as double) AS max_l_discount
+      |  FROM lineitem)
+      |SELECT 'row_count' AS rule, row_count AS metric, row_count >= 1000.0 AS passed FROM m
+      |UNION ALL SELECT 'completeness_l_shipdate', completeness_l_shipdate, completeness_l_shipdate >= 1.0 FROM m
+      |UNION ALL SELECT 'uniqueness_l_orderkey', uniqueness_l_orderkey, uniqueness_l_orderkey >= 0.05 FROM m
+      |UNION ALL SELECT 'min_l_quantity', min_l_quantity, min_l_quantity >= 1.0 FROM m
+      |UNION ALL SELECT 'max_l_discount', max_l_discount, max_l_discount <= 0.5 FROM m""".stripMargin
+}

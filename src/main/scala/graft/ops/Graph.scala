@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import graft.Tables
+
+/** Graph operators — the Neptune-shaped surface of the reference
+  * (`neptune/_neptune.py:28-123` traversals, `632-692` flatten_nested_df).
+  * A property graph on Spark is two DataFrames (vertices, edges) and a
+  * traversal is a chain of joins; the star-schema foreign keys of the
+  * testdata stand in for edges. Dimension hops broadcast; only fact-table
+  * hops shuffle.
+  */
+object Graph {
+
+  /** Two-hop traversal region←nation←supplier/customer with per-node
+    * aggregation — the `g.V().in().in().groupCount()` shape as joins. */
+  def twoHop(s: SparkSession, dir: String): DataFrame = {
+    val region = broadcast(Tables.region(s, dir))
+    val nation = broadcast(Tables.nation(s, dir))
+    val sup = Tables.supplier(s, dir)
+    val cust = Tables.customer(s, dir)
+    val supPerNation = sup.groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val custPerNation = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    nation
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .join(supPerNation, col("n_nationkey") === supPerNation("nk"), "left_outer")
+      .join(custPerNation, col("n_nationkey") === custPerNation("nk"), "left_outer")
+      .select(col("r_name"), col("n_name"),
+        coalesce(supPerNation("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(custPerNation("n_customers"), lit(0L)).as("n_customers"))
+  }
+
+  def twoHopOracle: String =
+    """SELECT r_name, n_name,
+      |  coalesce(s.n_suppliers, 0) AS n_suppliers,
+      |  coalesce(c.n_customers, 0) AS n_customers
+      |FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |LEFT OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers
+      |                 FROM supplier GROUP BY 1) s ON n_nationkey = s.s_nationkey
+      |LEFT OUTER JOIN (SELECT c_nationkey, count(*) AS n_customers
+      |                 FROM customer GROUP BY 1) c ON n_nationkey = c.c_nationkey""".stripMargin
+
+  /** Triangle-ish 3-hop with a fact edge: customer→order→lineitem→supplier
+    * where customer and supplier share a nation (the "local trade"
+    * motif (c)-[order]->(l)<-[supplies]-(s), c.nation = s.nation). */
+  def motif(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val sup = Tables.supplier(s, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(sup),
+        li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+      .groupBy(cust("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("n_local_lineitems"),
+        countDistinct(ord("o_orderkey")).as("n_orders"))
+  }
+
+  def motifOracle: String =
+    """SELECT c_nationkey AS nation, count(*) AS n_local_lineitems,
+      |  cast(count(DISTINCT o_orderkey) as bigint) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |GROUP BY c_nationkey""".stripMargin
+
+  /** JSON property extraction (the property-bag column on events) —
+    * `flatten_nested_df` for semi-structured payloads. */
+  def flattenProps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  def flattenPropsOracle: String =
+    """SELECT event_type, cast(k % 10 as int) AS k_mod, count(*) AS n,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        cast(json_extract_string(props, '$.k') as int) AS k
+      |      FROM events) t
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Recursively flatten struct columns into `parent_child` top-level
+    * columns (arrays left intact) — the general `flatten_nested_df`
+    * utility, usable on any DataFrame. */
+  def flattenSchema(df: DataFrame, sep: String = "_"): DataFrame = {
+    def cols(schema: StructType, prefix: String): Seq[org.apache.spark.sql.Column] =
+      schema.fields.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val alias = path.replace(".", sep)
+        f.dataType match {
+          case st: StructType => cols(st, path)
+          case _ => Seq(col(path).as(alias))
+        }
+      }
+    df.select(cols(df.schema, ""): _*)
+  }
+}

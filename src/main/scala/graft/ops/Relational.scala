@@ -408,21 +408,24 @@ object Relational {
       |  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
       |GROUP BY s_nationkey""".stripMargin
 
-  /** NOT EXISTS (anti-join): customers that never placed an order,
-    * restricted by an IN-list predicate on market segment. */
+  /** NOT EXISTS (anti-join): customers with no order in 2001, restricted
+    * by an IN-list predicate on market segment. */
   def q17InNotExists(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
       .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY", "FURNITURE"))
-    val ordered = Tables.orders(s, dir).select(col("o_custkey")).distinct()
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
     cust
-      .join(ordered, cust("c_custkey") === ordered("o_custkey"), "left_anti")
+      .join(recent, cust("c_custkey") === recent("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
   def q17OracleSql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
       |WHERE c_mktsegment IN ('BUILDING','MACHINERY','FURNITURE')
-      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin
 
   /** LAG/LEAD analytic functions over the events stream: inter-event gap
     * per user in microseconds (exact integer arithmetic). */

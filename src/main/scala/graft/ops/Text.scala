@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for training-data pipelines over the
+  * `documents` table: token statistics, quality scoring, corpus profiling,
+  * and content fingerprinting. The reference has no local text engine —
+  * this is the LLM-pipeline extension surface (builder brief; anchored on
+  * the reference's document-index model, `opensearch/_write.py:432-488`).
+  *
+  * Everything here is built from codegen'd builtins (`split`, `filter`,
+  * `md5`, higher-order array functions) — no UDFs — so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with input splits:
+  * token stats are a pure map (no shuffle); profiles aggregate with
+  * map-side partials.
+  */
+object Text {
+
+  /** Whitespace tokens of the `text` column (single-space corpus). */
+  private val tokens = split(col("text"), " ")
+
+  /** Per-document token statistics: count, distinct count, type-token
+    * ratio, average token length — single scan, no shuffle. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).as("n_tokens"),
+      size(array_distinct(tokens)).as("n_uniq"),
+      (size(array_distinct(tokens)).cast("double") /
+        size(tokens).cast("double")).as("ttr"),
+      ((length(col("text")) - size(tokens) + lit(1)).cast("double") /
+        size(tokens).cast("double")).as("avg_tok_len"))
+
+  def tokenStatsOracle: String =
+    """SELECT doc_id,
+      |  cast(len(string_split(text,' ')) as int) AS n_tokens,
+      |  cast(len(list_distinct(string_split(text,' '))) as int) AS n_uniq,
+      |  cast(len(list_distinct(string_split(text,' '))) as double)
+      |    / cast(len(string_split(text,' ')) as double) AS ttr,
+      |  cast(length(text) - len(string_split(text,' ')) + 1 as double)
+      |    / cast(len(string_split(text,' ')) as double) AS avg_tok_len
+      |FROM documents""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of")
+
+  /** Quality scoring: stopword ratio, lexical diversity, length prior —
+    * the heuristics a pretraining filter applies per document. The score
+    * is one fixed double expression evaluated identically everywhere. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(",")
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(tokens))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text,' '), t -> t IN ($stopList)))"))
+      .withColumn("ttr",
+        size(array_distinct(tokens)).cast("double") /
+          col("n_tokens").cast("double"))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("len_prior",
+        least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("ttr"),
+        col("stop_ratio"), col("len_prior"),
+        (col("ttr") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.2 +
+          col("len_prior") * 0.3).as("quality"))
+  }
+
+  def qualityScoreOracle: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(",")
+    s"""SELECT doc_id, n_tokens, n_stop, ttr, stop_ratio, len_prior,
+       |  ttr * 0.5 + (1.0 - stop_ratio) * 0.2 + len_prior * 0.3 AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    cast(len(string_split(text,' ')) as int) AS n_tokens,
+       |    cast(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) as int) AS n_stop,
+       |    cast(len(list_distinct(string_split(text,' '))) as double)
+       |      / cast(len(string_split(text,' ')) as double) AS ttr,
+       |    cast(len(list_filter(string_split(text,' '), t -> t IN ($stopList))) as double)
+       |      / cast(len(string_split(text,' ')) as double) AS stop_ratio,
+       |    least(cast(len(string_split(text,' ')) as double) / 64.0, 1.0) AS len_prior
+       |  FROM documents) t""".stripMargin
+  }
+
+  /** Corpus profile per (lang, source): doc counts, exact char sums,
+    * vocabulary size (distinct tokens across the group via explode). */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        explode(array_distinct(tokens)).as("tok"))
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        countDistinct(col("tok")).as("vocab"),
+        count(lit(1)).as("n_tok_rows"))
+
+  def corpusProfileOracle: String =
+    """SELECT lang, source,
+      |  cast(count(DISTINCT tok) as bigint) AS vocab,
+      |  count(*) AS n_tok_rows
+      |FROM (
+      |  SELECT lang, source, unnest(list_distinct(string_split(text,' '))) AS tok
+      |  FROM documents) t
+      |GROUP BY lang, source""".stripMargin
+
+  /** Document fingerprinting: md5 over normalized text → duplicate groups.
+    * Deterministic exact dedup — at 100 TB this is one shuffle on the
+    * 128-bit fingerprint with map-side pre-aggregation; the fingerprint
+    * column doubles as a stable content-addressed id.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("fp", md5(lower(trim(col("text")))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+
+  def fingerprintOracle: String =
+    """SELECT md5(lower(trim(text))) AS fp,
+      |  min(doc_id) AS keeper, count(*) AS n_dups
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Heuristic language-ID: score each candidate language by marker-token
+    * hits and take the argmax (deterministic tie-break by language code).
+    * The marker lists stand in for real char-n-gram profiles; the operator
+    * shape — per-language score → argmax — is the production structure.
+    */
+  def languageId(s: SparkSession, dir: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "value"), "de" -> Seq("hash", "join"),
+      "es" -> Seq("data", "stream"), "fr" -> Seq("window", "agg"),
+      "zh" -> Seq("spark", "table"))
+    val scored = markers.toSeq.sortBy(_._1).foldLeft(
+      Tables.documents(s, dir).withColumn("toks", tokens)) {
+      case (df, (code, words)) =>
+        val list = words.map(w => s"'$w'").mkString(",")
+        df.withColumn(s"score_$code",
+          expr(s"size(filter(toks, t -> t IN ($list)))"))
+    }
+    // argmax in fixed code order, >= so the earlier code wins ties
+    scored.withColumn("pred",
+      expr("""CASE
+        | WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+        | WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+        | WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+        | WHEN score_fr >= score_zh THEN 'fr'
+        | ELSE 'zh' END""".stripMargin))
+      .select(col("doc_id"), col("lang"), col("pred"),
+        (col("pred") === col("lang")).as("hit"))
+  }
+
+  def languageIdOracle: String =
+    """SELECT doc_id, lang, pred, pred = lang AS hit FROM (
+      |  SELECT doc_id, lang,
+      |    CASE
+      |      WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+      |      WHEN score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+      |      WHEN score_es >= score_fr AND score_es >= score_zh THEN 'es'
+      |      WHEN score_fr >= score_zh THEN 'fr'
+      |      ELSE 'zh' END AS pred
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(list_filter(toks, t -> t IN ('hash','join'))) AS score_de,
+      |      len(list_filter(toks, t -> t IN ('the','a','value'))) AS score_en,
+      |      len(list_filter(toks, t -> t IN ('data','stream'))) AS score_es,
+      |      len(list_filter(toks, t -> t IN ('window','agg'))) AS score_fr,
+      |      len(list_filter(toks, t -> t IN ('spark','table'))) AS score_zh
+      |    FROM (SELECT doc_id, lang, string_split(text,' ') AS toks
+      |          FROM documents) d) sc) p""".stripMargin
+}

@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Time-series operators over the `events` table — the Timestream-shaped
+  * capability of the reference (`timestream/_read.py:130-171`,
+  * `timestream/_write.py:223-387`) re-expressed as Spark windowed
+  * aggregation. Batch versions here; the same plans run under Structured
+  * Streaming with a watermark (see `graft.streaming.EventStream`).
+  *
+  * Scale notes: tumbling windows aggregate with map-side partials on the
+  * (bucket, key) composite — one shuffle; sessionization is the classic
+  * gaps-and-islands plan — one shuffle on user_id, per-partition sort, all
+  * window functions evaluated in a single pass.
+  */
+object TimeSeries {
+
+  /** Tumbling 1-hour windows per event type: the `window()` aggregate.
+    * Output bucket rendered as a formatted string (timezone-proof for the
+    * differential oracle).
+    */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"), col("n_users"))
+
+  def tumblingOracle: String =
+    """SELECT strftime(time_bucket(INTERVAL '1 hour', cast(ts as timestamp)),
+      |                '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, count(*) AS n,
+      |  cast(sum(cast(value as decimal(10,2))) as double) AS sum_value,
+      |  cast(count(DISTINCT user_id) as bigint) AS n_users
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows (1 h window, 15 min slide): each event lands in four
+    * buckets. Spark-only (DuckDB has no sliding window() equivalent);
+    * covered by spec against the tumbling decomposition.
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Sessionization with a 30-minute inactivity gap: gaps-and-islands via
+    * lag + running count — the batch equivalent of
+    * `session_window(ts, "30 minutes")`, but differentially testable.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("duration_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("duration_us")).as("max_session_us"))
+  }
+
+  def sessionizeOracle: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(cast(ts as timestamp)) AS us,
+      |    CASE WHEN lag(epoch_us(cast(ts as timestamp)), 1) OVER w IS NULL
+      |           OR epoch_us(cast(ts as timestamp))
+      |              - lag(epoch_us(cast(ts as timestamp)), 1) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY cast(ts as timestamp), event_id)),
+      |sessions AS (
+      |  SELECT user_id, us,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    max(us) - min(us) AS duration_us
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_sessions,
+      |  max(n_events) AS max_session_events,
+      |  max(duration_us) AS max_session_us
+      |FROM per_session GROUP BY user_id""".stripMargin
+
+  /** Top-k entities by activity — the "hottest devices" query shape. */
+  def topUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("total_value"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(10)
+
+  def topUsersOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  cast(sum(cast(value as decimal(10,2))) as double) AS total_value
+      |FROM events GROUP BY user_id
+      |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+}

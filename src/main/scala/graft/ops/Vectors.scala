@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Vector similarity search over the `embeddings` table — the S3 Vectors
+  * surface of the reference (`s3/_vectors/_read.py:249-344` query_vectors,
+  * top-k with distance metric) plus the ANN scale path the brief requires.
+  *
+  * All distance math uses higher-order array functions on `array<float>`
+  * cast to double — no UDFs, stays in codegen. Exact brute-force KNN is
+  * the baseline (one scan + TakeOrderedAndProject); the LSH variant
+  * prunes candidates with random hyperplane signatures (sign-of-dot-
+  * product bits), turning top-k into a bucket-join — the plan that holds
+  * when the index has 10^10 vectors: signatures are precomputable, the
+  * probe is an equi-join on the bucket key.
+  */
+object Vectors {
+
+  /** dot(a, b) over array columns in double precision (left-to-right
+    * fold, matching DuckDB's list_sum evaluation order). */
+  private def dot(a: String, b: String) = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |          cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
+
+  private def norm(a: String) = expr(
+    s"""sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)),
+       |          cast(0.0 as double), (acc, v) -> acc + v))""".stripMargin)
+
+  /** Exact brute-force cosine top-k against the vec_id=0 query vector.
+    * Output carries ids + rank only: float-sum rounding may differ at the
+    * last ulp between engines, which cannot change the ordering of
+    * well-separated random vectors but would break value hashing.
+    */
+  def knnExact(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q"))
+    emb.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(query))
+      .withColumn("cosine",
+        dot("embedding", "q") / (norm("embedding") * norm("q")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"))
+  }
+
+  def knnExactOracle: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY
+      |  list_sum(list_transform(generate_series(1, 64),
+      |    i -> cast(embedding[i] as double) * cast(qe[i] as double)))
+      |  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |       i -> cast(embedding[i] as double) * cast(embedding[i] as double))))
+      |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+      |       i -> cast(qe[i] as double) * cast(qe[i] as double)))))
+      |  DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  /** Per-label centroid norms + membership — the IVF coarse-quantizer
+    * statistics (label plays the role of the coarse cell). Counts only
+    * (exact in both engines). */
+  def labelStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("vec_id")).as("max_vec_id"))
+
+  def labelStatsOracle: String =
+    """SELECT label, count(*) AS n_vectors,
+      |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+      |FROM embeddings GROUP BY label""".stripMargin
+
+  /** LSH-bucketed ANN: random-hyperplane signature (8 sign bits from
+    * pseudo-random projections derived deterministically from xxhash64),
+    * candidates = query's bucket, exact cosine re-rank inside the bucket.
+    * Spark-only (hash-derived projections); spec-tested for recall vs
+    * knnExact.
+    */
+  def knnLsh(s: SparkSession, dir: String): DataFrame = {
+    // hyperplane h_j component i = (xxhash64(j, i) mod 1001 - 500) / 500
+    val sigExpr = expr(
+      """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
+        |  acc | shiftleft(
+        |    case when aggregate(zip_with(embedding,
+        |      transform(sequence(0, 63),
+        |        i -> cast(pmod(xxhash64(j, i), 1001) - 500 as double) / 500.0d),
+        |      (x, h) -> cast(x as double) * h),
+        |      cast(0.0 as double), (a, v) -> a + v) >= 0.0d
+        |    then 1L else 0L end, j))""".stripMargin)
+    val emb = Tables.embeddings(s, dir).withColumn("bucket", sigExpr)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q"), col("bucket").as("qbucket"))
+    emb.filter(col("vec_id") =!= 0L)
+      .join(broadcast(query), col("bucket") === col("qbucket"))
+      .withColumn("cosine",
+        dot("embedding", "q") / (norm("embedding") * norm("q")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"), col("bucket"))
+  }
+}
