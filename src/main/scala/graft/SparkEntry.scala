@@ -68,6 +68,16 @@ object SparkEntry {
     "search_match_query"  -> (Search.matchQuery _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
+    // multimodal plumbing (decode stage stubbed — no codecs in container);
+    // deterministic synthetic corpus, so rows-only check + spec coverage
+    "mm_decode_features"  -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal
+        .decodeFeatures(graft.multimodal.Multimodal.synthesize(s, 1000))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(

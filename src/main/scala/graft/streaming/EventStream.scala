@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the events stream — the capability
+  * upgrade over the reference's chunked iteration (SURVEY §2.8: the
+  * reference has no watermark/event-time model; `to_deltalake_streaming`
+  * is its only batch-commit primitive, `s3/_write_deltalake.py:139-226`).
+  *
+  * The same aggregation plans as `graft.ops.TimeSeries` run here under a
+  * watermark: tumbling/sliding `window()` and `session_window()` with
+  * late-data drop, micro-batch sinks via foreachBatch. At scale this is
+  * the standard shuffle-per-microbatch stateful topology; state lives in
+  * the HDFS/RocksDB state store keyed by (window, key).
+  */
+object EventStream {
+
+  /** The events schema as stored (ns timestamps surface as long —
+    * see `graft.Tables.events`). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet files, ts
+    * normalized to µs TimestampType. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregate with a watermark: counts + exact sums per
+    * (hour, event_type); late events beyond 30 minutes are dropped. */
+  def tumblingAgg(events: DataFrame,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — the stateful operator the
+    * batch `TimeSeries.sessionize` mirrors via gaps-and-islands. */
+  def sessionAgg(events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Drain a streaming aggregate into an in-memory table and block until
+    * every available file is processed — the synchronous smoke-test
+    * harness (production uses foreachBatch into a dataset sink). */
+  def runToMemory(agg: DataFrame, name: String,
+      outputMode: String = "append"): Unit = {
+    val q = agg.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** foreachBatch sink appending micro-batches to a parquet dataset —
+    * the `to_deltalake_streaming` analogue (each batch is one atomic
+    * directory commit via the file committer). */
+  def runToDataset(agg: DataFrame, path: String,
+      checkpoint: String): StreamingQuery =
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.io.DatasetWriter.toParquet(batch, path,
+          mode = graft.io.DatasetWriter.Append)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
