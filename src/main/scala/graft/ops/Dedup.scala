@@ -11,29 +11,36 @@ import graft.Tables
   * `s3/_vectors/_read.py:249-344`).
   *
   * Scale design: the naive all-pairs Jaccard is quadratic — it exists as
-  * the small-scope oracle-checked baseline (pairs restricted to one
-  * source/bucket). The scale path is MinHash → LSH bands: per-document
-  * signatures are a linear scan, candidate generation is an equi-join on
-  * (band, bandHash) — a plain shuffle join on a high-cardinality key, no
-  * cross product — and only candidates pay the verification cost. That
-  * plan survives 100 TB: signature width k and band count b tune the
-  * recall/cost trade-off independently of data volume.
+  * the small-scope oracle-checked baseline (pairs restricted to a bounded
+  * source set). The scale path is MinHash → LSH bands: per-document
+  * signatures are a linear scan; candidate generation is an equi-join on
+  * (band, bandKey) — a plain shuffle join, no cross product; candidate
+  * pairs are DEDUPED ACROSS BANDS FIRST and only then pay the signature
+  * comparison (one estimate per unique pair, not per banded collision).
+  * Band width r trades recall for candidate count: collision probability
+  * is s^r for similarity s, so near-identical corpora (like this synthetic
+  * one) still bound their candidate sets.
   */
 object Dedup {
-
-  private val tokens = split(col("text"), " ")
 
   /** Distinct character 3-gram shingles per document. */
   private def shingles = array_distinct(
     expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
 
-  /** Exact n-gram Jaccard similarity for all pairs within a source
-    * (the bounded "verify" stage of an LSH pipeline). Intersections are
-    * computed by an equi-join on the exploded shingle — the same
+  /** Sources included in the exact-Jaccard baseline (bounded verify
+    * scope; the minhash operators cover the full corpus). */
+  private val jaccardSources =
+    Seq("src0", "src1", "src2", "src3", "src4")
+
+  /** Exact n-gram Jaccard similarity for all pairs within a bounded
+    * source set (the "verify" stage of an LSH pipeline, run exact).
+    * Intersections via equi-join on the exploded shingle — the same
     * shuffle-join shape LSH candidate verification uses at scale.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val src = jaccardSources.map(x => s"'$x'").mkString(",")
     val sh = Tables.documents(s, dir)
+      .filter(col("source").isin(jaccardSources: _*))
       .select(col("doc_id"), col("source"), explode(shingles).as("g"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
@@ -52,29 +59,33 @@ object Dedup {
       .filter(col("jaccard") >= 0.6)
   }
 
-  def ngramJaccardOracle: String =
-    """WITH sh AS (
-      |  SELECT DISTINCT doc_id, source, g FROM (
-      |    SELECT doc_id, source,
-      |      unnest(list_transform(generate_series(1, length(text)-2),
-      |                            i -> substring(text, i, 3))) AS g
-      |    FROM documents) t),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |common AS (
-      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
-      |  FROM sh a JOIN sh b
-      |    ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT d1, d2,
-      |  cast(c as double) / cast(s1.n + s2.n - c as double) AS jaccard
-      |FROM common
-      |JOIN sizes s1 ON d1 = s1.doc_id
-      |JOIN sizes s2 ON d2 = s2.doc_id
-      |WHERE cast(c as double) / cast(s1.n + s2.n - c as double) >= 0.6""".stripMargin
+  def ngramJaccardOracle: String = {
+    val src = jaccardSources.map(x => s"'$x'").mkString(",")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, source, g FROM (
+       |    SELECT doc_id, source,
+       |      unnest(list_transform(generate_series(1, length(text)-2),
+       |                            i -> substring(text, i, 3))) AS g
+       |    FROM documents WHERE source IN ($src)) t),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+       |  FROM sh a JOIN sh b
+       |    ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT d1, d2,
+       |  cast(c as double) / cast(s1.n + s2.n - c as double) AS jaccard
+       |FROM common
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE cast(c as double) / cast(s1.n + s2.n - c as double) >= 0.6""".stripMargin
+  }
 
-  /** Number of MinHash components and LSH bands for the oracle variant. */
+  /** MinHash components / LSH geometry for the oracle variant:
+    * 12 components in 3 bands of 4 rows. */
   private val K = 12
-  private val BANDS = 4 // 3 components per band
+  private val BANDS = 3
+  private val ROWS = K / BANDS
 
   /** MinHash signature as an array of K per-seed minima. The hash family
     * is md5(seed || ':' || token) compared lexicographically — engine-
@@ -87,32 +98,40 @@ object Dedup {
        |  i -> array_min(transform(array_distinct(split(text, ' ')),
        |                 t -> md5(concat(cast(i as string), ':', t)))))""".stripMargin)
 
-  /** MinHash + LSH candidate pairs: documents sharing at least one band
-    * (estimated Jaccard from matching components attached). One linear
-    * pass for signatures, an equi-join on (band, bandKey) for candidates.
+  /** Candidate pairs sharing at least one band, deduped, then one
+    * signature comparison per pair. */
+  private def lshPairs(sig: DataFrame, bandKeys: org.apache.spark.sql.Column,
+      estimate: org.apache.spark.sql.Column): DataFrame = {
+    val banded = sig.select(col("doc_id"), posexplode(bandKeys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.as("a"); val b = banded.as("b")
+    val pairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val s1 = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    pairs.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"), estimate.as("est_jaccard"))
+  }
+
+  /** MinHash + LSH candidate pairs with estimated Jaccard (matching
+    * component fraction). One linear pass for signatures, an equi-join on
+    * (band, bandKey) for candidates.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), minhashSig.as("sig"))
-    val rows = K / BANDS
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${BANDS - 1}),
-           |  b -> md5(concat_ws('|', slice(sig, b * $rows + 1, $rows))))""".stripMargin)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr(s"""cast(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),
-                 |            v -> v)) as double) / ${K}.0""".stripMargin)
-          .as("est_jaccard"))
-      .distinct()
+    val bandKeys = expr(
+      s"""transform(sequence(0, ${BANDS - 1}),
+         |  b -> md5(concat_ws('|', slice(sig, b * $ROWS + 1, $ROWS))))""".stripMargin)
+    val est = expr(s"""cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y),
+                      |            v -> v)) as double) / ${K}.0""".stripMargin)
+    lshPairs(sig, bandKeys, est)
   }
 
-  def minhashLshOracle: String = {
-    val rows = K / BANDS
+  def minhashLshOracle: String =
     s"""WITH sig AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, ${K - 1}),
@@ -121,47 +140,39 @@ object Dedup {
        |  FROM documents),
        |banded AS (
        |  SELECT doc_id, sig, b AS band,
-       |    md5(concat_ws('|', sig[b * $rows + 1], sig[b * $rows + 2], sig[b * $rows + 3])) AS bkey
-       |  FROM sig, unnest(generate_series(0, ${BANDS - 1})) AS u(b))
+       |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+       |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+       |  FROM sig, range(0, $BANDS) AS u(b))
        |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-       |  cast(len(list_filter(list_zip(a.sig, b.sig),
-       |       p -> p[1] = p[2])) as double) / ${K}.0 AS est_jaccard
+       |  cast(len(list_filter(generate_series(1, $K),
+       |       i -> a.sig[i] = b.sig[i])) as double) / ${K}.0 AS est_jaccard
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
-  }
 
   /** Production MinHash: same pipeline with xxhash64 (codegen'd long
-    * hashing, no string churn) — the variant you run at 100 TB. No SQL
+    * hashing, no string churn), 32 components in 4 bands of 8. No SQL
     * oracle (hash family is Spark-specific); spec-tested instead.
     */
   def minhashLshFast(s: SparkSession, dir: String): DataFrame = {
-    val K = 32; val BANDS = 8; val rows = K / BANDS
+    val k = 32; val bands = 4; val rows = k / bands
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"),
         expr(
-          s"""transform(sequence(0, ${K - 1}),
+          s"""transform(sequence(0, ${k - 1}),
              |  i -> array_min(transform(array_distinct(split(text, ' ')),
              |                 t -> xxhash64(i, t))))""".stripMargin).as("sig"))
-    val banded = sig.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"""transform(sequence(0, ${BANDS - 1}),
-           |  b -> xxhash64(slice(sig, b * $rows + 1, $rows)))""".stripMargin)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr(s"""cast(size(filter(zip_with(a.sig, b.sig, (x, y) -> x = y),
-                 |            v -> v)) as double) / ${K}.0""".stripMargin)
-          .as("est_jaccard"))
-      .distinct()
+    val bandKeys = expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> xxhash64(slice(sig, b * $rows + 1, $rows)))""".stripMargin)
+    val est = expr(s"""cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y),
+                      |            v -> v)) as double) / ${k}.0""".stripMargin)
+    lshPairs(sig, bandKeys, est)
   }
 
   /** SimHash near-dup detection: 64-bit signature from token-hash bit
-    * votes, LSH on four 16-bit bands, exact Hamming distance on candidate
-    * pairs. All bit arithmetic on longs inside codegen. Spark-only
-    * (xxhash64 family); spec-tested.
+    * votes, LSH on four 16-bit bands, pairs deduped before the exact
+    * Hamming check. All bit arithmetic on longs inside codegen.
+    * Spark-only (xxhash64 family); spec-tested.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val sigExpr = expr(
@@ -174,18 +185,22 @@ object Dedup {
         |                            then shiftleft(1L, acc.col2) else 0L end),
         |                 acc.col2 + 1),
         |  acc -> acc.col1)""".stripMargin)
-    val sigs = Tables.documents(s, dir).select(col("doc_id"), sigExpr.as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)")))
+    val sig = Tables.documents(s, dir).select(col("doc_id"), sigExpr.as("sig"))
+    val bandKeys = expr(
+      "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)")
+    val banded = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val a = banded.as("a"); val b = banded.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        expr("bit_count(a.sig ^ b.sig)").as("hamming"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+    val s1 = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    pairs.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        expr("bit_count(sig1 ^ sig2)").as("hamming"))
       .filter(col("hamming") <= 16)
   }
 }
