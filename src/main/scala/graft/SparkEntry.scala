@@ -36,6 +36,15 @@ object SparkEntry {
     "q17_in_not_exists"   -> (Relational.q17InNotExists _),
     "q18_lag_lead"        -> (Relational.q18LagLead _),
     "q19_top_k"           -> (Relational.q19TopK _),
+    "q20_cube"            -> (Relational2.q20Cube _),
+    "q21_analytic_windows" -> (Relational2.q21AnalyticWindows _),
+    "q22_cte_chain"       -> (Relational2.q22CteChain _),
+    "q23_pivot"           -> (Relational2.q23Pivot _),
+    "q24_regex_strings"   -> (Relational2.q24RegexStrings _),
+    "q25_date_funcs"      -> (Relational2.q25DateFuncs _),
+    "q26_universal"       -> (Relational2.q26Universal _),
+    "q27_null_handling"   -> (Relational2.q27NullHandling _),
+    "q28_union_all"       -> (Relational2.q28UnionAll _),
     // text analysis (SURVEY north-star extensions)
     "text_token_stats"    -> (Text.tokenStats _),
     "text_quality_score"  -> (Text.qualityScore _),
@@ -60,6 +69,8 @@ object SparkEntry {
     "vec_knn_exact"       -> (Vectors.knnExact _),
     "vec_label_stats"     -> (Vectors.labelStats _),
     "vec_knn_lsh"         -> (Vectors.knnLsh _),
+    "vec_near_dup"        -> (Vectors.embeddingNearDup _),
+    "vec_ivf_search"      -> ((s: SparkSession, d: String) => Vectors.ivfSearch(s, d)),
     // graph (Neptune-shaped)
     "graph_two_hop"       -> (Graph.twoHop _),
     "graph_motif"         -> (Graph.motif _),
@@ -100,6 +111,15 @@ object SparkEntry {
     "q17_in_not_exists"   -> Relational.q17OracleSql,
     "q18_lag_lead"        -> Relational.q18OracleSql,
     "q19_top_k"           -> Relational.q19OracleSql,
+    "q20_cube"            -> Relational2.q20OracleSql,
+    "q21_analytic_windows" -> Relational2.q21OracleSql,
+    "q22_cte_chain"       -> Relational2.q22OracleSql,
+    "q23_pivot"           -> Relational2.q23OracleSql,
+    "q24_regex_strings"   -> Relational2.q24OracleSql,
+    "q25_date_funcs"      -> Relational2.q25OracleSql,
+    "q26_universal"       -> Relational2.q26OracleSql,
+    "q27_null_handling"   -> Relational2.q27OracleSql,
+    "q28_union_all"       -> Relational2.q28OracleSql,
     "text_token_stats"    -> Text.tokenStatsOracle,
     "text_quality_score"  -> Text.qualityScoreOracle,
     "text_corpus_profile" -> Text.corpusProfileOracle,
@@ -118,6 +138,7 @@ object SparkEntry {
     "kv_batch_get"        -> KeyValue.batchGetOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,
+    "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "graph_two_hop"       -> Graph.twoHopOracle,
     "graph_motif"         -> Graph.motifOracle,
     "graph_flatten_props" -> Graph.flattenPropsOracle,

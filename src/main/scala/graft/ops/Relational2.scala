@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Second batch of the Athena/Trino SQL surface (SURVEY §2.3): CUBE,
+  * analytic window functions, CTE shapes, regex/date/conditional scalar
+  * functions, pivot-style conditional aggregation. Same oracle-exactness
+  * conventions as [[Relational]].
+  */
+object Relational2 {
+
+  /** CUBE grouping sets over two dimensions. */
+  def q20Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(10,2)")).cast("double")
+          .as("total"))
+
+  def q20OracleSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  cast(sum(cast(o_totalprice as decimal(10,2))) as double) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Analytic windows: ntile, percent_rank, cume_dist, first/last value
+    * over a per-status price ordering. */
+  def q21AnalyticWindows(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100L)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first(col("o_orderkey")).over(wf).as("cheapest_key"),
+        last(col("o_orderkey")).over(wf).as("priciest_key"))
+  }
+
+  def q21OracleSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(o_orderkey) OVER wf AS cheapest_key,
+      |  last_value(o_orderkey) OVER wf AS priciest_key
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey),
+      |       wf AS (PARTITION BY o_orderstatus
+      |              ORDER BY o_totalprice, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+
+  /** Chained CTEs: revenue per supplier → quartile bucket → bucket stats
+    * (the multi-stage analyst query shape). */
+  def q22CteChain(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val rev = li.groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(10,2)"))
+        .cast("double").as("rev"))
+    val w = Window.orderBy(col("rev"), col("l_suppkey"))
+    val bucketed = rev.withColumn("q", ntile(4).over(w))
+    bucketed.groupBy(col("q"))
+      .agg(count(lit(1)).as("n_supps"),
+        min(col("rev")).as("min_rev"), max(col("rev")).as("max_rev"))
+  }
+
+  def q22OracleSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    cast(sum(cast(l_extendedprice as decimal(10,2))) as double) AS rev
+      |  FROM lineitem GROUP BY l_suppkey),
+      |bucketed AS (
+      |  SELECT l_suppkey, rev, ntile(4) OVER (ORDER BY rev, l_suppkey) AS q
+      |  FROM rev)
+      |SELECT q, count(*) AS n_supps, min(rev) AS min_rev, max(rev) AS max_rev
+      |FROM bucketed GROUP BY q""".stripMargin
+
+  /** Pivot-style conditional aggregation: order counts per month × status
+    * as columns (the reshape the reference does client-side in pandas). */
+  def q23Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .agg(
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_open"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_filled"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"))
+
+  def q23OracleSql: String =
+    """SELECT cast(year(o_orderdate) as int) AS yr,
+      |  cast(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) as bigint) AS n_open,
+      |  cast(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) as bigint) AS n_filled,
+      |  cast(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) as bigint) AS n_pending
+      |FROM orders GROUP BY 1""".stripMargin
+
+  /** Regex + string function library: extract the numeric suffix of the
+    * source tag, split-part, padding, trim variants. */
+  def q24RegexStrings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
+          .as("src_num"),
+        substring_index(col("text"), " ", 3).as("first3"),
+        lpad(col("lang"), 4, "_").as("lang_pad"),
+        reverse(col("lang")).as("lang_rev"),
+        translate(col("lang"), "aeiou", "AEIOU").as("lang_tr"),
+        instr(col("text"), "spark").as("spark_pos"))
+
+  def q24OracleSql: String =
+    """SELECT doc_id,
+      |  cast(regexp_extract(source, 'src([0-9]+)', 1) as int) AS src_num,
+      |  array_to_string((string_split(text, ' '))[1:3], ' ') AS first3,
+      |  lpad(lang, 4, '_') AS lang_pad,
+      |  reverse(lang) AS lang_rev,
+      |  translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+      |  cast(coalesce(nullif(position('spark' IN text), NULL), 0) as int) AS spark_pos
+      |FROM documents""".stripMargin
+
+  /** Date/time function library over orders: truncation, extraction,
+    * intervals, day arithmetic. */
+  def q25DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 500L)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd")
+          .as("q_start"),
+        datediff(lit("2002-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_2002"),
+        date_format(date_add(col("o_orderdate").cast("date"), 90),
+          "yyyy-MM-dd").as("plus90"))
+
+  def q25OracleSql: String =
+    """SELECT o_orderkey,
+      |  cast(year(o_orderdate) as int) AS y,
+      |  cast(month(o_orderdate) as int) AS m,
+      |  cast(day(o_orderdate) as int) AS d,
+      |  cast(quarter(o_orderdate) as int) AS q,
+      |  strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS q_start,
+      |  cast(date_diff('day', cast(o_orderdate as date), DATE '2002-01-01') as int) AS days_to_2002,
+      |  strftime(cast(o_orderdate as date) + INTERVAL 90 DAY, '%Y-%m-%d') AS plus90
+      |FROM orders WHERE o_orderkey < 500""".stripMargin
+
+  /** Correlated EXISTS with an aggregate guard: suppliers whose every
+    * large shipment was discounted (universal quantification via
+    * NOT EXISTS counter-example). */
+  def q26Universal(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val counterExample = li
+      .filter(col("l_quantity") >= 45 && col("l_discount") === 0.0)
+      .select(col("l_suppkey")).distinct()
+    val hasLarge = li.filter(col("l_quantity") >= 45)
+      .select(col("l_suppkey")).distinct()
+    hasLarge.join(counterExample, Seq("l_suppkey"), "left_anti")
+      .orderBy(col("l_suppkey"))
+  }
+
+  def q26OracleSql: String =
+    """SELECT DISTINCT l_suppkey FROM lineitem li
+      |WHERE l_quantity >= 45
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem x
+      |    WHERE x.l_suppkey = li.l_suppkey
+      |      AND x.l_quantity >= 45 AND x.l_discount = 0.0)
+      |ORDER BY l_suppkey""".stripMargin
+
+  /** Null-handling functions: coalesce / nullif / null-safe compare over
+    * a derived nullable column. */
+  def q27NullHandling(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("maybe",
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("maybe")).as("n_nonnull"),
+        sum(when(col("maybe").isNull, 1L).otherwise(0L)).as("n_null"),
+        sum(coalesce(col("maybe"), lit(0.0)).cast("decimal(10,2)"))
+          .cast("double").as("total_pos"),
+        count(when(col("maybe") <=> lit(null).cast("double"), 1)).as("nsafe_null"))
+
+  def q27OracleSql: String =
+    """SELECT c_mktsegment,
+      |  cast(count(maybe) as bigint) AS n_nonnull,
+      |  cast(sum(CASE WHEN maybe IS NULL THEN 1 ELSE 0 END) as bigint) AS n_null,
+      |  cast(sum(cast(coalesce(maybe, 0.0) as decimal(10,2))) as double) AS total_pos,
+      |  cast(count(CASE WHEN maybe IS NOT DISTINCT FROM NULL THEN 1 END) as bigint) AS nsafe_null
+      |FROM (SELECT c_mktsegment,
+      |        CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS maybe
+      |      FROM customer) t
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** UNION ALL + dedup-on-top: the multi-source ingestion shape. */
+  def q28UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k"), lit("open").as("src"))
+    val b = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("k"), lit("big").as("src"))
+    a.unionAll(b)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("src")).as("n_src"))
+      .filter(col("n_src") === 2)
+  }
+
+  def q28OracleSql: String =
+    """SELECT k, count(*) AS n, cast(count(DISTINCT src) as bigint) AS n_src
+      |FROM (
+      |  SELECT o_custkey AS k, 'open' AS src FROM orders WHERE o_orderstatus = 'O'
+      |  UNION ALL
+      |  SELECT o_custkey AS k, 'big' AS src FROM orders WHERE o_totalprice > 400000.0) t
+      |GROUP BY k HAVING cast(count(DISTINCT src) as bigint) = 2""".stripMargin
+}

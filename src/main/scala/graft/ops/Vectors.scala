@@ -76,6 +76,74 @@ object Vectors {
       |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
       |FROM embeddings GROUP BY label""".stripMargin
 
+  /** Embedding-cosine near-duplicate pairs — the vector leg of the dedup
+    * family (all-pairs here as the bounded exact baseline; at scale the
+    * pair generation goes through [[knnLsh]]-style bucketing first).
+    * Output carries ids/labels only: the cosine values differ in the last
+    * ulp across engines, the ≥-threshold set does not (threshold sits in
+    * a gap of the similarity distribution).
+    */
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val a = emb.select(col("vec_id").as("id1"), col("label").as("label1"),
+      col("embedding").as("e1"))
+    val b = emb.select(col("vec_id").as("id2"), col("label").as("label2"),
+      col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cosine", dot("e1", "e2") / (norm("e1") * norm("e2")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("id1"), col("id2"),
+        (col("label1") === col("label2")).as("same_label"))
+  }
+
+  def embeddingNearDupOracle: String =
+    """WITH n AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> cast(x as double) * cast(x as double)))) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  a.label = b.label AS same_label
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(generate_series(1, 64),
+      |        i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
+      |      / (a.nrm * b.nrm) >= 0.45""".stripMargin
+
+  /** IVF-style ANN: coarse quantizer = per-label centroids (label plays
+    * the coarse cell; a production build k-means them), probe the
+    * `nprobe` nearest cells, exact re-rank inside. The scan prunes to
+    * nprobe/ncells of the index — the structure that survives 10^10
+    * vectors. Spark-only; spec-tested for recall vs [[knnExact]].
+    */
+  def ivfSearch(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // centroids: per-dimension mean via posexplode + re-assembly
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q"))
+    // probe the nprobe closest cells
+    val probed = centroids.crossJoin(broadcast(query))
+      .withColumn("cdist", dot("centroid", "q") / (norm("centroid") * norm("q")))
+      .orderBy(col("cdist").desc)
+      .limit(nprobe)
+      .select(col("c_label"))
+    emb.filter(col("vec_id") =!= 0L)
+      .join(broadcast(probed), col("label") === col("c_label"))
+      .crossJoin(broadcast(query))
+      .withColumn("cosine", dot("embedding", "q") / (norm("embedding") * norm("q")))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"))
+  }
+
   /** LSH-bucketed ANN: random-hyperplane signature (8 sign bits from
     * pseudo-random projections derived deterministically from xxhash64),
     * candidates = query's bucket, exact cosine re-rank inside the bucket.

@@ -82,6 +82,17 @@ class OpsSpec extends AnyFunSuite {
     assert(Vectors.knnExact(spark, sf).count() == 10)
   }
 
+  test("ivf search recalls most exact neighbours with 3 of 10 probes") {
+    val exact = Vectors.knnExact(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = Vectors.ivfSearch(spark, sf).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.size == 10)
+    // probing 3/10 coarse cells must still recover a meaningful share
+    assert((exact intersect ivf).size >= 3,
+      s"recall too low: ${(exact intersect ivf).size}/10")
+  }
+
   test("flattenSchema flattens nested structs") {
     import spark.implicits._
     val df = Seq((1, (2, (3, "x")))).toDF("a", "b")
