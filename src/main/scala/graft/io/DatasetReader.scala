@@ -1,5 +1,6 @@
 package graft.io
 
+import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -136,6 +137,18 @@ object DatasetReader {
       .toSeq
     rows.toDF("path", "size_bytes", "modified_ms")
   }
+
+  /** Chunked scan (`chunked=True` — `s3/_read_parquet.py:217-282`): an
+    * iterator of row batches for memory-bounded driver-side consumption.
+    * `toLocalIterator` streams one partition at a time; for chunked
+    * *distributed* processing use the DataFrame directly (every operator
+    * is already batch-streamed through the executors).
+    */
+  def readParquetChunked(spark: SparkSession, path: String,
+      chunkRows: Int = 65536)
+      : Iterator[Seq[org.apache.spark.sql.Row]] =
+    spark.read.parquet(path).toLocalIterator().asScala.grouped(chunkRows)
+      .map(_.toSeq)
 
   /** `s3.does_object_exist` analogue. */
   def exists(spark: SparkSession, path: String): Boolean = {

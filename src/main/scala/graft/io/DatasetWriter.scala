@@ -35,6 +35,40 @@ object DatasetWriter {
 
   final case class BucketingInfo(cols: Seq[String], numBuckets: Int)
 
+  /** Iceberg-style partition transforms (`athena/_write_iceberg.py:269-281`
+    * `_extract_column_from_partition_transform`): derive a partition
+    * column from an expression — `day(ts)`, `month(ts)`, `year(ts)`,
+    * `bucket(n, col)` (Athena hash), `truncate(w, col)`. Returns the
+    * DataFrame with the derived column appended; pass its name to
+    * `partitionCols`.
+    */
+  def withPartitionTransform(df: DataFrame, transform: String): DataFrame = {
+    val Pattern = "([a-z]+)\\(([^)]*)\\)".r
+    transform.trim match {
+      case Pattern("day", c) =>
+        df.withColumn(s"${c.trim}_day",
+          date_format(col(c.trim), "yyyy-MM-dd"))
+      case Pattern("month", c) =>
+        df.withColumn(s"${c.trim}_month", date_format(col(c.trim), "yyyy-MM"))
+      case Pattern("year", c) =>
+        df.withColumn(s"${c.trim}_year", year(col(c.trim)))
+      case Pattern("hour", c) =>
+        df.withColumn(s"${c.trim}_hour",
+          date_format(col(c.trim), "yyyy-MM-dd-HH"))
+      case Pattern("bucket", args) =>
+        val Array(n, c) = args.split(",").map(_.trim)
+        AthenaBucketHash.register(df.sparkSession)
+        df.withColumn(s"${c}_bucket",
+          pmod(call_function("athena_bucket_hash", col(c)), lit(n.toLong))
+            .cast("int"))
+      case Pattern("truncate", args) =>
+        val Array(w, c) = args.split(",").map(_.trim)
+        df.withColumn(s"${c}_trunc", substring(col(c), 1, w.toInt))
+      case other =>
+        throw new IllegalArgumentException(s"unknown partition transform: $other")
+    }
+  }
+
   def toParquet(
       df: DataFrame,
       path: String,

@@ -76,24 +76,26 @@ object Vectors {
       |  min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
       |FROM embeddings GROUP BY label""".stripMargin
 
-  /** Embedding-cosine near-duplicate pairs — the vector leg of the dedup
-    * family (all-pairs here as the bounded exact baseline; at scale the
-    * pair generation goes through [[knnLsh]]-style bucketing first).
-    * Output carries ids/labels only: the cosine values differ in the last
-    * ulp across engines, the ≥-threshold set does not (threshold sits in
-    * a gap of the similarity distribution).
+  /** Embedding-cosine near-duplicate pairs within a label block — the
+    * vector leg of the dedup family. Blocking by the coarse cell (label)
+    * is the candidate-generation step every scale deployment needs (here
+    * it also bounds the exact pair join: pairs grow per-block, not
+    * globally); norms are computed once per vector BEFORE the pair join.
+    * Output carries ids only: cosine values differ in the last ulp across
+    * engines, the ≥-threshold membership does not.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val a = emb.select(col("vec_id").as("id1"), col("label").as("label1"),
-      col("embedding").as("e1"))
-    val b = emb.select(col("vec_id").as("id2"), col("label").as("label2"),
-      col("embedding").as("e2"))
-    a.join(b, col("id1") < col("id2"))
-      .withColumn("cosine", dot("e1", "e2") / (norm("e1") * norm("e2")))
-      .filter(col("cosine") >= 0.45)
-      .select(col("id1"), col("id2"),
-        (col("label1") === col("label2")).as("same_label"))
+      .withColumn("nrm", norm("embedding"))
+    val a = emb.select(col("vec_id").as("id1"), col("label"),
+      col("embedding").as("e1"), col("nrm").as("n1"))
+    val b = emb.select(col("vec_id").as("id2"), col("label"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", dot("e1", "e2") / (col("n1") * col("n2")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("id1"), col("id2"), col("label"))
   }
 
   def embeddingNearDupOracle: String =
@@ -102,12 +104,11 @@ object Vectors {
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> cast(x as double) * cast(x as double)))) AS nrm
       |  FROM embeddings)
-      |SELECT a.vec_id AS id1, b.vec_id AS id2,
-      |  a.label = b.label AS same_label
-      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |SELECT a.vec_id AS id1, b.vec_id AS id2, a.label
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_sum(list_transform(generate_series(1, 64),
       |        i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
-      |      / (a.nrm * b.nrm) >= 0.45""".stripMargin
+      |      / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   /** IVF-style ANN: coarse quantizer = per-label centroids (label plays
     * the coarse cell; a production build k-means them), probe the
