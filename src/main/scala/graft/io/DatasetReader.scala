@@ -155,4 +155,18 @@ object DatasetReader {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** A dataset exists when its prefix holds at least one data file (an
+    * empty prefix is not a readable dataset). */
+  def datasetExists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val n = it.next().getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) return true
+    }
+    false
+  }
 }

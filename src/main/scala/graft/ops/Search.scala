@@ -36,6 +36,23 @@ object Search {
         col("tf_stream"), col("score"))
   }
 
+  /** Bulk document indexing with id-key upsert — `opensearch.index_df`
+    * (`opensearch/_write.py:432-488`, `id_keys` semantics): documents
+    * land keyed by the id columns; re-indexing a document replaces it.
+    */
+  def indexDocuments(
+      docs: DataFrame,
+      indexPath: String,
+      idKeys: Seq[String]): Long = {
+    val spark = docs.sparkSession
+    if (!graft.io.DatasetReader.datasetExists(spark, indexPath)) {
+      graft.io.DatasetWriter.toParquet(docs, indexPath,
+        mode = graft.io.DatasetWriter.Overwrite)
+      docs.count()
+    } else
+      graft.table.MergeOps.upsert(spark, indexPath, docs, keys = idKeys)
+  }
+
   def matchQueryOracle: String =
     """SELECT doc_id, lang, tf_spark, tf_join, tf_stream,
       |  tf_spark * 3 + tf_join * 2 + tf_stream AS score

@@ -104,6 +104,34 @@ object TimeSeries {
       |  max(duration_us) AS max_session_us
       |FROM per_session GROUP BY user_id""".stripMargin
 
+  /** Time-series dataset write — `timestream.write`
+    * (`timestream/_write.py:223-387`): a time column, dimension columns
+    * and measure columns land in a day-partitioned dataset; version-based
+    * upsert (same (dims, time) key, greatest version wins) delegates to
+    * [[graft.table.MergeOps.versionedUpsert]].
+    */
+  def write(
+      df: DataFrame,
+      path: String,
+      timeCol: String,
+      dimensionCols: Seq[String],
+      measureCols: Seq[String],
+      versionCol: Option[String] = None): Unit = {
+    val projected = df.select(
+      (Seq(col(timeCol).cast("timestamp").as(timeCol)) ++
+        dimensionCols.map(col) ++ measureCols.map(col) ++
+        versionCol.map(col).toSeq): _*)
+      .withColumn("__day", date_format(col(timeCol), "yyyy-MM-dd"))
+    versionCol match {
+      case Some(v) if graft.io.DatasetReader.datasetExists(df.sparkSession, path) =>
+        graft.table.MergeOps.versionedUpsert(df.sparkSession, path,
+          projected, keys = dimensionCols :+ timeCol, precombine = v)
+      case _ =>
+        graft.io.DatasetWriter.toParquet(projected, path,
+          mode = graft.io.DatasetWriter.Append, partitionCols = Seq("__day"))
+    }
+  }
+
   /** Top-k entities by activity — the "hottest devices" query shape. */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

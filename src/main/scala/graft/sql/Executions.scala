@@ -1,0 +1,77 @@
+package graft.sql
+
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+import scala.concurrent.{ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Asynchronous query-execution control — the
+  * `athena.start_query_execution / wait_query / stop_query_execution /
+  * get_query_execution` surface (`athena/_executions.py:34-273`) on
+  * Spark's job-group machinery: each execution runs in its own job group
+  * so it can be cancelled mid-flight, and status is tracked through the
+  * returned handle.
+  */
+object Executions {
+
+  sealed trait State
+  case object Running extends State
+  case object Succeeded extends State
+  case object Failed extends State
+  case object Cancelled extends State
+
+  final case class QueryExecution(
+      id: String,
+      sql: String,
+      future: Future[DataFrame],
+      private[Executions] val spark: SparkSession) {
+    def state: State = Executions.stateOf(id)
+    def error: Option[Throwable] = Option(Executions.errors.get(id))
+  }
+
+  private val states = new ConcurrentHashMap[String, State]()
+  private val errors = new ConcurrentHashMap[String, Throwable]()
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool { r =>
+        val t = new Thread(r, "graft-query-exec"); t.setDaemon(true); t
+      })
+  /** Submit a query asynchronously; rows are materialized inside the
+    * future so cancellation interrupts real work. */
+  def startQueryExecution(spark: SparkSession, sql: String,
+      params: Map[String, Any] = Map.empty): QueryExecution = {
+    val id = UUID.randomUUID().toString
+    states.put(id, Running)
+    val fut = Future {
+      spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
+      try {
+        val df = SqlEngine.readSqlQuery(spark, sql, params)
+        df.collect() // execute within the job group
+        states.put(id, Succeeded)
+        df
+      } catch {
+        case e: Throwable =>
+          if (states.get(id) != Cancelled) { states.put(id, Failed); errors.put(id, e) }
+          throw e
+      } finally spark.sparkContext.clearJobGroup()
+    }
+    QueryExecution(id, sql, fut, spark)
+  }
+
+  /** Block until the execution finishes; returns the DataFrame on
+    * success (`wait_query`). */
+  def waitQuery(q: QueryExecution,
+      atMost: Duration = Duration.Inf): DataFrame =
+    scala.concurrent.Await.result(q.future, atMost)
+
+  /** Cancel a running execution (`stop_query_execution`) — interrupts
+    * the job group's running tasks. */
+  def stopQueryExecution(q: QueryExecution): Unit = {
+    states.put(q.id, Cancelled)
+    q.spark.sparkContext.cancelJobGroup(q.id)
+  }
+
+  def stateOf(id: String): State =
+    Option(states.get(id)).getOrElse(Failed)
+}
