@@ -45,6 +45,8 @@ object SparkEntry {
     "q26_universal"       -> (Relational2.q26Universal _),
     "q27_null_handling"   -> (Relational2.q27NullHandling _),
     "q28_union_all"       -> (Relational2.q28UnionAll _),
+    "q29_string_agg"      -> (Relational2.q29StringAgg _),
+    "q30_percentiles"     -> (Relational2.q30Percentiles _),
     // text analysis (SURVEY north-star extensions)
     "text_token_stats"    -> (Text.tokenStats _),
     "text_quality_score"  -> (Text.qualityScore _),
@@ -120,6 +122,8 @@ object SparkEntry {
     "q26_universal"       -> Relational2.q26OracleSql,
     "q27_null_handling"   -> Relational2.q27OracleSql,
     "q28_union_all"       -> Relational2.q28OracleSql,
+    "q29_string_agg"      -> Relational2.q29OracleSql,
+    "q30_percentiles"     -> Relational2.q30OracleSql,
     "text_token_stats"    -> Text.tokenStatsOracle,
     "text_quality_score"  -> Text.qualityScoreOracle,
     "text_corpus_profile" -> Text.corpusProfileOracle,

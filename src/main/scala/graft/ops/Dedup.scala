@@ -175,17 +175,22 @@ object Dedup {
     * Spark-only (xxhash64 family); spec-tested.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sigExpr = expr(
-      """aggregate(
-        |  transform(sequence(0, 63),
-        |    j -> size(filter(array_distinct(split(text, ' ')),
-        |           t -> (shiftright(xxhash64(t), j) & 1L) = 1L))),
-        |  (cast(0 as bigint), 0),
-        |  (acc, cnt) -> (acc.col1 | (case when cnt * 2 > size(array_distinct(split(text, ' ')))
-        |                            then shiftleft(1L, acc.col2) else 0L end),
-        |                 acc.col2 + 1),
-        |  acc -> acc.col1)""".stripMargin)
-    val sig = Tables.documents(s, dir).select(col("doc_id"), sigExpr.as("sig"))
+    // bit votes via explode + 64 codegen'd SUMs (a higher-order-function
+    // formulation evaluates interpreted and costs 64 passes per doc):
+    // one shuffle on doc_id, map-side partial aggregation does the votes
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
+    val votes = toks.groupBy(col("doc_id"))
+      .agg(voteCols.head, (voteCols.tail :+ count(lit(1)).as("cnt")): _*)
+    val sigCol = (0 until 64).map(j =>
+        when(col(s"b$j") * 2 > col("cnt"), shiftleft(lit(1L), j))
+          .otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sig = votes.select(col("doc_id"), sigCol.as("sig"))
     val bandKeys = expr(
       "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)")
     val banded = sig.select(col("doc_id"), posexplode(bandKeys))

@@ -220,4 +220,38 @@ object Relational2 {
       |  UNION ALL
       |  SELECT o_custkey AS k, 'big' AS src FROM orders WHERE o_totalprice > 400000.0) t
       |GROUP BY k HAVING cast(count(DISTINCT src) as bigint) = 2""".stripMargin
+
+  /** Ordered string aggregation (listagg/string_agg shape): deterministic
+    * via sort-before-join (collect_set order is undefined — sorting is
+    * what makes the operator distributable AND reproducible). */
+  def q29StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+          .as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_statuses"))
+
+  def q29OracleSql: String =
+    """SELECT l_returnflag,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+      |  cast(count(DISTINCT l_linestatus) as bigint) AS n_statuses
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Continuous percentiles (median / p90) per group. Both engines use
+    * linear interpolation at rank p*(n-1) over the same input doubles. */
+  def q30Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n"))
+
+  def q30OracleSql: String =
+    """SELECT o_orderstatus,
+      |  quantile_cont(o_totalprice, 0.5) AS median_price,
+      |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
 }
