@@ -1,0 +1,95 @@
+package graft.jdbc
+
+import java.sql.DriverManager
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC database surface — the `postgresql/mysql/sqlserver/oracle/
+  * redshift.read_sql_query / read_sql_table / to_sql` trio of the
+  * reference (`postgresql.py:245-651` et al., shared core
+  * `_databases.py:150-355`) on Spark's JDBC source. Engine-specific
+  * wire details live in the JDBC URL/driver; the operator semantics —
+  * query pushdown, partitioned parallel reads, mode-based writes, staged
+  * upsert — are what this module provides.
+  */
+object JdbcOps {
+
+  /** `read_sql_query`: run SQL on the database, results as a DataFrame.
+    * The whole query executes remotely (pushdown by construction). */
+  def readSqlQuery(spark: SparkSession, url: String, sql: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("query", sql)
+      .options(options)
+      .load()
+
+  /** `read_sql_table`: full-table read; with `partitionColumn` bounds the
+    * read fans out over numPartitions parallel range queries — the
+    * reference's chunked cursor, distributed. */
+  def readSqlTable(spark: SparkSession, url: String, table: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Option[Long] = None,
+      upperBound: Option[Long] = None,
+      numPartitions: Int = 1,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .options(options)
+    val r = (partitionColumn, lowerBound, upperBound) match {
+      case (Some(c), Some(lo), Some(hi)) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    r.load()
+  }
+
+  /** `to_sql` with the reference's mode surface: append / overwrite /
+    * upsert. Upsert stages the batch into a temp table and issues one
+    * MERGE statement — the exact shape of the reference's staged upsert
+    * (`redshift/_write.py:544-769`, `mysql.py upsert_duplicate_key`).
+    */
+  def toSql(df: DataFrame, url: String, table: String,
+      mode: String = "append",
+      upsertKeys: Seq[String] = Nil,
+      options: Map[String, String] = Map.empty): Unit = mode match {
+    case "append" =>
+      df.write.format("jdbc").option("url", url).option("dbtable", table)
+        .options(options).mode(SaveMode.Append).save()
+    case "overwrite" =>
+      df.write.format("jdbc").option("url", url).option("dbtable", table)
+        .options(options).mode(SaveMode.Overwrite).save()
+    case "upsert" =>
+      require(upsertKeys.nonEmpty, "upsert requires key columns")
+      val stage = s"${table}_stage_${System.nanoTime() % 1000000}"
+      df.write.format("jdbc").option("url", url).option("dbtable", stage)
+        .options(options).mode(SaveMode.Overwrite).save()
+      // quote identifiers: Spark's JDBC writer creates case-sensitive
+      // quoted column names; unquoted references would be case-folded
+      val cols = df.columns
+      def q(c: String) = "\"" + c + "\""
+      val on = upsertKeys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val setters = cols.filterNot(upsertKeys.contains)
+        .map(c => s"${q(c)} = s.${q(c)}").mkString(", ")
+      val insertCols = cols.map(q).mkString(", ")
+      val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+      executeStatement(url,
+        s"""MERGE INTO $table t USING $stage s ON $on
+           |WHEN MATCHED THEN UPDATE SET $setters
+           |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+      executeStatement(url, s"DROP TABLE $stage")
+    case other =>
+      throw new IllegalArgumentException(s"unknown to_sql mode: $other")
+  }
+
+  /** Raw DDL/DML passthrough (the `execute_statement` escape hatch). */
+  def executeStatement(url: String, sql: String): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(sql) finally st.close()
+    } finally conn.close()
+  }
+}

@@ -49,6 +49,31 @@ object DataQuality {
       .select(col("r.rule"), col("r.metric"), col("r.passed"))
   }
 
+  /** Parse a DQDL-ish ruleset document (`data_quality/_create.py:27-37`
+    * renders `Rules = [ RowCount > 100, Completeness "c" > 0.9, … ]`)
+    * into compiled rules. Supported: RowCount, Completeness, Uniqueness,
+    * ColumnValues min/max comparisons.
+    */
+  def parseRuleset(dqdl: String): Seq[Rule] = {
+    val body = dqdl.replaceAll("(?s).*Rules\\s*=\\s*\\[", "")
+      .replaceAll("\\].*$", "").trim
+    if (body.isEmpty) return Nil
+    body.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { r =>
+      val RowCountP = """RowCount\s*(>=|>)\s*([0-9.]+)""".r
+      val ColRuleP = """(Completeness|Uniqueness)\s*"([^"]+)"\s*(>=|>)\s*([0-9.]+)""".r
+      val ValuesP = """ColumnValues\s*"([^"]+)"\s*(<=|>=)\s*([0-9.-]+)""".r
+      r match {
+        case RowCountP(_, v) => Rules.rowCount(v.toDouble.toLong)
+        case ColRuleP("Completeness", c, _, v) => Rules.completeness(c, v.toDouble)
+        case ColRuleP("Uniqueness", c, _, v) => Rules.uniqueness(c, v.toDouble)
+        case ValuesP(c, ">=", v) => Rules.minValue(c, v.toDouble)
+        case ValuesP(c, "<=", v) => Rules.maxValue(c, v.toDouble)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported DQDL rule: $other")
+      }
+    }
+  }
+
   /** The declared ruleset evaluated over lineitem for the oracle gate. */
   def lineitemRuleset(s: SparkSession, dir: String): DataFrame =
     evaluate(Tables.lineitem(s, dir), Seq(

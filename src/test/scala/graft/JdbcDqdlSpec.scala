@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.jdbc.JdbcOps
+import graft.ops.DataQuality
+
+/** JDBC surface against embedded Derby (the engine-agnostic stand-in for
+  * the reference's postgres/mysql/redshift targets) + DQDL parsing. */
+class JdbcDqdlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val url =
+    s"jdbc:derby:memory:graftdb;create=true"
+
+  test("jdbc to_sql append + read_sql_query round-trip") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((1L, "alice", 10.5), (2L, "bob", 20.0))
+      .toDF("id", "name", "score")
+    JdbcOps.toSql(df, url, "people", mode = "append")
+    // Spark's JDBC writer creates quoted (case-sensitive) columns
+    val back = JdbcOps.readSqlQuery(spark, url,
+      """SELECT "id", "name", "score" FROM people WHERE "score" > 15""")
+    val rows = back.collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "bob")
+    // read_sql_table with range partitioning fans out over 2 queries
+    val tbl = JdbcOps.readSqlTable(spark, url, "people",
+      partitionColumn = Some("id"), lowerBound = Some(0L),
+      upperBound = Some(3L), numPartitions = 2)
+    assert(tbl.rdd.getNumPartitions == 2)
+    assert(tbl.count() == 2)
+  }
+
+  test("jdbc to_sql upsert merges on keys via staged MERGE") {
+    val spark0 = spark
+    import spark0.implicits._
+    JdbcOps.toSql(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), url, "kv")
+    JdbcOps.toSql(Seq((2L, "B2"), (3L, "c")).toDF("k", "v"), url, "kv",
+      mode = "upsert", upsertKeys = Seq("k"))
+    val got = JdbcOps.readSqlQuery(spark, url,
+      """SELECT "k", "v" FROM kv""")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B2"), (3L, "c")))
+  }
+
+  test("DQDL document parses and evaluates") {
+    val rules = DataQuality.parseRuleset(
+      """Rules = [
+        |  RowCount > 1000,
+        |  Completeness "l_shipdate" >= 1.0,
+        |  Uniqueness "l_orderkey" >= 0.05,
+        |  ColumnValues "l_quantity" >= 1.0,
+        |  ColumnValues "l_discount" <= 0.5
+        |]""".stripMargin)
+    assert(rules.length == 5)
+    val res = DataQuality.evaluate(Tables.lineitem(spark, sf), rules)
+      .collect()
+    assert(res.length == 5 && res.forall(_.getAs[Boolean]("passed")))
+    intercept[IllegalArgumentException](
+      DataQuality.parseRuleset("Rules = [ Nonsense \"x\" > 1 ]"))
+  }
+}
