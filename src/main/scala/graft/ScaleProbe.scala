@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe: replicates the documents/embeddings tables N×
+  * (with id offsets + text perturbation so content is distinct) into a
+  * temp dir and times the heavy operators on the inflated corpus. Used
+  * to check that operator cost curves stay near-linear where the design
+  * says they should — evidence for the 100 TB story, run per round.
+  * Usage: runMain graft.ScaleProbe [factor] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val sfDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val docs = Tables.documents(spark, sfDir)
+    val nDocs = docs.count()
+    // replicate with distinct ids and a replica-tag token so exact
+    // fingerprints differ while near-dup structure is preserved
+    val rep = spark.range(factor.toLong).crossJoin(docs)
+      .withColumn("doc_id", col("doc_id") + col("id") * 1000000L)
+      .withColumn("text", concat(col("text"), lit(" rep"), col("id")))
+      .drop("id")
+    rep.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = Tables.embeddings(spark, sfDir)
+    spark.range(factor.toLong).crossJoin(emb)
+      .withColumn("vec_id",
+        when(col("vec_id") === 0 && col("id") =!= 0,
+          col("vec_id") + col("id") * 1000000L + 500000L)
+          .otherwise(col("vec_id") + col("id") * 1000000L))
+      .drop("id")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    def time(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
+    }
+
+    println(s"corpus: ${nDocs * factor} docs (${factor}x $sfDir)")
+    time("minhash_keep")(ops.Dedup.minhashDedupKeep(spark, dir).count())
+    time("minhash_fast")(ops.Dedup.minhashLshFast(spark, dir).count())
+    time("simhash")(ops.Dedup.simhash(spark, dir).count())
+    time("fingerprint")(ops.Text.fingerprint(spark, dir).count())
+    time("vec_near_dup")(ops.Vectors.embeddingNearDup(spark, dir).count())
+    time("vec_knn_exact")(ops.Vectors.knnExact(spark, dir).count())
+    time("token_stats")(ops.Text.tokenStats(spark, dir).count())
+    spark.stop()
+  }
+}

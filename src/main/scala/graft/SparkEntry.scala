@@ -56,6 +56,7 @@ object SparkEntry {
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
     "dedup_minhash_fast"  -> (Dedup.minhashLshFast _),
     "dedup_simhash"       -> (Dedup.simhash _),
     // time-series (Timestream-shaped)
@@ -131,6 +132,7 @@ object SparkEntry {
     "text_lang_id"        -> Text.languageIdOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
+    "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,
     // dedup_minhash_fast / dedup_simhash / ts_sliding_window / vec_knn_lsh:
     // Spark-specific hash families or window semantics — rows-only check,
     // covered by ScalaTest specs instead.

@@ -149,6 +149,33 @@ object Dedup {
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
 
+  /** Linear-cost MinHash dedup: cluster by the FULL signature and keep
+    * one representative per cluster. This — not pair enumeration — is
+    * the operator a dup-dense 100 TB corpus needs: the 10× ScaleProbe
+    * shows candidate-pair output growing ~quadratically on replicated
+    * data (243M pairs from 50k docs) while signature clustering stays a
+    * single linear groupBy. Pair enumeration ([[minhashLsh]]) remains the
+    * right tool for *reporting* near-dup relationships at moderate
+    * density; this is the right tool for *removing* them.
+    */
+  def minhashDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), minhashSig.as("sig"))
+      .withColumn("skey", md5(concat_ws("|", col("sig"))))
+      .groupBy(col("skey"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_members"))
+
+  def minhashDedupKeepOracle: String =
+    s"""SELECT md5(array_to_string(sig, '|')) AS skey,
+       |  min(doc_id) AS keeper, count(*) AS n_members
+       |FROM (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM documents) t
+       |GROUP BY 1""".stripMargin
+
   /** Production MinHash: same pipeline with xxhash64 (codegen'd long
     * hashing, no string churn), 32 components in 4 bands of 8. No SQL
     * oracle (hash family is Spark-specific); spec-tested instead.

@@ -1,0 +1,55 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale-relevant plan properties —
+  * scan pushdown, column pruning, broadcast choices, top-k via
+  * TakeOrderedAndProject — asserted on the formatted plan so a future
+  * refactor cannot silently regress them.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val out = new ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q6 scan pushes all three predicates and prunes columns") {
+    val p = planOf("q6_forecast_revenue")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(p.contains("LessThan(l_quantity,24.0)"))
+    // projection pruned to the 4 referenced columns — a full-width read
+    // would list all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_tax"))
+  }
+
+  test("q3 broadcasts the filtered dimension and plans top-k without a global sort") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"))
+  }
+
+  test("q19 top-k uses TakeOrderedAndProject") {
+    assert(planOf("q19_top_k").contains("TakeOrderedAndProject"))
+  }
+
+  test("kv point lookup pushes the key equality into the scan") {
+    val p = planOf("kv_point_lookup")
+    assert(p.contains("EqualTo(c_custkey,42)"))
+  }
+
+  test("q1 aggregates with map-side partials (two-phase hash aggregate)") {
+    val p = planOf("q1_pricing_summary")
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("Exchange"))
+  }
+}
