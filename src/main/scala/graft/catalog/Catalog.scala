@@ -95,6 +95,33 @@ object Catalog {
     spark.sql(s"SHOW TBLPROPERTIES $table").as[(String, String)].collect().toMap
   }
 
+  /** `athena.show_create_table` (`athena/_utils.py:936-1011`). */
+  def showCreateTable(spark: SparkSession, table: String): String = {
+    import spark.implicits._
+    spark.sql(s"SHOW CREATE TABLE $table").as[String].head()
+  }
+
+  /** `athena.generate_create_query` (`athena/_utils.py:1015-1096`):
+    * render a CREATE TABLE statement from schema + layout without
+    * touching the metastore. */
+  def generateCreateQuery(
+      table: String,
+      columns: Seq[(String, String)],
+      partitionCols: Seq[(String, String)] = Nil,
+      location: String = "",
+      format: String = "parquet"): String = {
+    val cols = (columns ++ partitionCols)
+      .map { case (n, t) => s"  `$n` ${AthenaTypes.fromAthena(t).sql}" }
+      .mkString(",\n")
+    val part =
+      if (partitionCols.nonEmpty)
+        partitionCols.map(c => s"`${c._1}`")
+          .mkString("\nPARTITIONED BY (", ", ", ")")
+      else ""
+    val loc = if (location.nonEmpty) s"\nLOCATION '$location'" else ""
+    s"CREATE TABLE $table (\n$cols\n)\nUSING $format$part$loc"
+  }
+
   def doesTableExist(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
 

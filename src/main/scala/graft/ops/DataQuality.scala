@@ -49,6 +49,42 @@ object DataQuality {
       .select(col("r.rule"), col("r.metric"), col("r.passed"))
   }
 
+  /** Profiling-driven rule suggestion —
+    * `data_quality.create_recommendation_ruleset`
+    * (`data_quality/_create.py:193-282`): one statistics pass over the
+    * table proposes a ruleset (row count floor, completeness of
+    * near-complete columns, uniqueness of key-like columns, observed
+    * numeric bounds).
+    */
+  def recommendRuleset(df: DataFrame): Seq[Rule] = {
+    val numericCols = df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        => f.name
+    }.toSeq
+    val statCols =
+      Seq(count(lit(1)).cast("double").as("__n")) ++
+        df.columns.toSeq.map(c =>
+          count(col(c)).cast("double").as(s"__nn_$c")) ++
+        df.columns.toSeq.map(c =>
+          approx_count_distinct(col(c)).cast("double").as(s"__nd_$c")) ++
+        numericCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"__min_$c"),
+          max(col(c)).cast("double").as(s"__max_$c")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).head()
+    val n = stats.getAs[Double]("__n")
+    val rowRule = Rules.rowCount(math.max(1L, (n * 0.9).toLong))
+    val completeness = df.columns.toSeq
+      .filter(c => stats.getAs[Double](s"__nn_$c") / n >= 0.99)
+      .map(c => Rules.completeness(c, 0.99))
+    val uniqueness = df.columns.toSeq
+      .filter(c => stats.getAs[Double](s"__nd_$c") / n >= 0.95)
+      .map(c => Rules.uniqueness(c, 0.9))
+    val bounds = numericCols.flatMap(c => Seq(
+      Rules.minValue(c, stats.getAs[Double](s"__min_$c")),
+      Rules.maxValue(c, stats.getAs[Double](s"__max_$c"))))
+    Seq(rowRule) ++ completeness ++ uniqueness ++ bounds
+  }
+
   /** Parse a DQDL-ish ruleset document (`data_quality/_create.py:27-37`
     * renders `Rules = [ RowCount > 100, Completeness "c" > 0.9, … ]`)
     * into compiled rules. Supported: RowCount, Completeness, Uniqueness,
