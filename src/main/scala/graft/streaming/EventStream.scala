@@ -28,13 +28,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over a directory of event parquet files, ts
-    * normalized to µs TimestampType. */
+  /** File-source stream over event parquet files, ts normalized to µs
+    * TimestampType. `dir` may be a testdata sf directory (only
+    * `events.parquet` is read — globbing the whole directory would apply
+    * this schema to the other tables) or a dedicated stream directory.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // glob form: the file stream source requires a directory or glob,
+    // not a bare file path
+    val path =
+      if (new java.io.File(s"$dir/events.parquet").exists) s"$dir/events*.parquet"
+      else dir
     spark.readStream
       .schema(rawSchema)
-      .parquet(dir)
+      .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -74,6 +82,54 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Custom stateful sessionization via `flatMapGroupsWithState` — the
+    * arbitrary-state API (`KeyValueGroupedDataset`, SURVEY §2.8 streaming
+    * note) for session semantics `session_window` can't express (here:
+    * emit a session record the moment it exceeds `maxEvents`, plus on
+    * timeout). State per user is (count, start, last); event-time timeout
+    * closes idle sessions against the watermark.
+    */
+  final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessState(n: Long, lastMs: Long)
+  final case class SessOut(user_id: Long, n_events: Long)
+
+  def statefulSessions(events: org.apache.spark.sql.DataFrame,
+      maxEvents: Int = 50): org.apache.spark.sql.Dataset[SessOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // the watermarked timestamp column must survive into the grouped
+    // dataset (event-time metadata rides on the TimestampType column)
+    events.withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessOut(user, s.n))
+          } else {
+            var s = state.getOption.getOrElse(SessState(0L, 0L))
+            val emitted = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            rows.foreach { e =>
+              s = SessState(s.n + 1, math.max(s.lastMs, e.ts.getTime))
+              if (s.n >= maxEvents) {
+                emitted += SessOut(user, s.n)
+                s = SessState(0L, s.lastMs)
+              }
+            }
+            if (s.n > 0) {
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + 30 * 60 * 1000)
+            } else state.remove()
+            emitted.iterator
+          }
+      }
   }
 
   /** foreachBatch sink appending micro-batches to a parquet dataset —
