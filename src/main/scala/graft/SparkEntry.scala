@@ -47,6 +47,7 @@ object SparkEntry {
     "q28_union_all"       -> (Relational2.q28UnionAll _),
     "q29_string_agg"      -> (Relational2.q29StringAgg _),
     "q30_percentiles"     -> (Relational2.q30Percentiles _),
+    "q31_array_map_funcs" -> (Relational2.q31ArrayMapFuncs _),
     // text analysis (SURVEY north-star extensions)
     "text_token_stats"    -> (Text.tokenStats _),
     "text_quality_score"  -> (Text.qualityScore _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q28_union_all"       -> Relational2.q28OracleSql,
     "q29_string_agg"      -> Relational2.q29OracleSql,
     "q30_percentiles"     -> Relational2.q30OracleSql,
+    "q31_array_map_funcs" -> Relational2.q31OracleSql,
     "text_token_stats"    -> Text.tokenStatsOracle,
     "text_quality_score"  -> Text.qualityScoreOracle,
     "text_corpus_profile" -> Text.corpusProfileOracle,

@@ -254,4 +254,33 @@ object Relational2 {
       |  quantile_cont(o_totalprice, 0.9) AS p90_price,
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
+
+  /** Array/map constructor + function library (the `_sql_formatter.py`
+    * ARRAY/MAP surface): construction, sort, slice, membership, position,
+    * map extraction — array-valued intermediates rendered to scalars so
+    * the differential compare stays value-typed. */
+  def q31ArrayMapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), ",")
+          .as("first3_sorted"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        coalesce(array_position(col("toks"), "table"),
+          lit(0L)).as("table_pos"),
+        element_at(
+          map_from_arrays(array(lit("lang"), lit("source")),
+            array(col("lang"), col("source"))), "lang").as("lang_via_map"),
+        size(col("toks")).as("n_toks"))
+
+  def q31OracleSql: String =
+    """SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted,
+      |  list_contains(toks, 'spark') AS has_spark,
+      |  cast(coalesce(list_position(toks, 'table'), 0) as bigint) AS table_pos,
+      |  MAP(['lang','source'], [lang, source])['lang'][1] AS lang_via_map,
+      |  cast(len(toks) as int) AS n_toks
+      |FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+      |      FROM documents) t""".stripMargin
 }
