@@ -48,6 +48,20 @@ object SparkEntry {
     "q29_string_agg"      -> (Relational2.q29StringAgg _),
     "q30_percentiles"     -> (Relational2.q30Percentiles _),
     "q31_array_map_funcs" -> (Relational2.q31ArrayMapFuncs _),
+    // native TopKPerKey operator (custom LogicalPlan+Strategy+SparkPlan):
+    // same result as the q7 window idiom, no per-partition full sort
+    "q32_topk_native"     -> ((s: SparkSession, dir: String) => {
+      import org.apache.spark.sql.functions.col
+      import graft.plans.TopKPerKey
+      TopKPerKey(
+        graft.Tables.lineitem(s, dir)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        keys = Seq("l_suppkey"),
+        order = Seq(TopKPerKey.Ord.desc("l_extendedprice"),
+          TopKPerKey.Ord("l_orderkey"), TopKPerKey.Ord("l_linenumber")),
+        k = 3)
+    }),
     // text analysis (SURVEY north-star extensions)
     "text_token_stats"    -> (Text.tokenStats _),
     "text_quality_score"  -> (Text.qualityScore _),
@@ -127,6 +141,14 @@ object SparkEntry {
     "q29_string_agg"      -> Relational2.q29OracleSql,
     "q30_percentiles"     -> Relational2.q30OracleSql,
     "q31_array_map_funcs" -> Relational2.q31OracleSql,
+    "q32_topk_native" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3""".stripMargin,
     "text_token_stats"    -> Text.tokenStatsOracle,
     "text_quality_score"  -> Text.qualityScoreOracle,
     "text_corpus_profile" -> Text.corpusProfileOracle,
