@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_minhash_fast"  -> (Dedup.minhashLshFast _),
     "dedup_simhash"       -> (Dedup.simhash _),
     // time-series (Timestream-shaped)
+    "ts_asof_join"        -> (AsOf.clickToPurchase _),
     "ts_tumbling_window"  -> (TimeSeries.tumbling _),
     "ts_sliding_window"   -> (TimeSeries.sliding _),
     "ts_sessionize"       -> (TimeSeries.sessionize _),
@@ -160,6 +161,7 @@ object SparkEntry {
     // dedup_minhash_fast / dedup_simhash / ts_sliding_window / vec_knn_lsh:
     // Spark-specific hash families or window semantics — rows-only check,
     // covered by ScalaTest specs instead.
+    "ts_asof_join"        -> AsOf.clickToPurchaseOracle,
     "ts_tumbling_window"  -> TimeSeries.tumblingOracle,
     "ts_sessionize"       -> TimeSeries.sessionizeOracle,
     "ts_top_users"        -> TimeSeries.topUsersOracle,

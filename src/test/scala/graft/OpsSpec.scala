@@ -93,6 +93,27 @@ class OpsSpec extends AnyFunSuite {
       s"recall too low: ${(exact intersect ivf).size}/10")
   }
 
+  test("bucketed asof join equals the plain asof join within horizon") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    // horizon covers the whole month => identical results
+    val plain = ops.AsOf.asofJoin(clicks, purchases, Seq("user_id"),
+      "click_ts", "purchase_ts")
+      .select("click_id", "purchase_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = ops.AsOf.asofJoinBucketed(clicks, purchases,
+      Seq("user_id"), "click_ts", "purchase_ts",
+      bucketSeconds = 86400, horizonBuckets = 40)
+      .select("click_id", "purchase_id").collect().map(r =>
+        (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == bucketed && plain.nonEmpty)
+  }
+
   test("flattenSchema flattens nested structs") {
     import spark.implicits._
     val df = Seq((1, (2, (3, "x")))).toDF("a", "b")
