@@ -48,6 +48,7 @@ object SparkEntry {
     "q29_string_agg"      -> (Relational2.q29StringAgg _),
     "q30_percentiles"     -> (Relational2.q30Percentiles _),
     "q31_array_map_funcs" -> (Relational2.q31ArrayMapFuncs _),
+    "q33_range_frame"     -> (Relational2.q33RangeFrame _),
     // native TopKPerKey operator (custom LogicalPlan+Strategy+SparkPlan):
     // same result as the q7 window idiom, no per-partition full sort
     "q32_topk_native"     -> ((s: SparkSession, dir: String) => {
@@ -142,6 +143,7 @@ object SparkEntry {
     "q29_string_agg"      -> Relational2.q29OracleSql,
     "q30_percentiles"     -> Relational2.q30OracleSql,
     "q31_array_map_funcs" -> Relational2.q31OracleSql,
+    "q33_range_frame"     -> Relational2.q33OracleSql,
     "q32_topk_native" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (

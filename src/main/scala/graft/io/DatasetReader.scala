@@ -156,6 +156,20 @@ object DatasetReader {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Poll-until waiters (`s3.wait_objects_exist` / `wait_objects_not_exist`,
+    * `s3/_wait.py:81-189`). Returns true when the condition held within
+    * the timeout. */
+  def waitObjects(spark: SparkSession, paths: Seq[String],
+      exist: Boolean, timeoutMs: Long = 30000, pollMs: Long = 100): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      val ok = paths.forall(p => exists(spark, p) == exist)
+      if (ok) return true
+      Thread.sleep(pollMs)
+    }
+    false
+  }
+
   /** A dataset exists when its prefix holds at least one data file (an
     * empty prefix is not a readable dataset). */
   def datasetExists(spark: SparkSession, path: String): Boolean = {

@@ -255,6 +255,32 @@ object Relational2 {
       |  count(*) AS n
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** RANGE window frame: for each order, revenue of all same-status
+    * orders within ±5000 of its price (value-based frame, not row
+    * count). */
+  def q33RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    // double-valued RANGE offsets need the SQL form (the Scala
+    // rangeBetween API is long-only); same Catalyst plan either way
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  count(*) OVER w AS n_nearby,
+        |  cast(sum(cast(o_totalprice as decimal(10,2))) OVER w as double) AS nearby_total
+        |FROM orders
+        |WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)""".stripMargin)
+  }
+
+  def q33OracleSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  count(*) OVER w AS n_nearby,
+      |  cast(sum(cast(o_totalprice as decimal(10,2))) OVER w as double) AS nearby_total
+      |FROM orders
+      |WHERE o_orderkey < 2000
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |             RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING)""".stripMargin
+
   /** Array/map constructor + function library (the `_sql_formatter.py`
     * ARRAY/MAP surface): construction, sort, slice, membership, position,
     * map extraction — array-valued intermediates rendered to scalars so
