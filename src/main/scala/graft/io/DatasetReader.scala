@@ -156,6 +156,50 @@ object DatasetReader {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** Bucket-pruned read of an Athena-layout bucketed dataset (written by
+    * [[DatasetWriter]] with `BucketingInfo`): compute the bucket id of the
+    * probe key with the same hash and open ONLY the `…_bucket-NNNNN`
+    * files for that bucket — a point lookup touches 1/numBuckets of the
+    * data with zero shuffle. The filter is still applied (hash prunes
+    * files, not rows).
+    */
+  def readBucketed(
+      spark: SparkSession,
+      path: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      keyValues: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    def toLiteral(v: Any): Literal = v match {
+      case s: String =>
+        Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          StringType)
+      case l: Long => Literal(l, LongType)
+      case i: Int => Literal(i, IntegerType)
+      case b: Boolean => Literal(b, BooleanType)
+      case other => throw new IllegalArgumentException(
+        s"unsupported bucket key type: $other")
+    }
+    val hash = graft.expr.AthenaBucketHash(keyValues.map(toLiteral))
+      .eval(null).asInstanceOf[Long]
+    val bucket = (hash % numBuckets).toInt
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val wanted = f"_bucket-$bucket%05d"
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.contains(wanted)) files += f.toString
+    }
+    require(files.nonEmpty, s"no files for bucket $bucket under $path")
+    val df = spark.read.option("basePath", path).parquet(files.toSeq: _*)
+    bucketCols.zip(keyValues).foldLeft(df) { case (d, (c, v)) =>
+      d.filter(col(c) === lit(v))
+    }
+  }
+
   /** Poll-until waiters (`s3.wait_objects_exist` / `wait_objects_not_exist`,
     * `s3/_wait.py:81-189`). Returns true when the condition held within
     * the timeout. */

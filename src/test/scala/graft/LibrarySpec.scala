@@ -87,6 +87,37 @@ class LibrarySpec extends AnyFunSuite {
     assert(withFile.filter(col("expected") =!= col("actual")).count() == 0)
   }
 
+  test("bucket-pruned read touches only the probe key's bucket files") {
+    val dir = tmp()
+    val cust = Tables.customer(spark, sf)
+    DatasetWriter.toParquet(cust, dir, mode = DatasetWriter.Overwrite,
+      bucketing = Some(DatasetWriter.BucketingInfo(Seq("c_custkey"), 4)))
+    val probe = cust.select("c_custkey").head().getLong(0)
+    val got = DatasetReader.readBucketed(spark, dir,
+      Seq("c_custkey"), 4, Seq(probe))
+    assert(got.count() == 1)
+    assert(got.head().getAs[Long]("c_custkey") == probe)
+    // pruning really happened: the scan saw only one bucket's file(s)
+    val scanned = got.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.forall(_.matches(".*_bucket-\\d{5}.*")))
+    assert(scanned.map(_.replaceAll(".*_bucket-", "").take(5)).distinct.length == 1)
+  }
+
+  test("schema-evolution read: mergeSchema unions evolved file schemas") {
+    val dir = tmp()
+    val spark0 = spark
+    import spark0.implicits._
+    DatasetWriter.toParquet(Seq((1L, "a")).toDF("id", "v"), dir,
+      mode = DatasetWriter.Overwrite)
+    DatasetWriter.toParquet(Seq((2L, "b", 3.5)).toDF("id", "v", "score"),
+      dir, mode = DatasetWriter.Append)
+    val merged = DatasetReader.readParquet(spark, dir, mergeSchema = true)
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    assert(merged.filter(col("id") === 1L).head().isNullAt(
+      merged.columns.indexOf("score")))
+  }
+
   test("overwrite_partitions replaces only matched partitions") {
     val dir = tmp()
     val spark0 = spark
