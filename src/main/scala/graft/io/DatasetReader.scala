@@ -29,9 +29,14 @@ object DatasetReader {
       columns: Seq[String] = Nil,
       partitionFilter: Option[Column] = None,
       schema: Option[StructType] = None,
-      mergeSchema: Boolean = false): DataFrame = {
+      mergeSchema: Boolean = false,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    // file-level predicates from the reference's listing filters map to
+    // read options: suffix/glob → pathGlobFilter, last-modified bounds →
+    // modifiedAfter / modifiedBefore (`s3/_list.py:116-181`)
     val r0 = spark.read.option("basePath", path)
       .option("mergeSchema", mergeSchema.toString)
+      .options(options)
     val r = schema.map(r0.schema).getOrElse(r0)
     val df0 = r.parquet(path)
     val df1 = partitionFilter.map(df0.filter).getOrElse(df0)
@@ -97,17 +102,28 @@ object DatasetReader {
   }
 
   /** Schema + partition-column inference from footers — the
-    * `read_parquet_metadata` trio (`s3/_read_parquet.py:765-871`).
-    * Returns (dataSchema, partitionSchema). */
-  def readParquetMetadata(spark: SparkSession, path: String)
-      : (StructType, StructType) = {
-    val df = spark.read.option("basePath", path).parquet(path)
-    val full = df.schema
-    val sample = spark.read.parquet(firstLeafFile(spark, path))
-    val dataCols = sample.schema.fieldNames.toSet
+    * `read_parquet_metadata` / `read_orc_metadata` trio
+    * (`s3/_read_parquet.py:765-871`, `s3/_read_orc.py`). Returns
+    * (dataSchema, partitionSchema). */
+  def readMetadata(spark: SparkSession, path: String,
+      format: String = "parquet"): (StructType, StructType) = {
+    def load(p: String) = format match {
+      case "parquet" => spark.read.option("basePath", path).parquet(p)
+      case "orc" => spark.read.option("basePath", path).orc(p)
+      case other => throw new IllegalArgumentException(s"format: $other")
+    }
+    val full = load(path).schema
+    val sample = (format match {
+      case "parquet" => spark.read.parquet(firstLeafFile(spark, path))
+      case _ => spark.read.orc(firstLeafFile(spark, path))
+    }).schema
+    val dataCols = sample.fieldNames.toSet
     (StructType(full.fields.filter(f => dataCols.contains(f.name))),
       StructType(full.fields.filterNot(f => dataCols.contains(f.name))))
   }
+
+  def readParquetMetadata(spark: SparkSession, path: String)
+      : (StructType, StructType) = readMetadata(spark, path, "parquet")
 
   private def firstLeafFile(spark: SparkSession, path: String): String = {
     val root = new Path(path)

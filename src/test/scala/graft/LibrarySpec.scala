@@ -237,6 +237,38 @@ class LibrarySpec extends AnyFunSuite {
     assert(pruned.select("id").as[Long].collect().toSet == Set(1L, 3L))
   }
 
+  test("pathGlobFilter and modifiedAfter options filter files at read") {
+    val dir = tmp()
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, "keep")).toDF("id", "v").coalesce(1)
+      .write.mode("append").parquet(dir)
+    // a non-parquet decoy the glob must exclude
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "notes.txt"), "not data")
+    val got = DatasetReader.readParquet(spark, dir,
+      options = Map("pathGlobFilter" -> "*.parquet"))
+    assert(got.count() == 1)
+    // excluding every file requires an explicit schema (nothing to infer)
+    val none = DatasetReader.readParquet(spark, dir,
+      schema = Some(StructType(Seq(StructField("id", LongType),
+        StructField("v", StringType)))),
+      options = Map("pathGlobFilter" -> "*.parquet",
+        "modifiedAfter" -> "2100-01-01T00:00:00"))
+    assert(none.count() == 0)
+  }
+
+  test("orc metadata inference separates partition columns") {
+    val dir = tmp()
+    val spark0 = spark
+    import spark0.implicits._
+    Seq((1L, 2.0, "a")).toDF("id", "v", "p")
+      .write.partitionBy("p").mode("overwrite").orc(dir)
+    val (data, parts) = DatasetReader.readMetadata(spark, dir, "orc")
+    assert(data.fieldNames.toSet == Set("id", "v"))
+    assert(parts.fieldNames.toSet == Set("p"))
+  }
+
   test("parquet metadata inference separates partition columns") {
     val dir = tmp()
     val spark0 = spark
