@@ -8,8 +8,9 @@ import graft.Tables
   * surface of the reference (`s3/_vectors/_read.py:249-344` query_vectors,
   * top-k with distance metric) plus the ANN scale path the brief requires.
   *
-  * All distance math uses higher-order array functions on `array<float>`
-  * cast to double — no UDFs, stays in codegen. Exact brute-force KNN is
+  * All distance math runs through the native codegen'd
+  * [[graft.expr.CosineSimilarity]] expression (one fused loop per pair —
+  * no UDFs, no interpreted lambdas). Exact brute-force KNN is
   * the baseline (one scan + TakeOrderedAndProject); the LSH variant
   * prunes candidates with random hyperplane signatures (sign-of-dot-
   * product bits), turning top-k into a bucket-join — the plan that holds
@@ -18,15 +19,13 @@ import graft.Tables
   */
 object Vectors {
 
-  /** dot(a, b) over array columns in double precision (left-to-right
-    * fold, matching DuckDB's list_sum evaluation order). */
-  private def dot(a: String, b: String) = expr(
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       |          cast(0.0 as double), (acc, v) -> acc + v)""".stripMargin)
-
-  private def norm(a: String) = expr(
-    s"""sqrt(aggregate(transform($a, x -> cast(x as double) * cast(x as double)),
-       |          cast(0.0 as double), (acc, v) -> acc + v))""".stripMargin)
+  /** Cosine via the native codegen'd expression (same sequential
+    * accumulation as the higher-order fold it replaced — bit-identical
+    * values, one fused loop instead of interpreted lambdas). */
+  private def cosine(s: SparkSession, a: String, b: String) = {
+    graft.expr.CosineSimilarity.register(s)
+    call_function("cosine_sim", col(a), col(b))
+  }
 
   /** Exact brute-force cosine top-k against the vec_id=0 query vector.
     * Output carries ids + rank only: float-sum rounding may differ at the
@@ -39,8 +38,7 @@ object Vectors {
       .select(col("embedding").as("q"))
     emb.filter(col("vec_id") =!= 0L)
       .crossJoin(broadcast(query))
-      .withColumn("cosine",
-        dot("embedding", "q") / (norm("embedding") * norm("q")))
+      .withColumn("cosine", cosine(s, "embedding", "q"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("label"))
@@ -80,20 +78,18 @@ object Vectors {
     * vector leg of the dedup family. Blocking by the coarse cell (label)
     * is the candidate-generation step every scale deployment needs (here
     * it also bounds the exact pair join: pairs grow per-block, not
-    * globally); norms are computed once per vector BEFORE the pair join.
-    * Output carries ids only: cosine values differ in the last ulp across
-    * engines, the ≥-threshold membership does not.
+    * globally). Output carries ids only: cosine values differ in the
+    * last ulp across engines, the ≥-threshold membership does not.
     */
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-      .withColumn("nrm", norm("embedding"))
     val a = emb.select(col("vec_id").as("id1"), col("label"),
-      col("embedding").as("e1"), col("nrm").as("n1"))
+      col("embedding").as("e1"))
     val b = emb.select(col("vec_id").as("id2"), col("label"),
-      col("embedding").as("e2"), col("nrm").as("n2"))
+      col("embedding").as("e2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", dot("e1", "e2") / (col("n1") * col("n2")))
+      .withColumn("cosine", cosine(s, "e1", "e2"))
       .filter(col("cosine") >= 0.4)
       .select(col("id1"), col("id2"), col("label"))
   }
@@ -132,14 +128,14 @@ object Vectors {
       .select(col("embedding").as("q"))
     // probe the nprobe closest cells
     val probed = centroids.crossJoin(broadcast(query))
-      .withColumn("cdist", dot("centroid", "q") / (norm("centroid") * norm("q")))
+      .withColumn("cdist", cosine(s, "centroid", "q"))
       .orderBy(col("cdist").desc)
       .limit(nprobe)
       .select(col("c_label"))
     emb.filter(col("vec_id") =!= 0L)
       .join(broadcast(probed), col("label") === col("c_label"))
       .crossJoin(broadcast(query))
-      .withColumn("cosine", dot("embedding", "q") / (norm("embedding") * norm("q")))
+      .withColumn("cosine", cosine(s, "embedding", "q"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("label"))
@@ -167,8 +163,7 @@ object Vectors {
       .select(col("embedding").as("q"), col("bucket").as("qbucket"))
     emb.filter(col("vec_id") =!= 0L)
       .join(broadcast(query), col("bucket") === col("qbucket"))
-      .withColumn("cosine",
-        dot("embedding", "q") / (norm("embedding") * norm("q")))
+      .withColumn("cosine", cosine(s, "embedding", "q"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("label"), col("bucket"))
