@@ -100,8 +100,12 @@ object Dedup {
 
   /** Candidate pairs sharing at least one band, deduped, then one
     * signature comparison per pair. */
-  private def lshPairs(sig: DataFrame, bandKeys: org.apache.spark.sql.Column,
+  private def lshPairs(sig0: DataFrame, bandKeys: org.apache.spark.sql.Column,
       estimate: org.apache.spark.sql.Column): DataFrame = {
+    // signatures feed four plan branches (two join sides + two lookup
+    // sides); materialize once instead of recomputing the hash family
+    // per branch (at scale: a checkpoint/cache boundary)
+    val sig = sig0.localCheckpoint(true)
     val banded = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val a = banded.as("a"); val b = banded.as("b")

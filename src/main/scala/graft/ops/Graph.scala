@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import graft.Tables
@@ -88,6 +88,77 @@ object Graph {
       |        cast(json_extract_string(props, '$.k') as int) AS k
       |      FROM events) t
       |GROUP BY 1, 2""".stripMargin
+
+  /** Property graph as two DataFrames — the Neptune data model
+    * (`neptune/_neptune.py:126-211`: `~id`/`~label` vertices, edges with
+    * `~from`/`~to`). Traversal steps compile to joins: `out(label)` /
+    * `in(label)` hop along edges, `has` filters the frontier — the
+    * Gremlin-shaped subset the reference ships queries through.
+    * Dimension-sized frontiers broadcast automatically (Catalyst stats).
+    */
+  final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
+    import org.apache.spark.sql.functions.{col => c}
+
+    /** Current frontier = vertex set; start from all or a filtered set. */
+    def v(): Traversal = Traversal(this, vertices)
+    def v(filter: Column): Traversal = Traversal(this, vertices.filter(filter))
+  }
+
+  final case class Traversal(g: PropertyGraph, frontier: DataFrame) {
+    import org.apache.spark.sql.functions.{col => c}
+
+    /** Follow outgoing edges with `label`; frontier becomes the targets. */
+    def out(label: String): Traversal = {
+      val e = g.edges.filter(c("label") === label)
+        .select(c("src"), c("dst"))
+      val next = frontier.select(c("id").as("src"))
+        .join(e, "src")
+        .select(c("dst").as("id")).distinct()
+        .join(g.vertices, "id")
+      Traversal(g, next)
+    }
+
+    /** Follow incoming edges with `label`. */
+    def in(label: String): Traversal = {
+      val e = g.edges.filter(c("label") === label)
+        .select(c("src"), c("dst"))
+      val next = frontier.select(c("id").as("dst"))
+        .join(e, "dst")
+        .select(c("src").as("id")).distinct()
+        .join(g.vertices, "id")
+      Traversal(g, next)
+    }
+
+    def has(predicate: Column): Traversal =
+      Traversal(g, frontier.filter(predicate))
+
+    def values: DataFrame = frontier
+    def count(): Long = frontier.count()
+  }
+
+  /** The testdata star schema as a property graph: nations/regions/
+    * customers/suppliers as vertices, foreign keys as edges. */
+  def testGraph(s: SparkSession, dir: String): PropertyGraph = {
+    val nation = Tables.nation(s, dir)
+      .select(concat(lit("n"), col("n_nationkey")).as("id"),
+        lit("nation").as("vlabel"), col("n_name").as("name"))
+    val region = Tables.region(s, dir)
+      .select(concat(lit("r"), col("r_regionkey")).as("id"),
+        lit("region").as("vlabel"), col("r_name").as("name"))
+    val supplier = Tables.supplier(s, dir)
+      .select(concat(lit("s"), col("s_suppkey")).as("id"),
+        lit("supplier").as("vlabel"), col("s_name").as("name"))
+    val vertices = nation.unionByName(region).unionByName(supplier)
+    val inRegion = Tables.nation(s, dir)
+      .select(concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"),
+        lit("in_region").as("label"))
+    val locatedIn = Tables.supplier(s, dir)
+      .select(concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"),
+        lit("located_in").as("label"))
+    PropertyGraph(vertices, inRegion.unionByName(locatedIn))
+  }
 
   /** Recursively flatten struct columns into `parent_child` top-level
     * columns (arrays left intact) — the general `flatten_nested_df`

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -35,6 +35,56 @@ object Search {
       .select(col("doc_id"), col("lang"), col("tf_spark"), col("tf_join"),
         col("tf_stream"), col("score"))
   }
+
+  /** OpenSearch query-DSL compiler (`opensearch/_read.py:65-155` accepts
+    * `search_body={"query": {...}}`): the match/term/range/bool subset
+    * translated to Catalyst predicates. `match` on a text field means
+    * "any of the analyzed terms occurs as a token" (the minimal analyzer:
+    * whitespace tokens, case-insensitive).
+    *
+    * Query model: nested Maps — `Map("bool" -> Map("must" -> Seq(...),
+    * "must_not" -> Seq(...), "should" -> Seq(...)))`,
+    * `Map("match" -> Map(field -> text))`,
+    * `Map("term" -> Map(field -> value))`,
+    * `Map("range" -> Map(field -> Map("gte" -> v, "lt" -> v)))`.
+    */
+  def compileQueryDsl(q: Map[String, Any]): Column = {
+    require(q.size == 1, s"query node must have one key, got ${q.keys}")
+    val (kind, body) = q.head
+    kind match {
+      case "match" =>
+        val (field, text) = body.asInstanceOf[Map[String, String]].head
+        text.toLowerCase.split("\\s+").toSeq.map { term =>
+          expr(s"array_contains(split(lower(`$field`), ' '), '$term')")
+        }.reduce(_ || _)
+      case "term" =>
+        val (field, value) = body.asInstanceOf[Map[String, Any]].head
+        col(field) === lit(value)
+      case "range" =>
+        val (field, bounds) = body.asInstanceOf[Map[String, Map[String, Any]]].head
+        bounds.map {
+          case ("gte", v) => col(field) >= lit(v)
+          case ("gt", v) => col(field) > lit(v)
+          case ("lte", v) => col(field) <= lit(v)
+          case ("lt", v) => col(field) < lit(v)
+          case (op, _) => throw new IllegalArgumentException(s"range op $op")
+        }.reduce(_ && _)
+      case "bool" =>
+        val clauses = body.asInstanceOf[Map[String, Seq[Map[String, Any]]]]
+        val must = clauses.getOrElse("must", Nil).map(compileQueryDsl)
+        val mustNot = clauses.getOrElse("must_not", Nil).map(compileQueryDsl)
+        val should = clauses.getOrElse("should", Nil).map(compileQueryDsl)
+        (must ++ mustNot.map(!_) ++
+          (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported query kind: $other")
+    }
+  }
+
+  /** `opensearch.search(search_body=…)`: DSL → filtered DataFrame. */
+  def search(docs: DataFrame, queryDsl: Map[String, Any]): DataFrame =
+    docs.filter(compileQueryDsl(queryDsl))
 
   /** Bulk document indexing with id-key upsert — `opensearch.index_df`
     * (`opensearch/_write.py:432-488`, `id_keys` semantics): documents

@@ -122,6 +122,47 @@ class OpsSpec extends AnyFunSuite {
     assert(flat.head().getInt(2) == 3)
   }
 
+  test("property-graph traversal compiles hops to joins") {
+    val g = ops.Graph.testGraph(spark, sf)
+    // suppliers located in nations of one region == SQL join count
+    val europeNations = g.v(col("vlabel") === "region")
+      .has(col("name") === "EUROPE")
+      .in("in_region")
+    val nEurope = europeNations.count()
+    val sqlCount = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey")).count()
+    assert(nEurope == sqlCount && nEurope > 0)
+    // two hops: suppliers in those nations
+    val suppliers = europeNations.in("located_in")
+    val sqlSupp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey")).count()
+    assert(suppliers.count() == sqlSupp)
+    // forward hop returns to the region
+    assert(suppliers.out("located_in").out("in_region")
+      .values.select("name").distinct().head().getString(0) == "EUROPE")
+  }
+
+  test("search query DSL compiles match/term/range/bool") {
+    val docs = Tables.documents(spark, sf)
+    val got = ops.Search.search(docs, Map(
+      "bool" -> Map(
+        "must" -> Seq(
+          Map("match" -> Map("text" -> "spark join")),
+          Map("range" -> Map("n_chars" -> Map("gte" -> 100, "lt" -> 400)))),
+        "must_not" -> Seq(Map("term" -> Map("lang" -> "zh"))))))
+    val manual = docs.filter(
+      (expr("array_contains(split(lower(text), ' '), 'spark')") ||
+        expr("array_contains(split(lower(text), ' '), 'join')")) &&
+        col("n_chars") >= 100 && col("n_chars") < 400 &&
+        !(col("lang") === "zh"))
+    assert(got.count() == manual.count() && got.count() > 0)
+    intercept[IllegalArgumentException](
+      ops.Search.compileQueryDsl(Map("fuzzy" -> Map("x" -> "y"))))
+  }
+
   test("data-quality ruleset evaluates every rule in one pass") {
     val res = DataQuality.lineitemRuleset(spark, sf).collect()
     assert(res.length == 5)
