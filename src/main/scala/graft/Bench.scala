@@ -51,7 +51,17 @@ object Bench {
         mode = DatasetWriter.Overwrite, partitionCols = Seq("l_returnflag"))
     }
 
-    val all = queryTimes :+ ("w1_partitioned_write" -> writeTime)
+    // headline DML: staged-atomic upsert of 1% of orders into a copy
+    val upsertDir = Files.createTempDirectory("graft-bench-upsert").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+    DatasetWriter.toParquet(orders, upsertDir, mode = DatasetWriter.Overwrite)
+    val src = orders.sample(0.01, seed = 7).localCheckpoint(true)
+    val upsertTime = time {
+      table.MergeOps.upsert(spark, upsertDir, src, keys = Seq("o_orderkey"))
+    }
+
+    val all = queryTimes :+
+      ("w1_partitioned_write" -> writeTime) :+ ("w2_upsert" -> upsertTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

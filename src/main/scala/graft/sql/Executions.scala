@@ -47,7 +47,11 @@ object Executions {
       spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
       try {
         val df = SqlEngine.readSqlQuery(spark, sql, params)
-        df.collect() // execute within the job group
+        // Execute within the job group WITHOUT materializing rows on the
+        // driver: walk the executed RDD and discard partitions executor-
+        // side. The caller gets the lazy DataFrame back (re-running it is
+        // planned work, not a driver-memory copy of the result set).
+        df.queryExecution.toRdd.foreach(_ => ())
         states.put(id, Succeeded)
         df
       } catch {

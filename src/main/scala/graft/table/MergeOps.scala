@@ -1,22 +1,26 @@
 package graft.table
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.io.DatasetWriter
 
 /** Table-format DML — the MERGE/DELETE/upsert surface of the reference
   * (`athena/_write_iceberg.py:297-393` MERGE INTO generation,
   * `715-868` delete-from, `redshift/_write.py:544-769` upsert with
   * `precombine_key`, `timestream/_write.py` version upsert) implemented
-  * as copy-on-write over parquet datasets (no Delta/Iceberg jars in this
-  * environment — the op semantics, not the log format, are the surface).
+  * as staged copy-on-write over parquet datasets, committed atomically
+  * through [[StagedCommit]] (no Delta/Iceberg jars in this environment —
+  * the op semantics and the commit guarantee, not the log format, are
+  * the surface).
   *
-  * Scale design: with partition columns declared, only partitions that
-  * contain matched keys are rewritten (dynamic partition overwrite) —
-  * the same copy-on-write granularity Iceberg/Delta use for
-  * non-deletion-vector tables. The key match is a shuffle join on the
-  * merge keys; the source side is broadcast when small.
+  * Scale design: the merge plan streams from the current table files
+  * directly into the staging write — nothing is materialized on the
+  * driver or in the block manager. With partition columns declared, only
+  * partitions that contain matched keys (in EITHER the source or the
+  * target — a matched key whose partition value changed is removed from
+  * its old partition too) are rewritten. The key match is a shuffle join
+  * on the merge keys; the small sides (key set, partition set) are
+  * broadcast.
   */
 object MergeOps {
 
@@ -32,31 +36,31 @@ object MergeOps {
       partitionCols: Seq[String] = Nil): Long = {
     require(keys.nonEmpty, "merge requires key columns")
     val target = spark.read.option("basePath", targetPath).parquet(targetPath)
+    val sourceKeys = source.select(keys.map(col): _*).distinct()
 
     if (partitionCols.isEmpty) {
-      val kept = target.join(source.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
-      // localCheckpoint truncates the file-source lineage so the target
-      // path can be overwritten (a log-based format swaps metadata instead)
+      val kept = target.join(sourceKeys, keys, "left_anti")
       val merged = kept.unionByName(source.select(target.columns.map(col): _*))
-        .localCheckpoint(true)
-      val n = merged.count()
-      DatasetWriter.toParquet(merged, targetPath,
-        mode = DatasetWriter.Overwrite)
-      n
+      StagedCommit.overwrite(merged, targetPath)
     } else {
-      // rewrite only partitions containing matched keys + the source rows
-      val affected = source.select(partitionCols.map(col): _*).distinct()
-      val targetAffected = target.join(broadcast(affected), partitionCols)
-      val kept = targetAffected.join(
-        source.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      // Affected partitions = partitions the source writes into UNION
+      // partitions that currently hold a matched key (so a key whose
+      // partition value changed sheds its stale row — Iceberg MERGE
+      // updates the row wherever it lives). The target probe prunes to
+      // (keys ++ partitionCols) columns only.
+      val sourceParts = source.select(partitionCols.map(col): _*).distinct()
+      val matchedParts = target
+        .join(broadcast(sourceKeys), keys, "left_semi")
+        .select(partitionCols.map(col): _*).distinct()
+      val affectedDf = sourceParts.unionByName(matchedParts).distinct()
+      val affected = collectPartitionValues(affectedDf, partitionCols)
+
+      val targetAffected =
+        target.join(broadcast(affectedDf), partitionCols, "left_semi")
+      val kept = targetAffected.join(sourceKeys, keys, "left_anti")
       val merged = kept.unionByName(source.select(target.columns.map(col): _*))
-        .localCheckpoint(true)
-      val n = merged.count()
-      DatasetWriter.toParquet(merged, targetPath,
-        mode = DatasetWriter.OverwritePartitions,
-        partitionCols = partitionCols)
-      n
+      StagedCommit.overwritePartitions(merged, targetPath, partitionCols,
+        affected)
     }
   }
 
@@ -68,14 +72,10 @@ object MergeOps {
       keys: DataFrame,
       keyCols: Seq[String]): Long = {
     val target = spark.read.parquet(targetPath)
-    val remaining = target
-      .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
-        keyCols, "left_anti")
-      .localCheckpoint(true)
-    val n = remaining.count()
-    DatasetWriter.toParquet(remaining, targetPath,
-      mode = DatasetWriter.Overwrite)
-    n
+    val remaining = target.join(
+      broadcast(keys.select(keyCols.map(col): _*).distinct()),
+      keyCols, "left_anti")
+    StagedCommit.overwrite(remaining, targetPath)
   }
 
   /** Upsert with a precombine column (`redshift.copy(mode="upsert",
@@ -97,10 +97,18 @@ object MergeOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-      .localCheckpoint(true)
-    val n = deduped.count()
-    DatasetWriter.toParquet(deduped, targetPath,
-      mode = DatasetWriter.Overwrite)
-    n
+    StagedCommit.overwrite(deduped, targetPath)
   }
+
+  /** Collect the (small, distinct) affected-partition value tuples as
+    * hive-encodable strings. The list is the same driver-side partition
+    * tracking every dynamic-partition-overwrite commit performs. */
+  private def collectPartitionValues(
+      parts: DataFrame, partitionCols: Seq[String]): Seq[Map[String, String]] =
+    parts.collect().toIndexedSeq.map { (r: Row) =>
+      partitionCols.map { c =>
+        val v = r.getAs[Any](c)
+        c -> (if (v == null) null else v.toString)
+      }.toMap
+    }
 }

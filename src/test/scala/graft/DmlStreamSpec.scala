@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.io.DatasetWriter
 import graft.multimodal.Multimodal
 import graft.streaming.EventStream
-import graft.table.MergeOps
+import graft.table.{MergeOps, StagedCommit}
 
 /** Specs for the MERGE/DML surface, the Structured Streaming surface, and
   * the multimodal plumbing. */
@@ -52,6 +52,63 @@ class DmlStreamSpec extends AnyFunSuite {
     val p2After = new java.io.File(s"$dir/p=p2").listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
     assert(p2After == p2Before, "unaffected partition must not be rewritten")
+  }
+
+  test("staged commit: crash between stage and swap leaves target intact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    DatasetWriter.toParquet(base, dir, mode = DatasetWriter.Overwrite)
+    // stage a rewrite but "crash" before commit: target must be intact
+    val staged = StagedCommit.stage(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")), "target modified before commit")
+    assert(new java.io.File(staged.stagingPath.stripPrefix("file:")).exists())
+    // recovery sweeps the orphaned staging dir; target still intact
+    assert(StagedCommit.recover(spark, dir) == 1)
+    assert(!new java.io.File(staged.stagingPath.stripPrefix("file:")).exists())
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // a completed commit publishes the new data
+    val staged2 = StagedCommit.stage(Seq((9L, "z")).toDF("id", "v"), dir)
+    staged2.commit()
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((9L, "z")))
+  }
+
+  test("partitioned merge drops stale row when a key changes partition") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val base = Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+      .toDF("id", "v", "p")
+    DatasetWriter.toParquet(base, dir, mode = DatasetWriter.Overwrite,
+      partitionCols = Seq("p"))
+    // key 2 moves p1 -> p2: its old p1 row must disappear
+    val n = MergeOps.upsert(spark, dir,
+      Seq((2L, "B", "p2")).toDF("id", "v", "p"),
+      keys = Seq("id"), partitionCols = Seq("p"))
+    assert(n == 3)
+    val got = spark.read.option("basePath", dir).parquet(dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p2")))
+  }
+
+  test("partitioned merge deletes a partition its last row moved out of") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    DatasetWriter.toParquet(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"), dir,
+      mode = DatasetWriter.Overwrite, partitionCols = Seq("p"))
+    MergeOps.upsert(spark, dir, Seq((1L, "A", "p2")).toDF("id", "v", "p"),
+      keys = Seq("id"), partitionCols = Seq("p"))
+    val got = spark.read.option("basePath", dir).parquet(dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "A", "p2"), (2L, "b", "p2")))
+    assert(!new java.io.File(s"$dir/p=p1").exists(),
+      "emptied partition directory must be removed")
   }
 
   test("deleteMatched removes only matched keys") {
