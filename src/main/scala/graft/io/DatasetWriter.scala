@@ -119,6 +119,9 @@ object DatasetWriter {
     if (mode == Append && !schemaEvolution && format == "parquet")
       checkSchemaChanges(df, path)
 
+    // any dataset mutation stops cached query results from being served
+    try graft.sql.SqlEngine.noteDatasetWrite(spark) catch { case _: Throwable => }
+
     bucketing match {
       case Some(b) => writeBucketed(df, path, format, mode, partitionCols, b,
         options)
@@ -173,13 +176,46 @@ object DatasetWriter {
       case _ => SaveMode.Overwrite
     }
     mode match {
+      case OverwritePartitions if partitionCols.isEmpty =>
+        // no partition columns to scope the overwrite: the reference
+        // treats this as a full-prefix delete (s3/_write_dataset.py:92-93)
+        writer.mode(SaveMode.Overwrite).save(path)
       case OverwritePartitions =>
+        // The previous bucketed write flattened files to
+        // `part=X/*_bucket-K.ext`, so dynamic overwrite (which replaces
+        // only the new `part=X/__bucket=K` leaf dirs) would leave them
+        // behind as duplicates. Delete the rewritten partitions' prior
+        // bucket files first (s3/_write_dataset.py:219-220 deletes the
+        // matched partition prefix before writing).
+        deletePriorBucketFiles(df, path, partitionCols)
         withConf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic") {
           writer.mode(saveMode).save(path)
         }
       case _ => writer.mode(saveMode).save(path)
     }
     normalizeBucketFiles(spark, path, format)
+  }
+
+  private def deletePriorBucketFiles(
+      df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val spark = df.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(path))) return
+    val parts = df.select(partitionCols.map(col): _*).distinct().collect()
+    parts.foreach { r =>
+      val rel = partitionCols.map { c =>
+        val v = r.getAs[Any](c)
+        ExternalCatalogUtils.getPartitionPathString(c,
+          if (v == null) null else v.toString)
+      }.mkString("/")
+      val dir = new Path(path, rel)
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.contains("_bucket-"))
+          .foreach(f => fs.delete(f.getPath, false))
+    }
   }
 
   /** Move `…/__bucket=K/<file>` to `…/<file>_bucket-0000K.<ext>`. */

@@ -29,16 +29,16 @@ object AsOf {
       leftTs: String,
       rightTs: String): DataFrame = {
     require(leftTs != rightTs, "rename one of the time columns first")
-    val joined = left.join(right,
-      keyCols ++ Nil,
-      "inner")
+    // ASOF semantics match EVERY left row — including fully duplicate
+    // ones — so latest-wins partitions on a per-row id, not the left
+    // columns (which would collapse duplicates into one output row).
+    val lid = left.withColumn("__lid", monotonically_increasing_id())
+    val joined = lid.join(right, keyCols ++ Nil, "inner")
       .filter(col(rightTs) <= col(leftTs))
-    val leftCols = left.columns
-    val w = Window.partitionBy(leftCols.map(col): _*)
-      .orderBy(col(rightTs).desc)
+    val w = Window.partitionBy(col("__lid")).orderBy(col(rightTs).desc)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__lid")
   }
 
   /** Time-bucketed variant: right rows land in every bucket from their
@@ -53,8 +53,9 @@ object AsOf {
       rightTs: String,
       bucketSeconds: Long,
       horizonBuckets: Int): DataFrame = {
-    val lb = left.withColumn("__bucket",
-      (unix_micros(col(leftTs)) / (bucketSeconds * 1000000L)).cast("long"))
+    val lb = left.withColumn("__lid", monotonically_increasing_id())
+      .withColumn("__bucket",
+        (unix_micros(col(leftTs)) / (bucketSeconds * 1000000L)).cast("long"))
     val rb = right.withColumn("__rbucket",
       (unix_micros(col(rightTs)) / (bucketSeconds * 1000000L)).cast("long"))
       .withColumn("__bucket",
@@ -62,11 +63,12 @@ object AsOf {
       .drop("__rbucket")
     val joined = lb.join(rb, keyCols :+ "__bucket")
       .filter(col(rightTs) <= col(leftTs))
-    val w = Window.partitionBy(left.columns.map(col): _*)
-      .orderBy(col(rightTs).desc)
+    // per-row id for the same duplicate-left reason as [[asofJoin]]; a
+    // row matched in several buckets also resolves to one winner here
+    val w = Window.partitionBy(col("__lid")).orderBy(col(rightTs).desc)
     joined.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn").drop("__bucket")
+      .drop("__rn", "__bucket", "__lid")
   }
 
   /** Oracle-gated query: for each click, the latest prior purchase by the

@@ -13,10 +13,15 @@ import graft.Tables
 object Search {
 
   /** Occurrences of `term` in `text` via length arithmetic (exact
-    * integers, engine-portable). */
-  private def occurrences(textCol: String, term: String) =
-    ((length(col(textCol)) - length(regexp_replace(col(textCol), term, ""))) /
+    * integers, engine-portable). The term is a LITERAL: quoted with
+    * \Q…\E so regex metacharacters in a search term count as
+    * themselves instead of silently reshaping the pattern. */
+  private def occurrences(textCol: String, term: String) = {
+    val literal = java.util.regex.Pattern.quote(term)
+    ((length(col(textCol)) -
+      length(regexp_replace(col(textCol), lit(literal), lit("")))) /
       lit(term.length)).cast("int")
+  }
 
   /** Multi-term match query with tf-weighted scoring and top-k ranking —
     * `search(index, query={"match": ...})`. Single scan, top-k via
@@ -53,9 +58,11 @@ object Search {
     val (kind, body) = q.head
     kind match {
       case "match" =>
+        // Column APIs, not expr() splicing: a quote/backtick in the
+        // analyzed term is data, never SQL.
         val (field, text) = body.asInstanceOf[Map[String, String]].head
         text.toLowerCase.split("\\s+").toSeq.map { term =>
-          expr(s"array_contains(split(lower(`$field`), ' '), '$term')")
+          array_contains(split(lower(col(field)), " "), lit(term))
         }.reduce(_ || _)
       case "term" =>
         val (field, value) = body.asInstanceOf[Map[String, Any]].head

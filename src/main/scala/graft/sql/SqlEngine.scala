@@ -14,25 +14,51 @@ object SqlEngine {
     * rendering — the Presto-dialect path of `_sql_formatter.py:15-192`.
     * Strings escape single quotes by doubling; collections render as
     * ARRAY[…] / MAP(ARRAY[…], ARRAY[…]).
+    *
+    * Matching follows the reference's `:(\w+)` + trailing-word-boundary
+    * rule (`_sql_formatter.py:158`): `:date` must not rewrite the prefix
+    * of `:dateTime` or `:date_2`, and an unbound `:param` left in the
+    * query is an error, not a silent pass-through.
     */
+  // lookbehind skips the `::type` cast syntax; trailing \w* stops at a
+  // word boundary so :date never eats the prefix of :dateTime / :date_2
+  private val ParamToken = "(?<!:):([A-Za-z_][A-Za-z0-9_]*)".r
+
   def formatSql(sql: String, params: Map[String, Any]): String =
-    params.toSeq.sortBy(-_._1.length).foldLeft(sql) { case (acc, (k, v)) =>
-      acc.replace(s":$k", renderLiteral(v))
-    }
+    substitute(sql, params, strict = true)
+
+  private def substitute(
+      sql: String, params: Map[String, Any], strict: Boolean): String =
+    if (params.isEmpty && !strict) sql
+    else if (params.isEmpty) sql // nothing bound: nothing to validate
+    else ParamToken.replaceAllIn(sql, m => {
+      val name = m.group(1)
+      params.get(name) match {
+        case Some(v) =>
+          scala.util.matching.Regex.quoteReplacement(renderLiteral(v))
+        case None if strict =>
+          throw new IllegalArgumentException(
+            s"unbound SQL parameter :$name (bound: ${params.keys.mkString(", ")})")
+        case None =>
+          scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
 
   def renderLiteral(v: Any): String = v match {
     case null | None => "NULL"
     case Some(x) => renderLiteral(x)
     case b: Boolean => b.toString.toUpperCase
     case s: String => "'" + s.replace("'", "''") + "'"
-    case d: BigDecimal => s"DECIMAL '${d.toString}'"
-    case d: java.math.BigDecimal => s"DECIMAL '${d.toString}'"
+    // Spark-dialect literals (the substitution target is Catalyst's
+    // parser): 12.34BD decimal, array(…), map(k1, v1, …)
+    case d: BigDecimal => s"${d.toString}BD"
+    case d: java.math.BigDecimal => s"${d.toString}BD"
     case t: Timestamp => s"TIMESTAMP '${t.toString}'"
     case d: Date => s"DATE '${d.toString}'"
-    case xs: Seq[_] => xs.map(renderLiteral).mkString("ARRAY[", ", ", "]")
+    case xs: Seq[_] => xs.map(renderLiteral).mkString("array(", ", ", ")")
     case m: Map[_, _] =>
-      val (ks, vs) = m.toSeq.unzip
-      s"MAP(${renderLiteral(ks)}, ${renderLiteral(vs)})"
+      m.toSeq.map { case (k, v) => s"${renderLiteral(k)}, ${renderLiteral(v)}" }
+        .mkString("map(", ", ", ")")
     case n @ (_: Int | _: Long | _: Short | _: Byte | _: Float | _: Double) =>
       n.toString
     case other =>
@@ -47,12 +73,23 @@ object SqlEngine {
     */
   final class QueryCache(maxEntries: Int = 100) {
     private val entries = TrieMap.empty[String, (DataFrame, Long)]
+    @volatile private var lastInvalidation = 0L
 
     def normalize(sql: String): String =
       sql.trim.stripSuffix(";").replaceAll("\\s+", " ").toLowerCase
 
-    def get(sql: String): Option[DataFrame] =
-      entries.get(normalize(sql)).map { case (df, _) => df }
+    /** A hit must be younger than `maxAgeSeconds` (the reference's
+      * `max_cache_seconds`, `athena/_cache.py:64-92`) AND younger than
+      * the last dataset write seen by this session — a cache that
+      * survives an overwrite of its inputs serves wrong answers. */
+    def get(sql: String,
+        maxAgeSeconds: Long = Long.MaxValue): Option[DataFrame] =
+      entries.get(normalize(sql)).flatMap { case (df, bornNanos) =>
+        val ageOk = (System.nanoTime() - bornNanos) / 1e9 <= maxAgeSeconds
+        val fresh = bornNanos > lastInvalidation
+        if (ageOk && fresh) Some(df)
+        else { entries.remove(normalize(sql)).foreach(_._1.unpersist()); None }
+      }
 
     def put(sql: String, df: DataFrame): DataFrame = {
       val cached = df.persist()
@@ -63,6 +100,9 @@ object SqlEngine {
       cached
     }
 
+    /** Every entry born before now is stale (called on dataset writes). */
+    def invalidateAll(): Unit = lastInvalidation = System.nanoTime()
+
     def clear(): Unit = {
       entries.values.foreach(_._1.unpersist())
       entries.clear()
@@ -71,22 +111,70 @@ object SqlEngine {
     def size: Int = entries.size
   }
 
-  private val sessionCaches = TrieMap.empty[SparkSession, QueryCache]
+  // Weak keys: a cache dies with its SparkSession instead of pinning it
+  // (the old TrieMap held every session that ever queried, forever).
+  private val sessionCaches =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, QueryCache]())
   def cacheFor(spark: SparkSession): QueryCache =
-    sessionCaches.getOrElseUpdate(spark, new QueryCache())
+    sessionCaches.synchronized {
+      Option(sessionCaches.get(spark)).getOrElse {
+        val c = new QueryCache(); sessionCaches.put(spark, c); c
+      }
+    }
 
-  /** `read_sql_query(sql, params=…, use_cache=…)` → Catalyst. */
+  /** Dataset writers call this after mutating storage: all cached query
+    * results predating the write stop being served. */
+  def noteDatasetWrite(spark: SparkSession): Unit =
+    sessionCaches.synchronized {
+      Option(sessionCaches.get(spark)).foreach(_.invalidateAll())
+    }
+
+  /** `read_sql_query(sql, params=…, use_cache=…)` → Catalyst.
+    *
+    * Parameter dispatch mirrors `athena/_utils.py:385-401`: scalar
+    * params bind SERVER-SIDE through Spark's named-parameter API (no
+    * string splicing, no injection channel, `:name` inside string
+    * literals untouched); collection params (ARRAY/MAP literals, which
+    * the binding API cannot express) fall back to the client-side
+    * formatter above.
+    */
   def readSqlQuery(
       spark: SparkSession,
       sql: String,
       params: Map[String, Any] = Map.empty,
-      useCache: Boolean = false): DataFrame = {
-    val formatted = formatSql(sql, params)
-    if (!useCache) spark.sql(formatted)
+      useCache: Boolean = false,
+      maxCacheSeconds: Long = Long.MaxValue): DataFrame = {
+    def run(): DataFrame = {
+      val (collections, scalars) = params.partition {
+        case (_, _: Seq[_]) | (_, _: Map[_, _]) => true
+        case _ => false
+      }
+      val text = substitute(sql, collections, strict = false)
+      if (scalars.nonEmpty)
+        spark.sql(text, scalars.map { case (k, v) => k -> unwrap(v) })
+      else spark.sql(text)
+    }
+    if (!useCache) run()
     else {
       val cache = cacheFor(spark)
-      cache.get(formatted).getOrElse(cache.put(formatted, spark.sql(formatted)))
+      val key = formatSql(sql, params) // fully-rendered text as cache key
+      cache.get(key, maxCacheSeconds).getOrElse(cache.put(key, run()))
     }
+  }
+
+  /** Positional `?` binding — the reference's server-side "qmark" style
+    * (`EXECUTE … USING`, `athena/_utils.py:385-401`). */
+  def readSqlQueryQmark(
+      spark: SparkSession,
+      sql: String,
+      args: Seq[Any]): DataFrame =
+    spark.sql(sql, args.map(unwrap).toArray)
+
+  private def unwrap(v: Any): Any = v match {
+    case Some(x) => x
+    case None => null
+    case other => other
   }
 
   /** `athena.create_ctas_table` (`athena/_utils.py:686-931`): CREATE

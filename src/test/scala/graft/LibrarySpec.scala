@@ -194,8 +194,8 @@ class LibrarySpec extends AnyFunSuite {
     assert(SqlEngine.renderLiteral(null) == "NULL")
     assert(SqlEngine.renderLiteral("o'brien") == "'o''brien'")
     assert(SqlEngine.renderLiteral(true) == "TRUE")
-    assert(SqlEngine.renderLiteral(Seq(1, 2)) == "ARRAY[1, 2]")
-    assert(SqlEngine.renderLiteral(BigDecimal("1.90")) == "DECIMAL '1.90'")
+    assert(SqlEngine.renderLiteral(Seq(1, 2)) == "array(1, 2)")
+    assert(SqlEngine.renderLiteral(BigDecimal("1.90")) == "1.90BD")
     val sql = SqlEngine.formatSql(
       "SELECT * FROM t WHERE a = :a AND b = :ab",
       Map("a" -> 1, "ab" -> "x"))

@@ -1,0 +1,182 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.DatasetWriter
+import graft.ops.{AsOf, Search}
+import graft.sql.SqlEngine
+
+/** Round-2 fixes: server-side parameter binding, cache TTL/invalidation,
+  * as-of duplicate-left semantics, bucketed overwrite-partitions
+  * correctness, query-DSL injection safety. */
+class Round2Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-r2").toString
+
+  // ---- parameterized SQL -------------------------------------------------
+
+  test("formatSql: word boundary — :date does not eat :dateTime / :date_2") {
+    val out = SqlEngine.formatSql(
+      "SELECT :date, :dateTime, :date_2",
+      Map("date" -> "a", "dateTime" -> "b", "date_2" -> "c"))
+    assert(out == "SELECT 'a', 'b', 'c'")
+  }
+
+  test("formatSql: unbound parameter is an error") {
+    val e = intercept[IllegalArgumentException] {
+      SqlEngine.formatSql("SELECT :bound, :missing", Map("bound" -> 1))
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("server-side named params: scalar type matrix binds correctly") {
+    val df = SqlEngine.readSqlQuery(spark,
+      """SELECT :s AS s, :i AS i, :b AS b, :d AS d, :ts AS ts, :dt AS dt,
+        |       :n AS n""".stripMargin,
+      Map(
+        "s" -> "it's",
+        "i" -> 42,
+        "b" -> true,
+        "d" -> new java.math.BigDecimal("12.34"),
+        "ts" -> java.sql.Timestamp.valueOf("2024-05-01 12:00:00"),
+        "dt" -> java.sql.Date.valueOf("2024-05-01"),
+        "n" -> null))
+    val r = df.head()
+    assert(r.getString(0) == "it's")
+    assert(r.getInt(1) == 42)
+    assert(r.getBoolean(2))
+    assert(r.getDecimal(3).toPlainString == "12.34")
+    assert(r.getTimestamp(4) == java.sql.Timestamp.valueOf("2024-05-01 12:00:00"))
+    assert(r.getDate(5) == java.sql.Date.valueOf("2024-05-01"))
+    assert(r.isNullAt(6))
+  }
+
+  test("server-side named params: injection payload stays data") {
+    val payload = "x'; DROP TABLE lineitem; --"
+    val df = SqlEngine.readSqlQuery(spark, "SELECT :v AS v",
+      Map("v" -> payload))
+    assert(df.head().getString(0) == payload)
+  }
+
+  test("collection params render as ARRAY/MAP literals alongside scalars") {
+    val df = SqlEngine.readSqlQuery(spark,
+      "SELECT array_contains(:xs, :x) AS hit, :m AS m",
+      Map("xs" -> Seq(1, 2, 3), "x" -> 2, "m" -> Map("k" -> 1)))
+    val r = df.head()
+    assert(r.getBoolean(0))
+    assert(r.getAs[Map[String, Int]]("m") == Map("k" -> 1))
+  }
+
+  test("qmark positional binding") {
+    val df = SqlEngine.readSqlQueryQmark(spark,
+      "SELECT ? AS a, ? AS b", Seq(7, "x"))
+    val r = df.head()
+    assert(r.getInt(0) == 7 && r.getString(1) == "x")
+  }
+
+  test(":name inside a cast-like token is untouched") {
+    // `::` cast syntax must not be treated as a parameter
+    val df = SqlEngine.readSqlQuery(spark, "SELECT '5'::int AS v",
+      Map.empty[String, Any])
+    assert(df.head().getInt(0) == 5)
+  }
+
+  // ---- query cache -------------------------------------------------------
+
+  test("query cache: TTL expiry and dataset-write invalidation") {
+    val cache = SqlEngine.cacheFor(spark)
+    cache.clear()
+    val sql = "SELECT 1 AS one -- r2-cache-spec"
+    SqlEngine.readSqlQuery(spark, sql, useCache = true)
+    assert(cache.get(sql).isDefined, "warm hit expected")
+    // TTL: an entry older than maxAge is dropped
+    Thread.sleep(1100)
+    assert(cache.get(sql, maxAgeSeconds = 1).isEmpty, "TTL must expire entry")
+    // repopulate, then a dataset write must invalidate
+    SqlEngine.readSqlQuery(spark, sql, useCache = true)
+    assert(cache.get(sql).isDefined)
+    val spark0 = spark
+    import spark0.implicits._
+    DatasetWriter.toParquet(Seq((1, "a")).toDF("k", "v"), tmp(),
+      mode = DatasetWriter.Overwrite)
+    assert(cache.get(sql).isEmpty, "write must invalidate cached results")
+  }
+
+  // ---- as-of join duplicate-left semantics -------------------------------
+
+  test("asofJoin matches every duplicate left row") {
+    val spark0 = spark
+    import spark0.implicits._
+    val left = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), // exact dup
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 11:00:00")))
+      .toDF("user", "lts")
+    val right = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1L),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 2L))
+      .toDF("user", "rts", "rid")
+    val out = AsOf.asofJoin(left, right, Seq("user"), "lts", "rts")
+    assert(out.count() == 3, "duplicate left rows must each match")
+    assert(out.filter(col("rid") === 1L).count() == 2)
+    assert(out.filter(col("rid") === 2L).count() == 1)
+    val outB = AsOf.asofJoinBucketed(left, right, Seq("user"), "lts", "rts",
+      bucketSeconds = 3600, horizonBuckets = 4)
+    assert(outB.count() == 3, "bucketed variant must keep duplicates too")
+  }
+
+  // ---- bucketed overwrite_partitions -------------------------------------
+
+  test("bucketed OverwritePartitions does not duplicate rewritten data") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val b = DatasetWriter.BucketingInfo(Seq("id"), 4)
+    val base = (1 to 40).map(i => (i.toLong, s"v$i", if (i % 2 == 0) "p1" else "p2"))
+      .toDF("id", "v", "p")
+    DatasetWriter.toParquet(base, dir, mode = DatasetWriter.Overwrite,
+      partitionCols = Seq("p"), bucketing = Some(b))
+    assert(spark.read.parquet(dir).count() == 40)
+    // rewrite partition p1 only
+    val p1New = (1 to 10).map(i => (i.toLong * 100, s"n$i", "p1"))
+      .toDF("id", "v", "p")
+    DatasetWriter.toParquet(p1New, dir,
+      mode = DatasetWriter.OverwritePartitions,
+      partitionCols = Seq("p"), bucketing = Some(b))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("p") === "p1").count() == 10,
+      "old flattened bucket files must not survive the partition rewrite")
+    assert(after.filter(col("p") === "p2").count() == 20)
+    assert(after.count() == 30)
+  }
+
+  // ---- search DSL injection safety ---------------------------------------
+
+  test("query DSL: quotes and backticks in terms are data, not SQL") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "it's a test"), (2L, "plain text"))
+      .toDF("doc_id", "text")
+    val hit = Search.search(docs,
+      Map("match" -> Map("text" -> "it's"))).collect()
+    assert(hit.map(_.getLong(0)).toSet == Set(1L))
+    // a malicious term must neither parse-error nor inject
+    val none = Search.search(docs,
+      Map("match" -> Map("text" -> "x') or true --`"))).count()
+    assert(none == 0)
+  }
+
+  test("occurrences scoring treats regex metacharacters literally") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq((1L, "a.b a.b", "en")).toDF("doc_id", "text", "lang")
+    // '.' must not match arbitrary characters: "a.b" occurs twice, and a
+    // term like "axb" (absent literally) scores zero
+    val two = docs.withColumn("n",
+      ((length(col("text")) - length(regexp_replace(col("text"),
+        lit(java.util.regex.Pattern.quote("a.b")), lit("")))) / 3).cast("int"))
+    assert(two.head().getAs[Int]("n") == 2)
+  }
+}
