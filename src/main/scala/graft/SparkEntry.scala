@@ -73,8 +73,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
-    "dedup_minhash_fast"  -> (Dedup.minhashLshFast _),
-    "dedup_simhash"       -> (Dedup.simhash _),
+    "dedup_minhash_fast"  -> (Dedup.minhashFastVerified _),
+    "dedup_simhash"       -> (Dedup.simhashVerified _),
     // time-series (Timestream-shaped)
     "ts_asof_join"        -> (AsOf.clickToPurchase _),
     "ts_tumbling_window"  -> (TimeSeries.tumbling _),
@@ -160,11 +160,14 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,
-    // dedup_minhash_fast / dedup_simhash / ts_sliding_window / vec_knn_lsh:
-    // Spark-specific hash families or window semantics — rows-only check,
-    // covered by ScalaTest specs instead.
+    // provable-recall gates for the Spark-specific hash families: the
+    // xxhash64 candidate sets restricted to identical-token-set pairs
+    // must equal the (SQL-computable) full pair list
+    "dedup_minhash_fast"  -> Dedup.identicalTokenSetPairsOracle,
+    "dedup_simhash"       -> Dedup.identicalTokenSetPairsOracle,
     "ts_asof_join"        -> AsOf.clickToPurchaseOracle,
     "ts_tumbling_window"  -> TimeSeries.tumblingOracle,
+    "ts_sliding_window"   -> TimeSeries.slidingOracle,
     "ts_sessionize"       -> TimeSeries.sessionizeOracle,
     "ts_top_users"        -> TimeSeries.topUsersOracle,
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
@@ -172,6 +175,8 @@ object SparkEntry {
     "kv_batch_get"        -> KeyValue.batchGetOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,
+    "vec_knn_lsh"         -> Vectors.knnLshOracle,
+    "vec_ivf_search"      -> Vectors.ivfSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "graph_two_hop"       -> Graph.twoHopOracle,
     "graph_motif"         -> Graph.motifOracle,

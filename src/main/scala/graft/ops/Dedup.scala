@@ -200,6 +200,48 @@ object Dedup {
     lshPairs(sig, bandKeys, est)
   }
 
+  /** Pairs of documents with IDENTICAL distinct-token sets — the
+    * provable-recall subset for any token-set hash family: identical
+    * sets give identical minhash/simhash signatures, so every such pair
+    * MUST surface as an LSH candidate in every band. Being pure set
+    * algebra, the pair list is exactly SQL-computable, which turns the
+    * Spark-specific xxhash64 pipelines into differentially testable
+    * operators: their candidate output joined to this set must equal
+    * this set — a missing pair means a broken signature, banding, or
+    * candidate join. */
+  private def tokenSetPairs(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).select(col("doc_id"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+        .as("tk"))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+  }
+
+  def identicalTokenSetPairsOracle: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+      |        ' ')) AS tk
+      |  FROM documents)
+      |SELECT a.doc_id AS d1, b.doc_id AS d2
+      |FROM k a JOIN k b ON a.tk = b.tk AND a.doc_id < b.doc_id""".stripMargin
+
+  /** Oracle-gated recall check of the production minhash: xxhash64-LSH
+    * candidates restricted to identical-token-set pairs = ALL such pairs
+    * iff the pipeline is correct (see [[tokenSetPairs]]). */
+  def minhashFastVerified(s: SparkSession, dir: String): DataFrame =
+    minhashLshFast(s, dir).select(col("d1"), col("d2"))
+      .join(tokenSetPairs(s, dir), Seq("d1", "d2"))
+      .select(col("d1"), col("d2"))
+
+  /** Same provable-recall gate for the simhash pipeline: identical token
+    * sets vote identical bits → hamming 0 → always within threshold. */
+  def simhashVerified(s: SparkSession, dir: String): DataFrame =
+    simhash(s, dir).select(col("d1"), col("d2"))
+      .join(tokenSetPairs(s, dir), Seq("d1", "d2"))
+      .select(col("d1"), col("d2"))
+
   /** SimHash near-dup detection: 64-bit signature from token-hash bit
     * votes, LSH on four 16-bit bands, pairs deduped before the exact
     * Hamming check. All bit arithmetic on longs inside codegen.

@@ -42,8 +42,10 @@ object TimeSeries {
       |GROUP BY 1, 2""".stripMargin
 
   /** Sliding windows (1 h window, 15 min slide): each event lands in four
-    * buckets. Spark-only (DuckDB has no sliding window() equivalent);
-    * covered by spec against the tumbling decomposition.
+    * buckets. Oracled through the window decomposition: a 1h/15min
+    * sliding window over an event at time t is exactly the four 15-min-
+    * aligned starts `floor15(t) - k*15min, k ∈ 0..3`, which DuckDB
+    * expresses as a generate-series expansion over `time_bucket`.
     */
   def sliding(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -53,6 +55,14 @@ object TimeSeries {
         sum(col("value").cast("decimal(10,2)")).cast("double").as("sum_value"))
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
         col("event_type"), col("n"), col("sum_value"))
+
+  def slidingOracle: String =
+    """SELECT strftime(time_bucket(INTERVAL '15 minutes', cast(ts as timestamp))
+      |                  - to_minutes(15 * k), '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  event_type, count(*) AS n,
+      |  cast(sum(cast(value as decimal(10,2))) as double) AS sum_value
+      |FROM events, range(0, 4) t(k)
+      |GROUP BY 1, 2""".stripMargin
 
   /** Sessionization with a 30-minute inactivity gap: gaps-and-islands via
     * lag + running count — the batch equivalent of

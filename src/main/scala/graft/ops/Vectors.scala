@@ -107,29 +107,35 @@ object Vectors {
       |      / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
   /** IVF-style ANN: coarse quantizer = per-label centroids (label plays
-    * the coarse cell; a production build k-means them), probe the
-    * `nprobe` nearest cells, exact re-rank inside. The scan prunes to
-    * nprobe/ncells of the index — the structure that survives 10^10
-    * vectors. Spark-only; spec-tested for recall vs [[knnExact]].
+    * the coarse cell here; [[VectorIndex]] holds the k-means + persisted
+    * variant), probe the `nprobe` nearest cells, exact re-rank inside.
+    * The scan prunes to nprobe/ncells of the index — the structure that
+    * survives 10^10 vectors.
+    *
+    * Differentially testable end-to-end: centroid means go through exact
+    * decimal sums (order-independent, so Spark's partial aggregation and
+    * DuckDB's sequential sum agree bit-for-bit), and every cosine is a
+    * sequential double fold both engines evaluate identically.
     */
   def ivfSearch(s: SparkSession, dir: String, k: Int = 10,
       nprobe: Int = 3): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // centroids: per-dimension mean via posexplode + re-assembly
+    // centroids: exact-decimal per-dimension mean via posexplode
     val centroids = emb
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("col")).as("m"))
+      .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("label").as("c_label"),
         expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
     val query = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q"))
-    // probe the nprobe closest cells
+    // probe the nprobe closest cells (label tiebreak: deterministic)
     val probed = centroids.crossJoin(broadcast(query))
       .withColumn("cdist", cosine(s, "centroid", "q"))
-      .orderBy(col("cdist").desc)
+      .orderBy(col("cdist").desc, col("c_label"))
       .limit(nprobe)
       .select(col("c_label"))
     emb.filter(col("vec_id") =!= 0L)
@@ -141,24 +147,59 @@ object Vectors {
       .select(col("vec_id"), col("label"))
   }
 
-  /** LSH-bucketed ANN: random-hyperplane signature (8 sign bits from
-    * pseudo-random projections derived deterministically from xxhash64),
-    * candidates = query's bucket, exact cosine re-rank inside the bucket.
-    * Spark-only (hash-derived projections); spec-tested for recall vs
-    * knnExact.
+  private def cosineSql(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64),
+       |    i -> cast($a[i] as double) * cast($b[i] as double)))
+       |  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+       |       i -> cast($a[i] as double) * cast($a[i] as double))))
+       |     * sqrt(list_sum(list_transform(generate_series(1, 64),
+       |       i -> cast($b[i] as double) * cast($b[i] as double)))))""".stripMargin
+
+  def ivfSearchOracle: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cm AS (
+       |  SELECT label, i,
+       |    cast(cast(sum(cast(embedding[i] as decimal(20,10))) as double)
+       |         / cast(count(*) as double) as float) AS m
+       |  FROM embeddings, generate_series(1, 64) g(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cm GROUP BY label),
+       |probe AS (
+       |  SELECT cent.label FROM cent CROSS JOIN q
+       |  ORDER BY ${cosineSql("c", "qe")} DESC, cent.label
+       |  LIMIT 3)
+       |SELECT e.vec_id, e.label
+       |FROM embeddings e JOIN probe ON e.label = probe.label CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** LSH-bucketed ANN: 8-bit random-hyperplane signature, candidates =
+    * query's bucket, exact cosine re-rank inside the bucket. Hyperplane
+    * component i of plane j is `(md5int(j ':' i) mod 1001 - 500) / 500`
+    * — md5 renders identical hex in every engine, so the whole pipeline
+    * (signature → bucket join → re-rank) differentially tests against
+    * DuckDB. The hyperplane matrix has no column references, so Catalyst
+    * constant-folds it once per plan, not per row. [[VectorIndex]] holds
+    * the persisted multi-band production variant.
     */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
-    // hyperplane h_j component i = (xxhash64(j, i) mod 1001 - 500) / 500
+    val hyper = expr(
+      """transform(sequence(0, 7), j -> transform(sequence(0, 63), i ->
+        |  cast(pmod(cast(conv(substring(md5(concat(
+        |        cast(j as string), ':', cast(i as string))), 1, 6), 16, 10)
+        |      as bigint), 1001) - 500 as double) / 500.0d))""".stripMargin)
     val sigExpr = expr(
       """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
         |  acc | shiftleft(
-        |    case when aggregate(zip_with(embedding,
-        |      transform(sequence(0, 63),
-        |        i -> cast(pmod(xxhash64(j, i), 1001) - 500 as double) / 500.0d),
+        |    case when aggregate(zip_with(embedding, element_at(hp, j + 1),
         |      (x, h) -> cast(x as double) * h),
         |      cast(0.0 as double), (a, v) -> a + v) >= 0.0d
-        |    then 1L else 0L end, j))""".stripMargin)
-    val emb = Tables.embeddings(s, dir).withColumn("bucket", sigExpr)
+        |    then 1L else 0L end, cast(j as int)))""".stripMargin)
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("hp", hyper)
+      .withColumn("bucket", sigExpr)
+      .drop("hp")
     val query = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").as("q"), col("bucket").as("qbucket"))
     emb.filter(col("vec_id") =!= 0L)
@@ -168,4 +209,23 @@ object Vectors {
       .limit(10)
       .select(col("vec_id"), col("label"), col("bucket"))
   }
+
+  def knnLshOracle: String =
+    s"""WITH sig AS (
+       |  SELECT vec_id, label, embedding,
+       |    cast(list_sum(list_transform(generate_series(0, 7), j ->
+       |      CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+       |          cast(embedding[i] as double) *
+       |          (cast((('0x' || substr(md5(cast(j as varchar) || ':' ||
+       |                cast(i - 1 as varchar)), 1, 6))::BIGINT % 1001) - 500
+       |             as double) / 500.0)))
+       |        >= 0.0
+       |      THEN (1::BIGINT << j) ELSE 0::BIGINT END)) as bigint) AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qe, bucket AS qb FROM sig WHERE vec_id = 0)
+       |SELECT s.vec_id, s.label, s.bucket
+       |FROM sig s CROSS JOIN q
+       |WHERE s.vec_id <> 0 AND s.bucket = q.qb
+       |ORDER BY ${cosineSql("s.embedding", "qe")} DESC, s.vec_id
+       |LIMIT 10""".stripMargin
 }
