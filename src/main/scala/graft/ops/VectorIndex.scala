@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN indexes over an embedding column — the build/query split
+  * of the reference's vector surface (`s3/_vectors/_write.py:109-233`
+  * builds the index at put time; `_read.py:249-344` queries it). The
+  * round-1 prototypes recomputed signatures/centroids per query, which
+  * defeats the point at 10^10 vectors; here `put` pays the indexing cost
+  * once and `search` opens only the probed partition directories:
+  *
+  *  - LSH: one 8-bit random-hyperplane signature per vector, persisted
+  *    hive-partitioned by `bucket` (≤256 directories). A query probes its
+  *    own bucket plus the `nProbe` Hamming-1 neighbours (multi-probe LSH)
+  *    — partition pruning keeps the scan to probed directories only,
+  *    verified by the file-pruning spec via `input_file_name`.
+  *  - IVF: Lloyd's k-means coarse quantizer (deterministic seeding: the
+  *    k lowest vec_ids), assignments persisted partitioned by `cell`,
+  *    centroids as a tiny side dataset. A query ranks centroids
+  *    driver-side (k×dim floats) and scans `nprobe` cells.
+  *
+  * Scale notes: index build is one linear pass + (for IVF) `iters` joins
+  * against a broadcast centroid table; search I/O is proportional to
+  * probed partitions, not index size. Vectors are stored WITH their
+  * payload columns so re-ranking never joins back to the base table.
+  */
+object VectorIndex {
+
+  // ---- LSH ----------------------------------------------------------------
+
+  private val NBits = 8
+
+  /** Production signature: hyperplane components derived from xxhash64
+    * (codegen'd long hashing; the md5 family in [[Vectors.knnLsh]] is the
+    * engine-portable oracle variant of the same geometry). */
+  private def lshBucket: Column = expr(
+    s"""aggregate(sequence(0, ${NBits - 1}), cast(0 as bigint), (acc, j) ->
+       |  acc | shiftleft(
+       |    case when aggregate(zip_with(embedding,
+       |      transform(sequence(0, 63),
+       |        i -> cast(pmod(xxhash64(j, i), 1001) - 500 as double) / 500.0d),
+       |      (x, h) -> cast(x as double) * h),
+       |      cast(0.0 as double), (a, v) -> a + v) >= 0.0d
+       |    then 1L else 0L end, j))""".stripMargin)
+
+  /** Build (or rebuild) the LSH index: one signature pass, persisted
+    * partitioned by bucket. */
+  def putLsh(emb: DataFrame, indexPath: String): Unit =
+    graft.io.DatasetWriter.toParquet(
+      emb.withColumn("bucket", lshBucket),
+      indexPath, mode = graft.io.DatasetWriter.Overwrite,
+      partitionCols = Seq("bucket"))
+
+  /** Buckets probed for a query signature: the bucket itself plus its
+    * first `nProbe` Hamming-1 neighbours (multi-probe LSH). */
+  def probeBuckets(bucket: Long, nProbe: Int): Seq[Long] =
+    bucket +: (0 until math.min(nProbe, NBits)).map(j => bucket ^ (1L << j))
+
+  /** Signature of a query vector (for probe planning / specs). */
+  def queryLshBucket(spark: SparkSession, query: Array[Float]): Long = {
+    val qdf = spark.createDataFrame(
+      java.util.List.of(Row(query.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    qdf.select(lshBucket.as("b")).head().getLong(0)
+  }
+
+  /** Top-k by cosine against the persisted index; scans only probed
+    * bucket directories (hive partition pruning on `bucket`). */
+  def searchLsh(
+      spark: SparkSession,
+      indexPath: String,
+      query: Array[Float],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    graft.expr.CosineSimilarity.register(spark)
+    val probes = probeBuckets(queryLshBucket(spark, query), nProbe)
+    val qLit = typedLit(query.toSeq)
+    spark.read.option("basePath", indexPath).parquet(indexPath)
+      .filter(col("bucket").isin(probes: _*))
+      .withColumn("cosine",
+        call_function("cosine_sim", col("embedding"), qLit))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
+  }
+
+  // ---- IVF ----------------------------------------------------------------
+
+  /** Lloyd's k-means over the embedding column. Deterministic: seeds are
+    * the `k` lowest vec_ids; assignment ties break on cell id. Returns
+    * (cell → centroid) as driver-side arrays (k×dim floats — small by
+    * construction; that is what makes a coarse quantizer coarse). */
+  private def kmeans(
+      emb: DataFrame, k: Int, iters: Int): Array[(Int, Array[Float])] = {
+    val spark = emb.sparkSession
+    graft.expr.CosineSimilarity.register(spark)
+    var centroids: Array[(Int, Array[Float])] = emb
+      .orderBy(col("vec_id")).limit(k).collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getAs[Seq[Float]]("embedding").toArray }
+    for (_ <- 0 until iters) {
+      val cdf = spark.createDataFrame(centroids.toSeq
+        .map { case (c, v) => (c, v.toSeq) }).toDF("cell", "centroid")
+      val assigned = assignCells(emb, cdf)
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"),
+          expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+        .collect()
+        .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Float]]("centroid").toArray)
+      // cells that lost every member keep their previous centroid
+      val updated = means.toMap
+      centroids = centroids.map { case (c, v) => c -> updated.getOrElse(c, v) }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment (broadcast join against the tiny
+    * centroid table; one codegen'd cosine per (vector, cell)). */
+  private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = emb.crossJoin(broadcast(centroids))
+      .withColumn("sim",
+        call_function("cosine_sim", col("embedding"), col("centroid")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cell"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "sim", "centroid")
+  }
+
+  /** Build the IVF index: k-means quantizer, assignments partitioned by
+    * cell, centroids stored beside the data. */
+  def putIvf(emb: DataFrame, indexPath: String, k: Int = 8,
+      iters: Int = 3): Unit = {
+    val spark = emb.sparkSession
+    val centroids = kmeans(emb, k, iters)
+    val cdf = spark.createDataFrame(centroids.toSeq
+      .map { case (c, v) => (c, v.toSeq) }).toDF("cell", "centroid")
+    graft.io.DatasetWriter.toParquet(
+      assignCells(emb, cdf), s"$indexPath/data",
+      mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("cell"))
+    graft.io.DatasetWriter.toParquet(cdf, s"$indexPath/centroids",
+      mode = graft.io.DatasetWriter.Overwrite)
+  }
+
+  /** Top-k by cosine over the `nprobe` nearest cells of the persisted
+    * index. Centroid ranking happens on the driver (k×dim floats); the
+    * data scan prunes to probed cell directories. */
+  def searchIvf(
+      spark: SparkSession,
+      indexPath: String,
+      query: Array[Float],
+      k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    graft.expr.CosineSimilarity.register(spark)
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Float]]("centroid").toArray)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = cents.sortBy { case (c, v) => (-cosine(v, query), c) }
+      .take(nprobe).map(_._1)
+    val qLit = typedLit(query.toSeq)
+    spark.read.option("basePath", s"$indexPath/data")
+      .parquet(s"$indexPath/data")
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .withColumn("cosine",
+        call_function("cosine_sim", col("embedding"), qLit))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("cell"), col("cosine"))
+  }
+}

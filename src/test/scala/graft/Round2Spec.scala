@@ -152,6 +152,67 @@ class Round2Spec extends AnyFunSuite {
     assert(after.count() == 30)
   }
 
+  // ---- persisted vector indexes ------------------------------------------
+
+  test("persisted LSH index: probe opens a fraction of the files, finds hits") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val emb = Tables.embeddings(spark, sf)
+    ops.VectorIndex.putLsh(emb, dir)
+    val query = emb.filter(col("vec_id") === 0L).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val res = ops.VectorIndex.searchLsh(spark, dir, query, k = 10, nProbe = 4)
+      .collect()
+    assert(res.nonEmpty && res.length <= 10)
+    // the query vector itself is indexed: it must be the top hit
+    assert(res.head.getAs[Long]("vec_id") == 0L)
+    // results only come from probed buckets
+    val probes = ops.VectorIndex.probeBuckets(
+      ops.VectorIndex.queryLshBucket(spark, query), 4).toSet
+    assert(res.map(_.getAs[Number]("bucket").longValue()).forall(probes))
+    // file pruning: probed directories are a strict minority of the index
+    val idx = spark.read.option("basePath", dir).parquet(dir)
+    val total = idx.select(input_file_name()).distinct().count()
+    val touched = idx
+      .filter(col("bucket").isin(probes.toSeq.map(_.toInt): _*))
+      .select(input_file_name()).distinct().count()
+    assert(touched * 3 < total,
+      s"probe touched $touched of $total index files")
+  }
+
+  test("persisted IVF index: k-means cells, pruned probe, useful recall") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val emb = Tables.embeddings(spark, sf)
+    ops.VectorIndex.putIvf(emb, dir, k = 8, iters = 3)
+    val query = emb.filter(col("vec_id") === 0L).head()
+      .getAs[Seq[Float]]("embedding").toArray
+    val res = ops.VectorIndex.searchIvf(spark, dir, query, k = 10, nprobe = 3)
+      .collect()
+    assert(res.length == 10)
+    assert(res.head.getAs[Long]("vec_id") == 0L, "query vector is top hit")
+    assert(res.map(_.getAs[Number]("cell").intValue()).distinct.length <= 3)
+    // file pruning on the data directory
+    val data = spark.read.option("basePath", s"$dir/data").parquet(s"$dir/data")
+    val cells = res.map(_.getAs[Number]("cell").intValue()).distinct.toSeq
+    val total = data.select(input_file_name()).distinct().count()
+    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    val touched = data.filter(col("cell").isin(cells: _*))
+      .select(input_file_name()).distinct().count()
+    assert(touched < total, "probe must not scan every cell")
+    // recall against exact brute force (excluding the query itself)
+    val exact = emb.crossJoin(broadcast(
+        emb.filter(col("vec_id") === 0L).select(col("embedding").as("q"))))
+      .withColumn("c", call_function("cosine_sim", col("embedding"), col("q")))
+      .orderBy(col("c").desc, col("vec_id")).limit(10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = res.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact intersect got).size >= 2,
+      s"recall too low: ${(exact intersect got).size}/10")
+  }
+
   // ---- search DSL injection safety ---------------------------------------
 
   test("query DSL: quotes and backticks in terms are data, not SQL") {
