@@ -85,6 +85,7 @@ object SparkEntry {
     "kv_point_lookup"     -> (KeyValue.pointLookup _),
     "kv_range_query"      -> (KeyValue.rangeQuery _),
     "kv_batch_get"        -> (KeyValue.batchGet _),
+    "kv_upsert_roundtrip" -> (KeyValueWrite.upsertRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
     "vec_label_stats"     -> (Vectors.labelStats _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "graph_two_hop"       -> (Graph.twoHop _),
     "graph_motif"         -> (Graph.motif _),
     "graph_flatten_props" -> (Graph.flattenProps _),
+    "graph_bgp"           -> (Rdf.bgpQuery _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     // data quality (DQDL-shaped)
@@ -173,6 +175,7 @@ object SparkEntry {
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
     "kv_range_query"      -> KeyValue.rangeQueryOracle,
     "kv_batch_get"        -> KeyValue.batchGetOracle,
+    "kv_upsert_roundtrip" -> KeyValueWrite.upsertRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,
     "vec_knn_lsh"         -> Vectors.knnLshOracle,
@@ -181,6 +184,7 @@ object SparkEntry {
     "graph_two_hop"       -> Graph.twoHopOracle,
     "graph_motif"         -> Graph.motifOracle,
     "graph_flatten_props" -> Graph.flattenPropsOracle,
+    "graph_bgp"           -> Rdf.bgpQueryOracle,
     "search_match_query"  -> Search.matchQueryOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
   )

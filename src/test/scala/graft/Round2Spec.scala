@@ -213,6 +213,67 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- kv write API ------------------------------------------------------
+
+  test("kv putItems/deleteItems/executeStatement roundtrip") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val schema = ops.KeyValueWrite.KeySchema("pk", Some("sk"))
+    io.DatasetWriter.toParquet(
+      Seq(("a", 1L, "v1"), ("a", 2L, "v2"), ("b", 1L, "v3"))
+        .toDF("pk", "sk", "v"),
+      dir, mode = io.DatasetWriter.Overwrite)
+    // put: replace (a,2), insert (c,1)
+    ops.KeyValueWrite.putItems(spark,
+      Seq(Map("pk" -> "a", "sk" -> 2L, "v" -> "V2"),
+        Map("pk" -> "c", "sk" -> 1L, "v" -> "v4")), dir, schema)
+    assert(spark.read.parquet(dir).as[(String, Long, String)].collect().toSet ==
+      Set(("a", 1L, "v1"), ("a", 2L, "V2"), ("b", 1L, "v3"), ("c", 1L, "v4")))
+    // delete by full key
+    ops.KeyValueWrite.deleteItems(spark,
+      Seq(Map("pk" -> "b", "sk" -> 1L)), dir, schema)
+    assert(spark.read.parquet(dir).count() == 3)
+    // PartiQL: INSERT VALUE, DELETE WHERE, SELECT
+    ops.KeyValueWrite.executeStatement(spark,
+      "INSERT INTO kv VALUE {'pk': 'd', 'sk': 9, 'v': 'part'}", dir, schema)
+    ops.KeyValueWrite.executeStatement(spark,
+      "DELETE FROM kv WHERE \"pk\" = 'a' AND \"sk\" = 1", dir, schema)
+    val sel = ops.KeyValueWrite.executeStatement(spark,
+      "SELECT pk, sk, v FROM kv_table ORDER BY pk, sk", dir, schema).get
+    assert(sel.as[(String, Long, String)].collect().toSeq ==
+      Seq(("a", 2L, "V2"), ("c", 1L, "v4"), ("d", 9L, "part")))
+  }
+
+  // ---- rdf / sparql bgp --------------------------------------------------
+
+  test("bgp compiler: shared-var joins, literal filters, repeated vars") {
+    val spark0 = spark
+    import spark0.implicits._
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"), ("a", "type", "person"),
+      ("b", "type", "person"), ("c", "type", "robot"),
+      ("x", "likes", "x")).toDF("s", "p", "o")
+    import ops.Rdf._
+    // chain: ?x knows ?y . ?y knows ?z
+    val chain = bgp(triples, Seq(
+      TriplePattern(Var("x"), Lit("knows"), Var("y")),
+      TriplePattern(Var("y"), Lit("knows"), Var("z")))).collect()
+    assert(chain.map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet == Set(("a", "b", "c")))
+    // typed endpoints: only persons knowing persons
+    val typed = bgp(triples, Seq(
+      TriplePattern(Var("x"), Lit("knows"), Var("y")),
+      TriplePattern(Var("x"), Lit("type"), Lit("person")),
+      TriplePattern(Var("y"), Lit("type"), Lit("person")))).collect()
+    assert(typed.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+    // self-loop pattern: ?v likes ?v
+    val self = bgp(triples,
+      Seq(TriplePattern(Var("v"), Lit("likes"), Var("v")))).collect()
+    assert(self.map(_.getString(0)).toSet == Set("x"))
+  }
+
   // ---- search DSL injection safety ---------------------------------------
 
   test("query DSL: quotes and backticks in terms are data, not SQL") {
