@@ -138,20 +138,102 @@ object DatasetReader {
   }
 
   /** File-metadata listing as a DataFrame (`s3.list_objects` /
-    * `describe_objects` — `s3/_list.py:313-401`). */
+    * `describe_objects` — `s3/_list.py:313-401`).
+    *
+    * Scale: the driver only lists the root's immediate children (bounded
+    * by the branching factor); each subtree is listed recursively on
+    * executors, so a 10^8-object prefix never materializes as a driver
+    * `Seq`. Result stays a distributed DataFrame end to end.
+    */
   def listObjects(spark: SparkSession, path: String,
       suffix: Option[String] = None): DataFrame = {
     import spark.implicits._
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(root, true)
-    val rows = Iterator.continually(it)
-      .takeWhile(_.hasNext)
-      .map(_.next())
+    val children =
+      if (fs.getFileStatus(root).isFile) Array(fs.getFileStatus(root))
+      else fs.listStatus(root)
+    val topFiles = children.filter(_.isFile)
       .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
-      .filter { case (p, _, _) => suffix.forall(p.endsWith) }
       .toSeq
-    rows.toDF("path", "size_bytes", "modified_ms")
+    val dirs = children.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    val subtree =
+      if (dirs.isEmpty) spark.emptyDataset[(String, Long, Long)]
+      else spark.createDataset(dirs)
+        .repartition(math.min(dirs.size, 64))
+        .flatMap { d =>
+          val p = new Path(d)
+          val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val it = dfs.listFiles(p, true)
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+            .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+        }
+    spark.createDataset(topFiles).unionByName(subtree)
+      .toDF("path", "size_bytes", "modified_ms")
+      .filter(suffix.map(sfx => col("path").endsWith(sfx)).getOrElse(lit(true)))
+  }
+
+  /** Raised when `validate_schema=True` finds files whose schemas
+    * disagree (`s3/_read.py:309-321` InvalidSchemaConvergence). */
+  final class InvalidSchemaConvergence(message: String)
+    extends RuntimeException(message)
+
+  /** Strict per-file schema validation: every data file's footer must
+    * carry the SAME schema (names AND types; silent union via
+    * `mergeSchema` is exactly what this mode exists to reject). Footers
+    * are read on executors — one tiny metadata read per file, no data
+    * scan. Returns the converged schema. */
+  def validateSchema(spark: SparkSession, path: String): StructType = {
+    val files = listObjects(spark, path, suffix = Some(".parquet"))
+      .select("path").collect().map(_.getString(0))
+      .filterNot(p => { val n = new Path(p).getName
+        n.startsWith("_") || n.startsWith(".") })
+    require(files.nonEmpty, s"no parquet files under $path")
+    val perFile = spark.sparkContext
+      .parallelize(files.toSeq, math.min(files.length, 64))
+      .map { f =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(f), conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (rdr.getFooter.getFileMetaData.getSchema.toString, f)
+        finally rdr.close()
+      }
+      .groupByKey()
+      .map { case (schema, fs) => (schema, fs.head) }
+      .collect()
+    if (perFile.length > 1)
+      throw new InvalidSchemaConvergence(
+        "schemas do not converge across the dataset:\n" +
+          perFile.map { case (s, f) => s"  $f:\n    ${s.replace("\n", " ")}" }
+            .mkString("\n"))
+    spark.read.parquet(files.head).schema
+  }
+
+  /** Dataset read with the strict schema gate up front
+    * (`read_parquet(validate_schema=True)`). */
+  def readParquetValidated(
+      spark: SparkSession,
+      path: String,
+      columns: Seq[String] = Nil,
+      partitionFilter: Option[Column] = None): DataFrame = {
+    validateSchema(spark, path)
+    readParquet(spark, path, columns, partitionFilter)
+  }
+
+  /** Dtype-override cast-on-read — `cast_pandas_with_athena_types`
+    * (`_data_types.py:745-817`): apply Athena-named target types to the
+    * read DataFrame (string→date/timestamp/decimal coercions and friends).
+    * Unknown columns are an error, matching the reference's strictness. */
+  def castWithAthenaTypes(df: DataFrame,
+      dtype: Map[String, String]): DataFrame = {
+    val present = df.columns.toSet
+    val missing = dtype.keys.filterNot(present)
+    require(missing.isEmpty, s"dtype override for absent columns: $missing")
+    dtype.foldLeft(df) { case (d, (name, athenaType)) =>
+      d.withColumn(name,
+        col(name).cast(graft.types.AthenaTypes.fromAthena(athenaType)))
+    }
   }
 
   /** Chunked scan (`chunked=True` — `s3/_read_parquet.py:217-282`): an

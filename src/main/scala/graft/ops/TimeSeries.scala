@@ -142,6 +142,53 @@ object TimeSeries {
     }
   }
 
+  /** `timestream.batch_load` (`timestream/_write.py:438-654`): CSV files
+    * → the Timestream data model (time column, dimension columns, typed
+    * measure columns), with per-row validation. Clean rows land in the
+    * day-partitioned dataset via [[write]]; rows whose time fails to
+    * parse, whose measures are non-numeric, or whose dimensions are NULL
+    * are captured — with a reason — in the rejected-records output, the
+    * batch-load report the reference materializes to S3. One pass,
+    * split by a validity predicate; both sinks stream, nothing collects.
+    * Returns (loaded, rejected) counts. */
+  def batchLoad(
+      spark: SparkSession,
+      csvPath: String,
+      targetPath: String,
+      rejectsPath: String,
+      timeCol: String,
+      dimensionCols: Seq[String],
+      measureCols: Seq[String]): (Long, Long) = {
+    val raw = graft.io.DatasetReader.readCsv(spark, csvPath,
+      schema = None, header = true,
+      options = Map("inferSchema" -> "false"))
+    // try_* variants: malformed input yields NULL (a reject), not an
+    // ANSI cast error that would fail the whole load
+    val parsedTime = try_to_timestamp(col(timeCol))
+    val measureBad = measureCols.map(m =>
+      when(col(m).isNotNull && expr(s"try_cast(`$m` as double)").isNull,
+        concat(lit(s"unparseable measure $m: "), col(m))))
+    val dimBad = dimensionCols.map(d =>
+      when(col(d).isNull, lit(s"null dimension $d")))
+    val timeBad = Seq(
+      when(col(timeCol).isNull || parsedTime.isNull,
+        concat(lit(s"unparseable time $timeCol: "),
+          coalesce(col(timeCol), lit("NULL")))))
+    val reason = coalesce((timeBad ++ dimBad ++ measureBad): _*)
+    val flagged = raw.withColumn("__reject_reason", reason)
+    val rejects = flagged.filter(col("__reject_reason").isNotNull)
+      .withColumnRenamed("__reject_reason", "reject_reason")
+    graft.io.DatasetWriter.toCsv(rejects, rejectsPath,
+      mode = graft.io.DatasetWriter.Overwrite)
+    val clean = flagged.filter(col("__reject_reason").isNull)
+      .select((Seq(parsedTime.as(timeCol)) ++ dimensionCols.map(col) ++
+        measureCols.map(c => expr(s"try_cast(`$c` as double)").as(c))): _*)
+    write(clean, targetPath, timeCol, dimensionCols, measureCols)
+    val loaded = spark.read.parquet(targetPath).count()
+    val rejected = spark.read.option("header", "true").csv(rejectsPath).count()
+    (loaded, rejected)
+  }
+
   /** Top-k entities by activity — the "hottest devices" query shape. */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

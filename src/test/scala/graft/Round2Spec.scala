@@ -213,6 +213,102 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- strict schema validation / dtype overrides ------------------------
+
+  test("validateSchema: conflicting file schemas raise, converged pass") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/f1")
+    Seq((2L, "b")).toDF("id", "v").repartition(1)
+      .write.mode("append").parquet(s"$dir/f1")
+    // converged: same schema in every file
+    val schema = io.DatasetReader.validateSchema(spark, s"$dir/f1")
+    assert(schema.fieldNames.toSeq == Seq("id", "v"))
+    // divergent types for 'id' across files
+    val dir2 = s"$dir/f2"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir2)
+    Seq(("oops", "b")).toDF("id", "v").repartition(1)
+      .write.mode("append").parquet(dir2)
+    intercept[io.DatasetReader.InvalidSchemaConvergence] {
+      io.DatasetReader.validateSchema(spark, dir2)
+    }
+    // mergeSchema read path stays available and un-strict for new columns
+    val dir3 = s"$dir/f3"
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir3)
+    Seq((2L, "b", 3.0)).toDF("id", "v", "extra").repartition(1)
+      .write.mode("append").parquet(dir3)
+    assert(io.DatasetReader.readParquet(spark, dir3, mergeSchema = true)
+      .columns.length == 3)
+    intercept[io.DatasetReader.InvalidSchemaConvergence] {
+      io.DatasetReader.validateSchema(spark, dir3) // strict rejects evolution
+    }
+  }
+
+  test("castWithAthenaTypes applies string→typed coercions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("2024-05-01", "2024-05-01 12:30:00", "12.345", "7"))
+      .toDF("d", "ts", "dec", "n")
+    val cast = io.DatasetReader.castWithAthenaTypes(df, Map(
+      "d" -> "date", "ts" -> "timestamp", "dec" -> "decimal(10,3)",
+      "n" -> "bigint"))
+    val r = cast.head()
+    assert(r.getDate(0) == java.sql.Date.valueOf("2024-05-01"))
+    assert(r.getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("2024-05-01 12:30:00"))
+    assert(r.getDecimal(2).toPlainString == "12.345")
+    assert(r.getLong(3) == 7L)
+    intercept[IllegalArgumentException] {
+      io.DatasetReader.castWithAthenaTypes(df, Map("absent" -> "int"))
+    }
+  }
+
+  test("listObjects lists distributed and filters by suffix") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "v", "p")
+      .write.partitionBy("p").parquet(s"$dir/ds")
+    val all = io.DatasetReader.listObjects(spark, s"$dir/ds")
+    assert(all.filter(col("path").endsWith(".parquet")).count() >= 2)
+    val pq = io.DatasetReader.listObjects(spark, s"$dir/ds",
+      suffix = Some(".parquet"))
+    assert(pq.count() >= 2)
+    assert(pq.filter(!col("path").endsWith(".parquet")).count() == 0)
+    assert(pq.columns.toSeq == Seq("path", "size_bytes", "modified_ms"))
+  }
+
+  // ---- timestream batch load ---------------------------------------------
+
+  test("batchLoad maps the data model and captures rejects with reasons") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val csv = s"$dir/in"
+    Seq(
+      ("2024-01-01 10:00:00", "dev1", "1.5"),
+      ("2024-01-01 11:00:00", "dev2", "2.5"),
+      ("not-a-time", "dev3", "3.5"),          // bad time
+      ("2024-01-01 12:00:00", "dev4", "oops"), // bad measure
+      ("2024-01-01 13:00:00", null, "4.5"))    // null dimension
+      .toDF("time", "device", "temp")
+      .coalesce(1).write.option("header", "true").csv(csv)
+    val (loaded, rejected) = ops.TimeSeries.batchLoad(spark, csv,
+      s"$dir/out", s"$dir/rejects",
+      timeCol = "time", dimensionCols = Seq("device"),
+      measureCols = Seq("temp"))
+    assert(loaded == 2 && rejected == 3)
+    val reasons = spark.read.option("header", "true").csv(s"$dir/rejects")
+      .select("reject_reason").as[String].collect()
+    assert(reasons.exists(_.contains("unparseable time")))
+    assert(reasons.exists(_.contains("unparseable measure")))
+    assert(reasons.exists(_.contains("null dimension")))
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("device").as[String].collect().toSet ==
+      Set("dev1", "dev2"))
+  }
+
   // ---- kv write API ------------------------------------------------------
 
   test("kv putItems/deleteItems/executeStatement roundtrip") {
