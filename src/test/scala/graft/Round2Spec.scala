@@ -213,6 +213,71 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- snapshot transaction log ------------------------------------------
+
+  test("txn log: create/append/overwrite commits with time travel") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    table.TxnLog.append(Seq((3L, "c")).toDF("id", "v"), dir)
+    table.TxnLog.overwrite(Seq((9L, "z")).toDF("id", "v"), dir)
+    assert(table.TxnLog.read(spark, dir).count() == 1)
+    // VERSION AS OF
+    assert(table.TxnLog.read(spark, dir, asOfVersion = Some(1)).count() == 2)
+    assert(table.TxnLog.read(spark, dir, asOfVersion = Some(2)).count() == 3)
+    val hist = table.TxnLog.history(spark, dir)
+    assert(hist.map(_.version) == Seq(1, 2, 3))
+    assert(hist.map(_.op) == Seq("create", "append", "overwrite"))
+    intercept[IllegalArgumentException] {
+      table.TxnLog.create(Seq((1L, "x")).toDF("id", "v"), dir)
+    }
+  }
+
+  test("txn log: merge upserts by key in one snapshot") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    table.TxnLog.merge(spark, dir,
+      Seq((2L, "B"), (4L, "d")).toDF("id", "v"), keys = Seq("id"))
+    val got = table.TxnLog.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // pre-merge state still readable
+    assert(table.TxnLog.read(spark, dir, asOfVersion = Some(1)).count() == 3)
+  }
+
+  test("txn log: torn manifest invisible, claimed version skipped") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    // simulate a writer that crashed mid-manifest at v2
+    val torn = new java.io.File(s"$dir/_graft_log/v00000002.manifest")
+    java.nio.file.Files.writeString(torn.toPath, "version=2\nop=append\n")
+    assert(table.TxnLog.read(spark, dir).count() == 1, "torn commit hidden")
+    assert(table.TxnLog.history(spark, dir).map(_.version) == Seq(1))
+    // next commit must skip the claimed number, not deadlock on it
+    val snap = table.TxnLog.append(Seq((2L, "b")).toDF("id", "v"), dir)
+    assert(snap.version == 3)
+    assert(table.TxnLog.read(spark, dir).count() == 2)
+  }
+
+  test("txn log: vacuum keeps retained versions, drops orphans") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(Seq((1L, "a")).toDF("id", "v"), dir)
+    table.TxnLog.overwrite(Seq((2L, "b")).toDF("id", "v"), dir)
+    table.TxnLog.overwrite(Seq((3L, "c")).toDF("id", "v"), dir)
+    val removed = table.TxnLog.vacuum(spark, dir, keepVersions = 1)
+    assert(removed == 2, s"expected 2 dropped data dirs, got $removed")
+    assert(table.TxnLog.read(spark, dir).as[(Long, String)].head() ==
+      ((3L, "c")))
+    assert(table.TxnLog.history(spark, dir).map(_.version) == Seq(3))
+  }
+
   // ---- strict schema validation / dtype overrides ------------------------
 
   test("validateSchema: conflicting file schemas raise, converged pass") {
