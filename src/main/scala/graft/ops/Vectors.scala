@@ -184,11 +184,18 @@ object Vectors {
     * the persisted multi-band production variant.
     */
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
-    val hyper = expr(
-      """transform(sequence(0, 7), j -> transform(sequence(0, 63), i ->
-        |  cast(pmod(cast(conv(substring(md5(concat(
-        |        cast(j as string), ':', cast(i as string))), 1, 6), 16, 10)
-        |      as bigint), 1001) - 500 as double) / 500.0d))""".stripMargin)
+    // The hyperplane matrix is a CONSTANT — Catalyst cannot fold lambda
+    // bodies, so building it with transform() re-ran 512 md5s per row
+    // (15 s at sf0.1). Computed once on the driver with byte-identical
+    // arithmetic (md5 hex prefix → int, matching the oracle SQL) and
+    // shipped as a literal, the per-row work is just the 8×64 fold.
+    val hyper = typedLit(
+      (0 to 7).map(j => (0 to 63).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$j:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(6)
+        ((java.lang.Long.parseLong(hex, 16) % 1001L) - 500L).toDouble / 500.0
+      }))
     val sigExpr = expr(
       """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
         |  acc | shiftleft(
