@@ -173,6 +173,22 @@ object DatasetReader {
       .filter(suffix.map(sfx => col("path").endsWith(sfx)).getOrElse(lit(true)))
   }
 
+  /** `s3.list_directories` (`s3/_list.py:403-461`): immediate child
+    * "prefixes" of a path, as the reference's trailing-slash strings. */
+  def listDirectories(spark: SparkSession, path: String): Seq[String] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.toString + "/").toSeq.sorted
+  }
+
+  /** `s3.list_buckets` analogue: top-level entries of a storage root —
+    * the closest filesystem notion of a bucket listing. */
+  def listBuckets(spark: SparkSession, storageRoot: String): Seq[String] =
+    listDirectories(spark, storageRoot)
+      .map(p => new Path(p.stripSuffix("/")).getName).sorted
+
   /** Raised when `validate_schema=True` finds files whose schemas
     * disagree (`s3/_read.py:309-321` InvalidSchemaConvergence). */
   final class InvalidSchemaConvergence(message: String)

@@ -13,15 +13,42 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object JdbcOps {
 
+  /** Connection registry — `get_connection` (`_databases.py:42-147`
+    * resolves a named Glue connection to connectivity attributes). Names
+    * map to a JDBC URL + driver options; `read_sql_*`/`to_sql` accept a
+    * registered name through [[resolve]]. */
+  final case class Connection(url: String,
+      options: Map[String, String] = Map.empty)
+
+  private val connections =
+    scala.collection.concurrent.TrieMap.empty[String, Connection]
+
+  def registerConnection(name: String, url: String,
+      options: Map[String, String] = Map.empty): Unit =
+    connections.put(name, Connection(url, options))
+
+  def getConnection(name: String): Connection =
+    connections.getOrElse(name,
+      throw new IllegalArgumentException(s"no registered connection: $name"))
+
+  def listConnections(): Seq[String] = connections.keys.toSeq.sorted
+
+  /** A `urlOrName` argument: a registered connection name wins, anything
+    * else is treated as a literal JDBC URL. */
+  def resolve(urlOrName: String): Connection =
+    connections.getOrElse(urlOrName, Connection(urlOrName))
+
   /** `read_sql_query`: run SQL on the database, results as a DataFrame.
     * The whole query executes remotely (pushdown by construction). */
   def readSqlQuery(spark: SparkSession, url: String, sql: String,
-      options: Map[String, String] = Map.empty): DataFrame =
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val conn = resolve(url)
     spark.read.format("jdbc")
-      .option("url", url)
+      .option("url", conn.url)
       .option("query", sql)
-      .options(options)
+      .options(conn.options ++ options)
       .load()
+  }
 
   /** `read_sql_table`: full-table read; with `partitionColumn` bounds the
     * read fans out over numPartitions parallel range queries — the

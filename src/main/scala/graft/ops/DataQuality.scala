@@ -110,6 +110,57 @@ object DataQuality {
     }
   }
 
+  /** Ruleset registry — `create_ruleset` / `update_ruleset` /
+    * `get_ruleset` / `list_rulesets` (`data_quality/_create.py`,
+    * `_get.py`, `_list.py`): named DQDL documents in a small keyed
+    * dataset. Documents are validated by parsing at write time, so a
+    * registered ruleset is always evaluable. */
+  final class RulesetRegistry(spark: SparkSession, path: String) {
+    import org.apache.spark.sql.Row
+    private val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dqdl",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("updated_ms",
+        org.apache.spark.sql.types.LongType)))
+
+    def createRuleset(name: String, dqdl: String): Unit = put(name, dqdl,
+      failIfExists = true)
+
+    def updateRuleset(name: String, dqdl: String): Unit = put(name, dqdl,
+      failIfExists = false)
+
+    private def put(name: String, dqdl: String, failIfExists: Boolean): Unit = {
+      parseRuleset(dqdl) // validate before storing
+      val exists = graft.io.DatasetReader.datasetExists(spark, path) &&
+        getRuleset(name).isDefined
+      if (exists && failIfExists)
+        throw new IllegalArgumentException(s"ruleset exists: $name")
+      val row = spark.createDataFrame(
+        java.util.List.of(Row(name, dqdl, System.currentTimeMillis())), schema)
+      if (!graft.io.DatasetReader.datasetExists(spark, path))
+        graft.io.DatasetWriter.toParquet(row, path,
+          mode = graft.io.DatasetWriter.Overwrite)
+      else graft.table.MergeOps.upsert(spark, path, row, keys = Seq("name"))
+    }
+
+    def getRuleset(name: String): Option[String] =
+      if (!graft.io.DatasetReader.datasetExists(spark, path)) None
+      else spark.read.parquet(path).filter(col("name") === name)
+        .select("dqdl").collect().headOption.map(_.getString(0))
+
+    def listRulesets(): Seq[String] =
+      if (!graft.io.DatasetReader.datasetExists(spark, path)) Nil
+      else spark.read.parquet(path).select("name")
+        .collect().map(_.getString(0)).toSeq.sorted
+
+    /** Evaluate a registered ruleset against a DataFrame. */
+    def evaluateRuleset(name: String, df: DataFrame): DataFrame =
+      evaluate(df, parseRuleset(getRuleset(name).getOrElse(
+        throw new IllegalArgumentException(s"no such ruleset: $name"))))
+  }
+
   /** The declared ruleset evaluated over lineitem for the oracle gate. */
   def lineitemRuleset(s: SparkSession, dir: String): DataFrame =
     evaluate(Tables.lineitem(s, dir), Seq(

@@ -146,4 +146,36 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** `to_deltalake_streaming`'s SINGLE-transaction semantics
+    * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run
+    * commits as ONE table version): batches stage into per-batch data
+    * dirs of a [[graft.table.TxnLog]] table, invisible until the stream
+    * finishes, then one manifest publishes them all atomically. A crash
+    * mid-stream leaves the table at its prior version with only inert
+    * staged dirs behind. Runs the stream to completion and returns the
+    * committed snapshot. */
+  def runToTxnTableSingleCommit(agg: DataFrame, path: String,
+      checkpoint: String): graft.table.TxnLog.Snapshot = {
+    val spark = agg.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val staged = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dir = s"files/stream-${java.util.UUID.randomUUID()}"
+        batch.write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(root, dir).toString)
+        staged.add(dir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dirs = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(staged).asScala.toSeq
+    graft.table.TxnLog.commitStagedDirs(spark, path, dirs,
+      op = "streaming-append")
+  }
 }

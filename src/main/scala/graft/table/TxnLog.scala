@@ -100,12 +100,33 @@ object TxnLog {
       replace: Boolean,
       expectedParent: Option[Int] = None): Snapshot = {
     val spark = df.sparkSession
-    val (fs, root) = fsFor(spark, path)
-    // 1. data files first, invisible until the manifest lands
+    val (_, root) = fsFor(spark, path)
+    // data files first, invisible until the manifest lands
     val dirName = s"files/${UUID.randomUUID()}"
     df.write.mode("overwrite").parquet(new Path(root, dirName).toString)
+    publish(spark, path, op, Seq(dirName), replace, expectedParent)
+  }
 
-    // 2. optimistic manifest publication
+  /** Publish already-written data dirs (paths relative to the table
+    * root) as ONE snapshot — the single-transaction streaming commit
+    * path: micro-batches stage dirs, this makes them all visible
+    * atomically. */
+  def commitStagedDirs(
+      spark: SparkSession,
+      path: String,
+      dirs: Seq[String],
+      op: String = "append"): Snapshot =
+    publish(spark, path, op, dirs, replace = false, expectedParent = None)
+
+  /** Optimistic manifest publication loop. */
+  private def publish(
+      spark: SparkSession,
+      path: String,
+      op: String,
+      newDirs: Seq[String],
+      replace: Boolean,
+      expectedParent: Option[Int]): Snapshot = {
+    val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (attempt <= MaxRetries) {
       val current = currentSnapshot(spark, path)
@@ -119,8 +140,8 @@ object TxnLog {
       val version = math.max(current.map(_.version).getOrElse(0),
         highestClaimed(fs, root)) + 1
       val dirs =
-        if (replace) Seq(dirName)
-        else current.map(_.dataDirs).getOrElse(Nil) :+ dirName
+        if (replace) newDirs
+        else current.map(_.dataDirs).getOrElse(Nil) ++ newDirs
       val snap = Snapshot(version, op, System.currentTimeMillis(), dirs)
       if (tryPublish(fs, root, snap)) return snap
       attempt += 1

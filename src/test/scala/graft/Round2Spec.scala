@@ -213,6 +213,67 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- registries + listings ---------------------------------------------
+
+  test("listDirectories/listBuckets enumerate child prefixes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    Seq((1, "p1"), (2, "p2")).toDF("id", "p").write.partitionBy("p")
+      .parquet(s"$dir/ds")
+    val dirs = io.DatasetReader.listDirectories(spark, s"$dir/ds")
+    assert(dirs.map(d => new java.io.File(d.stripSuffix("/")).getName) ==
+      Seq("p=p1", "p=p2"))
+    assert(dirs.forall(_.endsWith("/")))
+    assert(io.DatasetReader.listBuckets(spark, dir) == Seq("ds"))
+  }
+
+  test("ruleset registry: create/update/get/list/evaluate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val reg = new ops.DataQuality.RulesetRegistry(spark, s"${tmp()}/rules")
+    reg.createRuleset("basic", "Rules = [ RowCount > 2 ]")
+    intercept[IllegalArgumentException] {
+      reg.createRuleset("basic", "Rules = [ RowCount > 5 ]")
+    }
+    intercept[IllegalArgumentException] { // invalid DQDL rejected at write
+      reg.createRuleset("bad", "Rules = [ Bogus > 1 ]")
+    }
+    reg.createRuleset("strict", """Rules = [ Completeness "v" > 0.9 ]""")
+    reg.updateRuleset("basic", "Rules = [ RowCount > 3 ]")
+    assert(reg.listRulesets() == Seq("basic", "strict"))
+    assert(reg.getRuleset("basic").get.contains("RowCount > 3"))
+    val df = Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "v")
+    val verdicts = reg.evaluateRuleset("basic", df)
+    assert(verdicts.filter(col("passed") === false).count() == 0)
+  }
+
+  test("jdbc connection registry resolves names to urls") {
+    jdbc.JdbcOps.registerConnection("warehouse",
+      "jdbc:derby:memory:graftconn;create=true")
+    assert(jdbc.JdbcOps.listConnections().contains("warehouse"))
+    assert(jdbc.JdbcOps.getConnection("warehouse").url.startsWith("jdbc:derby"))
+    assert(jdbc.JdbcOps.resolve("jdbc:other:url").url == "jdbc:other:url")
+    intercept[IllegalArgumentException] { jdbc.JdbcOps.getConnection("nope") }
+  }
+
+  test("streaming single-commit: all micro-batches land as ONE snapshot") {
+    val dir = s"${tmp()}/t"
+    val events = streaming.EventStream.readEvents(spark, s"$sf")
+    val agg = streaming.EventStream.tumblingAgg(events)
+    val snap = streaming.EventStream.runToTxnTableSingleCommit(
+      agg, dir, tmp())
+    assert(snap.op == "streaming-append")
+    val hist = table.TxnLog.history(spark, dir)
+    assert(hist.length == 1, "every micro-batch must share one version")
+    val n = table.TxnLog.read(spark, dir).count()
+    assert(n > 0)
+    // tracks the batch computation (watermark may drop a few late
+    // buckets — exact late-data semantics are LateDataSpec's subject)
+    val batch = ops.TimeSeries.tumbling(spark, sf).count()
+    assert(n <= batch && n >= batch - 10, s"streamed $n vs batch $batch")
+  }
+
   // ---- snapshot transaction log ------------------------------------------
 
   test("txn log: create/append/overwrite commits with time travel") {
