@@ -125,13 +125,16 @@ object Dedup {
     * (band, bandKey) for candidates.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.ArrayMatchCount.register(s)
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"), minhashSig.as("sig"))
     val bandKeys = expr(
       s"""transform(sequence(0, ${BANDS - 1}),
          |  b -> md5(concat_ws('|', slice(sig, b * $ROWS + 1, $ROWS))))""".stripMargin)
-    val est = expr(s"""cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y),
-                      |            v -> v)) as double) / ${K}.0""".stripMargin)
+    // agreement count via the native codegen'd kernel (one fused loop
+    // per pair; the zip_with/filter HOF evaluates interpreted)
+    val est = (call_function("array_match_count", col("sig1"), col("sig2"))
+      .cast("double") / lit(K.toDouble))
     lshPairs(sig, bandKeys, est)
   }
 
@@ -185,6 +188,7 @@ object Dedup {
     * oracle (hash family is Spark-specific); spec-tested instead.
     */
   def minhashLshFast(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.ArrayMatchCount.register(s)
     val k = 32; val bands = 4; val rows = k / bands
     val sig = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -195,8 +199,8 @@ object Dedup {
     val bandKeys = expr(
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> xxhash64(slice(sig, b * $rows + 1, $rows)))""".stripMargin)
-    val est = expr(s"""cast(size(filter(zip_with(sig1, sig2, (x, y) -> x = y),
-                      |            v -> v)) as double) / ${k}.0""".stripMargin)
+    val est = (call_function("array_match_count", col("sig1"), col("sig2"))
+      .cast("double") / lit(k.toDouble))
     lshPairs(sig, bandKeys, est)
   }
 

@@ -213,6 +213,28 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- native expressions ------------------------------------------------
+
+  test("array_match_count equals the zip_with/filter HOF on both types") {
+    val spark0 = spark
+    import spark0.implicits._
+    graft.expr.ArrayMatchCount.register(spark)
+    val longs = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]),
+      (Seq(5L), Seq(5L))).toDF("a", "b")
+    val both = longs.select(
+      call_function("array_match_count", col("a"), col("b")).as("native"),
+      expr("cast(size(filter(zip_with(a, b, (x, y) -> x = y), v -> v)) as int)")
+        .as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val strs = Seq((Seq("x", "y", null.asInstanceOf[String]),
+      Seq("x", "z", null.asInstanceOf[String]))).toDF("a", "b")
+    val r = strs.select(
+      call_function("array_match_count", col("a"), col("b"))).head().getInt(0)
+    assert(r == 1, "NULL slots must not count as matches")
+  }
+
   // ---- registries + listings ---------------------------------------------
 
   test("listDirectories/listBuckets enumerate child prefixes") {
