@@ -97,6 +97,7 @@ object SparkEntry {
     "graph_motif"         -> (Graph.motif _),
     "graph_flatten_props" -> (Graph.flattenProps _),
     "graph_bgp"           -> (Rdf.bgpQuery _),
+    "graph_cypher"        -> (Cypher.supplierRegionQuery _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     // data quality (DQDL-shaped)
@@ -185,6 +186,7 @@ object SparkEntry {
     "graph_motif"         -> Graph.motifOracle,
     "graph_flatten_props" -> Graph.flattenPropsOracle,
     "graph_bgp"           -> Rdf.bgpQueryOracle,
+    "graph_cypher"        -> Cypher.supplierRegionOracle,
     "search_match_query"  -> Search.matchQueryOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
   )

@@ -213,6 +213,27 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- openCypher front-end ----------------------------------------------
+
+  test("cypher MATCH compiles hops, directions, WHERE, RETURN forms") {
+    val g = ops.Graph.testGraph(spark, sf)
+    // reverse direction: nations pointed at by suppliers
+    val rev = ops.Cypher.query(g,
+      "MATCH (n:nation)<-[:located_in]-(s:supplier) RETURN n.name, s")
+    assert(rev.columns.toSeq == Seq("n_name", "s"))
+    assert(rev.count() ==
+      g.edges.filter(col("label") === "located_in").count())
+    // two-hop chain equals the join-built twoHop count
+    val two = ops.Cypher.query(g,
+      """MATCH (s:supplier)-[:located_in]->(n:nation)-[:in_region]->(r:region)
+        |RETURN s.name, r.name""".stripMargin)
+    assert(two.count() == Tables.supplier(spark, sf).count())
+    // unsupported form is a typed error, not a wrong answer
+    intercept[IllegalArgumentException] {
+      ops.Cypher.query(g, "CREATE (x) RETURN x")
+    }
+  }
+
   // ---- native expressions ------------------------------------------------
 
   test("array_match_count equals the zip_with/filter HOF on both types") {
