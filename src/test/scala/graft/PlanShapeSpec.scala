@@ -52,4 +52,38 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2)
     assert(p.contains("Exchange"))
   }
+
+  test("vec_knn_lsh carries the hyperplane matrix as a literal, not md5 calls") {
+    val p = planOf("vec_knn_lsh")
+    // per-row md5 of the hyperplane seed would show up in the plan; the
+    // matrix must be a precomputed literal (only the signature fold runs
+    // per row)
+    assert(!p.toLowerCase.contains("md5"),
+      "hyperplane matrix must be precomputed, not hashed per row")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("graph_cypher hops broadcast and never go cartesian") {
+    val p = planOf("graph_cypher")
+    // label filters constant-fold away non-matching union branches, so
+    // they never appear as runtime predicates; the hops themselves must
+    // be broadcast equi-joins
+    assert(p.contains("BroadcastHashJoin"), "dimension-sized hops broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("graph_bgp predicate-literal patterns filter before joining") {
+    val p = planOf("graph_bgp")
+    // the segment literal must reach a Filter below the joins, not sit
+    // above the cartesian result
+    assert(p.contains("BUILDING"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("ts_sliding_window expands windows without a shuffle-per-bucket") {
+    val p = planOf("ts_sliding_window")
+    // window expansion via Expand — not four separate scans of events
+    assert("Expand".r.findAllIn(p).size >= 1)
+    assert("Scan parquet".r.findAllIn(p).size <= 2)
+  }
 }
