@@ -60,8 +60,27 @@ object Bench {
       table.MergeOps.upsert(spark, upsertDir, src, keys = Seq("o_orderkey"))
     }
 
+    // headline txn-log MERGE: snapshot-isolated upsert of 1% of orders
+    val txnDir = Files.createTempDirectory("graft-bench-txn").toString + "/t"
+    table.TxnLog.create(orders, txnDir)
+    val txnMergeTime = time {
+      table.TxnLog.merge(spark, txnDir, src, keys = Seq("o_orderkey"))
+    }
+
+    // persisted-ANN probe: index built outside the timer (once per
+    // corpus), the timed part is what a query pays
+    val idxDir = Files.createTempDirectory("graft-bench-idx").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    ops.VectorIndex.putLsh(emb, idxDir)
+    val qvec = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val probeTime = time {
+      ops.VectorIndex.searchLsh(spark, idxDir, qvec).count()
+    }
+
     val all = queryTimes :+
-      ("w1_partitioned_write" -> writeTime) :+ ("w2_upsert" -> upsertTime)
+      ("w1_partitioned_write" -> writeTime) :+ ("w2_upsert" -> upsertTime) :+
+      ("w3_txn_merge" -> txnMergeTime) :+ ("vec_indexed_probe" -> probeTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
