@@ -100,6 +100,8 @@ object SparkEntry {
     "graph_cypher"        -> (Cypher.supplierRegionQuery _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
+    // log analytics (CloudWatch Logs Insights dialect)
+    "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     // multimodal plumbing (decode stage stubbed — no codecs in container);
@@ -188,6 +190,7 @@ object SparkEntry {
     "graph_bgp"           -> Rdf.bgpQueryOracle,
     "graph_cypher"        -> Cypher.supplierRegionOracle,
     "search_match_query"  -> Search.matchQueryOracle,
+    "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
   )
 }

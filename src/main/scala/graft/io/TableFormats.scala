@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.table.TxnLog
+
+/** User-facing table-format entry points with the reference's API names —
+  * `s3.to_deltalake` / `read_deltalake` (`s3/_write_deltalake.py:51-226`,
+  * `s3/_read_deltalake.py:38-136`) and `athena.to_iceberg` /
+  * `from_iceberg` (`athena/_write_iceberg.py`, `s3/_s3_tables_iceberg.py`)
+  * — all backed by the in-repo snapshot log [[graft.table.TxnLog]]
+  * (atomic manifest commits, optimistic concurrency, `VERSION AS OF`;
+  * no Delta/Iceberg jars exist in this environment, the commit semantics
+  * are the surface). A user of the reference keeps their call shape:
+  * mode strings, merge keys, versioned reads.
+  */
+object TableFormats {
+
+  /** `to_deltalake(df, path, mode=…)`; `mergeKeys` engages the MERGE
+    * path (`athena.to_iceberg(merge_cols=…)` semantics). */
+  def toTable(
+      df: DataFrame,
+      path: String,
+      mode: String = "append",
+      mergeKeys: Seq[String] = Nil): TxnLog.Snapshot =
+    if (mergeKeys.nonEmpty)
+      TxnLog.merge(df.sparkSession, path, df, mergeKeys)
+    else mode match {
+      case "append" =>
+        if (TxnLog.currentSnapshot(df.sparkSession, path).isEmpty)
+          TxnLog.create(df, path)
+        else TxnLog.append(df, path)
+      case "overwrite" =>
+        if (TxnLog.currentSnapshot(df.sparkSession, path).isEmpty)
+          TxnLog.create(df, path)
+        else TxnLog.overwrite(df, path)
+      case "error" | "errorifexists" =>
+        TxnLog.create(df, path)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported mode: $other")
+    }
+
+  def toDeltalake(df: DataFrame, path: String, mode: String = "append",
+      mergeKeys: Seq[String] = Nil): TxnLog.Snapshot =
+    toTable(df, path, mode, mergeKeys)
+
+  def toIceberg(df: DataFrame, path: String, mode: String = "append",
+      mergeCols: Seq[String] = Nil): TxnLog.Snapshot =
+    toTable(df, path, mode, mergeCols)
+
+  /** `read_deltalake(path, version=…)` / Iceberg `VERSION AS OF`. */
+  def readTable(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame =
+    TxnLog.read(spark, path, version)
+
+  def readDeltalake(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = readTable(spark, path, version)
+
+  def fromIceberg(spark: SparkSession, path: String,
+      version: Option[Int] = None): DataFrame = readTable(spark, path, version)
+
+  /** `describe_history` parity. */
+  def describeHistory(spark: SparkSession, path: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    TxnLog.history(spark, path)
+      .map(h => (h.version, h.op, h.timestampMs, h.dataDirs.length))
+      .toDF("version", "operation", "timestamp_ms", "n_data_dirs")
+  }
+}

@@ -213,6 +213,57 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- logs insights dialect + table-format wrappers ---------------------
+
+  test("logs insights: fields/filter/parse/stats/sort/limit stages") {
+    val spark0 = spark
+    import spark0.implicits._
+    val logs = Seq(
+      ("2024-01-01 10:01:00", "ERROR code=500 path=/a", 1.0),
+      ("2024-01-01 10:02:00", "ERROR code=404 path=/b", 2.0),
+      ("2024-01-01 11:00:00", "INFO code=200 path=/c", 3.0))
+      .toDF("timestamp", "message", "v")
+      .withColumn("timestamp", col("timestamp").cast("timestamp"))
+    val parsed = ops.LogsInsights.query(logs,
+      """fields @timestamp, @message, v
+        | filter @message like 'ERROR'
+        | parse @message /code=(\d+) path=(\S+)/ as code, path
+        | sort code asc
+        | limit 10""".stripMargin)
+    assert(parsed.select("code").as[String].collect().toSeq ==
+      Seq("404", "500"))
+    val stats = ops.LogsInsights.query(logs,
+      "stats count(*) as n, max(v) as mx by bin(60m)")
+    assert(stats.count() == 2)
+    assert(stats.agg(sum(col("n"))).head().getLong(0) == 3)
+    intercept[IllegalArgumentException] {
+      ops.LogsInsights.query(logs, "dedup x")
+    }
+  }
+
+  test("table-format wrappers keep the reference call shapes over TxnLog") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    io.TableFormats.toDeltalake(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, mode = "append")
+    io.TableFormats.toIceberg(
+      Seq((2L, "B"), (3L, "c")).toDF("id", "v"), dir,
+      mergeCols = Seq("id"))
+    val now = io.TableFormats.readDeltalake(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(now == Set((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(io.TableFormats.fromIceberg(spark, dir, version = Some(1))
+      .count() == 2)
+    val hist = io.TableFormats.describeHistory(spark, dir)
+    assert(hist.select("operation").as[String].collect().toSeq ==
+      Seq("create", "merge"))
+    intercept[IllegalArgumentException] {
+      io.TableFormats.toTable(Seq((9L, "z")).toDF("id", "v"), dir,
+        mode = "error")
+    }
+  }
+
   // ---- openCypher front-end ----------------------------------------------
 
   test("cypher MATCH compiles hops, directions, WHERE, RETURN forms") {
