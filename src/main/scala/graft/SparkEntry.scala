@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
     "dedup_minhash_fast"  -> (Dedup.minhashFastVerified _),
     "dedup_simhash"       -> (Dedup.simhashVerified _),
+    "dedup_winnow"        -> (Dedup.winnowDedup _),
     // time-series (Timestream-shaped)
     "ts_asof_join"        -> (AsOf.clickToPurchase _),
     "ts_tumbling_window"  -> (TimeSeries.tumbling _),
@@ -170,6 +171,7 @@ object SparkEntry {
     // must equal the (SQL-computable) full pair list
     "dedup_minhash_fast"  -> Dedup.identicalTokenSetPairsOracle,
     "dedup_simhash"       -> Dedup.identicalTokenSetPairsOracle,
+    "dedup_winnow"        -> Dedup.winnowDedupOracle,
     "ts_asof_join"        -> AsOf.clickToPurchaseOracle,
     "ts_tumbling_window"  -> TimeSeries.tumblingOracle,
     "ts_sliding_window"   -> TimeSeries.slidingOracle,

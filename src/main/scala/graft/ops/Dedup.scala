@@ -246,6 +246,60 @@ object Dedup {
       .join(tokenSetPairs(s, dir), Seq("d1", "d2"))
       .select(col("d1"), col("d2"))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    * MOSS local fingerprinting algorithm): hash every character k-gram,
+    * keep the minimum hash of each sliding window of `w` consecutive
+    * k-grams, dedup — a guarantee-bearing subset of the k-gram hashes
+    * (every match of length ≥ w+k-1 shares a fingerprint). The md5 hash
+    * family keeps it engine-portable for the differential oracle.
+    *
+    * Scale: fingerprinting is a linear map; the pair stage is the same
+    * bounded-scope exploded-fingerprint equi-join as [[ngramJaccard]] —
+    * at corpus scale fingerprints become the posting-list table and the
+    * join keys on (fingerprint) directly.
+    */
+  private val WK = 4 // k-gram length
+  private val WW = 5 // window size
+
+  private def winnowFp = expr(
+    s"""array_distinct(transform(
+       |  sequence(1, greatest(greatest(length(text) - ${WK - 1}, 1)
+       |                       - ${WW - 1}, 1)),
+       |  j -> array_min(transform(sequence(j, j + ${WW - 1}),
+       |         i -> md5(substring(text, i, $WK))))))""".stripMargin)
+
+  /** Pairs sharing ≥45 winnowed fingerprints within the bounded source
+    * scope (thresholds from the measured shared-count distribution:
+    * p90 = 44 on this corpus). */
+  def winnowDedup(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .filter(col("source").isin(jaccardSources: _*))
+      .select(col("doc_id"), col("source"), explode(winnowFp).as("f"))
+    val a = fp.as("a"); val b = fp.as("b")
+    a.join(b,
+        col("a.f") === col("b.f") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 45)
+  }
+
+  def winnowDedupOracle: String = {
+    val src = jaccardSources.map(x => s"'$x'").mkString(",")
+    s"""WITH fp AS (
+       |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+       |    generate_series(1, greatest(greatest(length(text)-${WK - 1},1)
+       |                                -${WW - 1}, 1)),
+       |    j -> list_min(list_transform(generate_series(j, j+${WW - 1}),
+       |           i -> md5(substring(text, i, $WK))))))) AS f
+       |  FROM documents WHERE source IN ($src))
+       |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+       |FROM fp a JOIN fp b
+       |  ON a.f = b.f AND a.source = b.source AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |HAVING count(*) >= 45""".stripMargin
+  }
+
   /** SimHash near-dup detection: 64-bit signature from token-hash bit
     * votes, LSH on four 16-bit bands, pairs deduped before the exact
     * Hamming check. All bit arithmetic on longs inside codegen.

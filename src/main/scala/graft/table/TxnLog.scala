@@ -129,16 +129,21 @@ object TxnLog {
     val (fs, root) = fsFor(spark, path)
     var attempt = 0
     while (attempt <= MaxRetries) {
-      val current = currentSnapshot(spark, path)
+      // ONE listing yields both the latest parseable snapshot and the
+      // highest claimed version number. Two separate listings race: a
+      // commit completing between them would be skipped over and its
+      // data dirs dropped from the successor (a lost update). From a
+      // single listing, every claimed manifest is either complete
+      // (local link(2) publication is atomic) or a dead torn leftover
+      // that is safe to skip.
+      val (current, claimed) = logState(fs, root)
       expectedParent.foreach { p =>
         if (current.map(_.version).getOrElse(0) != p)
           throw new CommitConflict(
             s"table advanced past v$p; merge must re-resolve")
       }
-      // skip version numbers claimed by torn/invalid manifests too — a
-      // crashed writer must not block the sequence forever
       val version = math.max(current.map(_.version).getOrElse(0),
-        highestClaimed(fs, root)) + 1
+        claimed) + 1
       val dirs =
         if (replace) newDirs
         else current.map(_.dataDirs).getOrElse(Nil) ++ newDirs
@@ -151,34 +156,61 @@ object TxnLog {
     throw new CommitConflict(s"could not commit after $MaxRetries retries")
   }
 
-  /** Highest version number with a manifest FILE present, parseable or
-    * not (torn manifests still occupy their number). */
-  private def highestClaimed(fs: FileSystem, root: Path): Int = {
+  /** One listing → (latest parseable snapshot, highest claimed version
+    * number — parseable or torn). */
+  private def logState(fs: FileSystem, root: Path): (Option[Snapshot], Int) = {
     val logDir = new Path(root, LogDir)
-    if (!fs.exists(logDir)) return 0
-    fs.listStatus(logDir)
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt }
+    if (!fs.exists(logDir)) return (None, 0)
+    val manifests = fs.listStatus(logDir)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.endsWith(".manifest")
+      }
+      .sortBy(_.getPath.getName)
+    val claimed = manifests.map(_.getPath.getName)
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
       .foldLeft(0)(math.max)
+    val latest = manifests.reverseIterator
+      .map(st => parseManifest(fs, st.getPath))
+      .collectFirst { case Some(s) => s }
+    (latest, claimed)
   }
 
   /** Exclusive-create of the manifest: exactly one writer can own a
-    * version number. */
+    * version number. On local filesystems Hadoop's `create(overwrite =
+    * false)` is check-then-create (a TOCTOU window two racing writers
+    * can both pass), so file:// paths claim through POSIX O_EXCL
+    * (`Files.createFile`) instead; object stores / HDFS get their own
+    * atomic exclusive create. A reader that lands between claim and
+    * content sees a torn manifest, which parsing already skips. */
   private def tryPublish(fs: FileSystem, root: Path, s: Snapshot): Boolean = {
     val logDir = new Path(root, LogDir)
     if (!fs.exists(logDir)) fs.mkdirs(logDir)
     val manifest = new Path(logDir, f"v${s.version}%08d.manifest")
-    val out =
-      try fs.create(manifest, false) // overwrite=false → atomic claim
-      catch { case _: java.io.IOException => return false }
-    try {
-      val body = (Seq(s"version=${s.version}", s"op=${s.op}",
-        s"ts=${s.timestampMs}", "END_HEADER") ++ s.dataDirs :+ "END_MANIFEST")
-        .mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-      true
-    } finally out.close()
+    val body = (Seq(s"version=${s.version}", s"op=${s.op}",
+      s"ts=${s.timestampMs}", "END_HEADER") ++ s.dataDirs :+ "END_MANIFEST")
+      .mkString("\n").getBytes("UTF-8")
+    val scheme = manifest.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      // write the full body to a temp file, then hard-link it into place:
+      // link(2) is atomic AND exclusive, so claim and content are one
+      // operation — a racer can never observe a claimed-but-empty
+      // manifest and publish a successor missing this commit's data
+      val dst = java.nio.file.Paths.get(manifest.toUri.getPath)
+      val tmp = dst.resolveSibling(s".tmp-${UUID.randomUUID()}")
+      java.nio.file.Files.write(tmp, body)
+      try {
+        java.nio.file.Files.createLink(dst, tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out =
+        try fs.create(manifest, false)
+        catch { case _: java.io.IOException => return false }
+      try { out.write(body); true } finally out.close()
+    }
   }
 
   // ---- reads --------------------------------------------------------------

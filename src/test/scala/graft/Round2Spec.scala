@@ -419,6 +419,29 @@ class Round2Spec extends AnyFunSuite {
     assert(table.TxnLog.read(spark, dir).count() == 2)
   }
 
+  test("txn log: concurrent appenders all land, versions stay distinct") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(Seq((0L, "seed")).toDF("id", "v"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // eight writers race; optimistic retry must serialize them all
+    val futures = (1 to 8).map { i =>
+      Future {
+        table.TxnLog.append(Seq((i.toLong, s"w$i")).toDF("id", "v"), dir)
+      }
+    }
+    val snaps = Await.result(Future.sequence(futures), 120.seconds)
+    assert(snaps.map(_.version).distinct.length == 8,
+      "every writer must own a distinct version")
+    assert(table.TxnLog.read(spark, dir).count() == 9,
+      "no append may be lost")
+    assert(table.TxnLog.history(spark, dir).map(_.version) == (1 to 9))
+  }
+
   test("txn log: vacuum keeps retained versions, drops orphans") {
     val spark0 = spark
     import spark0.implicits._
