@@ -49,6 +49,9 @@ object SparkEntry {
     "q30_percentiles"     -> (Relational2.q30Percentiles _),
     "q31_array_map_funcs" -> (Relational2.q31ArrayMapFuncs _),
     "q33_range_frame"     -> (Relational2.q33RangeFrame _),
+    "q34_grouping_sets"   -> (Relational3.q34GroupingSets _),
+    "q35_lateral"         -> (Relational3.q35Lateral _),
+    "q36_intervals"       -> (Relational3.q36Intervals _),
     // native TopKPerKey operator (custom LogicalPlan+Strategy+SparkPlan):
     // same result as the q7 window idiom, no per-partition full sort
     "q32_topk_native"     -> ((s: SparkSession, dir: String) => {
@@ -150,6 +153,9 @@ object SparkEntry {
     "q30_percentiles"     -> Relational2.q30OracleSql,
     "q31_array_map_funcs" -> Relational2.q31OracleSql,
     "q33_range_frame"     -> Relational2.q33OracleSql,
+    "q34_grouping_sets"   -> Relational3.q34OracleSql,
+    "q35_lateral"         -> Relational3.q35OracleSql,
+    "q36_intervals"       -> Relational3.q36OracleSql,
     "q32_topk_native" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
         |FROM (

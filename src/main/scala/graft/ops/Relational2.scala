@@ -310,3 +310,89 @@ object Relational2 {
       |FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks
       |      FROM documents) t""".stripMargin
 }
+
+/** Third batch of SQL-surface queries (round 2): grouping sets, lateral
+  * explode, interval/date arithmetic — Athena dialect shapes the first
+  * two batches did not cover. */
+object Relational3 {
+  import graft.Tables
+
+  /** GROUPING SETS with grouping() disambiguation — finer control than
+    * q9's ROLLUP / q20's CUBE. */
+  def q34GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(grouping(l_returnflag) as int) AS g_flag,
+        |  cast(grouping(l_linestatus) as int) AS g_status,
+        |  cast(count(*) as bigint) AS n,
+        |  cast(sum(cast(l_quantity as decimal(10,2))) as double) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
+  def q34OracleSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  cast(grouping(l_returnflag) as int) AS g_flag,
+      |  cast(grouping(l_linestatus) as int) AS g_status,
+      |  cast(count(*) as bigint) AS n,
+      |  cast(sum(cast(l_quantity as decimal(10,2))) as double) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))""".stripMargin
+
+  /** LATERAL VIEW / UNNEST over a computed array — per-token rows from
+    * the documents table with positional ordinality. */
+  def q35Lateral(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 20L)
+      .select(col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, 5)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("ord"),
+        col("col").as("tok"))
+  }
+
+  def q35OracleSql: String =
+    """SELECT doc_id, cast(ord as int) AS ord, tok
+      |FROM (
+      |  SELECT doc_id,
+      |    unnest(list_slice(string_split(text, ' '), 1, 5)) AS tok,
+      |    generate_subscripts(list_slice(string_split(text, ' '), 1, 5), 1)
+      |      AS ord
+      |  FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** Interval and date arithmetic: shifts, truncation, component
+    * extraction, day differences — the `date_add`/`date_trunc` family. */
+  def q36Intervals(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |  date_format(o_orderdate + INTERVAL '30' DAY, 'yyyy-MM-dd')
+        |    AS due_date,
+        |  date_format(o_orderdate - INTERVAL '1' MONTH, 'yyyy-MM-dd')
+        |    AS prior_month,
+        |  date_format(date_trunc('quarter', o_orderdate), 'yyyy-MM-dd')
+        |    AS quarter_start,
+        |  cast(datediff(to_date('1998-12-01'), o_orderdate) as bigint)
+        |    AS days_to_cutoff,
+        |  cast(dayofweek(o_orderdate) as int) AS dow
+        |FROM orders
+        |WHERE o_orderkey < 500""".stripMargin)
+  }
+
+  def q36OracleSql: String =
+    """SELECT o_orderkey,
+      |  strftime(cast(o_orderdate as date) + INTERVAL 30 DAY, '%Y-%m-%d')
+      |    AS due_date,
+      |  strftime(cast(o_orderdate as date) - INTERVAL 1 MONTH, '%Y-%m-%d')
+      |    AS prior_month,
+      |  strftime(date_trunc('quarter', cast(o_orderdate as date)), '%Y-%m-%d')
+      |    AS quarter_start,
+      |  cast(date_diff('day', cast(o_orderdate as date), DATE '1998-12-01')
+      |    as bigint) AS days_to_cutoff,
+      |  cast(dayofweek(cast(o_orderdate as date)) as int) + 1 AS dow
+      |FROM orders
+      |WHERE o_orderkey < 500""".stripMargin
+}
