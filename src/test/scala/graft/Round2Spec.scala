@@ -213,6 +213,39 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- shuffle-free bucketed joins ---------------------------------------
+
+  test("same-bucketed tables join with zero Exchange below the join") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity")
+      .withColumnRenamed("l_orderkey", "o_orderkey")
+    io.BucketedTables.saveBucketedTable(orders, "b_orders",
+      Seq("o_orderkey"), 8)
+    io.BucketedTables.saveBucketedTable(lineitem, "b_lineitem",
+      Seq("o_orderkey"), 8)
+    // disable broadcast so the join would otherwise need a shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = io.BucketedTables.bucketedJoin(spark,
+        "b_orders", "b_lineitem", Seq("o_orderkey"))
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(out) { joined.explain("formatted") }
+      val plan = out.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"),
+        "co-located bucketed join must not shuffle either side:\n" + plan)
+      // and the result is still correct
+      assert(joined.count() == Tables.lineitem(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   // ---- logs insights dialect + table-format wrappers ---------------------
 
   test("logs insights: fields/filter/parse/stats/sort/limit stages") {
