@@ -70,12 +70,23 @@ object MergeOps {
       spark: SparkSession,
       targetPath: String,
       keys: DataFrame,
-      keyCols: Seq[String]): Long = {
-    val target = spark.read.parquet(targetPath)
-    val remaining = target.join(
-      broadcast(keys.select(keyCols.map(col): _*).distinct()),
-      keyCols, "left_anti")
-    StagedCommit.overwrite(remaining, targetPath)
+      keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil): Long = {
+    val target = spark.read.option("basePath", targetPath).parquet(targetPath)
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    val remaining = target.join(broadcast(keySet), keyCols, "left_anti")
+    // partitionCols keeps the hive layout through the rewrite; only
+    // partitions holding matched keys are touched
+    if (partitionCols.isEmpty) StagedCommit.overwrite(remaining, targetPath)
+    else {
+      val matchedParts = target.join(broadcast(keySet), keyCols, "left_semi")
+        .select(partitionCols.map(col): _*).distinct()
+      val affected = collectPartitionValues(matchedParts, partitionCols)
+      val remainingAffected =
+        remaining.join(broadcast(matchedParts), partitionCols, "left_semi")
+      StagedCommit.overwritePartitions(remainingAffected, targetPath,
+        partitionCols, affected)
+    }
   }
 
   /** Upsert with a precombine column (`redshift.copy(mode="upsert",
@@ -88,8 +99,9 @@ object MergeOps {
       targetPath: String,
       source: DataFrame,
       keys: Seq[String],
-      precombine: String): Long = {
-    val target = spark.read.parquet(targetPath)
+      precombine: String,
+      partitionCols: Seq[String] = Nil): Long = {
+    val target = spark.read.option("basePath", targetPath).parquet(targetPath)
     val all = target.unionByName(source.select(target.columns.map(col): _*))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(precombine).desc)
@@ -97,7 +109,7 @@ object MergeOps {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
-    StagedCommit.overwrite(deduped, targetPath)
+    StagedCommit.overwrite(deduped, targetPath, partitionCols)
   }
 
   /** Collect the (small, distinct) affected-partition value tuples as

@@ -125,6 +125,29 @@ class DmlStreamSpec extends AnyFunSuite {
       Set(1L, 3L))
   }
 
+  test("partitioned deleteMatched keeps layout, touches only hit partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    DatasetWriter.toParquet(
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+        .toDF("id", "v", "p"),
+      dir, mode = DatasetWriter.Overwrite, partitionCols = Seq("p"))
+    val p2Before = new java.io.File(s"$dir/p=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    Thread.sleep(1100)
+    MergeOps.deleteMatched(spark, dir, Seq(2L).toDF("id"), Seq("id"),
+      partitionCols = Seq("p"))
+    // hive layout survives the delete
+    assert(new java.io.File(s"$dir/p=p1").isDirectory)
+    val got = spark.read.option("basePath", dir).parquet(dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "a", "p1"), (3L, "c", "p2")))
+    val p2After = new java.io.File(s"$dir/p=p2").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(p2After == p2Before, "unmatched partition must not be rewritten")
+  }
+
   test("versionedUpsert keeps max-version row per key") {
     val spark0 = spark
     import spark0.implicits._
