@@ -72,6 +72,7 @@ object SparkEntry {
     "text_corpus_profile" -> (Text.corpusProfile _),
     "text_fingerprint"    -> (Text.fingerprint _),
     "text_lang_id"        -> (Text.languageId _),
+    "text_bpe_tokens"     -> (Text.bpeTokenCount _),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -169,6 +170,7 @@ object SparkEntry {
     "text_corpus_profile" -> Text.corpusProfileOracle,
     "text_fingerprint"    -> Text.fingerprintOracle,
     "text_lang_id"        -> Text.languageIdOracle,
+    "text_bpe_tokens"     -> Text.bpeTokenCountOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

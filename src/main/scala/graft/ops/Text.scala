@@ -43,6 +43,33 @@ object Text {
       |    / cast(len(string_split(text,' ')) as double) AS avg_tok_len
       |FROM documents""".stripMargin
 
+  /** Subword-style token counting with a BPE-ish pre-tokenizer regex —
+    * the GPT-2 pre-tokenization idea (letter runs | digit runs |
+    * punctuation), restricted to an engine-portable character-class
+    * pattern so the count differentially tests against DuckDB. Cost
+    * model per document: `ceil(bpe_tokens * 1.3)` as the subword
+    * estimate (the conventional words→tokens expansion prior). Pure
+    * map, no shuffle. */
+  def bpeTokenCount(s: SparkSession, dir: String): DataFrame = {
+    val pattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).as("n_ws_tokens"),
+      regexp_count(col("text"), lit(pattern)).cast("int").as("n_bpe_pieces"),
+      ceil(regexp_count(col("text"), lit(pattern)) * lit(1.3))
+        .cast("bigint").as("est_subwords"))
+  }
+
+  def bpeTokenCountOracle: String =
+    """SELECT doc_id,
+      |  cast(len(string_split(text, ' ')) as int) AS n_ws_tokens,
+      |  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+      |    as int) AS n_bpe_pieces,
+      |  cast(ceil(len(regexp_extract_all(text,
+      |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) * 1.3) as bigint)
+      |    AS est_subwords
+      |FROM documents""".stripMargin
+
   private val stopwords = Seq("the", "a", "of")
 
   /** Quality scoring: stopword ratio, lexical diversity, length prior —
