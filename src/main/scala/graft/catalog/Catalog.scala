@@ -22,11 +22,27 @@ object Catalog {
   def databases(spark: SparkSession): DataFrame =
     spark.sql("SHOW DATABASES")
 
-  /** `catalog.tables` — table inventory as a DataFrame
-    * (`catalog/_get.py:219-474`). */
-  def tables(spark: SparkSession, database: Option[String] = None): DataFrame =
-    database.map(d => spark.sql(s"SHOW TABLES IN `$d`"))
+  /** `catalog.tables` — table inventory as a DataFrame, with the
+    * reference's name filters (`catalog/_get.py:219-474`:
+    * `name_contains` / `name_prefix` / `name_suffix`). */
+  def tables(spark: SparkSession, database: Option[String] = None,
+      nameContains: Option[String] = None,
+      namePrefix: Option[String] = None,
+      nameSuffix: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val base = database.map(d => spark.sql(s"SHOW TABLES IN `$d`"))
       .getOrElse(spark.sql("SHOW TABLES"))
+    Seq(
+      nameContains.map(s => col("tableName").contains(s)),
+      namePrefix.map(s => col("tableName").startsWith(s)),
+      nameSuffix.map(s => col("tableName").endsWith(s))
+    ).flatten.foldLeft(base)(_ filter _)
+  }
+
+  /** `catalog.search_tables(text)`: substring match over table names. */
+  def searchTables(spark: SparkSession, text: String,
+      database: Option[String] = None): DataFrame =
+    tables(spark, database, nameContains = Some(text))
 
   /** `catalog.create_parquet_table` (`catalog/_create.py`): external
     * path-backed table with optional hive partitions. */

@@ -213,6 +213,31 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- catalog search ----------------------------------------------------
+
+  test("catalog table search filters by contains/prefix/suffix") {
+    val spark0 = spark
+    import spark0.implicits._
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_search_db")
+    Seq((1, "x")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("graft_search_db.sales_raw")
+    Seq((1, "x")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("graft_search_db.sales_clean")
+    Seq((1, "x")).toDF("id", "v")
+      .write.mode("overwrite").saveAsTable("graft_search_db.events_raw")
+    try {
+      val db = Some("graft_search_db")
+      assert(catalog.Catalog.searchTables(spark, "sales", db).count() == 2)
+      assert(catalog.Catalog.tables(spark, db,
+        namePrefix = Some("events")).count() == 1)
+      assert(catalog.Catalog.tables(spark, db,
+        nameSuffix = Some("_raw")).count() == 2)
+      assert(catalog.Catalog.tables(spark, db,
+        nameContains = Some("sales"), nameSuffix = Some("_clean"))
+        .count() == 1)
+    } finally spark.sql("DROP DATABASE graft_search_db CASCADE")
+  }
+
   // ---- shuffle-free bucketed joins ---------------------------------------
 
   test("same-bucketed tables join with zero Exchange below the join") {
