@@ -196,34 +196,41 @@ object DatasetReader {
 
   /** Strict per-file schema validation: every data file's footer must
     * carry the SAME schema (names AND types; silent union via
-    * `mergeSchema` is exactly what this mode exists to reject). Footers
-    * are read on executors — one tiny metadata read per file, no data
-    * scan. Returns the converged schema. */
+    * `mergeSchema` is exactly what this mode exists to reject). The file
+    * listing AND the footer reads stay distributed end to end — only the
+    * DISTINCT schemas (with one example file each) come back to the
+    * driver, so a 10^8-file dataset validates without a driver-side file
+    * list. Returns the converged schema. */
   def validateSchema(spark: SparkSession, path: String): StructType = {
+    import spark.implicits._
     val files = listObjects(spark, path, suffix = Some(".parquet"))
-      .select("path").collect().map(_.getString(0))
-      .filterNot(p => { val n = new Path(p).getName
-        n.startsWith("_") || n.startsWith(".") })
-    require(files.nonEmpty, s"no parquet files under $path")
-    val perFile = spark.sparkContext
-      .parallelize(files.toSeq, math.min(files.length, 64))
-      .map { f =>
+      .select("path").as[String]
+      .filter((p: String) => {
+        val n = p.substring(p.lastIndexOf('/') + 1)
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+    val example = files.take(1)
+    require(example.nonEmpty, s"no parquet files under $path")
+    val perSchema = files
+      .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(f), conf)
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try (rdr.getFooter.getFileMetaData.getSchema.toString, f)
-        finally rdr.close()
+        it.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (rdr.getFooter.getFileMetaData.getSchema.toString, f)
+          finally rdr.close()
+        }
       }
-      .groupByKey()
-      .map { case (schema, fs) => (schema, fs.head) }
+      .toDF("schema", "file")
+      .groupBy(col("schema")).agg(min(col("file")).as("file"))
       .collect()
-    if (perFile.length > 1)
+    if (perSchema.length > 1)
       throw new InvalidSchemaConvergence(
         "schemas do not converge across the dataset:\n" +
-          perFile.map { case (s, f) => s"  $f:\n    ${s.replace("\n", " ")}" }
-            .mkString("\n"))
-    spark.read.parquet(files.head).schema
+          perSchema.map(r => s"  ${r.getString(1)}:\n    " +
+            r.getString(0).replace("\n", " ")).mkString("\n"))
+    spark.read.parquet(example.head).schema
   }
 
   /** Dataset read with the strict schema gate up front
