@@ -500,6 +500,49 @@ class Round2Spec extends AnyFunSuite {
     assert(table.TxnLog.history(spark, dir).map(_.version) == (1 to 9))
   }
 
+  test("txn log: merge racing an append re-resolves and loses nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val merge = Future {
+      table.TxnLog.merge(spark, dir,
+        Seq((2L, "B"), (3L, "c")).toDF("id", "v"), keys = Seq("id"))
+    }
+    val append = Future {
+      table.TxnLog.append(Seq((9L, "x")).toDF("id", "v"), dir)
+    }
+    Await.result(Future.sequence(Seq(merge, append)), 120.seconds)
+    val got = table.TxnLog.read(spark, dir).as[(Long, String)].collect().toSet
+    // either serialization converges on the same state: merge-first →
+    // append retries on top; append-first → merge detects the advanced
+    // parent, re-resolves, and carries the appended row through
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c"), (9L, "x")))
+  }
+
+  test("staged commit: recover() restores a crash inside the swap window") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    io.DatasetWriter.toParquet(Seq((1L, "a")).toDF("id", "v"), dir,
+      mode = io.DatasetWriter.Overwrite)
+    // simulate the window between rename(target→old) and
+    // rename(staging→target): target missing, .old intact
+    val target = new java.io.File(dir)
+    val old = new java.io.File(target.getParent,
+      s".${target.getName}.old-deadbeef")
+    assert(target.renameTo(old))
+    assert(!target.exists())
+    assert(table.StagedCommit.recover(spark, dir) == 1)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a")), "old data must be restored as the live target")
+  }
+
   test("txn log: vacuum keeps retained versions, drops orphans") {
     val spark0 = spark
     import spark0.implicits._
