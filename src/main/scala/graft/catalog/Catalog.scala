@@ -138,6 +138,33 @@ object Catalog {
     s"CREATE TABLE $table (\n$cols\n)\nUSING $format$part$loc"
   }
 
+  /** `catalog.add_column` (`catalog/_add.py`): append a column to a
+    * table's schema (existing files read it as NULL — parquet
+    * schema-evolution semantics). */
+  def addColumn(spark: SparkSession, table: String, name: String,
+      athenaType: String, comment: Option[String] = None): Unit = {
+    val c = comment.map(x => s" COMMENT '${x.replace("'", "''")}'")
+      .getOrElse("")
+    spark.sql(s"ALTER TABLE $table ADD COLUMNS (`$name` $athenaType$c)")
+  }
+
+  /** `catalog.get_table_location`: the storage path backing a table. */
+  def getTableLocation(spark: SparkSession, table: String): String =
+    spark.sql(s"DESCRIBE FORMATTED $table")
+      .filter(org.apache.spark.sql.functions.col("col_name") === "Location")
+      .select("data_type").head().getString(0)
+
+  /** `catalog.get_columns_comments`. */
+  def getColumnsComments(spark: SparkSession, table: String)
+      : Map[String, String] = {
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"DESCRIBE TABLE $table")
+      .filter(!col("col_name").startsWith("#") && col("col_name") =!= "")
+      .select("col_name", "comment").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+  }
+
   def doesTableExist(spark: SparkSession, table: String): Boolean =
     spark.catalog.tableExists(table)
 

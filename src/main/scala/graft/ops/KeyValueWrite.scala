@@ -51,6 +51,18 @@ object KeyValueWrite {
     putDf(df, tablePath, schema)
   }
 
+  /** `put_csv` / `put_json` (`dynamodb/_write.py:38-143`): file →
+    * keyed-table upsert through the same merge path. */
+  def putCsv(spark: SparkSession, csvPath: String, tablePath: String,
+      schema: KeySchema, options: Map[String, String] = Map.empty): Long =
+    putDf(graft.io.DatasetReader.readCsv(spark, csvPath, options = options),
+      tablePath, schema)
+
+  def putJson(spark: SparkSession, jsonPath: String, tablePath: String,
+      schema: KeySchema, lines: Boolean = true): Long =
+    putDf(graft.io.DatasetReader.readJson(spark, jsonPath, lines),
+      tablePath, schema)
+
   /** `delete_items`: remove items by key. */
   def deleteItems(
       spark: SparkSession,

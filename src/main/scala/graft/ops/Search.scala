@@ -110,6 +110,19 @@ object Search {
       graft.table.MergeOps.upsert(spark, indexPath, docs, keys = idKeys)
   }
 
+  /** `index_csv` / `index_json` (`opensearch/_write.py:258-430`):
+    * file sources indexed through the same id-key upsert. */
+  def indexCsv(spark: SparkSession, csvPath: String, indexPath: String,
+      idKeys: Seq[String], options: Map[String, String] = Map.empty): Long =
+    indexDocuments(
+      graft.io.DatasetReader.readCsv(spark, csvPath, options = options),
+      indexPath, idKeys)
+
+  def indexJson(spark: SparkSession, jsonPath: String, indexPath: String,
+      idKeys: Seq[String], lines: Boolean = true): Long =
+    indexDocuments(graft.io.DatasetReader.readJson(spark, jsonPath, lines),
+      indexPath, idKeys)
+
   def matchQueryOracle: String =
     """SELECT doc_id, lang, tf_spark, tf_join, tf_stream,
       |  tf_spark * 3 + tf_join * 2 + tf_stream AS score

@@ -32,6 +32,7 @@ object Executions {
 
   private val states = new ConcurrentHashMap[String, State]()
   private val errors = new ConcurrentHashMap[String, Throwable]()
+  private val sqls = new ConcurrentHashMap[String, String]()
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newCachedThreadPool { r =>
@@ -43,6 +44,7 @@ object Executions {
       params: Map[String, Any] = Map.empty): QueryExecution = {
     val id = UUID.randomUUID().toString
     states.put(id, Running)
+    sqls.put(id, sql)
     val fut = Future {
       spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
       try {
@@ -78,4 +80,17 @@ object Executions {
 
   def stateOf(id: String): State =
     Option(states.get(id)).getOrElse(Failed)
+
+  /** `get_query_execution` — metadata of one execution. */
+  def getQueryExecution(id: String): Map[String, String] = Map(
+    "QueryExecutionId" -> id,
+    "Query" -> Option(sqls.get(id)).getOrElse(""),
+    "State" -> stateOf(id).toString)
+
+  /** `list_query_executions` / `get_query_executions` — ids (most queries
+    * first come from here, then batch into [[getQueryExecution]]). */
+  def listQueryExecutions(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    sqls.keySet().asScala.toSeq.sorted
+  }
 }

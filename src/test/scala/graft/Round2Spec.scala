@@ -213,6 +213,80 @@ class Round2Spec extends AnyFunSuite {
       s"recall too low: ${(exact intersect got).size}/10")
   }
 
+  // ---- prepared statements + execution metadata --------------------------
+
+  test("prepared statements: create/list/execute/delete + schema introspect") {
+    sql.PreparedStatements.createPreparedStatement("top_customers",
+      "SELECT :n AS n, 'x' AS tag")
+    intercept[IllegalArgumentException] {
+      sql.PreparedStatements.createPreparedStatement("top_customers", "SELECT 1")
+    }
+    assert(sql.PreparedStatements.listPreparedStatements()
+      .contains("top_customers"))
+    val df = sql.PreparedStatements.execute(spark, "top_customers",
+      Map("n" -> 7))
+    assert(df.head().getInt(0) == 7)
+    // analysis-only result schema with Athena type names
+    val types = sql.PreparedStatements.getQueryColumnsTypes(spark,
+      "SELECT cast(1 as bigint) AS a, cast(1.5 as double) AS b, 'x' AS c")
+    assert(types == Map("a" -> "bigint", "b" -> "double", "c" -> "string"))
+    sql.PreparedStatements.deletePreparedStatement("top_customers")
+    intercept[IllegalArgumentException] {
+      sql.PreparedStatements.getNamedQueryStatement("top_customers")
+    }
+  }
+
+  test("execution registry lists executions with metadata") {
+    val q = sql.Executions.startQueryExecution(spark, "SELECT 41 + 1 AS v")
+    sql.Executions.waitQuery(q)
+    assert(sql.Executions.listQueryExecutions().contains(q.id))
+    val meta = sql.Executions.getQueryExecution(q.id)
+    assert(meta("Query").contains("41 + 1"))
+    assert(meta("State") == "Succeeded")
+  }
+
+  test("catalog addColumn / getTableLocation / column comments") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/t")
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_cat_db")
+    catalog.Catalog.createParquetTable(spark, "graft_cat_db.ext_t",
+      s"$dir/t", Seq("id" -> "bigint", "v" -> "string"))
+    try {
+      catalog.Catalog.addColumn(spark, "graft_cat_db.ext_t", "score",
+        "double", comment = Some("model score"))
+      val cols = spark.table("graft_cat_db.ext_t").columns.toSeq
+      assert(cols == Seq("id", "v", "score"))
+      // pre-evolution files read the new column as NULL
+      assert(spark.table("graft_cat_db.ext_t")
+        .filter(col("score").isNull).count() == 1)
+      assert(catalog.Catalog.getTableLocation(spark, "graft_cat_db.ext_t")
+        .contains(dir))
+      assert(catalog.Catalog.getColumnsComments(spark, "graft_cat_db.ext_t")
+        .get("score").contains("model score"))
+    } finally spark.sql("DROP DATABASE graft_cat_db CASCADE")
+  }
+
+  test("kv putCsv and search indexJson route files through the upserts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    io.DatasetWriter.toParquet(
+      Seq(("a", "v0")).toDF("pk", "v"), s"$dir/kv",
+      mode = io.DatasetWriter.Overwrite)
+    Seq(("a", "v1"), ("b", "v2")).toDF("pk", "v")
+      .coalesce(1).write.option("header", "true").csv(s"$dir/in_csv")
+    ops.KeyValueWrite.putCsv(spark, s"$dir/in_csv", s"$dir/kv",
+      ops.KeyValueWrite.KeySchema("pk"))
+    assert(spark.read.parquet(s"$dir/kv").as[(String, String)]
+      .collect().toSet == Set(("a", "v1"), ("b", "v2")))
+    Seq((1L, "doc one"), (2L, "doc two")).toDF("doc_id", "text")
+      .coalesce(1).write.json(s"$dir/in_json")
+    ops.Search.indexJson(spark, s"$dir/in_json", s"$dir/idx", Seq("doc_id"))
+    assert(spark.read.parquet(s"$dir/idx").count() == 2)
+  }
+
   // ---- catalog search ----------------------------------------------------
 
   test("catalog table search filters by contains/prefix/suffix") {
