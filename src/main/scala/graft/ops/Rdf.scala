@@ -100,6 +100,21 @@ object Rdf {
     }
   }
 
+  /** Persist a triple table partitioned by predicate — the storage
+    * layout the BGP compiler exploits at scale: a pattern with a literal
+    * predicate prunes to one partition directory before any data is
+    * read (hive partition pruning on `p`), so each join leg scans one
+    * predicate's slice of a 10^11-triple graph, never the whole graph.
+    * Clustered on the predicate before writing (one file per predicate
+    * per task group, not one per task × predicate). */
+  def saveTriples(triples: DataFrame, path: String): Unit =
+    graft.io.DatasetWriter.toParquet(
+      triples.repartition(col("p")), path,
+      mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("p"))
+
+  def loadTriples(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("basePath", path).parquet(path)
+
   /** Oracle-gated BGP query: customers and suppliers co-located in a
     * nation, customers restricted to the BUILDING segment —
     * `?c :segment 'BUILDING' . ?c :inNation ?n . ?s :inNation ?n`

@@ -396,6 +396,31 @@ class Round2Spec extends AnyFunSuite {
     }
   }
 
+  test("persisted triple store prunes to the pattern's predicate partition") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/triples"
+    val triples = Seq(
+      ("a", "knows", "b"), ("b", "knows", "c"),
+      ("a", "type", "person"), ("b", "type", "person"),
+      ("a", "likes", "c")).toDF("s", "p", "o")
+    ops.Rdf.saveTriples(triples, dir)
+    val stored = ops.Rdf.loadTriples(spark, dir)
+    // BGP over the persisted table still answers correctly
+    import ops.Rdf._
+    val out = bgp(stored, Seq(
+      TriplePattern(Var("x"), Lit("knows"), Var("y")),
+      TriplePattern(Var("x"), Lit("type"), Lit("person")))).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b"), ("b", "c")))
+    // a literal-predicate leg reads ONE partition directory
+    val leg = stored.filter(col("p") === "knows")
+    val touched = leg.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("p=knows")),
+      s"leg must scan only its predicate partition, got: ${touched.toSeq}")
+  }
+
   // ---- openCypher front-end ----------------------------------------------
 
   test("cypher MATCH compiles hops, directions, WHERE, RETURN forms") {
