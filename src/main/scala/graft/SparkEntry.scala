@@ -110,7 +110,8 @@ object SparkEntry {
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     // multimodal plumbing (decode stage stubbed — no codecs in container);
-    // deterministic synthetic corpus, so rows-only check + spec coverage
+    // the synthetic corpus is deterministic arithmetic over the id, so
+    // the aggregate is fully oracled in DuckDB via range(1000)
     "mm_decode_features"  -> ((s: SparkSession, _: String) => {
       import org.apache.spark.sql.functions._
       graft.multimodal.Multimodal
@@ -202,5 +203,7 @@ object SparkEntry {
     "search_match_query"  -> Search.matchQueryOracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
+    "mm_decode_features"  -> graft.multimodal.Multimodal
+      .decodeFeaturesOracle(1000),
   )
 }

@@ -16,36 +16,44 @@ import graft.table.TxnLog
 object TableFormats {
 
   /** `to_deltalake(df, path, mode=…)`; `mergeKeys` engages the MERGE
-    * path (`athena.to_iceberg(merge_cols=…)` semantics). */
+    * path (`athena.to_iceberg(merge_cols=…)` semantics); `partitionBy`
+    * makes snapshots partition-granular (MERGE rewrites only touched
+    * partitions — `athena/_write_iceberg.py` partitioned tables). */
   def toTable(
       df: DataFrame,
       path: String,
       mode: String = "append",
-      mergeKeys: Seq[String] = Nil): TxnLog.Snapshot =
-    if (mergeKeys.nonEmpty)
+      mergeKeys: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): TxnLog.Snapshot =
+    if (mergeKeys.nonEmpty &&
+      TxnLog.currentSnapshot(df.sparkSession, path).nonEmpty)
       TxnLog.merge(df.sparkSession, path, df, mergeKeys)
+    else if (mergeKeys.nonEmpty) // upsert into a not-yet-existing table
+      TxnLog.create(df, path, partitionBy)
     else mode match {
       case "append" =>
         if (TxnLog.currentSnapshot(df.sparkSession, path).isEmpty)
-          TxnLog.create(df, path)
-        else TxnLog.append(df, path)
+          TxnLog.create(df, path, partitionBy)
+        else TxnLog.append(df, path, partitionBy)
       case "overwrite" =>
         if (TxnLog.currentSnapshot(df.sparkSession, path).isEmpty)
-          TxnLog.create(df, path)
-        else TxnLog.overwrite(df, path)
+          TxnLog.create(df, path, partitionBy)
+        else TxnLog.overwrite(df, path, partitionBy)
       case "error" | "errorifexists" =>
-        TxnLog.create(df, path)
+        TxnLog.create(df, path, partitionBy)
       case other =>
         throw new IllegalArgumentException(s"unsupported mode: $other")
     }
 
   def toDeltalake(df: DataFrame, path: String, mode: String = "append",
-      mergeKeys: Seq[String] = Nil): TxnLog.Snapshot =
-    toTable(df, path, mode, mergeKeys)
+      mergeKeys: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): TxnLog.Snapshot =
+    toTable(df, path, mode, mergeKeys, partitionBy)
 
   def toIceberg(df: DataFrame, path: String, mode: String = "append",
-      mergeCols: Seq[String] = Nil): TxnLog.Snapshot =
-    toTable(df, path, mode, mergeCols)
+      mergeCols: Seq[String] = Nil,
+      partitionBy: Seq[String] = Nil): TxnLog.Snapshot =
+    toTable(df, path, mode, mergeCols, partitionBy)
 
   /** `read_deltalake(path, version=…)` / Iceberg `VERSION AS OF`. */
   def readTable(spark: SparkSession, path: String,

@@ -86,6 +86,21 @@ object Multimodal {
     }
   }
 
+  /** Oracle for the decode-stage aggregate: the synthetic corpus is
+    * deterministic arithmetic over the id (`modality = id % 3`,
+    * `len = 64 + id % 192`, every payload decodes), so counts and byte
+    * totals are SQL-computable without any codec — the plumbing
+    * (mapPartitions batch shape, schema, ok-degradation) is what the
+    * green row then certifies. */
+  def decodeFeaturesOracle(n: Int): String =
+    s"""SELECT CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |            ELSE 'video' END AS modality,
+       |  cast(count(*) as bigint) AS n,
+       |  cast(sum(64 + i % 192) as bigint) AS total_bytes,
+       |  cast(count(*) as bigint) AS n_ok
+       |FROM range($n) t(i)
+       |GROUP BY 1""".stripMargin
+
   /** Resize metadata transform (pure column math — the non-decode part of
     * an image resize: target geometry, scale factors; the pixel work
     * happens in the decode stage at the new geometry). */

@@ -103,9 +103,12 @@ object Dedup {
   private def lshPairs(sig0: DataFrame, bandKeys: org.apache.spark.sql.Column,
       estimate: org.apache.spark.sql.Column): DataFrame = {
     // signatures feed four plan branches (two join sides + two lookup
-    // sides); materialize once instead of recomputing the hash family
-    // per branch (at scale: a checkpoint/cache boundary)
-    val sig = sig0.localCheckpoint(true)
+    // sides); materialize once instead of recomputing the hash family per
+    // branch. DISK_ONLY, not localCheckpoint: the signature table is a
+    // large fraction of the corpus at scale, so it must not pin the block
+    // manager's memory, and lineage stays intact so a lost executor
+    // recomputes its slice instead of failing the job
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val banded = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val a = banded.as("a"); val b = banded.as("b")

@@ -1,0 +1,241 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-3 scale fixes on the transaction log: partition-granular merge
+  * commits (untouched partitions carried forward by reference, not
+  * rewritten), manifest checkpoints bounding `history()` parsing, and
+  * the torn-manifest grace wait on stores without atomic publication. */
+class Round3Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-r3").toString
+
+  /** (relative file path, mtime) of every data file under `dir/rel`. */
+  private def filesOf(dir: String, rel: String): Set[(String, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(root, rel)
+    fs.listStatus(p).toSet
+      .filter(st => !st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.getName, st.getModificationTime))
+  }
+
+  test("txn log: partitioned merge carries untouched partitions by reference") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3"))
+        .toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"))
+    val v1 = table.TxnLog.currentSnapshot(spark, dir).get
+    assert(v1.partitionCols == Seq("p"))
+    assert(v1.dataDirs.length == 3, "one manifest entry per partition")
+    val untouched = v1.dataDirs.filterNot(_.contains("__pt_p=p2"))
+    val before = untouched.map(d => d -> filesOf(dir, d)).toMap
+
+    table.TxnLog.merge(spark, dir,
+      Seq((2L, "B", "p2"), (4L, "d", "p2")).toDF("id", "v", "p"),
+      keys = Seq("id"))
+
+    val v2 = table.TxnLog.currentSnapshot(spark, dir).get
+    // untouched partition dirs appear in v2 as the SAME manifest entries
+    assert(untouched.toSet.subsetOf(v2.dataDirs.toSet),
+      "untouched partitions must carry forward by reference")
+    // and their data files were not rewritten (same names, same mtimes)
+    before.foreach { case (d, fl) =>
+      assert(filesOf(dir, d) == fl, s"files of untouched $d must be intact")
+    }
+    // only p2 got a new dir
+    assert(v2.dataDirs.toSet.diff(v1.dataDirs.toSet).forall(
+      _.contains("__pt_p=p2")))
+    assert(table.TxnLog.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "p1"), (2L, "B", "p2"), (3L, "c", "p3"),
+        (4L, "d", "p2")))
+    // time travel still sees the pre-merge snapshot
+    assert(table.TxnLog.read(spark, dir, asOfVersion = Some(1))
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3")))
+  }
+
+  test("txn log: merge into a brand-new partition rewrites nothing") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a", "p1")).toDF("id", "v", "p"), dir, Seq("p"))
+    val v1 = table.TxnLog.currentSnapshot(spark, dir).get
+    val before = v1.dataDirs.map(d => d -> filesOf(dir, d)).toMap
+    table.TxnLog.merge(spark, dir,
+      Seq((9L, "z", "p9")).toDF("id", "v", "p"), keys = Seq("id"))
+    before.foreach { case (d, fl) => assert(filesOf(dir, d) == fl) }
+    assert(table.TxnLog.read(spark, dir).count() == 2)
+  }
+
+  test("txn log: append without partitionBy inherits the table layout") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a", "p1")).toDF("id", "v", "p"), dir, Seq("p"))
+    table.TxnLog.append(Seq((2L, "b", "p2")).toDF("id", "v", "p"), dir)
+    val snap = table.TxnLog.currentSnapshot(spark, dir).get
+    assert(snap.dataDirs.forall(_.contains("__pt_p=")),
+      "appended dir must follow the partitioned layout")
+    // and a conflicting explicit layout is rejected
+    intercept[IllegalArgumentException] {
+      table.TxnLog.append(
+        Seq((3L, "c", "p3")).toDF("id", "v", "p"), dir, Seq("v"))
+    }
+    // merge after the inherited append stays partition-granular
+    table.TxnLog.merge(spark, dir,
+      Seq((2L, "B", "p2")).toDF("id", "v", "p"), keys = Seq("id"))
+    assert(table.TxnLog.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "p1"), (2L, "B", "p2")))
+  }
+
+  test("txn log: partitionFilter prunes directories from the manifest alone") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a", "p1"), (2L, "b", "p2"), (3L, "c", "p3"))
+        .toDF("id", "v", "p"),
+      dir, Seq("p"))
+    val df = table.TxnLog.read(spark, dir,
+      partitionFilter = m => m("p") == "p2")
+    assert(df.as[(Long, String, String)].collect().toSet ==
+      Set((2L, "b", "p2")))
+    val opened = df.select(input_file_name()).distinct()
+      .as[String].collect()
+    assert(opened.nonEmpty && opened.forall(_.contains("__pt_p=p2")),
+      "only the selected partition's files may be opened")
+    // empty selection yields an empty frame with the right schema
+    val none = table.TxnLog.read(spark, dir,
+      partitionFilter = _ => false)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v", "p"))
+  }
+
+  test("txn log: checkpoint bounds history() to tail manifests") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(Seq((0L, "s")).toDF("id", "v"), dir)
+    (1 to 13).foreach(i =>
+      table.TxnLog.append(Seq((i.toLong, s"r$i")).toDF("id", "v"), dir))
+    // 14 commits → checkpoint written at v10
+    val ckpt = new java.io.File(s"$dir/_graft_log/_last_checkpoint")
+    assert(ckpt.exists(), "checkpoint pointer must exist after 10+ commits")
+    val before = table.TxnLog.manifestParses.get()
+    val hist = table.TxnLog.history(spark, dir)
+    val parses = table.TxnLog.manifestParses.get() - before
+    assert(hist.map(_.version) == (1 to 14))
+    assert(parses == 4,
+      s"history must parse only the 4 post-checkpoint manifests, not $parses")
+    assert(table.TxnLog.read(spark, dir).count() == 14)
+  }
+
+  test("txn log: non-atomic stores — young torn manifest is waited out, not lost") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.forceNonAtomicClaims = true
+    table.TxnLog.tornGraceMs = 5000L
+    table.TxnLog.tornPollMs = 25L
+    try {
+      table.TxnLog.create(Seq((1L, "a")).toDF("id", "v"), dir)
+      // a slow writer has claimed v2 but its body hasn't fully landed
+      val extraRel = "files/slow-writer-commit"
+      Seq((2L, "b")).toDF("id", "v").write.parquet(s"$dir/$extraRel")
+      val v1dir = table.TxnLog.currentSnapshot(spark, dir).get.dataDirs.head
+      val manifest = new java.io.File(s"$dir/_graft_log/v00000002.manifest")
+      java.nio.file.Files.writeString(manifest.toPath, "version=2\nop=app")
+      val full = Seq("version=2", "op=append", "ts=1", "END_HEADER",
+        v1dir, extraRel, "END_MANIFEST").mkString("\n")
+      val lander = new Thread(() => {
+        Thread.sleep(400)
+        java.nio.file.Files.writeString(manifest.toPath, full)
+      })
+      lander.start()
+      // the next committer must WAIT for v2 to land and build on top of it
+      val snap = table.TxnLog.append(Seq((3L, "c")).toDF("id", "v"), dir)
+      lander.join()
+      assert(snap.version == 3)
+      assert(snap.dataDirs.contains(extraRel),
+        "v2's data must be carried into v3 — waiting prevented a lost update")
+      assert(table.TxnLog.read(spark, dir).as[(Long, String)].collect().toSet
+        == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally {
+      table.TxnLog.forceNonAtomicClaims = false
+      table.TxnLog.tornGraceMs = 30000L
+      table.TxnLog.tornPollMs = 100L
+    }
+  }
+
+  test("txn log: non-atomic stores — stale torn manifest is skipped as dead") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.forceNonAtomicClaims = true
+    table.TxnLog.tornGraceMs = 10000L
+    try {
+      table.TxnLog.create(Seq((1L, "a")).toDF("id", "v"), dir)
+      val manifest = new java.io.File(s"$dir/_graft_log/v00000002.manifest")
+      java.nio.file.Files.writeString(manifest.toPath, "version=2\nop=app")
+      manifest.setLastModified(System.currentTimeMillis() - 60000L)
+      val t0 = System.nanoTime()
+      val snap = table.TxnLog.append(Seq((3L, "c")).toDF("id", "v"), dir)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000
+      assert(snap.version == 3, "dead claim's number is skipped, not reused")
+      assert(elapsedMs < 8000, "a stale torn manifest must not stall commits")
+      assert(table.TxnLog.read(spark, dir).count() == 2)
+    } finally {
+      table.TxnLog.forceNonAtomicClaims = false
+      table.TxnLog.tornGraceMs = 30000L
+    }
+  }
+
+  test("txn log: vacuum keeps commit dirs still referenced via carried partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "v", "p"),
+      dir, Seq("p"))
+    table.TxnLog.merge(spark, dir,
+      Seq((2L, "B", "p2")).toDF("id", "v", "p"), keys = Seq("id"))
+    // v2 references v1's commit dir through the carried p1 partition
+    assert(table.TxnLog.vacuum(spark, dir, keepVersions = 1) == 0,
+      "carried-partition commit dirs must survive vacuum")
+    assert(table.TxnLog.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "p1"), (2L, "B", "p2")))
+    // a full overwrite releases both old commit dirs
+    table.TxnLog.overwrite(
+      Seq((9L, "z", "p9")).toDF("id", "v", "p"), dir, Seq("p"))
+    assert(table.TxnLog.vacuum(spark, dir, keepVersions = 1) == 2)
+    assert(table.TxnLog.read(spark, dir).count() == 1)
+  }
+
+  test("txn log: null partition values round-trip through merge") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    table.TxnLog.create(
+      Seq((1L, "a", Some("p1")), (2L, "b", Option.empty[String]))
+        .toDF("id", "v", "p"),
+      dir, Seq("p"))
+    table.TxnLog.merge(spark, dir,
+      Seq((2L, "B", Option.empty[String])).toDF("id", "v", "p"),
+      keys = Seq("id"))
+    val got = table.TxnLog.read(spark, dir)
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((1L, "a", Some("p1")), (2L, "B", None)))
+  }
+}
