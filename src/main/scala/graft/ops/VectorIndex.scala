@@ -29,52 +29,115 @@ object VectorIndex {
 
   // ---- LSH ----------------------------------------------------------------
 
-  private val NBits = 8
+  /** Defaults preserve the round-2 index shape (8 bits, one band). At
+    * 10^10 vectors a 256-bucket table still scans ~2×10^8 vectors per
+    * probe; the scale path is `nBits` 16-24 (65k-16M buckets per band)
+    * with `nBands` independent band tables — near neighbours collide in
+    * at least one band with high probability, so recall is recovered by
+    * the union of per-band probes, not by widening any one probe. */
+  private val DefaultBits = 8
+  final case class LshMeta(nBits: Int, nBands: Int, dim: Int)
 
-  /** Attach the signature column from the shared precomputed hyperplane
-    * matrix ([[Vectors.hyperplaneMatrix]] — a constant; recomputing it
-    * per row through hash expressions cost 18 s per 20k vectors in the
-    * 10× probe). Per-row work is the 8×64 fold only. */
-  private def withBucket(df: DataFrame): DataFrame =
-    df.withColumn("hp", typedLit(Vectors.hyperplaneMatrix(NBits, 64)))
-      .withColumn("bucket", expr(
-        s"""aggregate(sequence(0, ${NBits - 1}), cast(0 as bigint), (acc, j) ->
-           |  acc | shiftleft(
-           |    case when aggregate(zip_with(embedding, element_at(hp, j + 1),
-           |      (x, h) -> cast(x as double) * h),
-           |      cast(0.0 as double), (a, v) -> a + v) >= 0.0d
-           |    then 1L else 0L end, cast(j as int)))""".stripMargin))
+  /** All `nBands` signatures in one pass over the data. Hyperplanes come
+    * from the shared precomputed constant matrix
+    * ([[Vectors.hyperplaneMatrix]], band `b` owns rows `b*nBits ..<
+    * (b+1)*nBits`); recomputing them per row through hash expressions
+    * cost 18 s per 20k vectors in the 10× probe. */
+  private def withBandBuckets(df: DataFrame, meta: LshMeta): DataFrame =
+    df.withColumn("hp",
+        typedLit(Vectors.hyperplaneMatrix(meta.nBits * meta.nBands, meta.dim)))
+      .withColumn("__bands", expr(
+        s"""transform(sequence(0, ${meta.nBands - 1}), b ->
+           |  aggregate(sequence(0, ${meta.nBits - 1}), cast(0 as bigint),
+           |    (acc, j) -> acc | shiftleft(
+           |      case when aggregate(
+           |        zip_with(embedding,
+           |          element_at(hp, b * ${meta.nBits} + j + 1),
+           |          (x, h) -> cast(x as double) * h),
+           |        cast(0.0 as double), (a, v) -> a + v) >= 0.0d
+           |      then 1L else 0L end, cast(j as int))))""".stripMargin))
       .drop("hp")
+      .select(col("*"), posexplode(col("__bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .drop("__bands")
 
-  /** Build (or rebuild) the LSH index: one signature pass, persisted
-    * partitioned by bucket. Clustered on the bucket before the write so
-    * each bucket directory holds ONE file — without it every task fans
-    * out into every bucket dir (32 tasks × 256 buckets of tiny files
-    * cost 17 s of the 10× probe's 18 s build time). */
-  def putLsh(emb: DataFrame, indexPath: String): Unit =
+  /** Build (or rebuild) the LSH index: one signature pass emitting one
+    * row per (vector, band), persisted partitioned by (band, bucket).
+    * Clustered on the partition keys before the write so each bucket
+    * directory holds ONE file — without it every task fans out into
+    * every bucket dir (32 tasks × 256 buckets of tiny files cost 17 s
+    * of the 10× probe's 18 s build time). Geometry is recorded in a
+    * `_lsh_meta` side file so searches need no repeated parameters. */
+  def putLsh(emb: DataFrame, indexPath: String,
+      nBits: Int = DefaultBits, nBands: Int = 1): Unit = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val meta = LshMeta(nBits, nBands, dim)
     graft.io.DatasetWriter.toParquet(
-      withBucket(emb).repartition(col("bucket")),
+      withBandBuckets(emb, meta).repartition(col("band"), col("bucket")),
       indexPath, mode = graft.io.DatasetWriter.Overwrite,
-      partitionCols = Seq("bucket"))
+      partitionCols = Seq("band", "bucket"))
+    writeMeta(spark, indexPath, meta)
+  }
+
+  private def writeMeta(spark: SparkSession, indexPath: String,
+      meta: LshMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_lsh_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"nbits=${meta.nBits}\nnbands=${meta.nBands}\ndim=${meta.dim}\n"
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readMeta(spark: SparkSession, indexPath: String): LshMeta = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_lsh_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return LshMeta(DefaultBits, 1, 64)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.split("\n").filter(_.contains("="))
+      .map(_.split("=", 2)).map(a => a(0) -> a(1).trim.toInt).toMap
+    LshMeta(kv("nbits"), kv("nbands"), kv("dim"))
+  }
 
   /** Buckets probed for a query signature: the bucket itself plus its
     * first `nProbe` Hamming-1 neighbours (multi-probe LSH). */
-  def probeBuckets(bucket: Long, nProbe: Int): Seq[Long] =
-    bucket +: (0 until math.min(nProbe, NBits)).map(j => bucket ^ (1L << j))
+  def probeBuckets(bucket: Long, nProbe: Int,
+      nBits: Int = DefaultBits): Seq[Long] =
+    bucket +: (0 until math.min(nProbe, nBits)).map(j => bucket ^ (1L << j))
 
-  /** Signature of a query vector (for probe planning / specs). */
-  def queryLshBucket(spark: SparkSession, query: Array[Float]): Long = {
-    val qdf = spark.createDataFrame(
-      java.util.List.of(Row(query.toSeq)),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("embedding",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
-    withBucket(qdf).select(col("bucket")).head().getLong(0)
+  /** Per-band signatures of a query vector, computed driver-side with
+    * the same sequential double fold the SQL expression performs (IEEE
+    * ops in the same order ⇒ identical signs ⇒ identical buckets). */
+  private[graft] def querySignatures(query: Array[Float],
+      meta: LshMeta): Seq[Long] = {
+    val hp = Vectors.hyperplaneMatrix(meta.nBits * meta.nBands, meta.dim)
+    (0 until meta.nBands).map { b =>
+      (0 until meta.nBits).foldLeft(0L) { (acc, j) =>
+        val row = hp(b * meta.nBits + j)
+        var dot = 0.0
+        var i = 0
+        while (i < query.length) { dot += query(i).toDouble * row(i); i += 1 }
+        if (dot >= 0.0) acc | (1L << j) else acc
+      }
+    }
   }
 
+  /** Signature of a query vector under the default geometry (probe
+    * planning / specs over default-built indexes). */
+  def queryLshBucket(spark: SparkSession, query: Array[Float]): Long =
+    querySignatures(query, LshMeta(DefaultBits, 1, query.length)).head
+
   /** Top-k by cosine against the persisted index; scans only probed
-    * bucket directories (hive partition pruning on `bucket`). */
+    * (band, bucket) directories — the filter is a disjunction of
+    * per-band partition predicates, so hive partition pruning opens
+    * `nBands × (nProbe + 1)` directories of the whole index. Duplicate
+    * candidates (vectors colliding in several bands) are deduped before
+    * the final rank. */
   def searchLsh(
       spark: SparkSession,
       indexPath: String,
@@ -82,10 +145,16 @@ object VectorIndex {
       k: Int = 10,
       nProbe: Int = 4): DataFrame = {
     graft.expr.CosineSimilarity.register(spark)
-    val probes = probeBuckets(queryLshBucket(spark, query), nProbe)
+    val meta = readMeta(spark, indexPath)
+    val sigs = querySignatures(query, meta)
+    val perBand = sigs.zipWithIndex.map { case (sig, b) =>
+      col("band") === lit(b) &&
+        col("bucket").isin(probeBuckets(sig, nProbe, meta.nBits): _*)
+    }
     val qLit = typedLit(query.toSeq)
     spark.read.option("basePath", indexPath).parquet(indexPath)
-      .filter(col("bucket").isin(probes: _*))
+      .filter(perBand.reduce(_ || _))
+      .dropDuplicates("vec_id")
       .withColumn("cosine",
         call_function("cosine_sim", col("embedding"), qLit))
       .orderBy(col("cosine").desc, col("vec_id"))
