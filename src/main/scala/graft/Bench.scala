@@ -78,9 +78,20 @@ object Bench {
       ops.VectorIndex.searchLsh(spark, idxDir, qvec).count()
     }
 
+    // postings-search probe: inverted index built once outside the timer,
+    // the timed part is what a match query pays against the index
+    val postDir = Files.createTempDirectory("graft-bench-postings")
+      .toString + "/idx"
+    ops.Postings.build(Tables.documents(spark, sfDir), postDir, nBuckets = 16)
+    val postingsTime = time {
+      ops.Postings.matchQuery(spark, postDir,
+        Seq("spark" -> 3, "join" -> 2, "stream" -> 1)).count()
+    }
+
     val all = queryTimes :+
       ("w1_partitioned_write" -> writeTime) :+ ("w2_upsert" -> upsertTime) :+
-      ("w3_txn_merge" -> txnMergeTime) :+ ("vec_indexed_probe" -> probeTime)
+      ("w3_txn_merge" -> txnMergeTime) :+ ("vec_indexed_probe" -> probeTime) :+
+      ("search_postings_probe" -> postingsTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum

@@ -105,6 +105,7 @@ object SparkEntry {
     "graph_cypher"        -> (Cypher.supplierRegionQuery _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
+    "search_postings_query" -> (Postings.searchPostingsQuery _),
     // log analytics (CloudWatch Logs Insights dialect)
     "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
     // data quality (DQDL-shaped)
@@ -201,6 +202,9 @@ object SparkEntry {
     "graph_bgp"           -> Rdf.bgpQueryOracle,
     "graph_cypher"        -> Cypher.supplierRegionOracle,
     "search_match_query"  -> Search.matchQueryOracle,
+    // the postings pipeline reproduces the scan-based match exactly on a
+    // whitespace-token corpus — same oracle text gates both plans
+    "search_postings_query" -> Search.matchQueryOracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal

@@ -157,13 +157,19 @@ object DatasetReader {
       .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
       .toSeq
     val dirs = children.filter(_.isDirectory).map(_.getPath.toString).toSeq
+    // ship the session's hadoop conf (s3a credentials, endpoints, fs impls)
+    // into the executor-side listings — a bare `new Configuration()` only
+    // sees classpath defaults
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val subtree =
       if (dirs.isEmpty) spark.emptyDataset[(String, Long, Long)]
       else spark.createDataset(dirs)
         .repartition(math.min(dirs.size, 64))
         .flatMap { d =>
           val p = new Path(d)
-          val dfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val dfs = p.getFileSystem(confBc.value.value)
           val it = dfs.listFiles(p, true)
           Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
             .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
@@ -211,9 +217,12 @@ object DatasetReader {
       })
     val example = files.take(1)
     require(example.nonEmpty, s"no parquet files under $path")
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     val perSchema = files
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confBc.value.value
         it.map { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new Path(f), conf)

@@ -7,11 +7,13 @@ import graft.table.TxnLog
   * `s3.to_deltalake` / `read_deltalake` (`s3/_write_deltalake.py:51-226`,
   * `s3/_read_deltalake.py:38-136`) and `athena.to_iceberg` /
   * `from_iceberg` (`athena/_write_iceberg.py`, `s3/_s3_tables_iceberg.py`)
-  * — all backed by the in-repo snapshot log [[graft.table.TxnLog]]
+  * — writes backed by the in-repo snapshot log [[graft.table.TxnLog]]
   * (atomic manifest commits, optimistic concurrency, `VERSION AS OF`;
   * no Delta/Iceberg jars exist in this environment, the commit semantics
-  * are the surface). A user of the reference keeps their call shape:
-  * mode strings, merge keys, versioned reads.
+  * are the surface), and `read_deltalake` additionally reading REAL
+  * Delta tables other engines wrote via the jar-free [[DeltaLogReader]].
+  * A user of the reference keeps their call shape: mode strings, merge
+  * keys, versioned reads.
   */
 object TableFormats {
 
@@ -60,11 +62,33 @@ object TableFormats {
       version: Option[Int] = None): DataFrame =
     TxnLog.read(spark, path, version)
 
+  /** `read_deltalake`: a table carrying a REAL `_delta_log` (written by
+    * another engine) routes through the jar-free protocol reader
+    * [[DeltaLogReader]]; otherwise it is one of ours, backed by TxnLog. */
   def readDeltalake(spark: SparkSession, path: String,
-      version: Option[Int] = None): DataFrame = readTable(spark, path, version)
+      version: Option[Int] = None): DataFrame = {
+    val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(logDir))
+      DeltaLogReader.read(spark, path, version.map(_.toLong))
+    else readTable(spark, path, version)
+  }
 
+  /** `from_iceberg`: a table carrying REAL Iceberg metadata (committed by
+    * another engine) routes through the jar-free [[IcebergReader]] —
+    * `version` is then Athena's `VERSION AS OF` snapshot id; otherwise it
+    * is one of ours, backed by TxnLog. */
   def fromIceberg(spark: SparkSession, path: String,
-      version: Option[Int] = None): DataFrame = readTable(spark, path, version)
+      version: Option[Int] = None): DataFrame =
+    if (IcebergReader.isIcebergTable(spark, path))
+      IcebergReader.read(spark, path, version.map(_.toLong))
+    else readTable(spark, path, version)
+
+  /** `from_iceberg` at a specific snapshot id (ids exceed Int range in
+    * real tables — Iceberg ids are random longs). */
+  def fromIcebergSnapshot(spark: SparkSession, path: String,
+      snapshotId: Long): DataFrame =
+    IcebergReader.read(spark, path, Some(snapshotId))
 
   /** `describe_history` parity. */
   def describeHistory(spark: SparkSession, path: String): DataFrame = {

@@ -32,22 +32,32 @@ object KeyValueWrite {
 
   /** `put_items`: driver-side item maps (attribute → value), written
     * through the same upsert path. Missing attributes become NULL; the
-    * item set must cover the key schema. */
+    * item set must cover the key schema. Values are coerced to the target
+    * column's DataType through a Catalyst cast (a PartiQL integer literal
+    * lands in an int, long, double or decimal column alike) rather than
+    * relying on exact runtime-class match. */
   def putItems(
       spark: SparkSession,
       items: Seq[Map[String, Any]],
       tablePath: String,
       schema: KeySchema): Long = {
     require(items.nonEmpty, "put_items requires at least one item")
-    items.foreach(i => require(schema.cols.forall(i.contains),
+    items.foreach(i => require(
+      schema.cols.forall(c => i.get(c).exists(_ != null)),
       s"item missing key attributes ${schema.cols}: $i"))
     val target = spark.read.parquet(tablePath)
+    val loose = org.apache.spark.sql.types.StructType(
+      target.schema.fields.map(f => org.apache.spark.sql.types
+        .StructField(f.name, org.apache.spark.sql.types.StringType)))
     val rows = items.map { m =>
-      Row.fromSeq(target.schema.fields.toSeq.map(f => m.get(f.name).orNull))
+      Row.fromSeq(target.schema.fields.toSeq.map(f =>
+        m.get(f.name).flatMap(Option(_)).map(_.toString).orNull))
     }
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), target.schema)
+        .SeqHasAsJava(rows).asJava), loose)
+      .select(target.schema.fields.toSeq.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*)
     putDf(df, tablePath, schema)
   }
 
@@ -69,13 +79,17 @@ object KeyValueWrite {
       keys: Seq[Map[String, Any]],
       tablePath: String,
       schema: KeySchema): Long = {
-    val keyRows = keys.map(m => Row.fromSeq(schema.cols.map(m(_))))
+    val keyRows = keys.map(m =>
+      Row.fromSeq(schema.cols.map(c => Option(m(c)).map(_.toString).orNull)))
     val target = spark.read.parquet(tablePath)
-    val keySchema = org.apache.spark.sql.types.StructType(
-      schema.cols.map(c => target.schema(c)))
+    val loose = org.apache.spark.sql.types.StructType(
+      schema.cols.map(c => org.apache.spark.sql.types
+        .StructField(c, org.apache.spark.sql.types.StringType)))
     val keyDf = spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters
-        .SeqHasAsJava(keyRows).asJava), keySchema)
+        .SeqHasAsJava(keyRows).asJava), loose)
+      .select(schema.cols.map(c =>
+        col(c).cast(target.schema(c).dataType).as(c)): _*)
     graft.table.MergeOps.deleteMatched(spark, tablePath, keyDf, schema.cols)
   }
 
@@ -131,6 +145,7 @@ object KeyValueWrite {
     if (v.startsWith("'")) v.stripPrefix("'").stripSuffix("'")
     else if (v.equalsIgnoreCase("true")) true
     else if (v.equalsIgnoreCase("false")) false
+    else if (v.equalsIgnoreCase("null")) null
     else if (v.contains('.')) v.toDouble
     else v.toLong
 

@@ -37,9 +37,18 @@ object LogsInsights {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var inRegex = false
+    var inQuote = false
+    var escaped = false
     q.foreach {
-      case '/' => inRegex = !inRegex; cur += '/'
-      case c @ ('|' | '\n') if !inRegex =>
+      case c if escaped => escaped = false; cur += c
+      case '\\' if inRegex => escaped = true; cur += '\\'
+      case '\'' if !inRegex => inQuote = !inQuote; cur += '\''
+      // '/' only delimits a regex literal inside a `parse` stage — a '/'
+      // in a quoted filter value (or any other stage) is plain data
+      case '/' if !inQuote &&
+          (inRegex || cur.toString.trim.toLowerCase.startsWith("parse")) =>
+        inRegex = !inRegex; cur += '/'
+      case c @ ('|' | '\n') if !inRegex && !inQuote =>
         if (cur.toString.trim.nonEmpty) out += cur.toString.trim
         cur.clear()
       case c => cur += c

@@ -6,9 +6,11 @@ import graft.Tables
 
 /** Document search — the OpenSearch-shaped surface of the reference
   * (`opensearch/_read.py:65-155` search, `search_by_sql`). Full-text
-  * relevance over Spark: term-frequency scoring with builtins (a real
-  * deployment adds an inverted-index table; the scoring pipeline is the
-  * same dataframe plan).
+  * relevance over Spark: term-frequency scoring with builtins. This is
+  * the scan path (one pass over the corpus per query); the corpus-scale
+  * path is the persisted token-partitioned postings table in
+  * [[Postings]], which answers the same match queries reading only the
+  * query terms' buckets.
   */
 object Search {
 

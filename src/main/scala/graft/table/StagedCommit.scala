@@ -55,10 +55,18 @@ object StagedCommit {
       if (had) fs.delete(old, true)
     }
 
-    /** Atomically replace exactly the partition directories listed in
-      * `affected` (hive-encoded values, one map per partition). A staged
-      * dataset may legitimately contain NO rows for an affected partition
-      * (every row moved elsewhere) — that partition is deleted.
+    /** Replace exactly the partition directories listed in `affected`
+      * (hive-encoded values, one map per partition). A staged dataset may
+      * legitimately contain NO rows for an affected partition (every row
+      * moved elsewhere) — that partition is deleted.
+      *
+      * Atomicity is PER PARTITION, not table-level: each partition swap is
+      * its own rename pair, so a crash mid-commit leaves some partitions
+      * on the new data and some on the old (plus a hidden
+      * `.<part>.old-*` sibling inside the swap window). [[recover]] walks
+      * the table tree and restores/sweeps those leftovers; readers needing
+      * a table-level atomic view should commit through [[graft.table.TxnLog]],
+      * which publishes all partition dirs in one manifest.
       */
     def commitPartitions(affected: Seq[Map[String, String]]): Unit = {
       require(partitionCols.nonEmpty, "commitPartitions needs partitionCols")
@@ -144,10 +152,14 @@ object StagedCommit {
     staged.rows
   }
 
-  /** Sweep leftovers of crashed commits beside `targetPath`: inert
-    * `.staging-*` dirs are deleted; an `.old-*` dir with no live target
-    * (crash inside the swap window) is restored. Returns the number of
-    * leftovers handled. */
+  /** Sweep leftovers of crashed commits: beside `targetPath`, inert
+    * `.staging-*` dirs are deleted and a table-level `.old-*` dir with no
+    * live target (crash inside the swap window) is restored; then the
+    * table tree itself is walked for the per-partition `.<part>.old-*`
+    * dirs a crashed [[Staged.commitPartitions]] leaves INSIDE the table
+    * (siblings of each partition dir) — a partition whose live dir is
+    * missing is restored from its old copy, otherwise the old copy is
+    * deleted. Returns the number of leftovers handled. */
   def recover(spark: SparkSession, targetPath: String): Int = {
     val (fs, target) = fsFor(spark, targetPath)
     val parent = target.getParent
@@ -162,6 +174,31 @@ object StagedCommit {
         if (!fs.exists(target)) fs.rename(st.getPath, target)
         else fs.delete(st.getPath, true)
         handled += 1
+      }
+    }
+    if (fs.exists(target)) handled += recoverTree(fs, target)
+    handled
+  }
+
+  /** Hidden-dir leftover name: `.<live-name>.old-<uuid>`. */
+  private val PartOldName = """^\.(.+)\.old-[0-9a-fA-F-]+$""".r
+
+  /** Depth-first sweep of a table tree for per-partition swap leftovers.
+    * Metadata-scale: lists directories only (data files are skipped, not
+    * recursed into), and recovery is a rare administrative path. */
+  private def recoverTree(fs: FileSystem, dir: Path): Int = {
+    var handled = 0
+    val children = fs.listStatus(dir).filter(_.isDirectory)
+    children.foreach { st =>
+      st.getPath.getName match {
+        case PartOldName(liveName) =>
+          val live = new Path(dir, liveName)
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+          handled += 1
+        case n if !n.startsWith(".") && !n.startsWith("_") =>
+          handled += recoverTree(fs, st.getPath)
+        case _ => () // other hidden/metadata dirs are not ours to touch
       }
     }
     handled

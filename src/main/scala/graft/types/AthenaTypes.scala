@@ -59,6 +59,9 @@ object AthenaTypes {
       case "binary" | "varbinary" => BinaryType
       case "date" => DateType
       case "timestamp" => TimestampType
+      // Athena geospatial columns surface as WKT strings on read
+      // (`athena/_read.py:51-59`, `_data_types.py:398-399`)
+      case "geometry" => StringType
       case l if l.startsWith("decimal") =>
         val body = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
         val Array(p, sc) = body.split(",").map(_.trim.toInt)

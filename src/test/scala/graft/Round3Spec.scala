@@ -273,6 +273,153 @@ class Round3Spec extends AnyFunSuite {
       s"probe I/O must be a small fraction: $touched of $total")
   }
 
+  test("staged commit: recover() restores partition-level swap-window crashes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    Seq((1L, "a", "p1", "x"), (2L, "b", "p2", "y"), (3L, "c", "p2", "z"))
+      .toDF("id", "v", "p", "q")
+      .write.partitionBy("p", "q").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash between rename(tgt→old) and rename(stg→tgt): the live nested
+    // partition dir is gone, only the hidden old copy remains
+    assert(fs.rename(new Path(s"$dir/p=p2/q=y"),
+      new Path(s"$dir/p=p2/.q=y.old-deadbeef")))
+    // and a stale old sibling whose live dir still exists (crash after the
+    // publish rename but before cleanup) must be swept, not restored
+    fs.mkdirs(new Path(s"$dir/p=p1/.q=x.old-cafe01"))
+    assert(table.StagedCommit.recover(spark, dir) == 2)
+    assert(fs.exists(new Path(s"$dir/p=p2/q=y")), "lost partition restored")
+    assert(!fs.exists(new Path(s"$dir/p=p2/.q=y.old-deadbeef")))
+    assert(!fs.exists(new Path(s"$dir/p=p1/.q=x.old-cafe01")),
+      "stale old copy swept")
+    assert(spark.read.parquet(dir).as[(Long, String, String, String)]
+      .collect().toSet ==
+      Set((1L, "a", "p1", "x"), (2L, "b", "p2", "y"), (3L, "c", "p2", "z")))
+  }
+
+  test("partiql: literals coerce to the target column types, NULL supported") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/kv"
+    Seq((1, 1.5, "a", Some(10L)), (2, 2.5, "b", Some(20L)))
+      .toDF("k", "x", "s", "opt")
+      .write.parquet(dir)
+    val ks = ops.KeyValueWrite.KeySchema("k")
+    // integer literal 5 into double column x, decimal 7.5 into long column
+    // opt would truncate — use int-compatible; NULL into opt
+    ops.KeyValueWrite.executeStatement(spark,
+      "INSERT INTO kv VALUE {'k': 3, 'x': 5, 's': 'c', 'opt': null}",
+      dir, ks)
+    // update an existing item: double literal into double col, int into long
+    ops.KeyValueWrite.executeStatement(spark,
+      "INSERT INTO kv VALUE {'k': 1, 'x': 9.25, 's': 'A', 'opt': 99}",
+      dir, ks)
+    val got = spark.read.parquet(dir)
+      .as[(Int, Double, String, Option[Long])].collect().toSet
+    assert(got == Set((1, 9.25, "A", Some(99L)), (2, 2.5, "b", Some(20L)),
+      (3, 5.0, "c", None)))
+    // DELETE with a numeric key literal (Long-parsed) against the int column
+    ops.KeyValueWrite.executeStatement(spark,
+      "DELETE FROM kv WHERE k = 3", dir, ks)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("logs insights: '/' inside a quoted filter value does not mis-split") {
+    val spark0 = spark
+    import spark0.implicits._
+    val logs = Seq(("/api/v1", 1L), ("/api/v2", 2L), ("/api/v1", 3L))
+      .toDF("path", "value")
+    val out = ops.LogsInsights.query(logs,
+      "fields path, value | filter path = '/api/v1' | stats count(*) as n, sum(value) as sum_value")
+      .as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((2L, 4L)))
+    // and a parse-stage regex containing '|' alternation still holds as
+    // one stage while later quoted '/' values pass through
+    val parsed = ops.LogsInsights.query(logs,
+      """parse path /\/api\/(v1|v2)/ as ver
+        | filter ver = 'v1'
+        | stats count(*) as n""".stripMargin)
+      .as[Long].collect()
+    assert(parsed.toSeq == Seq(2L))
+  }
+
+  test("postings index: equals the scan-based match and prunes to term buckets") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val idx = s"${tmp()}/idx"
+    ops.Postings.build(Tables.documents(spark, dir), idx, nBuckets = 16)
+    val viaIndex = ops.Postings.matchQuery(spark, idx,
+      Seq("spark" -> 3, "join" -> 2, "stream" -> 1), k = 20)
+      .select("doc_id", "lang", "tf_spark", "tf_join", "tf_stream", "score")
+      .collect().toSeq
+    val viaScan = ops.Search.matchQuery(spark, dir).collect().toSeq
+    assert(viaIndex == viaScan,
+      "postings-based match must be value-identical to the corpus scan")
+
+    // directory pruning: the three terms route to ≤3 of 16 buckets and
+    // only those partitions' files are opened
+    val buckets =
+      Seq("spark", "join", "stream").map(ops.Postings.bucketOf(_, 16)).distinct
+    val probe = spark.read.option("basePath", idx).parquet(idx)
+      .filter(col("tok_bucket").isin(buckets.map(Int.box): _*))
+    val opened = probe.select(input_file_name()).distinct().as[String].collect()
+    assert(opened.nonEmpty &&
+      opened.forall(f => buckets.exists(b => f.contains(s"tok_bucket=$b"))),
+      s"probe must only open term-bucket files: $opened")
+    val allDirs = spark.read.option("basePath", idx).parquet(idx)
+      .select(input_file_name()).distinct().count()
+    assert(allDirs > opened.size, "index must hold more buckets than probed")
+  }
+
+  test("byte io: upload/download round-trip, range read, file forms, streams") {
+    val dir = tmp()
+    val obj = s"$dir/objects/blob.bin"
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    io.ByteIO.upload(spark, payload, obj)
+    assert(io.ByteIO.download(spark, obj).toSeq == payload.toSeq)
+    // range read: middle slice and open-ended tail
+    assert(io.ByteIO.downloadRange(spark, obj, 100, 50).toSeq ==
+      payload.slice(100, 150).toSeq)
+    assert(io.ByteIO.downloadRange(spark, obj, 900).toSeq ==
+      payload.drop(900).toSeq)
+    // local-file forms
+    val local = s"$dir/local/copy.bin"
+    assert(io.ByteIO.downloadToFile(spark, obj, local) == 1000L)
+    assert(java.nio.file.Files.readAllBytes(
+      new java.io.File(local).toPath).toSeq == payload.toSeq)
+    val obj2 = s"$dir/objects/blob2.bin"
+    assert(io.ByteIO.uploadFromFile(spark, local, obj2) == 1000L)
+    assert(io.ByteIO.download(spark, obj2).toSeq == payload.toSeq)
+    // raw streams
+    val out = io.ByteIO.openWrite(spark, s"$dir/objects/blob3.bin")
+    out.write("streamed".getBytes("UTF-8")); out.close()
+    val in = io.ByteIO.openRead(spark, s"$dir/objects/blob3.bin")
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(got == "streamed")
+  }
+
+  test("geometry: WKT columns recognized in cast-on-read") {
+    val spark0 = spark
+    import spark0.implicits._
+    assert(types.AthenaTypes.fromAthena("geometry") ==
+      org.apache.spark.sql.types.StringType)
+    assert(types.AthenaTypes.fromAthena("array<geometry>") ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+    val dir = s"${tmp()}/geo"
+    Seq((1L, "POINT (30 10)"), (2L, "POLYGON ((0 0, 1 0, 1 1, 0 0))"))
+      .toDF("id", "shape").write.parquet(dir)
+    val cast = io.DatasetReader.castWithAthenaTypes(
+      spark.read.parquet(dir), Map("shape" -> "geometry", "id" -> "bigint"))
+    assert(cast.schema("shape").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(cast.as[(Long, String)].collect().toSet ==
+      Set((1L, "POINT (30 10)"), (2L, "POLYGON ((0 0, 1 0, 1 1, 0 0))")))
+  }
+
   test("txn log: null partition values round-trip through merge") {
     val spark0 = spark
     import spark0.implicits._
