@@ -33,6 +33,9 @@ object Bench {
         df.count()
       } catch { case _: Throwable => }
     }
+    // fixture: the per-corpus postings index is ingest-time cost; build
+    // it here so `search_postings_query` times the probe, not the build
+    try ops.Postings.indexFor(spark, sfDir) catch { case _: Throwable => }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -40,8 +43,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // fixed-cost calibration: a pure-CPU aggregate over a fixed range,
+    // run at sweep start and end. If the two differ by >1.5× the machine
+    // was contended mid-run and the sweep's numbers are not trustworthy —
+    // the JSON flags it instead of letting a starved run masquerade as a
+    // regression (the round-3 failure mode).
+    def calibrate(): Double = time {
+      spark.range(0, 200000000L, 1, cpus.toInt)
+        .selectExpr("sum(xxhash64(id))").count()
+    }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
+    val calibStart = calibrate()
+
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> time(fn(spark, sfDir).count())
+      case (name, fn) =>
+        val t = time(fn(spark, sfDir).count())
+        // free any per-query persisted state (dedup signature tables)
+        // so one query's blocks never tax the queries after it
+        ops.Dedup.releaseCaches()
+        name -> t
     }
 
     // headline dataset write: lineitem partitioned by returnflag
@@ -78,25 +101,36 @@ object Bench {
       ops.VectorIndex.searchLsh(spark, idxDir, qvec).count()
     }
 
-    // postings-search probe: inverted index built once outside the timer,
-    // the timed part is what a match query pays against the index
+    // postings index BUILD as its own entry (the ingest-time cost; the
+    // probe cost is `search_postings_query` in the sweep above)
     val postDir = Files.createTempDirectory("graft-bench-postings")
       .toString + "/idx"
-    ops.Postings.build(Tables.documents(spark, sfDir), postDir, nBuckets = 16)
+    val postingsBuildTime = time {
+      ops.Postings.build(Tables.documents(spark, sfDir), postDir, nBuckets = 16)
+    }
     val postingsTime = time {
       ops.Postings.matchQuery(spark, postDir,
         Seq("spark" -> 3, "join" -> 2, "stream" -> 1)).count()
     }
 
+    val calibEnd = calibrate()
+    val loadEnd = loadAvg()
+    val calibRatio =
+      if (calibStart > 0 && calibEnd > 0)
+        math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd)
+      else -1.0
+    val contended = calibRatio > 1.5
+
     val all = queryTimes :+
       ("w1_partitioned_write" -> writeTime) :+ ("w2_upsert" -> upsertTime) :+
       ("w3_txn_merge" -> txnMergeTime) :+ ("vec_indexed_probe" -> probeTime) :+
+      ("search_postings_build" -> postingsBuildTime) :+
       ("search_postings_probe" -> postingsTime)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }

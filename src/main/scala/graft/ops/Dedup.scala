@@ -23,6 +23,22 @@ import graft.Tables
   */
 object Dedup {
 
+  /** Signature tables persisted by [[lshPairs]] for the duration of one
+    * query's action. The persist is load-bearing (the signatures feed
+    * four plan branches), but the blocks must not outlive the query — a
+    * benchmark sweep that runs six dedup queries first would otherwise
+    * carry their DISK_ONLY blocks through every later query. Harnesses
+    * call [[releaseCaches]] after each action completes. */
+  private val liveCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Unpersist every signature table registered since the last release.
+    * Cheap no-op when nothing is registered; non-blocking eviction. */
+  def releaseCaches(): Unit = {
+    var df = liveCaches.poll()
+    while (df != null) { df.unpersist(false); df = liveCaches.poll() }
+  }
+
   /** Distinct character 3-gram shingles per document. */
   private def shingles = array_distinct(
     expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))
@@ -109,6 +125,7 @@ object Dedup {
     // manager's memory, and lineage stays intact so a lost executor
     // recomputes its slice instead of failing the job
     val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    liveCaches.add(sig)
     val banded = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val a = banded.as("a"); val b = banded.as("b")

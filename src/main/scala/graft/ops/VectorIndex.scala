@@ -198,17 +198,23 @@ object VectorIndex {
   }
 
   /** Nearest-centroid assignment (broadcast join against the tiny
-    * centroid table; one codegen'd cosine per (vector, cell)). */
+    * centroid table; one codegen'd cosine per (vector, cell)). The argmax
+    * is a single hash aggregate — `max_by` over `struct(sim, -cell)`
+    * (ties on sim break toward the lowest cell, same total order the
+    * previous window formulation used) — so no k×n sort ever happens;
+    * per-iteration cost is one broadcast join + one partial-aggregating
+    * shuffle of n rows. */
   private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val payloadCols = emb.columns.filterNot(_ == "vec_id")
     val scored = emb.crossJoin(broadcast(centroids))
       .withColumn("sim",
         call_function("cosine_sim", col("embedding"), col("centroid")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("cell"))
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "sim", "centroid")
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(
+        struct((payloadCols.map(col) :+ col("cell")): _*),
+        struct(col("sim"), -col("cell"))).as("__best"))
+      .select(col("vec_id") +:
+        (payloadCols :+ "cell").map(n => col(s"__best.$n").as(n)): _*)
   }
 
   /** Build the IVF index: k-means quantizer, assignments partitioned by
