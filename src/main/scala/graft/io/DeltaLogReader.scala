@@ -65,10 +65,15 @@ object DeltaLogReader {
     var partCols: Seq[String] = Nil
 
     ckptVersion.foreach { cv =>
-      val rows = spark.read.parquet(checkpoints(cv)).collect()
+      // select only the three action structs so parquet column pruning
+      // drops the stats/tags payloads real checkpoints carry
+      val ckpt = spark.read.parquet(checkpoints(cv))
+      val actionCols = ckpt.columns.filter(Set("metaData", "add", "remove"))
+      val rows = ckpt.select(actionCols.map(col).toSeq: _*).collect()
       rows.foreach { r =>
         def struct(name: String) =
-          Option(r.getAs[org.apache.spark.sql.Row](name))
+          if (!r.schema.fieldNames.contains(name)) None
+          else Option(r.getAs[org.apache.spark.sql.Row](name))
         struct("metaData").foreach { m =>
           schema = Some(parseSchema(m.getAs[String]("schemaString")))
           partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
@@ -120,7 +125,18 @@ object DeltaLogReader {
       partCols, active.values.toSeq)
   }
 
-  /** `read_deltalake(version=…)`: the snapshot as a DataFrame. */
+  /** `read_deltalake(version=…)`: the snapshot as a DataFrame.
+    *
+    * Plan shape: ONE parquet scan over the whole active file list —
+    * never a union of per-partition scans (10k partition tuples would
+    * mean a 10k-node plan). The log's `partitionValues` (authoritative
+    * over directory names) are re-attached by a broadcast join of the
+    * tiny (file → values) manifest against `input_file_name()`: the
+    * manifest is metadata-scale (one row per active file, the same list
+    * the snapshot already materialized), so the join is a map-side
+    * lookup, and the scan itself stays a single distributed node that
+    * AQE/pushdown treat normally.
+    */
   def read(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, asOfVersion)
@@ -130,15 +146,32 @@ object DeltaLogReader {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     val root = new Path(tablePath)
-    snap.files.groupBy(_.partitionValues).map { case (pv, files) =>
-      val paths = files.map(f => new Path(root, f.path).toString)
-      val base = spark.read.schema(dataSchema).parquet(paths: _*)
-      snap.partitionColumns.foldLeft(base) { (d, c) =>
-        val t = snap.schema(c).dataType
-        d.withColumn(c, lit(pv.get(c).flatten.orNull).cast(t))
-      }
-    }.reduce(_.unionByName(_))
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualified URIs so they compare equal to input_file_name()'s output
+    val qualified = snap.files.map { f =>
+      fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
+    }
+    val base = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
+    if (snap.partitionColumns.isEmpty)
+      return base.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    val manifestSchema = StructType(
+      org.apache.spark.sql.types.StructField("__file",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+        snap.partitionColumns.map(c => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.StringType, nullable = true)))
+    val manifestRows = qualified.map { case (uri, f) =>
+      org.apache.spark.sql.Row.fromSeq(
+        uri +: snap.partitionColumns.map(c => f.partitionValues.get(c).flatten.orNull))
+    }
+    val manifest = spark.createDataFrame(
+      spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
+    base
+      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+      .join(org.apache.spark.sql.functions.broadcast(manifest), Seq("__file"), "left")
+      .select(snap.schema.fields.map { f =>
+        if (snap.partitionColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
   }
 
   /** Commit history (newest first) from the commitInfo actions. */

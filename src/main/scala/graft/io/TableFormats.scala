@@ -47,10 +47,19 @@ object TableFormats {
         throw new IllegalArgumentException(s"unsupported mode: $other")
     }
 
+  /** `to_deltalake` in the REAL Delta format (`_delta_log` JSON actions +
+    * periodic checkpoint parquet) — any Delta reader, not just this repo,
+    * can open the result; [[DeltaLogReader]] is the in-repo consumer.
+    * `mergeKeys` engages the partition-granular MERGE path. */
   def toDeltalake(df: DataFrame, path: String, mode: String = "append",
       mergeKeys: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): TxnLog.Snapshot =
-    toTable(df, path, mode, mergeKeys, partitionBy)
+      partitionBy: Seq[String] = Nil): DeltaLogWriter.Committed =
+    if (mergeKeys.nonEmpty &&
+      DeltaLogReader.latestVersion(df.sparkSession, path) >= 0)
+      DeltaLogWriter.merge(df.sparkSession, path, df, mergeKeys)
+    else if (mergeKeys.nonEmpty) // upsert into a not-yet-existing table
+      DeltaLogWriter.write(df, path, mode = "error", partitionBy = partitionBy)
+    else DeltaLogWriter.write(df, path, mode, partitionBy)
 
   def toIceberg(df: DataFrame, path: String, mode: String = "append",
       mergeCols: Seq[String] = Nil,

@@ -377,7 +377,7 @@ class Round2Spec extends AnyFunSuite {
     val spark0 = spark
     import spark0.implicits._
     val dir = s"${tmp()}/t"
-    io.TableFormats.toDeltalake(
+    io.TableFormats.toTable(
       Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir, mode = "append")
     io.TableFormats.toIceberg(
       Seq((2L, "B"), (3L, "c")).toDF("id", "v"), dir,
