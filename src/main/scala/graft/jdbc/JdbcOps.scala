@@ -77,12 +77,30 @@ object JdbcOps {
     * upsert. Upsert stages the batch into a temp table and issues one
     * MERGE statement — the exact shape of the reference's staged upsert
     * (`redshift/_write.py:544-769`, `mysql.py upsert_duplicate_key`).
+    *
+    * `engine` selects the per-engine DDL type mapping
+    * ([[graft.types.DbTypes]], reference `_data_types.py:71-285`): the
+    * table is created with engine-correct column types (SUPER for nested
+    * Redshift columns, NUMBER widths on Oracle, varchar-length
+    * overrides…) before the rows land; without it Spark's default JDBC
+    * DDL decides, which is wrong/lossy on non-default engines.
     */
   def toSql(df: DataFrame, url: String, table: String,
       mode: String = "append",
       upsertKeys: Seq[String] = Nil,
-      options: Map[String, String] = Map.empty): Unit = mode match {
+      options: Map[String, String] = Map.empty,
+      engine: Option[String] = None,
+      dtype: Map[String, String] = Map.empty,
+      varcharLengthsDefault: Either[Int, String] = Left(256),
+      varcharLengths: Map[String, Int] = Map.empty): Unit = mode match {
     case "append" =>
+      engine.foreach(e => ensureTable(url, table, df, e, dtype,
+        varcharLengthsDefault, varcharLengths, dropFirst = false))
+      df.write.format("jdbc").option("url", url).option("dbtable", table)
+        .options(options).mode(SaveMode.Append).save()
+    case "overwrite" if engine.isDefined =>
+      ensureTable(url, table, df, engine.get, dtype,
+        varcharLengthsDefault, varcharLengths, dropFirst = true)
       df.write.format("jdbc").option("url", url).option("dbtable", table)
         .options(options).mode(SaveMode.Append).save()
     case "overwrite" =>
@@ -109,6 +127,22 @@ object JdbcOps {
       executeStatement(url, s"DROP TABLE $stage")
     case other =>
       throw new IllegalArgumentException(s"unknown to_sql mode: $other")
+  }
+
+  /** Create `table` with engine-dialect DDL if absent (drop first for
+    * overwrite). Existence is probed with a zero-row select — portable
+    * across engines without information_schema dialect differences. */
+  private def ensureTable(url: String, table: String, df: DataFrame,
+      engine: String, dtype: Map[String, String],
+      varcharLengthsDefault: Either[Int, String],
+      varcharLengths: Map[String, Int], dropFirst: Boolean): Unit = {
+    val exists =
+      try { executeStatement(url, s"SELECT 1 FROM $table WHERE 1=0"); true }
+      catch { case _: java.sql.SQLException => false }
+    if (exists && dropFirst) executeStatement(url, s"DROP TABLE $table")
+    if (!exists || dropFirst)
+      executeStatement(url, graft.types.DbTypes.createTableDdl(
+        table, df.schema, engine, dtype, varcharLengthsDefault, varcharLengths))
   }
 
   /** Raw DDL/DML passthrough (the `execute_statement` escape hatch). */
