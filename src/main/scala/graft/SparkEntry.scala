@@ -103,6 +103,7 @@ object SparkEntry {
     "graph_flatten_props" -> (Graph.flattenProps _),
     "graph_bgp"           -> (Rdf.bgpQuery _),
     "graph_cypher"        -> (Cypher.supplierRegionQuery _),
+    "graph_gremlin"       -> (Gremlin.supplierInEuropeQuery _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "graph_flatten_props" -> Graph.flattenPropsOracle,
     "graph_bgp"           -> Rdf.bgpQueryOracle,
     "graph_cypher"        -> Cypher.supplierRegionOracle,
+    "graph_gremlin"       -> Gremlin.supplierInEuropeOracle,
     "search_match_query"  -> Search.matchQueryOracle,
     // the postings pipeline reproduces the scan-based match exactly on a
     // whitespace-token corpus — same oracle text gates both plans

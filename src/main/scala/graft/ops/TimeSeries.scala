@@ -189,6 +189,38 @@ object TimeSeries {
     (loaded, rejected)
   }
 
+  /** `timestream.unload_to_files` (`timestream/_read.py:177-338`): query
+    * results exported as files under `path`, optionally hive-partitioned
+    * by `partitionedBy`, parquet or CSV — the reference's UNLOAD call
+    * shape over the generic [[graft.sql.SqlEngine.unload]]. Partitioned
+    * export is the standard shuffle-free dynamic write: each task writes
+    * the partition dirs it holds, no global sort, no driver staging. */
+  def unloadToFiles(
+      spark: SparkSession,
+      sql: String,
+      path: String,
+      format: String = "parquet",
+      partitionedBy: Seq[String] = Nil,
+      compression: String = "snappy"): Unit =
+    graft.sql.SqlEngine.unload(spark, sql, path, format, partitionedBy,
+      compression,
+      options = if (format == "csv") Map("header" -> "true") else Map.empty)
+
+  /** `timestream.unload` (`timestream/_read.py:341-434`): UNLOAD + read
+    * the exported files back as a DataFrame. */
+  def unload(
+      spark: SparkSession,
+      sql: String,
+      path: String,
+      format: String = "parquet",
+      partitionedBy: Seq[String] = Nil,
+      compression: String = "snappy"): DataFrame = {
+    unloadToFiles(spark, sql, path, format, partitionedBy, compression)
+    val r = spark.read.format(format)
+    (if (format == "csv") r.option("header", "true").option("inferSchema", "true")
+     else r).load(path)
+  }
+
   /** Top-k entities by activity — the "hottest devices" query shape. */
   def topUsers(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

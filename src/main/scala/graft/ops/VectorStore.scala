@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+/** Vector-store CRUD + the pluggable embedding hook — the reference's
+  * S3 Vectors write/read surface (`s3/_vectors/_write.py:109-233`
+  * put_vectors, `_read.py:167-246` get/list, `_delete.py` delete) with
+  * the batched text→vector endpoint of `s3/_vectors/_bedrock.py:20-90`:
+  * texts are embedded in batches, one endpoint call per batch, inside
+  * `mapPartitions` — the per-partition client-init pattern, so a
+  * 1000-executor run opens 1000 clients, not one per row.
+  *
+  * The store itself is a keyed parquet dataset (`key`, `embedding`,
+  * payload columns); puts/deletes run through the staged-atomic
+  * [[graft.table.MergeOps]] merge — one shuffle join, touched partitions
+  * rewritten, never the whole store. Indexing delegates to
+  * [[VectorIndex]] (persisted LSH/IVF probes).
+  */
+object VectorStore {
+
+  /** Pluggable text→vector endpoint. Implementations MUST be
+    * Serializable — the hook ships to executors inside `mapPartitions`.
+    * `embedBatch` receives at most `batchSize` texts per call (the
+    * endpoint-invoke batching of the reference). */
+  trait Embedder extends Serializable {
+    def dim: Int
+    def batchSize: Int = 64
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]]
+  }
+
+  /** Deterministic stub endpoint — this container has no model runtime,
+    * so the default embedder is a rolling-hash projection of the text
+    * into `dim` floats in (-1, 1) (same family as the multimodal decode
+    * stub). The contract — batched texts in, fixed-width unit-free float
+    * vectors out — is the production surface; swap in a real client
+    * without touching the pipeline. */
+  final case class HashEmbedder(dim: Int = 64,
+      override val batchSize: Int = 64) extends Embedder {
+    def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < t.length) {
+        h = 31 * h + t.charAt(i).toInt
+        out(i % dim) += (h % 1000L).toFloat / 1000.0f
+        i += 1
+      }
+      out.map(v => math.tanh(v.toDouble).toFloat)
+    }
+  }
+
+  /** Embed `textCol` into an `embedding` column via the hook: batched
+    * `mapPartitions`, input partitioning preserved (no shuffle). */
+  def embedText(df: DataFrame, textCol: String,
+      embedder: Embedder): DataFrame = {
+    val outSchema = df.schema.add("embedding", ArrayType(FloatType))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(embedder.batchSize).flatMap { batch =>
+        val vecs = embedder.embedBatch(batch.map(_.getAs[String](textCol)))
+        batch.lazyZip(vecs).map((r, v) => Row.fromSeq(r.toSeq :+ v.toSeq))
+      }
+    }(enc)
+  }
+
+  /** `put_vectors`: upsert (key, embedding, payload…) rows into the
+    * store — matched keys replaced whole, new keys inserted. First put
+    * creates the store. */
+  def putVectors(df: DataFrame, storePath: String,
+      keyCol: String = "key"): Long =
+    if (!graft.io.DatasetReader.datasetExists(df.sparkSession, storePath)) {
+      graft.io.DatasetWriter.toParquet(df, storePath,
+        mode = graft.io.DatasetWriter.Overwrite)
+      df.count()
+    } else
+      graft.table.MergeOps.upsert(df.sparkSession, storePath, df,
+        keys = Seq(keyCol))
+
+  /** `put_vectors` from a text frame: route through the embed hook, then
+    * store AND build the persisted LSH index beside the data — the write
+    * path a reference user gets from `put_vectors(texts=…)`. */
+  def putVectorsFromDf(
+      df: DataFrame,
+      storePath: String,
+      textCol: String = "text",
+      keyCol: String = "key",
+      embedder: Embedder = HashEmbedder(),
+      nBits: Int = 8,
+      nBands: Int = 1): Long = {
+    val embedded = embedText(df, textCol, embedder)
+    val n = putVectors(embedded, storePath, keyCol)
+    // index rows carry (vec_id, label) — label = the store key, so a
+    // probe result maps straight back to the stored item
+    VectorIndex.putLsh(
+      embedded.withColumn("vec_id", xxhash64(col(keyCol)))
+        .withColumn("label", col(keyCol).cast("string")),
+      s"$storePath/_lsh_index", nBits, nBands)
+    n
+  }
+
+  /** `get_vectors`: point reads by key (bucket-prunable when the store
+    * is bucketed; a key-list semi-join otherwise). */
+  def getVectors(spark: SparkSession, storePath: String,
+      keys: Seq[Any], keyCol: String = "key"): DataFrame =
+    spark.read.parquet(storePath).filter(col(keyCol).isin(keys: _*))
+
+  /** `list_vectors`: full store scan with optional metadata filter tree
+    * ([[MetadataFilter]] `$eq`/`$gt`/… documents). */
+  def listVectors(spark: SparkSession, storePath: String,
+      filter: Option[Map[String, Any]] = None): DataFrame = {
+    val base = spark.read.parquet(storePath)
+    filter.map(f => base.filter(MetadataFilter.compile(f))).getOrElse(base)
+  }
+
+  /** `delete_vectors`: remove by key through the staged merge. */
+  def deleteVectors(spark: SparkSession, storePath: String,
+      keys: Seq[Any], keyCol: String = "key"): Long = {
+    import spark.implicits._
+    val keyDf = keys.map(_.toString).toDF(keyCol)
+      .select(col(keyCol).cast(
+        spark.read.parquet(storePath).schema(keyCol).dataType))
+    graft.table.MergeOps.deleteMatched(spark, storePath, keyDf, Seq(keyCol))
+  }
+
+  /** Query by TEXT through the same hook: embed driver-side (one query
+    * string), probe the persisted LSH index. */
+  def queryByText(spark: SparkSession, storePath: String, text: String,
+      k: Int = 10, nProbe: Int = 4,
+      embedder: Embedder = HashEmbedder()): DataFrame =
+    VectorIndex.searchLsh(spark, s"$storePath/_lsh_index",
+      embedder.embedBatch(Seq(text)).head, k, nProbe)
+}

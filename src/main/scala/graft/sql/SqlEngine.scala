@@ -201,9 +201,10 @@ object SqlEngine {
       path: String,
       format: String = "parquet",
       partitionedBy: Seq[String] = Nil,
-      compression: String = "snappy"): Unit = {
+      compression: String = "snappy",
+      options: Map[String, String] = Map.empty): Unit = {
     val w = spark.sql(sql).write.format(format)
-      .option("compression", compression)
+      .option("compression", compression).options(options)
     val p = if (partitionedBy.nonEmpty) w.partitionBy(partitionedBy: _*) else w
     p.mode("overwrite").save(path)
   }
