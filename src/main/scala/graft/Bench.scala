@@ -52,6 +52,9 @@ object Bench {
       spark.range(0, 200000000L, 1, cpus.toInt)
         .selectExpr("sum(xxhash64(id))").count()
     }
+    // untimed warmup of the calibration plan itself: the first run pays
+    // codegen compile, which would read as a spurious start-vs-end skew
+    calibrate()
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage

@@ -34,7 +34,8 @@ import org.apache.spark.sql.types._
   */
 object IcebergReader {
 
-  final case class DataFileEntry(path: String, partition: Map[String, Any])
+  final case class DataFileEntry(path: String, partition: Map[String, Any],
+      recordCount: Long = 0L, sizeBytes: Long = 0L)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -106,8 +107,14 @@ object IcebergReader {
         val status = entry.get("status").asInstanceOf[Int]
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val path = resolve(root, df.get("file_path").toString).toString
+        def longOf(field: String): Long = df.get(field) match {
+          case l: java.lang.Long => l
+          case i: java.lang.Integer => i.toLong
+          case _ => 0L
+        }
         if (status == 2) active.remove(path)
-        else active(path) = DataFileEntry(path, partitionMap(df))
+        else active(path) = DataFileEntry(path, partitionMap(df),
+          longOf("record_count"), longOf("file_size_in_bytes"))
       }
     }
     Snapshot(wanted, snap.get("timestamp-ms").asLong,

@@ -61,10 +61,24 @@ object TableFormats {
       DeltaLogWriter.write(df, path, mode = "error", partitionBy = partitionBy)
     else DeltaLogWriter.write(df, path, mode, partitionBy)
 
+  /** `to_iceberg` — REAL Iceberg format (metadata json + avro manifests,
+    * [[IcebergWriter]]) for new or already-Iceberg tables; a dir holding
+    * an existing TxnLog table continues through TxnLog so mixed-format
+    * dirs never fork. `mergeCols` engages partition-granular MERGE. */
   def toIceberg(df: DataFrame, path: String, mode: String = "append",
       mergeCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): TxnLog.Snapshot =
-    toTable(df, path, mode, mergeCols, partitionBy)
+      partitionBy: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    val isTxn = !IcebergReader.isIcebergTable(spark, path) &&
+      TxnLog.currentSnapshot(spark, path).nonEmpty
+    if (isTxn) toTable(df, path, mode, mergeCols, partitionBy)
+    else if (mergeCols.nonEmpty &&
+      IcebergReader.isIcebergTable(spark, path))
+      IcebergWriter.merge(spark, path, df, mergeCols)
+    else if (mergeCols.nonEmpty)
+      IcebergWriter.write(df, path, mode = "error", partitionBy = partitionBy)
+    else IcebergWriter.write(df, path, mode, partitionBy)
+  }
 
   /** `read_deltalake(path, version=…)` / Iceberg `VERSION AS OF`. */
   def readTable(spark: SparkSession, path: String,
