@@ -73,6 +73,9 @@ object SparkEntry {
     "text_fingerprint"    -> (Text.fingerprint _),
     "text_lang_id"        -> (Text.languageId _),
     "text_bpe_tokens"     -> (Text.bpeTokenCount _),
+    // training-pipeline curation: decontamination + stratified sampling
+    "curate_decontaminate" -> (Decontaminate.contamination _),
+    "curate_strat_sample"  -> (Sampling.stratifiedSample _),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -91,6 +94,10 @@ object SparkEntry {
     "kv_range_query"      -> (KeyValue.rangeQuery _),
     "kv_batch_get"        -> (KeyValue.batchGet _),
     "kv_upsert_roundtrip" -> (KeyValueWrite.upsertRoundtrip _),
+    // real-format table logs: write + partition-granular MERGE + jar-free
+    // protocol read, gated end-to-end by the DuckDB oracle
+    "fmt_delta_roundtrip"   -> (TableRoundtrips.deltaMergeRoundtrip _),
+    "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
     "vec_label_stats"     -> (Vectors.labelStats _),
@@ -174,6 +181,8 @@ object SparkEntry {
     "text_fingerprint"    -> Text.fingerprintOracle,
     "text_lang_id"        -> Text.languageIdOracle,
     "text_bpe_tokens"     -> Text.bpeTokenCountOracle,
+    "curate_decontaminate" -> Decontaminate.contaminationOracle,
+    "curate_strat_sample"  -> Sampling.stratifiedSampleOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,
@@ -192,6 +201,8 @@ object SparkEntry {
     "kv_range_query"      -> KeyValue.rangeQueryOracle,
     "kv_batch_get"        -> KeyValue.batchGetOracle,
     "kv_upsert_roundtrip" -> KeyValueWrite.upsertRoundtripOracle,
+    "fmt_delta_roundtrip"   -> TableRoundtrips.mergeRoundtripOracle,
+    "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,
     "vec_knn_lsh"         -> Vectors.knnLshOracle,
