@@ -117,6 +117,40 @@ object DeltaLogWriter {
     }
   }
 
+  /** `to_deltalake_streaming`'s SINGLE-transaction semantics on the REAL
+    * format (`s3/_write_deltalake.py:139-226`: the whole run commits as
+    * ONE table version). Each micro-batch's parquet files move into the
+    * table tree as they finish — invisible, since Delta readers trust
+    * only the log — and the accumulated add-actions publish in one
+    * commit after the stream drains. A crash mid-stream leaves the table
+    * at its prior version with only unreferenced data files behind
+    * (vacuum-able garbage, never visible rows). Runs the stream with
+    * `Trigger.AvailableNow` and returns the single commit. */
+  def writeStreaming(agg: DataFrame, tablePath: String,
+      checkpoint: String): Committed = {
+    val spark = agg.sparkSession
+    val latest = DeltaLogReader.latestVersion(spark, tablePath)
+    val prior =
+      if (latest >= 0) Some(DeltaLogReader.snapshot(spark, tablePath)) else None
+    prior.foreach(s => checkAppendSchema(s.schema, agg.schema))
+    val partCols = prior.map(_.partitionColumns).getOrElse(Nil)
+    val staged = new java.util.concurrent.ConcurrentLinkedQueue[AddEntry]()
+    val q = agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        writeDataFiles(batch, tablePath, partCols).foreach(staged.add)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    commitLoop(spark, tablePath, agg.schema, partCols,
+      staged.asScala.toSeq, Nil, "STREAMING UPDATE",
+      emitMeta = prior.isEmpty)
+  }
+
   /** Append must not silently drop or retype columns; `mergeSchema`-style
     * evolution goes through overwrite (which re-emits metaData). */
   private def checkAppendSchema(table: StructType, incoming: StructType): Unit = {

@@ -140,4 +140,24 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(versions.toSet.size == 4, s"each writer its own version: $versions")
     assert(io.DeltaLogReader.read(spark, dir).count() == 5)
   }
+
+  test("delta streaming: all micro-batches land as ONE commit on the real log") {
+    val dir = tmp()
+    val events = streaming.EventStream.readEvents(spark, sf)
+    val agg = streaming.EventStream.tumblingAgg(events)
+    val c = io.DeltaLogWriter.writeStreaming(agg, dir,
+      java.nio.file.Files.createTempDirectory("graft-deltastream").toString)
+    assert(c.version == 0L, "the whole run is one table version")
+    assert(io.DeltaLogReader.latestVersion(spark, dir) == 0L)
+    val n = io.DeltaLogReader.read(spark, dir).count()
+    assert(n > 0)
+    // tracks the batch computation (watermark may drop a few late buckets)
+    val batch = ops.TimeSeries.tumbling(spark, sf).count()
+    assert(n <= batch && n >= batch - 10, s"streamed $n vs batch $batch")
+    // a second streaming run appends as the NEXT single version
+    val c2 = io.DeltaLogWriter.writeStreaming(agg, dir,
+      java.nio.file.Files.createTempDirectory("graft-deltastream2").toString)
+    assert(c2.version == 1L)
+    assert(io.DeltaLogReader.read(spark, dir).count() == 2 * n)
+  }
 }

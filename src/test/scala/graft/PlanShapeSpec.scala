@@ -86,4 +86,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Expand".r.findAllIn(p).size >= 1)
     assert("Scan parquet".r.findAllIn(p).size <= 2)
   }
+
+  test("decontamination broadcasts the benchmark gram set over the corpus stream") {
+    val p = planOf("curate_decontaminate")
+    // the corpus side must meet the benchmark grams in a map-side
+    // broadcast join — a shuffle of corpus grams would not survive 100 TB.
+    // Shuffle exchanges print as "(N) Exchange" in the details section
+    // (BroadcastExchange prints as "(N) BroadcastExchange"): allowed are
+    // the benchmark-side distinct and the per-doc count aggregate only.
+    assert(p.contains("BroadcastHashJoin"))
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 2,
+      "corpus grams must not shuffle before the contamination join")
+  }
+
+  test("stratified sample is a pure map-side filter — no exchange at all") {
+    val p = planOf("curate_strat_sample")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).isEmpty,
+      "a keep-predicate sample must not shuffle anything")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size == 1)
+  }
 }
