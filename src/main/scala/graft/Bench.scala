@@ -48,13 +48,20 @@ object Bench {
     // was contended mid-run and the sweep's numbers are not trustworthy —
     // the JSON flags it instead of letting a starved run masquerade as a
     // regression (the round-3 failure mode).
-    def calibrate(): Double = time {
-      spark.range(0, 200000000L, 1, cpus.toInt)
-        .selectExpr("sum(xxhash64(id))").count()
+    // sized to ~1s warm so scheduler jitter (tens of ms) stays well
+    // under the 1.5× contention threshold; head() (not count()) so the
+    // hash sum is actually evaluated — count() lets the optimizer prune
+    // the aggregate expression away entirely
+    def calibrateOnce(): Double = time {
+      spark.range(0, 2000000000L, 1, cpus.toInt)
+        .selectExpr("max(xxhash64(id))").head()
     }
+    // min of two runs: scheduler noise inflates single samples, and a
+    // false contention flag discards a whole sweep
+    def calibrate(): Double = math.min(calibrateOnce(), calibrateOnce())
     // untimed warmup of the calibration plan itself: the first run pays
     // codegen compile, which would read as a spurious start-vs-end skew
-    calibrate()
+    calibrateOnce()
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
