@@ -116,6 +116,41 @@ object IcebergWriter {
       operation = "overwrite")
   }
 
+  /** `athena.delete_from_iceberg_table`
+    * (`athena/_write_iceberg.py:715-868`): remove rows whose key appears
+    * in `keys` — partition-granular, same carry/rewrite split as
+    * [[merge]]: untouched files become EXISTING manifest entries, only
+    * partitions holding matched keys are rewritten. */
+  def deleteMatched(spark: SparkSession, tablePath: String, keys: DataFrame,
+      keyCols: Seq[String]): Committed = {
+    require(IcebergReader.isIcebergTable(spark, tablePath),
+      s"no Iceberg table at $tablePath")
+    val snap = IcebergReader.snapshot(spark, tablePath)
+    val current = IcebergReader.read(spark, tablePath)
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    val pcols = snap.partitionColumns
+    val (touchedFiles, keptFiles) =
+      if (pcols.isEmpty) (snap.files, Nil)
+      else {
+        val touched = current
+          .join(broadcast(keySet), keyCols, "left_semi")
+          .select(pcols.map(col): _*).distinct().collect()
+          .map(r => pcols.map(c => Option(r.getAs[Any](c)).map(_.toString)))
+          .toSet
+        snap.files.partition(f => touched.contains(
+          pcols.map(c => f.partition.get(c).flatMap(Option(_)).map(_.toString))))
+      }
+    val remaining =
+      if (touchedFiles.isEmpty) current.limit(0)
+      else spark.read.schema(snap.schema)
+        .parquet(touchedFiles.map(_.path): _*)
+        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+        .join(broadcast(keySet), keyCols, "left_anti")
+    val adds = writeDataFiles(remaining, tablePath, pcols)
+    commit(spark, tablePath, snap.schema, pcols, adds, keptFiles.map(asInfo),
+      operation = "delete")
+  }
+
   private def asInfo(f: IcebergReader.DataFileEntry): FileInfo =
     FileInfo(f.path,
       f.partition.map { case (k, v) => k -> Option(v).map(_.toString) },

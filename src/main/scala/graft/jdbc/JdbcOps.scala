@@ -145,6 +145,50 @@ object JdbcOps {
         table, df.schema, engine, dtype, varcharLengthsDefault, varcharLengths))
   }
 
+  /** `redshift.copy_from_files` (`redshift/_write.py:254-543`): bulk-load
+    * staged files into a warehouse table. The reference stages parquet on
+    * S3 and issues COPY; here the same files are read distributed and
+    * land through [[toSql]] — append/overwrite/upsert (COPY's
+    * mode=upsert with `precombine` dedup handled by the staged MERGE). */
+  def copyFromFiles(spark: SparkSession, paths: Seq[String], url: String,
+      table: String, mode: String = "append",
+      upsertKeys: Seq[String] = Nil, format: String = "parquet",
+      engine: Option[String] = None): Unit = {
+    val df = format match {
+      case "parquet" => spark.read.parquet(paths: _*)
+      case "csv" => spark.read.option("header", "true").csv(paths: _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported copy format: $other")
+    }
+    toSql(df, url, table, mode, upsertKeys, engine = engine)
+  }
+
+  /** `redshift.copy`: DataFrame → staged files → bulk load (one call). */
+  def copy(df: DataFrame, stagingPath: String, url: String, table: String,
+      mode: String = "append", upsertKeys: Seq[String] = Nil,
+      engine: Option[String] = None): Unit = {
+    df.write.mode("overwrite").parquet(stagingPath)
+    copyFromFiles(df.sparkSession, Seq(stagingPath), url, table, mode,
+      upsertKeys, engine = engine)
+  }
+
+  /** `redshift.unload_to_files` / `unload` (`redshift/_read.py`): run a
+    * query on the warehouse, land the result as partitioned files, and
+    * (for `unload`) read them back distributed. */
+  def unloadToFiles(spark: SparkSession, url: String, sql: String,
+      path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val df = readSqlQuery(spark, url, sql)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  def unload(spark: SparkSession, url: String, sql: String,
+      path: String, partitionBy: Seq[String] = Nil): DataFrame = {
+    unloadToFiles(spark, url, sql, path, partitionBy)
+    spark.read.option("basePath", path).parquet(path)
+  }
+
   /** Raw DDL/DML passthrough (the `execute_statement` escape hatch). */
   def executeStatement(url: String, sql: String): Unit = {
     val conn = DriverManager.getConnection(url)

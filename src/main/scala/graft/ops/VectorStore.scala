@@ -131,4 +131,114 @@ object VectorStore {
       embedder: Embedder = HashEmbedder()): DataFrame =
     VectorIndex.searchLsh(spark, s"$storePath/_lsh_index",
       embedder.embedBatch(Seq(text)).head, k, nProbe)
+
+  // ---- bucket / index management (`s3/_vectors/_mgmt.py:42-290`) --------
+  //
+  // A vector BUCKET is a root directory carrying `_vector_bucket.json`;
+  // each INDEX is a child directory carrying `_vector_index.json`
+  // (dimension, distance metric, non-filterable metadata keys — the
+  // attributes the reference's create_vector_index takes) beside its
+  // data. Metadata is driver-side JSON (one small object per index, the
+  // same cost every catalog pays); the data underneath stays a plain
+  // distributed dataset.
+
+  final case class IndexMeta(name: String, dimension: Int,
+      distanceMetric: String, nonFilterableMetadataKeys: Seq[String])
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeJson(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val (fs, p) = fsFor(spark, path)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def createVectorBucket(spark: SparkSession, bucketPath: String): Unit =
+    writeJson(spark, s"$bucketPath/_vector_bucket.json",
+      s"""{"createdMs":${System.currentTimeMillis()}}""")
+
+  def isVectorBucket(spark: SparkSession, bucketPath: String): Boolean = {
+    val (fs, p) = fsFor(spark, s"$bucketPath/_vector_bucket.json")
+    fs.exists(p)
+  }
+
+  def listVectorBuckets(spark: SparkSession, parent: String): Seq[String] = {
+    val (fs, p) = fsFor(spark, parent)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d,
+        "_vector_bucket.json")))
+      .map(_.getName).toSeq.sorted
+  }
+
+  def deleteVectorBucket(spark: SparkSession, bucketPath: String): Unit = {
+    require(listVectorIndexes(spark, bucketPath).isEmpty,
+      s"vector bucket $bucketPath still holds indexes (the reference " +
+        "rejects deleting a non-empty bucket)")
+    val (fs, p) = fsFor(spark, bucketPath)
+    fs.delete(p, true)
+  }
+
+  /** `create_vector_index(dimension, distance_metric,
+    * non_filterable_metadata_keys)`. */
+  def createVectorIndex(spark: SparkSession, bucketPath: String,
+      name: String, dimension: Int, distanceMetric: String = "cosine",
+      nonFilterableMetadataKeys: Seq[String] = Nil): Unit = {
+    require(isVectorBucket(spark, bucketPath),
+      s"$bucketPath is not a vector bucket (create_vector_bucket first)")
+    require(Seq("cosine", "euclidean").contains(distanceMetric),
+      s"unsupported distance metric: $distanceMetric")
+    val keys = nonFilterableMetadataKeys
+      .map(k => mapper.writeValueAsString(k)).mkString(",")
+    writeJson(spark, s"$bucketPath/$name/_vector_index.json",
+      s"""{"name":${mapper.writeValueAsString(name)},"dimension":$dimension,"distanceMetric":${mapper.writeValueAsString(distanceMetric)},"nonFilterableMetadataKeys":[$keys]}""")
+  }
+
+  def getVectorIndex(spark: SparkSession, bucketPath: String,
+      name: String): IndexMeta = {
+    val (fs, p) = fsFor(spark, s"$bucketPath/$name/_vector_index.json")
+    require(fs.exists(p), s"no vector index $name under $bucketPath")
+    val in = fs.open(p)
+    val node =
+      try mapper.readTree(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    IndexMeta(node.get("name").asText, node.get("dimension").asInt,
+      node.get("distanceMetric").asText,
+      (0 until node.get("nonFilterableMetadataKeys").size())
+        .map(node.get("nonFilterableMetadataKeys").get(_).asText))
+  }
+
+  def listVectorIndexes(spark: SparkSession,
+      bucketPath: String): Seq[String] = {
+    val (fs, p) = fsFor(spark, bucketPath)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d,
+        "_vector_index.json")))
+      .map(_.getName).toSeq.sorted
+  }
+
+  def deleteVectorIndex(spark: SparkSession, bucketPath: String,
+      name: String): Unit = {
+    val (fs, p) = fsFor(spark, s"$bucketPath/$name")
+    fs.delete(p, true)
+  }
+
+  /** `put_vectors` into a managed index: the embedding width must match
+    * the index's declared dimension (the reference's put-time check). */
+  def putVectorsIndexed(df: DataFrame, bucketPath: String,
+      indexName: String, keyCol: String = "key",
+      vecCol: String = "embedding"): Long = {
+    val meta = getVectorIndex(df.sparkSession, bucketPath, indexName)
+    val bad = df.filter(size(col(vecCol)) =!= meta.dimension).limit(1).count()
+    require(bad == 0,
+      s"embedding width != index dimension ${meta.dimension}")
+    putVectors(df, s"$bucketPath/$indexName/data", keyCol)
+  }
 }

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Management/transfer surfaces added in round 4: vector bucket + index
+  * metadata (`s3/_vectors/_mgmt.py:42-290`), real-format Iceberg DELETE
+  * (`athena/_write_iceberg.py:715-868`), and the warehouse bulk-transfer
+  * wrappers (`redshift/_write.py` copy / `_read.py` unload). */
+class MgmtSurfaceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-mgmt").toString
+
+  test("vector bucket/index lifecycle: create, list, get, dimension gate, delete") {
+    val spark0 = spark
+    import spark0.implicits._
+    val parent = tmp()
+    val bucket = s"$parent/vb"
+    intercept[IllegalArgumentException] { // index needs a bucket first
+      ops.VectorStore.createVectorIndex(spark, bucket, "idx", 4)
+    }
+    ops.VectorStore.createVectorBucket(spark, bucket)
+    assert(ops.VectorStore.isVectorBucket(spark, bucket))
+    assert(ops.VectorStore.listVectorBuckets(spark, parent) == Seq("vb"))
+    ops.VectorStore.createVectorIndex(spark, bucket, "idx", dimension = 4,
+      distanceMetric = "cosine", nonFilterableMetadataKeys = Seq("raw"))
+    assert(ops.VectorStore.listVectorIndexes(spark, bucket) == Seq("idx"))
+    val meta = ops.VectorStore.getVectorIndex(spark, bucket, "idx")
+    assert(meta.dimension == 4 && meta.distanceMetric == "cosine" &&
+      meta.nonFilterableMetadataKeys == Seq("raw"))
+    // put validates the embedding width against the declared dimension
+    val good = Seq(("a", Seq(1f, 0f, 0f, 0f)), ("b", Seq(0f, 1f, 0f, 0f)))
+      .toDF("key", "embedding")
+    assert(ops.VectorStore.putVectorsIndexed(good, bucket, "idx") == 2)
+    val bad = Seq(("c", Seq(1f, 0f))).toDF("key", "embedding")
+    intercept[IllegalArgumentException] {
+      ops.VectorStore.putVectorsIndexed(bad, bucket, "idx")
+    }
+    // non-empty bucket delete is rejected; empty delete succeeds
+    intercept[IllegalArgumentException] {
+      ops.VectorStore.deleteVectorBucket(spark, bucket)
+    }
+    ops.VectorStore.deleteVectorIndex(spark, bucket, "idx")
+    ops.VectorStore.deleteVectorBucket(spark, bucket)
+    assert(ops.VectorStore.listVectorBuckets(spark, parent).isEmpty)
+  }
+
+  test("iceberg deleteMatched: partition-granular, untouched files carried") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/t"
+    io.IcebergWriter.write(
+      Seq((1L, "a", "x"), (2L, "b", "y"), (3L, "c", "z"), (4L, "d", "y"))
+        .toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"))
+    val before = io.IcebergReader.snapshot(spark, dir)
+    io.IcebergWriter.deleteMatched(spark, dir,
+      Seq(2L).toDF("id"), keyCols = Seq("id"))
+    val now = io.IcebergReader.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(now == Set((1L, "a", "x"), (3L, "c", "z"), (4L, "d", "y")))
+    val after = io.IcebergReader.snapshot(spark, dir)
+    assert(after.operation == "delete")
+    // x and z partitions keep their exact data files
+    val keptBefore = before.files.filterNot(_.path.contains("p=y"))
+      .map(_.path).toSet
+    val keptAfter = after.files.filterNot(_.path.contains("p=y"))
+      .map(_.path).toSet
+    assert(keptBefore == keptAfter)
+    // deleting a key that hits nothing leaves the table unchanged
+    io.IcebergWriter.deleteMatched(spark, dir,
+      Seq(99L).toDF("id"), keyCols = Seq("id"))
+    assert(io.IcebergReader.read(spark, dir).count() == 3)
+  }
+
+  test("warehouse copy/unload wrappers round-trip through jdbc") {
+    val spark0 = spark
+    import spark0.implicits._
+    val url = "jdbc:derby:memory:graftcopy;create=true"
+    val staging = tmp()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "tag", "v")
+    jdbc.JdbcOps.copy(df, s"$staging/stage1", url, "copied",
+      mode = "overwrite")
+    assert(jdbc.JdbcOps.readSqlTable(spark, url, "copied").count() == 3)
+    // copy upsert mode: matched key replaced, new key inserted
+    val delta = Seq((2L, "B", 9.9), (4L, "d", 4.5)).toDF("id", "tag", "v")
+    jdbc.JdbcOps.copy(delta, s"$staging/stage2", url, "copied",
+      mode = "upsert", upsertKeys = Seq("id"))
+    val rows = jdbc.JdbcOps.readSqlTable(spark, url, "copied")
+      .as[(Long, String, Double)].collect().toSet
+    assert(rows == Set((1L, "a", 1.5), (2L, "B", 9.9), (3L, "c", 3.5),
+      (4L, "d", 4.5)))
+    // unload: query → partitioned files → distributed read-back
+    val out = s"$staging/unloaded"
+    val back = jdbc.JdbcOps.unload(spark, url,
+      """SELECT "id", "tag" FROM copied WHERE "id" <= 2""", out,
+      partitionBy = Seq("tag"))
+    assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("tag=")))
+  }
+}
