@@ -85,6 +85,29 @@ object ScaleProbe {
     table.TxnLog.create(spark.read.parquet(s"$dir/documents.parquet"), txnDir)
     time("txn_merge")(
       table.TxnLog.merge(spark, txnDir, mergeSrc, Seq("doc_id")).version.toLong)
+
+    // round-4 scale paths: curation ops (broadcast decontamination, pure
+    // map-side sampling) and the real-format table logs
+    time("decontaminate")(ops.Decontaminate.contamination(spark, dir).count())
+    time("strat_sample")(ops.Sampling.stratifiedSample(spark, dir).count())
+    val deltaDir = s"$dir/delta_table"
+    time("delta_write") {
+      io.DeltaLogWriter.write(
+        spark.read.parquet(s"$dir/documents.parquet"), deltaDir,
+        partitionBy = Seq("lang")).numFiles.toLong
+    }
+    time("delta_merge")(
+      io.DeltaLogWriter.merge(spark, deltaDir, mergeSrc,
+        Seq("doc_id")).numFiles.toLong)
+    val icebergDir = s"$dir/iceberg_table"
+    time("iceberg_write") {
+      io.IcebergWriter.write(
+        spark.read.parquet(s"$dir/documents.parquet"), icebergDir,
+        partitionBy = Seq("lang")).numFiles.toLong
+    }
+    time("iceberg_merge")(
+      io.IcebergWriter.merge(spark, icebergDir, mergeSrc,
+        Seq("doc_id")).numFiles.toLong)
     spark.stop()
   }
 }
