@@ -163,7 +163,7 @@ object IcebergReader {
   /** Iceberg manifest paths are absolute URIs from the committing engine;
     * re-root file-scheme/relative ones under the local table dir so a
     * copied fixture still resolves. */
-  private def resolve(root: Path, p: String): Path = {
+  private[io] def resolve(root: Path, p: String): Path = {
     val raw = new Path(p)
     if (raw.isAbsolute && !p.startsWith("file:")) raw
     else if (p.startsWith("file:")) new Path(new java.net.URI(p).getPath)
@@ -182,7 +182,7 @@ object IcebergReader {
     }.getOrElse(Map.empty)
 
   /** Stream a self-describing avro file into its records. */
-  private def readAvro(spark: SparkSession, path: Path): Seq[GenericRecord] = {
+  private[io] def readAvro(spark: SparkSession, path: Path): Seq[GenericRecord] = {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(path)
     val reader = new DataFileStream[GenericRecord](in,

@@ -72,16 +72,42 @@ object IcebergWriter {
       if (mode == "append") checkAppendSchema(s.schema, df.schema)
     }
     val adds = writeDataFiles(df, tablePath, partCols)
-    val carried = if (mode == "append") prior.map(_.files).getOrElse(Nil)
-      else Nil
-    commit(spark, tablePath, df.schema, partCols, adds, carried.map(asInfo),
-      operation = if (mode == "overwrite" && exists) "overwrite" else "append")
+    // append CARRIES the current snapshot's manifest files, re-read at
+    // claim time inside the commit loop — a concurrent writer's manifests
+    // survive a retry (the lost-update hazard of flattening the file list
+    // as seen before the claim); overwrite replaces whatever is current
+    commit(spark, tablePath, df.schema, partCols, adds, kept = Nil,
+      operation = if (mode == "overwrite" && exists) "overwrite" else "append",
+      carryCurrentManifests = mode == "append" && exists,
+      expectedParent = None)
   }
 
+  /** Raised when a commit's parent snapshot is no longer current — the
+    * caller's file arithmetic is stale and must re-resolve. */
+  final class ConcurrentCommit(msg: String) extends RuntimeException(msg)
+
+  private val MaxResolveRetries = 3
+
   /** Upsert by key — partition-granular: untouched files are carried as
-    * EXISTING manifest entries, only touched partitions are rewritten. */
+    * EXISTING manifest entries, only touched partitions are rewritten.
+    * Snapshot-isolated: the commit validates that the snapshot the merge
+    * resolved against is still current; if another writer advanced the
+    * table, the whole resolution re-runs against the new snapshot. */
   def merge(spark: SparkSession, tablePath: String, src: DataFrame,
       keys: Seq[String]): Committed = {
+    var attempt = 0
+    while (true) {
+      try return mergeOnce(spark, tablePath, src, keys)
+      catch {
+        case _: ConcurrentCommit if attempt < MaxResolveRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def mergeOnce(spark: SparkSession, tablePath: String,
+      src: DataFrame, keys: Seq[String]): Committed = {
     if (!IcebergReader.isIcebergTable(spark, tablePath))
       return write(src, tablePath, mode = "error")
     val snap = IcebergReader.snapshot(spark, tablePath)
@@ -113,7 +139,8 @@ object IcebergWriter {
       .unionByName(srcAligned)
     val adds = writeDataFiles(merged, tablePath, pcols)
     commit(spark, tablePath, snap.schema, pcols, adds, keptFiles.map(asInfo),
-      operation = "overwrite")
+      operation = "overwrite", carryCurrentManifests = false,
+      expectedParent = Some(snap.snapshotId))
   }
 
   /** `athena.delete_from_iceberg_table`
@@ -123,6 +150,19 @@ object IcebergWriter {
     * partitions holding matched keys are rewritten. */
   def deleteMatched(spark: SparkSession, tablePath: String, keys: DataFrame,
       keyCols: Seq[String]): Committed = {
+    var attempt = 0
+    while (true) {
+      try return deleteMatchedOnce(spark, tablePath, keys, keyCols)
+      catch {
+        case _: ConcurrentCommit if attempt < MaxResolveRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteMatchedOnce(spark: SparkSession, tablePath: String,
+      keys: DataFrame, keyCols: Seq[String]): Committed = {
     require(IcebergReader.isIcebergTable(spark, tablePath),
       s"no Iceberg table at $tablePath")
     val snap = IcebergReader.snapshot(spark, tablePath)
@@ -148,7 +188,8 @@ object IcebergWriter {
         .join(broadcast(keySet), keyCols, "left_anti")
     val adds = writeDataFiles(remaining, tablePath, pcols)
     commit(spark, tablePath, snap.schema, pcols, adds, keptFiles.map(asInfo),
-      operation = "delete")
+      operation = "delete", carryCurrentManifests = false,
+      expectedParent = Some(snap.snapshotId))
   }
 
   private def asInfo(f: IcebergReader.DataFileEntry): FileInfo =
@@ -264,11 +305,19 @@ object IcebergWriter {
 
   // ---- commit ------------------------------------------------------------
 
-  /** Write manifest + manifest list, then claim the next
-    * vN.metadata.json. `kept` are carried files (EXISTING entries). */
+  /** Write the commit's manifest, then claim the next vN.metadata.json.
+    * `kept` are carried files flattened as EXISTING entries (merge/delete,
+    * valid only against an unchanged parent — `expectedParent` enforces
+    * that, raising [[ConcurrentCommit]] when the table advanced).
+    * `carryCurrentManifests` (append) instead re-reads the CURRENT
+    * snapshot's manifest list inside the claim loop and includes those
+    * manifests in the new list, so a retry after losing the claim
+    * carries the winner's files rather than resurrecting a stale view. */
   private def commit(spark: SparkSession, tablePath: String,
       schema: StructType, partCols: Seq[String], adds: Seq[FileInfo],
-      kept: Seq[FileInfo], operation: String): Committed = {
+      kept: Seq[FileInfo], operation: String,
+      carryCurrentManifests: Boolean,
+      expectedParent: Option[Long]): Committed = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -300,25 +349,40 @@ object IcebergWriter {
     val manifestLen = writeAvro(fs, manifestPath, mSchema,
       adds.map(entry(_, 1)) ++ kept.map(entry(_, 0)))
 
-    // manifest list for the snapshot
-    val listPath = new Path(metaDir, s"snap-$snapshotId.avro")
     val lSchema = manifestListSchema
-    val mf = new GenericData.Record(lSchema)
-    mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
-    mf.put("manifest_length", manifestLen)
-    mf.put("partition_spec_id", 0)
-    mf.put("added_snapshot_id", snapshotId)
-    mf.put("added_data_files_count", adds.length)
-    mf.put("existing_data_files_count", kept.length)
-    mf.put("deleted_data_files_count", 0)
-    writeAvro(fs, listPath, lSchema, Seq(mf))
+    def ourListEntry(): GenericRecord = {
+      val mf = new GenericData.Record(lSchema)
+      mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
+      mf.put("manifest_length", manifestLen)
+      mf.put("partition_spec_id", 0)
+      mf.put("added_snapshot_id", snapshotId)
+      mf.put("added_data_files_count", adds.length)
+      mf.put("existing_data_files_count", kept.length)
+      mf.put("deleted_data_files_count", 0)
+      mf
+    }
 
-    // metadata json: claim vN+1 with create-exclusive, retry on loss
+    // claim vN+1 with create-exclusive; manifest list is (re)built INSIDE
+    // the loop so appends observe the manifests of whoever won a race
     var attempts = 0
     while (attempts < 20) {
-      val latest = latestMetadata(fs, metaDir)
-      val version = latest.map(_._1).getOrElse(0L) + 1
-      val node = metadataJson(latest.map(_._2), fs.makeQualified(root).toString,
+      val (claimedMax, parsed) = logState(fs, metaDir)
+      expectedParent.foreach { p =>
+        val cur = parsed.flatMap(l =>
+          Option(l._2.get("current-snapshot-id")).map(_.asLong))
+        if (!cur.contains(p))
+          throw new ConcurrentCommit(
+            s"table advanced past snapshot $p (now $cur); re-resolve")
+      }
+      val carried: Seq[GenericRecord] =
+        if (!carryCurrentManifests) Nil
+        else parsed.toSeq.flatMap { case (_, meta) =>
+          currentManifestRecords(spark, fs, root, meta).map(reencode(lSchema, _))
+        }
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$attempts.avro")
+      writeAvro(fs, listPath, lSchema, ourListEntry() +: carried)
+      val version = claimedMax + 1
+      val node = metadataJson(parsed.map(_._2), fs.makeQualified(root).toString,
         schema, partCols, snapshotId,
         fs.makeQualified(listPath).toString, operation, now)
       val target = new Path(metaDir, s"v$version.metadata.json")
@@ -332,27 +396,118 @@ object IcebergWriter {
         finally hint.close()
         return Committed(snapshotId, version, adds.length)
       } catch {
-        case _: java.io.IOException => attempts += 1 // lost the claim; retry
+        case _: java.io.IOException => // lost the claim; retry
+          fs.delete(listPath, false)
+          attempts += 1
       }
     }
     throw new java.io.IOException(
       s"could not claim an Iceberg commit after $attempts attempts at $tablePath")
   }
 
-  private def latestMetadata(fs: FileSystem,
-      metaDir: Path): Option[(Long, com.fasterxml.jackson.databind.JsonNode)] = {
-    val Meta = """v(\d+)\.metadata\.json""".r
-    val versions = fs.listStatus(metaDir).map(_.getPath).collect {
-      case p if Meta.matches(p.getName) =>
-        Meta.findFirstMatchIn(p.getName).get.group(1).toLong -> p
-    }
-    versions.sortBy(-_._1).headOption.map { case (v, p) =>
-      val in = fs.open(p)
-      try v -> mapper.readTree(
-        scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-      finally in.close()
-    }
+  /** The manifest-list records of `meta`'s current snapshot (empty for a
+    * table with no current snapshot). */
+  private def currentManifestRecords(spark: SparkSession, fs: FileSystem,
+      root: Path, meta: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[GenericRecord] = {
+    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .getOrElse(return Nil)
+    IcebergReaderAccess.jsonArray(meta.get("snapshots"))
+      .find(_.get("snapshot-id").asLong == cur)
+      .map(s => IcebergReader.readAvro(spark,
+        IcebergReader.resolve(root, s.get("manifest-list").asText)))
+      .getOrElse(Nil)
   }
+
+  /** Re-encode a manifest-list record (possibly written by another engine
+    * with a wider schema) onto this writer's field set. */
+  private def reencode(lSchema: org.apache.avro.Schema,
+      r: GenericRecord): GenericRecord = {
+    val out = new GenericData.Record(lSchema)
+    def longOf(f: String): Any = r.get(f) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.longValue(): java.lang.Long
+      case _ => null
+    }
+    def intOf(f: String, dflt: java.lang.Integer): Any = r.get(f) match {
+      case i: java.lang.Integer => i
+      case l: java.lang.Long => l.intValue(): java.lang.Integer
+      case _ => dflt
+    }
+    out.put("manifest_path", r.get("manifest_path").toString)
+    out.put("manifest_length", longOf("manifest_length") match {
+      case null => 0L: java.lang.Long
+      case l => l
+    })
+    out.put("partition_spec_id", intOf("partition_spec_id", 0))
+    out.put("added_snapshot_id", longOf("added_snapshot_id"))
+    out.put("added_data_files_count", intOf("added_data_files_count", null))
+    out.put("existing_data_files_count",
+      intOf("existing_data_files_count", null))
+    out.put("deleted_data_files_count", intOf("deleted_data_files_count", null))
+    out
+  }
+
+  /** How long a claimed-but-unparseable metadata file is treated as an
+    * in-flight writer (waited out) rather than a dead leftover. */
+  private[io] var tornGraceMs = 10000L
+
+  /** (highest CLAIMED version, latest PARSEABLE metadata). Metadata
+    * publication is create-exclusive-then-write, so a concurrent reader
+    * can observe a claimed file whose body has not landed (the torn
+    * window). A young torn claim is an in-flight writer — wait for its
+    * body; a stale one is a dead crash leftover — its STATE is skipped
+    * (the writer never returned success, so nothing acknowledged is
+    * lost) but its version number is never reused. Without this, a torn
+    * read parses as an empty node and an append silently carries
+    * nothing — the lost-update this method exists to prevent. */
+  private def logState(fs: FileSystem, metaDir: Path)
+      : (Long, Option[(Long, com.fasterxml.jackson.databind.JsonNode)]) = {
+    val Meta = """v(\d+)\.metadata\.json""".r
+    val deadline = System.currentTimeMillis() + tornGraceMs
+    while (true) {
+      if (!fs.exists(metaDir)) return (0L, None)
+      val versions = fs.listStatus(metaDir).collect {
+        case st if Meta.matches(st.getPath.getName) =>
+          (Meta.findFirstMatchIn(st.getPath.getName).get.group(1).toLong, st)
+      }.sortBy(-_._1)
+      if (versions.isEmpty) return (0L, None)
+      val claimedMax = versions.head._1
+      var waitForInflight = false
+      var parsed: Option[(Long, com.fasterxml.jackson.databind.JsonNode)] = None
+      val it = versions.iterator
+      while (it.hasNext && parsed.isEmpty && !waitForInflight) {
+        val (v, st) = it.next()
+        tryParse(fs, st.getPath) match {
+          case Some(node) => parsed = Some(v -> node)
+          case None =>
+            val young = System.currentTimeMillis() -
+              st.getModificationTime < tornGraceMs
+            if (young && System.currentTimeMillis() < deadline)
+              waitForInflight = true
+            // else: stale torn claim — skip its state, keep its number
+        }
+      }
+      if (waitForInflight) Thread.sleep(50L)
+      else return (claimedMax, parsed)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Parse a metadata json; None when torn/incomplete (missing body or
+    * not yet a full Iceberg metadata document). */
+  private def tryParse(fs: FileSystem, p: Path)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = mapper.readTree(text)
+      if (node != null && node.isObject && node.has("format-version"))
+        Some(node)
+      else None
+    } catch { case _: Exception => None }
 
   /** Next metadata document: prior snapshots carried, the new one
     * appended and made current. */

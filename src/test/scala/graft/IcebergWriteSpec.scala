@@ -124,6 +124,24 @@ class IcebergWriteSpec extends AnyFunSuite {
     }
   }
 
+  test("iceberg write: concurrent appends all land (manifests carried at claim time)") {
+    val dir = tmp()
+    io.IcebergWriter.write(df((0L, "base", "p")), dir)
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    import ExecutionContext.Implicits.global
+    val fs = (1 to 4).map { i =>
+      Future(io.IcebergWriter.write(df((i.toLong, s"w$i", "p")), dir))
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds).map(_.version)
+    assert(versions.toSet.size == 4, s"each writer its own version: $versions")
+    // NO lost update: every concurrent writer's rows are in the final
+    // snapshot (a stale carried file list would drop the race winners)
+    assert(asSet(io.IcebergReader.read(spark, dir)) ==
+      Set((0L, "base", "p"), (1L, "w1", "p"), (2L, "w2", "p"),
+        (3L, "w3", "p"), (4L, "w4", "p")))
+  }
+
   test("to_iceberg wrapper: real format for fresh dirs, merge path engaged") {
     val spark0 = spark
     import spark0.implicits._
