@@ -107,12 +107,16 @@ object Dedup {
     * is md5(seed || ':' || token) compared lexicographically — engine-
     * portable (md5 is identical everywhere), which is what makes this
     * variant differentially testable. Production variant below swaps in
-    * xxhash64.
-    */
+    * xxhash64. Tokenization is hoisted into its own column first —
+    * inlining `array_distinct(split(…))` inside the outer lambda would
+    * re-tokenize the document once per signature component (K×). */
   private def minhashSig = expr(
     s"""transform(sequence(0, ${K - 1}),
-       |  i -> array_min(transform(array_distinct(split(text, ' ')),
+       |  i -> array_min(transform(__toks,
        |                 t -> md5(concat(cast(i as string), ':', t)))))""".stripMargin)
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("__toks", array_distinct(split(col("text"), " ")))
 
   /** Candidate pairs sharing at least one band, deduped, then one
     * signature comparison per pair. */
@@ -146,7 +150,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     graft.expr.ArrayMatchCount.register(s)
-    val sig = Tables.documents(s, dir)
+    val sig = withToks(Tables.documents(s, dir))
       .select(col("doc_id"), minhashSig.as("sig"))
     val bandKeys = expr(
       s"""transform(sequence(0, ${BANDS - 1}),
@@ -186,7 +190,7 @@ object Dedup {
     * density; this is the right tool for *removing* them.
     */
   def minhashDedupKeep(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    withToks(Tables.documents(s, dir))
       .select(col("doc_id"), minhashSig.as("sig"))
       .withColumn("skey", md5(concat_ws("|", col("sig"))))
       .groupBy(col("skey"))
@@ -210,11 +214,11 @@ object Dedup {
   def minhashLshFast(s: SparkSession, dir: String): DataFrame = {
     graft.expr.ArrayMatchCount.register(s)
     val k = 32; val bands = 4; val rows = k / bands
-    val sig = Tables.documents(s, dir)
+    val sig = withToks(Tables.documents(s, dir))
       .select(col("doc_id"),
         expr(
           s"""transform(sequence(0, ${k - 1}),
-             |  i -> array_min(transform(array_distinct(split(text, ' ')),
+             |  i -> array_min(transform(__toks,
              |                 t -> xxhash64(i, t))))""".stripMargin).as("sig"))
     val bandKeys = expr(
       s"""transform(sequence(0, ${bands - 1}),
@@ -281,19 +285,25 @@ object Dedup {
   private val WK = 4 // k-gram length
   private val WW = 5 // window size
 
+  /** Per-k-gram hashes materialized ONCE (`__kh[i]` = hash of the gram at
+    * i), then each window takes the min of a slice — inlining the md5
+    * inside the window lambda would recompute every gram's hash WW times. */
   private def winnowFp = expr(
     s"""array_distinct(transform(
-       |  sequence(1, greatest(greatest(length(text) - ${WK - 1}, 1)
-       |                       - ${WW - 1}, 1)),
-       |  j -> array_min(transform(sequence(j, j + ${WW - 1}),
-       |         i -> md5(substring(text, i, $WK))))))""".stripMargin)
+       |  sequence(1, greatest(size(__kh) - ${WW - 1}, 1)),
+       |  j -> array_min(slice(__kh, j, $WW))))""".stripMargin)
+
+  private def withKgramHashes(df: DataFrame): DataFrame =
+    df.withColumn("__kh", expr(
+      s"""transform(sequence(1, greatest(length(text) - ${WK - 1}, 1)),
+         |  i -> md5(substring(text, i, $WK)))""".stripMargin))
 
   /** Pairs sharing ≥45 winnowed fingerprints within the bounded source
     * scope (thresholds from the measured shared-count distribution:
     * p90 = 44 on this corpus). */
   def winnowDedup(s: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.documents(s, dir)
-      .filter(col("source").isin(jaccardSources: _*))
+    val fp = withKgramHashes(Tables.documents(s, dir)
+        .filter(col("source").isin(jaccardSources: _*)))
       .select(col("doc_id"), col("source"), explode(winnowFp).as("f"))
     val a = fp.as("a"); val b = fp.as("b")
     a.join(b,
