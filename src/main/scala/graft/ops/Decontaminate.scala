@@ -26,14 +26,17 @@ object Decontaminate {
 
   /** Distinct token `n`-grams per document. Empty for docs shorter than
     * n tokens (the CASE guard keeps Spark's `sequence` from running
-    * backwards — `sequence(1,0)` is a DESCENDING range, not empty). */
+    * backwards — `sequence(1,0)` is a DESCENDING range, not empty).
+    * Tokenization hoisted to its own column: `split` inside the position
+    * lambda would re-split the document once per gram. */
   private def grams(df: DataFrame, n: Int): DataFrame =
-    df.select(col("doc_id"), explode(expr(
-      s"""CASE WHEN size(split(text, ' ')) >= $n THEN
-         |  array_distinct(transform(
-         |    sequence(1, size(split(text, ' ')) - ${n - 1}),
-         |    i -> concat_ws(' ', slice(split(text, ' '), i, $n))))
-         |ELSE array() END""".stripMargin)).as("g"))
+    df.withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(__toks) >= $n THEN
+           |  array_distinct(transform(
+           |    sequence(1, size(__toks) - ${n - 1}),
+           |    i -> concat_ws(' ', slice(__toks, i, $n))))
+           |ELSE array() END""".stripMargin)).as("g"))
 
   /** Contamination report against an explicit benchmark DataFrame
     * (both need `doc_id` and `text`): flagged corpus docs with their
