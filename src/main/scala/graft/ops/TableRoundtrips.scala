@@ -52,6 +52,18 @@ object TableRoundtrips {
     IcebergReader.read(s, tmp).select(cols.map(col): _*)
   }
 
+  /** In-repo snapshot log (TxnLog) commit + snapshot-isolated MERGE +
+    * versioned read — the same gate over the third transaction layer. */
+  def txnMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-txn-rt").toString + "/t"
+    seedAndMerge(s, dir)(
+      base => graft.table.TxnLog.create(base, tmp,
+        partitionBy = Seq("c_mktsegment")),
+      src => graft.table.TxnLog.merge(s, tmp, src, keys = Seq("c_custkey")))
+    graft.table.TxnLog.read(s, tmp).select(cols.map(col): _*)
+  }
+
   def mergeRoundtripOracle: String =
     """SELECT c_custkey, c_mktsegment,
       |  CASE WHEN c_custkey >= 40 THEN c_acctbal + 1000.0 ELSE c_acctbal END
