@@ -67,6 +67,25 @@ object IcebergReader {
       .sortBy(-_._2)
   }
 
+  /** Declared schema + identity partition columns straight from the
+    * current metadata — valid even for a freshly-created table with no
+    * snapshot yet (S3 Tables `create_table` makes those). */
+  def tableInfo(spark: SparkSession,
+      tablePath: String): (StructType, Seq[String]) = {
+    val meta = currentMetadata(spark, tablePath)
+    (metaSchema(meta), metaPartCols(meta))
+  }
+
+  /** The current snapshot, or None for an empty (no-snapshot) table. */
+  def snapshotOpt(spark: SparkSession, tablePath: String,
+      asOfSnapshotId: Option[Long] = None): Option[Snapshot] = {
+    val meta = currentMetadata(spark, tablePath)
+    val current = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      .filter(_ >= 0)
+    if (asOfSnapshotId.isEmpty && current.isEmpty) None
+    else Some(snapshot(spark, tablePath, asOfSnapshotId))
+  }
+
   /** Reconstruct the active-file snapshot (`asOfSnapshotId`: Athena's
     * `VERSION AS OF`; default the current snapshot). */
   def snapshot(spark: SparkSession, tablePath: String,
@@ -80,22 +99,9 @@ object IcebergReader {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not found in $tablePath (have ${snaps.map(_.get("snapshot-id").asLong).mkString(",")})"))
 
-    val schemaId = Option(snap.get("schema-id")).map(_.asInt)
-      .orElse(Option(meta.get("current-schema-id")).map(_.asInt))
-    val schemaNode = Option(meta.get("schemas"))
-      .flatMap(ss => jsonArray(ss).find(s =>
-        schemaId.forall(_ == s.get("schema-id").asInt)))
-      .orElse(Option(meta.get("schema")))
-      .getOrElse(throw new IllegalStateException("no schema in metadata"))
-    val schema = icebergStruct(schemaNode)
-
-    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
-    val partCols = Option(meta.get("partition-specs"))
-      .flatMap(ps => jsonArray(ps).find(_.get("spec-id").asInt == specId))
-      .map(spec => jsonArray(spec.get("fields"))
-        .filter(f => f.get("transform").asText == "identity")
-        .map(_.get("name").asText))
-      .getOrElse(Nil)
+    val schema = metaSchema(meta,
+      Option(snap.get("schema-id")).map(_.asInt))
+    val partCols = metaPartCols(meta)
 
     val root = new Path(tablePath)
     val manifestList = resolve(root, snap.get("manifest-list").asText)
@@ -127,16 +133,43 @@ object IcebergReader {
     * files store partition columns as real columns, so this is one
     * distributed scan over the active file list with the log's schema. */
   def read(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, tablePath, asOfSnapshotId)
-    if (snap.files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
-      .select(snap.schema.fieldNames.map(col).toSeq: _*)
-  }
+      asOfSnapshotId: Option[Long] = None): DataFrame =
+    snapshotOpt(spark, tablePath, asOfSnapshotId) match {
+      case None => // created-but-never-written table: schema, no rows
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableInfo(spark, tablePath)._1)
+      case Some(snap) if snap.files.isEmpty =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      case Some(snap) =>
+        spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+    }
 
   // ---- metadata plumbing -------------------------------------------------
+
+  private def metaSchema(meta: JsonNode,
+      schemaId: Option[Int] = None): StructType = {
+    val wanted = schemaId
+      .orElse(Option(meta.get("current-schema-id")).map(_.asInt))
+    val schemaNode = Option(meta.get("schemas"))
+      .flatMap(ss => jsonArray(ss).find(s =>
+        wanted.forall(_ == s.get("schema-id").asInt)))
+      .orElse(Option(meta.get("schema")))
+      .getOrElse(throw new IllegalStateException("no schema in metadata"))
+    icebergStruct(schemaNode)
+  }
+
+  private def metaPartCols(meta: JsonNode): Seq[String] = {
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    Option(meta.get("partition-specs"))
+      .flatMap(ps => jsonArray(ps).find(_.get("spec-id").asInt == specId))
+      .map(spec => jsonArray(spec.get("fields"))
+        .filter(f => f.get("transform").asText == "identity")
+        .map(_.get("name").asText))
+      .getOrElse(Nil)
+  }
 
   /** The newest metadata json: version-hint.text if present (Hadoop
     * catalog), else the highest vN.metadata.json. */

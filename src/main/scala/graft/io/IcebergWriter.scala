@@ -61,15 +61,18 @@ object IcebergWriter {
       case other =>
         throw new IllegalArgumentException(s"unsupported mode: $other")
     }
-    val prior =
-      if (exists) Some(IcebergReader.snapshot(spark, tablePath)) else None
+    // declared schema/partitioning come from the metadata, not a
+    // snapshot — a created-but-never-written table (S3 Tables
+    // `create_table`) has no snapshot yet but its declaration binds
+    val declared =
+      if (exists) Some(IcebergReader.tableInfo(spark, tablePath)) else None
     val partCols =
-      prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
-    prior.foreach { s =>
-      if (partitionBy.nonEmpty && s.partitionColumns != partitionBy)
+      declared.map(_._2).filter(_.nonEmpty).getOrElse(partitionBy)
+    declared.foreach { case (tblSchema, tblParts) =>
+      if (partitionBy.nonEmpty && tblParts != partitionBy)
         throw new IllegalArgumentException(
-          s"partitionBy ${partitionBy.mkString(",")} != table's ${s.partitionColumns.mkString(",")}")
-      if (mode == "append") checkAppendSchema(s.schema, df.schema)
+          s"partitionBy ${partitionBy.mkString(",")} != table's ${tblParts.mkString(",")}")
+      if (mode == "append") checkAppendSchema(tblSchema, df.schema)
     }
     val adds = writeDataFiles(df, tablePath, partCols)
     // append CARRIES the current snapshot's manifest files, re-read at
@@ -80,6 +83,29 @@ object IcebergWriter {
       operation = if (mode == "overwrite" && exists) "overwrite" else "append",
       carryCurrentManifests = mode == "append" && exists,
       expectedParent = None)
+  }
+
+  /** S3 Tables `create_table`: declare an EMPTY Iceberg table — schema
+    * and partition spec in v1.metadata.json, no snapshot. The first
+    * append commits against the declaration (schema-checked). */
+  def createEmpty(spark: SparkSession, tablePath: String,
+      schema: StructType, partitionBy: Seq[String] = Nil): Unit = {
+    require(!IcebergReader.isIcebergTable(spark, tablePath),
+      s"Iceberg table already exists at $tablePath")
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c not in schema"))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    fs.mkdirs(metaDir)
+    val node = emptyMetadataJson(fs.makeQualified(root).toString, schema,
+      partitionBy, System.currentTimeMillis())
+    val out = fs.create(new Path(metaDir, "v1.metadata.json"), false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(node))
+    finally out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    try hint.write("1".getBytes("UTF-8")) finally hint.close()
   }
 
   /** Raised when a commit's parent snapshot is no longer current — the
@@ -110,7 +136,10 @@ object IcebergWriter {
       src: DataFrame, keys: Seq[String]): Committed = {
     if (!IcebergReader.isIcebergTable(spark, tablePath))
       return write(src, tablePath, mode = "error")
-    val snap = IcebergReader.snapshot(spark, tablePath)
+    val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
+    if (snapOpt.isEmpty) // created-but-empty table: upsert = insert all
+      return write(src, tablePath, mode = "append")
+    val snap = snapOpt.get
     val current = IcebergReader.read(spark, tablePath)
     val srcAligned = src.select(snap.schema.fieldNames.map(col).toSeq: _*)
     val pcols = snap.partitionColumns
@@ -165,7 +194,10 @@ object IcebergWriter {
       keys: DataFrame, keyCols: Seq[String]): Committed = {
     require(IcebergReader.isIcebergTable(spark, tablePath),
       s"no Iceberg table at $tablePath")
-    val snap = IcebergReader.snapshot(spark, tablePath)
+    val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
+    if (snapOpt.isEmpty) // nothing to delete from; no-op, no new snapshot
+      return Committed(-1L, 0L, 0)
+    val snap = snapOpt.get
     val current = IcebergReader.read(spark, tablePath)
     val keySet = keys.select(keyCols.map(col): _*).distinct()
     val pcols = snap.partitionColumns
@@ -509,12 +541,11 @@ object IcebergWriter {
       else None
     } catch { case _: Exception => None }
 
-  /** Next metadata document: prior snapshots carried, the new one
-    * appended and made current. */
-  private def metadataJson(
+  /** Fields shared by every metadata document (identity, schema,
+    * partition spec). */
+  private def baseMetadata(
       prior: Option[com.fasterxml.jackson.databind.JsonNode],
       location: String, schema: StructType, partCols: Seq[String],
-      snapshotId: Long, manifestList: String, operation: String,
       now: Long): ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("format-version", 1)
@@ -546,6 +577,28 @@ object IcebergWriter {
     node.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
     node.put("default-spec-id", 0)
     node.set[ObjectNode]("properties", mapper.createObjectNode())
+    node
+  }
+
+  /** Initial metadata of an empty table (S3 Tables `create_table`): the
+    * declared schema and partition spec, no snapshot yet. */
+  private def emptyMetadataJson(location: String, schema: StructType,
+      partCols: Seq[String], now: Long): ObjectNode = {
+    val node = baseMetadata(None, location, schema, partCols, now)
+    node.set[ArrayNode]("snapshots", mapper.createArrayNode())
+    node.put("current-snapshot-id", -1L)
+    node.set[ArrayNode]("snapshot-log", mapper.createArrayNode())
+    node
+  }
+
+  /** Next metadata document: prior snapshots carried, the new one
+    * appended and made current. */
+  private def metadataJson(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode],
+      location: String, schema: StructType, partCols: Seq[String],
+      snapshotId: Long, manifestList: String, operation: String,
+      now: Long): ObjectNode = {
+    val node = baseMetadata(prior, location, schema, partCols, now)
     val snaps = mapper.createArrayNode()
     prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshots"))
       .foreach(s => snaps.add(s)))

@@ -75,6 +75,47 @@ class MgmtSurfaceSpec extends AnyFunSuite {
     assert(io.IcebergReader.read(spark, dir).count() == 3)
   }
 
+  test("s3 tables: bucket/namespace lifecycle + empty-table declaration") {
+    val spark0 = spark
+    import spark0.implicits._
+    val bucket = s"${tmp()}/tb"
+    intercept[IllegalArgumentException] { // namespace needs a bucket
+      io.S3Tables.createNamespace(spark, bucket, "ns")
+    }
+    io.S3Tables.createTableBucket(spark, bucket)
+    io.S3Tables.createNamespace(spark, bucket, "ns")
+    assert(io.S3Tables.listNamespaces(spark, bucket) == Seq("ns"))
+    val schema = Seq((1L, "a", "x")).toDF("id", "v", "p").schema
+    io.S3Tables.createTable(spark, bucket, "ns", "t", schema,
+      partitionBy = Seq("p"))
+    assert(io.S3Tables.listTables(spark, bucket, "ns") == Seq("t"))
+    // created-but-empty: reads back zero rows WITH the declared schema
+    val empty = io.S3Tables.fromIceberg(spark, bucket, "ns", "t")
+    assert(empty.count() == 0 && empty.schema.fieldNames.toSeq ==
+      Seq("id", "v", "p"))
+    // first append commits against the declaration (schema-checked,
+    // declared partitioning applied); merge into empty inserts all
+    io.S3Tables.toIceberg(Seq((1L, "a", "x"), (2L, "b", "y"))
+      .toDF("id", "v", "p"), bucket, "ns", "t")
+    intercept[IllegalArgumentException] { // column drift vs declaration
+      io.S3Tables.toIceberg(Seq((3L, 9))
+        .toDF("id", "extra"), bucket, "ns", "t")
+    }
+    val snap = io.IcebergReader.snapshot(spark, s"$bucket/ns/t")
+    assert(snap.partitionColumns == Seq("p"),
+      "declared partitioning binds the first write")
+    assert(io.S3Tables.fromIceberg(spark, bucket, "ns", "t")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "x"), (2L, "b", "y")))
+    // deletes are gated bottom-up
+    intercept[IllegalArgumentException] {
+      io.S3Tables.deleteNamespace(spark, bucket, "ns")
+    }
+    io.S3Tables.deleteTable(spark, bucket, "ns", "t")
+    io.S3Tables.deleteNamespace(spark, bucket, "ns")
+    io.S3Tables.deleteTableBucket(spark, bucket)
+  }
+
   test("warehouse copy/unload wrappers round-trip through jdbc") {
     val spark0 = spark
     import spark0.implicits._
