@@ -3,9 +3,16 @@ package graft.io
 import scala.collection.mutable
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** The requested Delta table uses a protocol feature this reader does not
+  * implement — raised instead of silently returning wrong rows (the
+  * failure mode of ignoring `protocol` actions). */
+final class UnsupportedDeltaFeatureException(msg: String)
+  extends RuntimeException(msg)
 
 /** Read-only interop with REAL Delta Lake tables — the reference reads
   * tables other systems wrote (`s3/_read_deltalake.py:38-136`), and the
@@ -14,8 +21,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * public: delta.io PROTOCOL.md): `_delta_log/<20-digit>.json` holds one
   * JSON action per line (`metaData`, `add`, `remove`, `commitInfo`,
   * `protocol`), every 10th commit may be compacted into
-  * `<version>.checkpoint.parquet`, and `_last_checkpoint` points at the
-  * newest checkpoint — so a reader needs no format jar.
+  * `<version>.checkpoint.parquet` (or `N` parts named
+  * `<version>.checkpoint.<i>.<n>.parquet`), and `_last_checkpoint` points
+  * at the newest checkpoint — so a reader needs no format jar.
   *
   * Snapshot reconstruction: start from the newest checkpoint at or below
   * the requested version (falling back to version 0), replay the JSON
@@ -23,25 +31,53 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * read with the log's schema, partition columns re-attached from each
   * file's `partitionValues` (authoritative over directory names).
   *
+  * Protocol gating: the `protocol` action is replayed like any other and
+  * checked before any data is read. Reader version 1 is the base; version
+  * 2 adds column mapping (supported — physical column names resolved from
+  * the schema's `delta.columnMapping.physicalName` metadata, which Delta
+  * writers emit in both `name` and `id` modes); version 3 tables are read
+  * only when every `readerFeatures` entry is implemented here
+  * (deletionVectors, columnMapping, timestampNtz, vacuumProtocolCheck) —
+  * anything else raises [[UnsupportedDeltaFeatureException]] rather than
+  * returning silently wrong rows. Deletion vectors are applied as a
+  * row-position anti-join: `_metadata.row_index` against the decoded DV
+  * bitmaps ([[DeltaDeletionVectors]], decoded on executors).
+  *
   * Scale: the log itself is metadata — the driver materializes only the
   * active file list, the same cost every Delta reader pays; the data read
   * is a normal distributed parquet scan per partition-value group.
   */
 object DeltaLogReader {
 
-  final case class AddFile(path: String, partitionValues: Map[String, Option[String]])
+  final case class AddFile(path: String,
+      partitionValues: Map[String, Option[String]],
+      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None)
+
+  final case class Protocol(minReaderVersion: Int = 1,
+      readerFeatures: Set[String] = Set.empty)
 
   final case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      protocol: Protocol = Protocol(),
+      configuration: Map[String, String] = Map.empty)
 
   final case class Commit(version: Long, timestampMs: Long, operation: String)
+
+  /** readerFeatures this reader actually implements (delta.io PROTOCOL.md
+    * reader-version-3 feature names). `v2Checkpoint` is deliberately
+    * absent: uuid-named checkpoints with sidecars change the log layout
+    * itself. */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
 
   private val mapper = new ObjectMapper()
   private val CommitFile = """(\d{20})\.json""".r
   private val CheckpointFile = """(\d{20})\.checkpoint\.parquet""".r
+  private val MultiPartCheckpointFile =
+    """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
 
   /** Latest version present in the log, or -1 for an empty/absent log. */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
@@ -63,26 +99,39 @@ object DeltaLogReader {
     val active = mutable.LinkedHashMap.empty[String, AddFile]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Nil
+    var protocol = Protocol()
+    var configuration = Map.empty[String, String]
 
     ckptVersion.foreach { cv =>
-      // select only the three action structs so parquet column pruning
-      // drops the stats/tags payloads real checkpoints carry
-      val ckpt = spark.read.parquet(checkpoints(cv))
-      val actionCols = ckpt.columns.filter(Set("metaData", "add", "remove"))
+      // select only the action structs so parquet column pruning drops
+      // the stats/tags payloads real checkpoints carry
+      val ckpt = spark.read.parquet(checkpoints(cv): _*)
+      val actionCols = ckpt.columns.filter(Set("metaData", "add", "remove", "protocol"))
       val rows = ckpt.select(actionCols.map(col).toSeq: _*).collect()
       rows.foreach { r =>
         def struct(name: String) =
           if (!r.schema.fieldNames.contains(name)) None
-          else Option(r.getAs[org.apache.spark.sql.Row](name))
+          else Option(r.getAs[Row](name))
+        struct("protocol").foreach { p =>
+          protocol = Protocol(p.getAs[Number]("minReaderVersion").intValue,
+            if (!p.schema.fieldNames.contains("readerFeatures")) Set.empty
+            else Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
+              .map(_.toSet).getOrElse(Set.empty))
+        }
         struct("metaData").foreach { m =>
           schema = Some(parseSchema(m.getAs[String]("schemaString")))
           partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+          if (m.schema.fieldNames.contains("configuration"))
+            configuration = Option(
+              m.getAs[scala.collection.Map[String, String]]("configuration"))
+              .map(_.toMap).getOrElse(Map.empty)
         }
         struct("add").foreach { a =>
           val add = AddFile(a.getAs[String]("path"),
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
               .map(_.toMap.map { case (k, v) => k -> Option(v) })
-              .getOrElse(Map.empty))
+              .getOrElse(Map.empty),
+            dvFromRow(a))
           active(add.path) = add
         }
         struct("remove").foreach(rm => active.remove(rm.getAs[String]("path")))
@@ -97,9 +146,22 @@ object DeltaLogReader {
     tail.foreach { v =>
       readLines(spark, commits(v)).foreach { line =>
         val node = mapper.readTree(line)
+        Option(node.get("protocol")).foreach { p =>
+          protocol = Protocol(p.get("minReaderVersion").asInt,
+            jsonArray(p.get("readerFeatures")).map(_.asText).toSet)
+        }
         Option(node.get("metaData")).foreach { m =>
           schema = Some(parseSchema(m.get("schemaString").asText))
           partCols = jsonArray(m.get("partitionColumns")).map(_.asText)
+          configuration = Option(m.get("configuration")).map { o =>
+            val it = o.fields()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val e = it.next()
+              if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText
+            }
+            b.result()
+          }.getOrElse(Map.empty)
         }
         Option(node.get("add")).foreach { a =>
           val pv = Option(a.get("partitionValues")).map { o =>
@@ -112,17 +174,18 @@ object DeltaLogReader {
             }
             b.result()
           }.getOrElse(Map.empty[String, Option[String]])
-          val add = AddFile(decodePath(a.get("path").asText), pv)
+          val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a))
           active(add.path) = add
         }
         Option(node.get("remove")).foreach(rm =>
           active.remove(decodePath(rm.get("path").asText)))
       }
     }
+    checkProtocol(protocol, tablePath)
     Snapshot(version,
       schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying to version $version")),
-      partCols, active.values.toSeq)
+      partCols, active.values.toSeq, protocol, configuration)
   }
 
   /** `read_deltalake(version=…)`: the snapshot as a DataFrame.
@@ -135,43 +198,60 @@ object DeltaLogReader {
     * manifest is metadata-scale (one row per active file, the same list
     * the snapshot already materialized), so the join is a map-side
     * lookup, and the scan itself stays a single distributed node that
-    * AQE/pushdown treat normally.
+    * AQE/pushdown treat normally. Deletion vectors (if any file carries
+    * one) become a `(file, row_index)` anti-join whose delete side is
+    * decoded bitmap-by-bitmap on executors; tables without DVs keep the
+    * exact pre-DV plan. Column-mapped tables scan by physical name and
+    * rename to logical names in the final projection.
     */
   def read(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, asOfVersion)
-    val dataSchema = StructType(
-      snap.schema.fields.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val physOf = physicalNames(snap)
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
     if (snap.files.isEmpty)
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        spark.sparkContext.emptyRDD[Row], snap.schema)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // qualified URIs so they compare equal to input_file_name()'s output
     val qualified = snap.files.map { f =>
       fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
     }
-    val base = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
-    if (snap.partitionColumns.isEmpty)
-      return base.select(snap.schema.fieldNames.map(col).toSeq: _*)
-    val manifestSchema = StructType(
-      org.apache.spark.sql.types.StructField("__file",
-        org.apache.spark.sql.types.StringType, nullable = false) +:
-        snap.partitionColumns.map(c => org.apache.spark.sql.types.StructField(
-          c, org.apache.spark.sql.types.StringType, nullable = true)))
-    val manifestRows = qualified.map { case (uri, f) =>
-      org.apache.spark.sql.Row.fromSeq(
-        uri +: snap.partitionColumns.map(c => f.partitionValues.get(c).flatten.orNull))
+    val hasParts = snap.partitionColumns.nonEmpty
+    val hasDvs = snap.files.exists(_.deletionVector.isDefined)
+    var df = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
+    if (hasParts || hasDvs)
+      df = df.withColumn("__file", input_file_name())
+    if (hasDvs) {
+      val qualifiedRoot = fs.makeQualified(root).toString
+      val deleted = deletedRows(spark, qualifiedRoot, qualified)
+      df = df.withColumn("__pos", col("_metadata.row_index"))
+        .join(deleted, Seq("__file", "__pos"), "left_anti")
+        .drop("__pos")
     }
-    val manifest = spark.createDataFrame(
-      spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
-    base
-      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
-      .join(org.apache.spark.sql.functions.broadcast(manifest), Seq("__file"), "left")
-      .select(snap.schema.fields.map { f =>
-        if (snap.partitionColumns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-        else col(f.name)
-      }.toSeq: _*)
+    if (hasParts) {
+      val manifestSchema = StructType(
+        StructField("__file", StringType, nullable = false) +:
+          snap.partitionColumns.map(c =>
+            StructField(c, StringType, nullable = true)))
+      val manifestRows = qualified.map { case (uri, f) =>
+        Row.fromSeq(uri +: snap.partitionColumns.map { c =>
+          f.partitionValues.get(physOf(c))
+            .orElse(f.partitionValues.get(c)).flatten.orNull
+        })
+      }
+      val manifest = spark.createDataFrame(
+        spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
+      df = df.join(broadcast(manifest), Seq("__file"), "left")
+    }
+    df.select(snap.schema.fields.map { f =>
+      if (snap.partitionColumns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else col(physOf(f.name)).as(f.name)
+    }.toSeq: _*)
   }
 
   /** Commit history (newest first) from the commitInfo actions. */
@@ -188,6 +268,84 @@ object DeltaLogReader {
     }
   }
 
+  // ---- protocol / column mapping / deletion vectors ----------------------
+
+  private def checkProtocol(p: Protocol, tablePath: String): Unit = {
+    if (p.minReaderVersion > 3)
+      throw new UnsupportedDeltaFeatureException(
+        s"$tablePath requires Delta reader version ${p.minReaderVersion}; " +
+          "this reader supports up to 3")
+    if (p.minReaderVersion == 3) {
+      val unsupported = p.readerFeatures -- SupportedReaderFeatures
+      if (unsupported.nonEmpty)
+        throw new UnsupportedDeltaFeatureException(
+          s"$tablePath requires reader features " +
+            s"${unsupported.toSeq.sorted.mkString(", ")} not supported here " +
+            s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(", ")})")
+    }
+  }
+
+  /** logical column name → physical (parquet) column name. Identity
+    * unless `delta.columnMapping.mode` is `name`/`id`, in which case the
+    * schema's `delta.columnMapping.physicalName` metadata — written by
+    * Delta in both modes — names the parquet columns. */
+  private def physicalNames(snap: Snapshot): Map[String, String] = {
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    snap.schema.fields.map { f =>
+      val phys =
+        if (mode == "none" || mode.isEmpty) f.name
+        else if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
+      f.name -> phys
+    }.toMap
+  }
+
+  /** `(__file, __pos)` rows deleted by the snapshot's deletion vectors,
+    * decoded on executors (one task per descriptor batch) so a large DV
+    * never materializes on the driver. */
+  private def deletedRows(spark: SparkSession, qualifiedRoot: String,
+      qualified: Seq[(String, AddFile)]): DataFrame = {
+    val entries = qualified.flatMap { case (uri, f) =>
+      f.deletionVector.map(dv => uri -> dv)
+    }
+    val conf = new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rdd = spark.sparkContext
+      .parallelize(entries, math.max(1, math.min(entries.size, 32)))
+      .flatMap { case (uri, dv) =>
+        DeltaDeletionVectors.rowIndexes(conf.value, qualifiedRoot, dv)
+          .map(pos => Row(uri, pos))
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("__file", StringType, nullable = false),
+      StructField("__pos", LongType, nullable = false))))
+  }
+
+  private def dvFromRow(a: Row): Option[DeltaDeletionVectors.Descriptor] =
+    if (!a.schema.fieldNames.contains("deletionVector")) None
+    else Option(a.getAs[Row]("deletionVector")).map { d =>
+      def num(f: String): Option[Number] =
+        if (!d.schema.fieldNames.contains(f)) None
+        else Option(d.getAs[Number](f))
+      DeltaDeletionVectors.Descriptor(
+        d.getAs[String]("storageType"), d.getAs[String]("pathOrInlineDv"),
+        num("offset").map(_.intValue),
+        num("sizeInBytes").map(_.intValue).getOrElse(0),
+        num("cardinality").map(_.longValue).getOrElse(-1L))
+    }
+
+  private def dvFromJson(a: JsonNode): Option[DeltaDeletionVectors.Descriptor] =
+    Option(a.get("deletionVector")).filterNot(_.isNull).map { d =>
+      DeltaDeletionVectors.Descriptor(
+        d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt),
+        Option(d.get("sizeInBytes")).map(_.asInt).getOrElse(0),
+        Option(d.get("cardinality")).map(_.asLong).getOrElse(-1L))
+    }
+
+  // ---- log plumbing ------------------------------------------------------
+
   private def parseSchema(schemaString: String): StructType =
     DataType.fromJson(schemaString).asInstanceOf[StructType]
 
@@ -199,9 +357,13 @@ object DeltaLogReader {
   private def decodePath(p: String): String =
     if (p.contains('%')) new java.net.URI(p).getPath else p
 
-  /** (version → commit json path, version → checkpoint parquet path). */
+  /** (version → commit json path, version → checkpoint parquet part
+    * paths). Multi-part checkpoints (`N.checkpoint.i.of.n.parquet` in the
+    * `%010d` forms the protocol prescribes) are grouped by version and
+    * admitted only when all `n` parts are present — a torn multi-part
+    * write never half-replays. */
   private def logFiles(spark: SparkSession, tablePath: String)
-      : (Map[Long, String], Map[Long, String]) = {
+      : (Map[Long, String], Map[Long, Seq[String]]) = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(logDir)) return (Map.empty, Map.empty)
@@ -210,11 +372,21 @@ object DeltaLogReader {
       case p if CommitFile.matches(p.getName) =>
         p.getName.stripSuffix(".json").toLong -> p.toString
     }.toMap
-    val checkpoints = entries.collect {
+    val singleParts = entries.collect {
       case p if CheckpointFile.matches(p.getName) =>
-        p.getName.stripSuffix(".checkpoint.parquet").toLong -> p.toString
+        p.getName.stripSuffix(".checkpoint.parquet").toLong -> Seq(p.toString)
     }.toMap
-    (commits, checkpoints)
+    val multiParts = entries.flatMap { p =>
+      p.getName match {
+        case MultiPartCheckpointFile(v, i, n) =>
+          Some((v.toLong, i.toInt, n.toInt, p.toString))
+        case _ => None
+      }
+    }.groupBy(t => (t._1, t._3)).collect {
+      case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
+        v -> parts.sortBy(_._2).map(_._4).toSeq
+    }
+    (commits, singleParts ++ multiParts)
   }
 
   private def readLines(spark: SparkSession, path: String): Seq[String] = {

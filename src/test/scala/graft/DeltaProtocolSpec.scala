@@ -1,0 +1,240 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{DeltaDeletionVectors, DeltaLogReader, UnsupportedDeltaFeatureException}
+
+/** Delta protocol-feature interop: reader-version gating, deletion
+  * vectors (sidecar + inline), column mapping, and multi-part
+  * checkpoints — every fixture hand-committed in the protocol's own
+  * format (delta.io PROTOCOL.md), no Delta jar on either side. The round-4
+  * verdict's top item: tables carrying features this reader doesn't know
+  * must RAISE, never silently return wrong rows. */
+class DeltaProtocolSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-dvp").toString
+
+  private def writeDataFile(tableDir: String, rel: String,
+      df: DataFrame): Unit = {
+    val stg = s"${tmp()}/stg"
+    df.coalesce(1).write.parquet(stg)
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(stg))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(tableDir, rel)
+    fs.mkdirs(dst.getParent)
+    assert(fs.rename(part, dst))
+  }
+
+  private def writeCommit(tableDir: String, version: Long,
+      actions: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$tableDir/_delta_log")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, f"$version%020d.json").toPath,
+      actions.mkString("", "\n", "\n"))
+  }
+
+  private def schemaJson(schema: StructType): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(schema.json)
+
+  private def metaAction(schema: StructType, partCols: Seq[String],
+      configuration: Map[String, String] = Map.empty): String = {
+    val conf = configuration.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val parts = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},"schemaString":${schemaJson(schema)},"partitionColumns":$parts,"configuration":$conf}}"""
+  }
+
+  private def protocolAction(minReader: Int,
+      readerFeatures: Seq[String] = Nil): String = {
+    val rf =
+      if (readerFeatures.isEmpty) ""
+      else readerFeatures.map(f => s""""$f"""")
+        .mkString(""","readerFeatures":[""", ",", "]")
+    s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7$rf}}"""
+  }
+
+  private def dvJson(d: DeltaDeletionVectors.Descriptor): String =
+    s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  private def addAction(rel: String, pv: Map[String, String] = Map.empty,
+      dv: Option[DeltaDeletionVectors.Descriptor] = None): String = {
+    val pvs = pv.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"add":{"path":"$rel","partitionValues":$pvs,"size":1,"modificationTime":1,"dataChange":true${dv.map(dvJson).getOrElse("")}}}"""
+  }
+
+  test("Z85 + RoaringBitmapArray codec roundtrips, including a >2^32 row index") {
+    val bytes = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+    assert(DeltaDeletionVectors.z85Decode(
+      DeltaDeletionVectors.z85Encode(bytes)).toSeq == bytes.toSeq)
+    val indexes = Seq(0L, 5L, 63L, (1L << 32) + 7L)
+    val decoded = DeltaDeletionVectors.decodeBitmapArray(
+      DeltaDeletionVectors.encodeBitmapArray(indexes))
+    assert(decoded.toSeq == indexes.sorted)
+  }
+
+  test("deletion vectors: sidecar and inline DVs drop exactly the flagged rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    writeDataFile(dir, "part-a.parquet",
+      (0L to 4L).map(i => (i, s"a$i")).toDF("id", "v"))
+    writeDataFile(dir, "part-b.parquet",
+      (10L to 14L).map(i => (i, s"b$i")).toDF("id", "v"))
+    // file a: sidecar DV deleting row positions 1 and 3 (ids 1, 3)
+    val dvA = DeltaDeletionVectors.writeSidecar(
+      spark.sparkContext.hadoopConfiguration, new Path(dir), Seq(1L, 3L))
+    // file b: inline DV deleting position 0 (id 10); Z85 needs 4-byte
+    // alignment, so pad and keep sizeInBytes at the real length
+    val rawB = DeltaDeletionVectors.encodeBitmapArray(Seq(0L))
+    val padded = java.util.Arrays.copyOf(rawB, (rawB.length + 3) / 4 * 4)
+    val dvB = DeltaDeletionVectors.Descriptor(
+      "i", DeltaDeletionVectors.z85Encode(padded), None, rawB.length, 1L)
+    writeCommit(dir, 0, Seq(
+      protocolAction(3, Seq("deletionVectors")),
+      metaAction(schema, Nil),
+      addAction("part-a.parquet", dv = Some(dvA)),
+      addAction("part-b.parquet", dv = Some(dvB))))
+    val got = DeltaLogReader.read(spark, dir)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(got == Set(0L, 2L, 4L, 11L, 12L, 13L, 14L))
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.protocol.minReaderVersion == 3 &&
+      snap.protocol.readerFeatures == Set("deletionVectors"))
+    // a later add of the same file without a DV un-deletes (last add wins)
+    writeCommit(dir, 1, Seq(addAction("part-a.parquet")))
+    assert(DeltaLogReader.read(spark, dir).count() == 9)
+  }
+
+  test("deletion vectors compose with partition re-attachment") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType)))
+    writeDataFile(dir, "p=x/f1.parquet",
+      (0L to 3L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val dv = DeltaDeletionVectors.writeSidecar(
+      spark.sparkContext.hadoopConfiguration, new Path(dir), Seq(2L))
+    writeCommit(dir, 0, Seq(
+      protocolAction(3, Seq("deletionVectors")),
+      metaAction(schema, Seq("p")),
+      addAction("p=x/f1.parquet", Map("p" -> "x"), Some(dv))))
+    val got = DeltaLogReader.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((0L, "v0", "x"), (1L, "v1", "x"), (3L, "v3", "x")))
+  }
+
+  test("column mapping (name mode): physical parquet names resolve to logical columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    def mapped(name: String, phys: String, id: Long, dt: DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val schema = StructType(Seq(
+      mapped("id", "col-aaa111", 1, LongType),
+      mapped("v", "col-bbb222", 2, StringType),
+      mapped("p", "col-ppp333", 3, StringType)))
+    // data files carry the PHYSICAL column names, as Delta writes them
+    writeDataFile(dir, "p=x/f1.parquet",
+      Seq((1L, "one"), (2L, "two")).toDF("col-aaa111", "col-bbb222"))
+    writeCommit(dir, 0, Seq(
+      protocolAction(2),
+      metaAction(schema, Seq("p"),
+        Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "3")),
+      // partitionValues keyed by the partition column's physical name
+      addAction("p=x/f1.parquet", Map("col-ppp333" -> "x"))))
+    val df = DeltaLogReader.read(spark, dir)
+    assert(df.columns.toSeq == Seq("id", "v", "p"))
+    assert(df.as[(Long, String, String)].collect().toSet ==
+      Set((1L, "one", "x"), (2L, "two", "x")))
+  }
+
+  test("unsupported protocol features raise instead of returning wrong rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    def fixture(protocol: String): String = {
+      val dir = s"${tmp()}/tbl"
+      val schema = StructType(Seq(StructField("id", LongType)))
+      writeDataFile(dir, "f1.parquet", Seq(1L).toDF("id"))
+      writeCommit(dir, 0, Seq(protocol, metaAction(schema, Nil),
+        addAction("f1.parquet")))
+      dir
+    }
+    val ex = intercept[UnsupportedDeltaFeatureException] {
+      DeltaLogReader.read(spark,
+        fixture(protocolAction(3, Seq("deletionVectors", "v2Checkpoint"))))
+    }
+    assert(ex.getMessage.contains("v2Checkpoint"))
+    intercept[UnsupportedDeltaFeatureException] {
+      DeltaLogReader.snapshot(spark, fixture(protocolAction(4)))
+    }
+    // supported feature sets still read
+    assert(DeltaLogReader.read(spark, fixture(protocolAction(3,
+      Seq("timestampNtz", "columnMapping", "vacuumProtocolCheck")))).count() == 1)
+    assert(DeltaLogReader.read(spark, fixture(protocolAction(2))).count() == 1)
+  }
+
+  test("multi-part checkpoint: all parts replayed, incomplete part sets ignored") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType)))
+    writeDataFile(dir, "p=a/f1.parquet", Seq((1L, "a1")).toDF("id", "v"))
+    writeDataFile(dir, "p=b/f2.parquet", Seq((2L, "b1")).toDF("id", "v"))
+    writeCommit(dir, 0, Seq(protocolAction(1), metaAction(schema, Seq("p")),
+      addAction("p=a/f1.parquet", Map("p" -> "a")),
+      addAction("p=b/f2.parquet", Map("p" -> "b"))))
+    writeDataFile(dir, "p=c/f3.parquet", Seq((3L, "c1")).toDF("id", "v"))
+    writeCommit(dir, 1, Seq(addAction("p=c/f3.parquet", Map("p" -> "c"))))
+    // 2-part checkpoint at v1: metaData in part 1, adds split across parts
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeCkptPart(i: Int, n: Int, rows: Seq[CkptRow]): Unit = {
+      val stg = s"${tmp()}/ckpt"
+      rows.toDS().coalesce(1).write.parquet(stg)
+      val part = fs.listStatus(new Path(stg))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(fs.rename(part, new Path(s"$dir/_delta_log",
+        f"${1L}%020d.checkpoint.$i%010d.$n%010d.parquet")))
+    }
+    writeCkptPart(1, 2, Seq(
+      CkptRow(None, None, Some(CkptMeta("fx", schema.json, Seq("p")))),
+      CkptRow(Some(CkptAdd("p=a/f1.parquet", Map("p" -> "a"), 1L, 1L, true)),
+        None, None)))
+    writeCkptPart(2, 2, Seq(
+      CkptRow(Some(CkptAdd("p=b/f2.parquet", Map("p" -> "b"), 1L, 1L, true)),
+        None, None),
+      CkptRow(Some(CkptAdd("p=c/f3.parquet", Map("p" -> "c"), 1L, 1L, true)),
+        None, None)))
+    // vacuum the json tail: replay must come from the parts alone
+    fs.delete(new Path(s"$dir/_delta_log", f"${0L}%020d.json"), false)
+    fs.delete(new Path(s"$dir/_delta_log", f"${1L}%020d.json"), false)
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a1", "a"), (2L, "b1", "b"), (3L, "c1", "c")))
+    // drop part 2: the group is incomplete, so the checkpoint must be
+    // ignored — and with the tail vacuumed that is a LOUD failure
+    fs.delete(new Path(s"$dir/_delta_log",
+      f"${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet"), false)
+    intercept[IllegalArgumentException] {
+      DeltaLogReader.snapshot(spark, dir)
+    }
+  }
+}
