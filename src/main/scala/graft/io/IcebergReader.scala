@@ -6,9 +6,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, regexp_replace}
 import org.apache.spark.sql.types._
+
+/** The requested Iceberg table uses a format version or feature this
+  * reader does not implement — raised instead of silently returning
+  * wrong rows (e.g. replaying a v2 delete manifest as data). */
+final class UnsupportedIcebergFeatureException(msg: String)
+  extends RuntimeException(msg)
 
 /** Read-only interop with REAL Apache Iceberg tables — the reference
   * reads Iceberg tables other engines committed
@@ -28,6 +34,17 @@ import org.apache.spark.sql.types._
   * as real columns, so the read is a plain distributed parquet scan over
   * the active file list; manifest partition values serve pruning.
   *
+  * Format-version gating: format-version 1 and 2 are read; anything newer
+  * raises [[UnsupportedIcebergFeatureException]]. v2 manifests are split
+  * by the manifest-list `content` field: data manifests (0) replay as
+  * active files, delete manifests (1) are collected and applied —
+  * position-delete files (spec columns `file_path`, `pos`) become a
+  * row-position anti-join against `_metadata.row_index`; equality deletes
+  * raise rather than resurface deleted rows. Position deletes name exact
+  * data-file paths, so applying every live delete file to the active set
+  * is safe without sequence-number ordering: a rewritten (compacted) data
+  * file has a new path that old deletes cannot match.
+  *
   * Scale: metadata only on the driver (same cost every Iceberg reader
   * pays); the data scan is distributed. Avro manifests are streamed, not
   * materialized.
@@ -43,7 +60,8 @@ object IcebergReader {
       operation: String,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[DataFileEntry])
+      files: Seq[DataFileEntry],
+      deleteFiles: Seq[DataFileEntry] = Nil)
 
   private val mapper = new ObjectMapper()
   private val MetadataFile = """v(\d+)\.metadata\.json""".r
@@ -105,28 +123,45 @@ object IcebergReader {
 
     val root = new Path(tablePath)
     val manifestList = resolve(root, snap.get("manifest-list").asText)
-    val manifests = readAvro(spark, manifestList)
-      .map(r => resolve(root, r.get("manifest_path").toString))
     val active = mutable.LinkedHashMap.empty[String, DataFileEntry]
-    manifests.foreach { m =>
-      readAvro(spark, m).foreach { entry =>
-        val status = entry.get("status").asInstanceOf[Int]
-        val df = entry.get("data_file").asInstanceOf[GenericRecord]
-        val path = resolve(root, df.get("file_path").toString).toString
-        def longOf(field: String): Long = df.get(field) match {
-          case l: java.lang.Long => l
-          case i: java.lang.Integer => i.toLong
-          case _ => 0L
+    val deletes = mutable.LinkedHashMap.empty[String, DataFileEntry]
+    readAvro(spark, manifestList).foreach { m =>
+      val mContent = intOf(fieldOpt(m, "content").orNull).getOrElse(0)
+      readAvro(spark, resolve(root, m.get("manifest_path").toString))
+        .foreach { entry =>
+          val status = entry.get("status").asInstanceOf[Int]
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val path = resolve(root, df.get("file_path").toString).toString
+          def longOf(field: String): Long = df.get(field) match {
+            case l: java.lang.Long => l
+            case i: java.lang.Integer => i.toLong
+            case _ => 0L
+          }
+          // v2 content: manifest-list distinguishes data (0) from delete
+          // (1) manifests; inside a delete manifest the data_file content
+          // tells position (1) from equality (2) deletes
+          val fileContent = intOf(fieldOpt(df, "content").orNull)
+            .getOrElse(if (mContent == 1) 1 else 0)
+          fileContent match {
+            case 0 =>
+              if (status == 2) active.remove(path)
+              else active(path) = DataFileEntry(path, partitionMap(df),
+                longOf("record_count"), longOf("file_size_in_bytes"))
+            case 1 =>
+              if (status == 2) deletes.remove(path)
+              else deletes(path) = DataFileEntry(path, partitionMap(df),
+                longOf("record_count"), longOf("file_size_in_bytes"))
+            case other =>
+              throw new UnsupportedIcebergFeatureException(
+                s"$tablePath carries a content=$other delete file " +
+                  "(equality deletes are not supported here)")
+          }
         }
-        if (status == 2) active.remove(path)
-        else active(path) = DataFileEntry(path, partitionMap(df),
-          longOf("record_count"), longOf("file_size_in_bytes"))
-      }
     }
     Snapshot(wanted, snap.get("timestamp-ms").asLong,
       Option(snap.get("summary")).flatMap(s => Option(s.get("operation")))
         .map(_.asText).getOrElse("unknown"),
-      schema, partCols, active.values.toSeq)
+      schema, partCols, active.values.toSeq, deletes.values.toSeq)
   }
 
   /** `from_iceberg(version=…)`: the snapshot as a DataFrame. Iceberg data
@@ -142,10 +177,42 @@ object IcebergReader {
       case Some(snap) if snap.files.isEmpty =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      case Some(snap) =>
+      case Some(snap) if snap.deleteFiles.isEmpty =>
         spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
           .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      case Some(snap) =>
+        // v2 position deletes: anti-join (file, row position). Both path
+        // sides are normalized to a scheme-less form so the committing
+        // engine's URI style (file:///x vs file:/x vs /x) cannot break
+        // the equality; the delete side is a distributed parquet scan of
+        // the delete files, never a driver materialization.
+        val data = spark.read.schema(snap.schema)
+          .parquet(snap.files.map(_.path): _*)
+          .withColumn("__file", normalizePath(input_file_name()))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+          .select(normalizePath(col("file_path")).as("__file"),
+            col("pos").cast(LongType).as("__pos"))
+        data.join(dels, Seq("__file", "__pos"), "left_anti")
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
     }
+
+  /** Strip the URI scheme and collapse leading slashes — `file:///x`,
+    * `file:/x`, and `/x` all become `/x` (position-delete `file_path`
+    * values are written by the committing engine in its own URI style). */
+  private def normalizePath(c: Column): Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  private def intOf(v: Any): Option[Int] = v match {
+    case i: java.lang.Integer => Some(i.intValue)
+    case l: java.lang.Long => Some(l.intValue)
+    case _ => None
+  }
+
+  /** avro `Record.get(name)` THROWS on a field absent from the writer's
+    * schema (v1 manifests have no `content`); guard through the schema. */
+  private def fieldOpt(r: GenericRecord, name: String): Option[Any] =
+    Option(r.getSchema.getField(name)).map(_ => r.get(name))
 
   // ---- metadata plumbing -------------------------------------------------
 
@@ -190,7 +257,12 @@ object IcebergReader {
         require(versions.nonEmpty, s"no vN.metadata.json under $metaDir")
         versions.maxBy(_._1)._2
       }
-    mapper.readTree(readText(spark, chosen.toString))
+    val node = mapper.readTree(readText(spark, chosen.toString))
+    val fv = Option(node.get("format-version")).map(_.asInt).getOrElse(1)
+    if (fv > 2)
+      throw new UnsupportedIcebergFeatureException(
+        s"$tablePath is Iceberg format-version $fv; this reader supports 1 and 2")
+    node
   }
 
   /** Iceberg manifest paths are absolute URIs from the committing engine;
