@@ -98,6 +98,7 @@ object SparkEntry {
     // protocol read, gated end-to-end by the DuckDB oracle
     "fmt_delta_roundtrip"   -> (TableRoundtrips.deltaMergeRoundtrip _),
     "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
+    "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
@@ -204,6 +205,7 @@ object SparkEntry {
     "kv_upsert_roundtrip" -> KeyValueWrite.upsertRoundtripOracle,
     "fmt_delta_roundtrip"   -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
+    "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,

@@ -228,36 +228,63 @@ object IcebergReader {
     icebergStruct(schemaNode)
   }
 
-  private def metaPartCols(meta: JsonNode): Seq[String] = {
+  private def metaPartCols(meta: JsonNode): Seq[String] =
+    metaPartFieldsOf(meta).filter(_.transform == "identity").map(_.name)
+
+  /** The full default partition spec — names, transforms, source columns
+    * (the writer's merge path needs transforms to find touched
+    * partitions on a `day(ts)`/`bucket(n,c)` table). */
+  def partitionFields(spark: SparkSession,
+      tablePath: String): Seq[IcebergTransforms.PartitionField] =
+    metaPartFieldsOf(currentMetadata(spark, tablePath))
+
+  private def metaPartFieldsOf(meta: JsonNode)
+      : Seq[IcebergTransforms.PartitionField] = {
+    val sourceById: Map[Int, String] = {
+      val wanted = Option(meta.get("current-schema-id")).map(_.asInt)
+      val schemaNode = Option(meta.get("schemas"))
+        .flatMap(ss => jsonArray(ss).find(s =>
+          wanted.forall(_ == s.get("schema-id").asInt)))
+        .orElse(Option(meta.get("schema")))
+      schemaNode.map(s => jsonArray(s.get("fields"))
+        .map(f => f.get("id").asInt -> f.get("name").asText).toMap)
+        .getOrElse(Map.empty)
+    }
     val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
     Option(meta.get("partition-specs"))
       .flatMap(ps => jsonArray(ps).find(_.get("spec-id").asInt == specId))
-      .map(spec => jsonArray(spec.get("fields"))
-        .filter(f => f.get("transform").asText == "identity")
-        .map(_.get("name").asText))
+      .map(spec => jsonArray(spec.get("fields")).map { f =>
+        val name = f.get("name").asText
+        IcebergTransforms.PartitionField(name,
+          Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+          Option(f.get("source-id")).map(_.asInt).flatMap(sourceById.get)
+            .getOrElse(name))
+      })
       .getOrElse(Nil)
   }
 
-  /** The newest metadata json: version-hint.text if present (Hadoop
-    * catalog), else the highest vN.metadata.json. */
+  /** The newest metadata json: versions are tried highest-first and a
+    * torn claim (create-exclusive file whose body has not landed yet) is
+    * skipped — a reader sees the previous committed state, never a stale
+    * `version-hint.text` (the hint is a non-authoritative fast-forward
+    * pointer that can lag behind vN under concurrent writers). */
   private def currentMetadata(spark: SparkSession, tablePath: String): JsonNode = {
     val metaDir = new Path(tablePath, "metadata")
     val fs = metaDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(metaDir), s"no Iceberg metadata dir under $tablePath")
-    val hint = new Path(metaDir, "version-hint.text")
-    val chosen =
-      if (fs.exists(hint)) {
-        val v = readText(spark, hint.toString).trim.toLong
-        new Path(metaDir, s"v$v.metadata.json")
-      } else {
-        val versions = fs.listStatus(metaDir).map(_.getPath).collect {
-          case p if MetadataFile.matches(p.getName) =>
-            MetadataFile.findFirstMatchIn(p.getName).get.group(1).toLong -> p
-        }
-        require(versions.nonEmpty, s"no vN.metadata.json under $metaDir")
-        versions.maxBy(_._1)._2
-      }
-    val node = mapper.readTree(readText(spark, chosen.toString))
+    val versions = fs.listStatus(metaDir).map(_.getPath).collect {
+      case p if MetadataFile.matches(p.getName) =>
+        MetadataFile.findFirstMatchIn(p.getName).get.group(1).toLong -> p
+    }.sortBy(-_._1)
+    require(versions.nonEmpty, s"no vN.metadata.json under $metaDir")
+    val node = versions.iterator.map { case (_, p) =>
+      try {
+        val n = mapper.readTree(readText(spark, p.toString))
+        if (n != null && n.isObject && n.has("format-version")) Some(n) else None
+      } catch { case _: Exception => None }
+    }.collectFirst { case Some(n) => n }
+      .getOrElse(throw new IllegalStateException(
+        s"no parseable vN.metadata.json under $metaDir"))
     val fv = Option(node.get("format-version")).map(_.asInt).getOrElse(1)
     if (fv > 2)
       throw new UnsupportedIcebergFeatureException(

@@ -40,6 +40,8 @@ import org.apache.spark.sql.types._
   */
 object IcebergWriter {
 
+  import IcebergTransforms.PartitionField
+
   private val mapper = new ObjectMapper()
 
   final case class Committed(snapshotId: Long, version: Long, numFiles: Int)
@@ -48,7 +50,10 @@ object IcebergWriter {
       partitionValues: Map[String, Option[String]], size: Long,
       recordCount: Long)
 
-  /** `to_iceberg(df, path, mode=…)` in the real format. */
+  /** `to_iceberg(df, path, mode=…)` in the real format. `partitionBy`
+    * entries are transform specs: a bare column name (identity),
+    * `day/month/year/hour(col)`, or `bucket(n, col)` — the call shapes
+    * the reference accepts (`athena/_write_iceberg.py:269-281`). */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
       partitionBy: Seq[String] = Nil): Committed = {
     val spark = df.sparkSession
@@ -61,25 +66,29 @@ object IcebergWriter {
       case other =>
         throw new IllegalArgumentException(s"unsupported mode: $other")
     }
+    val requested = partitionBy.map(IcebergTransforms.parse)
     // declared schema/partitioning come from the metadata, not a
     // snapshot — a created-but-never-written table (S3 Tables
     // `create_table`) has no snapshot yet but its declaration binds
     val declared =
-      if (exists) Some(IcebergReader.tableInfo(spark, tablePath)) else None
-    val partCols =
-      declared.map(_._2).filter(_.nonEmpty).getOrElse(partitionBy)
-    declared.foreach { case (tblSchema, tblParts) =>
-      if (partitionBy.nonEmpty && tblParts != partitionBy)
-        throw new IllegalArgumentException(
-          s"partitionBy ${partitionBy.mkString(",")} != table's ${tblParts.mkString(",")}")
+      if (exists) Some(IcebergReader.tableInfo(spark, tablePath)._1) else None
+    val declaredFields =
+      if (exists) IcebergReader.partitionFields(spark, tablePath) else Nil
+    val partFields =
+      if (declaredFields.nonEmpty) declaredFields else requested
+    if (exists && partitionBy.nonEmpty && declaredFields != requested)
+      throw new IllegalArgumentException(
+        s"partitionBy ${partitionBy.mkString(",")} != table's " +
+          declaredFields.map(f => s"${f.transform}(${f.source})").mkString(","))
+    declared.foreach { tblSchema =>
       if (mode == "append") checkAppendSchema(tblSchema, df.schema)
     }
-    val adds = writeDataFiles(df, tablePath, partCols)
+    val adds = writeDataFiles(df, tablePath, partFields)
     // append CARRIES the current snapshot's manifest files, re-read at
     // claim time inside the commit loop — a concurrent writer's manifests
     // survive a retry (the lost-update hazard of flattening the file list
     // as seen before the claim); overwrite replaces whatever is current
-    commit(spark, tablePath, df.schema, partCols, adds, kept = Nil,
+    commit(spark, tablePath, df.schema, partFields, adds, kept = Nil,
       operation = if (mode == "overwrite" && exists) "overwrite" else "append",
       carryCurrentManifests = mode == "append" && exists,
       expectedParent = None)
@@ -92,14 +101,15 @@ object IcebergWriter {
       schema: StructType, partitionBy: Seq[String] = Nil): Unit = {
     require(!IcebergReader.isIcebergTable(spark, tablePath),
       s"Iceberg table already exists at $tablePath")
-    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c not in schema"))
+    val partFields = partitionBy.map(IcebergTransforms.parse)
+    partFields.foreach(f => require(schema.fieldNames.contains(f.source),
+      s"partition source column ${f.source} not in schema"))
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
     val node = emptyMetadataJson(fs.makeQualified(root).toString, schema,
-      partitionBy, System.currentTimeMillis())
+      partFields, System.currentTimeMillis())
     val out = fs.create(new Path(metaDir, "v1.metadata.json"), false)
     try out.write(mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsBytes(node))
@@ -142,23 +152,19 @@ object IcebergWriter {
     val snap = snapOpt.get
     val current = IcebergReader.read(spark, tablePath)
     val srcAligned = src.select(snap.schema.fieldNames.map(col).toSeq: _*)
-    val pcols = snap.partitionColumns
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
     val (touchedFiles, keptFiles) =
-      if (pcols.isEmpty) (snap.files, Nil)
+      if (pfields.isEmpty) (snap.files, Nil)
       else {
-        val touched = srcAligned.select(pcols.map(col): _*).distinct()
-          .unionByName(current.join(
+        val touched = touchedPartitions(spark, snap.schema, pfields,
+          srcAligned.unionByName(
+            current.join(
               broadcast(srcAligned.select(keys.map(col): _*).distinct()),
-              keys, "left_semi")
-            .select(pcols.map(col): _*).distinct())
-          .distinct().collect()
-          .map(r => pcols.map(c => Option(r.getAs[Any](c)).map(_.toString)))
-          .toSet
-        snap.files.partition(f => touched.contains(
-          pcols.map(c => f.partition.get(c).flatMap(Option(_)).map(_.toString))))
+              keys, "left_semi")))
+        snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
       }
     val touchedScan =
-      if (pcols.isEmpty) current
+      if (pfields.isEmpty) current
       else if (touchedFiles.isEmpty)
         current.limit(0)
       else spark.read.schema(snap.schema)
@@ -166,11 +172,32 @@ object IcebergWriter {
         .select(snap.schema.fieldNames.map(col).toSeq: _*)
     val merged = touchedScan.join(srcAligned, keys, "left_anti")
       .unionByName(srcAligned)
-    val adds = writeDataFiles(merged, tablePath, pcols)
-    commit(spark, tablePath, snap.schema, pcols, adds, keptFiles.map(asInfo),
+    val adds = writeDataFiles(merged, tablePath, pfields)
+    commit(spark, tablePath, snap.schema, pfields, adds, keptFiles.map(asInfo),
       operation = "overwrite", carryCurrentManifests = false,
       expectedParent = Some(snap.snapshotId))
   }
+
+  /** Distinct partition tuples of `rows`, rendered through Spark's own
+    * cast-to-string so they compare equal to the hive-path-derived
+    * manifest strings. JVM `toString` is NOT that rendering (e.g.
+    * `java.sql.Timestamp` appends `.0`), which misclassified
+    * timestamp/date partitions as untouched — transform columns are
+    * evaluated and stringified IN Spark on both sides instead. */
+  private def touchedPartitions(spark: SparkSession, schema: StructType,
+      pfields: Seq[PartitionField],
+      rows: DataFrame): Set[Seq[Option[String]]] = {
+    val valCols = pfields.map(f =>
+      IcebergTransforms.column(spark, f, schema(f.source).dataType)
+        .cast(StringType).as(f.name))
+    rows.select(valCols: _*).distinct().collect()
+      .map(r => pfields.indices.map(i => Option(r.getString(i))).toSeq)
+      .toSet
+  }
+
+  private def partitionTuple(pfields: Seq[PartitionField],
+      f: IcebergReader.DataFileEntry): Seq[Option[String]] =
+    pfields.map(ff => f.partition.get(ff.name).flatMap(Option(_)).map(_.toString))
 
   /** `athena.delete_from_iceberg_table`
     * (`athena/_write_iceberg.py:715-868`): remove rows whose key appears
@@ -200,17 +227,13 @@ object IcebergWriter {
     val snap = snapOpt.get
     val current = IcebergReader.read(spark, tablePath)
     val keySet = keys.select(keyCols.map(col): _*).distinct()
-    val pcols = snap.partitionColumns
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
     val (touchedFiles, keptFiles) =
-      if (pcols.isEmpty) (snap.files, Nil)
+      if (pfields.isEmpty) (snap.files, Nil)
       else {
-        val touched = current
-          .join(broadcast(keySet), keyCols, "left_semi")
-          .select(pcols.map(col): _*).distinct().collect()
-          .map(r => pcols.map(c => Option(r.getAs[Any](c)).map(_.toString)))
-          .toSet
-        snap.files.partition(f => touched.contains(
-          pcols.map(c => f.partition.get(c).flatMap(Option(_)).map(_.toString))))
+        val touched = touchedPartitions(spark, snap.schema, pfields,
+          current.join(broadcast(keySet), keyCols, "left_semi"))
+        snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
       }
     val remaining =
       if (touchedFiles.isEmpty) current.limit(0)
@@ -218,8 +241,8 @@ object IcebergWriter {
         .parquet(touchedFiles.map(_.path): _*)
         .select(snap.schema.fieldNames.map(col).toSeq: _*)
         .join(broadcast(keySet), keyCols, "left_anti")
-    val adds = writeDataFiles(remaining, tablePath, pcols)
-    commit(spark, tablePath, snap.schema, pcols, adds, keptFiles.map(asInfo),
+    val adds = writeDataFiles(remaining, tablePath, pfields)
+    commit(spark, tablePath, snap.schema, pfields, adds, keptFiles.map(asInfo),
       operation = "delete", carryCurrentManifests = false,
       expectedParent = Some(snap.snapshotId))
   }
@@ -246,21 +269,24 @@ object IcebergWriter {
 
   // ---- data files --------------------------------------------------------
 
-  /** Stage as parquet (partition columns duplicated into hidden path
-    * columns so the real columns stay IN the files — identity-transform
-    * Iceberg layout), move under `data/`, and gather per-file stats with
-    * distributed footer reads. */
+  /** Stage as parquet (partition values computed into hidden path
+    * columns — the transform result for `day`/`bucket`/…, the column
+    * itself for identity — so the real source columns stay IN the files,
+    * as Iceberg requires), move under `data/`, and gather per-file stats
+    * with distributed footer reads. */
   private def writeDataFiles(df: DataFrame, tablePath: String,
-      partCols: Seq[String]): Seq[FileInfo] = {
+      partFields: Seq[PartitionField]): Seq[FileInfo] = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(root, s".iceberg-staging-${UUID.randomUUID()}")
     val Pt = "__ipt_"
     try {
-      val dup = partCols.foldLeft(df)((d, c) => d.withColumn(Pt + c, col(c)))
+      val dup = partFields.foldLeft(df)((d, f) => d.withColumn(Pt + f.name,
+        IcebergTransforms.column(spark, f, df.schema(f.source).dataType)))
       val w = dup.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols.map(Pt + _): _*) else w)
+      (if (partFields.nonEmpty) w.partitionBy(partFields.map(Pt + _.name): _*)
+       else w)
         .parquet(staging.toString)
       val stagingStr = fs.makeQualified(staging).toString
       val moved = mutable.ArrayBuffer.empty[(String, Long)]
@@ -346,7 +372,8 @@ object IcebergWriter {
     * manifests in the new list, so a retry after losing the claim
     * carries the winner's files rather than resurrecting a stale view. */
   private def commit(spark: SparkSession, tablePath: String,
-      schema: StructType, partCols: Seq[String], adds: Seq[FileInfo],
+      schema: StructType, partFields: Seq[PartitionField],
+      adds: Seq[FileInfo],
       kept: Seq[FileInfo], operation: String,
       carryCurrentManifests: Boolean,
       expectedParent: Option[Long]): Committed = {
@@ -359,13 +386,13 @@ object IcebergWriter {
 
     // one manifest per commit: ADDED entries + carried EXISTING entries
     val manifestPath = new Path(metaDir, s"$snapshotId-m0.avro")
-    val mSchema = manifestSchema(partCols)
+    val mSchema = manifestSchema(partFields.map(_.name))
     val dfSchema = mSchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
     def entry(f: FileInfo, status: Int): GenericRecord = {
       val part = new GenericData.Record(pSchema)
-      partCols.foreach(c =>
-        part.put(c, f.partitionValues.get(c).flatten.orNull))
+      partFields.foreach(pf =>
+        part.put(pf.name, f.partitionValues.get(pf.name).flatten.orNull))
       val dataFile = new GenericData.Record(dfSchema)
       dataFile.put("file_path", f.path)
       dataFile.put("file_format", "PARQUET")
@@ -378,8 +405,17 @@ object IcebergWriter {
       e.put("data_file", dataFile)
       e
     }
+    // spec-prescribed avro file metadata so field-id-driven readers can
+    // resolve the manifest without our exact field names
+    val schemaIds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val manifestMeta = Map(
+      "schema" -> mapper.writeValueAsString(icebergSchemaJson(schema, schemaIds)),
+      "partition-spec" -> mapper.writeValueAsString(
+        partitionSpecFields(schema, partFields)),
+      "partition-spec-id" -> "0",
+      "format-version" -> "1")
     val manifestLen = writeAvro(fs, manifestPath, mSchema,
-      adds.map(entry(_, 1)) ++ kept.map(entry(_, 0)))
+      adds.map(entry(_, 1)) ++ kept.map(entry(_, 0)), manifestMeta)
 
     val lSchema = manifestListSchema
     def ourListEntry(): GenericRecord = {
@@ -412,10 +448,11 @@ object IcebergWriter {
           currentManifestRecords(spark, fs, root, meta).map(reencode(lSchema, _))
         }
       val listPath = new Path(metaDir, s"snap-$snapshotId-$attempts.avro")
-      writeAvro(fs, listPath, lSchema, ourListEntry() +: carried)
+      writeAvro(fs, listPath, lSchema, ourListEntry() +: carried,
+        Map("format-version" -> "1", "snapshot-id" -> snapshotId.toString))
       val version = claimedMax + 1
       val node = metadataJson(parsed.map(_._2), fs.makeQualified(root).toString,
-        schema, partCols, snapshotId,
+        schema, partFields, snapshotId,
         fs.makeQualified(listPath).toString, operation, now)
       val target = new Path(metaDir, s"v$version.metadata.json")
       try {
@@ -423,10 +460,20 @@ object IcebergWriter {
         try out.write(mapper.writerWithDefaultPrettyPrinter()
           .writeValueAsBytes(node))
         finally out.close()
-        val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
-        try hint.write(version.toString.getBytes("UTF-8"))
-        finally hint.close()
-        return Committed(snapshotId, version, adds.length)
+        writeHint(fs, metaDir, version)
+        // A writer paused between claiming vN and writing the body past
+        // tornGraceMs has its claim SKIPPED by competitors — returning
+        // success here without checking would acknowledge a dropped
+        // commit. Verify our snapshot is in the visible chain; if a
+        // competitor advanced past us without carrying it, retry the
+        // whole claim (merge paths re-raise ConcurrentCommit upstream).
+        val (_, latest) = logState(fs, metaDir)
+        val visible = latest.exists { case (_, meta) =>
+          IcebergReaderAccess.jsonArray(meta.get("snapshots"))
+            .exists(s => s.get("snapshot-id").asLong == snapshotId)
+        }
+        if (visible) return Committed(snapshotId, version, adds.length)
+        attempts += 1
       } catch {
         case _: java.io.IOException => // lost the claim; retry
           fs.delete(listPath, false)
@@ -435,6 +482,28 @@ object IcebergWriter {
     }
     throw new java.io.IOException(
       s"could not claim an Iceberg commit after $attempts attempts at $tablePath")
+  }
+
+  /** Advance `version-hint.text` monotonically: a slow writer must not
+    * regress the hint below a newer committed version. The hint is a
+    * non-authoritative fast-forward pointer ([[IcebergReader]] resolves
+    * by listing and skips torn claims), so the benign read-then-write
+    * race here costs at most a lagging hint, never a wrong read. */
+  private def writeHint(fs: FileSystem, metaDir: Path, version: Long): Unit = {
+    val hintPath = new Path(metaDir, "version-hint.text")
+    val existing =
+      try {
+        val in = fs.open(hintPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(text.trim.toLong)
+      } catch { case _: Exception => None }
+    if (existing.forall(_ < version)) {
+      try {
+        val out = fs.create(hintPath, true)
+        try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => () } // advisory only
+    }
   }
 
   /** The manifest-list records of `meta`'s current snapshot (empty for a
@@ -545,7 +614,7 @@ object IcebergWriter {
     * partition spec). */
   private def baseMetadata(
       prior: Option[com.fasterxml.jackson.databind.JsonNode],
-      location: String, schema: StructType, partCols: Seq[String],
+      location: String, schema: StructType, partFields: Seq[PartitionField],
       now: Long): ObjectNode = {
     val node = mapper.createObjectNode()
     node.put("format-version", 1)
@@ -562,29 +631,43 @@ object IcebergWriter {
     node.set[ArrayNode](
       "schemas", mapper.createArrayNode().add(schemaNode))
     node.put("current-schema-id", 0)
+    val specFields = partitionSpecFields(schema, partFields)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
+    spec.set[ArrayNode]("fields", specFields)
+    // v1 requires the SINGULAR partition-spec (a bare field array) next
+    // to the newer partition-specs list — readers predating the list
+    // resolve only the singular form
+    node.set[ArrayNode]("partition-spec", specFields.deepCopy())
+    node.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
+    node.put("default-spec-id", 0)
+    node.put("last-partition-id", 1000 + partFields.length - 1)
+    node.set[ObjectNode]("properties", mapper.createObjectNode())
+    node
+  }
+
+  /** The partition-spec field array: name, transform string
+    * (`identity`/`day`/`bucket[n]`/…), 1-based source-id into the
+    * schema, and the 1000-based partition field-id the spec assigns. */
+  private def partitionSpecFields(schema: StructType,
+      partFields: Seq[PartitionField]): ArrayNode = {
     val specFields = mapper.createArrayNode()
-    partCols.zipWithIndex.foreach { case (c, i) =>
+    partFields.zipWithIndex.foreach { case (pf, i) =>
       val f = mapper.createObjectNode()
-      f.put("name", c)
-      f.put("transform", "identity")
-      f.put("source-id", schema.fieldNames.indexOf(c) + 1)
+      f.put("name", pf.name)
+      f.put("transform", pf.transform)
+      f.put("source-id", schema.fieldNames.indexOf(pf.source) + 1)
       f.put("field-id", 1000 + i)
       specFields.add(f)
     }
-    spec.set[ArrayNode]("fields", specFields)
-    node.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
-    node.put("default-spec-id", 0)
-    node.set[ObjectNode]("properties", mapper.createObjectNode())
-    node
+    specFields
   }
 
   /** Initial metadata of an empty table (S3 Tables `create_table`): the
     * declared schema and partition spec, no snapshot yet. */
   private def emptyMetadataJson(location: String, schema: StructType,
-      partCols: Seq[String], now: Long): ObjectNode = {
-    val node = baseMetadata(None, location, schema, partCols, now)
+      partFields: Seq[PartitionField], now: Long): ObjectNode = {
+    val node = baseMetadata(None, location, schema, partFields, now)
     node.set[ArrayNode]("snapshots", mapper.createArrayNode())
     node.put("current-snapshot-id", -1L)
     node.set[ArrayNode]("snapshot-log", mapper.createArrayNode())
@@ -595,10 +678,10 @@ object IcebergWriter {
     * appended and made current. */
   private def metadataJson(
       prior: Option[com.fasterxml.jackson.databind.JsonNode],
-      location: String, schema: StructType, partCols: Seq[String],
+      location: String, schema: StructType, partFields: Seq[PartitionField],
       snapshotId: Long, manifestList: String, operation: String,
       now: Long): ObjectNode = {
-    val node = baseMetadata(prior, location, schema, partCols, now)
+    val node = baseMetadata(prior, location, schema, partFields, now)
     val snaps = mapper.createArrayNode()
     prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshots"))
       .foreach(s => snaps.add(s)))
@@ -687,48 +770,57 @@ object IcebergWriter {
   // ---- avro --------------------------------------------------------------
 
   private def writeAvro(fs: FileSystem, path: Path,
-      schema: org.apache.avro.Schema, records: Seq[GenericRecord]): Long = {
+      schema: org.apache.avro.Schema, records: Seq[GenericRecord],
+      meta: Map[String, String] = Map.empty): Long = {
     val out = fs.create(path, false)
     val writer = new DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](schema))
     try {
+      meta.foreach { case (k, v) => writer.setMeta(k, v) }
       writer.create(schema, out)
       records.foreach(writer.append)
     } finally writer.close() // closes the stream too
     fs.getFileStatus(path).getLen
   }
 
-  /** Iceberg manifest-entry schema: the spec's field names over the
-    * stats this writer tracks; partition values as nullable strings
-    * (identity transforms over hive-encoded values). */
-  private def manifestSchema(partCols: Seq[String]): org.apache.avro.Schema = {
-    val partFields = partCols.map(c =>
-      s"""{"name":${mapper.writeValueAsString(c)},"type":["null","string"],"default":null}""")
-      .mkString(",")
+  /** Iceberg manifest-entry schema: the spec's field names AND field-ids
+    * (status=0, snapshot_id=1, data_file=2; file_path=100,
+    * file_format=101, partition=102, record_count=103,
+    * file_size_in_bytes=104; partition fields 1000+i) over the stats
+    * this writer tracks — spec-conformant readers resolve manifest
+    * columns by field-id, not name. Partition values are carried as
+    * nullable strings (hive-encoded transform results). */
+  private def manifestSchema(partNames: Seq[String]): org.apache.avro.Schema = {
+    val partFields = partNames.zipWithIndex.map { case (c, i) =>
+      s"""{"name":${mapper.writeValueAsString(c)},"type":["null","string"],"default":null,"field-id":${1000 + i}}"""
+    }.mkString(",")
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
-         |  {"name":"status","type":"int"},
-         |  {"name":"snapshot_id","type":["null","long"],"default":null},
-         |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
-         |    {"name":"file_path","type":"string"},
-         |    {"name":"file_format","type":"string"},
-         |    {"name":"partition","type":{"type":"record","name":"r102","fields":[$partFields]}},
-         |    {"name":"record_count","type":"long"},
-         |    {"name":"file_size_in_bytes","type":"long"}
+         |  {"name":"status","type":"int","field-id":0},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |    {"name":"file_path","type":"string","field-id":100},
+         |    {"name":"file_format","type":"string","field-id":101},
+         |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
+         |    {"name":"record_count","type":"long","field-id":103},
+         |    {"name":"file_size_in_bytes","type":"long","field-id":104}
          |  ]}}
          |]}""".stripMargin)
   }
 
+  /** Manifest-list schema with the spec's field-ids (manifest_path=500,
+    * manifest_length=501, partition_spec_id=502, added_snapshot_id=503,
+    * added/existing/deleted counts 504-506). */
   private val manifestListSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
-        |  {"name":"manifest_path","type":"string"},
-        |  {"name":"manifest_length","type":"long"},
-        |  {"name":"partition_spec_id","type":"int"},
-        |  {"name":"added_snapshot_id","type":["null","long"],"default":null},
-        |  {"name":"added_data_files_count","type":["null","int"],"default":null},
-        |  {"name":"existing_data_files_count","type":["null","int"],"default":null},
-        |  {"name":"deleted_data_files_count","type":["null","int"],"default":null}
+        |  {"name":"manifest_path","type":"string","field-id":500},
+        |  {"name":"manifest_length","type":"long","field-id":501},
+        |  {"name":"partition_spec_id","type":"int","field-id":502},
+        |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
+        |  {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
+        |  {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
+        |  {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
         |]}""".stripMargin)
 }
 

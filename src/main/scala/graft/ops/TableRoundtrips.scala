@@ -15,6 +15,21 @@ import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter}
   * log machinery instead of the staged-commit dataset. */
 object TableRoundtrips {
 
+  /** Materialize `df` into a local relation and delete the roundtrip's
+    * temp table tree — these ops run in every bench/correctness sweep,
+    * and leaving a full table copy per invocation accumulates unbounded
+    * /tmp garbage. The result is row-count-bounded by construction
+    * (≤ ~60 rows: a keyed merge over a filtered `customer`/`orders`
+    * slice), so the collect is metadata-scale, not a data move. */
+  private def materializedWithoutTemp(s: SparkSession, df: DataFrame,
+      tmpRoot: String): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    val out = s.createDataFrame(rows, df.schema)
+    val p = new org.apache.hadoop.fs.Path(tmpRoot)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   private def seedAndMerge(s: SparkSession, dir: String)(
       create: DataFrame => Unit, merge: DataFrame => Unit): Unit = {
     val base = Tables.customer(s, dir)
@@ -32,36 +47,39 @@ object TableRoundtrips {
 
   /** Real `_delta_log` commit + partition-granular MERGE + protocol read. */
   def deltaMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-delta-rt").toString + "/t"
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-rt").toString
+    val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => DeltaLogWriter.write(base, tmp,
         partitionBy = Seq("c_mktsegment")),
       src => DeltaLogWriter.merge(s, tmp, src, keys = Seq("c_custkey")))
-    DeltaLogReader.read(s, tmp).select(cols.map(col): _*)
+    materializedWithoutTemp(s,
+      DeltaLogReader.read(s, tmp).select(cols.map(col): _*), root)
   }
 
   /** Real Iceberg metadata commit + partition-granular MERGE + spec read. */
   def icebergMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-iceberg-rt").toString + "/t"
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-rt").toString
+    val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => IcebergWriter.write(base, tmp,
         partitionBy = Seq("c_mktsegment")),
       src => IcebergWriter.merge(s, tmp, src, keys = Seq("c_custkey")))
-    IcebergReader.read(s, tmp).select(cols.map(col): _*)
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
   }
 
   /** In-repo snapshot log (TxnLog) commit + snapshot-isolated MERGE +
     * versioned read — the same gate over the third transaction layer. */
   def txnMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-txn-rt").toString + "/t"
+    val root = java.nio.file.Files.createTempDirectory("graft-txn-rt").toString
+    val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => graft.table.TxnLog.create(base, tmp,
         partitionBy = Seq("c_mktsegment")),
       src => graft.table.TxnLog.merge(s, tmp, src, keys = Seq("c_custkey")))
-    graft.table.TxnLog.read(s, tmp).select(cols.map(col): _*)
+    materializedWithoutTemp(s,
+      graft.table.TxnLog.read(s, tmp).select(cols.map(col): _*), root)
   }
 
   def mergeRoundtripOracle: String =
@@ -69,4 +87,36 @@ object TableRoundtrips {
       |  CASE WHEN c_custkey >= 40 THEN c_acctbal + 1000.0 ELSE c_acctbal END
       |    AS c_acctbal
       |FROM customer WHERE c_custkey <= 60""".stripMargin
+
+  /** Iceberg `day(ts)` partition-transform roundtrip: a timestamp-keyed
+    * table partitioned by the day transform, merged on a 3-day slice —
+    * the merge must rewrite ONLY the matched day partitions (EXISTING
+    * manifest carry for the rest) and the transform arithmetic must agree
+    * with the oracle's calendar (`athena/_write_iceberg.py:269-281` is
+    * the reference call shape). */
+  def icebergDayRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-day").toString
+    val tmp = root + "/t"
+    val base = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between("1995-03-01", "1995-03-10"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"), col("o_totalprice"))
+    IcebergWriter.write(base, tmp, partitionBy = Seq("day(o_ts)"))
+    val src = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between("1995-03-05", "1995-03-07"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"),
+        (col("o_totalprice") + lit(100.0)).as("o_totalprice"))
+    IcebergWriter.merge(s, tmp, src, keys = Seq("o_orderkey"))
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp)
+        .select(col("o_orderkey"), col("o_ts"), col("o_totalprice")), root)
+  }
+
+  def icebergDayRoundtripOracle: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
+      |  CASE WHEN o_orderdate BETWEEN '1995-03-05' AND '1995-03-07'
+      |       THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders
+      |WHERE o_orderdate BETWEEN '1995-03-01' AND '1995-03-10'""".stripMargin
 }
