@@ -122,10 +122,20 @@ object DeltaLogWriter {
     * ONE table version). Each micro-batch's parquet files move into the
     * table tree as they finish — invisible, since Delta readers trust
     * only the log — and the accumulated add-actions publish in one
-    * commit after the stream drains. A crash mid-stream leaves the table
-    * at its prior version with only unreferenced data files behind
-    * (vacuum-able garbage, never visible rows). Runs the stream with
-    * `Trigger.AvailableNow` and returns the single commit. */
+    * commit after the stream drains.
+    *
+    * Crash safety composes with Spark's checkpoint: `foreachBatch` is
+    * not transactional, so a batch recorded in the checkpoint is SKIPPED
+    * on restart — its staged files would be silently lost if they lived
+    * only in memory. Each batch therefore persists its add-entries to
+    * `<checkpoint>/graft-staged-adds/batch-<id>.json` BEFORE returning
+    * (i.e. before the checkpoint marks the batch done), and a restart
+    * with the same checkpoint recovers those entries into the final
+    * commit. A crash before the manifest lands re-runs the batch (its
+    * files become unreferenced vacuum-able garbage, never visible rows);
+    * a crash between the final commit and staged-dir cleanup re-adds the
+    * same already-visible file paths, which replay de-duplicates by
+    * path. Runs with `Trigger.AvailableNow` and returns the one commit. */
   def writeStreaming(agg: DataFrame, tablePath: String,
       checkpoint: String): Committed = {
     val spark = agg.sparkSession
@@ -134,21 +144,83 @@ object DeltaLogWriter {
       if (latest >= 0) Some(DeltaLogReader.snapshot(spark, tablePath)) else None
     prior.foreach(s => checkAppendSchema(s.schema, agg.schema))
     val partCols = prior.map(_.partitionColumns).getOrElse(Nil)
+    val stagedDir = new Path(checkpoint, "graft-staged-adds")
+    val fs = stagedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recovered = recoverStagedAdds(fs, stagedDir)
     val staged = new java.util.concurrent.ConcurrentLinkedQueue[AddEntry]()
     val q = agg.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        writeDataFiles(batch, tablePath, partCols).foreach(staged.add)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val entries = writeDataFiles(batch, tablePath, partCols)
+        persistStagedAdds(fs,
+          new Path(stagedDir, s"batch-$batchId.json"), entries)
+        entries.foreach(staged.add)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     import scala.jdk.CollectionConverters._
-    commitLoop(spark, tablePath, agg.schema, partCols,
-      staged.asScala.toSeq, Nil, "STREAMING UPDATE",
+    // recovered paths may overlap a re-run batch's manifest; last wins
+    val all = (recovered ++ staged.asScala.toSeq)
+      .groupBy(_.path).map(_._2.last).toSeq
+    val committed = commitLoop(spark, tablePath, agg.schema, partCols,
+      all, Nil, "STREAMING UPDATE",
       emitMeta = prior.isEmpty)
+    fs.delete(stagedDir, true)
+    committed
+  }
+
+  /** One JSON line per staged add, written create-then-rename so a crash
+    * mid-write never leaves a half manifest for recovery to trust. */
+  private def persistStagedAdds(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path, entries: Seq[AddEntry]): Unit = {
+    fs.mkdirs(target.getParent)
+    val tmp = new Path(target.getParent, s".${target.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(entries.map { a =>
+      val pv = a.partitionValues.map { case (k, v) =>
+        s"${jstr(k)}:${v.map(jstr).getOrElse("null")}"
+      }.mkString("{", ",", "}")
+      s"""{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime}}"""
+    }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"staged-adds rename failed: $target")
+  }
+
+  /** Staged add-entries a crashed prior run persisted for batches the
+    * Spark checkpoint will skip on this run. */
+  private def recoverStagedAdds(fs: org.apache.hadoop.fs.FileSystem,
+      stagedDir: Path): Seq[AddEntry] = {
+    if (!fs.exists(stagedDir)) return Nil
+    val BatchFile = """batch-(\d+)\.json""".r
+    fs.listStatus(stagedDir).toSeq
+      .filter(st => BatchFile.matches(st.getPath.getName))
+      .sortBy(st => BatchFile.findFirstMatchIn(st.getPath.getName)
+        .get.group(1).toLong)
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        text.linesIterator.filter(_.trim.nonEmpty).map { line =>
+          val n = mapper.readTree(line)
+          val pv = Option(n.get("partitionValues")).map { o =>
+            val it = o.fields()
+            val b = Map.newBuilder[String, Option[String]]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> (if (e.getValue.isNull) None
+                else Some(e.getValue.asText))
+            }
+            b.result()
+          }.getOrElse(Map.empty[String, Option[String]])
+          AddEntry(n.get("path").asText, pv, n.get("size").asLong,
+            n.get("modificationTime").asLong)
+        }.toSeq
+      }
   }
 
   /** Append must not silently drop or retype columns; `mergeSchema`-style

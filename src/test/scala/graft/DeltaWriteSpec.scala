@@ -160,4 +160,34 @@ class DeltaWriteSpec extends AnyFunSuite {
     assert(c2.version == 1L)
     assert(io.DeltaLogReader.read(spark, dir).count() == 2 * n)
   }
+
+  test("delta streaming: staged batches persisted with the checkpoint survive a restart") {
+    val dir = tmp()
+    val events = streaming.EventStream.readEvents(spark, sf)
+    val agg = streaming.EventStream.tumblingAgg(events)
+    io.DeltaLogWriter.writeStreaming(agg, dir,
+      java.nio.file.Files.createTempDirectory("graft-deltastream3").toString)
+    val n = io.DeltaLogReader.read(spark, dir).count()
+    // craft a crashed run's state: a batch whose data files landed in
+    // the table tree and whose staged manifest persisted next to the
+    // checkpoint, but which the checkpoint will skip on restart
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stg = java.nio.file.Files.createTempDirectory("graft-orphan").toString
+    io.DeltaLogReader.read(spark, dir).limit(3).coalesce(1)
+      .write.mode("overwrite").parquet(stg)
+    val part = fs.listStatus(new Path(stg))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    assert(fs.rename(part, new Path(dir, "recovered-0.parquet")))
+    val chk2 = java.nio.file.Files.createTempDirectory("graft-deltastream4")
+    val stagedDir = new java.io.File(s"$chk2/graft-staged-adds")
+    stagedDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stagedDir, "batch-0.json").toPath,
+      """{"path":"recovered-0.parquet","partitionValues":{},"size":1,"modificationTime":1}""" + "\n")
+    // the fresh checkpoint reprocesses the full stream (n rows) AND must
+    // recover the crashed batch's 3 rows into the same single commit
+    io.DeltaLogWriter.writeStreaming(agg, dir, chk2.toString)
+    assert(io.DeltaLogReader.read(spark, dir).count() == 2 * n + 3)
+    assert(!stagedDir.exists(), "staged manifests are cleaned after commit")
+  }
 }
