@@ -113,6 +113,7 @@ object SparkEntry {
     "graph_bgp"           -> (Rdf.bgpQuery _),
     "graph_cypher"        -> (Cypher.supplierRegionQuery _),
     "graph_gremlin"       -> (Gremlin.supplierInEuropeQuery _),
+    "graph_gremlin_order" -> (Gremlin.asiaNationsWithSuppliersQuery _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
+    "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
     // multimodal plumbing (decode stage stubbed — no codecs in container);
     // the synthetic corpus is deterministic arithmetic over the id, so
     // the aggregate is fully oracled in DuckDB via range(1000)
@@ -218,12 +220,14 @@ object SparkEntry {
     "graph_bgp"           -> Rdf.bgpQueryOracle,
     "graph_cypher"        -> Cypher.supplierRegionOracle,
     "graph_gremlin"       -> Gremlin.supplierInEuropeOracle,
+    "graph_gremlin_order" -> Gremlin.asiaNationsWithSuppliersOracle,
     "search_match_query"  -> Search.matchQueryOracle,
     // the postings pipeline reproduces the scan-based match exactly on a
     // whitespace-token corpus — same oracle text gates both plans
     "search_postings_query" -> Search.matchQueryOracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
+    "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal
       .decodeFeaturesOracle(1000),
   )

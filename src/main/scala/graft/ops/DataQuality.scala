@@ -34,6 +34,23 @@ object DataQuality {
       Rule(s"min_$c", min(col(c)).cast("double"), _ >= bound)
     def maxValue(c: String, bound: Double): Rule =
       Rule(s"max_$c", max(col(c)).cast("double"), _ <= bound)
+    /** `IsComplete "c"` — every value non-null. */
+    def isComplete(c: String): Rule =
+      Rule(s"is_complete_$c",
+        count(col(c)).cast("double") / count(lit(1)).cast("double"),
+        _ >= 1.0)
+    /** `ColumnValues "c" in [...]` — metric is the conforming fraction
+      * (nulls fail, DQDL's default NullBehavior); passes at 1.0. */
+    def valuesInSet(c: String, allowed: Seq[String]): Rule =
+      Rule(s"in_set_$c",
+        avg(when(col(c).isin(allowed: _*), 1.0).otherwise(0.0)),
+        _ >= 1.0)
+    /** `ColumnValues "c" matches "regex"` — unanchored match, like the
+      * Glue evaluator. */
+    def valuesMatch(c: String, regex: String): Rule =
+      Rule(s"matches_$c",
+        avg(when(col(c).rlike(regex), 1.0).otherwise(0.0)),
+        _ >= 1.0)
   }
 
   /** Evaluate a ruleset in one aggregate pass; explode to one row per
@@ -88,26 +105,53 @@ object DataQuality {
   /** Parse a DQDL-ish ruleset document (`data_quality/_create.py:27-37`
     * renders `Rules = [ RowCount > 100, Completeness "c" > 0.9, … ]`)
     * into compiled rules. Supported: RowCount, Completeness, Uniqueness,
-    * ColumnValues min/max comparisons.
+    * IsComplete, ColumnValues min/max comparisons, `ColumnValues … in
+    * [...]` set rules, and `ColumnValues … matches "regex"` — the rule
+    * shapes the DQDL grammar the reference renders actually carries.
     */
   def parseRuleset(dqdl: String): Seq[Rule] = {
     val body = dqdl.replaceAll("(?s).*Rules\\s*=\\s*\\[", "")
-      .replaceAll("\\].*$", "").trim
+      .replaceAll("(?s)\\]\\s*$", "").trim
     if (body.isEmpty) return Nil
-    body.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { r =>
+    splitRules(body).map { r =>
       val RowCountP = """RowCount\s*(>=|>)\s*([0-9.]+)""".r
       val ColRuleP = """(Completeness|Uniqueness)\s*"([^"]+)"\s*(>=|>)\s*([0-9.]+)""".r
+      val IsCompleteP = """IsComplete\s*"([^"]+)"""".r
       val ValuesP = """ColumnValues\s*"([^"]+)"\s*(<=|>=)\s*([0-9.-]+)""".r
+      val InSetP = """(?s)ColumnValues\s*"([^"]+)"\s+in\s+\[(.*)\]""".r
+      val MatchesP = """ColumnValues\s*"([^"]+)"\s+matches\s+"(.*)"""".r
       r match {
         case RowCountP(_, v) => Rules.rowCount(v.toDouble.toLong)
         case ColRuleP("Completeness", c, _, v) => Rules.completeness(c, v.toDouble)
         case ColRuleP("Uniqueness", c, _, v) => Rules.uniqueness(c, v.toDouble)
+        case IsCompleteP(c) => Rules.isComplete(c)
+        case InSetP(c, vals) => Rules.valuesInSet(c,
+          vals.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+        case MatchesP(c, re) => Rules.valuesMatch(c, re)
         case ValuesP(c, ">=", v) => Rules.minValue(c, v.toDouble)
         case ValuesP(c, "<=", v) => Rules.maxValue(c, v.toDouble)
         case other =>
           throw new IllegalArgumentException(s"unsupported DQDL rule: $other")
       }
     }
+  }
+
+  /** Split the rule list on commas OUTSIDE brackets and quotes — an
+    * in-set rule's `["F", "O"]` carries commas of its own. */
+  private def splitRules(body: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQuote = false
+    body.foreach {
+      case '"' => inQuote = !inQuote; cur += '"'
+      case '[' if !inQuote => depth += 1; cur += '['
+      case ']' if !inQuote => depth -= 1; cur += ']'
+      case ',' if !inQuote && depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   /** Ruleset registry — `create_ruleset` / `update_ruleset` /
@@ -169,6 +213,41 @@ object DataQuality {
       Rules.uniqueness("l_orderkey", 0.05),
       Rules.minValue("l_quantity", 1.0),
       Rules.maxValue("l_discount", 0.5)))
+
+  /** Second oracled ruleset, built THROUGH the DQDL parser — exercises
+    * IsComplete, an in-set rule (commas inside brackets), a regex rule,
+    * and a bound, over `orders`. */
+  def ordersRuleset(s: SparkSession, dir: String): DataFrame =
+    evaluate(Tables.orders(s, dir), parseRuleset(
+      """Rules = [
+        |  RowCount > 100,
+        |  IsComplete "o_orderkey",
+        |  ColumnValues "o_orderstatus" in ["F", "O", "P"],
+        |  ColumnValues "o_orderpriority" matches "^[1-5]-[A-Z]+",
+        |  ColumnValues "o_totalprice" >= 0
+        |]""".stripMargin))
+
+  def ordersRulesetOracle: String =
+    """WITH m AS (
+      |  SELECT cast(count(*) as double) AS row_count,
+      |    cast(count(o_orderkey) as double) / cast(count(*) as double)
+      |      AS is_complete_o_orderkey,
+      |    avg(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1.0 ELSE 0.0 END)
+      |      AS in_set_o_orderstatus,
+      |    avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+')
+      |        THEN 1.0 ELSE 0.0 END) AS matches_o_orderpriority,
+      |    cast(min(o_totalprice) as double) AS min_o_totalprice
+      |  FROM orders)
+      |SELECT 'row_count' AS rule, row_count AS metric,
+      |  row_count >= 100.0 AS passed FROM m
+      |UNION ALL SELECT 'is_complete_o_orderkey', is_complete_o_orderkey,
+      |  is_complete_o_orderkey >= 1.0 FROM m
+      |UNION ALL SELECT 'in_set_o_orderstatus', in_set_o_orderstatus,
+      |  in_set_o_orderstatus >= 1.0 FROM m
+      |UNION ALL SELECT 'matches_o_orderpriority', matches_o_orderpriority,
+      |  matches_o_orderpriority >= 1.0 FROM m
+      |UNION ALL SELECT 'min_o_totalprice', min_o_totalprice,
+      |  min_o_totalprice >= 0.0 FROM m""".stripMargin
 
   def lineitemRulesetOracle: String =
     """WITH m AS (

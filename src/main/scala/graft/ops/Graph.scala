@@ -129,6 +129,48 @@ object Graph {
       Traversal(g, next)
     }
 
+    /** Follow edges with `label` in EITHER direction (Gremlin `both`). */
+    def both(label: String): Traversal = {
+      val e = g.edges.filter(c("label") === label)
+        .select(c("src"), c("dst"))
+      val viaOut = frontier.select(c("id").as("src"))
+        .join(e, "src").select(c("dst").as("id"))
+      val viaIn = frontier.select(c("id").as("dst"))
+        .join(e, "dst").select(c("src").as("id"))
+      Traversal(g, viaOut.unionByName(viaIn).distinct()
+        .join(g.vertices, "id"))
+    }
+
+    /** Keep only frontier vertices that HAVE such an edge (Gremlin
+      * `where(out('l'))` / `where(in('l'))` / `where(both('l'))`) — a
+      * left-semi join, no frontier movement. */
+    def hasEdge(label: String, direction: String): Traversal = {
+      val e = g.edges.filter(c("label") === label)
+      val withEdge = direction match {
+        case "out" => frontier.join(
+          e.select(c("src").as("id")), Seq("id"), "left_semi")
+        case "in" => frontier.join(
+          e.select(c("dst").as("id")), Seq("id"), "left_semi")
+        case "both" => frontier.join(
+          e.select(c("src").as("id"))
+            .unionByName(e.select(c("dst").as("id"))), Seq("id"), "left_semi")
+        case other => throw new IllegalArgumentException(
+          s"unknown edge direction: $other")
+      }
+      Traversal(g, withEdge)
+    }
+
+    /** The outgoing/incoming EDGES of the frontier (Gremlin `outE`/`inE`)
+      * with all their properties — step back to vertices with the
+      * returned frame's `src`/`dst`. */
+    def outE(label: String): DataFrame =
+      g.edges.filter(c("label") === label)
+        .join(frontier.select(c("id").as("src")), Seq("src"), "left_semi")
+
+    def inE(label: String): DataFrame =
+      g.edges.filter(c("label") === label)
+        .join(frontier.select(c("id").as("dst")), Seq("dst"), "left_semi")
+
     def has(predicate: Column): Traversal =
       Traversal(g, frontier.filter(predicate))
 
@@ -149,14 +191,18 @@ object Graph {
       .select(concat(lit("s"), col("s_suppkey")).as("id"),
         lit("supplier").as("vlabel"), col("s_name").as("name"))
     val vertices = nation.unionByName(region).unionByName(supplier)
+    // edges carry properties (Neptune edges are property-bearing too):
+    // located_in gets the supplier's account balance as `weight`
     val inRegion = Tables.nation(s, dir)
       .select(concat(lit("n"), col("n_nationkey")).as("src"),
         concat(lit("r"), col("n_regionkey")).as("dst"),
-        lit("in_region").as("label"))
+        lit("in_region").as("label"),
+        lit(null).cast("double").as("weight"))
     val locatedIn = Tables.supplier(s, dir)
       .select(concat(lit("s"), col("s_suppkey")).as("src"),
         concat(lit("n"), col("s_nationkey")).as("dst"),
-        lit("located_in").as("label"))
+        lit("located_in").as("label"),
+        col("s_acctbal").cast("double").as("weight"))
     PropertyGraph(vertices, inRegion.unionByName(locatedIn))
   }
 

@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   *
   * Supported steps: `V([ids…])`, `hasLabel('l')`, `has('k', literal)` and
   * `has('k', P)` with P ∈ eq/neq/gt/gte/lt/lte/within, `out('label')`,
-  * `in('label')`, `values('p'…)`, `id()`, `limit(n)`, `count()`,
-  * `dedup()`. Each step compiles to the same declarative plan the
-  * Traversal API builds — label filters pushed to the vertex/edge scans,
-  * one equi-join per hop — so Catalyst sees nothing it can't optimize
-  * (dimension frontiers broadcast from stats, exactly as with the
-  * programmatic form).
+  * `in('label')`, `both('label')`, `where(out/in/both('label'))`
+  * (edge-existence semi-join), `outE('label')`/`inE('label')` with
+  * edge-property `values(…)` and `inV()`/`outV()` back to vertices,
+  * `order().by('k' [, desc])`, `values('p'…)`, `id()`, `limit(n)`,
+  * `count()`, `dedup()`. Each step compiles to the same declarative plan
+  * the Traversal API builds — label filters pushed to the vertex/edge
+  * scans, one equi-join per hop — so Catalyst sees nothing it can't
+  * optimize (dimension frontiers broadcast from stats, exactly as with
+  * the programmatic form).
   */
 object Gremlin {
 
@@ -34,45 +37,77 @@ object Gremlin {
     var t: Graph.Traversal =
       if (startIds.isEmpty) g.v()
       else g.v(col("id").isin(startIds: _*))
+    // edges frontier after outE/inE; projection after values()/id()/count()
+    var edgeFrontier: Option[DataFrame] = None
     var projected: Option[DataFrame] = None
+    var orderPending = false
+
+    def current: DataFrame =
+      projected.orElse(edgeFrontier).getOrElse(t.frontier)
+    def replaceCurrent(df: DataFrame): Unit =
+      if (projected.isDefined) projected = Some(df)
+      else if (edgeFrontier.isDefined) edgeFrontier = Some(df)
+      else t = Graph.Traversal(t.g, df)
 
     steps.drop(2).foreach { case (name, args) =>
-      require(projected.isEmpty || name == "limit" || name == "dedup" ||
-        name == "count",
+      require(!orderPending || name == "by",
+        s"order() must be followed by by(...), got $name")
+      require(projected.isEmpty || Set("limit", "dedup", "count", "order",
+        "by").contains(name),
         s"step $name cannot follow a terminal values()/id() projection")
       (name, args) match {
         case ("hasLabel", Seq(StrArg(l))) =>
           t = t.has(col("vlabel") === l)
-        case ("has", Seq(StrArg(k), v)) =>
+        case ("has", Seq(StrArg(k), v)) if edgeFrontier.isEmpty =>
           t = t.has(predicate(propCol(k), v))
+        case ("has", Seq(StrArg(k), v)) =>
+          edgeFrontier = edgeFrontier.map(_.filter(predicate(col(k), v)))
         case ("out", Seq(StrArg(l))) => t = t.out(l)
         case ("in", Seq(StrArg(l)))  => t = t.in(l)
-        case ("outV" | "inV" | "both", _) =>
-          throw new IllegalArgumentException(
-            s"unsupported Gremlin step: $name")
+        case ("both", Seq(StrArg(l))) => t = t.both(l)
+        case ("where", Seq(PredArg(dir @ ("out" | "in" | "both"),
+            Seq(StrArg(l))))) =>
+          t = t.hasEdge(l, dir)
+        case ("outE", Seq(StrArg(l))) => edgeFrontier = Some(t.outE(l))
+        case ("inE", Seq(StrArg(l))) => edgeFrontier = Some(t.inE(l))
+        case ("inV", Seq()) =>
+          val e = edgeFrontier.getOrElse(throw new IllegalArgumentException(
+            "inV() requires an edge frontier (outE/inE first)"))
+          t = Graph.Traversal(t.g, e.select(col("dst").as("id")).distinct()
+            .join(t.g.vertices, "id"))
+          edgeFrontier = None
+        case ("outV", Seq()) =>
+          val e = edgeFrontier.getOrElse(throw new IllegalArgumentException(
+            "outV() requires an edge frontier (outE/inE first)"))
+          t = Graph.Traversal(t.g, e.select(col("src").as("id")).distinct()
+            .join(t.g.vertices, "id"))
+          edgeFrontier = None
         case ("values", as) if as.nonEmpty && as.forall(_.isInstanceOf[StrArg]) =>
           val cols = as.collect { case StrArg(p) => col(p).as(p) }
-          projected = Some(t.frontier.select(cols: _*))
+          projected = Some(current.select(cols: _*))
         case ("id", Seq()) =>
           projected = Some(t.frontier.select(col("id")))
-        case ("dedup", Seq()) =>
-          projected match {
-            case Some(df) => projected = Some(df.distinct())
-            case None => t = Graph.Traversal(t.g, t.frontier.distinct())
+        case ("order", Seq()) => orderPending = true
+        case ("by", StrArg(k) +: rest) if orderPending =>
+          orderPending = false
+          val desc = rest.exists {
+            case SymArg("desc") | SymArg("decr") | StrArg("desc") => true
+            case _ => false
           }
-        case ("limit", Seq(NumArg(n))) =>
-          projected match {
-            case Some(df) => projected = Some(df.limit(n.toInt))
-            case None => t = Graph.Traversal(t.g, t.frontier.limit(n.toInt))
-          }
+          val key = if (edgeFrontier.isEmpty && projected.isEmpty)
+            propCol(k) else col(k)
+          replaceCurrent(current.orderBy(if (desc) key.desc else key.asc))
+        case ("dedup", Seq()) => replaceCurrent(current.distinct())
+        case ("limit", Seq(NumArg(n))) => replaceCurrent(current.limit(n.toInt))
         case ("count", Seq()) =>
-          projected = Some(projected.getOrElse(t.frontier)
-            .agg(count(lit(1)).as("count")))
+          projected = Some(current.agg(count(lit(1)).as("count")))
+          edgeFrontier = None
         case (other, _) =>
           throw new IllegalArgumentException(s"unsupported Gremlin step: $other")
       }
     }
-    projected.getOrElse(t.frontier)
+    require(!orderPending, "order() must be followed by by(...)")
+    projected.orElse(edgeFrontier).getOrElse(t.frontier)
   }
 
   /** Gremlin reserves `label` for the element label; graph vertices store
@@ -86,14 +121,15 @@ object Gremlin {
   private final case class StrArg(v: String) extends Arg
   private final case class NumArg(v: Double) extends Arg
   private final case class BoolArg(v: Boolean) extends Arg
+  private final case class SymArg(v: String) extends Arg // bare keyword: desc, asc
   private final case class PredArg(op: String, values: Seq[Arg]) extends Arg
 
   private def litOf(a: Arg): Column = a match {
     case StrArg(s) => lit(s)
     case NumArg(n) => if (n == n.floor && !n.isInfinite) lit(n.toLong) else lit(n)
     case BoolArg(b) => lit(b)
-    case p: PredArg => throw new IllegalArgumentException(
-      s"nested predicate not allowed here: $p")
+    case other => throw new IllegalArgumentException(
+      s"literal expected here, got: $other")
   }
 
   private def predicate(c: Column, v: Arg): Column = v match {
@@ -173,6 +209,9 @@ object Gremlin {
       // `P.gt(5)` and bare `gt(5)` both appear in Gremlin text
       PredArg(op.stripPrefix("P."), splitArgs(inner))
     case s if s.startsWith("P.") => parseArg(s.stripPrefix("P."))
+    case s if s.startsWith("__.") => parseArg(s.stripPrefix("__."))
+    case s if s.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+      SymArg(s) // Order.desc-style bare keywords
     case n => NumArg(java.lang.Double.parseDouble(n))
   }
 
@@ -192,4 +231,22 @@ object Gremlin {
       |JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |WHERE r_name = 'EUROPE'""".stripMargin
+
+  /** Oracle-gated query #2 — the steps Neptune notebooks lean on:
+    * `both` (direction-free hop region↔nation), `where(in(…))`
+    * (nations that actually have suppliers), `order().by(…, desc)`. */
+  def asiaNationsWithSuppliersQuery(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    query(Graph.testGraph(s, dir),
+      "g.V().hasLabel('region').has('name','ASIA')" +
+        ".both('in_region').where(__.in('located_in'))" +
+        ".order().by('name', desc).values('name')")
+
+  def asiaNationsWithSuppliersOracle: String =
+    """SELECT n_name AS name
+      |FROM nation
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+      |ORDER BY n_name DESC""".stripMargin
 }

@@ -60,4 +60,33 @@ class JdbcDqdlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       DataQuality.parseRuleset("Rules = [ Nonsense \"x\" > 1 ]"))
   }
+
+  test("DQDL set, regex and IsComplete rules") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq(("F", "1-URGENT", "a"), ("O", "5-LOW", "b"),
+      ("X", "9-BAD", null)).toDF("status", "prio", "v")
+    val rules = DataQuality.parseRuleset(
+      """Rules = [
+        |  IsComplete "status",
+        |  IsComplete "v",
+        |  ColumnValues "status" in ["F", "O"],
+        |  ColumnValues "prio" matches "^[1-5]-[A-Z]+"
+        |]""".stripMargin)
+    assert(rules.length == 4, "in-set commas must not split the rule list")
+    val res = DataQuality.evaluate(df, rules)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2)))
+      .toMap
+    assert(res("is_complete_status") == ((1.0, true)))
+    assert(res("is_complete_v")._2 == false)
+    // 2 of 3 in set; 2 of 3 match the regex — metrics are fractions
+    assert(math.abs(res("in_set_status")._1 - 2.0 / 3) < 1e-9 &&
+      !res("in_set_status")._2)
+    assert(math.abs(res("matches_prio")._1 - 2.0 / 3) < 1e-9 &&
+      !res("matches_prio")._2)
+    // all-conforming data passes
+    val ok = DataQuality.evaluate(
+      Seq(("F", "3-MEDIUM", "x")).toDF("status", "prio", "v"), rules).collect()
+    assert(ok.forall(_.getAs[Boolean]("passed")))
+  }
 }

@@ -65,6 +65,50 @@ class Round4Spec extends AnyFunSuite {
       Gremlin.query(g, "g.V().repeat(out('x'))"))
   }
 
+  test("gremlin: both, where(edge-existence), order().by, edge values") {
+    val g = Graph.testGraph(spark, sf)
+    // both() from a region reaches its nations regardless of direction
+    val viaBoth = Gremlin.query(g,
+      "g.V().hasLabel('region').has('name','ASIA').both('in_region').values('name')")
+      .collect().map(_.getString(0)).toSet
+    val viaIn = Gremlin.query(g,
+      "g.V().hasLabel('region').has('name','ASIA').in('in_region').values('name')")
+      .collect().map(_.getString(0)).toSet
+    assert(viaBoth == viaIn && viaBoth.size == 5)
+    // both() from a nation reaches its region AND its suppliers
+    val around = Gremlin.query(g,
+      "g.V('n0').both('in_region').count()").head().getLong(0)
+    assert(around == 1, "n0's only in_region neighbor is its region")
+    // where(out(...)) keeps only vertices WITH such an edge: all 25
+    // nations have a region; no region has an outgoing in_region edge
+    assert(Gremlin.query(g,
+      "g.V().hasLabel('nation').where(__.out('in_region')).count()")
+      .head().getLong(0) == 25)
+    assert(Gremlin.query(g,
+      "g.V().hasLabel('region').where(out('in_region')).count()")
+      .head().getLong(0) == 0)
+    // order().by desc on a projection
+    val ordered = Gremlin.query(g,
+      "g.V().hasLabel('region').values('name').order().by('name', desc)")
+      .collect().map(_.getString(0))
+    assert(ordered.toSeq == ordered.sorted.reverse.toSeq && ordered.length == 5)
+    // edge frontier: outE carries edge properties (weight = acctbal)
+    val weights = Gremlin.query(g,
+      "g.V().hasLabel('supplier').outE('located_in').values('weight')")
+    assert(weights.columns.toSeq == Seq("weight"))
+    assert(weights.filter(col("weight").isNotNull).count() ==
+      Gremlin.query(g, "g.V().hasLabel('supplier').count()").head().getLong(0))
+    // inV steps back to vertices from the edge frontier — same set as
+    // the direct out().dedup() hop
+    val viaEdges = Gremlin.query(g,
+      "g.V().hasLabel('supplier').outE('located_in').inV().hasLabel('nation').count()")
+      .head().getLong(0)
+    val viaOut = Gremlin.query(g,
+      "g.V().hasLabel('supplier').out('located_in').dedup().count()")
+      .head().getLong(0)
+    assert(viaEdges == viaOut && viaEdges > 0)
+  }
+
   // ---- schema evolution on write ------------------------------------------
 
   test("schema evolution: append with a new column evolves the table") {
