@@ -68,7 +68,15 @@ object Bench {
     val loadStart = loadAvg()
     val calibStart = calibrate()
 
-    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    // SPARK_GRAFT_SKIP: comma-separated name prefixes to leave out of a
+    // sweep (used by the sf1 scale run to exclude the documented
+    // dup-density-quadratic pair-enumeration family — the skip list is
+    // recorded in the output JSON, never silent)
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => skip.exists(name.startsWith) }
+      .map {
       case (name, fn) =>
         val t = time(fn(spark, sfDir).count())
         // free any per-query persisted state (dedup signature tables)
@@ -139,8 +147,9 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
+    val skipped = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_prefixes":$skipped,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }
