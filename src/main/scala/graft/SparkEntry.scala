@@ -97,6 +97,7 @@ object SparkEntry {
     // real-format table logs: write + partition-granular MERGE + jar-free
     // protocol read, gated end-to-end by the DuckDB oracle
     "fmt_delta_roundtrip"   -> (TableRoundtrips.deltaMergeRoundtrip _),
+    "fmt_delta_dv_delete"   -> (TableRoundtrips.deltaDvDeleteRoundtrip _),
     "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
@@ -206,6 +207,7 @@ object SparkEntry {
     "kv_batch_get"        -> KeyValue.batchGetOracle,
     "kv_upsert_roundtrip" -> KeyValueWrite.upsertRoundtripOracle,
     "fmt_delta_roundtrip"   -> TableRoundtrips.mergeRoundtripOracle,
+    "fmt_delta_dv_delete"   -> TableRoundtrips.deltaDvDeleteOracle,
     "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,

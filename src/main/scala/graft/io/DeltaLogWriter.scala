@@ -304,13 +304,101 @@ object DeltaLogWriter {
 
   final case class AddEntry(path: String,
       partitionValues: Map[String, Option[String]], size: Long,
-      modificationTime: Long)
+      modificationTime: Long,
+      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None)
+
+  /** Delete rows matching `predicate` by WRITING DELETION VECTORS —
+    * zero data-file rewrite (delta.io PROTOCOL.md deletion vectors; what
+    * `DELETE FROM` does on a DV-enabled table). The 100 TB shape of
+    * delete: matched row positions are gathered per file (distributed
+    * via `_metadata.row_index`), each touched file gets a bitmap sidecar
+    * written ON the executor holding its positions, and one commit
+    * re-adds the touched files with their DV descriptors — untouched
+    * files and all data pages stay byte-identical. Existing DVs merge
+    * (old ∪ new row indexes). The commit upgrades the table protocol to
+    * readerVersion 3 + `deletionVectors` the first time, which gated
+    * readers (including [[DeltaLogReader]]) understand. */
+  def deleteWhere(spark: SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column): Committed = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedRoot = fs.makeQualified(root).toString
+    val byUri: Map[String, DeltaLogReader.AddFile] = snap.files.map { f =>
+      fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
+    }.toMap
+    if (byUri.isEmpty)
+      return Committed(DeltaLogReader.latestVersion(spark, tablePath), 0)
+
+    // raw per-file row positions (existing DVs NOT applied here — old and
+    // new indexes merge below, so re-flagging an already-deleted row is
+    // idempotent)
+    val dataSchema = StructType(snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    var df = spark.read.schema(dataSchema).parquet(byUri.keys.toSeq: _*)
+      .withColumn("__file", input_file_name())
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (snap.partitionColumns.nonEmpty) {
+      // re-attach partition values so the predicate can reference them
+      val manifestSchema = StructType(
+        StructField("__file", StringType, nullable = false) +:
+          snap.partitionColumns.map(c =>
+            StructField(c, StringType, nullable = true)))
+      val manifestRows = byUri.toSeq.map { case (uri, f) =>
+        Row.fromSeq(uri +: snap.partitionColumns.map(c =>
+          f.partitionValues.get(c).flatten.orNull))
+      }
+      val manifest = spark.createDataFrame(
+        spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
+      df = df.join(broadcast(manifest), Seq("__file"), "left")
+    }
+    val grouped = df.filter(predicate)
+      .groupBy(col("__file"))
+      .agg(org.apache.spark.sql.functions.collect_list(col("__pos")).as("pos"))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val oldDvs = spark.sparkContext.broadcast(
+      byUri.collect { case (uri, f) if f.deletionVector.isDefined =>
+        uri -> f.deletionVector.get
+      })
+    // sidecars are written by the executors holding each file's positions
+    val touched: Seq[(String, DeltaDeletionVectors.Descriptor)] =
+      grouped.rdd.map { r =>
+        val uri = r.getString(0)
+        val fresh = r.getSeq[Long](1)
+        val old = oldDvs.value.get(uri)
+          .map(d => DeltaDeletionVectors
+            .rowIndexes(conf.value, qualifiedRoot, d).toSeq)
+          .getOrElse(Nil)
+        val desc = DeltaDeletionVectors.writeSidecar(conf.value,
+          new Path(qualifiedRoot), (fresh ++ old).distinct)
+        (uri, desc)
+      }.collect().toSeq
+    if (touched.isEmpty)
+      return Committed(DeltaLogReader.latestVersion(spark, tablePath), 0)
+
+    val adds = touched.map { case (uri, desc) =>
+      val f = byUri(uri)
+      AddEntry(f.path, f.partitionValues, 1L, System.currentTimeMillis(),
+        Some(desc))
+    }
+    val needsUpgrade = snap.protocol.minReaderVersion < 3 ||
+      !snap.protocol.readerFeatures.contains("deletionVectors")
+    val upgrade = if (!needsUpgrade) Nil else Seq(
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
+      removes = Nil, "DELETE", emitMeta = false, extraActions = upgrade)
+  }
 
   /** Claim `<version>.json` with create-exclusive; on collision re-read
     * the log and retry at the next version. */
   private def commitLoop(spark: SparkSession, tablePath: String,
       schema: StructType, partCols: Seq[String], adds: Seq[AddEntry],
-      removes: Seq[String], operation: String, emitMeta: Boolean): Committed = {
+      removes: Seq[String], operation: String, emitMeta: Boolean,
+      extraActions: Seq[String] = Nil): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -318,7 +406,7 @@ object DeltaLogWriter {
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
       val lines = actionLines(schema, partCols, adds, removes, operation,
-        emitMeta = emitMeta || version == 0L)
+        emitMeta = emitMeta || version == 0L, extraActions)
       val target = new Path(logDir, f"$version%020d.json")
       try {
         val out = fs.create(target, false)
@@ -338,7 +426,7 @@ object DeltaLogWriter {
 
   private def actionLines(schema: StructType, partCols: Seq[String],
       adds: Seq[AddEntry], removes: Seq[String], operation: String,
-      emitMeta: Boolean): Seq[String] = {
+      emitMeta: Boolean, extraActions: Seq[String] = Nil): Seq[String] = {
     val now = System.currentTimeMillis()
     val info =
       s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)},"operationParameters":{},"engineInfo":"graft"}}"""
@@ -352,9 +440,12 @@ object DeltaLogWriter {
       val pv = a.partitionValues.map { case (k, v) =>
         s"${jstr(k)}:${v.map(jstr).getOrElse("null")}"
       }.mkString("{", ",", "}")
-      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true}}"""
+      val dv = a.deletionVector.map(d =>
+        s""","deletionVector":{"storageType":${jstr(d.storageType)},"pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
+        .getOrElse("")
+      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true$dv}}"""
     }
-    (info +: metaLines) ++ removeLines ++ addLines
+    (info +: metaLines) ++ extraActions ++ removeLines ++ addLines
   }
 
   /** Every 10th version: compact the snapshot into a single
@@ -364,15 +455,24 @@ object DeltaLogWriter {
     if (version == 0L || version % 10 != 0L) return
     val snap = DeltaLogReader.snapshot(spark, tablePath, Some(version))
     import spark.implicits._
+    // the checkpoint must reproduce the REAL protocol and every add's
+    // deletion vector — compacting them away would silently resurrect
+    // deleted rows once the json tail is vacuumed
     val rows: Seq[CkptLine] =
       CkptLine(None,
         Some(CkptMetaData(UUID.randomUUID().toString, snap.schema.json,
           snap.partitionColumns)),
-        Some(CkptProtocol(1, 2))) +:
+        Some(CkptProtocol(snap.protocol.minReaderVersion,
+          if (snap.protocol.minReaderVersion >= 3) 7 else 2,
+          if (snap.protocol.readerFeatures.isEmpty) None
+          else Some(snap.protocol.readerFeatures.toSeq.sorted)))) +:
       snap.files.map(f => CkptLine(
         Some(CkptAddFile(f.path,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
-          1L, 1L, dataChange = false)), None, None))
+          1L, 1L, dataChange = false,
+          f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+            d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)))),
+        None, None))
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(logDir, s".ckpt-staging-${UUID.randomUUID()}")
@@ -389,12 +489,16 @@ object DeltaLogWriter {
     } finally fs.delete(staging, true)
   }
 
+  final case class CkptDv(storageType: String, pathOrInlineDv: String,
+      offset: Int, sizeInBytes: Int, cardinality: Long)
   final case class CkptAddFile(path: String,
       partitionValues: Map[String, String], size: Long,
-      modificationTime: Long, dataChange: Boolean)
+      modificationTime: Long, dataChange: Boolean,
+      deletionVector: Option[CkptDv] = None)
   final case class CkptMetaData(id: String, schemaString: String,
       partitionColumns: Seq[String])
-  final case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int)
+  final case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int,
+      readerFeatures: Option[Seq[String]] = None)
   final case class CkptLine(add: Option[CkptAddFile],
       metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
 }

@@ -88,6 +88,30 @@ object TableRoundtrips {
       |    AS c_acctbal
       |FROM customer WHERE c_custkey <= 60""".stripMargin
 
+  /** Deletion-vector delete roundtrip: seed a partitioned Delta table,
+    * delete a key slice via [[graft.io.DeltaLogWriter.deleteWhere]] —
+    * which writes DV bitmap sidecars and rewrites ZERO data files — and
+    * read the survivors back through the protocol reader (which applies
+    * DVs as a row-position anti-join). The oracle reconstructs the same
+    * survivor set relationally, so a mis-decoded bitmap, an off-by-one
+    * row index, or a dropped DV hash-mismatches. */
+  def deltaDvDeleteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-dv").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(base, tmp, partitionBy = Seq("c_mktsegment"))
+    DeltaLogWriter.deleteWhere(s, tmp, col("c_custkey") % 7 === 0)
+    materializedWithoutTemp(s,
+      DeltaLogReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
+  def deltaDvDeleteOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE c_custkey <= 50 AND c_custkey % 7 <> 0""".stripMargin
+
   /** Iceberg `day(ts)` partition-transform roundtrip: a timestamp-keyed
     * table partitioned by the day transform, merged on a 3-day slice —
     * the merge must rewrite ONLY the matched day partitions (EXISTING

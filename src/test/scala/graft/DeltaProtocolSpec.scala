@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.io.{DeltaDeletionVectors, DeltaLogReader, UnsupportedDeltaFeatureException}
@@ -188,6 +189,74 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, fixture(protocolAction(3,
       Seq("timestampNtz", "columnMapping", "vacuumProtocolCheck")))).count() == 1)
     assert(DeltaLogReader.read(spark, fixture(protocolAction(2))).count() == 1)
+  }
+
+  test("deleteWhere writes deletion vectors — zero data-file rewrite") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    io.DeltaLogWriter.write(
+      Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y"))
+        .toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(new Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.toString.contains("_delta_log"))
+          out += st.getPath.toString -> st.getModificationTime
+      }
+      out.result()
+    }
+    val before = dataFiles()
+    val c = io.DeltaLogWriter.deleteWhere(spark, dir,
+      col("id") === 2L || col("id") === 3L)
+    assert(c.numFiles == 2, "one DV per touched file")
+    // the parquet data files are byte-identical — only sidecars landed
+    assert(dataFiles() == before)
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String, String)].collect().map(_._1).toSet == Set(1L, 4L))
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.protocol.minReaderVersion == 3 &&
+      snap.protocol.readerFeatures.contains("deletionVectors"))
+    // a second delete on an already-DV'd file merges old ∪ new indexes
+    io.DeltaLogWriter.deleteWhere(spark, dir, col("v") === "a")
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String, String)].collect().map(_._1).toSet == Set(4L))
+    // predicates over partition columns work; no-match is a no-op commit
+    val v0 = DeltaLogReader.latestVersion(spark, dir)
+    val noop = io.DeltaLogWriter.deleteWhere(spark, dir, col("p") === "zzz")
+    assert(noop.numFiles == 0 &&
+      DeltaLogReader.latestVersion(spark, dir) == v0)
+  }
+
+  test("deletion vectors and upgraded protocol survive checkpoint compaction") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    io.DeltaLogWriter.write(
+      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    io.DeltaLogWriter.deleteWhere(spark, dir, col("id") < 3L) // v1
+    // drive the log to v10 so the writer checkpoints, then vacuum the tail
+    (2 to 10).foreach { i =>
+      io.DeltaLogWriter.write(Seq((100L + i, "x")).toDF("id", "v"), dir)
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$dir/_delta_log",
+      f"${10L}%020d.checkpoint.parquet")))
+    (0L to 9L).foreach(v =>
+      fs.delete(new Path(s"$dir/_delta_log", f"$v%020d.json"), false))
+    val got = DeltaLogReader.read(spark, dir)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(got == ((3L to 9L) ++ (102L to 110L)).toSet,
+      "checkpoint replay must keep the deletion vectors")
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.protocol.minReaderVersion == 3 &&
+      snap.protocol.readerFeatures.contains("deletionVectors"),
+      "checkpoint replay must keep the upgraded protocol")
   }
 
   test("multi-part checkpoint: all parts replayed, incomplete part sets ignored") {
