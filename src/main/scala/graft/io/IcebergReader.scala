@@ -7,7 +7,7 @@ import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
 import org.apache.spark.sql.types._
 
 /** The requested Iceberg table uses a format version or feature this
@@ -52,7 +52,8 @@ final class UnsupportedIcebergFeatureException(msg: String)
 object IcebergReader {
 
   final case class DataFileEntry(path: String, partition: Map[String, Any],
-      recordCount: Long = 0L, sizeBytes: Long = 0L)
+      recordCount: Long = 0L, sizeBytes: Long = 0L,
+      sequenceNumber: Long = 0L, equalityIds: Seq[Int] = Nil)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -61,7 +62,9 @@ object IcebergReader {
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[DataFileEntry],
-      deleteFiles: Seq[DataFileEntry] = Nil)
+      deleteFiles: Seq[DataFileEntry] = Nil,
+      equalityDeleteFiles: Seq[DataFileEntry] = Nil,
+      fieldIdToName: Map[Int, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
   private val MetadataFile = """v(\d+)\.metadata\.json""".r
@@ -124,12 +127,25 @@ object IcebergReader {
     val root = new Path(tablePath)
     val manifestList = resolve(root, snap.get("manifest-list").asText)
     val active = mutable.LinkedHashMap.empty[String, DataFileEntry]
-    val deletes = mutable.LinkedHashMap.empty[String, DataFileEntry]
+    val posDeletes = mutable.LinkedHashMap.empty[String, DataFileEntry]
+    val eqDeletes = mutable.LinkedHashMap.empty[String, DataFileEntry]
     readAvro(spark, manifestList).foreach { m =>
       val mContent = intOf(fieldOpt(m, "content").orNull).getOrElse(0)
+      // v2 sequence numbers: entries inherit the manifest's unless they
+      // carry their own (carried-forward EXISTING entries do)
+      val mSeq = fieldOpt(m, "sequence_number")
+        .flatMap(v => Option(v)).collect {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }.getOrElse(0L)
       readAvro(spark, resolve(root, m.get("manifest_path").toString))
         .foreach { entry =>
           val status = entry.get("status").asInstanceOf[Int]
+          val entrySeq = fieldOpt(entry, "sequence_number")
+            .flatMap(v => Option(v)).collect {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+            }.getOrElse(mSeq)
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           val path = resolve(root, df.get("file_path").toString).toString
           def longOf(field: String): Long = df.get(field) match {
@@ -137,6 +153,17 @@ object IcebergReader {
             case i: java.lang.Integer => i.toLong
             case _ => 0L
           }
+          val eqIds: Seq[Int] = fieldOpt(df, "equality_ids")
+            .flatMap(v => Option(v)).map {
+              case l: java.util.List[_] => l.asScala.toSeq.collect {
+                case i: java.lang.Integer => i.intValue
+                case i: java.lang.Long => i.intValue
+              }
+              case _ => Nil
+            }.getOrElse(Nil)
+          def fileEntry = DataFileEntry(path, partitionMap(df),
+            longOf("record_count"), longOf("file_size_in_bytes"),
+            entrySeq, eqIds)
           // v2 content: manifest-list distinguishes data (0) from delete
           // (1) manifests; inside a delete manifest the data_file content
           // tells position (1) from equality (2) deletes
@@ -144,24 +171,36 @@ object IcebergReader {
             .getOrElse(if (mContent == 1) 1 else 0)
           fileContent match {
             case 0 =>
-              if (status == 2) active.remove(path)
-              else active(path) = DataFileEntry(path, partitionMap(df),
-                longOf("record_count"), longOf("file_size_in_bytes"))
+              if (status == 2) active.remove(path) else active(path) = fileEntry
             case 1 =>
-              if (status == 2) deletes.remove(path)
-              else deletes(path) = DataFileEntry(path, partitionMap(df),
-                longOf("record_count"), longOf("file_size_in_bytes"))
+              if (status == 2) posDeletes.remove(path)
+              else posDeletes(path) = fileEntry
+            case 2 =>
+              if (status == 2) eqDeletes.remove(path)
+              else eqDeletes(path) = fileEntry
             case other =>
               throw new UnsupportedIcebergFeatureException(
-                s"$tablePath carries a content=$other delete file " +
-                  "(equality deletes are not supported here)")
+                s"$tablePath carries a content=$other delete file")
           }
         }
     }
+    val idToName = fieldIdNames(meta)
     Snapshot(wanted, snap.get("timestamp-ms").asLong,
       Option(snap.get("summary")).flatMap(s => Option(s.get("operation")))
         .map(_.asText).getOrElse("unknown"),
-      schema, partCols, active.values.toSeq, deletes.values.toSeq)
+      schema, partCols, active.values.toSeq, posDeletes.values.toSeq,
+      eqDeletes.values.toSeq, idToName)
+  }
+
+  private def fieldIdNames(meta: JsonNode): Map[Int, String] = {
+    val wanted = Option(meta.get("current-schema-id")).map(_.asInt)
+    val schemaNode = Option(meta.get("schemas"))
+      .flatMap(ss => jsonArray(ss).find(s =>
+        wanted.forall(_ == s.get("schema-id").asInt)))
+      .orElse(Option(meta.get("schema")))
+    schemaNode.map(s => jsonArray(s.get("fields"))
+      .map(f => f.get("id").asInt -> f.get("name").asText).toMap)
+      .getOrElse(Map.empty)
   }
 
   /** `from_iceberg(version=…)`: the snapshot as a DataFrame. Iceberg data
@@ -177,25 +216,89 @@ object IcebergReader {
       case Some(snap) if snap.files.isEmpty =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      case Some(snap) if snap.deleteFiles.isEmpty =>
+      case Some(snap) if snap.deleteFiles.isEmpty &&
+          snap.equalityDeleteFiles.isEmpty =>
         spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
           .select(snap.schema.fieldNames.map(col).toSeq: _*)
       case Some(snap) =>
-        // v2 position deletes: anti-join (file, row position). Both path
-        // sides are normalized to a scheme-less form so the committing
-        // engine's URI style (file:///x vs file:/x vs /x) cannot break
-        // the equality; the delete side is a distributed parquet scan of
-        // the delete files, never a driver materialization.
-        val data = spark.read.schema(snap.schema)
-          .parquet(snap.files.map(_.path): _*)
-          .withColumn("__file", normalizePath(input_file_name()))
-          .withColumn("__pos", col("_metadata.row_index"))
-        val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
-          .select(normalizePath(col("file_path")).as("__file"),
-            col("pos").cast(LongType).as("__pos"))
-        data.join(dels, Seq("__file", "__pos"), "left_anti")
-          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+        applyDeletes(spark, snap)
     }
+
+  /** v2 delete application. Position deletes anti-join on
+    * (file, row position); equality deletes anti-join on their
+    * `equality_ids` columns, restricted by the spec's sequence-number
+    * rule — a delete at sequence s removes only rows of data files with
+    * sequence < s, so a row re-inserted AFTER the delete survives (the
+    * Flink CDC upsert pattern). Path comparisons are normalized to a
+    * scheme-less form so the committing engine's URI style (file:///x vs
+    * file:/x vs /x) cannot break the equality; every delete side is a
+    * distributed parquet scan, never a driver materialization. */
+  private def applyDeletes(spark: SparkSession,
+      snap: Snapshot): DataFrame = {
+    var data = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(_.path): _*)
+      .withColumn("__file", normalizePath(input_file_name()))
+    if (snap.deleteFiles.nonEmpty) {
+      val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+        .select(normalizePath(col("file_path")).as("__file"),
+          col("pos").cast(LongType).as("__pos"))
+      data = data.withColumn("__pos", col("_metadata.row_index"))
+        .join(dels, Seq("__file", "__pos"), "left_anti")
+        .drop("__pos")
+    }
+    if (snap.equalityDeleteFiles.nonEmpty) {
+      // an equality delete is only applicable relative to its sequence
+      // number; a delete whose sequence could not be read would silently
+      // apply to nothing — raise instead
+      val unsequenced = snap.equalityDeleteFiles.filter(_.sequenceNumber <= 0)
+      if (unsequenced.nonEmpty)
+        throw new UnsupportedIcebergFeatureException(
+          "equality delete file(s) without a readable sequence number: " +
+            unsequenced.map(_.path).mkString(", "))
+      // per-row data sequence number from the (file → seq) manifest —
+      // metadata-scale, broadcast
+      val dataSeq = manifestDf(spark, "__file",
+        snap.files.map(f => f.path -> f.sequenceNumber))
+      data = data.join(broadcast(dataSeq), Seq("__file"), "left")
+      snap.equalityDeleteFiles.groupBy(_.equalityIds).foreach {
+        case (ids, group) =>
+          require(ids.nonEmpty,
+            "equality delete file without equality_ids")
+          val eqNames = ids.map(id => snap.fieldIdToName.getOrElse(id,
+            throw new UnsupportedIcebergFeatureException(
+              s"equality_ids field $id not in the current schema")))
+          val delSeq = manifestDf(spark, "__delfile",
+            group.map(f => f.path -> f.sequenceNumber))
+          val dels = spark.read.parquet(group.map(_.path): _*)
+            .withColumn("__delfile", normalizePath(input_file_name()))
+            .join(broadcast(delSeq), Seq("__delfile"), "left")
+          val renamed = eqNames.foldLeft(
+            dels.select((eqNames.map(col) :+ col("__seq").as("__delseq")): _*))(
+            (d, c) => d.withColumnRenamed(c, s"__del_$c"))
+          val cond = eqNames.map(c => data(c) <=> renamed(s"__del_$c"))
+            .reduce(_ && _) && data("__seq") < renamed("__delseq")
+          data = data.join(renamed, cond, "left_anti")
+      }
+    }
+    data.select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Tiny (normalized file path → sequence number) frame for broadcast
+    * re-attachment — one row per file, the list the snapshot already
+    * materialized. */
+  private def manifestDf(spark: SparkSession, fileCol: String,
+      entries: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val schema = StructType(Seq(
+      StructField(fileCol, StringType, nullable = false),
+      StructField("__seq", LongType, nullable = false)))
+    val normalized = entries.map { case (p, s) =>
+      Row(p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/"), s)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(normalized, 1), schema)
+  }
 
   /** Strip the URI scheme and collapse leading slashes — `file:///x`,
     * `file:/x`, and `/x` all become `/x` (position-delete `file_path`

@@ -21,13 +21,15 @@ class IcebergV2Spec extends AnyFunSuite {
     """{"type":"record","name":"manifest_entry","fields":[
       |  {"name":"status","type":"int"},
       |  {"name":"snapshot_id","type":["null","long"],"default":null},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"data_file","type":{"type":"record","name":"r2","fields":[
       |    {"name":"content","type":"int"},
       |    {"name":"file_path","type":"string"},
       |    {"name":"file_format","type":"string"},
       |    {"name":"partition","type":{"type":"record","name":"r102","fields":[]}},
       |    {"name":"record_count","type":"long"},
-      |    {"name":"file_size_in_bytes","type":"long"}
+      |    {"name":"file_size_in_bytes","type":"long"},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null}
       |  ]}}
       |]}""".stripMargin)
 
@@ -37,6 +39,7 @@ class IcebergV2Spec extends AnyFunSuite {
       |  {"name":"manifest_length","type":"long"},
       |  {"name":"partition_spec_id","type":"int"},
       |  {"name":"content","type":"int"},
+      |  {"name":"sequence_number","type":["null","long"],"default":null},
       |  {"name":"added_snapshot_id","type":["null","long"],"default":null}
       |]}""".stripMargin)
 
@@ -51,7 +54,8 @@ class IcebergV2Spec extends AnyFunSuite {
     new java.io.File(path).length()
   }
 
-  private def entry(filePath: String, content: Int, rows: Long): GenericRecord = {
+  private def entry(filePath: String, content: Int, rows: Long,
+      eqIds: Seq[Int] = Nil): GenericRecord = {
     val df = new GenericData.Record(
       entrySchema.getField("data_file").schema())
     df.put("content", content)
@@ -61,6 +65,11 @@ class IcebergV2Spec extends AnyFunSuite {
       df.getSchema.getField("partition").schema()))
     df.put("record_count", rows)
     df.put("file_size_in_bytes", 1L)
+    if (eqIds.nonEmpty) {
+      val arr = new java.util.ArrayList[Integer]()
+      eqIds.foreach(i => arr.add(Int.box(i)))
+      df.put("equality_ids", arr)
+    }
     val e = new GenericData.Record(entrySchema)
     e.put("status", 1)
     e.put("snapshot_id", 100L)
@@ -69,12 +78,13 @@ class IcebergV2Spec extends AnyFunSuite {
   }
 
   private def listEntry(manifestPath: String, len: Long,
-      content: Int): GenericRecord = {
+      content: Int, seq: Long = 0L): GenericRecord = {
     val m = new GenericData.Record(listSchema)
     m.put("manifest_path", manifestPath)
     m.put("manifest_length", len)
     m.put("partition_spec_id", 0)
     m.put("content", content)
+    if (seq > 0) m.put("sequence_number", seq)
     m.put("added_snapshot_id", 100L)
     m
   }
@@ -176,12 +186,54 @@ class IcebergV2Spec extends AnyFunSuite {
     assert(IcebergReader.read(spark, dir).count() == 6)
   }
 
-  test("equality deletes raise instead of resurfacing deleted rows") {
+  test("equality deletes without readable sequence numbers raise") {
+    // applying an unsequenced equality delete would silently delete
+    // nothing (or the wrong rows) — it must raise, never guess
     val dir = fixture(withDeletes = true, deleteContent = 2)
     val ex = intercept[UnsupportedIcebergFeatureException] {
       IcebergReader.read(spark, dir)
     }
     assert(ex.getMessage.contains("equality"))
+  }
+
+  test("equality deletes apply by sequence number — later re-inserts survive") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    new java.io.File(s"$dir/metadata").mkdirs()
+    new java.io.File(s"$dir/data").mkdirs()
+    // seq 1: (1,a) (2,b) (3,c); seq 2: equality-delete v='b';
+    // seq 3: (5,b) re-inserted AFTER the delete — must survive
+    val fA = writeParquet(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), s"$dir/data/fA.parquet")
+    val fB = writeParquet(Seq((5L, "b")).toDF("id", "v"), s"$dir/data/fB.parquet")
+    val del = writeParquet(Seq("b").toDF("v"), s"$dir/data/eq-del.parquet")
+    val mA = s"$dir/metadata/m-a.avro"
+    val lenA = writeAvro(mA, entrySchema, Seq(entry(fA, 0, 3L)))
+    val mDel = s"$dir/metadata/m-del.avro"
+    // equality_ids = [2]: field id 2 is "v" in the fixture schema
+    val lenDel = writeAvro(mDel, entrySchema,
+      Seq(entry(del, 2, 1L, eqIds = Seq(2))))
+    val mB = s"$dir/metadata/m-b.avro"
+    val lenB = writeAvro(mB, entrySchema, Seq(entry(fB, 0, 1L)))
+    val listPath = s"$dir/metadata/snap-100.avro"
+    writeAvro(listPath, listSchema, Seq(
+      listEntry(mA, lenA, 0, seq = 1L),
+      listEntry(mDel, lenDel, 1, seq = 2L),
+      listEntry(mB, lenB, 0, seq = 3L)))
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir/metadata/v1.metadata.json").toPath,
+      metadataJson(dir, 2, listPath))
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$dir/metadata/version-hint.text").toPath, "1")
+    val snap = IcebergReader.snapshot(spark, dir)
+    assert(snap.files.length == 2 && snap.equalityDeleteFiles.length == 1)
+    assert(snap.files.map(f => f.path -> f.sequenceNumber).toMap
+      .values.toSet == Set(1L, 3L))
+    val got = IcebergReader.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (3L, "c"), (5L, "b")),
+      "id 2 deleted at seq 2; id 5 added at seq 3 survives")
   }
 
   test("format-version 3 raises instead of guessing") {
