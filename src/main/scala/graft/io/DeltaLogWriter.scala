@@ -355,42 +355,52 @@ object DeltaLogWriter {
         spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
       df = df.join(broadcast(manifest), Seq("__file"), "left")
     }
-    val grouped = df.filter(predicate)
+    // ONE scan computes both the raw row count per file and the matched
+    // positions (collect_list skips the when()'s nulls)
+    val grouped = df
       .groupBy(col("__file"))
-      .agg(org.apache.spark.sql.functions.collect_list(col("__pos")).as("pos"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__total"),
+        org.apache.spark.sql.functions.collect_list(
+          when(predicate, col("__pos"))).as("pos"))
+      .filter(org.apache.spark.sql.functions.size(col("pos")) > 0)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val oldDvs = spark.sparkContext.broadcast(
       byUri.collect { case (uri, f) if f.deletionVector.isDefined =>
         uri -> f.deletionVector.get
       })
-    // sidecars are written by the executors holding each file's positions
-    val touched: Seq[(String, DeltaDeletionVectors.Descriptor)] =
+    // sidecars are written by the executors holding each file's
+    // positions; a file whose rows are ALL deleted (old DV ∪ new) gets
+    // NO sidecar — it is removed from the snapshot outright
+    val touched: Seq[(String, Option[DeltaDeletionVectors.Descriptor])] =
       grouped.rdd.map { r =>
         val uri = r.getString(0)
-        val fresh = r.getSeq[Long](1)
+        val total = r.getLong(1)
+        val fresh = r.getSeq[Long](2)
         val old = oldDvs.value.get(uri)
           .map(d => DeltaDeletionVectors
             .rowIndexes(conf.value, qualifiedRoot, d).toSeq)
           .getOrElse(Nil)
-        val desc = DeltaDeletionVectors.writeSidecar(conf.value,
-          new Path(qualifiedRoot), (fresh ++ old).distinct)
-        (uri, desc)
+        val all = (fresh ++ old).distinct
+        if (all.length >= total) (uri, None)
+        else (uri, Some(DeltaDeletionVectors.writeSidecar(conf.value,
+          new Path(qualifiedRoot), all)))
       }.collect().toSeq
     if (touched.isEmpty)
       return Committed(DeltaLogReader.latestVersion(spark, tablePath), 0)
 
-    val adds = touched.map { case (uri, desc) =>
+    val adds = touched.collect { case (uri, Some(desc)) =>
       val f = byUri(uri)
       AddEntry(f.path, f.partitionValues, 1L, System.currentTimeMillis(),
         Some(desc))
     }
-    val needsUpgrade = snap.protocol.minReaderVersion < 3 ||
-      !snap.protocol.readerFeatures.contains("deletionVectors")
+    val removes = touched.collect { case (uri, None) => byUri(uri).path }
+    val needsUpgrade = adds.nonEmpty && (snap.protocol.minReaderVersion < 3 ||
+      !snap.protocol.readerFeatures.contains("deletionVectors"))
     val upgrade = if (!needsUpgrade) Nil else Seq(
       s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
-      removes = Nil, "DELETE", emitMeta = false, extraActions = upgrade)
+      removes, "DELETE", emitMeta = false, extraActions = upgrade)
   }
 
   /** Claim `<version>.json` with create-exclusive; on collision re-read

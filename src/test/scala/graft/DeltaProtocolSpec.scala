@@ -195,9 +195,11 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val spark0 = spark
     import spark0.implicits._
     val dir = s"${tmp()}/tbl"
+    // coalesce(1): one multi-row file per partition, so the first delete
+    // is PARTIAL per file (the DV path) rather than full-file removal
     io.DeltaLogWriter.write(
       Seq((1L, "a", "x"), (2L, "b", "x"), (3L, "c", "y"), (4L, "d", "y"))
-        .toDF("id", "v", "p"),
+        .toDF("id", "v", "p").coalesce(1),
       dir, partitionBy = Seq("p"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def dataFiles(): Map[String, Long] = {
@@ -222,10 +224,15 @@ class DeltaProtocolSpec extends AnyFunSuite {
     val snap = DeltaLogReader.snapshot(spark, dir)
     assert(snap.protocol.minReaderVersion == 3 &&
       snap.protocol.readerFeatures.contains("deletionVectors"))
-    // a second delete on an already-DV'd file merges old ∪ new indexes
+    // a second delete on an already-DV'd file merges old ∪ new indexes;
+    // here it covers EVERY row of the p=x file, which must be REMOVED
+    // from the snapshot outright instead of carrying a dead full DV
     io.DeltaLogWriter.deleteWhere(spark, dir, col("v") === "a")
     assert(DeltaLogReader.read(spark, dir)
       .as[(Long, String, String)].collect().map(_._1).toSet == Set(4L))
+    val afterFull = DeltaLogReader.snapshot(spark, dir)
+    assert(!afterFull.files.exists(_.path.contains("p=x")),
+      "fully-deleted file is removed, not DV'd")
     // predicates over partition columns work; no-match is a no-op commit
     val v0 = DeltaLogReader.latestVersion(spark, dir)
     val noop = io.DeltaLogWriter.deleteWhere(spark, dir, col("p") === "zzz")
@@ -238,7 +245,7 @@ class DeltaProtocolSpec extends AnyFunSuite {
     import spark0.implicits._
     val dir = s"${tmp()}/tbl"
     io.DeltaLogWriter.write(
-      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
     io.DeltaLogWriter.deleteWhere(spark, dir, col("id") < 3L) // v1
     // drive the log to v10 so the writer checkpoints, then vacuum the tail
     (2 to 10).foreach { i =>
