@@ -191,6 +191,39 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, fixture(protocolAction(2))).count() == 1)
   }
 
+  test("DV read plan: ONE data scan, broadcast partition manifest, anti-join") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType)))
+    writeDataFile(dir, "p=x/f1.parquet",
+      (0L to 3L).map(i => (i, s"v$i")).toDF("id", "v"))
+    writeDataFile(dir, "p=y/f2.parquet",
+      (4L to 7L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val dv = DeltaDeletionVectors.writeSidecar(
+      spark.sparkContext.hadoopConfiguration, new Path(dir), Seq(1L))
+    writeCommit(dir, 0, Seq(
+      protocolAction(3, Seq("deletionVectors")),
+      metaAction(schema, Seq("p")),
+      addAction("p=x/f1.parquet", Map("p" -> "x"), Some(dv)),
+      addAction("p=y/f2.parquet", Map("p" -> "y"))))
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      DeltaLogReader.read(spark, dir).explain("formatted")
+    }
+    val plan = out.toString
+    // one distributed parquet scan over the whole active file list —
+    // never a per-partition union of scans (the detail-section "(N) Scan
+    // parquet" pattern counts plan nodes once each)
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans == 1, s"expected ONE parquet scan, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "partition-value manifest must broadcast")
+    assert(plan.contains("LeftAnti"), "DV application is an anti-join")
+  }
+
   test("deleteWhere writes deletion vectors — zero data-file rewrite") {
     val spark0 = spark
     import spark0.implicits._

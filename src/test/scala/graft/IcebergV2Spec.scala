@@ -181,6 +181,21 @@ class IcebergV2Spec extends AnyFunSuite {
     assert(got == Set(2L, 3L, 4L, 5L))
   }
 
+  test("v2 delete read plan: distributed delete-side scan, one data scan") {
+    val dir = fixture(withDeletes = true)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) {
+      IcebergReader.read(spark, dir).explain("formatted")
+    }
+    val plan = out.toString
+    // exactly two parquet scans: the data file list and the delete file
+    // list — both distributed, no driver-side materialization
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(plan).length
+    assert(scans == 2, s"expected data + delete scans, got $scans:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      "position-delete application is an anti-join")
+  }
+
   test("v2 without delete manifests reads all rows") {
     val dir = fixture(withDeletes = false)
     assert(IcebergReader.read(spark, dir).count() == 6)
