@@ -223,6 +223,47 @@ object DeltaLogWriter {
       }
   }
 
+  /** Physical cleanup of files no snapshot within the retention window
+    * references — overwritten/removed parquet, fully-deleted files, and
+    * ORPHANED DV SIDECARS (a re-deleted file's old bitmap): the `VACUUM`
+    * every DV-writing table eventually needs, since deletes stop
+    * rewriting data but keep superseded sidecars around. Retention
+    * semantics match Delta's: a file is deletable only if it is not
+    * referenced by the CURRENT snapshot (data file or DV sidecar) and
+    * its modification time is older than `retentionMs` — so concurrent
+    * readers of recent-but-stale snapshots never lose files mid-query.
+    * Returns the deleted paths. */
+  def vacuum(spark: SparkSession, tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedRoot = fs.makeQualified(root).toString
+    val live: Set[String] =
+      snap.files.map(f =>
+        fs.makeQualified(new Path(root, f.path)).toString).toSet ++
+        snap.files.flatMap(_.deletionVector)
+          .filter(d => d.storageType == "u" || d.storageType == "p")
+          .map(d => fs.makeQualified(DeltaDeletionVectors
+            .sidecarPath(new Path(qualifiedRoot), d)).toString)
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val deletable = Seq.newBuilder[Path]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = fs.makeQualified(st.getPath)
+      val name = p.getName
+      val inLog = p.toString.contains("/_delta_log/")
+      val isData = name.endsWith(".parquet") || name.endsWith(".bin")
+      if (!inLog && isData && !live.contains(p.toString) &&
+        st.getModificationTime < cutoff)
+        deletable += p
+    }
+    val doomed = deletable.result()
+    doomed.foreach(p => fs.delete(p, false))
+    doomed.map(_.toString)
+  }
+
   /** Append must not silently drop or retype columns; `mergeSchema`-style
     * evolution goes through overwrite (which re-emits metaData). */
   private def checkAppendSchema(table: StructType, incoming: StructType): Unit = {

@@ -273,6 +273,40 @@ class DeltaProtocolSpec extends AnyFunSuite {
       DeltaLogReader.latestVersion(spark, dir) == v0)
   }
 
+  test("vacuum removes unreferenced data files and superseded DV sidecars") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOnDisk(suffix: String): Set[String] = {
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(new Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(suffix) &&
+          !st.getPath.toString.contains("_delta_log"))
+          out += st.getPath.toString
+      }
+      out.result()
+    }
+    io.DeltaLogWriter.write(
+      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
+    io.DeltaLogWriter.write(
+      (10L to 14L).map(i => (i, s"w$i")).toDF("id", "v").coalesce(1), dir,
+      mode = "overwrite") // v0's file becomes unreferenced
+    io.DeltaLogWriter.deleteWhere(spark, dir, col("id") === 10L) // sidecar S1
+    io.DeltaLogWriter.deleteWhere(spark, dir, col("id") === 11L) // S2 supersedes S1
+    assert(filesOnDisk(".parquet").size == 2 && filesOnDisk(".bin").size == 2)
+    // young files survive a retention-window vacuum
+    assert(io.DeltaLogWriter.vacuum(spark, dir).isEmpty)
+    // zero retention: the overwritten file and the superseded sidecar go
+    val deleted = io.DeltaLogWriter.vacuum(spark, dir, retentionMs = 0L)
+    assert(deleted.size == 2, s"expected 2 deletions, got $deleted")
+    assert(filesOnDisk(".parquet").size == 1 && filesOnDisk(".bin").size == 1)
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String)].collect().map(_._1).toSet == Set(12L, 13L, 14L))
+  }
+
   test("deletion vectors and upgraded protocol survive checkpoint compaction") {
     val spark0 = spark
     import spark0.implicits._
