@@ -113,6 +113,20 @@ object TableFormats {
       snapshotId: Long): DataFrame =
     IcebergReader.read(spark, path, Some(snapshotId))
 
+  /** `DELETE FROM` a real Delta table WITHOUT rewriting data files —
+    * routes to [[DeltaLogWriter.deleteWhere]], which writes deletion
+    * vectors (and removes fully-deleted files). The delete shape that
+    * scales: matched-row bitmaps, not terabytes of rewritten parquet. */
+  def deleteFromDeltalake(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DeltaLogWriter.Committed =
+    DeltaLogWriter.deleteWhere(spark, path, predicate)
+
+  /** `VACUUM` a real Delta table: physically remove data files and DV
+    * sidecars no current-snapshot reference, past the retention window. */
+  def vacuumDeltalake(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
+    DeltaLogWriter.vacuum(spark, path, retentionMs)
+
   /** `describe_history` parity. */
   def describeHistory(spark: SparkSession, path: String): DataFrame = {
     val s = spark
