@@ -187,6 +187,28 @@ object DeltaDeletionVectors {
       rb.runOptimize()
       rb
     }
+    serializeBitmaps(bitmaps)
+  }
+
+  /** Streaming encode: consume row indexes (any order, duplicates fine —
+    * bitmap add is idempotent) directly into the compressed bitmaps, so
+    * memory is the serialized-bitmap size (~12 MB worst case per 100M
+    * rows), never a buffered list of longs. Returns (bytes, cardinality).
+    * This is the 100 TB shape of a broad DELETE: a file's positions
+    * stream through one executor task without materializing. */
+  def encodeStreaming(indexes: Iterator[Long]): (Array[Byte], Long) = {
+    val bitmaps = mutable.ArrayBuffer.empty[RoaringBitmap]
+    indexes.foreach { ix =>
+      val key = (ix >>> 32).toInt
+      while (bitmaps.length <= key) bitmaps += new RoaringBitmap()
+      bitmaps(key).add((ix & 0xffffffffL).toInt)
+    }
+    bitmaps.foreach(_.runOptimize())
+    val card = bitmaps.iterator.map(_.getLongCardinality).sum
+    (serializeBitmaps(bitmaps.toSeq), card)
+  }
+
+  private def serializeBitmaps(bitmaps: Seq[RoaringBitmap]): Array[Byte] = {
     val header = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
     header.putInt(MagicNumber)
     header.putLong(bitmaps.size.toLong)
@@ -202,11 +224,18 @@ object DeltaDeletionVectors {
     * the `add` action (storageType `u`, no scatter prefix). */
   def writeSidecar(conf: Configuration, tableRoot: Path,
       indexes: Seq[Long]): Descriptor = {
+    val data = encodeBitmapArray(indexes)
+    writeSidecarBytes(conf, tableRoot, data, indexes.size.toLong)
+  }
+
+  /** Write pre-encoded bitmap bytes as a sidecar (the streaming-encode
+    * counterpart of [[writeSidecar]]). */
+  def writeSidecarBytes(conf: Configuration, tableRoot: Path,
+      data: Array[Byte], cardinality: Long): Descriptor = {
     val uuid = UUID.randomUUID()
     val ub = ByteBuffer.allocate(16)
     ub.putLong(uuid.getMostSignificantBits)
     ub.putLong(uuid.getLeastSignificantBits)
-    val data = encodeBitmapArray(indexes)
     val crc = new CRC32
     crc.update(data)
     val p = new Path(tableRoot, s"deletion_vector_$uuid.bin")
@@ -219,6 +248,6 @@ object DeltaDeletionVectors {
       dos.writeInt(crc.getValue.toInt)
       dos.flush()
     } finally out.close()
-    Descriptor("u", z85Encode(ub.array()), Some(1), data.length, indexes.size.toLong)
+    Descriptor("u", z85Encode(ub.array()), Some(1), data.length, cardinality)
   }
 }

@@ -51,10 +51,13 @@ object DeltaLogReader {
 
   final case class AddFile(path: String,
       partitionValues: Map[String, Option[String]],
-      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None,
+      size: Long = 0L, modificationTime: Long = 0L)
 
   final case class Protocol(minReaderVersion: Int = 1,
-      readerFeatures: Set[String] = Set.empty)
+      readerFeatures: Set[String] = Set.empty,
+      minWriterVersion: Int = 1,
+      writerFeatures: Set[String] = Set.empty)
 
   final case class Snapshot(
       version: Long,
@@ -113,10 +116,16 @@ object DeltaLogReader {
           if (!r.schema.fieldNames.contains(name)) None
           else Option(r.getAs[Row](name))
         struct("protocol").foreach { p =>
+          def feats(name: String): Set[String] =
+            if (!p.schema.fieldNames.contains(name)) Set.empty
+            else Option(p.getAs[scala.collection.Seq[String]](name))
+              .map(_.toSet).getOrElse(Set.empty)
           protocol = Protocol(p.getAs[Number]("minReaderVersion").intValue,
-            if (!p.schema.fieldNames.contains("readerFeatures")) Set.empty
-            else Option(p.getAs[scala.collection.Seq[String]]("readerFeatures"))
-              .map(_.toSet).getOrElse(Set.empty))
+            feats("readerFeatures"),
+            if (!p.schema.fieldNames.contains("minWriterVersion")) 1
+            else Option(p.getAs[Number]("minWriterVersion"))
+              .map(_.intValue).getOrElse(1),
+            feats("writerFeatures"))
         }
         struct("metaData").foreach { m =>
           schema = Some(parseSchema(m.getAs[String]("schemaString")))
@@ -127,11 +136,14 @@ object DeltaLogReader {
               .map(_.toMap).getOrElse(Map.empty)
         }
         struct("add").foreach { a =>
+          def num(f: String): Long =
+            if (!a.schema.fieldNames.contains(f)) 0L
+            else Option(a.getAs[Number](f)).map(_.longValue).getOrElse(0L)
           val add = AddFile(a.getAs[String]("path"),
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
               .map(_.toMap.map { case (k, v) => k -> Option(v) })
               .getOrElse(Map.empty),
-            dvFromRow(a))
+            dvFromRow(a), num("size"), num("modificationTime"))
           active(add.path) = add
         }
         struct("remove").foreach(rm => active.remove(rm.getAs[String]("path")))
@@ -148,7 +160,9 @@ object DeltaLogReader {
         val node = mapper.readTree(line)
         Option(node.get("protocol")).foreach { p =>
           protocol = Protocol(p.get("minReaderVersion").asInt,
-            jsonArray(p.get("readerFeatures")).map(_.asText).toSet)
+            jsonArray(p.get("readerFeatures")).map(_.asText).toSet,
+            Option(p.get("minWriterVersion")).map(_.asInt).getOrElse(1),
+            jsonArray(p.get("writerFeatures")).map(_.asText).toSet)
         }
         Option(node.get("metaData")).foreach { m =>
           schema = Some(parseSchema(m.get("schemaString").asText))
@@ -174,7 +188,9 @@ object DeltaLogReader {
             }
             b.result()
           }.getOrElse(Map.empty[String, Option[String]])
-          val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a))
+          val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a),
+            Option(a.get("size")).map(_.asLong).getOrElse(0L),
+            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
           active(add.path) = add
         }
         Option(node.get("remove")).foreach(rm =>
@@ -289,7 +305,7 @@ object DeltaLogReader {
     * unless `delta.columnMapping.mode` is `name`/`id`, in which case the
     * schema's `delta.columnMapping.physicalName` metadata — written by
     * Delta in both modes — names the parquet columns. */
-  private def physicalNames(snap: Snapshot): Map[String, String] = {
+  private[io] def physicalNames(snap: Snapshot): Map[String, String] = {
     val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     snap.schema.fields.map { f =>
       val phys =

@@ -1,6 +1,7 @@
 package graft.io
 
 import java.util.UUID
+import scala.collection.mutable
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -146,8 +147,6 @@ object DeltaLogWriter {
     val partCols = prior.map(_.partitionColumns).getOrElse(Nil)
     val stagedDir = new Path(checkpoint, "graft-staged-adds")
     val fs = stagedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val recovered = recoverStagedAdds(fs, stagedDir)
-    val staged = new java.util.concurrent.ConcurrentLinkedQueue[AddEntry]()
     val q = agg.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -155,15 +154,19 @@ object DeltaLogWriter {
         val entries = writeDataFiles(batch, tablePath, partCols)
         persistStagedAdds(fs,
           new Path(stagedDir, s"batch-$batchId.json"), entries)
-        entries.foreach(staged.add)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    import scala.jdk.CollectionConverters._
-    // recovered paths may overlap a re-run batch's manifest; last wins
-    val all = (recovered ++ staged.asScala.toSeq)
+    // the commit's add set comes SOLELY from the post-run batch manifests:
+    // a batch that crashed between persisting its manifest and Spark's
+    // checkpoint marker re-runs with fresh UUID file names and OVERWRITES
+    // its batch-N.json (create-then-rename makes the latest manifest per
+    // batch authoritative), so a pre-stream snapshot of the manifests
+    // would resurrect the superseded paths alongside the new ones and
+    // double-commit the batch's rows
+    val all = recoverStagedAdds(fs, stagedDir)
       .groupBy(_.path).map(_._2.last).toSeq
     val committed = commitLoop(spark, tablePath, agg.schema, partCols,
       all, Nil, "STREAMING UPDATE",
@@ -191,8 +194,10 @@ object DeltaLogWriter {
       throw new java.io.IOException(s"staged-adds rename failed: $target")
   }
 
-  /** Staged add-entries a crashed prior run persisted for batches the
-    * Spark checkpoint will skip on this run. */
+  /** All staged add-entries under `stagedDir`, one manifest per batch —
+    * after a run this is the authoritative add set (a crashed prior
+    * run's manifests survive for batches the checkpoint skips; a re-run
+    * batch overwrote its manifest with the current file names). */
   private def recoverStagedAdds(fs: org.apache.hadoop.fs.FileSystem,
       stagedDir: Path): Seq[AddEntry] = {
     if (!fs.exists(stagedDir)) return Nil
@@ -235,6 +240,7 @@ object DeltaLogWriter {
     * Returns the deleted paths. */
   def vacuum(spark: SparkSession, tablePath: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    import spark.implicits._
     val snap = DeltaLogReader.snapshot(spark, tablePath)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -247,21 +253,29 @@ object DeltaLogWriter {
           .map(d => fs.makeQualified(DeltaDeletionVectors
             .sidecarPath(new Path(qualifiedRoot), d)).toString)
     val cutoff = System.currentTimeMillis() - retentionMs
-    val deletable = Seq.newBuilder[Path]
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val p = fs.makeQualified(st.getPath)
-      val name = p.getName
-      val inLog = p.toString.contains("/_delta_log/")
-      val isData = name.endsWith(".parquet") || name.endsWith(".bin")
-      if (!inLog && isData && !live.contains(p.toString) &&
-        st.getModificationTime < cutoff)
-        deletable += p
-    }
-    val doomed = deletable.result()
-    doomed.foreach(p => fs.delete(p, false))
-    doomed.map(_.toString)
+    // the table tree is listed and deleted AS A JOB — the driver's part
+    // is the root's immediate children plus the live set (O(active
+    // files)); a 100k-file table never loops file-by-file on the driver
+    val liveBc = spark.sparkContext.broadcast(live)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    DatasetReader.listObjects(spark, tablePath)
+      .where(col("modified_ms") < cutoff)
+      .select("path").as[String]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        val liveSet = liveBc.value
+        it.filter { p =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          val isData = name.endsWith(".parquet") || name.endsWith(".bin")
+          isData && !p.contains("/_delta_log/") && !liveSet.contains(p)
+        }.map { p =>
+          val pp = new Path(p)
+          pp.getFileSystem(conf).delete(pp, false)
+          p
+        }
+      }.collect().toSeq
   }
 
   /** Append must not silently drop or retype columns; `mergeSchema`-style
@@ -376,72 +390,157 @@ object DeltaLogWriter {
 
     // raw per-file row positions (existing DVs NOT applied here — old and
     // new indexes merge below, so re-flagging an already-deleted row is
-    // idempotent)
-    val dataSchema = StructType(snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name)))
+    // idempotent). Column-mapped tables (`delta.columnMapping.mode` =
+    // name/id) store parquet columns under physical names: scan by those
+    // and rename back to logical so the caller's predicate resolves —
+    // scanning logical names would yield all-null columns and a silently
+    // null predicate.
+    val physOf = DeltaLogReader.physicalNames(snap)
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
     var df = spark.read.schema(dataSchema).parquet(byUri.keys.toSeq: _*)
       .withColumn("__file", input_file_name())
       .withColumn("__pos", col("_metadata.row_index"))
+    dataFields.foreach { f =>
+      if (physOf(f.name) != f.name)
+        df = df.withColumnRenamed(physOf(f.name), f.name)
+    }
     if (snap.partitionColumns.nonEmpty) {
       // re-attach partition values so the predicate can reference them
+      // (the log keys them by physical name on column-mapped tables)
       val manifestSchema = StructType(
         StructField("__file", StringType, nullable = false) +:
           snap.partitionColumns.map(c =>
             StructField(c, StringType, nullable = true)))
       val manifestRows = byUri.toSeq.map { case (uri, f) =>
         Row.fromSeq(uri +: snap.partitionColumns.map(c =>
-          f.partitionValues.get(c).flatten.orNull))
+          f.partitionValues.get(physOf(c))
+            .orElse(f.partitionValues.get(c)).flatten.orNull))
       }
       val manifest = spark.createDataFrame(
         spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
       df = df.join(broadcast(manifest), Seq("__file"), "left")
     }
-    // ONE scan computes both the raw row count per file and the matched
-    // positions (collect_list skips the when()'s nulls)
-    val grouped = df
-      .groupBy(col("__file"))
-      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__total"),
-        org.apache.spark.sql.functions.collect_list(
-          when(predicate, col("__pos"))).as("pos"))
-      .filter(org.apache.spark.sql.functions.size(col("pos")) > 0)
+    // per-file RAW row counts come from parquet FOOTERS, read on
+    // executors — metadata-only, never a count() over the data pages
+    val totals = footerRecordCounts(spark, byUri.keys.toSeq)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val oldDvs = spark.sparkContext.broadcast(
       byUri.collect { case (uri, f) if f.deletionVector.isDefined =>
         uri -> f.deletionVector.get
       })
-    // sidecars are written by the executors holding each file's
-    // positions; a file whose rows are ALL deleted (old DV ∪ new) gets
-    // NO sidecar — it is removed from the snapshot outright
-    val touched: Seq[(String, Option[DeltaDeletionVectors.Descriptor])] =
-      grouped.rdd.map { r =>
-        val uri = r.getString(0)
-        val total = r.getLong(1)
-        val fresh = r.getSeq[Long](2)
-        val old = oldDvs.value.get(uri)
-          .map(d => DeltaDeletionVectors
-            .rowIndexes(conf.value, qualifiedRoot, d).toSeq)
-          .getOrElse(Nil)
-        val all = (fresh ++ old).distinct
-        if (all.length >= total) (uri, None)
-        else (uri, Some(DeltaDeletionVectors.writeSidecar(conf.value,
-          new Path(qualifiedRoot), all)))
+    val totalsBc = spark.sparkContext.broadcast(totals)
+    // ONLY matched (file, pos) rows shuffle — hash-partitioned by file and
+    // sorted, so each file's positions arrive contiguous at one task,
+    // which streams them into the compressed bitmap and writes the
+    // sidecar there: a delete matching 100M rows of one file holds the
+    // ~12 MB bitmap in memory, never a 100M-long aggregation buffer.
+    // A file whose rows are ALL deleted (old DV ∪ new) gets NO sidecar —
+    // it is removed from the snapshot outright. Driver receives one
+    // (path, descriptor) pair per touched file: manifest-scale.
+    val touched: Seq[(String, Option[DeltaDeletionVectors.Descriptor])] = df
+      .filter(predicate)
+      .select(col("__file"), col("__pos"))
+      .repartition(col("__file"))
+      .sortWithinPartitions(col("__file"), col("__pos"))
+      .rdd.mapPartitions { it =>
+        val rows = it.buffered
+        val out = mutable.ArrayBuffer
+          .empty[(String, Option[DeltaDeletionVectors.Descriptor])]
+        while (rows.hasNext) {
+          val uri = rows.head.getString(0)
+          val fresh = new Iterator[Long] {
+            def hasNext: Boolean =
+              rows.hasNext && rows.head.getString(0) == uri
+            def next(): Long = rows.next().getLong(1)
+          }
+          val old = oldDvs.value.get(uri)
+            .map(d => DeltaDeletionVectors
+              .rowIndexes(conf.value, qualifiedRoot, d))
+            .getOrElse(Array.empty[Long])
+          val (bytes, card) =
+            DeltaDeletionVectors.encodeStreaming(fresh ++ old.iterator)
+          if (card >= totalsBc.value(uri)) out += ((uri, None))
+          else out += ((uri, Some(DeltaDeletionVectors.writeSidecarBytes(
+            conf.value, new Path(qualifiedRoot), bytes, card))))
+        }
+        out.iterator
       }.collect().toSeq
     if (touched.isEmpty)
       return Committed(DeltaLogReader.latestVersion(spark, tablePath), 0)
 
     val adds = touched.collect { case (uri, Some(desc)) =>
       val f = byUri(uri)
-      AddEntry(f.path, f.partitionValues, 1L, System.currentTimeMillis(),
+      // add.size is the DATA file's byte size (the protocol requires it;
+      // engines plan with it) — carried from the log, never the sidecar's
+      val size =
+        if (f.size > 0L) f.size
+        else fs.getFileStatus(new Path(qualifiedRoot, f.path)).getLen
+      AddEntry(f.path, f.partitionValues, size, System.currentTimeMillis(),
         Some(desc))
     }
     val removes = touched.collect { case (uri, None) => byUri(uri).path }
-    val needsUpgrade = adds.nonEmpty && (snap.protocol.minReaderVersion < 3 ||
-      !snap.protocol.readerFeatures.contains("deletionVectors"))
-    val upgrade = if (!needsUpgrade) Nil else Seq(
-      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""")
+    val p = snap.protocol
+    val needsUpgrade = adds.nonEmpty && (p.minReaderVersion < 3 ||
+      !p.readerFeatures.contains("deletionVectors") ||
+      !p.writerFeatures.contains("deletionVectors"))
+    // upgrading MERGES the existing protocol: a reader-version-3 table's
+    // features (columnMapping, timestampNtz, …) must survive, and a
+    // legacy version's implicit features are enumerated when it crosses
+    // into the table-features range — replacing the sets would drop
+    // capabilities subsequent gated reads depend on
+    val upgrade = if (!needsUpgrade) Nil else {
+      val readerFeats = ((if (p.minReaderVersion >= 3) p.readerFeatures
+                          else legacyReaderFeatures(p.minReaderVersion)) +
+        "deletionVectors").toSeq.sorted
+      val writerFeats = ((if (p.minWriterVersion >= 7) p.writerFeatures
+                          else legacyWriterFeatures(p.minWriterVersion)) +
+        "deletionVectors").toSeq.sorted
+      def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
+    }
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
       removes, "DELETE", emitMeta = false, extraActions = upgrade)
+  }
+
+  /** Per-file raw row counts from parquet footers, read ON EXECUTORS
+    * (metadata-only; the driver receives one (uri, count) pair per file —
+    * manifest-scale). The full-file-delete denominator. */
+  private def footerRecordCounts(spark: SparkSession,
+      uris: Seq[String]): Map[String, Long] = {
+    if (uris.isEmpty) return Map.empty
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(uris).mapPartitions { it =>
+      val conf = confBc.value.value
+      it.map { u =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(u), conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (u, rdr.getRecordCount) finally rdr.close()
+      }
+    }.collect().toMap
+  }
+
+  /** Features a legacy `minReaderVersion` implies, enumerated when an
+    * upgrade crosses into the table-features range (delta.io PROTOCOL.md,
+    * feature mapping of pre-feature protocol versions). */
+  private def legacyReaderFeatures(v: Int): Set[String] =
+    if (v >= 2) Set("columnMapping") else Set.empty
+
+  /** Features a legacy `minWriterVersion` implies (same mapping). */
+  private def legacyWriterFeatures(v: Int): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (v >= 2) b ++= Seq("appendOnly", "invariants")
+    if (v >= 3) b += "checkConstraints"
+    if (v >= 4) b ++= Seq("generatedColumns", "changeDataFeed")
+    if (v >= 5) b += "columnMapping"
+    if (v >= 6) b += "identityColumns"
+    b.result()
   }
 
   /** Claim `<version>.json` with create-exclusive; on collision re-read
@@ -509,18 +608,29 @@ object DeltaLogWriter {
     // the checkpoint must reproduce the REAL protocol and every add's
     // deletion vector — compacting them away would silently resurrect
     // deleted rows once the json tail is vacuumed
+    val p = snap.protocol
+    val minWriter =
+      if (p.minWriterVersion > 1) p.minWriterVersion
+      else if (p.minReaderVersion >= 3) 7 else 2
+    // the spec REQUIRES writerFeatures alongside minWriterVersion=7 —
+    // conformant readers reject a checkpoint protocol missing it
+    val writerFeats =
+      if (minWriter < 7) None
+      else Some((if (p.writerFeatures.nonEmpty) p.writerFeatures
+                 else p.readerFeatures).toSeq.sorted)
     val rows: Seq[CkptLine] =
       CkptLine(None,
         Some(CkptMetaData(UUID.randomUUID().toString, snap.schema.json,
           snap.partitionColumns)),
-        Some(CkptProtocol(snap.protocol.minReaderVersion,
-          if (snap.protocol.minReaderVersion >= 3) 7 else 2,
-          if (snap.protocol.readerFeatures.isEmpty) None
-          else Some(snap.protocol.readerFeatures.toSeq.sorted)))) +:
+        Some(CkptProtocol(p.minReaderVersion, minWriter,
+          if (p.readerFeatures.isEmpty) None
+          else Some(p.readerFeatures.toSeq.sorted),
+          writerFeats))) +:
       snap.files.map(f => CkptLine(
         Some(CkptAddFile(f.path,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
-          1L, 1L, dataChange = false,
+          math.max(f.size, 1L), math.max(f.modificationTime, 1L),
+          dataChange = false,
           f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
             d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)))),
         None, None))
@@ -549,7 +659,8 @@ object DeltaLogWriter {
   final case class CkptMetaData(id: String, schemaString: String,
       partitionColumns: Seq[String])
   final case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int,
-      readerFeatures: Option[Seq[String]] = None)
+      readerFeatures: Option[Seq[String]] = None,
+      writerFeatures: Option[Seq[String]] = None)
   final case class CkptLine(add: Option[CkptAddFile],
       metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
 }

@@ -181,13 +181,42 @@ class DeltaWriteSpec extends AnyFunSuite {
     val chk2 = java.nio.file.Files.createTempDirectory("graft-deltastream4")
     val stagedDir = new java.io.File(s"$chk2/graft-staged-adds")
     stagedDir.mkdirs()
+    // batch id 999: a batch this run will NOT execute — the manifest
+    // survives untouched, exactly like a checkpoint-committed batch of
+    // the crashed run (a manifest for a batch that DOES re-run is
+    // overwritten and must not resurrect — covered by the next test)
     java.nio.file.Files.writeString(
-      new java.io.File(stagedDir, "batch-0.json").toPath,
+      new java.io.File(stagedDir, "batch-999.json").toPath,
       """{"path":"recovered-0.parquet","partitionValues":{},"size":1,"modificationTime":1}""" + "\n")
     // the fresh checkpoint reprocesses the full stream (n rows) AND must
     // recover the crashed batch's 3 rows into the same single commit
     io.DeltaLogWriter.writeStreaming(agg, dir, chk2.toString)
     assert(io.DeltaLogReader.read(spark, dir).count() == 2 * n + 3)
     assert(!stagedDir.exists(), "staged manifests are cleaned after commit")
+  }
+
+  test("delta streaming: a re-run batch's superseded manifest does not double-commit") {
+    val dir = tmp()
+    val events = streaming.EventStream.readEvents(spark, sf)
+    val agg = streaming.EventStream.tumblingAgg(events)
+    // craft the crash window the round-5 advice flagged: batch 0
+    // persisted its manifest but the Spark checkpoint never marked it
+    // done, so the (fresh-checkpoint) restart RE-RUNS batch 0 with new
+    // file names — the old manifest's paths are superseded and must not
+    // be committed alongside the re-run's
+    val chk = java.nio.file.Files.createTempDirectory("graft-deltastream5")
+    val stagedDir = new java.io.File(s"$chk/graft-staged-adds")
+    stagedDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(stagedDir, "batch-0.json").toPath,
+      """{"path":"superseded-0.parquet","partitionValues":{},"size":1,"modificationTime":1}""" + "\n")
+    io.DeltaLogWriter.writeStreaming(agg, dir, chk.toString)
+    val snap = io.DeltaLogReader.snapshot(spark, dir)
+    assert(!snap.files.exists(_.path == "superseded-0.parquet"),
+      "re-run batch's old manifest paths must not resurrect")
+    val batch = ops.TimeSeries.tumbling(spark, sf).count()
+    val n = io.DeltaLogReader.read(spark, dir).count()
+    assert(n <= batch && n >= batch - 10,
+      s"rows must match ONE run of the stream, got $n vs batch $batch")
   }
 }

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{DeltaDeletionVectors, DeltaLogReader, DeltaLogWriter}
+
+/** Round-6 Delta write-path hardening: `deleteWhere` on column-mapped
+  * tables (physical-name resolution), protocol-feature MERGING on the
+  * DV upgrade (never stomping an existing reader-version-3 feature
+  * set), real `add.size` on DV re-adds, spec-required `writerFeatures`
+  * in checkpointed protocols, and the streaming (never-buffering)
+  * sidecar write exercised with a >100k-row single-file delete. */
+class Round6Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-r6").toString
+
+  private def writeDataFile(tableDir: String, rel: String,
+      df: DataFrame): Unit = {
+    val stg = s"${tmp()}/stg"
+    df.coalesce(1).write.parquet(stg)
+    val fs = new Path(tableDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new Path(stg))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val dst = new Path(tableDir, rel)
+    fs.mkdirs(dst.getParent)
+    assert(fs.rename(part, dst))
+  }
+
+  private def writeCommit(tableDir: String, version: Long,
+      actions: Seq[String]): Unit = {
+    val dir = new java.io.File(s"$tableDir/_delta_log")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, f"$version%020d.json").toPath,
+      actions.mkString("", "\n", "\n"))
+  }
+
+  private def schemaJson(schema: StructType): String =
+    com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .writeValueAsString(schema.json)
+
+  private def metaAction(schema: StructType, partCols: Seq[String],
+      configuration: Map[String, String] = Map.empty): String = {
+    val conf = configuration.map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
+    val parts = partCols.map(c => s""""$c"""").mkString("[", ",", "]")
+    s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},"schemaString":${schemaJson(schema)},"partitionColumns":$parts,"configuration":$conf}}"""
+  }
+
+  private def addAction(rel: String,
+      pv: Map[String, String] = Map.empty, size: Long = 1L): String = {
+    val pvs = pv.map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
+    s"""{"add":{"path":"$rel","partitionValues":$pvs,"size":$size,"modificationTime":1,"dataChange":true}}"""
+  }
+
+  test("deleteWhere on a column-mapped table resolves physical names") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    def mapped(name: String, phys: String, id: Long, dt: DataType) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putLong("delta.columnMapping.id", id)
+        .putString("delta.columnMapping.physicalName", phys).build())
+    val schema = StructType(Seq(
+      mapped("id", "col-aaa111", 1, LongType),
+      mapped("v", "col-bbb222", 2, StringType),
+      mapped("p", "col-ppp333", 3, StringType)))
+    writeDataFile(dir, "p=x/f1.parquet",
+      Seq((1L, "one"), (2L, "two"), (3L, "three"))
+        .toDF("col-aaa111", "col-bbb222"))
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      metaAction(schema, Seq("p"),
+        Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "3")),
+      addAction("p=x/f1.parquet", Map("col-ppp333" -> "x"))))
+    // the predicate names LOGICAL columns (incl. the partition column);
+    // a scan by logical names would read nulls and silently no-op
+    val c = DeltaLogWriter.deleteWhere(spark, dir,
+      col("id") === 2L && col("p") === "x")
+    assert(c.numFiles == 1)
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "one", "x"), (3L, "three", "x")))
+    // the upgrade crossed legacy (2,5) into table features: the implied
+    // legacy features are enumerated, not dropped
+    val p = DeltaLogReader.snapshot(spark, dir).protocol
+    assert(p.minReaderVersion == 3 && p.minWriterVersion == 7)
+    assert(p.readerFeatures.contains("columnMapping") &&
+      p.readerFeatures.contains("deletionVectors"), p.toString)
+    assert(p.writerFeatures.contains("columnMapping") &&
+      p.writerFeatures.contains("deletionVectors") &&
+      p.writerFeatures.contains("appendOnly"), p.toString)
+  }
+
+  test("deleteWhere upgrade merges an existing reader-version-3 feature set") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    writeDataFile(dir, "f1.parquet",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz","vacuumProtocolCheck"],"writerFeatures":["timestampNtz","domainMetadata"]}}""",
+      metaAction(schema, Nil),
+      addAction("f1.parquet")))
+    DeltaLogWriter.deleteWhere(spark, dir, col("id") === 1L)
+    val p = DeltaLogReader.snapshot(spark, dir).protocol
+    assert(p.readerFeatures ==
+      Set("timestampNtz", "vacuumProtocolCheck", "deletionVectors"),
+      s"existing reader features must survive the upgrade: $p")
+    assert(p.writerFeatures ==
+      Set("timestampNtz", "domainMetadata", "deletionVectors"),
+      s"existing writer features must survive the upgrade: $p")
+    assert(DeltaLogReader.read(spark, dir).count() == 2)
+  }
+
+  test("DV re-add carries the data file's real size; checkpoint carries writerFeatures") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    DeltaLogWriter.write(
+      (0L to 9L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1), dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    DeltaLogWriter.deleteWhere(spark, dir, col("id") === 0L)
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    val f = snap.files.head
+    val realLen = fs.getFileStatus(new Path(dir, f.path)).getLen
+    assert(f.deletionVector.isDefined)
+    assert(f.size == realLen,
+      s"add.size must be the data file's byte size (${f.size} vs $realLen)")
+    // drive to the v10 checkpoint and replay from it alone
+    (2 to 10).foreach { i =>
+      DeltaLogWriter.write(Seq((100L + i, "x")).toDF("id", "v"), dir)
+    }
+    val ckpt = new Path(s"$dir/_delta_log", f"${10L}%020d.checkpoint.parquet")
+    assert(fs.exists(ckpt))
+    // the spec requires writerFeatures whenever minWriterVersion=7 —
+    // conformant engines reject the checkpoint protocol without it
+    val protoRow = spark.read.parquet(ckpt.toString)
+      .select("protocol.minWriterVersion", "protocol.writerFeatures")
+      .where(col("protocol.minWriterVersion").isNotNull).collect().head
+    assert(protoRow.getInt(0) == 7)
+    assert(protoRow.getSeq[String](1).contains("deletionVectors"),
+      s"checkpoint protocol must carry writerFeatures, got $protoRow")
+    // checkpointed adds keep real sizes too
+    (0L to 9L).foreach(v =>
+      fs.delete(new Path(s"$dir/_delta_log", f"$v%020d.json"), false))
+    val replayed = DeltaLogReader.snapshot(spark, dir)
+    assert(replayed.files.find(_.deletionVector.isDefined).get.size == realLen)
+    assert(replayed.protocol.writerFeatures.contains("deletionVectors"))
+  }
+
+  test("deleteWhere streams >100k matched rows of one file through the sidecar write") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val n = 150000L
+    DeltaLogWriter.write(
+      spark.range(n).select(col("id"), (col("id") % 7).cast("string").as("v"))
+        .coalesce(1), dir)
+    assert(DeltaLogReader.snapshot(spark, dir).files.size == 1)
+    val c = DeltaLogWriter.deleteWhere(spark, dir, col("id") < 120000L)
+    assert(c.numFiles == 1)
+    val f = DeltaLogReader.snapshot(spark, dir).files.head
+    assert(f.deletionVector.exists(_.cardinality == 120000L),
+      s"DV cardinality: ${f.deletionVector}")
+    val left = DeltaLogReader.read(spark, dir).select("id").as[Long]
+    assert(left.count() == n - 120000L)
+    assert(left.agg(org.apache.spark.sql.functions.min("id"))
+      .head().getLong(0) == 120000L)
+    // a second delete merges with the big DV and still streams
+    DeltaLogWriter.deleteWhere(spark, dir, col("id") >= 140000L)
+    assert(DeltaLogReader.read(spark, dir).count() == 20000L)
+  }
+}
