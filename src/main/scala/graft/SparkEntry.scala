@@ -100,6 +100,8 @@ object SparkEntry {
     "fmt_delta_dv_delete"   -> (TableRoundtrips.deltaDvDeleteRoundtrip _),
     "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
+    "fmt_delta_pruned_read" -> (TableRoundtrips.deltaPrunedReadRoundtrip _),
+    "fmt_iceberg_pruned_read" -> (TableRoundtrips.icebergPrunedReadRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
@@ -210,6 +212,8 @@ object SparkEntry {
     "fmt_delta_dv_delete"   -> TableRoundtrips.deltaDvDeleteOracle,
     "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
+    "fmt_delta_pruned_read" -> TableRoundtrips.deltaPrunedReadOracle,
+    "fmt_iceberg_pruned_read" -> TableRoundtrips.icebergPrunedReadOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,

@@ -52,7 +52,8 @@ object DeltaLogReader {
   final case class AddFile(path: String,
       partitionValues: Map[String, Option[String]],
       deletionVector: Option[DeltaDeletionVectors.Descriptor] = None,
-      size: Long = 0L, modificationTime: Long = 0L)
+      size: Long = 0L, modificationTime: Long = 0L,
+      stats: Option[String] = None)
 
   final case class Protocol(minReaderVersion: Int = 1,
       readerFeatures: Set[String] = Set.empty,
@@ -143,7 +144,9 @@ object DeltaLogReader {
             Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
               .map(_.toMap.map { case (k, v) => k -> Option(v) })
               .getOrElse(Map.empty),
-            dvFromRow(a), num("size"), num("modificationTime"))
+            dvFromRow(a), num("size"), num("modificationTime"),
+            if (!a.schema.fieldNames.contains("stats")) None
+            else Option(a.getAs[String]("stats")))
           active(add.path) = add
         }
         struct("remove").foreach(rm => active.remove(rm.getAs[String]("path")))
@@ -190,7 +193,8 @@ object DeltaLogReader {
           }.getOrElse(Map.empty[String, Option[String]])
           val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a),
             Option(a.get("size")).map(_.asLong).getOrElse(0L),
-            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L))
+            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
           active(add.path) = add
         }
         Option(node.get("remove")).foreach(rm =>
@@ -221,23 +225,34 @@ object DeltaLogReader {
     * rename to logical names in the final projection.
     */
   def read(spark: SparkSession, tablePath: String,
-      asOfVersion: Option[Long] = None): DataFrame = {
+      asOfVersion: Option[Long] = None,
+      filters: Seq[ScanFilter] = Nil): DataFrame = {
     val snap = snapshot(spark, tablePath, asOfVersion)
     val physOf = physicalNames(snap)
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
     val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
-    if (snap.files.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], snap.schema)
+    // metadata-only file pruning: partition values from the log, min/max
+    // from each add's `stats` — a selective read of a 100k-file table
+    // never opens the unmatched files' footers. The same predicate is
+    // re-applied as a row filter below, so pruning cannot change results.
+    val files =
+      if (filters.isEmpty) snap.files
+      else snap.files.filter(f => fileMayMatch(snap, physOf, f, filters))
+    val residual = ScanFilters.residual(filters)
+    def filtered(df: DataFrame): DataFrame =
+      residual.map(df.filter).getOrElse(df)
+    if (files.isEmpty)
+      return filtered(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], snap.schema))
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // qualified URIs so they compare equal to input_file_name()'s output
-    val qualified = snap.files.map { f =>
+    val qualified = files.map { f =>
       fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
     }
     val hasParts = snap.partitionColumns.nonEmpty
-    val hasDvs = snap.files.exists(_.deletionVector.isDefined)
+    val hasDvs = files.exists(_.deletionVector.isDefined)
     var df = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
     if (hasParts || hasDvs)
       df = df.withColumn("__file", input_file_name())
@@ -263,11 +278,44 @@ object DeltaLogReader {
         spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
       df = df.join(broadcast(manifest), Seq("__file"), "left")
     }
-    df.select(snap.schema.fields.map { f =>
+    filtered(df.select(snap.schema.fields.map { f =>
       if (snap.partitionColumns.contains(f.name))
         col(f.name).cast(f.dataType).as(f.name)
       else col(physOf(f.name)).as(f.name)
-    }.toSeq: _*)
+    }.toSeq: _*))
+  }
+
+  /** Keep-if-maybe-match per file: partition columns decide from the
+    * log's `partitionValues`; data columns from the add's `stats`
+    * min/max (when the writer recorded them); unknown columns or
+    * missing stats keep the file. */
+  private def fileMayMatch(snap: Snapshot, physOf: Map[String, String],
+      f: AddFile, filters: Seq[ScanFilter]): Boolean = {
+    lazy val statsNode = f.stats.flatMap { s =>
+      try Option(mapper.readTree(s)) catch { case _: Exception => None }
+    }
+    filters.forall { fl =>
+      snap.schema.fields.find(_.name == fl.column) match {
+        case None => true
+        case Some(field) if snap.partitionColumns.contains(fl.column) =>
+          val raw = f.partitionValues.get(physOf(fl.column))
+            .orElse(f.partitionValues.get(fl.column)).flatten.orNull
+          ScanFilters.constantMayMatch(field.dataType, raw, fl)
+        case Some(field) =>
+          statsNode match {
+            case None => true
+            case Some(st) =>
+              val phys = physOf(fl.column)
+              def bound(section: String): Option[Any] =
+                Option(st.get(section)).flatMap(o =>
+                  Option(o.get(phys)).orElse(Option(o.get(fl.column))))
+                  .filterNot(_.isNull)
+                  .map(n => if (n.isNumber) BigDecimal(n.asText) else n.asText)
+              ScanFilters.intervalMayMatch(field.dataType,
+                bound("minValues"), bound("maxValues"), fl)
+          }
+      }
+    }
   }
 
   /** Commit history (newest first) from the commitInfo actions. */

@@ -186,7 +186,8 @@ object DeltaLogWriter {
       val pv = a.partitionValues.map { case (k, v) =>
         s"${jstr(k)}:${v.map(jstr).getOrElse("null")}"
       }.mkString("{", ",", "}")
-      s"""{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime}}"""
+      val st = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime}$st}"""
     }.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     fs.delete(target, false)
@@ -223,7 +224,8 @@ object DeltaLogWriter {
             b.result()
           }.getOrElse(Map.empty[String, Option[String]])
           AddEntry(n.get("path").asText, pv, n.get("size").asLong,
-            n.get("modificationTime").asLong)
+            n.get("modificationTime").asLong,
+            stats = Option(n.get("stats")).filterNot(_.isNull).map(_.asText))
         }.toSeq
       }
   }
@@ -308,15 +310,19 @@ object DeltaLogWriter {
         .parquet(staging.toString)
       val files = collectParquet(fs, staging)
       val stagingStr = fs.makeQualified(staging).toString
-      files.map { st =>
+      val moved = files.map { st =>
         val rel = st.getPath.toString.stripPrefix(stagingStr)
           .stripPrefix("/")
         val dst = new Path(root, rel)
         fs.mkdirs(dst.getParent)
         if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(s"rename ${st.getPath} -> $dst failed")
-        AddEntry(rel, partitionValuesOf(rel), st.getLen,
-          System.currentTimeMillis())
+        (rel, fs.makeQualified(dst).toString, st.getLen)
+      }
+      val stats = fileStatsJson(spark, moved.map(_._2))
+      moved.map { case (rel, uri, len) =>
+        AddEntry(rel, partitionValuesOf(rel), len,
+          System.currentTimeMillis(), stats = stats.get(uri))
       }
     } finally fs.delete(staging, true)
   }
@@ -360,7 +366,144 @@ object DeltaLogWriter {
   final case class AddEntry(path: String,
       partitionValues: Map[String, Option[String]], size: Long,
       modificationTime: Long,
-      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None)
+      deletionVector: Option[DeltaDeletionVectors.Descriptor] = None,
+      stats: Option[String] = None)
+
+  /** Per-file `stats` JSON (numRecords + per-column min/max/nullCount)
+    * from parquet FOOTERS, computed on executors — the metadata other
+    * Delta engines (and [[DeltaLogReader]]'s file skipping) use to prune
+    * selective scans without opening files. Columns whose physical type
+    * has no safe JSON rendering here (decimals, nested, NaN floats) are
+    * simply omitted — stats are per-column optional in the protocol. */
+  private def fileStatsJson(spark: SparkSession,
+      uris: Seq[String]): Map[String, String] = {
+    if (uris.isEmpty) return Map.empty
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(uris).mapPartitions { it =>
+      val conf = confBc.value.value
+      it.map { u =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(u), conf)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try (u, statsOfFooter(rdr)) finally rdr.close()
+      }
+    }.collect().toMap
+  }
+
+  private def statsOfFooter(
+      rdr: org.apache.parquet.hadoop.ParquetFileReader): String = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val blocks = rdr.getFooter.getBlocks.asScala
+    // (column name) -> (min, max, nullCount) folded across row groups
+    val acc = mutable.LinkedHashMap.empty[String, (Any, Any, Long)]
+    val dropped = mutable.Set.empty[String]
+    def render(tpe: org.apache.parquet.schema.PrimitiveType,
+        v: Any): Option[Any] = {
+      val ann = tpe.getLogicalTypeAnnotation
+      (tpe.getPrimitiveTypeName, v) match {
+        case (INT32, i: java.lang.Integer) => ann match {
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+            Some(java.time.LocalDate.ofEpochDay(i.longValue).toString)
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some(BigDecimal(i.intValue))
+        }
+        case (INT64, l: java.lang.Long) => ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val micros = t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => l * 1000L
+              case LogicalTypeAnnotation.TimeUnit.MICROS => l.longValue
+              case _ => return None
+            }
+            val ldt = java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L),
+              (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+            Some(ldt.toString.replace('T', ' '))
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some(BigDecimal(l.longValue))
+        }
+        case (FLOAT, f: java.lang.Float) =>
+          if (f.isNaN || f.isInfinite) None else Some(BigDecimal(f.toString))
+        case (DOUBLE, d: java.lang.Double) =>
+          if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.toString))
+        case (BINARY, b: org.apache.parquet.io.api.Binary) => ann match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            Some(b.toStringUsingUTF8)
+          case _ => None
+        }
+        case (BOOLEAN, b: java.lang.Boolean) => Some(b.booleanValue)
+        case _ => None
+      }
+    }
+    blocks.foreach { b =>
+      b.getColumns.asScala.foreach { c =>
+        val path = c.getPath.toArray
+        if (path.length == 1) {
+          val name = path(0)
+          val st = c.getStatistics
+          if (st == null || dropped.contains(name)) ()
+          else if (!st.hasNonNullValue && st.isNumNullsSet) {
+            // all-null chunk: nulls still count, bounds unchanged
+            acc.get(name) match {
+              case Some((mn, mx, nulls)) =>
+                acc(name) = (mn, mx, nulls + st.getNumNulls)
+              case None => acc(name) = (null, null, st.getNumNulls)
+            }
+          } else if (!st.hasNonNullValue || !st.isNumNullsSet) {
+            dropped += name; acc.remove(name)
+          } else {
+            val tpe = c.getPrimitiveType
+            (render(tpe, st.genericGetMin), render(tpe, st.genericGetMax)) match {
+              case (Some(mn), Some(mx)) =>
+                acc.get(name) match {
+                  case Some((m0, x0, nulls)) =>
+                    val newMin =
+                      if (m0 == null || leq(mn, m0)) mn else m0
+                    val newMax =
+                      if (x0 == null || leq(x0, mx)) mx else x0
+                    acc(name) = (newMin, newMax, nulls + st.getNumNulls)
+                  case None => acc(name) = (mn, mx, st.getNumNulls)
+                }
+              case _ => dropped += name; acc.remove(name)
+            }
+          }
+        }
+      }
+    }
+    val node = mapper.createObjectNode()
+    node.put("numRecords", rdr.getRecordCount)
+    val minN = node.putObject("minValues")
+    val maxN = node.putObject("maxValues")
+    val nullN = node.putObject("nullCount")
+    acc.foreach { case (name, (mn, mx, nulls)) =>
+      def put(o: com.fasterxml.jackson.databind.node.ObjectNode, v: Any): Unit =
+        v match {
+          case null => ()
+          case d: BigDecimal =>
+            if (d.isWhole && d.isValidLong) o.put(name, d.longValue)
+            else o.put(name, d.doubleValue)
+          case s: String => o.put(name, s)
+          case b: Boolean => o.put(name, b)
+          case _ => ()
+        }
+      put(minN, mn)
+      put(maxN, mx)
+      nullN.put(name, nulls)
+    }
+    mapper.writeValueAsString(node)
+  }
+
+  private def leq(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: BigDecimal, y: BigDecimal) => x <= y
+    case (x: String, y: String) => x <= y
+    case (x: Boolean, y: Boolean) => x <= y
+    case _ => false
+  }
 
   /** Delete rows matching `predicate` by WRITING DELETION VECTORS —
     * zero data-file rewrite (delta.io PROTOCOL.md deletion vectors; what
@@ -479,7 +622,7 @@ object DeltaLogWriter {
         if (f.size > 0L) f.size
         else fs.getFileStatus(new Path(qualifiedRoot, f.path)).getLen
       AddEntry(f.path, f.partitionValues, size, System.currentTimeMillis(),
-        Some(desc))
+        Some(desc), stats = f.stats)
     }
     val removes = touched.collect { case (uri, None) => byUri(uri).path }
     val p = snap.protocol
@@ -593,7 +736,8 @@ object DeltaLogWriter {
       val dv = a.deletionVector.map(d =>
         s""","deletionVector":{"storageType":${jstr(d.storageType)},"pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
         .getOrElse("")
-      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true$dv}}"""
+      val st = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
+      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true$dv$st}}"""
     }
     (info +: metaLines) ++ extraActions ++ removeLines ++ addLines
   }
@@ -632,7 +776,8 @@ object DeltaLogWriter {
           math.max(f.size, 1L), math.max(f.modificationTime, 1L),
           dataChange = false,
           f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
-            d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)))),
+            d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
+          f.stats)),
         None, None))
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -655,7 +800,8 @@ object DeltaLogWriter {
   final case class CkptAddFile(path: String,
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean,
-      deletionVector: Option[CkptDv] = None)
+      deletionVector: Option[CkptDv] = None,
+      stats: Option[String] = None)
   final case class CkptMetaData(id: String, schemaString: String,
       partitionColumns: Seq[String])
   final case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int,

@@ -207,21 +207,101 @@ object IcebergReader {
     * files store partition columns as real columns, so this is one
     * distributed scan over the active file list with the log's schema. */
   def read(spark: SparkSession, tablePath: String,
-      asOfSnapshotId: Option[Long] = None): DataFrame =
+      asOfSnapshotId: Option[Long] = None,
+      filters: Seq[ScanFilter] = Nil): DataFrame =
     snapshotOpt(spark, tablePath, asOfSnapshotId) match {
       case None => // created-but-never-written table: schema, no rows
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           tableInfo(spark, tablePath)._1)
-      case Some(snap) if snap.files.isEmpty =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      case Some(snap) if snap.deleteFiles.isEmpty &&
-          snap.equalityDeleteFiles.isEmpty =>
-        spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
-          .select(snap.schema.fieldNames.map(col).toSeq: _*)
-      case Some(snap) =>
-        applyDeletes(spark, snap)
+      case Some(snap0) =>
+        // manifest-level pruning: drop files whose partition tuple
+        // (transform-aware) cannot match — the min/max machinery the
+        // manifests exist for. The predicate re-applies as a row filter
+        // below (and pushes into the parquet scan), so pruning is
+        // purely a scan-size optimization.
+        val snap =
+          if (filters.isEmpty) snap0
+          else snap0.copy(files = prunedFiles(spark, tablePath, snap0, filters))
+        val base =
+          if (snap.files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+          else if (snap.deleteFiles.isEmpty && snap.equalityDeleteFiles.isEmpty)
+            spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+              .select(snap.schema.fieldNames.map(col).toSeq: _*)
+          else applyDeletes(spark, snap)
+        ScanFilters.residual(filters).map(base.filter).getOrElse(base)
+    }
+
+  /** Files whose manifest partition values may satisfy every filter.
+    * Identity fields compare typed; `day/month/year/hour` compare as
+    * period ordinals after transforming the filter value through the
+    * SAME Spark expression the writer uses (monotonic, so range ops
+    * hold; `=`/`in` are necessary conditions); `bucket[n]` prunes
+    * `=`/`in` by hashing the value. Anything undecidable keeps the
+    * file. */
+  private def prunedFiles(spark: SparkSession, tablePath: String,
+      snap: Snapshot, filters: Seq[ScanFilter]): Seq[DataFileEntry] = {
+    val pfields = partitionFields(spark, tablePath)
+    if (pfields.isEmpty) return snap.files
+    val dtOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
+    val checks: Seq[DataFileEntry => Boolean] = for {
+      fl <- filters
+      pf <- pfields.filter(p => p.source == fl.column && dtOf.contains(fl.column))
+    } yield partitionCheck(spark, pf, dtOf(fl.column), fl)
+    snap.files.filter(f => checks.forall(_(f)))
+  }
+
+  private def partitionCheck(spark: SparkSession,
+      pf: IcebergTransforms.PartitionField, dt: DataType,
+      fl: ScanFilter): DataFileEntry => Boolean = {
+    def partRaw(f: DataFileEntry): Option[Any] =
+      f.partition.get(pf.name).flatMap(Option(_))
+    if (IcebergTransforms.isIdentity(pf))
+      return f => ScanFilters.constantMayMatch(dt, partRaw(f).orNull, fl)
+    val monotonic = Set("day", "month", "year", "hour")
+    val isBucket = pf.transform.startsWith("bucket")
+    val keepAll = (_: DataFileEntry) => true
+    if (!monotonic.contains(pf.transform) && !isBucket) return keepAll
+    // non-injective transforms cannot prune exclusions; buckets only =/in
+    if (fl.op == "!=" || fl.op == "not in") return keepAll
+    if (isBucket && fl.op != "=" && fl.op != "in") return keepAll
+    val ordinals = fl.valueSeq.map(v =>
+      IcebergTransforms.applyToLiteral(spark, pf, dt, v)
+        .flatMap(transformedOrdinal(pf.transform, _)))
+    if (ordinals.exists(_.isEmpty)) return keepAll
+    val longs = ordinals.flatten
+    f => partRaw(f) match {
+      case None => false // null partition constant matches no comparison
+      case Some(raw) => transformedOrdinal(pf.transform, raw) match {
+        case None => true // unrecognized encoding: keep
+        case Some(p) => fl.op match {
+          case "=" | "in" => longs.contains(p)
+          case "<" | "<=" => p <= longs.head
+          case ">" | ">=" => p >= longs.head
+          case _ => true
+        }
+      }
+    }
+  }
+
+  /** A transformed partition value as a comparable ordinal: period count
+    * or bucket id as int (avro), the writer's hive rendering of it, or —
+    * for `day` — the spec's date rendering. */
+  private def transformedOrdinal(transform: String, raw: Any): Option[Long] =
+    raw match {
+      case i: java.lang.Integer => Some(i.longValue)
+      case l: java.lang.Long => Some(l.longValue)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case s =>
+        val txt = s.toString.trim
+        if (txt.matches("-?\\d+")) Some(txt.toLong)
+        else if (transform == "day")
+          try Some(java.time.LocalDate.parse(txt).toEpochDay)
+          catch { case _: Exception => None }
+        else None
     }
 
   /** v2 delete application. Position deletes anti-join on

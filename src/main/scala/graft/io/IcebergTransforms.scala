@@ -46,8 +46,14 @@ object IcebergTransforms {
   /** The transform as a Column over the source column (evaluated at
     * write time to route rows into partition directories, and at merge
     * time to find touched partitions). */
-  def column(spark: SparkSession, f: PartitionField, dt: DataType): Column = {
-    val src = col(f.source)
+  def column(spark: SparkSession, f: PartitionField, dt: DataType): Column =
+    columnOf(spark, f, dt, col(f.source))
+
+  /** The transform over an arbitrary source Column — the literal form
+    * serves read-time partition pruning (transform a filter value once,
+    * compare against manifest partition values). */
+  def columnOf(spark: SparkSession, f: PartitionField, dt: DataType,
+      src: Column): Column = {
     f.transform match {
       case "identity" => src
       case BucketTransform(n) =>
@@ -71,6 +77,16 @@ object IcebergTransforms {
         s"unsupported Iceberg transform: $other")
     }
   }
+
+  /** Evaluate the transform of one literal value on the driver (a 1-row
+    * local projection — read-setup cost, never a distributed job).
+    * Returns the transformed value (Date for `day`, Int otherwise). */
+  def applyToLiteral(spark: SparkSession, f: PartitionField, dt: DataType,
+      value: Any): Option[Any] =
+    try {
+      val c = columnOf(spark, f, dt, lit(value).cast(dt))
+      Option(spark.range(1).select(c.as("v")).head.get(0))
+    } catch { case _: Exception => None }
 
   private def dateOf(f: PartitionField, src: Column, dt: DataType): Column =
     dt match {

@@ -89,12 +89,16 @@ object TableFormats {
     * another engine) routes through the jar-free protocol reader
     * [[DeltaLogReader]]; otherwise it is one of ours, backed by TxnLog. */
   def readDeltalake(spark: SparkSession, path: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None,
+      partitions: Seq[ScanFilter] = Nil): DataFrame = {
     val logDir = new org.apache.hadoop.fs.Path(path, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(logDir))
-      DeltaLogReader.read(spark, path, version.map(_.toLong))
-    else readTable(spark, path, version)
+      DeltaLogReader.read(spark, path, version.map(_.toLong), partitions)
+    else {
+      val base = readTable(spark, path, version)
+      ScanFilters.residual(partitions).map(base.filter).getOrElse(base)
+    }
   }
 
   /** `from_iceberg`: a table carrying REAL Iceberg metadata (committed by
@@ -102,10 +106,14 @@ object TableFormats {
     * `version` is then Athena's `VERSION AS OF` snapshot id; otherwise it
     * is one of ours, backed by TxnLog. */
   def fromIceberg(spark: SparkSession, path: String,
-      version: Option[Int] = None): DataFrame =
+      version: Option[Int] = None,
+      partitions: Seq[ScanFilter] = Nil): DataFrame =
     if (IcebergReader.isIcebergTable(spark, path))
-      IcebergReader.read(spark, path, version.map(_.toLong))
-    else readTable(spark, path, version)
+      IcebergReader.read(spark, path, version.map(_.toLong), partitions)
+    else {
+      val base = readTable(spark, path, version)
+      ScanFilters.residual(partitions).map(base.filter).getOrElse(base)
+    }
 
   /** `from_iceberg` at a specific snapshot id (ids exceed Int range in
     * real tables — Iceberg ids are random longs). */

@@ -137,6 +137,57 @@ object TableRoundtrips {
         .select(col("o_orderkey"), col("o_ts"), col("o_totalprice")), root)
   }
 
+  /** Metadata-pruned Delta read (`read_deltalake(partitions=…)`,
+    * `s3/_read_deltalake.py:41`): seed a segment-partitioned table, then
+    * read back through [[graft.io.DeltaLogReader.read]]'s filter
+    * parameter — the partition conjunct prunes whole files from the
+    * log's `partitionValues` and the key conjunct prunes by the adds'
+    * `stats` min/max, all before the scan is built; the oracle
+    * reconstructs the same slice relationally, so a file wrongly pruned
+    * (missing rows) or wrongly kept without the residual filter (extra
+    * rows) hash-mismatches. */
+  def deltaPrunedReadRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-pr").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 200L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(base, tmp, partitionBy = Seq("c_mktsegment"))
+    val out = DeltaLogReader.read(s, tmp, filters = Seq(
+      graft.io.ScanFilter("c_mktsegment", "=", "BUILDING"),
+      graft.io.ScanFilter("c_custkey", "<=", 150L)))
+    materializedWithoutTemp(s, out.select(cols.map(col): _*), root)
+  }
+
+  def deltaPrunedReadOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE c_custkey <= 150 AND c_mktsegment = 'BUILDING'""".stripMargin
+
+  /** Manifest-pruned Iceberg read over a `day(ts)` transform: the
+    * timestamp range conjunct prunes whole day partitions from the
+    * manifest partition values (transform-aware: the filter value runs
+    * through the same day arithmetic the writer used), before any
+    * parquet footer is opened. */
+  def icebergPrunedReadRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-pr").toString
+    val tmp = root + "/t"
+    val base = Tables.orders(s, dir)
+      .filter(col("o_orderdate").between("1995-03-01", "1995-03-10"))
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("o_ts"), col("o_totalprice"))
+    IcebergWriter.write(base, tmp, partitionBy = Seq("day(o_ts)"))
+    val out = IcebergReader.read(s, tmp, filters = Seq(
+      graft.io.ScanFilter("o_ts", ">=", "1995-03-05 00:00:00")))
+    materializedWithoutTemp(s,
+      out.select(col("o_orderkey"), col("o_ts"), col("o_totalprice")), root)
+  }
+
+  def icebergPrunedReadOracle: String =
+    """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts, o_totalprice
+      |FROM orders
+      |WHERE o_orderdate BETWEEN '1995-03-05' AND '1995-03-10'""".stripMargin
+
   def icebergDayRoundtripOracle: String =
     """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts,
       |  CASE WHEN o_orderdate BETWEEN '1995-03-05' AND '1995-03-07'

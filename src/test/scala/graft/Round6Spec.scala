@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.io.{DeltaDeletionVectors, DeltaLogReader, DeltaLogWriter}
+import graft.io.{DeltaDeletionVectors, DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter, ScanFilter}
 
 /** Round-6 Delta write-path hardening: `deleteWhere` on column-mapped
   * tables (physical-name resolution), protocol-feature MERGING on the
@@ -179,5 +179,100 @@ class Round6Spec extends AnyFunSuite {
     // a second delete merges with the big DV and still streams
     DeltaLogWriter.deleteWhere(spark, dir, col("id") >= 140000L)
     assert(DeltaLogReader.read(spark, dir).count() == 20000L)
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.select(org.apache.spark.sql.functions.input_file_name().as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  test("delta pruned read: partition filters scan only matched files") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val wide = (0 until 50).map(i => (i.toLong, s"v$i", s"p${i % 5}"))
+      .toDF("id", "v", "p")
+    DeltaLogWriter.write(wide.repartition(2), dir, partitionBy = Seq("p"))
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    val p2Files = snap.files.count(_.partitionValues.get("p").flatten.contains("p2"))
+    assert(p2Files >= 1 && snap.files.size > p2Files)
+    val pruned = DeltaLogReader.read(spark, dir,
+      filters = Seq(ScanFilter("p", "=", "p2")))
+    assert(scannedFiles(pruned).size == p2Files,
+      s"expected only partition p2's $p2Files file(s) scanned")
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      (0 until 50).filter(_ % 5 == 2).map(_.toLong).toSet)
+    // `in` and null-safe exclusion semantics
+    val two = DeltaLogReader.read(spark, dir,
+      filters = Seq(ScanFilter("p", "in", Seq("p0", "p3"))))
+    assert(two.select("p").distinct().as[String].collect().toSet ==
+      Set("p0", "p3"))
+  }
+
+  test("delta pruned read: add-action stats skip files by min/max") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    // two appends → two files with disjoint id ranges; the writer's
+    // footer-derived stats land in each add action
+    DeltaLogWriter.write(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), dir)
+    DeltaLogWriter.write(
+      (100L until 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1),
+      dir, mode = "append")
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.files.size == 2 && snap.files.forall(_.stats.isDefined))
+    val pruned = DeltaLogReader.read(spark, dir,
+      filters = Seq(ScanFilter("id", "<", 50L)))
+    assert(scannedFiles(pruned).size == 1,
+      "id<50 must touch only the first file's id range")
+    assert(pruned.count() == 50)
+    // string column stats prune too
+    val prunedStr = DeltaLogReader.read(spark, dir,
+      filters = Seq(ScanFilter("v", "=", "b150")))
+    assert(scannedFiles(prunedStr).size == 1)
+    assert(prunedStr.select("id").as[Long].head() == 150L)
+    // a filter no file can satisfy never builds a scan, still answers
+    assert(DeltaLogReader.read(spark, dir,
+      filters = Seq(ScanFilter("id", ">", 10000L))).count() == 0)
+  }
+
+  test("iceberg pruned read: identity and day-transform manifest pruning") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val rows = (0 until 40).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"1995-03-${1 + i % 8}%02d 12:00:00"),
+        s"g${i % 4}")
+    }.toDF("id", "ts", "g")
+    IcebergWriter.write(rows.repartition(2), dir,
+      partitionBy = Seq("day(ts)", "g"))
+    val all = IcebergReader.read(spark, dir)
+    val allFiles = scannedFiles(all)
+    // identity filter: only g=g1 files scanned
+    val byG = IcebergReader.read(spark, dir,
+      filters = Seq(ScanFilter("g", "=", "g1")))
+    val gFiles = scannedFiles(byG)
+    assert(gFiles.nonEmpty && gFiles.size < allFiles.size)
+    assert(gFiles.forall(_.contains("g=g1")))
+    assert(byG.select("id").as[Long].collect().toSet ==
+      (0 until 40).filter(_ % 4 == 1).map(_.toLong).toSet)
+    // day-transform range: files for days before 03-05 pruned
+    val byDay = IcebergReader.read(spark, dir,
+      filters = Seq(ScanFilter("ts", ">=", "1995-03-05 00:00:00")))
+    val dayFiles = scannedFiles(byDay)
+    assert(dayFiles.nonEmpty && dayFiles.size < allFiles.size)
+    assert(dayFiles.forall(f => !f.contains("1995-03-01") &&
+      !f.contains("1995-03-02") && !f.contains("1995-03-03") &&
+      !f.contains("1995-03-04")))
+    assert(byDay.count() ==
+      all.filter(col("ts") >= "1995-03-05 00:00:00").count())
+    // a two-sided range keeps only the boundary days (the `<` bound must
+    // conservatively keep its own day — rows before midnight live there)
+    val oneDay = IcebergReader.read(spark, dir, filters = Seq(
+      ScanFilter("ts", ">=", "1995-03-06 00:00:00"),
+      ScanFilter("ts", "<", "1995-03-07 00:00:00")))
+    assert(scannedFiles(oneDay).forall(f =>
+      f.contains("1995-03-06") || f.contains("1995-03-07")))
+    assert(oneDay.count() == all.filter(col("ts").cast("date") === "1995-03-06").count())
   }
 }
