@@ -100,6 +100,7 @@ object SparkEntry {
     "fmt_delta_dv_delete"   -> (TableRoundtrips.deltaDvDeleteRoundtrip _),
     "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
+    "fmt_iceberg_pos_delete" -> (TableRoundtrips.icebergPosDeleteRoundtrip _),
     "fmt_delta_pruned_read" -> (TableRoundtrips.deltaPrunedReadRoundtrip _),
     "fmt_iceberg_pruned_read" -> (TableRoundtrips.icebergPrunedReadRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "fmt_delta_dv_delete"   -> TableRoundtrips.deltaDvDeleteOracle,
     "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
+    "fmt_iceberg_pos_delete" -> TableRoundtrips.icebergPosDeleteOracle,
     "fmt_delta_pruned_read" -> TableRoundtrips.deltaPrunedReadOracle,
     "fmt_iceberg_pruned_read" -> TableRoundtrips.icebergPrunedReadOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,

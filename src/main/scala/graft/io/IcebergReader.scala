@@ -313,7 +313,7 @@ object IcebergReader {
     * scheme-less form so the committing engine's URI style (file:///x vs
     * file:/x vs /x) cannot break the equality; every delete side is a
     * distributed parquet scan, never a driver materialization. */
-  private def applyDeletes(spark: SparkSession,
+  private[io] def applyDeletes(spark: SparkSession,
       snap: Snapshot): DataFrame = {
     var data = spark.read.schema(snap.schema)
       .parquet(snap.files.map(_.path): _*)

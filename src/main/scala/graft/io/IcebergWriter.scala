@@ -150,10 +150,11 @@ object IcebergWriter {
     if (snapOpt.isEmpty) // created-but-empty table: upsert = insert all
       return write(src, tablePath, mode = "append")
     val snap = snapOpt.get
+    checkNoEqualityDeletes(snap, tablePath, "merge")
     val current = IcebergReader.read(spark, tablePath)
     val srcAligned = src.select(snap.schema.fieldNames.map(col).toSeq: _*)
     val pfields = IcebergReader.partitionFields(spark, tablePath)
-    val (touchedFiles, keptFiles) =
+    val (touchedByKeys, keptRaw) =
       if (pfields.isEmpty) (snap.files, Nil)
       else {
         val touched = touchedPartitions(spark, snap.schema, pfields,
@@ -163,19 +164,65 @@ object IcebergWriter {
               keys, "left_semi")))
         snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
       }
+    // a kept file TARGETED by a live position delete cannot be carried as
+    // a bare EXISTING entry (the delete manifests are not carried by this
+    // rewrite commit — carrying the file alone would resurrect its
+    // deleted rows); it is rewritten with the deletes applied instead
+    val targeted = deleteTargetPaths(spark, snap)
+    val (keptTargeted, keptFiles) =
+      keptRaw.partition(f => targeted.contains(normPath(f.path)))
+    val touchedFiles = touchedByKeys ++ keptTargeted
     val touchedScan =
       if (pfields.isEmpty) current
-      else if (touchedFiles.isEmpty)
-        current.limit(0)
-      else spark.read.schema(snap.schema)
-        .parquet(touchedFiles.map(_.path): _*)
-        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      else if (touchedFiles.isEmpty) current.limit(0)
+      else deleteAwareScan(spark, snap, touchedFiles)
     val merged = touchedScan.join(srcAligned, keys, "left_anti")
       .unionByName(srcAligned)
     val adds = writeDataFiles(merged, tablePath, pfields)
     commit(spark, tablePath, snap.schema, pfields, adds, keptFiles.map(asInfo),
       operation = "overwrite", carryCurrentManifests = false,
       expectedParent = Some(snap.snapshotId))
+  }
+
+  /** Rewrite paths (merge/delete-matched) drop the snapshot's delete
+    * manifests, so they must materialize position deletes into the
+    * rewritten files and refuse semantics they cannot materialize.
+    * Equality deletes need the sequence-number join the READER implements
+    * but a partition-granular rewrite cannot preserve — raise loudly
+    * rather than resurrect rows (the round-5 advice's failure mode). */
+  private def checkNoEqualityDeletes(snap: IcebergReader.Snapshot,
+      tablePath: String, op: String): Unit =
+    if (snap.equalityDeleteFiles.nonEmpty)
+      throw new UnsupportedIcebergFeatureException(
+        s"$op on $tablePath: table carries equality delete files " +
+          s"(${snap.equalityDeleteFiles.map(_.path).mkString(", ")}); " +
+          "rewriting it here would resurrect deleted rows")
+
+  private def normPath(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** Normalized data-file paths any live position-delete file targets —
+    * a distributed scan of the (small) delete files, one distinct path
+    * per row back to the driver (manifest-scale). */
+  private def deleteTargetPaths(spark: SparkSession,
+      snap: IcebergReader.Snapshot): Set[String] =
+    if (snap.deleteFiles.isEmpty) Set.empty
+    else spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+      .select(regexp_replace(col("file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("f"))
+      .distinct().collect().map(_.getString(0)).toSet
+
+  /** Scan of `files` with the snapshot's position deletes applied (the
+    * reader's anti-join, restricted to the touched subset). */
+  private def deleteAwareScan(spark: SparkSession,
+      snap: IcebergReader.Snapshot,
+      files: Seq[IcebergReader.DataFileEntry]): DataFrame = {
+    val sub = snap.copy(files = files, equalityDeleteFiles = Nil)
+    val scan =
+      if (snap.deleteFiles.isEmpty)
+        spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+      else IcebergReader.applyDeletes(spark, sub)
+    scan.select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
 
   /** Distinct partition tuples of `rows`, rendered through Spark's own
@@ -225,26 +272,106 @@ object IcebergWriter {
     if (snapOpt.isEmpty) // nothing to delete from; no-op, no new snapshot
       return Committed(-1L, 0L, 0)
     val snap = snapOpt.get
+    checkNoEqualityDeletes(snap, tablePath, "delete_from_iceberg_table")
     val current = IcebergReader.read(spark, tablePath)
     val keySet = keys.select(keyCols.map(col): _*).distinct()
     val pfields = IcebergReader.partitionFields(spark, tablePath)
-    val (touchedFiles, keptFiles) =
+    val (touchedByKeys, keptRaw) =
       if (pfields.isEmpty) (snap.files, Nil)
       else {
         val touched = touchedPartitions(spark, snap.schema, pfields,
           current.join(broadcast(keySet), keyCols, "left_semi"))
         snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
       }
+    val targeted = deleteTargetPaths(spark, snap)
+    val (keptTargeted, keptFiles) =
+      keptRaw.partition(f => targeted.contains(normPath(f.path)))
+    val touchedFiles = touchedByKeys ++ keptTargeted
     val remaining =
       if (touchedFiles.isEmpty) current.limit(0)
-      else spark.read.schema(snap.schema)
-        .parquet(touchedFiles.map(_.path): _*)
-        .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      else deleteAwareScan(spark, snap, touchedFiles)
         .join(broadcast(keySet), keyCols, "left_anti")
     val adds = writeDataFiles(remaining, tablePath, pfields)
     commit(spark, tablePath, snap.schema, pfields, adds, keptFiles.map(asInfo),
       operation = "delete", carryCurrentManifests = false,
       expectedParent = Some(snap.snapshotId))
+  }
+
+  /** `DELETE FROM … WHERE` by writing v2 POSITION-DELETE files — zero
+    * data-file rewrite (iceberg spec §Position Delete Files; symmetry
+    * with the Delta deletion-vector delete). The 100 TB delete shape:
+    * only MATCHED (file, position) pairs shuffle (range-partitioned and
+    * sorted by file_path, pos as the spec requires), the delete parquet
+    * lands under `data/`, and one commit appends a content=1 delete
+    * manifest while CARRYING every current manifest — untouched data
+    * files and pages stay byte-identical. The commit upgrades the table
+    * to format-version 2 (sequence numbers) the first time. Re-flagging
+    * an already-deleted row is idempotent: the reader's (file, pos)
+    * anti-join dedups. Snapshot-isolated like [[merge]]: a concurrent
+    * rewrite invalidates matched positions, so the resolution re-runs. */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Committed = {
+    var attempt = 0
+    while (true) {
+      try return deleteWhereOnce(spark, tablePath, predicate)
+      catch {
+        case _: ConcurrentCommit if attempt < MaxResolveRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def deleteWhereOnce(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): Committed = {
+    require(IcebergReader.isIcebergTable(spark, tablePath),
+      s"no Iceberg table at $tablePath")
+    val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
+    if (snapOpt.isEmpty) return Committed(-1L, -1L, 0)
+    val snap = snapOpt.get
+    checkNoEqualityDeletes(snap, tablePath, "delete_where")
+    if (snap.files.isEmpty) return Committed(snap.snapshotId, -1L, 0)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    val matched = spark.read.schema(snap.schema)
+      .parquet(snap.files.map(_.path): _*)
+      .withColumn("__file", input_file_name())
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(predicate)
+      .select(col("__file").as("file_path"),
+        col("__pos").cast("long").as("pos"))
+    val staging = new Path(root, s".iceberg-del-staging-${UUID.randomUUID()}")
+    try {
+      matched.repartitionByRange(col("file_path"), col("pos"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(staging.toString)
+      val parts = {
+        val out = mutable.ArrayBuffer.empty[(String, Long)]
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            out += ((st.getPath.toString, st.getLen))
+        }
+        out.toSeq
+      }
+      val counts = recordCounts(spark, parts.map(_._1))
+      val delFiles = parts.filter(p => counts.getOrElse(p._1, 0L) > 0L)
+        .map { case (src, len) =>
+          val dst = new Path(new Path(root, "data"),
+            s"delete-${UUID.randomUUID()}.parquet")
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new Path(src), dst))
+            throw new java.io.IOException(s"rename $src -> $dst failed")
+          FileInfo(fs.makeQualified(dst).toString, Map.empty, len,
+            counts(src))
+        }
+      if (delFiles.isEmpty) return Committed(snap.snapshotId, -1L, 0)
+      commit(spark, tablePath, snap.schema, pfields, adds = Nil, kept = Nil,
+        operation = "delete", carryCurrentManifests = true,
+        expectedParent = Some(snap.snapshotId), deleteAdds = delFiles)
+    } finally fs.delete(staging, true)
   }
 
   private def asInfo(f: IcebergReader.DataFileEntry): FileInfo =
@@ -376,7 +503,8 @@ object IcebergWriter {
       adds: Seq[FileInfo],
       kept: Seq[FileInfo], operation: String,
       carryCurrentManifests: Boolean,
-      expectedParent: Option[Long]): Committed = {
+      expectedParent: Option[Long],
+      deleteAdds: Seq[FileInfo] = Nil): Committed = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -384,16 +512,20 @@ object IcebergWriter {
     val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
     val now = System.currentTimeMillis()
 
-    // one manifest per commit: ADDED entries + carried EXISTING entries
-    val manifestPath = new Path(metaDir, s"$snapshotId-m0.avro")
-    val mSchema = manifestSchema(partFields.map(_.name))
+    // one DATA manifest per commit (ADDED entries + carried EXISTING
+    // entries), plus — for position-delete commits — one DELETE manifest
+    // whose data_file entries carry content=1 (spec field-id 134)
+    val mSchema = manifestSchema(partFields.map(_.name),
+      withContent = deleteAdds.nonEmpty)
     val dfSchema = mSchema.getField("data_file").schema()
     val pSchema = dfSchema.getField("partition").schema()
-    def entry(f: FileInfo, status: Int): GenericRecord = {
+    def entry(f: FileInfo, status: Int, content: Int): GenericRecord = {
       val part = new GenericData.Record(pSchema)
       partFields.foreach(pf =>
         part.put(pf.name, f.partitionValues.get(pf.name).flatten.orNull))
       val dataFile = new GenericData.Record(dfSchema)
+      if (dfSchema.getField("content") != null)
+        dataFile.put("content", content)
       dataFile.put("file_path", f.path)
       dataFile.put("file_format", "PARQUET")
       dataFile.put("partition", part)
@@ -408,24 +540,45 @@ object IcebergWriter {
     // spec-prescribed avro file metadata so field-id-driven readers can
     // resolve the manifest without our exact field names
     val schemaIds = new java.util.concurrent.atomic.AtomicInteger(0)
-    val manifestMeta = Map(
+    def manifestMeta(content: String, fv: Int) = Map(
       "schema" -> mapper.writeValueAsString(icebergSchemaJson(schema, schemaIds)),
       "partition-spec" -> mapper.writeValueAsString(
         partitionSpecFields(schema, partFields)),
       "partition-spec-id" -> "0",
-      "format-version" -> "1")
-    val manifestLen = writeAvro(fs, manifestPath, mSchema,
-      adds.map(entry(_, 1)) ++ kept.map(entry(_, 0)), manifestMeta)
+      "content" -> content,
+      "format-version" -> fv.toString)
+    val needsV2 = deleteAdds.nonEmpty
+    // a delete-only commit (position deletes carried beside untouched
+    // manifests) writes no data manifest at all
+    val dataManifest: Option[(Path, Long)] =
+      if (adds.isEmpty && kept.isEmpty && deleteAdds.nonEmpty) None
+      else {
+        val p = new Path(metaDir, s"$snapshotId-m0.avro")
+        Some(p -> writeAvro(fs, p, mSchema,
+          adds.map(entry(_, 1, 0)) ++ kept.map(entry(_, 0, 0)),
+          manifestMeta("data", if (needsV2) 2 else 1)))
+      }
+    val deleteManifest: Option[(Path, Long)] =
+      if (deleteAdds.isEmpty) None
+      else {
+        val p = new Path(metaDir, s"$snapshotId-m1.avro")
+        Some(p -> writeAvro(fs, p, mSchema,
+          deleteAdds.map(entry(_, 1, 1)), manifestMeta("deletes", 2)))
+      }
 
     val lSchema = manifestListSchema
-    def ourListEntry(): GenericRecord = {
+    def listEntry(path: Path, len: Long, content: Int, seq: Option[Long],
+        nAdds: Int, nKept: Int): GenericRecord = {
       val mf = new GenericData.Record(lSchema)
-      mf.put("manifest_path", fs.makeQualified(manifestPath).toString)
-      mf.put("manifest_length", manifestLen)
+      mf.put("manifest_path", fs.makeQualified(path).toString)
+      mf.put("manifest_length", len)
       mf.put("partition_spec_id", 0)
+      mf.put("content", content)
+      mf.put("sequence_number", seq.map(Long.box).orNull)
+      mf.put("min_sequence_number", seq.map(Long.box).orNull)
       mf.put("added_snapshot_id", snapshotId)
-      mf.put("added_data_files_count", adds.length)
-      mf.put("existing_data_files_count", kept.length)
+      mf.put("added_data_files_count", nAdds)
+      mf.put("existing_data_files_count", nKept)
       mf.put("deleted_data_files_count", 0)
       mf
     }
@@ -442,18 +595,33 @@ object IcebergWriter {
           throw new ConcurrentCommit(
             s"table advanced past snapshot $p (now $cur); re-resolve")
       }
+      // format-version and sequence numbers are PRESERVED: appending to a
+      // v2 table must not downgrade its metadata (external readers use
+      // last-sequence-number to order deletes against data)
+      val priorFv = parsed.flatMap(p =>
+        Option(p._2.get("format-version")).map(_.asInt)).getOrElse(1)
+      val fv = if (needsV2 || priorFv >= 2) 2 else 1
+      val priorSeq = parsed.flatMap(p =>
+        Option(p._2.get("last-sequence-number")).map(_.asLong)).getOrElse(0L)
+      val seq = if (fv >= 2) Some(priorSeq + 1) else None
       val carried: Seq[GenericRecord] =
         if (!carryCurrentManifests) Nil
         else parsed.toSeq.flatMap { case (_, meta) =>
           currentManifestRecords(spark, fs, root, meta).map(reencode(lSchema, _))
         }
+      val ours = dataManifest.toSeq.map { case (p, len) =>
+        listEntry(p, len, 0, seq, adds.length, kept.length)
+      } ++ deleteManifest.toSeq.map { case (p, len) =>
+        listEntry(p, len, 1, seq, deleteAdds.length, 0)
+      }
       val listPath = new Path(metaDir, s"snap-$snapshotId-$attempts.avro")
-      writeAvro(fs, listPath, lSchema, ourListEntry() +: carried,
-        Map("format-version" -> "1", "snapshot-id" -> snapshotId.toString))
+      writeAvro(fs, listPath, lSchema, ours ++ carried,
+        Map("format-version" -> fv.toString,
+          "snapshot-id" -> snapshotId.toString))
       val version = claimedMax + 1
       val node = metadataJson(parsed.map(_._2), fs.makeQualified(root).toString,
         schema, partFields, snapshotId,
-        fs.makeQualified(listPath).toString, operation, now)
+        fs.makeQualified(listPath).toString, operation, now, fv, seq)
       val target = new Path(metaDir, s"v$version.metadata.json")
       try {
         val out = fs.create(target, false)
@@ -521,16 +689,23 @@ object IcebergWriter {
   }
 
   /** Re-encode a manifest-list record (possibly written by another engine
-    * with a wider schema) onto this writer's field set. */
+    * with a wider schema) onto this writer's field set. The v2 fields
+    * (`content`, `sequence_number`, `min_sequence_number`) are CARRIED,
+    * not dropped — flattening a delete manifest's content to 0 would
+    * resurrect deleted rows on the next append. Fields absent from the
+    * source's writer schema read through the schema guard (avro `get`
+    * throws on unknown names). */
   private def reencode(lSchema: org.apache.avro.Schema,
       r: GenericRecord): GenericRecord = {
     val out = new GenericData.Record(lSchema)
-    def longOf(f: String): Any = r.get(f) match {
+    def raw(f: String): Any =
+      if (r.getSchema.getField(f) == null) null else r.get(f)
+    def longOf(f: String): Any = raw(f) match {
       case l: java.lang.Long => l
       case i: java.lang.Integer => i.longValue(): java.lang.Long
       case _ => null
     }
-    def intOf(f: String, dflt: java.lang.Integer): Any = r.get(f) match {
+    def intOf(f: String, dflt: java.lang.Integer): Any = raw(f) match {
       case i: java.lang.Integer => i
       case l: java.lang.Long => l.intValue(): java.lang.Integer
       case _ => dflt
@@ -541,6 +716,9 @@ object IcebergWriter {
       case l => l
     })
     out.put("partition_spec_id", intOf("partition_spec_id", 0))
+    out.put("content", intOf("content", 0))
+    out.put("sequence_number", longOf("sequence_number"))
+    out.put("min_sequence_number", longOf("min_sequence_number"))
     out.put("added_snapshot_id", longOf("added_snapshot_id"))
     out.put("added_data_files_count", intOf("added_data_files_count", null))
     out.put("existing_data_files_count",
@@ -615,9 +793,9 @@ object IcebergWriter {
   private def baseMetadata(
       prior: Option[com.fasterxml.jackson.databind.JsonNode],
       location: String, schema: StructType, partFields: Seq[PartitionField],
-      now: Long): ObjectNode = {
+      now: Long, formatVersion: Int = 1): ObjectNode = {
     val node = mapper.createObjectNode()
-    node.put("format-version", 1)
+    node.put("format-version", formatVersion)
     node.put("table-uuid", prior.flatMap(p =>
       Option(p.get("table-uuid")).map(_.asText))
       .getOrElse(UUID.randomUUID().toString))
@@ -680,14 +858,18 @@ object IcebergWriter {
       prior: Option[com.fasterxml.jackson.databind.JsonNode],
       location: String, schema: StructType, partFields: Seq[PartitionField],
       snapshotId: Long, manifestList: String, operation: String,
-      now: Long): ObjectNode = {
-    val node = baseMetadata(prior, location, schema, partFields, now)
+      now: Long, formatVersion: Int = 1,
+      sequenceNumber: Option[Long] = None): ObjectNode = {
+    val node = baseMetadata(prior, location, schema, partFields, now,
+      formatVersion)
+    sequenceNumber.foreach(node.put("last-sequence-number", _))
     val snaps = mapper.createArrayNode()
     prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshots"))
       .foreach(s => snaps.add(s)))
     val snap = mapper.createObjectNode()
     snap.put("snapshot-id", snapshotId)
     snap.put("timestamp-ms", now)
+    sequenceNumber.foreach(snap.put("sequence-number", _))
     snap.put("schema-id", 0)
     val summary = mapper.createObjectNode()
     summary.put("operation", operation)
@@ -790,15 +972,22 @@ object IcebergWriter {
     * this writer tracks — spec-conformant readers resolve manifest
     * columns by field-id, not name. Partition values are carried as
     * nullable strings (hive-encoded transform results). */
-  private def manifestSchema(partNames: Seq[String]): org.apache.avro.Schema = {
+  private def manifestSchema(partNames: Seq[String],
+      withContent: Boolean = false): org.apache.avro.Schema = {
     val partFields = partNames.zipWithIndex.map { case (c, i) =>
       s"""{"name":${mapper.writeValueAsString(c)},"type":["null","string"],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
+    // v2 delete manifests distinguish position/equality delete files by
+    // data_file.content (spec field-id 134); v1 manifests omit it
+    val contentField =
+      if (withContent) """{"name":"content","type":"int","default":0,"field-id":134},"""
+      else ""
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int","field-id":0},
          |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
          |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |    $contentField
          |    {"name":"file_path","type":"string","field-id":100},
          |    {"name":"file_format","type":"string","field-id":101},
          |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
@@ -810,13 +999,21 @@ object IcebergWriter {
 
   /** Manifest-list schema with the spec's field-ids (manifest_path=500,
     * manifest_length=501, partition_spec_id=502, added_snapshot_id=503,
-    * added/existing/deleted counts 504-506). */
+    * added/existing/deleted counts 504-506) plus the v2 fields that
+    * distinguish DATA from DELETE manifests and order them:
+    * content=517 (0=data, 1=deletes), sequence_number=515,
+    * min_sequence_number=516. v1 snapshots simply leave them at the
+    * defaults — carrying a delete manifest through an append without
+    * these fields would silently replay it as data. */
   private val manifestListSchema: org.apache.avro.Schema =
     new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"manifest_file","fields":[
         |  {"name":"manifest_path","type":"string","field-id":500},
         |  {"name":"manifest_length","type":"long","field-id":501},
         |  {"name":"partition_spec_id","type":"int","field-id":502},
+        |  {"name":"content","type":"int","default":0,"field-id":517},
+        |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":515},
+        |  {"name":"min_sequence_number","type":["null","long"],"default":null,"field-id":516},
         |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
         |  {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
         |  {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},

@@ -129,6 +129,13 @@ object TableFormats {
       predicate: org.apache.spark.sql.Column): DeltaLogWriter.Committed =
     DeltaLogWriter.deleteWhere(spark, path, predicate)
 
+  /** `DELETE FROM … WHERE` on a real Iceberg table WITHOUT rewriting
+    * data files — v2 position-delete files ([[IcebergWriter.deleteWhere]],
+    * the Iceberg symmetry of [[deleteFromDeltalake]]'s DV delete). */
+  def deleteFromIceberg(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): IcebergWriter.Committed =
+    IcebergWriter.deleteWhere(spark, path, predicate)
+
   /** `VACUUM` a real Delta table: physically remove data files and DV
     * sidecars no current-snapshot reference, past the retention window. */
   def vacuumDeltalake(spark: SparkSession, path: String,

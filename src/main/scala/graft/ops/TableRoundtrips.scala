@@ -183,6 +183,36 @@ object TableRoundtrips {
       out.select(col("o_orderkey"), col("o_ts"), col("o_totalprice")), root)
   }
 
+  /** Zero-rewrite Iceberg DELETE roundtrip: seed a partitioned table,
+    * delete a key slice via [[graft.io.IcebergWriter.deleteWhere]] —
+    * which writes v2 POSITION-DELETE files and a delete manifest while
+    * carrying every data manifest untouched — and read the survivors
+    * back through the spec reader (which applies them as a (file, pos)
+    * anti-join). A mis-written delete row, a dropped delete manifest on
+    * the later append, or a wrong sequence field hash-mismatches. The
+    * follow-up APPEND proves delete manifests survive manifest carry. */
+  def icebergPosDeleteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-pd").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(base, tmp, partitionBy = Seq("c_mktsegment"))
+    IcebergWriter.deleteWhere(s, tmp, col("c_custkey") % 7 === 0)
+    val extra = Tables.customer(s, dir)
+      .filter(col("c_custkey") > 50L && col("c_custkey") <= 60L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(extra, tmp, mode = "append")
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
+  def icebergPosDeleteOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE (c_custkey <= 50 AND c_custkey % 7 <> 0)
+      |   OR (c_custkey > 50 AND c_custkey <= 60)""".stripMargin
+
   def icebergPrunedReadOracle: String =
     """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts, o_totalprice
       |FROM orders

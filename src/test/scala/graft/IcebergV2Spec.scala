@@ -251,6 +251,34 @@ class IcebergV2Spec extends AnyFunSuite {
       "id 2 deleted at seq 2; id 5 added at seq 3 survives")
   }
 
+  test("merge/delete on tables carrying delete files are delete-aware, not resurrecting") {
+    val spark0 = spark
+    import spark0.implicits._
+    // position-delete table (ids 1 and 6 deleted): a merge must apply
+    // the deletes to its rewrite scan — the round-5 advice's failure
+    // mode was re-reading touched files raw and resurrecting both rows
+    val dir = fixture(withDeletes = true)
+    io.IcebergWriter.merge(spark, dir,
+      Seq((2L, "B2"), (7L, "g")).toDF("id", "v"), keys = Seq("id"))
+    val got = IcebergReader.read(spark, dir)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e"), (7L, "g")),
+      s"deleted ids 1 and 6 must stay deleted through a merge: $got")
+    assert(IcebergReader.snapshot(spark, dir).deleteFiles.isEmpty,
+      "the rewrite materialized the deletes; stale delete files dropped")
+    // equality-delete tables: the rewrite paths cannot preserve the
+    // sequence-number semantics — they must raise, never guess
+    val eqDir = fixture(withDeletes = true, deleteContent = 2)
+    intercept[UnsupportedIcebergFeatureException] {
+      io.IcebergWriter.merge(spark, eqDir,
+        Seq((9L, "z")).toDF("id", "v"), keys = Seq("id"))
+    }
+    intercept[UnsupportedIcebergFeatureException] {
+      io.IcebergWriter.deleteMatched(spark, eqDir,
+        Seq(Tuple1(1L)).toDF("id"), keyCols = Seq("id"))
+    }
+  }
+
   test("format-version 3 raises instead of guessing") {
     val dir = fixture(withDeletes = false, formatVersion = 3)
     intercept[UnsupportedIcebergFeatureException] {

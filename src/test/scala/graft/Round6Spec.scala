@@ -181,6 +181,67 @@ class Round6Spec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, dir).count() == 20000L)
   }
 
+  test("iceberg deleteWhere: position-delete files, zero rewrite, v2 upgrade, append carry") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    IcebergWriter.write(
+      (0L until 20L).map(i => (i, s"v$i", s"g${i % 2}")).toDF("id", "v", "g")
+        .coalesce(1),
+      dir, partitionBy = Seq("g"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Map[String, Long] = {
+      val out = Map.newBuilder[String, Long]
+      val it = fs.listFiles(new Path(s"$dir/data"), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet") &&
+          !st.getPath.getName.startsWith("delete-"))
+          out += st.getPath.toString -> st.getModificationTime
+      }
+      out.result()
+    }
+    val before = dataFiles()
+    val c = IcebergWriter.deleteWhere(spark, dir, col("id") % 5 === 0)
+    assert(c.version > 0)
+    assert(dataFiles() == before, "data files must stay byte-identical")
+    val snap = IcebergReader.snapshot(spark, dir)
+    assert(snap.deleteFiles.nonEmpty, "a position-delete file must land")
+    def ids(): Set[Long] =
+      IcebergReader.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(ids() == (0L until 20L).toSet -- Set(0L, 5L, 10L, 15L))
+    // the upgrade is format-version 2 with sequence numbers
+    val metaDir = new Path(dir, "metadata")
+    val latestMeta = fs.listStatus(metaDir).map(_.getPath)
+      .filter(_.getName.endsWith(".metadata.json"))
+      .maxBy(p => p.getName.stripSuffix(".metadata.json").stripPrefix("v").toLong)
+    val metaTxt = {
+      val in = fs.open(latestMeta)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    assert(metaTxt.contains("\"format-version\" : 2") ||
+      metaTxt.contains("\"format-version\":2"), "metadata must be v2")
+    assert(metaTxt.contains("last-sequence-number"))
+    // APPEND must carry the delete manifests (content + sequence_number
+    // survive the manifest-list re-encode)
+    IcebergWriter.write(Seq((20L, "x", "g0")).toDF("id", "v", "g"), dir,
+      mode = "append")
+    assert(ids() == (0L until 21L).toSet -- Set(0L, 5L, 10L, 15L))
+    // a second delete composes (two delete files, (file,pos) dedup)
+    IcebergWriter.deleteWhere(spark, dir, col("id") === 1L)
+    assert(ids() == (0L until 21L).toSet -- Set(0L, 1L, 5L, 10L, 15L))
+    // merge on the deleted table: kept files TARGETED by deletes are
+    // rewritten with deletes applied — nothing resurrects
+    IcebergWriter.merge(spark, dir,
+      Seq((2L, "V2", "g0")).toDF("id", "v", "g"), keys = Seq("id"))
+    assert(ids() == (0L until 21L).toSet -- Set(0L, 1L, 5L, 10L, 15L))
+    val merged = IcebergReader.read(spark, dir)
+      .filter(col("id") === 2L).select("v").as[String].head()
+    assert(merged == "V2")
+    assert(IcebergReader.snapshot(spark, dir).deleteFiles.isEmpty,
+      "merge materializes deletes and drops the stale delete files")
+  }
+
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
