@@ -71,17 +71,36 @@ object DeltaLogReader {
   final case class Commit(version: Long, timestampMs: Long, operation: String)
 
   /** readerFeatures this reader actually implements (delta.io PROTOCOL.md
-    * reader-version-3 feature names). `v2Checkpoint` is deliberately
-    * absent: uuid-named checkpoints with sidecars change the log layout
-    * itself. */
+    * reader-version-3 feature names), including `v2Checkpoint`:
+    * uuid-named checkpoint manifests (parquet or json) whose file
+    * actions may live in `_sidecars/` parquet files. */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck")
+    Set("deletionVectors", "columnMapping", "timestampNtz",
+      "vacuumProtocolCheck", "v2Checkpoint")
 
   private val mapper = new ObjectMapper()
   private val CommitFile = """(\d{20})\.json""".r
   private val CheckpointFile = """(\d{20})\.checkpoint\.parquet""".r
   private val MultiPartCheckpointFile =
     """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val V2CheckpointFile =
+    """(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.(parquet|json)""".r
+
+  /** One replayable checkpoint: classic parquet part set, or a V2
+    * uuid-named manifest (parquet or json) with `_sidecars/` files. */
+  private sealed trait CkptRef
+  private final case class PartsCkpt(parts: Seq[String]) extends CkptRef
+  private final case class V2Ckpt(path: String, json: Boolean) extends CkptRef
+
+  /** Mutable replay target: the action fold that reconstructs a
+    * snapshot from checkpoint rows and/or JSON action lines. */
+  private final class ReplayState {
+    val active = mutable.LinkedHashMap.empty[String, AddFile]
+    var schema: Option[StructType] = None
+    var partCols: Seq[String] = Nil
+    var protocol = Protocol()
+    var configuration = Map.empty[String, String]
+  }
 
   /** Latest version present in the log, or -1 for an empty/absent log. */
   def latestVersion(spark: SparkSession, tablePath: String): Long = {
@@ -99,113 +118,180 @@ object DeltaLogReader {
     val version = asOfVersion.getOrElse(latest)
     require(version <= latest, s"version $version > latest $latest")
 
-    val ckptVersion = checkpoints.keys.filter(_ <= version).maxOption
-    val active = mutable.LinkedHashMap.empty[String, AddFile]
-    var schema: Option[StructType] = None
-    var partCols: Seq[String] = Nil
-    var protocol = Protocol()
-    var configuration = Map.empty[String, String]
-
-    ckptVersion.foreach { cv =>
-      // select only the action structs so parquet column pruning drops
-      // the stats/tags payloads real checkpoints carry
-      val ckpt = spark.read.parquet(checkpoints(cv): _*)
-      val actionCols = ckpt.columns.filter(Set("metaData", "add", "remove", "protocol"))
-      val rows = ckpt.select(actionCols.map(col).toSeq: _*).collect()
-      rows.foreach { r =>
-        def struct(name: String) =
-          if (!r.schema.fieldNames.contains(name)) None
-          else Option(r.getAs[Row](name))
-        struct("protocol").foreach { p =>
-          def feats(name: String): Set[String] =
-            if (!p.schema.fieldNames.contains(name)) Set.empty
-            else Option(p.getAs[scala.collection.Seq[String]](name))
-              .map(_.toSet).getOrElse(Set.empty)
-          protocol = Protocol(p.getAs[Number]("minReaderVersion").intValue,
-            feats("readerFeatures"),
-            if (!p.schema.fieldNames.contains("minWriterVersion")) 1
-            else Option(p.getAs[Number]("minWriterVersion"))
-              .map(_.intValue).getOrElse(1),
-            feats("writerFeatures"))
-        }
-        struct("metaData").foreach { m =>
-          schema = Some(parseSchema(m.getAs[String]("schemaString")))
-          partCols = m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
-          if (m.schema.fieldNames.contains("configuration"))
-            configuration = Option(
-              m.getAs[scala.collection.Map[String, String]]("configuration"))
-              .map(_.toMap).getOrElse(Map.empty)
-        }
-        struct("add").foreach { a =>
-          def num(f: String): Long =
-            if (!a.schema.fieldNames.contains(f)) 0L
-            else Option(a.getAs[Number](f)).map(_.longValue).getOrElse(0L)
-          val add = AddFile(a.getAs[String]("path"),
-            Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-              .map(_.toMap.map { case (k, v) => k -> Option(v) })
-              .getOrElse(Map.empty),
-            dvFromRow(a), num("size"), num("modificationTime"),
-            if (!a.schema.fieldNames.contains("stats")) None
-            else Option(a.getAs[String]("stats")))
-          active(add.path) = add
-        }
-        struct("remove").foreach(rm => active.remove(rm.getAs[String]("path")))
-      }
-    }
+    // newest usable checkpoint at or below the target: a V2 checkpoint
+    // whose sidecar files are missing (torn publication) is SKIPPED in
+    // favor of the next-lower checkpoint or the raw tail — never a
+    // half-replayed snapshot
+    val state = new ReplayState
+    val ckptVersion: Option[Long] = checkpoints.toSeq
+      .filter(_._1 <= version).sortBy(-_._1).iterator
+      .map { case (cv, ref) => tryReplayCheckpoint(spark, tablePath, ref)
+        .map { st => copyState(st, state); cv } }
+      .collectFirst { case Some(cv) => cv }
 
     val tail = commits.keys.toSeq.sorted
       .filter(v => v <= version && ckptVersion.forall(v > _))
     // no checkpoint floor → the tail must reach back to commit 0
     require(ckptVersion.nonEmpty || tail.headOption.contains(0L),
-      s"log tail starts at ${tail.headOption} with no checkpoint before it")
+      s"log tail starts at ${tail.headOption} with no usable checkpoint before it")
     tail.foreach { v =>
-      readLines(spark, commits(v)).foreach { line =>
-        val node = mapper.readTree(line)
-        Option(node.get("protocol")).foreach { p =>
-          protocol = Protocol(p.get("minReaderVersion").asInt,
-            jsonArray(p.get("readerFeatures")).map(_.asText).toSet,
-            Option(p.get("minWriterVersion")).map(_.asInt).getOrElse(1),
-            jsonArray(p.get("writerFeatures")).map(_.asText).toSet)
-        }
-        Option(node.get("metaData")).foreach { m =>
-          schema = Some(parseSchema(m.get("schemaString").asText))
-          partCols = jsonArray(m.get("partitionColumns")).map(_.asText)
-          configuration = Option(m.get("configuration")).map { o =>
-            val it = o.fields()
-            val b = Map.newBuilder[String, String]
-            while (it.hasNext) {
-              val e = it.next()
-              if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText
-            }
-            b.result()
-          }.getOrElse(Map.empty)
-        }
-        Option(node.get("add")).foreach { a =>
-          val pv = Option(a.get("partitionValues")).map { o =>
-            val it = o.fields()
-            val b = Map.newBuilder[String, Option[String]]
-            while (it.hasNext) {
-              val e = it.next()
-              b += e.getKey -> (if (e.getValue.isNull) None
-                else Some(e.getValue.asText))
-            }
-            b.result()
-          }.getOrElse(Map.empty[String, Option[String]])
-          val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a),
-            Option(a.get("size")).map(_.asLong).getOrElse(0L),
-            Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
-          active(add.path) = add
-        }
-        Option(node.get("remove")).foreach(rm =>
-          active.remove(decodePath(rm.get("path").asText)))
-      }
+      readLines(spark, commits(v)).foreach(line =>
+        processJsonAction(state, mapper.readTree(line)))
     }
-    checkProtocol(protocol, tablePath)
+    checkProtocol(state.protocol, tablePath)
     Snapshot(version,
-      schema.getOrElse(throw new IllegalStateException(
+      state.schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying to version $version")),
-      partCols, active.values.toSeq, protocol, configuration)
+      state.partCols, state.active.values.toSeq, state.protocol,
+      state.configuration)
+  }
+
+  private def copyState(from: ReplayState, to: ReplayState): Unit = {
+    to.active.clear(); to.active ++= from.active
+    to.schema = from.schema
+    to.partCols = from.partCols
+    to.protocol = from.protocol
+    to.configuration = from.configuration
+  }
+
+  /** Replay one checkpoint into a fresh state; None when the checkpoint
+    * is unusable (torn V2 publication: manifest landed, sidecars not). */
+  private def tryReplayCheckpoint(spark: SparkSession, tablePath: String,
+      ref: CkptRef): Option[ReplayState] = {
+    val state = new ReplayState
+    ref match {
+      case PartsCkpt(parts) =>
+        processCheckpointParquet(spark, state, parts)
+        Some(state)
+      case V2Ckpt(path, json) =>
+        // V2 manifest: metaData/protocol (and possibly inline file
+        // actions) in the manifest itself; file actions in `_sidecars/`
+        // parquet named by `sidecar` actions
+        val sidecars = mutable.ArrayBuffer.empty[String]
+        if (json)
+          readLines(spark, path).foreach { line =>
+            val node = mapper.readTree(line)
+            processJsonAction(state, node)
+            Option(node.get("sidecar")).foreach(s =>
+              sidecars += s.get("path").asText)
+          }
+        else {
+          val df = spark.read.parquet(path)
+          processCheckpointParquet(spark, state, Seq(path))
+          if (df.columns.contains("sidecar"))
+            df.select(col("sidecar.path")).collect()
+              .foreach(r => Option(r.getString(0)).foreach(sidecars += _))
+        }
+        val logDir = new Path(tablePath, "_delta_log")
+        val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val resolved = sidecars.toSeq.map { p =>
+          if (p.startsWith("/") || p.contains("://")) new Path(p)
+          else new Path(new Path(logDir, "_sidecars"), p)
+        }
+        if (resolved.exists(p => !fs.exists(p))) None
+        else {
+          if (resolved.nonEmpty)
+            processCheckpointParquet(spark, state,
+              resolved.map(_.toString))
+          Some(state)
+        }
+    }
+  }
+
+  /** Fold checkpoint parquet rows (classic parts or V2 sidecars) into
+    * the replay state. Only the action structs are selected, so parquet
+    * column pruning drops the stats/tags payloads real checkpoints
+    * carry. */
+  private def processCheckpointParquet(spark: SparkSession,
+      state: ReplayState, paths: Seq[String]): Unit = {
+    val ckpt = spark.read.parquet(paths: _*)
+    val actionCols = ckpt.columns.filter(Set("metaData", "add", "remove", "protocol"))
+    if (actionCols.isEmpty) return
+    val rows = ckpt.select(actionCols.map(col).toSeq: _*).collect()
+    rows.foreach { r =>
+      def struct(name: String) =
+        if (!r.schema.fieldNames.contains(name)) None
+        else Option(r.getAs[Row](name))
+      struct("protocol").foreach { p =>
+        def feats(name: String): Set[String] =
+          if (!p.schema.fieldNames.contains(name)) Set.empty
+          else Option(p.getAs[scala.collection.Seq[String]](name))
+            .map(_.toSet).getOrElse(Set.empty)
+        state.protocol = Protocol(p.getAs[Number]("minReaderVersion").intValue,
+          feats("readerFeatures"),
+          if (!p.schema.fieldNames.contains("minWriterVersion")) 1
+          else Option(p.getAs[Number]("minWriterVersion"))
+            .map(_.intValue).getOrElse(1),
+          feats("writerFeatures"))
+      }
+      struct("metaData").foreach { m =>
+        state.schema = Some(parseSchema(m.getAs[String]("schemaString")))
+        state.partCols =
+          m.getAs[scala.collection.Seq[String]]("partitionColumns").toSeq
+        if (m.schema.fieldNames.contains("configuration"))
+          state.configuration = Option(
+            m.getAs[scala.collection.Map[String, String]]("configuration"))
+            .map(_.toMap).getOrElse(Map.empty)
+      }
+      struct("add").foreach { a =>
+        def num(f: String): Long =
+          if (!a.schema.fieldNames.contains(f)) 0L
+          else Option(a.getAs[Number](f)).map(_.longValue).getOrElse(0L)
+        val add = AddFile(a.getAs[String]("path"),
+          Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+            .map(_.toMap.map { case (k, v) => k -> Option(v) })
+            .getOrElse(Map.empty),
+          dvFromRow(a), num("size"), num("modificationTime"),
+          if (!a.schema.fieldNames.contains("stats")) None
+          else Option(a.getAs[String]("stats")))
+        state.active(add.path) = add
+      }
+      struct("remove").foreach(rm =>
+        state.active.remove(rm.getAs[String]("path")))
+    }
+  }
+
+  /** Fold one JSON action (commit line or V2 json-manifest line) into
+    * the replay state. */
+  private def processJsonAction(state: ReplayState, node: JsonNode): Unit = {
+    Option(node.get("protocol")).foreach { p =>
+      state.protocol = Protocol(p.get("minReaderVersion").asInt,
+        jsonArray(p.get("readerFeatures")).map(_.asText).toSet,
+        Option(p.get("minWriterVersion")).map(_.asInt).getOrElse(1),
+        jsonArray(p.get("writerFeatures")).map(_.asText).toSet)
+    }
+    Option(node.get("metaData")).foreach { m =>
+      state.schema = Some(parseSchema(m.get("schemaString").asText))
+      state.partCols = jsonArray(m.get("partitionColumns")).map(_.asText)
+      state.configuration = Option(m.get("configuration")).map { o =>
+        val it = o.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText
+        }
+        b.result()
+      }.getOrElse(Map.empty)
+    }
+    Option(node.get("add")).foreach { a =>
+      val pv = Option(a.get("partitionValues")).map { o =>
+        val it = o.fields()
+        val b = Map.newBuilder[String, Option[String]]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) None
+            else Some(e.getValue.asText))
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, Option[String]])
+      val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a),
+        Option(a.get("size")).map(_.asLong).getOrElse(0L),
+        Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+        Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
+      state.active(add.path) = add
+    }
+    Option(node.get("remove")).foreach(rm =>
+      state.active.remove(decodePath(rm.get("path").asText)))
   }
 
   /** `read_deltalake(version=…)`: the snapshot as a DataFrame.
@@ -421,13 +507,16 @@ object DeltaLogReader {
   private def decodePath(p: String): String =
     if (p.contains('%')) new java.net.URI(p).getPath else p
 
-  /** (version → commit json path, version → checkpoint parquet part
-    * paths). Multi-part checkpoints (`N.checkpoint.i.of.n.parquet` in the
-    * `%010d` forms the protocol prescribes) are grouped by version and
-    * admitted only when all `n` parts are present — a torn multi-part
-    * write never half-replays. */
+  /** (version → commit json path, version → checkpoint ref). Multi-part
+    * checkpoints (`N.checkpoint.i.of.n.parquet` in the `%010d` forms the
+    * protocol prescribes) are grouped by version and admitted only when
+    * all `n` parts are present — a torn multi-part write never
+    * half-replays. V2 checkpoints are the uuid-named
+    * `N.checkpoint.<uuid>.{parquet|json}` manifests (sidecar presence is
+    * validated at replay time); at a version carrying both forms the V2
+    * manifest wins. */
   private def logFiles(spark: SparkSession, tablePath: String)
-      : (Map[Long, String], Map[Long, Seq[String]]) = {
+      : (Map[Long, String], Map[Long, CkptRef]) = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(logDir)) return (Map.empty, Map.empty)
@@ -438,7 +527,8 @@ object DeltaLogReader {
     }.toMap
     val singleParts = entries.collect {
       case p if CheckpointFile.matches(p.getName) =>
-        p.getName.stripSuffix(".checkpoint.parquet").toLong -> Seq(p.toString)
+        p.getName.stripSuffix(".checkpoint.parquet").toLong ->
+          (PartsCkpt(Seq(p.toString)): CkptRef)
     }.toMap
     val multiParts = entries.flatMap { p =>
       p.getName match {
@@ -448,9 +538,16 @@ object DeltaLogReader {
       }
     }.groupBy(t => (t._1, t._3)).collect {
       case ((v, n), parts) if parts.map(_._2).toSet == (1 to n).toSet =>
-        v -> parts.sortBy(_._2).map(_._4).toSeq
+        v -> (PartsCkpt(parts.sortBy(_._2).map(_._4).toSeq): CkptRef)
     }
-    (commits, singleParts ++ multiParts)
+    val v2 = entries.flatMap { p =>
+      p.getName match {
+        case V2CheckpointFile(v, _, fmt) =>
+          Some(v.toLong -> (V2Ckpt(p.toString, fmt == "json"): CkptRef))
+        case _ => None
+      }
+    }.toMap
+    (commits, singleParts ++ multiParts ++ v2)
   }
 
   private def readLines(spark: SparkSession, path: String): Seq[String] = {

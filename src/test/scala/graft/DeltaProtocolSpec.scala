@@ -179,15 +179,16 @@ class DeltaProtocolSpec extends AnyFunSuite {
     }
     val ex = intercept[UnsupportedDeltaFeatureException] {
       DeltaLogReader.read(spark,
-        fixture(protocolAction(3, Seq("deletionVectors", "v2Checkpoint"))))
+        fixture(protocolAction(3, Seq("deletionVectors", "typeWidening"))))
     }
-    assert(ex.getMessage.contains("v2Checkpoint"))
+    assert(ex.getMessage.contains("typeWidening"))
     intercept[UnsupportedDeltaFeatureException] {
       DeltaLogReader.snapshot(spark, fixture(protocolAction(4)))
     }
-    // supported feature sets still read
+    // supported feature sets still read (v2Checkpoint joined in round 6)
     assert(DeltaLogReader.read(spark, fixture(protocolAction(3,
-      Seq("timestampNtz", "columnMapping", "vacuumProtocolCheck")))).count() == 1)
+      Seq("timestampNtz", "columnMapping", "vacuumProtocolCheck",
+        "v2Checkpoint")))).count() == 1)
     assert(DeltaLogReader.read(spark, fixture(protocolAction(2))).count() == 1)
   }
 

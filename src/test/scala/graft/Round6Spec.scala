@@ -8,6 +8,18 @@ import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.io.{DeltaDeletionVectors, DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter, ScanFilter}
 
+// V2-checkpoint fixture shapes (top-level so Spark can derive encoders)
+case class V2Prot(minReaderVersion: Int, minWriterVersion: Int,
+    readerFeatures: Seq[String], writerFeatures: Seq[String])
+case class V2Meta(id: String, schemaString: String,
+    partitionColumns: Seq[String])
+case class V2Side(path: String, sizeInBytes: Long, modificationTime: Long)
+case class V2ManifestRow(protocol: Option[V2Prot], metaData: Option[V2Meta],
+    sidecar: Option[V2Side])
+case class V2Add(path: String, partitionValues: Map[String, String],
+    size: Long, modificationTime: Long, dataChange: Boolean)
+case class V2SidecarRow(add: Option[V2Add])
+
 /** Round-6 Delta write-path hardening: `deleteWhere` on column-mapped
   * tables (physical-name resolution), protocol-feature MERGING on the
   * DV upgrade (never stomping an existing reader-version-3 feature
@@ -179,6 +191,69 @@ class Round6Spec extends AnyFunSuite {
     // a second delete merges with the big DV and still streams
     DeltaLogWriter.deleteWhere(spark, dir, col("id") >= 140000L)
     assert(DeltaLogReader.read(spark, dir).count() == 20000L)
+  }
+
+  test("delta v2 checkpoint: uuid manifest + sidecars replay; torn sidecars fall back") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    writeDataFile(dir, "f1.parquet", Seq((1L, "a")).toDF("id", "v"))
+    writeDataFile(dir, "f2.parquet", Seq((2L, "b")).toDF("id", "v"))
+    writeDataFile(dir, "f3.parquet", Seq((3L, "c")).toDF("id", "v"))
+    writeCommit(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaAction(schema, Nil),
+      addAction("f1.parquet"), addAction("f2.parquet")))
+    writeCommit(dir, 1, Seq(addAction("f3.parquet"),
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1,"dataChange":true}}"""))
+    val expect = Set((2L, "b"), (3L, "c"))
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String)].collect().toSet == expect)
+    // V2 checkpoint at version 1: a uuid-named parquet MANIFEST holding
+    // protocol + metaData + two `sidecar` actions; the add actions live
+    // in `_delta_log/_sidecars/` parquet files
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(dir, "_delta_log")
+    val sideDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sideDir)
+    def writeOneParquet[T <: Product : org.apache.spark.sql.Encoder](
+        rows: Seq[T], dst: Path): Unit = {
+      val stg = s"${tmp()}/stg"
+      rows.toDS().coalesce(1).write.parquet(stg)
+      val part = fs.listStatus(new Path(stg))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(fs.rename(part, dst))
+    }
+    writeOneParquet(Seq(
+      V2SidecarRow(Some(V2Add("f2.parquet", Map.empty, 1L, 1L, false)))),
+      new Path(sideDir, "sc-1.parquet"))
+    writeOneParquet(Seq(
+      V2SidecarRow(Some(V2Add("f3.parquet", Map.empty, 1L, 1L, false)))),
+      new Path(sideDir, "sc-2.parquet"))
+    val uuid = java.util.UUID.randomUUID().toString
+    writeOneParquet(Seq(
+      V2ManifestRow(Some(V2Prot(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))),
+        None, None),
+      V2ManifestRow(None, Some(V2Meta("fx", schema.json, Nil)), None),
+      V2ManifestRow(None, None, Some(V2Side("sc-1.parquet", 1L, 1L))),
+      V2ManifestRow(None, None, Some(V2Side("sc-2.parquet", 1L, 1L)))),
+      new Path(logDir, f"${1L}%020d.checkpoint.$uuid.parquet"))
+    // vacuum the json tail: replay must come from manifest + sidecars
+    fs.delete(new Path(logDir, f"${0L}%020d.json"), false)
+    fs.delete(new Path(logDir, f"${1L}%020d.json"), false)
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String)].collect().toSet == expect,
+      "v2 checkpoint + sidecars must replay to the same snapshot")
+    assert(DeltaLogReader.snapshot(spark, dir).protocol
+      .readerFeatures.contains("v2Checkpoint"))
+    // torn publication: a missing sidecar must SKIP the checkpoint; with
+    // no tail left that is a loud failure, not a half-replayed snapshot
+    fs.delete(new Path(sideDir, "sc-2.parquet"), false)
+    intercept[IllegalArgumentException] {
+      DeltaLogReader.snapshot(spark, dir)
+    }
   }
 
   test("iceberg deleteWhere: position-delete files, zero rewrite, v2 upgrade, append carry") {
