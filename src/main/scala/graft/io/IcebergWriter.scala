@@ -374,6 +374,130 @@ object IcebergWriter {
     } finally fs.delete(staging, true)
   }
 
+  /** `expire_snapshots` + orphan-file cleanup — the maintenance every
+    * long-lived Iceberg table needs (the reference defers to S3 Tables
+    * auto-maintenance; this engine owns the table). Two phases:
+    *
+    *  1. COMMIT a new metadata version whose `snapshots`/`snapshot-log`
+    *     keep only: the current snapshot, the newest `retainLast`, and
+    *     every snapshot younger than `retentionMs` (claimed with the
+    *     same create-exclusive loop as data commits, so it composes
+    *     with concurrent writers);
+    *  2. DELETE files no retained snapshot references — expired
+    *     manifest lists, manifests, data/delete files, and orphans from
+    *     crashed commits — plus superseded `vN.metadata.json` documents,
+    *     all gated on a modification time older than `retentionMs` so a
+    *     concurrent writer's just-staged files are never swept. The
+    *     table tree is listed and deleted AS A JOB (the driver holds
+    *     only the live set — O(retained files), the cost every Iceberg
+    *     expire pays); retained snapshots' trees are walked driver-side
+    *     at manifest scale.
+    *
+    * Returns deleted paths. Time travel to an expired snapshot raises
+    * afterwards (it is gone from the log); retained reads are
+    * untouched. */
+  def expireSnapshots(spark: SparkSession, tablePath: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      retainLast: Int = 1): Seq[String] = {
+    import spark.implicits._
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val now = System.currentTimeMillis()
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val snaps = IcebergReaderAccess.jsonArray(meta.get("snapshots"))
+      val current = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong).getOrElse(-1L)
+      val keepIds = snaps.sortBy(-_.get("timestamp-ms").asLong)
+        .take(math.max(retainLast, 1))
+        .map(_.get("snapshot-id").asLong).toSet ++
+        snaps.filter(_.get("timestamp-ms").asLong >= now - retentionMs)
+          .map(_.get("snapshot-id").asLong) + current
+      val expired = snaps.map(_.get("snapshot-id").asLong).toSet -- keepIds
+      if (expired.isEmpty) done = true
+      else {
+        val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[ObjectNode]
+        val newSnaps = mapper.createArrayNode()
+        snaps.filter(s => keepIds.contains(s.get("snapshot-id").asLong))
+          .foreach(newSnaps.add)
+        node.set[ArrayNode]("snapshots", newSnaps)
+        val newLog = mapper.createArrayNode()
+        IcebergReaderAccess.jsonArray(meta.get("snapshot-log"))
+          .filter(e => keepIds.contains(e.get("snapshot-id").asLong))
+          .foreach(newLog.add)
+        node.set[ArrayNode]("snapshot-log", newLog)
+        node.put("last-updated-ms", now)
+        val target = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+        try {
+          val out = fs.create(target, false)
+          try out.write(mapper.writerWithDefaultPrettyPrinter()
+            .writeValueAsBytes(node))
+          finally out.close()
+          writeHint(fs, metaDir, claimedMax + 1)
+          done = true
+        } catch {
+          case _: java.io.IOException => attempts += 1 // lost the claim
+        }
+      }
+    }
+    // live set: every file any RETAINED snapshot references, walked from
+    // the post-expire metadata
+    val (currentVersion, parsed2) = logState(fs, metaDir)
+    val meta2 = parsed2.getOrElse(throw new IllegalStateException(
+      s"no parseable Iceberg metadata at $tablePath"))._2
+    val live = mutable.Set.empty[String]
+    IcebergReaderAccess.jsonArray(meta2.get("snapshots")).foreach { s =>
+      val listPath = IcebergReader.resolve(root, s.get("manifest-list").asText)
+      live += fs.makeQualified(listPath).toString
+      IcebergReader.readAvro(spark, listPath).foreach { m =>
+        val mp = IcebergReader.resolve(root, m.get("manifest_path").toString)
+        val q = fs.makeQualified(mp).toString
+        if (!live.contains(q)) {
+          live += q
+          IcebergReader.readAvro(spark, mp).foreach { e =>
+            val df = e.get("data_file").asInstanceOf[GenericRecord]
+            live += fs.makeQualified(
+              IcebergReader.resolve(root, df.get("file_path").toString)).toString
+          }
+        }
+      }
+    }
+    val cutoff = now - retentionMs
+    val liveBc = spark.sparkContext.broadcast(live.toSet)
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val MetaFile = """v(\d+)\.metadata\.json""".r
+    graft.io.DatasetReader.listObjects(spark, tablePath)
+      .where(col("modified_ms") < cutoff)
+      .select("path").as[String]
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        val lv = liveBc.value
+        it.filter { p =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          val dataOrManifest =
+            (name.endsWith(".parquet") || name.endsWith(".avro")) &&
+              !lv.contains(p)
+          val staleMeta = name match {
+            case MetaFile(v) => v.toLong < currentVersion
+            case _ => false
+          }
+          dataOrManifest || staleMeta
+        }.map { p =>
+          val pp = new Path(p)
+          pp.getFileSystem(conf).delete(pp, false)
+          p
+        }
+      }.collect().toSeq
+  }
+
   private def asInfo(f: IcebergReader.DataFileEntry): FileInfo =
     FileInfo(f.path,
       f.partition.map { case (k, v) => k -> Option(v).map(_.toString) },

@@ -142,6 +142,15 @@ object TableFormats {
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     DeltaLogWriter.vacuum(spark, path, retentionMs)
 
+  /** `expire_snapshots` + orphan cleanup on a real Iceberg table — the
+    * Iceberg counterpart of [[vacuumDeltalake]]: drop snapshots past the
+    * retention window (keeping the newest `retainLast` and the current
+    * one) and physically delete the files only they referenced. */
+  def expireIcebergSnapshots(spark: SparkSession, path: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000,
+      retainLast: Int = 1): Seq[String] =
+    IcebergWriter.expireSnapshots(spark, path, retentionMs, retainLast)
+
   /** `describe_history` parity. */
   def describeHistory(spark: SparkSession, path: String): DataFrame = {
     val s = spark

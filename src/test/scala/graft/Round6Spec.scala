@@ -317,6 +317,57 @@ class Round6Spec extends AnyFunSuite {
       "merge materializes deletes and drops the stale delete files")
   }
 
+  test("iceberg expire_snapshots: expired files deleted, retained snapshots intact") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def filesOnDisk(suffix: String): Set[String] = {
+      val out = Set.newBuilder[String]
+      val it = fs.listFiles(new Path(dir), true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(suffix)) out += st.getPath.toString
+      }
+      out.result()
+    }
+    // snapshot A: ids 0-4; snapshot B: OVERWRITE with 10-14 (A's files
+    // become B-unreferenced); snapshot C: append 20
+    IcebergWriter.write(
+      (0L to 4L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), dir)
+    val snapA = IcebergReader.snapshot(spark, dir).snapshotId
+    IcebergWriter.write(
+      (10L to 14L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1), dir,
+      mode = "overwrite")
+    val snapB = IcebergReader.snapshot(spark, dir).snapshotId
+    IcebergWriter.write(Seq((20L, "c")).toDF("id", "v"), dir, mode = "append")
+    val parquetBefore = filesOnDisk(".parquet").size
+    assert(IcebergReader.read(spark, dir, Some(snapA)).count() == 5)
+    // retention window keeps everything young
+    assert(IcebergWriter.expireSnapshots(spark, dir).isEmpty)
+    assert(IcebergReader.read(spark, dir, Some(snapA)).count() == 5)
+    // zero retention: only the current snapshot survives; A's data files
+    // (referenced by nothing retained) and A/B's manifest lists go,
+    // B's data files survive because the current snapshot carries them
+    val deleted = IcebergWriter.expireSnapshots(spark, dir,
+      retentionMs = 0L, retainLast = 1)
+    assert(deleted.nonEmpty)
+    assert(IcebergReader.read(spark, dir).select("id").as[Long]
+      .collect().toSet == Set(10L, 11L, 12L, 13L, 14L, 20L),
+      "current read must be untouched")
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, dir, Some(snapA))
+    }
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, dir, Some(snapB))
+    }
+    assert(filesOnDisk(".parquet").size < parquetBefore,
+      "expired snapshots' data files must be physically deleted")
+    // a second expire finds nothing new to delete
+    assert(IcebergWriter.expireSnapshots(spark, dir,
+      retentionMs = 0L, retainLast = 1).isEmpty)
+  }
+
   private def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.select(org.apache.spark.sql.functions.input_file_name().as("f"))
       .distinct().collect().map(_.getString(0)).toSet
