@@ -53,7 +53,9 @@ object IcebergReader {
 
   final case class DataFileEntry(path: String, partition: Map[String, Any],
       recordCount: Long = 0L, sizeBytes: Long = 0L,
-      sequenceNumber: Long = 0L, equalityIds: Seq[Int] = Nil)
+      sequenceNumber: Long = 0L, equalityIds: Seq[Int] = Nil,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -163,7 +165,8 @@ object IcebergReader {
             }.getOrElse(Nil)
           def fileEntry = DataFileEntry(path, partitionMap(df),
             longOf("record_count"), longOf("file_size_in_bytes"),
-            entrySeq, eqIds)
+            entrySeq, eqIds,
+            boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"))
           // v2 content: manifest-list distinguishes data (0) from delete
           // (1) manifests; inside a delete manifest the data_file content
           // tells position (1) from equality (2) deletes
@@ -244,13 +247,28 @@ object IcebergReader {
   private def prunedFiles(spark: SparkSession, tablePath: String,
       snap: Snapshot, filters: Seq[ScanFilter]): Seq[DataFileEntry] = {
     val pfields = partitionFields(spark, tablePath)
-    if (pfields.isEmpty) return snap.files
     val dtOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val checks: Seq[DataFileEntry => Boolean] = for {
+    val partChecks: Seq[DataFileEntry => Boolean] = for {
       fl <- filters
       pf <- pfields.filter(p => p.source == fl.column && dtOf.contains(fl.column))
     } yield partitionCheck(spark, pf, dtOf(fl.column), fl)
-    snap.files.filter(f => checks.forall(_(f)))
+    // column min/max from the manifests' lower/upper_bounds (field-id
+    // keyed, Appendix-D encoded) — prunes DATA-column predicates without
+    // opening a single parquet footer
+    val idOf: Map[String, Int] = snap.fieldIdToName.map(_.swap)
+    val boundChecks: Seq[DataFileEntry => Boolean] = for {
+      fl <- filters
+      dt <- dtOf.get(fl.column).toSeq
+      id <- idOf.get(fl.column).toSeq
+    } yield { (f: DataFileEntry) =>
+      if (f.lowerBounds.isEmpty && f.upperBounds.isEmpty) true
+      else ScanFilters.intervalMayMatch(dt,
+        f.lowerBounds.get(id).flatMap(decodeBound(dt, _)),
+        f.upperBounds.get(id).flatMap(decodeBound(dt, _)), fl)
+    }
+    val checks = partChecks ++ boundChecks
+    if (checks.isEmpty) snap.files
+    else snap.files.filter(f => checks.forall(_(f)))
   }
 
   private def partitionCheck(spark: SparkSession,
@@ -483,6 +501,62 @@ object IcebergReader {
     if (raw.isAbsolute && !p.startsWith("file:")) raw
     else if (p.startsWith("file:")) new Path(new java.net.URI(p).getPath)
     else new Path(root, p)
+  }
+
+  /** `lower_bounds`/`upper_bounds`: (field-id → Appendix-D bytes). Avro
+    * encodes these int-keyed maps as arrays of key/value records (avro
+    * maps require string keys); tolerate a plain avro map too. */
+  private def boundsMap(dataFile: GenericRecord,
+      field: String): Map[Int, Array[Byte]] = {
+    def bytesOf(v: Any): Option[Array[Byte]] = v match {
+      case b: java.nio.ByteBuffer =>
+        val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr)
+        Some(arr)
+      case a: Array[Byte] => Some(a)
+      case f: org.apache.avro.generic.GenericFixed => Some(f.bytes())
+      case _ => None
+    }
+    fieldOpt(dataFile, field).flatMap(v => Option(v)) match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.collect { case r: GenericRecord =>
+          for {
+            k <- intOf(r.get("key"))
+            b <- bytesOf(r.get("value"))
+          } yield k -> b
+        }.flatten.toMap
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.flatMap { case (k, v) =>
+          val key = k match {
+            case u: org.apache.avro.util.Utf8 => u.toString.toIntOption
+            case s: String => s.toIntOption
+            case i: java.lang.Integer => Some(i.intValue)
+            case _ => None
+          }
+          for { kk <- key; b <- bytesOf(v) } yield kk -> b
+        }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Decode one Appendix-D single-value bound for `dt`; None when the
+    * encoding is unrecognized (→ conservative keep). */
+  private[io] def decodeBound(dt: DataType, bytes: Array[Byte]): Option[Any] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    try dt match {
+      case IntegerType | DateType if bytes.length == 4 => Some(bb.getInt)
+      case LongType | TimestampType | TimestampNTZType if bytes.length == 8 =>
+        Some(bb.getLong)
+      case FloatType if bytes.length == 4 =>
+        val f = bb.getFloat
+        if (f.isNaN || f.isInfinite) None else Some(f.toDouble)
+      case DoubleType if bytes.length == 8 =>
+        val d = bb.getDouble
+        if (d.isNaN || d.isInfinite) None else Some(d)
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+      case _ => None
+    } catch { case _: Exception => None }
   }
 
   private def partitionMap(dataFile: GenericRecord): Map[String, Any] =

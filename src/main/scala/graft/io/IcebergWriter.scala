@@ -48,7 +48,9 @@ object IcebergWriter {
 
   private final case class FileInfo(path: String,
       partitionValues: Map[String, Option[String]], size: Long,
-      recordCount: Long)
+      recordCount: Long,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** `to_iceberg(df, path, mode=…)` in the real format. `partitionBy`
     * entries are transform specs: a bare column name (identity),
@@ -501,7 +503,7 @@ object IcebergWriter {
   private def asInfo(f: IcebergReader.DataFileEntry): FileInfo =
     FileInfo(f.path,
       f.partition.map { case (k, v) => k -> Option(v).map(_.toString) },
-      f.sizeBytes, f.recordCount)
+      f.sizeBytes, f.recordCount, f.lowerBounds, f.upperBounds)
 
   /** Append must not silently drop or retype columns (the reference's
     * schema check, `s3/_s3_tables_iceberg.py:200-219`). */
@@ -556,10 +558,14 @@ object IcebergWriter {
           moved += ((fs.makeQualified(dst).toString, st.getLen))
         }
       }
-      val counts = recordCounts(spark, moved.map(_._1).toSeq)
+      val stats = footerStats(spark, moved.map(_._1).toSeq)
+      val idOf = topLevelFieldIds(df.schema)
       moved.map { case (path, size) =>
-        FileInfo(path, partitionValuesOf(path), size,
-          counts.getOrElse(path, 0L))
+        val (cnt, lo, hi) = stats.getOrElse(path,
+          (0L, Map.empty[String, Array[Byte]], Map.empty[String, Array[Byte]]))
+        FileInfo(path, partitionValuesOf(path), size, cnt,
+          lo.flatMap { case (n, b) => idOf.get(n).map(_ -> b) },
+          hi.flatMap { case (n, b) => idOf.get(n).map(_ -> b) })
       }.toSeq
     } finally fs.delete(staging, true)
   }
@@ -586,6 +592,153 @@ object IcebergWriter {
         }
       }
       .collect().toMap
+  }
+
+  /** Top-level column name → Iceberg field-id, mirroring exactly the id
+    * assignment [[icebergSchemaJson]] performs (each field takes the
+    * next id, then its type consumes ids for nested elements). */
+  private def topLevelFieldIds(schema: StructType): Map[String, Int] = {
+    val ids = new java.util.concurrent.atomic.AtomicInteger(0)
+    def consume(dt: DataType): Unit = dt match {
+      case a: ArrayType => ids.incrementAndGet(); consume(a.elementType)
+      case s: StructType => s.fields.foreach { f =>
+        ids.incrementAndGet(); consume(f.dataType)
+      }
+      case m: MapType =>
+        ids.incrementAndGet(); consume(m.keyType)
+        ids.incrementAndGet(); consume(m.valueType)
+      case _ => ()
+    }
+    schema.fields.map { f =>
+      val id = ids.incrementAndGet()
+      consume(f.dataType)
+      f.name -> id
+    }.toMap
+  }
+
+  /** Per-file (record count, lower bounds, upper bounds) from parquet
+    * footers, read ON EXECUTORS — bounds as the spec's Appendix-D
+    * single-value bytes keyed by top-level column NAME (mapped to
+    * field-ids driver-side). Columns without safe stats (INT96, NaN
+    * floats, decimals, nested) are omitted — bounds are per-column
+    * optional. */
+  private def footerStats(spark: SparkSession, paths: Seq[String])
+      : Map[String, (Long, Map[String, Array[Byte]], Map[String, Array[Byte]])] = {
+    if (paths.isEmpty) return Map.empty
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.createDataset(paths)
+      .mapPartitions { it =>
+        val conf = confBc.value.value
+        it.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(f), conf)
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val (lo, hi) = footerBounds(rdr)
+            (f, (rdr.getRecordCount, lo, hi))
+          } finally rdr.close()
+        }
+      }
+      .collect().toMap
+  }
+
+  private def footerBounds(rdr: org.apache.parquet.hadoop.ParquetFileReader)
+      : (Map[String, Array[Byte]], Map[String, Array[Byte]]) = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(bb); bb.array()
+    }
+    // typed (comparable, encoded-bytes) of one chunk statistic; None
+    // drops the column
+    def render(tpe: org.apache.parquet.schema.PrimitiveType, v: Any,
+        upper: Boolean): Option[(Any, Array[Byte])] = {
+      val ann = tpe.getLogicalTypeAnnotation
+      (tpe.getPrimitiveTypeName, v) match {
+        case (INT32, i: java.lang.Integer) => ann match {
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some((i.intValue, le(4)(_.putInt(i))))
+        }
+        case (INT64, l: java.lang.Long) => ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some((l.longValue, le(8)(_.putLong(l))))
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                // micros bound: floor for lower, +999 for upper so the
+                // true microsecond values stay inside the interval
+                val micros = l * 1000L + (if (upper) 999L else 0L)
+                Some((micros, le(8)(_.putLong(micros))))
+              case _ => None
+            }
+          case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => None
+          case _ => Some((l.longValue, le(8)(_.putLong(l))))
+        }
+        case (FLOAT, f: java.lang.Float) =>
+          if (f.isNaN || f.isInfinite) None
+          else Some((f.floatValue, le(4)(_.putFloat(f))))
+        case (DOUBLE, d: java.lang.Double) =>
+          if (d.isNaN || d.isInfinite) None
+          else Some((d.doubleValue, le(8)(_.putDouble(d))))
+        case (BINARY, b: org.apache.parquet.io.api.Binary) => ann match {
+          case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+            val s = b.toStringUsingUTF8
+            Some((s, s.getBytes("UTF-8")))
+          case _ => None
+        }
+        case (BOOLEAN, b: java.lang.Boolean) =>
+          Some((b.booleanValue, Array[Byte](if (b) 1 else 0)))
+        case _ => None
+      }
+    }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Int, y: Int) => x < y
+      case (x: Long, y: Long) => x < y
+      case (x: Float, y: Float) => x < y
+      case (x: Double, y: Double) => x < y
+      case (x: String, y: String) => x < y
+      case (x: Boolean, y: Boolean) => !x && y
+      case _ => false
+    }
+    val acc = mutable.LinkedHashMap
+      .empty[String, ((Any, Array[Byte]), (Any, Array[Byte]))]
+    val dropped = mutable.Set.empty[String]
+    rdr.getFooter.getBlocks.asScala.foreach { b =>
+      b.getColumns.asScala.foreach { c =>
+        val path = c.getPath.toArray
+        if (path.length == 1 && !dropped.contains(path(0))) {
+          val name = path(0)
+          val st = c.getStatistics
+          if (st == null || st.isEmpty) {
+            // chunk carries NO stats: bounds would be wrong — drop column
+            dropped += name; acc.remove(name)
+          } else if (!st.hasNonNullValue) {
+            () // all-null chunk: other chunks' bounds still hold
+          } else {
+            val tpe = c.getPrimitiveType
+            (render(tpe, st.genericGetMin, upper = false),
+              render(tpe, st.genericGetMax, upper = true)) match {
+              case (Some(mn), Some(mx)) =>
+                acc.get(name) match {
+                  case Some((m0, x0)) =>
+                    acc(name) = (if (lt(mn._1, m0._1)) mn else m0,
+                      if (lt(x0._1, mx._1)) mx else x0)
+                  case None => acc(name) = (mn, mx)
+                }
+              case _ => dropped += name; acc.remove(name)
+            }
+          }
+        }
+      }
+    }
+    (acc.map { case (n, (mn, _)) => n -> mn._2 }.toMap,
+      acc.map { case (n, (_, mx)) => n -> mx._2 }.toMap)
   }
 
   /** `…/data/p=a/q=__HIVE_DEFAULT_PARTITION__/part….parquet` ⇒
@@ -655,6 +808,25 @@ object IcebergWriter {
       dataFile.put("partition", part)
       dataFile.put("record_count", f.recordCount)
       dataFile.put("file_size_in_bytes", f.size)
+      def boundsArray(field: String,
+          bounds: Map[Int, Array[Byte]]): Unit = {
+        val sf = dfSchema.getField(field)
+        if (sf != null && bounds.nonEmpty) {
+          val arrSchema = sf.schema().getTypes.get(1) // [null, array]
+          val itemSchema = arrSchema.getElementType
+          val arr = new GenericData.Array[GenericRecord](
+            bounds.size, arrSchema)
+          bounds.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val kv = new GenericData.Record(itemSchema)
+            kv.put("key", k)
+            kv.put("value", java.nio.ByteBuffer.wrap(v))
+            arr.add(kv)
+          }
+          dataFile.put(field, arr)
+        }
+      }
+      boundsArray("lower_bounds", f.lowerBounds)
+      boundsArray("upper_bounds", f.upperBounds)
       val e = new GenericData.Record(mSchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
@@ -1106,6 +1278,11 @@ object IcebergWriter {
     val contentField =
       if (withContent) """{"name":"content","type":"int","default":0,"field-id":134},"""
       else ""
+    // lower/upper_bounds: int-keyed maps, encoded (as Iceberg does) as
+    // arrays of key/value records with the spec's field-ids
+    val boundsFields =
+      """,{"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+        |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}""".stripMargin
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int","field-id":0},
@@ -1117,6 +1294,7 @@ object IcebergWriter {
          |    {"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partFields]}},
          |    {"name":"record_count","type":"long","field-id":103},
          |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+         |    $boundsFields
          |  ]}}
          |]}""".stripMargin)
   }

@@ -423,6 +423,38 @@ class Round6Spec extends AnyFunSuite {
       filters = Seq(ScanFilter("id", ">", 10000L))).count() == 0)
   }
 
+  test("iceberg pruned read: manifest lower/upper bounds skip data-column files") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    // two appends → two files with disjoint id/v ranges; the writer puts
+    // Appendix-D encoded bounds into each manifest entry
+    IcebergWriter.write(
+      (0L until 100L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), dir)
+    IcebergWriter.write(
+      (100L until 200L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1),
+      dir, mode = "append")
+    val snap = IcebergReader.snapshot(spark, dir)
+    assert(snap.files.size == 2)
+    assert(snap.files.forall(f =>
+      f.lowerBounds.nonEmpty && f.upperBounds.nonEmpty),
+      "manifest entries must carry lower/upper bounds")
+    // long-column range: only the first file's id interval matches
+    val pruned = IcebergReader.read(spark, dir,
+      filters = Seq(ScanFilter("id", "<", 50L)))
+    assert(scannedFiles(pruned).size == 1,
+      "id<50 must open only the first file")
+    assert(pruned.count() == 50)
+    // string-column equality prunes by the UTF-8 interval
+    val byStr = IcebergReader.read(spark, dir,
+      filters = Seq(ScanFilter("v", "=", "b150")))
+    assert(scannedFiles(byStr).size == 1)
+    assert(byStr.select("id").as[Long].head() == 150L)
+    // an unsatisfiable range builds no scan at all and still answers
+    assert(IcebergReader.read(spark, dir,
+      filters = Seq(ScanFilter("id", ">=", 10000L))).count() == 0)
+  }
+
   test("iceberg pruned read: identity and day-transform manifest pruning") {
     val spark0 = spark
     import spark0.implicits._
