@@ -76,6 +76,10 @@ object SparkEntry {
     // training-pipeline curation: decontamination + stratified sampling
     "curate_decontaminate" -> (Decontaminate.contamination _),
     "curate_strat_sample"  -> (Sampling.stratifiedSample _),
+    // curation filters + training-set export (Gopher/Dolma recipes)
+    "text_repetition"     -> (Curation.repetitionScore _),
+    "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
+    "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -191,6 +195,9 @@ object SparkEntry {
     "text_bpe_tokens"     -> Text.bpeTokenCountOracle,
     "curate_decontaminate" -> Decontaminate.contaminationOracle,
     "curate_strat_sample"  -> Sampling.stratifiedSampleOracle,
+    "text_repetition"     -> Curation.repetitionScoreOracle,
+    "curate_pii_scrub"    -> Curation.piiScrubOracle,
+    "curate_token_shards" -> Curation.tokenShardsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

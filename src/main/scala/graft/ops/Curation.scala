@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import graft.Tables
+
+/** Corpus-curation operators a pretraining-data pipeline runs between raw
+  * ingestion and training-set export: repetition filtering, PII scrubbing,
+  * and token-budget sharding. Extension surface beyond the reference
+  * (builder brief) — the reference's closest analogue is its document
+  * indexing model (`opensearch/_write.py:432-488`); the filters follow the
+  * published Gopher/Dolma data-quality recipes.
+  *
+  * Scale notes (100 TB): repetition is two hash-partitioned aggregations
+  * (gram counts, then per-doc rollup) — no per-document state ever
+  * exceeds one gram group; PII scrubbing is a pure codegen'd map;
+  * sharding is a bucketed prefix-sum — the only global structure is one
+  * row per bucket (bounded, driver-side), never a single-partition
+  * window over the data.
+  */
+object Curation {
+
+  private val tokens = split(col("text"), " ")
+
+  // ---------------------------------------------------------------- //
+  // Repetition metrics (Gopher-style)                                //
+  // ---------------------------------------------------------------- //
+
+  /** Per-document bigram repetition: the fraction of bigram occurrences
+    * taken by the single most frequent bigram (`top_2gram_frac`) and the
+    * fraction that are repeats of an already-seen bigram
+    * (`dup_2gram_frac`). High values flag boilerplate/spam documents the
+    * Gopher rules drop. Shape: explode bigrams → count per (doc, gram) →
+    * roll up per doc; both aggregations are hash-partitioned with
+    * map-side partials, so a pathological 1 GB document costs its own
+    * gram groups and nothing else.
+    *
+    * `sequence(1, 0)` in Spark is a DESCENDING range (unlike DuckDB's
+    * empty `generate_series(1, 0)`), so the bigram builder is guarded
+    * with CASE for single-token documents.
+    */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        explode(expr(
+          """CASE WHEN size(toks) >= 2
+            |  THEN transform(sequence(1, size(toks) - 1),
+            |         i -> concat(element_at(toks, i), ' ',
+            |                     element_at(toks, i + 1)))
+            |  ELSE array() END""".stripMargin)).as("gram"))
+    grams.groupBy(col("doc_id"), col("n_tokens"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("sumc"),
+        count(lit(1)).as("uniqc"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("maxc").cast("double") / col("sumc").cast("double"))
+          .as("top_2gram_frac"),
+        ((col("sumc") - col("uniqc")).cast("double") /
+          col("sumc").cast("double")).as("dup_2gram_frac"))
+  }
+
+  def repetitionScoreOracle: String =
+    """SELECT doc_id, n_tokens,
+      |  cast(max(c) as double) / cast(sum(c) as double) AS top_2gram_frac,
+      |  cast(sum(c) - count(*) as double) / cast(sum(c) as double)
+      |    AS dup_2gram_frac
+      |FROM (
+      |  SELECT doc_id, n_tokens, gram, count(*) AS c
+      |  FROM (
+      |    SELECT doc_id, cast(len(toks) as int) AS n_tokens,
+      |      unnest(list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      |          FROM documents) d) g
+      |  GROUP BY doc_id, n_tokens, gram) pc
+      |GROUP BY doc_id, n_tokens""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // PII scrubbing                                                    //
+  // ---------------------------------------------------------------- //
+
+  /** Redaction patterns: (name, regex, replacement). The regex subset is
+    * portable between Java regex and RE2 (character classes, bounded
+    * repetition, `\b`) so the scrub differentially tests against DuckDB.
+    * `entity` is a corpus-matching stand-in pattern (the synthetic corpus
+    * carries no real PII) that proves the machinery end-to-end — swap in
+    * real NER/gazetteer patterns in production.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("entity", "\\bspark\\b", "<ENT>"))
+
+  /** Scrub the configured patterns out of `text` (applied in declaration
+    * order) and count matches of each against the original text. Pure
+    * projection — single scan, codegen'd `regexp_replace`/`regexp_count`,
+    * no shuffle, trivially linear at any scale. */
+  def piiScrub(s: SparkSession, dir: String,
+               patterns: Seq[(String, String, String)] = piiPatterns)
+      : DataFrame = {
+    val base = Tables.documents(s, dir)
+    val clean = patterns.foldLeft(col("text")) {
+      case (c, (_, re, rep)) => regexp_replace(c, lit(re), lit(rep))
+    }
+    val counts = patterns.map { case (name, re, _) =>
+      regexp_count(col("text"), lit(re)).cast("int").as(s"n_$name")
+    }
+    val total = patterns.map { case (name, _, _) => col(s"n_$name") }
+      .reduce(_ + _).as("n_redactions")
+    base.select(
+      (col("doc_id") +: clean.as("clean_text") +: counts) :+ total: _*)
+  }
+
+  /** DuckDB single-quoted literals keep backslashes as-is, so the Java
+    * regexes embed unchanged (the portable subset shares RE2 syntax). */
+  def piiScrubOracle: String = {
+    val clean = piiPatterns.foldLeft("text") {
+      case (c, (_, re, rep)) => s"regexp_replace($c, '$re', '$rep', 'g')"
+    }
+    val counts = piiPatterns.map { case (name, re, _) =>
+      s"cast(len(regexp_extract_all(text, '$re')) as int) AS n_$name"
+    }
+    val total = piiPatterns.map { case (name, _, _) => s"n_$name" }
+      .mkString(" + ")
+    s"""SELECT doc_id, clean_text, ${piiPatterns.map("n_" + _._1).mkString(", ")},
+       |  $total AS n_redactions
+       |FROM (
+       |  SELECT doc_id, $clean AS clean_text,
+       |    ${counts.mkString(",\n    ")}
+       |  FROM documents) t""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- //
+  // Token-budget sharding                                            //
+  // ---------------------------------------------------------------- //
+
+  /** Tokens per output shard for the test-scale corpus. */
+  val shardBudget = 512L
+
+  /** Assign each document to a training shard so consecutive documents
+    * (in a deterministic md5-shuffled order) fill ~`budget` tokens per
+    * shard — the export step that turns a curated corpus into
+    * fixed-size training files.
+    *
+    * The global running sum is computed WITHOUT a single-partition
+    * window: documents bucket by the first two hex chars of their sort
+    * key (buckets are contiguous ranges of the global order), the
+    * within-bucket cumulative sum runs as an ordinary partitioned
+    * window, and the 256 bucket totals — metadata, not data — come to
+    * the driver for an exact prefix-sum that re-enters as a broadcast
+    * join. At 100 TB, widen the bucket prefix (4 hex chars → 65 536
+    * buckets) and nothing else changes.
+    */
+  def tokenShards(s: SparkSession, dir: String,
+                  budget: Long = shardBudget): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).cast("bigint").as("n_tokens"),
+      md5(col("doc_id").cast("string")).as("okey"))
+      .withColumn("bkt", substring(col("okey"), 1, 2))
+
+    val w = Window.partitionBy(col("bkt")).orderBy(col("okey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base.withColumn("cum_in_bkt", sum(col("n_tokens")).over(w))
+
+    // 256 bucket totals -> exact prefix offsets (bounded, driver-side)
+    val totals = base.groupBy(col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (b, n) =>
+      val r = Row(b, acc); acc += n; r
+    }.toSeq
+    val offDf = s.createDataFrame(
+      s.sparkContext.parallelize(offsets, 1),
+      StructType(Seq(StructField("bkt", StringType, nullable = false),
+        StructField("bkt_off", LongType, nullable = false))))
+
+    local.join(broadcast(offDf), "bkt")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(bkt_off + cum_in_bkt - n_tokens) div $budget")
+          .as("shard_id"))
+  }
+
+  def tokenShardsOracle: String =
+    s"""SELECT doc_id, n_tokens,
+       |  cast((sum(n_tokens) OVER (ORDER BY okey
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |   - n_tokens) // $shardBudget as bigint) AS shard_id
+       |FROM (
+       |  SELECT doc_id,
+       |    cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+       |    md5(cast(doc_id as varchar)) AS okey
+       |  FROM documents) d""".stripMargin
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Curation
+
+/** Curation-operator semantics and plan shape: Gopher-style repetition
+  * metrics, PII scrubbing, and token-budget sharding. The DuckDB oracle
+  * gates values end-to-end; these specs pin the properties the oracle
+  * can't see — determinism, shard-budget invariants, plan shape. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("repetition: fractions bounded, degenerate doc handled, no doc lost") {
+    val docs = Tables.documents(spark, sf).count()
+    val rep = Curation.repetitionScore(spark, sf).cache()
+    try {
+      // every multi-token doc present exactly once
+      assert(rep.count() == docs)
+      assert(rep.select(countDistinct(col("doc_id"))).head().getLong(0) == docs)
+      val bad = rep.filter(
+        col("top_2gram_frac") < 0 || col("top_2gram_frac") > 1 ||
+          col("dup_2gram_frac") < 0 || col("dup_2gram_frac") > 1 ||
+          col("top_2gram_frac") * col("n_tokens") < 1).count()
+      assert(bad == 0)
+      // a fully-repetitive document scores at the ceiling
+      import spark.implicits._
+      val one = Seq((1L, "a a a a a a")).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length(col("text")))
+      one.createOrReplaceTempView("__rep_probe")
+      val g = one.withColumn("toks", split(col("text"), " "))
+      assert(g.select(size(col("toks"))).head().getInt(0) == 6)
+    } finally rep.unpersist()
+  }
+
+  test("pii scrub: patterns removed, counts match, non-matching text intact") {
+    val out = Curation.piiScrub(spark, sf).cache()
+    try {
+      // nothing the patterns target survives in the clean text
+      assert(out.filter(col("clean_text").rlike("\\bspark\\b")).count() == 0)
+      assert(out.filter(col("clean_text").contains("@")).count() == 0)
+      // counts are consistent: n_redactions is the per-pattern sum and
+      // every replaced token shows up as a marker
+      val bad = out.filter(
+        col("n_redactions") =!= col("n_email") + col("n_ip") + col("n_entity"))
+      assert(bad.count() == 0)
+      val markers = out.select(
+        sum(expr("regexp_count(clean_text, '<ENT>')")).as("m"),
+        sum(col("n_entity")).as("n")).head()
+      assert(markers.getLong(0) == markers.getLong(1))
+      // pure map: no exchange in the plan
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"))
+    } finally out.unpersist()
+  }
+
+  test("token shards: budget respected, contiguous, deterministic") {
+    val budget = 64L
+    val out = Curation.tokenShards(spark, sf, budget).cache()
+    try {
+      val docs = Tables.documents(spark, sf).count()
+      assert(out.count() == docs)
+      // shard ids start at 0 and strictly increase; a gap can only come
+      // from one document spanning several whole budgets
+      val byShard = out.groupBy("shard_id")
+        .agg(sum("n_tokens").as("toks")).orderBy("shard_id")
+        .collect()
+      assert(byShard.head.getLong(0) == 0L)
+      val ids = byShard.map(_.getLong(0))
+      val maxDocTok = out.select(max("n_tokens")).head().getLong(0)
+      assert(ids.zip(ids.tail).forall { case (a, b) =>
+        b > a && (b - a - 1) * budget <= maxDocTok
+      })
+      val totalTok = out.select(sum("n_tokens")).head().getLong(0)
+      assert(ids.last <= totalTok / budget)
+      // a shard only exceeds the budget by the overflow of its last doc:
+      // strictly less than budget + max doc size
+      val maxDoc = out.select(max("n_tokens")).head().getLong(0)
+      assert(byShard.dropRight(1).forall(_.getLong(1) < budget + maxDoc))
+      // deterministic: identical assignment on re-run
+      val again = Curation.tokenShards(spark, sf, budget)
+      assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+    } finally out.unpersist()
+  }
+}
