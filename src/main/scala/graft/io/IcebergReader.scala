@@ -231,7 +231,7 @@ object IcebergReader {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
           else if (snap.deleteFiles.isEmpty && snap.equalityDeleteFiles.isEmpty)
-            spark.read.schema(snap.schema).parquet(snap.files.map(_.path): _*)
+            dataScan(spark, snap)
               .select(snap.schema.fieldNames.map(col).toSeq: _*)
           else applyDeletes(spark, snap)
         ScanFilters.residual(filters).map(base.filter).getOrElse(base)
@@ -333,8 +333,7 @@ object IcebergReader {
     * distributed parquet scan, never a driver materialization. */
   private[io] def applyDeletes(spark: SparkSession,
       snap: Snapshot): DataFrame = {
-    var data = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(_.path): _*)
+    var data = dataScan(spark, snap)
       .withColumn("__file", normalizePath(input_file_name()))
     if (snap.deleteFiles.nonEmpty) {
       val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
@@ -379,6 +378,57 @@ object IcebergReader {
       }
     }
     data.select(snap.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Scan the snapshot's data files. When the files carry parquet
+    * field-ids (the Iceberg spec requires native writers to embed them),
+    * columns resolve BY FIELD-ID, the way real Iceberg engines do — a
+    * column renamed in the table schema still reads correctly from files
+    * written under the old name, where name-matching would silently
+    * return nulls. The id-resolving scan is built through a session
+    * clone whose `parquet.fieldId.read` flag is on (the relation binds
+    * that session's conf, so nothing leaks into the caller's session);
+    * id-less files (pre-round-6 graft tables, imported parquet) keep the
+    * name-matched scan. Mixed tables — id-less files probed behind an
+    * id-carrying head file — fail the scan loudly (Iceberg's
+    * `name-mapping` import feature is not implemented), never silently.
+    * The probe is ONE footer read, driver-side, O(1) in table size. */
+  private[io] def dataScan(spark: SparkSession, snap: Snapshot,
+      only: Option[Seq[String]] = None): DataFrame = {
+    val paths = only.getOrElse(snap.files.map(_.path))
+    val idOf: Map[String, Int] = snap.fieldIdToName.map(_.swap)
+    if (idOf.nonEmpty && fileHasFieldIds(spark, paths.head)) {
+      val prev = org.apache.spark.sql.classic.SparkSession.getActiveSession
+      val ses = spark.newSession()
+      ses.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      try ses.read.schema(withFieldIds(snap.schema, idOf))
+        .parquet(paths: _*)
+      finally prev.foreach(
+        org.apache.spark.sql.classic.SparkSession.setActiveSession)
+    } else spark.read.schema(snap.schema).parquet(paths: _*)
+  }
+
+  /** Attach `parquet.field.id` metadata to the top-level fields that
+    * have ids in the table schema (nested-field ids are not mapped —
+    * nested members resolve by name within their id-matched parent). */
+  private def withFieldIds(schema: StructType,
+      idOf: Map[String, Int]): StructType =
+    StructType(schema.fields.map { f =>
+      idOf.get(f.name).map { id =>
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong("parquet.field.id", id.toLong).build())
+      }.getOrElse(f)
+    })
+
+  /** Does this parquet file's footer declare field-ids? One driver-side
+    * footer open — the probe that decides id- vs name-resolution. */
+  private def fileHasFieldIds(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      p, spark.sparkContext.hadoopConfiguration)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rdr.getFileMetaData.getSchema.getFields.asScala.exists(_.getId != null)
+    finally rdr.close()
   }
 
   /** Tiny (normalized file path → sequence number) frame for broadcast

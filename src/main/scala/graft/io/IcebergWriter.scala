@@ -222,7 +222,7 @@ object IcebergWriter {
     val sub = snap.copy(files = files, equalityDeleteFiles = Nil)
     val scan =
       if (snap.deleteFiles.isEmpty)
-        spark.read.schema(snap.schema).parquet(files.map(_.path): _*)
+        IcebergReader.dataScan(spark, sub)
       else IcebergReader.applyDeletes(spark, sub)
     scan.select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
@@ -336,13 +336,19 @@ object IcebergWriter {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pfields = IcebergReader.partitionFields(spark, tablePath)
-    val matched = spark.read.schema(snap.schema)
-      .parquet(snap.files.map(_.path): _*)
+    val matched = IcebergReader.dataScan(spark, snap)
       .withColumn("__file", input_file_name())
       .withColumn("__pos", col("_metadata.row_index"))
       .filter(predicate)
-      .select(col("__file").as("file_path"),
-        col("__pos").cast("long").as("pos"))
+      .select(
+        // the spec's reserved field-ids for position-delete columns,
+        // embedded so field-id-resolving readers open these files
+        col("__file").as("file_path",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483546L).build()),
+        col("__pos").cast("long").as("pos",
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("parquet.field.id", 2147483545L).build()))
     val staging = new Path(root, s".iceberg-del-staging-${UUID.randomUUID()}")
     try {
       matched.repartitionByRange(col("file_path"), col("pos"))
@@ -535,7 +541,22 @@ object IcebergWriter {
     val staging = new Path(root, s".iceberg-staging-${UUID.randomUUID()}")
     val Pt = "__ipt_"
     try {
-      val dup = partFields.foldLeft(df)((d, f) => d.withColumn(Pt + f.name,
+      // embed the table's field-ids in the parquet files (the spec
+      // requires them of native writers; field-id-resolving readers —
+      // ours included — need them for rename-safe column resolution).
+      // The id assignment is the same positional scheme commit() writes
+      // into the metadata JSON and the manifest bounds use.
+      val ids = topLevelFieldIds(df.schema)
+      val withIds = df.select(df.schema.fields.map { f =>
+        ids.get(f.name).map { id =>
+          col(f.name).as(f.name,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", id.toLong).build())
+        }.getOrElse(col(f.name))
+      }.toSeq: _*)
+      val dup = partFields.foldLeft(withIds)((d, f) => d.withColumn(
+        Pt + f.name,
         IcebergTransforms.column(spark, f, df.schema(f.source).dataType)))
       val w = dup.write.mode("overwrite")
       (if (partFields.nonEmpty) w.partitionBy(partFields.map(Pt + _.name): _*)
