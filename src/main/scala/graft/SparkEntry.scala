@@ -105,6 +105,7 @@ object SparkEntry {
     "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
     "fmt_iceberg_pos_delete" -> (TableRoundtrips.icebergPosDeleteRoundtrip _),
+    "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_pruned_read" -> (TableRoundtrips.deltaPrunedReadRoundtrip _),
     "fmt_iceberg_pruned_read" -> (TableRoundtrips.icebergPrunedReadRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
@@ -221,6 +222,7 @@ object SparkEntry {
     "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
     "fmt_iceberg_pos_delete" -> TableRoundtrips.icebergPosDeleteOracle,
+    "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_delta_pruned_read" -> TableRoundtrips.deltaPrunedReadOracle,
     "fmt_iceberg_pruned_read" -> TableRoundtrips.icebergPrunedReadOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,

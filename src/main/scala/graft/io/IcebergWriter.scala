@@ -50,7 +50,8 @@ object IcebergWriter {
       partitionValues: Map[String, Option[String]], size: Long,
       recordCount: Long,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      equalityIds: Seq[Int] = Nil)
 
   /** `to_iceberg(df, path, mode=…)` in the real format. `partitionBy`
     * entries are transform specs: a bare column name (identity),
@@ -378,6 +379,90 @@ object IcebergWriter {
       if (delFiles.isEmpty) return Committed(snap.snapshotId, -1L, 0)
       commit(spark, tablePath, snap.schema, pfields, adds = Nil, kept = Nil,
         operation = "delete", carryCurrentManifests = true,
+        expectedParent = Some(snap.snapshotId), deleteAdds = delFiles)
+    } finally fs.delete(staging, true)
+  }
+
+  /** Zero-rewrite UPSERT via v2 EQUALITY-DELETE files — the Flink-CDC
+    * commit shape (iceberg spec "Equality Delete Files"): ONE commit
+    * appends the new rows as data files and one equality-delete file
+    * whose rows are the distinct key tuples of `src`, with
+    * `equality_ids` naming the key columns' schema field-ids. Old rows
+    * with those keys disappear by the reader's sequence rule (a delete
+    * at sequence N removes only rows of data files with sequence < N —
+    * the rows added in this same commit survive). NOTHING is rewritten:
+    * upsert cost is O(src), not O(touched partitions), which at 100 TB
+    * is the difference between a streaming upsert and a table rewrite.
+    * Reads absorb the deletes until a compacting rewrite; the rewrite
+    * paths (merge/deleteMatched) detect live equality deletes and raise
+    * rather than resurrect. `src` must be key-unique (precombine
+    * upstream, as [[graft.table.MergeOps]] does) — duplicate keys in
+    * one batch would both survive. */
+  def upsertByKey(spark: SparkSession, tablePath: String, src: DataFrame,
+      keys: Seq[String]): Committed = {
+    var attempt = 0
+    while (true) {
+      try return upsertByKeyOnce(spark, tablePath, src, keys)
+      catch {
+        case _: ConcurrentCommit if attempt < MaxResolveRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def upsertByKeyOnce(spark: SparkSession, tablePath: String,
+      src: DataFrame, keys: Seq[String]): Committed = {
+    require(keys.nonEmpty, "upsertByKey needs at least one key column")
+    keys.foreach(k => require(src.columns.contains(k),
+      s"key column $k not in source"))
+    require(IcebergReader.isIcebergTable(spark, tablePath),
+      s"no Iceberg table at $tablePath")
+    val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
+    if (snapOpt.isEmpty || snapOpt.exists(_.files.isEmpty))
+      return write(src, tablePath, mode = "append")
+    val snap = snapOpt.get
+    checkAppendSchema(snap.schema, src.schema)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    val ids = topLevelFieldIds(snap.schema)
+    val eqIds = keys.map(k => ids.getOrElse(k,
+      throw new IllegalArgumentException(s"key $k not in table schema")))
+
+    val adds = writeDataFiles(src, tablePath, pfields)
+    // the equality-delete file: distinct key tuples, key columns only,
+    // written distributed with the keys' field-ids embedded
+    val keyDf = src.select(keys.map { k =>
+      col(k).as(k, new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("parquet.field.id", ids(k).toLong).build())
+    }.toSeq: _*).distinct()
+    val staging = new Path(root, s".iceberg-eqdel-staging-${UUID.randomUUID()}")
+    try {
+      keyDf.write.mode("overwrite").parquet(staging.toString)
+      val parts = {
+        val out = mutable.ArrayBuffer.empty[(String, Long)]
+        val it = fs.listFiles(staging, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet"))
+            out += ((st.getPath.toString, st.getLen))
+        }
+        out.toSeq
+      }
+      val counts = recordCounts(spark, parts.map(_._1))
+      val delFiles = parts.filter(p => counts.getOrElse(p._1, 0L) > 0L)
+        .map { case (srcPath, len) =>
+          val dst = new Path(new Path(root, "data"),
+            s"eqdelete-${UUID.randomUUID()}.parquet")
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(new Path(srcPath), dst))
+            throw new java.io.IOException(s"rename $srcPath -> $dst failed")
+          FileInfo(fs.makeQualified(dst).toString, Map.empty, len,
+            counts(srcPath), equalityIds = eqIds)
+        }
+      commit(spark, tablePath, snap.schema, pfields, adds, kept = Nil,
+        operation = "overwrite", carryCurrentManifests = true,
         expectedParent = Some(snap.snapshotId), deleteAdds = delFiles)
     } finally fs.delete(staging, true)
   }
@@ -824,6 +909,14 @@ object IcebergWriter {
       val dataFile = new GenericData.Record(dfSchema)
       if (dfSchema.getField("content") != null)
         dataFile.put("content", content)
+      if (f.equalityIds.nonEmpty) {
+        val sf = dfSchema.getField("equality_ids")
+        require(sf != null, "equality_ids field missing from manifest schema")
+        val arrSchema = sf.schema().getTypes.get(1) // [null, array]
+        val arr = new GenericData.Array[Integer](f.equalityIds.size, arrSchema)
+        f.equalityIds.foreach(id => arr.add(Int.box(id)))
+        dataFile.put("equality_ids", arr)
+      }
       dataFile.put("file_path", f.path)
       dataFile.put("file_format", "PARQUET")
       dataFile.put("partition", part)
@@ -880,7 +973,9 @@ object IcebergWriter {
       else {
         val p = new Path(metaDir, s"$snapshotId-m1.avro")
         Some(p -> writeAvro(fs, p, mSchema,
-          deleteAdds.map(entry(_, 1, 1)), manifestMeta("deletes", 2)))
+          deleteAdds.map(f =>
+            entry(f, 1, if (f.equalityIds.nonEmpty) 2 else 1)),
+          manifestMeta("deletes", 2)))
       }
 
     val lSchema = manifestListSchema
@@ -1296,8 +1391,12 @@ object IcebergWriter {
     }.mkString(",")
     // v2 delete manifests distinguish position/equality delete files by
     // data_file.content (spec field-id 134); v1 manifests omit it
+    // equality_ids (spec field-id 135, element 136): the schema field-ids
+    // an equality-delete file's rows match on; null for data/pos-delete
     val contentField =
-      if (withContent) """{"name":"content","type":"int","default":0,"field-id":134},"""
+      if (withContent)
+        """{"name":"content","type":"int","default":0,"field-id":134},
+          |{"name":"equality_ids","field-id":135,"default":null,"type":["null",{"type":"array","items":"int","element-id":136}]},""".stripMargin
       else ""
     // lower/upper_bounds: int-keyed maps, encoded (as Iceberg does) as
     // arrays of key/value records with the spec's field-ids

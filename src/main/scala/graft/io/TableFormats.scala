@@ -132,6 +132,15 @@ object TableFormats {
   /** `DELETE FROM … WHERE` on a real Iceberg table WITHOUT rewriting
     * data files — v2 position-delete files ([[IcebergWriter.deleteWhere]],
     * the Iceberg symmetry of [[deleteFromDeltalake]]'s DV delete). */
+  /** Zero-rewrite key UPSERT on a REAL Iceberg table: one commit adds
+    * the new rows and an equality-delete file for their keys
+    * ([[IcebergWriter.upsertByKey]] — the Flink-CDC shape); nothing is
+    * rewritten, reads absorb the deletes with sequence ordering. */
+  def upsertIceberg(spark: SparkSession, path: String,
+      src: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): IcebergWriter.Committed =
+    IcebergWriter.upsertByKey(spark, path, src, keys)
+
   def deleteFromIceberg(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): IcebergWriter.Committed =
     IcebergWriter.deleteWhere(spark, path, predicate)

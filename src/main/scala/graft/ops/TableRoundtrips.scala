@@ -207,6 +207,21 @@ object TableRoundtrips {
       IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
   }
 
+  /** Zero-rewrite Iceberg UPSERT via v2 equality-delete files: seed,
+    * then one commit that appends updated+new rows and equality-deletes
+    * their keys from the older files (no data-file rewrite); the spec
+    * reader applies the deletes with sequence ordering. */
+  def icebergEqUpsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-eq").toString
+    val tmp = root + "/t"
+    seedAndMerge(s, dir)(
+      base => IcebergWriter.write(base, tmp,
+        partitionBy = Seq("c_mktsegment")),
+      src => IcebergWriter.upsertByKey(s, tmp, src, keys = Seq("c_custkey")))
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
   def icebergPosDeleteOracle: String =
     """SELECT c_custkey, c_mktsegment, c_acctbal
       |FROM customer
