@@ -331,6 +331,18 @@ object DeltaLogReader {
     if (files.isEmpty)
       return filtered(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], snap.schema))
+    filtered(scanFiles(spark, tablePath, snap, files))
+  }
+
+  /** The snapshot-subset scan `read` is built on: DV-applied,
+    * partition values re-attached, logical names restored. `optimize`
+    * uses it to rewrite a candidate subset delete-aware. */
+  private[io] def scanFiles(spark: SparkSession, tablePath: String,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val physOf = physicalNames(snap)
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // qualified URIs so they compare equal to input_file_name()'s output
@@ -364,11 +376,11 @@ object DeltaLogReader {
         spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
       df = df.join(broadcast(manifest), Seq("__file"), "left")
     }
-    filtered(df.select(snap.schema.fields.map { f =>
+    df.select(snap.schema.fields.map { f =>
       if (snap.partitionColumns.contains(f.name))
         col(f.name).cast(f.dataType).as(f.name)
       else col(physOf(f.name)).as(f.name)
-    }.toSeq: _*))
+    }.toSeq: _*)
   }
 
   /** Keep-if-maybe-match per file: partition columns decide from the

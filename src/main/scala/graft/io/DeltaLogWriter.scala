@@ -240,6 +240,44 @@ object DeltaLogWriter {
     * its modification time is older than `retentionMs` — so concurrent
     * readers of recent-but-stale snapshots never lose files mid-query.
     * Returns the deleted paths. */
+  /** OPTIMIZE: rewrite small files toward `targetSize` and MATERIALIZE
+    * deletion vectors — after a run of DV deletes leaves a table
+    * reading through (file, pos) anti-joins, compaction folds the
+    * deletes back into plain files and the scan plan returns to a bare
+    * parquet read. Candidates are every active file under `targetSize`
+    * or carrying a DV; they rewrite through the DV-applied subset scan
+    * into ceil(candidateBytes / targetSize) output files per partition
+    * directory, and commit as remove+add with `dataChange=false` (the
+    * spec's no-new-data marker, so incremental consumers skip it).
+    * Untouched files are untouched — O(candidates), not O(table).
+    * Column-mapped tables raise ([[DeltaLogReader.read]] resolves their
+    * physical names but a rewrite would have to re-emit them; loud, not
+    * wrong). */
+  def optimize(spark: SparkSession, tablePath: String,
+      targetSize: Long = 128L * 1024 * 1024): Committed = {
+    val latest = DeltaLogReader.latestVersion(spark, tablePath)
+    require(latest >= 0, s"no Delta table at $tablePath")
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (mode != "none")
+      throw new UnsupportedDeltaFeatureException(
+        s"optimize on a column-mapped table (mode=$mode): rewriting " +
+          "would drop the physical-name mapping")
+    val candidates = snap.files.filter(f =>
+      f.size < targetSize || f.deletionVector.isDefined)
+    val worthIt = candidates.exists(_.deletionVector.isDefined) ||
+      candidates.size >= 2
+    if (!worthIt) return Committed(latest, 0)
+    val rows = DeltaLogReader.scanFiles(spark, tablePath, snap, candidates)
+    val outFiles = math.max(1L,
+      (candidates.map(_.size).sum + targetSize - 1) / targetSize).toInt
+    val adds = writeDataFiles(rows.coalesce(outFiles), tablePath,
+      snap.partitionColumns)
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
+      removes = candidates.map(_.path), "OPTIMIZE", emitMeta = false,
+      dataChange = false)
+  }
+
   def vacuum(spark: SparkSession, tablePath: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     import spark.implicits._
@@ -691,7 +729,8 @@ object DeltaLogWriter {
   private def commitLoop(spark: SparkSession, tablePath: String,
       schema: StructType, partCols: Seq[String], adds: Seq[AddEntry],
       removes: Seq[String], operation: String, emitMeta: Boolean,
-      extraActions: Seq[String] = Nil): Committed = {
+      extraActions: Seq[String] = Nil,
+      dataChange: Boolean = true): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -699,7 +738,7 @@ object DeltaLogWriter {
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
       val lines = actionLines(schema, partCols, adds, removes, operation,
-        emitMeta = emitMeta || version == 0L, extraActions)
+        emitMeta = emitMeta || version == 0L, extraActions, dataChange)
       val target = new Path(logDir, f"$version%020d.json")
       try {
         val out = fs.create(target, false)
@@ -719,7 +758,8 @@ object DeltaLogWriter {
 
   private def actionLines(schema: StructType, partCols: Seq[String],
       adds: Seq[AddEntry], removes: Seq[String], operation: String,
-      emitMeta: Boolean, extraActions: Seq[String] = Nil): Seq[String] = {
+      emitMeta: Boolean, extraActions: Seq[String] = Nil,
+      dataChange: Boolean = true): Seq[String] = {
     val now = System.currentTimeMillis()
     val info =
       s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)},"operationParameters":{},"engineInfo":"graft"}}"""
@@ -728,7 +768,7 @@ object DeltaLogWriter {
       s"""{"metaData":{"id":${jstr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":[${partCols.map(jstr).mkString(",")}],"configuration":{},"createdTime":$now}}""")
     else Nil
     val removeLines = removes.map(p =>
-      s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,"dataChange":true}}""")
+      s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}""")
     val addLines = adds.map { a =>
       val pv = a.partitionValues.map { case (k, v) =>
         s"${jstr(k)}:${v.map(jstr).getOrElse("null")}"
@@ -737,7 +777,7 @@ object DeltaLogWriter {
         s""","deletionVector":{"storageType":${jstr(d.storageType)},"pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
         .getOrElse("")
       val st = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
-      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true$dv$st}}"""
+      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":$dataChange$dv$st}}"""
     }
     (info +: metaLines) ++ extraActions ++ removeLines ++ addLines
   }

@@ -383,6 +383,68 @@ object IcebergWriter {
     } finally fs.delete(staging, true)
   }
 
+  /** `rewrite_data_files` — Iceberg's compaction: rewrite small files
+    * toward `targetFileSizeBytes` and MATERIALIZE accumulated delete
+    * files back into plain data files, completing the CDC lifecycle
+    * ([[upsertByKey]]'s equality deletes and [[deleteWhere]]'s position
+    * deletes stack until exactly this maintenance pass). Candidates are
+    * every active file under the target size plus every file a position
+    * delete targets; a table with live EQUALITY deletes rewrites in
+    * full (an untouched file's rows could match any key). Candidates
+    * rewrite through the sequence-ordered delete-applying scan into
+    * ~ceil(bytes/target) files; untouched files carry as EXISTING
+    * manifest entries; NO delete manifest survives the commit — after
+    * compaction the read plan is a bare scan again. */
+  def rewriteDataFiles(spark: SparkSession, tablePath: String,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Committed = {
+    var attempt = 0
+    while (true) {
+      try return rewriteDataFilesOnce(spark, tablePath, targetFileSizeBytes)
+      catch {
+        case _: ConcurrentCommit if attempt < MaxResolveRetries =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def rewriteDataFilesOnce(spark: SparkSession, tablePath: String,
+      targetFileSizeBytes: Long): Committed = {
+    require(IcebergReader.isIcebergTable(spark, tablePath),
+      s"no Iceberg table at $tablePath")
+    val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
+    if (snapOpt.isEmpty || snapOpt.exists(_.files.isEmpty))
+      return Committed(snapOpt.map(_.snapshotId).getOrElse(-1L), -1L, 0)
+    val snap = snapOpt.get
+    val hasEq = snap.equalityDeleteFiles.nonEmpty
+    val posTargets = deleteTargetPaths(spark, snap)
+    val candidates =
+      if (hasEq) snap.files
+      else snap.files.filter(f => f.sizeBytes < targetFileSizeBytes ||
+        posTargets.contains(normPath(f.path)))
+    val worthIt = hasEq || posTargets.nonEmpty || candidates.size >= 2
+    if (candidates.isEmpty || !worthIt)
+      return Committed(snap.snapshotId, -1L, 0)
+    val kept = {
+      val c = candidates.map(f => normPath(f.path)).toSet
+      snap.files.filterNot(f => c.contains(normPath(f.path)))
+    }
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    val sub = snap.copy(files = candidates)
+    val rows =
+      if (snap.deleteFiles.isEmpty && !hasEq)
+        IcebergReader.dataScan(spark, sub)
+          .select(snap.schema.fieldNames.map(col).toSeq: _*)
+      else IcebergReader.applyDeletes(spark, sub)
+    val outFiles = math.max(1L,
+      (candidates.map(_.sizeBytes).sum + targetFileSizeBytes - 1) /
+        targetFileSizeBytes).toInt
+    val adds = writeDataFiles(rows.coalesce(outFiles), tablePath, pfields)
+    commit(spark, tablePath, snap.schema, pfields, adds, kept.map(asInfo),
+      operation = "replace", carryCurrentManifests = false,
+      expectedParent = Some(snap.snapshotId))
+  }
+
   /** Zero-rewrite UPSERT via v2 EQUALITY-DELETE files — the Flink-CDC
     * commit shape (iceberg spec "Equality Delete Files"): ONE commit
     * appends the new rows as data files and one equality-delete file

@@ -147,6 +147,22 @@ object TableFormats {
 
   /** `VACUUM` a real Delta table: physically remove data files and DV
     * sidecars no current-snapshot reference, past the retention window. */
+  /** OPTIMIZE a REAL Delta table: compact small files and materialize
+    * deletion vectors ([[DeltaLogWriter.optimize]]); commits with
+    * `dataChange=false`. Pair with [[vacuumDeltalake]] to reclaim the
+    * superseded files. */
+  def optimizeDeltalake(spark: SparkSession, path: String,
+      targetSize: Long = 128L * 1024 * 1024): DeltaLogWriter.Committed =
+    DeltaLogWriter.optimize(spark, path, targetSize)
+
+  /** Compact a REAL Iceberg table (`rewrite_data_files`): bin-pack small
+    * files and materialize position/equality delete files back into
+    * plain data files ([[IcebergWriter.rewriteDataFiles]]). Pair with
+    * [[expireIcebergSnapshots]] to reclaim the superseded files. */
+  def rewriteIcebergDataFiles(spark: SparkSession, path: String,
+      targetSize: Long = 128L * 1024 * 1024): IcebergWriter.Committed =
+    IcebergWriter.rewriteDataFiles(spark, path, targetSize)
+
   def vacuumDeltalake(spark: SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     DeltaLogWriter.vacuum(spark, path, retentionMs)
