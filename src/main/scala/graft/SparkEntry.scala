@@ -106,6 +106,8 @@ object SparkEntry {
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
     "fmt_iceberg_pos_delete" -> (TableRoundtrips.icebergPosDeleteRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
+    "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
+    "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
     "fmt_delta_pruned_read" -> (TableRoundtrips.deltaPrunedReadRoundtrip _),
     "fmt_iceberg_pruned_read" -> (TableRoundtrips.icebergPrunedReadRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
@@ -223,6 +225,10 @@ object SparkEntry {
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
     "fmt_iceberg_pos_delete" -> TableRoundtrips.icebergPosDeleteOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
+    // compaction is result-INVARIANT: the oracles are the pre-compaction
+    // states — any lost/resurrected row hash-mismatches
+    "fmt_delta_optimize"   -> TableRoundtrips.deltaDvDeleteOracle,
+    "fmt_iceberg_rewrite"  -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_delta_pruned_read" -> TableRoundtrips.deltaPrunedReadOracle,
     "fmt_iceberg_pruned_read" -> TableRoundtrips.icebergPrunedReadOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,

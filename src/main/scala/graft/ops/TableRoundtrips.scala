@@ -112,6 +112,38 @@ object TableRoundtrips {
       |FROM customer
       |WHERE c_custkey <= 50 AND c_custkey % 7 <> 0""".stripMargin
 
+  /** Compaction invariance, Delta: seed partitioned, DV-delete a key
+    * slice, OPTIMIZE (DVs materialized, small files folded), read. The
+    * final state must equal the plain DV-delete state — compaction that
+    * loses or resurrects a row hash-mismatches. */
+  def deltaOptimizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-opt").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(base, tmp, partitionBy = Seq("c_mktsegment"))
+    DeltaLogWriter.deleteWhere(s, tmp, col("c_custkey") % 7 === 0)
+    DeltaLogWriter.optimize(s, tmp)
+    materializedWithoutTemp(s,
+      DeltaLogReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
+  /** Compaction invariance, Iceberg: seed partitioned, equality-upsert
+    * a key slice, rewrite_data_files (deletes materialized, gates
+    * lifted), read — must equal the plain upsert state. */
+  def icebergRewriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-rw").toString
+    val tmp = root + "/t"
+    seedAndMerge(s, dir)(
+      base => IcebergWriter.write(base, tmp,
+        partitionBy = Seq("c_mktsegment")),
+      src => IcebergWriter.upsertByKey(s, tmp, src, keys = Seq("c_custkey")))
+    IcebergWriter.rewriteDataFiles(s, tmp)
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
   /** Iceberg `day(ts)` partition-transform roundtrip: a timestamp-keyed
     * table partitioned by the day transform, merged on a 3-day slice —
     * the merge must rewrite ONLY the matched day partitions (EXISTING
