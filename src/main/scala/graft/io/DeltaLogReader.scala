@@ -315,9 +315,6 @@ object DeltaLogReader {
       filters: Seq[ScanFilter] = Nil): DataFrame = {
     val snap = snapshot(spark, tablePath, asOfVersion)
     val physOf = physicalNames(snap)
-    val dataFields = snap.schema.fields
-      .filterNot(f => snap.partitionColumns.contains(f.name))
-    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
     // metadata-only file pruning: partition values from the log, min/max
     // from each add's `stats` — a selective read of a 100k-file table
     // never opens the unmatched files' footers. The same predicate is
