@@ -108,6 +108,39 @@ object DeltaLogReader {
     (commits.keys ++ checkpoints.keys).foldLeft(-1L)(math.max)
   }
 
+  /** `TIMESTAMP AS OF`: the latest version whose commit time is at or
+    * before `tsMillis`. Commit time is the commitInfo action's
+    * `timestamp` when present, else the commit file's modification
+    * time, MONOTONIZED by running max (the same adjustment real Delta
+    * engines apply — commit clocks can regress across writers, and an
+    * unadjusted dip would make time travel non-deterministic). Raises
+    * if `tsMillis` precedes the earliest available commit (older JSON
+    * may have been checkpoint-compacted away — loud, not guessed). */
+  def versionAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val (commits, _) = logFiles(spark, tablePath)
+    require(commits.nonEmpty, s"no Delta commits under $tablePath")
+    val fs = new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val ordered = commits.toSeq.sortBy(_._1)
+    var runningMax = Long.MinValue
+    val stamped = ordered.map { case (v, p) =>
+      val commitTs = readLines(spark, p).iterator
+        .map(l => mapper.readTree(l))
+        .collectFirst { case n if n.has("commitInfo") &&
+          n.get("commitInfo").has("timestamp") =>
+          n.get("commitInfo").get("timestamp").asLong }
+        .getOrElse(fs.getFileStatus(new Path(p)).getModificationTime)
+      runningMax = math.max(runningMax, commitTs)
+      (v, runningMax)
+    }
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis precedes the earliest available commit " +
+        s"(${stamped.head._2} at version ${stamped.head._1})")
+    at.map(_._1).max
+  }
+
   /** Reconstruct the snapshot at `asOfVersion` (default: latest). */
   def snapshot(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): Snapshot = {
@@ -312,8 +345,11 @@ object DeltaLogReader {
     */
   def read(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None,
-      filters: Seq[ScanFilter] = Nil): DataFrame = {
-    val snap = snapshot(spark, tablePath, asOfVersion)
+      filters: Seq[ScanFilter] = Nil,
+      asOfTimestamp: Option[Long] = None): DataFrame = {
+    val version = asOfVersion.orElse(
+      asOfTimestamp.map(versionAtTimestamp(spark, tablePath, _)))
+    val snap = snapshot(spark, tablePath, version)
     val physOf = physicalNames(snap)
     // metadata-only file pruning: partition values from the log, min/max
     // from each add's `stats` — a selective read of a 100k-file table

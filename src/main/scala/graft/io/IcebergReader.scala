@@ -99,6 +99,36 @@ object IcebergReader {
     (metaSchema(meta), metaPartCols(meta))
   }
 
+  /** `FOR TIMESTAMP AS OF` (Athena's Iceberg time-travel syntax): the
+    * snapshot current at `tsMillis` per the metadata's `snapshot-log`
+    * (each entry records when its snapshot BECAME current). Raises if
+    * the timestamp precedes the first log entry. */
+  def snapshotIdAtTimestamp(spark: SparkSession, tablePath: String,
+      tsMillis: Long): Long = {
+    val log = jsonArray(currentMetadata(spark, tablePath)
+      .get("snapshot-log"))
+    require(log.nonEmpty, s"no snapshot-log in $tablePath")
+    val at = log.filter(_.get("timestamp-ms").asLong <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis precedes the first snapshot " +
+        s"(${log.map(_.get("timestamp-ms").asLong).min})")
+    at.maxBy(_.get("timestamp-ms").asLong).get("snapshot-id").asLong
+  }
+
+  /** Resolve a named snapshot REF (spec v2 `refs`: branches and tags —
+    * `VERSION AS OF 'ref'` resolves through the same map in Athena/
+    * Spark). Raises on an unknown name. */
+  def refSnapshotId(spark: SparkSession, tablePath: String,
+      name: String): Long = {
+    val meta = currentMetadata(spark, tablePath)
+    Option(meta.get("refs")).flatMap(r => Option(r.get(name)))
+      .map(_.get("snapshot-id").asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no ref '$name' in $tablePath (have " +
+          Option(meta.get("refs")).map(_.fieldNames.asScala.mkString(","))
+            .getOrElse("none") + ")"))
+  }
+
   /** The current snapshot, or None for an empty (no-snapshot) table. */
   def snapshotOpt(spark: SparkSession, tablePath: String,
       asOfSnapshotId: Option[Long] = None): Option[Snapshot] = {
@@ -211,8 +241,13 @@ object IcebergReader {
     * distributed scan over the active file list with the log's schema. */
   def read(spark: SparkSession, tablePath: String,
       asOfSnapshotId: Option[Long] = None,
-      filters: Seq[ScanFilter] = Nil): DataFrame =
-    snapshotOpt(spark, tablePath, asOfSnapshotId) match {
+      filters: Seq[ScanFilter] = Nil,
+      asOfTimestamp: Option[Long] = None,
+      asOfRef: Option[String] = None): DataFrame = {
+    val wanted = asOfSnapshotId
+      .orElse(asOfRef.map(refSnapshotId(spark, tablePath, _)))
+      .orElse(asOfTimestamp.map(snapshotIdAtTimestamp(spark, tablePath, _)))
+    snapshotOpt(spark, tablePath, wanted) match {
       case None => // created-but-never-written table: schema, no rows
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -236,6 +271,7 @@ object IcebergReader {
           else applyDeletes(spark, snap)
         ScanFilters.residual(filters).map(base.filter).getOrElse(base)
     }
+  }
 
   /** Files whose manifest partition values may satisfy every filter.
     * Identity fields compare typed; `day/month/year/hour` compare as

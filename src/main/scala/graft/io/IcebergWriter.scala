@@ -2,6 +2,7 @@ package graft.io
 
 import java.util.UUID
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.avro.file.DataFileWriter
@@ -529,6 +530,60 @@ object IcebergWriter {
     } finally fs.delete(staging, true)
   }
 
+  /** Create or move a named snapshot REF (spec v2 `refs` — `tag` pins a
+    * snapshot for reproducible reads, `branch` names a movable head).
+    * Defaults to tagging the current snapshot. A metadata-only commit
+    * through the same create-exclusive claim loop as data commits, so
+    * it composes with concurrent writers. Returns the tagged snapshot
+    * id; [[IcebergReader.read]] resolves it via `asOfRef`. */
+  def setRef(spark: SparkSession, tablePath: String, name: String,
+      snapshotId: Option[Long] = None, refType: String = "tag"): Long = {
+    require(refType == "tag" || refType == "branch",
+      s"refType must be tag|branch, got $refType")
+    require(name.nonEmpty, "ref name must be non-empty")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val known = IcebergReaderAccess.jsonArray(meta.get("snapshots"))
+        .map(_.get("snapshot-id").asLong).toSet
+      val target = snapshotId.orElse(
+        Option(meta.get("current-snapshot-id")).map(_.asLong)
+          .filter(_ >= 0)).getOrElse(throw new IllegalArgumentException(
+        s"no snapshot to $refType at $tablePath"))
+      require(known.contains(target),
+        s"snapshot $target not in the log of $tablePath")
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      val refs =
+        if (node.has("refs") && node.get("refs").isObject)
+          node.get("refs").asInstanceOf[ObjectNode]
+        else { val r = mapper.createObjectNode(); node.set[ObjectNode]("refs", r); r }
+      val entry = mapper.createObjectNode()
+      entry.put("snapshot-id", target)
+      entry.put("type", refType)
+      refs.set[ObjectNode](name, entry)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      try {
+        val out = fs.create(targetPath, false)
+        try out.write(mapper.writerWithDefaultPrettyPrinter()
+          .writeValueAsBytes(node))
+        finally out.close()
+        writeHint(fs, metaDir, claimedMax + 1)
+        return target
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the claim
+      }
+    }
+    throw new java.io.IOException(
+      s"could not claim a ref commit after $attempts attempts at $tablePath")
+  }
+
   /** `expire_snapshots` + orphan-file cleanup — the maintenance every
     * long-lived Iceberg table needs (the reference defers to S3 Tables
     * auto-maintenance; this engine owns the table). Two phases:
@@ -568,11 +623,16 @@ object IcebergWriter {
       val snaps = IcebergReaderAccess.jsonArray(meta.get("snapshots"))
       val current = Option(meta.get("current-snapshot-id"))
         .map(_.asLong).getOrElse(-1L)
+      // refs PIN their snapshots (real Iceberg expiry honors branch/tag
+      // retention) — expiring a tagged snapshot would dangle the ref
+      val refIds = Option(meta.get("refs")).toSeq
+        .flatMap(r => r.elements().asScala.toSeq
+          .map(_.get("snapshot-id").asLong))
       val keepIds = snaps.sortBy(-_.get("timestamp-ms").asLong)
         .take(math.max(retainLast, 1))
         .map(_.get("snapshot-id").asLong).toSet ++
         snaps.filter(_.get("timestamp-ms").asLong >= now - retentionMs)
-          .map(_.get("snapshot-id").asLong) + current
+          .map(_.get("snapshot-id").asLong) ++ refIds + current
       val expired = snaps.map(_.get("snapshot-id").asLong).toSet -- keepIds
       if (expired.isEmpty) done = true
       else {
@@ -1360,6 +1420,20 @@ object IcebergWriter {
     logEntry.put("snapshot-id", snapshotId)
     log.add(logEntry)
     node.set[ArrayNode]("snapshot-log", log)
+    // refs (branches/tags) survive data commits; the main branch (when
+    // present) follows the new snapshot
+    prior.flatMap(p => Option(p.get("refs")).filter(_.isObject)).foreach {
+      priorRefs =>
+        val refs = priorRefs.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[ObjectNode]
+        if (refs.has("main") &&
+            "branch" == Option(refs.get("main").get("type"))
+              .map(_.asText).getOrElse("branch")) {
+          val main = refs.get("main").asInstanceOf[ObjectNode]
+          main.put("snapshot-id", snapshotId)
+        }
+        node.set[ObjectNode]("refs", refs)
+    }
     node
   }
 

@@ -121,6 +121,31 @@ object TableFormats {
       snapshotId: Long): DataFrame =
     IcebergReader.read(spark, path, Some(snapshotId))
 
+  /** `FOR TIMESTAMP AS OF` (Athena's Iceberg time-travel): the snapshot
+    * current at `tsMillis` per the metadata's snapshot-log. */
+  def fromIcebergAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    IcebergReader.read(spark, path, asOfTimestamp = Some(tsMillis))
+
+  /** Read a named Iceberg snapshot ref (spec v2 branches/tags); create
+    * one with [[tagIcebergSnapshot]]. */
+  def fromIcebergRef(spark: SparkSession, path: String,
+      ref: String): DataFrame =
+    IcebergReader.read(spark, path, asOfRef = Some(ref))
+
+  /** Tag (or branch) a snapshot for reproducible reads — the `refs`
+    * metadata commit ([[IcebergWriter.setRef]]); tagged snapshots
+    * survive [[expireIcebergSnapshots]]. */
+  def tagIcebergSnapshot(spark: SparkSession, path: String, name: String,
+      snapshotId: Option[Long] = None, refType: String = "tag"): Long =
+    IcebergWriter.setRef(spark, path, name, snapshotId, refType)
+
+  /** `TIMESTAMP AS OF` on a real Delta table: the latest version whose
+    * (monotonized) commit timestamp is at or before `tsMillis`. */
+  def readDeltalakeAtTimestamp(spark: SparkSession, path: String,
+      tsMillis: Long): DataFrame =
+    DeltaLogReader.read(spark, path, asOfTimestamp = Some(tsMillis))
+
   /** `DELETE FROM` a real Delta table WITHOUT rewriting data files —
     * routes to [[DeltaLogWriter.deleteWhere]], which writes deletion
     * vectors (and removes fully-deleted files). The delete shape that
