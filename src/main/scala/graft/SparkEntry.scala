@@ -80,6 +80,7 @@ object SparkEntry {
     "text_repetition"     -> (Curation.repetitionScore _),
     "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
+    "curate_mix_uniform"  -> (Curation.mixToUniform _),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -201,6 +202,7 @@ object SparkEntry {
     "text_repetition"     -> Curation.repetitionScoreOracle,
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
+    "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

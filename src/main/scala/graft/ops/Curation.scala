@@ -135,6 +135,56 @@ object Curation {
   }
 
   // ---------------------------------------------------------------- //
+  // Data mixing                                                      //
+  // ---------------------------------------------------------------- //
+
+  /** Re-weight the corpus toward a UNIFORM per-source token share — the
+    * "data mixing" step every pretraining pipeline runs between
+    * curation and export: measure the actual token distribution, derive
+    * a per-source keep-rate `min(1, target_share / actual_share)`
+    * (downsample-only), and keep rows by [[Sampling.keepPredicate]]'s
+    * deterministic md5 threshold. Unlike [[Sampling.stratified]]'s
+    * static rates, the rates here CLOSE THE LOOP from the measured
+    * distribution to the sampling decision.
+    *
+    * Scale: one hash aggregation over sources (metadata-sized result),
+    * broadcast back; the keep decision itself stays a codegen'd
+    * map-side filter over the corpus scan. Deterministic across
+    * re-runs, retries, and layouts. */
+  def mixToUniform(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      size(tokens).cast("bigint").as("n"))
+    val tot = tok.groupBy(col("source")).agg(sum(col("n")).as("src_n"))
+    val g = tok.agg(sum(col("n")).as("all_n"),
+      countDistinct(col("source")).as("n_src"))
+    // weight arithmetic in one fixed order so the doubles are
+    // bit-identical to the oracle's
+    val w = tot.crossJoin(broadcast(g)).select(col("source"),
+      least(lit(1.0),
+        col("all_n").cast("double") / col("n_src") / col("src_n")).as("w"))
+    tok.join(broadcast(w), "source")
+      .filter(Sampling.keepPredicate(col("doc_id"), col("source"), col("w")))
+      .select(col("doc_id"), col("source"))
+  }
+
+  def mixToUniformOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source,
+      |    cast(len(string_split(text, ' ')) as bigint) AS n
+      |  FROM documents),
+      |tot AS (SELECT source, sum(n) AS src_n FROM tok GROUP BY source),
+      |g AS (SELECT sum(n) AS all_n, count(DISTINCT source) AS n_src
+      |      FROM tok),
+      |w AS (SELECT source,
+      |        least(1.0, cast(all_n as double) / n_src / src_n) AS w
+      |      FROM tot, g)
+      |SELECT t.doc_id, t.source FROM tok t JOIN w ON t.source = w.source
+      |WHERE substring(md5(t.source || ':' || cast(t.doc_id as varchar)), 1, 8)
+      |  < lpad(lower(hex(cast(floor(
+      |      least(greatest(w.w, 0.0), 0.9999999997) * 4294967296.0)
+      |    as bigint))), 8, '0')""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // Token-budget sharding                                            //
   // ---------------------------------------------------------------- //
 

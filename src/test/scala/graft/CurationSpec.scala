@@ -57,6 +57,32 @@ class CurationSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("mix to uniform: big sources downweighted, deterministic, no upsample") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("n", size(split(col("text"), " ")).cast("bigint"))
+    val srcTokens = docs.groupBy("source").agg(sum("n").as("src_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Curation.mixToUniform(spark, sf).cache()
+    try {
+      // downsample-only: no source keeps more docs than it has
+      val keptBySrc = kept.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val docsBySrc = docs.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(keptBySrc.forall { case (s, n) => n <= docsBySrc(s) })
+      // the biggest source is cut harder than the smallest
+      val big = srcTokens.maxBy(_._2)._1
+      val small = srcTokens.minBy(_._2)._1
+      val keepRate = (s: String) =>
+        keptBySrc.getOrElse(s, 0L).toDouble / docsBySrc(s)
+      assert(keepRate(big) <= keepRate(small))
+      // deterministic across runs
+      val again = Curation.mixToUniform(spark, sf)
+      assert(kept.except(again).count() == 0 &&
+        again.except(kept).count() == 0)
+    } finally kept.unpersist()
+  }
+
   test("token shards: budget respected, contiguous, deterministic") {
     val budget = 64L
     val out = Curation.tokenShards(spark, sf, budget).cache()
