@@ -213,13 +213,15 @@ object Dedup {
     */
   def minhashLshFast(s: SparkSession, dir: String): DataFrame = {
     graft.expr.ArrayMatchCount.register(s)
+    graft.expr.MinHashSigs.register(s)
     val k = 32; val bands = 4; val rows = k / bands
+    // fused one-pass signature (k running minima per document) — the
+    // HOF form `transform(sequence, i -> array_min(transform(...)))`
+    // materializes k interpreted lambda arrays per doc; the native
+    // expression is bit-identical (spec-pinned) and one loop
     val sig = withToks(Tables.documents(s, dir))
       .select(col("doc_id"),
-        expr(
-          s"""transform(sequence(0, ${k - 1}),
-             |  i -> array_min(transform(__toks,
-             |                 t -> xxhash64(i, t))))""".stripMargin).as("sig"))
+        call_function("minhash_sigs", col("__toks"), lit(k)).as("sig"))
     val bandKeys = expr(
       s"""transform(sequence(0, ${bands - 1}),
          |  b -> xxhash64(slice(sig, b * $rows + 1, $rows)))""".stripMargin)
@@ -336,22 +338,16 @@ object Dedup {
     * Spark-only (xxhash64 family); spec-tested.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    // bit votes via explode + 64 codegen'd SUMs (a higher-order-function
-    // formulation evaluates interpreted and costs 64 passes per doc):
-    // one shuffle on doc_id, map-side partial aggregation does the votes
-    val toks = Tables.documents(s, dir)
+    // bit votes in ONE fused pass per document (native `simhash64`
+    // expression, bit-identical to the explode + 64-SUM groupBy form it
+    // replaced and spec-pinned against it) — the signature is now a pure
+    // codegen'd map over the scan: zero exchanges before banding, where
+    // the aggregation form paid a full shuffle on doc_id
+    graft.expr.SimHash64.register(s)
+    val sig = withToks(Tables.documents(s, dir))
       .select(col("doc_id"),
-        explode(array_distinct(split(col("text"), " "))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"b$j"))
-    val votes = toks.groupBy(col("doc_id"))
-      .agg(voteCols.head, (voteCols.tail :+ count(lit(1)).as("cnt")): _*)
-    val sigCol = (0 until 64).map(j =>
-        when(col(s"b$j") * 2 > col("cnt"), shiftleft(lit(1L), j))
-          .otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val sig = votes.select(col("doc_id"), sigCol.as("sig"))
+        call_function("simhash64", col("__toks")).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandKeys = expr(
       "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)")
     val banded = sig.select(col("doc_id"), posexplode(bandKeys))

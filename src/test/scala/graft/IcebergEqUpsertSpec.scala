@@ -67,6 +67,34 @@ class IcebergEqUpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent upserts of disjoint keys both land") {
+    val dir = tmp()
+    IcebergWriter.write(df((1L, "a", "x")), dir, mode = "error")
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val fails = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = Seq(
+      df((2L, "b", "x"), (1L, "a2", "x")),
+      df((3L, "c", "y"))).map { src =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          gate.await()
+          try IcebergWriter.upsertByKey(spark, dir, src, Seq("id"))
+          catch { case _: Throwable => fails.incrementAndGet(); () }
+        }
+      })
+    }
+    gate.countDown()
+    tasks.foreach(_.get())
+    pool.shutdown()
+    assert(fails.get() == 0)
+    // both commits visible: the claim loop retries the loser and carries
+    // the winner's manifests
+    assert(asMap(IcebergReader.read(spark, dir)) ==
+      Map(1L -> "a2", 2L -> "b", 3L -> "c"))
+  }
+
   test("upsert into an empty table is a plain append") {
     val dir = tmp()
     IcebergWriter.write(df((1L, "a", "x")), dir, mode = "error")
