@@ -254,7 +254,8 @@ object DeltaLogWriter {
     * physical names but a rewrite would have to re-emit them; loud, not
     * wrong). */
   def optimize(spark: SparkSession, tablePath: String,
-      targetSize: Long = 128L * 1024 * 1024): Committed = {
+      targetSize: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): Committed = {
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     require(latest >= 0, s"no Delta table at $tablePath")
     val snap = DeltaLogReader.snapshot(spark, tablePath)
@@ -271,8 +272,19 @@ object DeltaLogWriter {
     val rows = DeltaLogReader.scanFiles(spark, tablePath, snap, candidates)
     val outFiles = math.max(1L,
       (candidates.map(_.size).sum + targetSize - 1) / targetSize).toInt
-    val adds = writeDataFiles(rows.coalesce(outFiles), tablePath,
-      snap.partitionColumns)
+    // `sortBy` = the ZORDER-lite clustering lever: range-partition the
+    // rewrite on the clustering columns so each output file covers a
+    // narrow value range — the add-action `stats` min/max then make
+    // selective pruned reads skip most files, which is the entire point
+    // of clustering at 100 TB. (True Z-ordering interleaves multiple
+    // dimensions; range clustering is the single- and leading-column
+    // case and uses only built-in operators.)
+    val shaped =
+      if (sortBy.nonEmpty)
+        rows.repartitionByRange(outFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else rows.coalesce(outFiles)
+    val adds = writeDataFiles(shaped, tablePath, snap.partitionColumns)
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
       removes = candidates.map(_.path), "OPTIMIZE", emitMeta = false,
       dataChange = false)

@@ -397,10 +397,12 @@ object IcebergWriter {
     * manifest entries; NO delete manifest survives the commit — after
     * compaction the read plan is a bare scan again. */
   def rewriteDataFiles(spark: SparkSession, tablePath: String,
-      targetFileSizeBytes: Long = 128L * 1024 * 1024): Committed = {
+      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): Committed = {
     var attempt = 0
     while (true) {
-      try return rewriteDataFilesOnce(spark, tablePath, targetFileSizeBytes)
+      try return rewriteDataFilesOnce(spark, tablePath,
+        targetFileSizeBytes, sortBy)
       catch {
         case _: ConcurrentCommit if attempt < MaxResolveRetries =>
           attempt += 1
@@ -410,7 +412,7 @@ object IcebergWriter {
   }
 
   private def rewriteDataFilesOnce(spark: SparkSession, tablePath: String,
-      targetFileSizeBytes: Long): Committed = {
+      targetFileSizeBytes: Long, sortBy: Seq[String]): Committed = {
     require(IcebergReader.isIcebergTable(spark, tablePath),
       s"no Iceberg table at $tablePath")
     val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
@@ -440,7 +442,15 @@ object IcebergWriter {
     val outFiles = math.max(1L,
       (candidates.map(_.sizeBytes).sum + targetFileSizeBytes - 1) /
         targetFileSizeBytes).toInt
-    val adds = writeDataFiles(rows.coalesce(outFiles), tablePath, pfields)
+    // `sortBy` clusters the rewrite by value range so each output file's
+    // manifest lower/upper bounds are narrow — the bounds-based file
+    // skipping then prunes most files on selective reads
+    val shaped =
+      if (sortBy.nonEmpty)
+        rows.repartitionByRange(outFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      else rows.coalesce(outFiles)
+    val adds = writeDataFiles(shaped, tablePath, pfields)
     commit(spark, tablePath, snap.schema, pfields, adds, kept.map(asInfo),
       operation = "replace", carryCurrentManifests = false,
       expectedParent = Some(snap.snapshotId))

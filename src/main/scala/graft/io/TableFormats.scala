@@ -177,16 +177,18 @@ object TableFormats {
     * `dataChange=false`. Pair with [[vacuumDeltalake]] to reclaim the
     * superseded files. */
   def optimizeDeltalake(spark: SparkSession, path: String,
-      targetSize: Long = 128L * 1024 * 1024): DeltaLogWriter.Committed =
-    DeltaLogWriter.optimize(spark, path, targetSize)
+      targetSize: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): DeltaLogWriter.Committed =
+    DeltaLogWriter.optimize(spark, path, targetSize, sortBy)
 
   /** Compact a REAL Iceberg table (`rewrite_data_files`): bin-pack small
     * files and materialize position/equality delete files back into
     * plain data files ([[IcebergWriter.rewriteDataFiles]]). Pair with
     * [[expireIcebergSnapshots]] to reclaim the superseded files. */
   def rewriteIcebergDataFiles(spark: SparkSession, path: String,
-      targetSize: Long = 128L * 1024 * 1024): IcebergWriter.Committed =
-    IcebergWriter.rewriteDataFiles(spark, path, targetSize)
+      targetSize: Long = 128L * 1024 * 1024,
+      sortBy: Seq[String] = Nil): IcebergWriter.Committed =
+    IcebergWriter.rewriteDataFiles(spark, path, targetSize, sortBy)
 
   def vacuumDeltalake(spark: SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =

@@ -105,6 +105,57 @@ class CompactionSpec extends AnyFunSuite {
       Map(1L -> "a2", 2L -> "b2", 3L -> "c"))
   }
 
+  test("delta optimize sortBy: clustered rewrite makes stats prune files") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    // ids scattered across many small files: every file's (min,max) id
+    // range spans the whole domain, so stats prune NOTHING
+    val scattered = (0L until 400L).map(i => ((i * 37) % 400, s"v$i"))
+      .toDF("id", "v")
+    DeltaLogWriter.write(scattered.repartition(8), dir)
+    val before = DeltaLogReader.read(spark, dir,
+      filters = Seq(graft.io.ScanFilter("id", "<", 50L)))
+    val beforeFiles = before
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(beforeFiles == 8, "unsorted layout cannot prune")
+    // cluster on id during compaction (4 output files, ~100 ids each)
+    val sz = DeltaLogReader.snapshot(spark, dir).files.map(_.size).sum / 4
+    DeltaLogWriter.optimize(spark, dir, targetSize = sz,
+      sortBy = Seq("id"))
+    val after = DeltaLogReader.read(spark, dir,
+      filters = Seq(graft.io.ScanFilter("id", "<", 50L)))
+    val afterFiles = after
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(afterFiles <= 2,
+      s"clustered stats must prune to the low-id file(s), got $afterFiles")
+    assert(after.count() == 50 && before.count() == 50)
+  }
+
+  test("iceberg rewrite sortBy: manifest bounds prune after clustering") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val scattered = (0L until 400L).map(i => ((i * 37) % 400, s"v$i", "x"))
+      .toDF("id", "v", "p")
+    IcebergWriter.write(scattered.repartition(8), dir, mode = "error")
+    val sz = IcebergReader.snapshot(spark, dir).files.map(_.sizeBytes).sum / 4
+    IcebergWriter.rewriteDataFiles(spark, dir,
+      targetFileSizeBytes = sz, sortBy = Seq("id"))
+    val snap = IcebergReader.snapshot(spark, dir)
+    assert(snap.files.size >= 3, "clustered rewrite should emit ~4 files")
+    val pruned = IcebergReader.read(spark, dir,
+      filters = Seq(graft.io.ScanFilter("id", "<", 50L)))
+    val prunedFiles = pruned
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().count()
+    assert(prunedFiles <= 2,
+      s"manifest bounds must prune the high-id files, got $prunedFiles")
+    assert(pruned.count() == 50)
+  }
+
   test("iceberg rewrite: no-op on a compact table") {
     val dir = tmp()
     IcebergWriter.write(df((1L, "a", "x")), dir, mode = "error")
