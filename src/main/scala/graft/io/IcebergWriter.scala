@@ -470,7 +470,11 @@ object IcebergWriter {
     * paths (merge/deleteMatched) detect live equality deletes and raise
     * rather than resurrect. `src` must be key-unique (precombine
     * upstream, as [[graft.table.MergeOps]] does) — duplicate keys in
-    * one batch would both survive. */
+    * one batch would both survive. `src` is evaluated twice (data files,
+    * then the key tuples for the delete file), so a nondeterministic
+    * source (`sample()` without a seed, `rand()`) must be pinned with
+    * `localCheckpoint()` first or the delete keys could disagree with
+    * the written rows. */
   def upsertByKey(spark: SparkSession, tablePath: String, src: DataFrame,
       keys: Seq[String]): Committed = {
     var attempt = 0
