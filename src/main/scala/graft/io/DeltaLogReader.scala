@@ -125,11 +125,11 @@ object DeltaLogReader {
     val ordered = commits.toSeq.sortBy(_._1)
     var runningMax = Long.MinValue
     val stamped = ordered.map { case (v, p) =>
-      val commitTs = readLines(spark, p).iterator
-        .map(l => mapper.readTree(l))
-        .collectFirst { case n if n.has("commitInfo") &&
-          n.get("commitInfo").has("timestamp") =>
-          n.get("commitInfo").get("timestamp").asLong }
+      // stream ONLY to the commitInfo line (line 1 in every log this or
+      // any mainstream writer produces) — slurping full commit bodies
+      // would make one timestamp query O(total log bytes) driver-side
+      // on a long-history table
+      val commitTs = commitInfoTimestamp(fs, p)._1
         .getOrElse(fs.getFileStatus(new Path(p)).getModificationTime)
       runningMax = math.max(runningMax, commitTs)
       (v, runningMax)
@@ -593,6 +593,35 @@ object DeltaLogReader {
       }
     }.toMap
     (commits, singleParts ++ multiParts ++ v2)
+  }
+
+  /** The commitInfo action's `timestamp` from a commit file, reading as
+    * few lines as possible: the scan stops at the FIRST `commitInfo`
+    * line (with or without a timestamp). Returns (timestamp, lines
+    * scanned) — the count exists so a spec can pin the O(1)-lines
+    * behavior on commitInfo-first logs. */
+  private[graft] def commitInfoTimestamp(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): (Option[Long], Long) = {
+    val in = fs.open(new Path(path))
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(in, "UTF-8"))
+    try {
+      var scanned = 0L
+      var line = reader.readLine()
+      while (line != null) {
+        if (line.trim.nonEmpty) {
+          scanned += 1
+          val n = mapper.readTree(line)
+          if (n.has("commitInfo")) {
+            val ci = n.get("commitInfo")
+            return (if (ci.has("timestamp")) Some(ci.get("timestamp").asLong)
+                    else None, scanned)
+          }
+        }
+        line = reader.readLine()
+      }
+      (None, scanned)
+    } finally reader.close()
   }
 
   private def readLines(spark: SparkSession, path: String): Seq[String] = {

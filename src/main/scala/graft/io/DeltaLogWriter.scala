@@ -318,10 +318,15 @@ object DeltaLogWriter {
       .mapPartitions { it =>
         val conf = confBc.value.value
         val liveSet = liveBc.value
+        // qualify each listed path exactly as the live set was built —
+        // a raw-vs-qualified string mismatch (default-FS authority
+        // normalization) must never classify a live file as dead
         it.filter { p =>
           val name = p.substring(p.lastIndexOf('/') + 1)
           val isData = name.endsWith(".parquet") || name.endsWith(".bin")
-          isData && !p.contains("/_delta_log/") && !liveSet.contains(p)
+          val pp = new Path(p)
+          val q = pp.getFileSystem(conf).makeQualified(pp).toString
+          isData && !p.contains("/_delta_log/") && !liveSet.contains(q)
         }.map { p =>
           val pp = new Path(p)
           pp.getFileSystem(conf).delete(pp, false)
@@ -752,15 +757,14 @@ object DeltaLogWriter {
       val lines = actionLines(schema, partCols, adds, removes, operation,
         emitMeta = emitMeta || version == 0L, extraActions, dataChange)
       val target = new Path(logDir, f"$version%020d.json")
-      try {
-        val out = fs.create(target, false)
-        try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-        finally out.close()
+      // AtomicWrite: local-FS create-exclusive is check-then-create in
+      // Hadoop — a raw fs.create(_, false) race could double-claim the
+      // version and silently drop one writer's commit
+      if (AtomicWrite.claim(fs, target,
+          lines.mkString("", "\n", "\n").getBytes("UTF-8"))) {
         maybeCheckpoint(spark, tablePath, version)
         return Committed(version, adds.length)
-      } catch {
-        case _: java.io.IOException => attempts += 1 // lost the claim; retry
-      }
+      } else attempts += 1 // lost the claim; retry
     }
     throw new java.io.IOException(
       s"could not claim a Delta commit after $attempts attempts at $tablePath")
@@ -809,11 +813,19 @@ object DeltaLogWriter {
       if (p.minWriterVersion > 1) p.minWriterVersion
       else if (p.minReaderVersion >= 3) 7 else 2
     // the spec REQUIRES writerFeatures alongside minWriterVersion=7 —
-    // conformant readers reject a checkpoint protocol missing it
+    // conformant readers reject a checkpoint protocol missing it. The
+    // empty-set fallback derives from the legacy writer version plus
+    // the reader features KNOWN to be reader+writer — copying
+    // readerFeatures wholesale would mislabel a future reader-only
+    // feature as a writer feature and make conformant writers refuse
+    // the table
+    val readerWriterFeatures =
+      Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
     val writerFeats =
       if (minWriter < 7) None
       else Some((if (p.writerFeatures.nonEmpty) p.writerFeatures
-                 else p.readerFeatures).toSeq.sorted)
+                 else legacyWriterFeatures(p.minWriterVersion) ++
+                   (p.readerFeatures & readerWriterFeatures)).toSeq.sorted)
     val rows: Seq[CkptLine] =
       CkptLine(None,
         Some(CkptMetaData(UUID.randomUUID().toString, snap.schema.json,

@@ -114,10 +114,10 @@ object IcebergWriter {
     fs.mkdirs(metaDir)
     val node = emptyMetadataJson(fs.makeQualified(root).toString, schema,
       partFields, System.currentTimeMillis())
-    val out = fs.create(new Path(metaDir, "v1.metadata.json"), false)
-    try out.write(mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(node))
-    finally out.close()
+    if (!AtomicWrite.claim(fs, new Path(metaDir, "v1.metadata.json"),
+        mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)))
+      throw new java.io.IOException(
+        s"Iceberg table already being created at $tablePath")
     val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
     try hint.write("1".getBytes("UTF-8")) finally hint.close()
   }
@@ -471,15 +471,24 @@ object IcebergWriter {
     * rather than resurrect. `src` must be key-unique (precombine
     * upstream, as [[graft.table.MergeOps]] does) — duplicate keys in
     * one batch would both survive. `src` is evaluated twice (data files,
-    * then the key tuples for the delete file), so a nondeterministic
-    * source (`sample()` without a seed, `rand()`) must be pinned with
-    * `localCheckpoint()` first or the delete keys could disagree with
-    * the written rows. */
+    * then the key tuples for the delete file); a nondeterministic
+    * source (`rand()`, `uuid()`, an unseeded `shuffle()`) is detected
+    * from the analyzed plan and pinned with `localCheckpoint()`
+    * automatically — otherwise the delete keys could silently disagree
+    * with the written rows (lost or resurrected rows). Deterministic
+    * sources take the plain two-evaluation path, unchanged. */
   def upsertByKey(spark: SparkSession, tablePath: String, src: DataFrame,
       keys: Seq[String]): Committed = {
+    // pin ONCE, outside the concurrency retry loop — retries then also
+    // reuse the materialized batch instead of re-running the source
+    val pinned =
+      if (src.queryExecution.analyzed
+            .exists(_.expressions.exists(e => !e.deterministic)))
+        src.localCheckpoint()
+      else src
     var attempt = 0
     while (true) {
-      try return upsertByKeyOnce(spark, tablePath, src, keys)
+      try return upsertByKeyOnce(spark, tablePath, pinned, keys)
       catch {
         case _: ConcurrentCommit if attempt < MaxResolveRetries =>
           attempt += 1
@@ -583,16 +592,11 @@ object IcebergWriter {
       refs.set[ObjectNode](name, entry)
       node.put("last-updated-ms", System.currentTimeMillis())
       val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
-      try {
-        val out = fs.create(targetPath, false)
-        try out.write(mapper.writerWithDefaultPrettyPrinter()
-          .writeValueAsBytes(node))
-        finally out.close()
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
         writeHint(fs, metaDir, claimedMax + 1)
         return target
-      } catch {
-        case _: java.io.IOException => attempts += 1 // lost the claim
-      }
+      } else attempts += 1 // lost the claim
     }
     throw new java.io.IOException(
       s"could not claim a ref commit after $attempts attempts at $tablePath")
@@ -663,16 +667,11 @@ object IcebergWriter {
         node.set[ArrayNode]("snapshot-log", newLog)
         node.put("last-updated-ms", now)
         val target = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
-        try {
-          val out = fs.create(target, false)
-          try out.write(mapper.writerWithDefaultPrettyPrinter()
-            .writeValueAsBytes(node))
-          finally out.close()
+        if (AtomicWrite.claim(fs, target,
+            mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
           writeHint(fs, metaDir, claimedMax + 1)
           done = true
-        } catch {
-          case _: java.io.IOException => attempts += 1 // lost the claim
-        }
+        } else attempts += 1 // lost the claim
       }
     }
     // live set: every file any RETAINED snapshot references, walked from
@@ -711,9 +710,13 @@ object IcebergWriter {
         val lv = liveBc.value
         it.filter { p =>
           val name = p.substring(p.lastIndexOf('/') + 1)
+          // qualify listed paths exactly as the live set was built, so
+          // authority-normalization differences never sweep a live file
+          val pp = new Path(p)
+          lazy val q = pp.getFileSystem(conf).makeQualified(pp).toString
           val dataOrManifest =
             (name.endsWith(".parquet") || name.endsWith(".avro")) &&
-              !lv.contains(p)
+              !lv.contains(q)
           val staleMeta = name match {
             case MetaFile(v) => v.toLong < currentVersion
             case _ => false
@@ -1095,15 +1098,27 @@ object IcebergWriter {
       "format-version" -> fv.toString)
     val needsV2 = deleteAdds.nonEmpty
     // a delete-only commit (position deletes carried beside untouched
-    // manifests) writes no data manifest at all
-    val dataManifest: Option[(Path, Long)] =
-      if (adds.isEmpty && kept.isEmpty && deleteAdds.nonEmpty) None
-      else {
+    // manifests) writes no data manifest at all. The data manifest is
+    // written INSIDE the claim loop (below) once the table's real
+    // format version is resolved — labeling an append to an
+    // already-v2 table `format-version=1` would be legal but
+    // inconsistent with the metadata/manifest-list for external readers
+    val hasDataManifest = !(adds.isEmpty && kept.isEmpty && deleteAdds.nonEmpty)
+    lazy val dataEntries =
+      adds.map(entry(_, 1, 0)) ++ kept.map(entry(_, 0, 0))
+    var writtenDataFv = 0
+    var dataManifestSlot: Option[(Path, Long)] = None
+    def dataManifest(fv: Int): Option[(Path, Long)] = {
+      if (hasDataManifest && writtenDataFv != fv) {
         val p = new Path(metaDir, s"$snapshotId-m0.avro")
-        Some(p -> writeAvro(fs, p, mSchema,
-          adds.map(entry(_, 1, 0)) ++ kept.map(entry(_, 0, 0)),
-          manifestMeta("data", if (needsV2) 2 else 1)))
+        if (writtenDataFv != 0) fs.delete(p, false)
+        dataManifestSlot =
+          Some(p -> writeAvro(fs, p, mSchema, dataEntries,
+            manifestMeta("data", fv)))
+        writtenDataFv = fv
       }
+      dataManifestSlot
+    }
     val deleteManifest: Option[(Path, Long)] =
       if (deleteAdds.isEmpty) None
       else {
@@ -1157,7 +1172,7 @@ object IcebergWriter {
         else parsed.toSeq.flatMap { case (_, meta) =>
           currentManifestRecords(spark, fs, root, meta).map(reencode(lSchema, _))
         }
-      val ours = dataManifest.toSeq.map { case (p, len) =>
+      val ours = dataManifest(fv).toSeq.map { case (p, len) =>
         listEntry(p, len, 0, seq, adds.length, kept.length)
       } ++ deleteManifest.toSeq.map { case (p, len) =>
         listEntry(p, len, 1, seq, deleteAdds.length, 0)
@@ -1171,11 +1186,8 @@ object IcebergWriter {
         schema, partFields, snapshotId,
         fs.makeQualified(listPath).toString, operation, now, fv, seq)
       val target = new Path(metaDir, s"v$version.metadata.json")
-      try {
-        val out = fs.create(target, false)
-        try out.write(mapper.writerWithDefaultPrettyPrinter()
-          .writeValueAsBytes(node))
-        finally out.close()
+      if (AtomicWrite.claim(fs, target,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
         writeHint(fs, metaDir, version)
         // A writer paused between claiming vN and writing the body past
         // tornGraceMs has its claim SKIPPED by competitors — returning
@@ -1190,10 +1202,9 @@ object IcebergWriter {
         }
         if (visible) return Committed(snapshotId, version, adds.length)
         attempts += 1
-      } catch {
-        case _: java.io.IOException => // lost the claim; retry
-          fs.delete(listPath, false)
-          attempts += 1
+      } else { // lost the claim; retry
+        fs.delete(listPath, false)
+        attempts += 1
       }
     }
     throw new java.io.IOException(

@@ -154,9 +154,6 @@ object TableFormats {
       predicate: org.apache.spark.sql.Column): DeltaLogWriter.Committed =
     DeltaLogWriter.deleteWhere(spark, path, predicate)
 
-  /** `DELETE FROM … WHERE` on a real Iceberg table WITHOUT rewriting
-    * data files — v2 position-delete files ([[IcebergWriter.deleteWhere]],
-    * the Iceberg symmetry of [[deleteFromDeltalake]]'s DV delete). */
   /** Zero-rewrite key UPSERT on a REAL Iceberg table: one commit adds
     * the new rows and an equality-delete file for their keys
     * ([[IcebergWriter.upsertByKey]] — the Flink-CDC shape); nothing is
@@ -166,12 +163,13 @@ object TableFormats {
       keys: Seq[String]): IcebergWriter.Committed =
     IcebergWriter.upsertByKey(spark, path, src, keys)
 
+  /** `DELETE FROM … WHERE` on a real Iceberg table WITHOUT rewriting
+    * data files — v2 position-delete files ([[IcebergWriter.deleteWhere]],
+    * the Iceberg symmetry of [[deleteFromDeltalake]]'s DV delete). */
   def deleteFromIceberg(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column): IcebergWriter.Committed =
     IcebergWriter.deleteWhere(spark, path, predicate)
 
-  /** `VACUUM` a real Delta table: physically remove data files and DV
-    * sidecars no current-snapshot reference, past the retention window. */
   /** OPTIMIZE a REAL Delta table: compact small files and materialize
     * deletion vectors ([[DeltaLogWriter.optimize]]); commits with
     * `dataChange=false`. Pair with [[vacuumDeltalake]] to reclaim the
@@ -190,6 +188,8 @@ object TableFormats {
       sortBy: Seq[String] = Nil): IcebergWriter.Committed =
     IcebergWriter.rewriteDataFiles(spark, path, targetSize, sortBy)
 
+  /** `VACUUM` a real Delta table: physically remove data files and DV
+    * sidecars no current-snapshot reference, past the retention window. */
   def vacuumDeltalake(spark: SparkSession, path: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     DeltaLogWriter.vacuum(spark, path, retentionMs)

@@ -200,24 +200,31 @@ object Curation {
     * window: documents bucket by the first two hex chars of their sort
     * key (buckets are contiguous ranges of the global order), the
     * within-bucket cumulative sum runs as an ordinary partitioned
-    * window, and the 256 bucket totals — metadata, not data — come to
-    * the driver for an exact prefix-sum that re-enters as a broadcast
-    * join. At 100 TB, widen the bucket prefix (4 hex chars → 65 536
-    * buckets) and nothing else changes.
+    * window, and the 16^`prefixLen` bucket totals — metadata, not
+    * data — come to the driver for an exact prefix-sum that re-enters
+    * as a broadcast join. At 100 TB, widen the bucket prefix at the
+    * call site (`prefixLen = 4` → 65 536 buckets) and nothing else
+    * changes — shard assignment is invariant to the bucket width
+    * because the buckets are contiguous ranges of the same global
+    * md5 order.
     */
   def tokenShards(s: SparkSession, dir: String,
-                  budget: Long = shardBudget): DataFrame = {
+                  budget: Long = shardBudget,
+                  prefixLen: Int = 2): DataFrame = {
+    require(prefixLen >= 1 && prefixLen <= 8,
+      s"prefixLen must be in [1, 8], got $prefixLen")
     val base = Tables.documents(s, dir).select(
       col("doc_id"),
       size(tokens).cast("bigint").as("n_tokens"),
       md5(col("doc_id").cast("string")).as("okey"))
-      .withColumn("bkt", substring(col("okey"), 1, 2))
+      .withColumn("bkt", substring(col("okey"), 1, prefixLen))
 
     val w = Window.partitionBy(col("bkt")).orderBy(col("okey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = base.withColumn("cum_in_bkt", sum(col("n_tokens")).over(w))
 
-    // 256 bucket totals -> exact prefix offsets (bounded, driver-side)
+    // 16^prefixLen bucket totals -> exact prefix offsets (bounded,
+    // driver-side metadata)
     val totals = base.groupBy(col("bkt"))
       .agg(sum(col("n_tokens")).as("bkt_sum"))
       .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)

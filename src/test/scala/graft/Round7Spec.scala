@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter}
+import graft.ops.Curation
+
+/** Round-7 hardening: enforced upsert determinism, driver-bounded Delta
+  * timestamp resolution, parameterized token-shard bucket width,
+  * checkpoint writer-feature derivation, and data-manifest
+  * format-version consistency on already-v2 Iceberg tables. */
+class Round7Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-r7").toString
+
+  private def df(rows: (Long, String, String)*): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("id", "v", "p")
+  }
+
+  test("upsertByKey pins a nondeterministic source: delete keys match written rows") {
+    val dir = tmp()
+    IcebergWriter.write(df((1L, "a", "x"), (2L, "b", "y")), dir, mode = "error")
+    // keys are RANDOM but row-unique (disjoint million-ranges per row) —
+    // without the localCheckpoint pin the second evaluation of src would
+    // draw different keys and the equality-delete file would disagree
+    // with the data files (silent row loss / survival)
+    val src = spark.range(5).select(
+      (col("id") * 1000000L + (rand() * 999999).cast("long") + 10L).as("id"),
+      lit("n").as("v"), lit("x").as("p"))
+    IcebergWriter.upsertByKey(spark, dir, src, keys = Seq("id"))
+    val snap = IcebergReader.snapshot(spark, dir)
+    val written = IcebergReader.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet -- Set(1L, 2L)
+    assert(written.size == 5)
+    val delIds = spark.read
+      .parquet(snap.equalityDeleteFiles.map(_.path): _*)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(delIds == written,
+      "equality-delete keys must match the rows the same commit wrote")
+    // and a deterministic source still round-trips exactly
+    IcebergWriter.upsertByKey(spark, dir, df((1L, "a2", "x")), Seq("id"))
+    val m = IcebergReader.read(spark, dir).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "a2" && m(2L) == "b")
+  }
+
+  test("tokenShards: shard assignment invariant to bucket prefix width") {
+    val budget = 64L
+    val p2 = Curation.tokenShards(spark, sf, budget).cache()
+    try {
+      val p3 = Curation.tokenShards(spark, sf, budget, prefixLen = 3)
+      assert(p2.except(p3).count() == 0 && p3.except(p2).count() == 0,
+        "buckets are contiguous ranges of the same global order, so the " +
+          "prefix width must not change any shard id")
+      val p1 = Curation.tokenShards(spark, sf, budget, prefixLen = 1)
+      assert(p2.except(p1).count() == 0 && p1.except(p2).count() == 0)
+    } finally p2.unpersist()
+    intercept[IllegalArgumentException] {
+      Curation.tokenShards(spark, sf, budget, prefixLen = 0)
+    }
+  }
+
+  test("delta timestamp resolution reads O(commits) lines, not O(log bytes)") {
+    val dir = tmp()
+    val logDir = new java.io.File(dir, "_delta_log")
+    logDir.mkdirs()
+    // synthetic 1k-commit log, each commit 1 commitInfo line + 100 adds:
+    // resolution must scan ONE line per commit, not slurp 101k lines
+    val nCommits = 1000
+    val baseTs = 1000000L
+    (0 until nCommits).foreach { v =>
+      val sb = new StringBuilder
+      sb.append(s"""{"commitInfo":{"timestamp":${baseTs + v * 1000L},"operation":"WRITE"}}""").append('\n')
+      (0 until 100).foreach { i =>
+        sb.append(s"""{"add":{"path":"part-$v-$i.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""").append('\n')
+      }
+      java.nio.file.Files.write(
+        new java.io.File(logDir, f"$v%020d.json").toPath,
+        sb.toString.getBytes("UTF-8"))
+    }
+    assert(DeltaLogReader.versionAtTimestamp(spark, dir,
+      baseTs + 500 * 1000L + 1) == 500L)
+    assert(DeltaLogReader.versionAtTimestamp(spark, dir,
+      baseTs + (nCommits - 1) * 1000L) == (nCommits - 1).toLong)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until nCommits by 137).foreach { v =>
+      val (ts, scanned) = DeltaLogReader.commitInfoTimestamp(fs,
+        new java.io.File(logDir, f"$v%020d.json").toString)
+      assert(ts.contains(baseTs + v * 1000L))
+      assert(scanned == 1L, s"commit $v: scanned $scanned lines, want 1")
+    }
+  }
+
+  test("checkpoint writerFeatures fallback: legacy + reader-writer, not a readerFeatures copy") {
+    val dir = tmp()
+    DeltaLogWriter.write(df((1L, "a", "x")), dir)
+    // hand the table a protocol an external writer could leave behind:
+    // table-features writer version with readerFeatures only (malformed
+    // per spec — the checkpoint must repair, not copy readerFeatures)
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v0 = new Path(dir, f"_delta_log/${0L}%020d.json")
+    val txt = new String(
+      org.apache.commons.io.IOUtils.toByteArray(fs.open(v0)), "UTF-8")
+    val upgraded = txt.replaceAll(
+      """\{"protocol":\{[^}]*\}\}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""")
+    assert(upgraded != txt, "v0 must carry a protocol line to rewrite")
+    val out = fs.create(v0, true)
+    out.write(upgraded.getBytes("UTF-8")); out.close()
+    // ten appends roll the version to 10 -> checkpoint
+    (1 to 10).foreach(i =>
+      DeltaLogWriter.write(df((i + 10L, "b", "x")), dir, mode = "append"))
+    val ckpt = s"$dir/_delta_log/${"%020d".format(10)}.checkpoint.parquet"
+    val proto = spark.read.parquet(ckpt)
+      .where(col("protocol").isNotNull)
+      .select("protocol.writerFeatures").collect()
+    assert(proto.length == 1)
+    val feats = proto.head.getSeq[String](0).toSet
+    // legacy writer features implied by the pre-features versions plus
+    // the reader-writer feature actually present — NOT just a copy of
+    // readerFeatures (which a future reader-only feature would poison)
+    assert(feats.contains("appendOnly") && feats.contains("invariants"),
+      s"legacy writer features missing from $feats")
+    assert(feats.contains("deletionVectors"))
+    // the table still reads, checkpointed protocol intact
+    assert(DeltaLogReader.read(spark, dir).count() == 11)
+  }
+
+  test("iceberg: append to an already-v2 table labels its data manifest v2") {
+    val dir = tmp()
+    IcebergWriter.write(df((1L, "a", "x"), (2L, "b", "y")), dir, mode = "error")
+    // the eq-delete upsert upgrades the table to format-version 2
+    IcebergWriter.upsertByKey(spark, dir, df((2L, "b2", "y")), Seq("id"))
+    // a plain append (no delete files) must still label its data
+    // manifest format-version=2 — manifest headers and metadata agree
+    IcebergWriter.write(df((3L, "c", "x")), dir, mode = "append")
+    val metaDir = new java.io.File(s"$dir/metadata")
+    val newest = metaDir.listFiles().filter(_.getName.endsWith("-m0.avro"))
+      .maxBy(_.lastModified())
+    val reader = new org.apache.avro.file.DataFileReader[Any](newest,
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    try assert(reader.getMetaString("format-version") == "2")
+    finally reader.close()
+    val m = IcebergReader.read(spark, dir).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "a", 2L -> "b2", 3L -> "c"))
+  }
+}
