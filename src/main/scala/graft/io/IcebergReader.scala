@@ -7,7 +7,7 @@ import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_replace}
 import org.apache.spark.sql.types._
 
 /** The requested Iceberg table uses a format version or feature this
@@ -66,7 +66,8 @@ object IcebergReader {
       files: Seq[DataFileEntry],
       deleteFiles: Seq[DataFileEntry] = Nil,
       equalityDeleteFiles: Seq[DataFileEntry] = Nil,
-      fieldIdToName: Map[Int, String] = Map.empty)
+      fieldIdToName: Map[Int, String] = Map.empty,
+      properties: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
   private val MetadataFile = """v(\d+)\.metadata\.json""".r
@@ -222,8 +223,13 @@ object IcebergReader {
       Option(snap.get("summary")).flatMap(s => Option(s.get("operation")))
         .map(_.asText).getOrElse("unknown"),
       schema, partCols, active.values.toSeq, posDeletes.values.toSeq,
-      eqDeletes.values.toSeq, idToName)
+      eqDeletes.values.toSeq, idToName, metaProperties(meta))
   }
+
+  private def metaProperties(meta: JsonNode): Map[String, String] =
+    Option(meta.get("properties")).filter(_.isObject).map { p =>
+      p.fieldNames().asScala.map(n => n -> p.get(n).asText).toMap
+    }.getOrElse(Map.empty)
 
   private def fieldIdNames(meta: JsonNode): Map[Int, String] = {
     val wanted = Option(meta.get("current-schema-id")).map(_.asInt)
@@ -369,15 +375,16 @@ object IcebergReader {
     * distributed parquet scan, never a driver materialization. */
   private[io] def applyDeletes(spark: SparkSession,
       snap: Snapshot): DataFrame = {
-    var data = dataScan(spark, snap)
-      .withColumn("__file", normalizePath(input_file_name()))
+    // __file/__pos come from INSIDE dataScan's branches — `_metadata`
+    // would not resolve through the union a name-mapped scan builds
+    var data = dataScan(spark, snap, withMeta = true)
+      .withColumn("__file", normalizePath(col("__file")))
     if (snap.deleteFiles.nonEmpty) {
       val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
         .select(normalizePath(col("file_path")).as("__file"),
           col("pos").cast(LongType).as("__pos"))
-      data = data.withColumn("__pos", col("_metadata.row_index"))
+      data = data
         .join(dels, Seq("__file", "__pos"), "left_anti")
-        .drop("__pos")
     }
     if (snap.equalityDeleteFiles.nonEmpty) {
       // an equality delete is only applicable relative to its sequence
@@ -425,23 +432,133 @@ object IcebergReader {
     * clone whose `parquet.fieldId.read` flag is on (the relation binds
     * that session's conf, so nothing leaks into the caller's session);
     * id-less files (pre-round-6 graft tables, imported parquet) keep the
-    * name-matched scan. Mixed tables — id-less files probed behind an
-    * id-carrying head file — fail the scan loudly (Iceberg's
-    * `name-mapping` import feature is not implemented), never silently.
-    * The probe is ONE footer read, driver-side, O(1) in table size. */
+    * name-matched scan.
+    *
+    * MIXED tables — id-less imported files next to native id-carrying
+    * ones — resolve through the `schema.name-mapping.default` table
+    * property (spec "Column Projection", the reference's pyiceberg read
+    * path for `add_files` imports): every file is classified by one
+    * distributed footer-tail sweep, id-carrying files take the id scan,
+    * and each id-less shape group reads the mapping's historical name
+    * for each field-id (null for unmapped fields, as the spec
+    * projects). Top-level fields only, like [[withFieldIds]] — nested
+    * members resolve by name inside their matched parent. A mixed table
+    * WITHOUT a name mapping raises up front, naming the property.
+    * Without a mapping the probe stays O(1) driver-side (head + tail
+    * footer); the full sweep runs only for tables that declare a
+    * mapping, i.e. tables known to carry imports.
+    *
+    * `withMeta = true` attaches `__file` (input_file_name) and `__pos`
+    * (row_index) INSIDE each branch — metadata columns do not resolve
+    * through the union the mapped scan builds, so callers must not
+    * reach for `_metadata` themselves. */
   private[io] def dataScan(spark: SparkSession, snap: Snapshot,
-      only: Option[Seq[String]] = None): DataFrame = {
+      only: Option[Seq[String]] = None,
+      withMeta: Boolean = false): DataFrame = {
     val paths = only.getOrElse(snap.files.map(_.path))
     val idOf: Map[String, Int] = snap.fieldIdToName.map(_.swap)
-    if (idOf.nonEmpty && fileHasFieldIds(spark, paths.head)) {
+    def metaCols(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.withColumn("__file", input_file_name())
+        .withColumn("__pos", col("_metadata.row_index"))
+    def nameScan(ps: Seq[String]): DataFrame =
+      metaCols(spark.read.schema(snap.schema).parquet(ps: _*))
+    def idScan(ps: Seq[String]): DataFrame = {
       val prev = org.apache.spark.sql.classic.SparkSession.getActiveSession
       val ses = spark.newSession()
       ses.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      try ses.read.schema(withFieldIds(snap.schema, idOf))
-        .parquet(paths: _*)
+      try metaCols(ses.read.schema(withFieldIds(snap.schema, idOf))
+        .parquet(ps: _*))
       finally prev.foreach(
         org.apache.spark.sql.classic.SparkSession.setActiveSession)
-    } else spark.read.schema(snap.schema).parquet(paths: _*)
+    }
+    if (idOf.isEmpty || paths.isEmpty) return nameScan(paths)
+    nameMapping(snap.properties) match {
+      case None =>
+        val headIds = fileHasFieldIds(spark, paths.head)
+        val tailIds =
+          if (paths.lengthCompare(1) > 0) fileHasFieldIds(spark, paths.last)
+          else headIds
+        if (headIds != tailIds)
+          throw new UnsupportedIcebergFeatureException(
+            "table mixes id-less and id-carrying data files but has no " +
+              "schema.name-mapping.default property; set a name mapping " +
+              "(spec 'Column Projection', IcebergWriter.setProperties) so " +
+              "imported id-less files can resolve against the schema")
+        if (headIds) idScan(paths) else nameScan(paths)
+      case Some(mapping) =>
+        val shapes = footerShapes(spark, paths)
+        val (withIds, idless) = shapes.partition(_._2)
+        val branches =
+          (if (withIds.nonEmpty) Seq(idScan(withIds.map(_._1))) else Nil) ++
+            idless.groupBy(_._3).toSeq.sortBy(_._1.mkString(" "))
+              .map { case (fileCols, group) =>
+                mappedScan(spark, snap, idOf, mapping, fileCols,
+                  group.map(_._1), metaCols, withMeta)
+              }
+        branches.reduce(_ unionByName _)
+    }
+  }
+
+  /** One id-less shape group read through the name mapping: each table
+    * field reads the FIRST mapped historical name present in the file,
+    * or projects null when none is (the spec's rule for columns absent
+    * from an imported file). */
+  private def mappedScan(spark: SparkSession, snap: Snapshot,
+      idOf: Map[String, Int], mapping: Map[Int, Seq[String]],
+      fileCols: Seq[String], ps: Seq[String],
+      metaCols: DataFrame => DataFrame, withMeta: Boolean): DataFrame = {
+    val present = fileCols.toSet
+    val resolved: Seq[(StructField, Option[String])] =
+      snap.schema.fields.toSeq.map { f =>
+        val candidates =
+          idOf.get(f.name).toSeq.flatMap(id => mapping.getOrElse(id, Nil))
+        f -> candidates.find(present.contains)
+      }
+    val readSchema = StructType(resolved.collect {
+      case (f, Some(n)) => StructField(n, f.dataType, nullable = true)
+    })
+    val base = metaCols(spark.read.schema(readSchema).parquet(ps: _*))
+    base.select(resolved.map {
+      case (f, Some(n)) => col(n).as(f.name)
+      case (f, None) => lit(null).cast(f.dataType).as(f.name)
+    } ++ (if (withMeta) Seq(col("__file"), col("__pos")) else Nil): _*)
+  }
+
+  /** Parse `schema.name-mapping.default` (spec "Name Mapping
+    * Serialization") into field-id → acceptable file column names.
+    * Entries without a `field-id` exist to BLOCK names and are
+    * skipped; nested `fields` are not descended (top-level mapping,
+    * matching [[withFieldIds]]). */
+  private def nameMapping(
+      props: Map[String, String]): Option[Map[Int, Seq[String]]] =
+    props.get("schema.name-mapping.default").map { json =>
+      jsonArray(mapper.readTree(json)).flatMap { e =>
+        Option(e.get("field-id")).map(id =>
+          id.asInt -> jsonArray(e.get("names")).map(_.asText))
+      }.toMap
+    }
+
+  /** (path, hasFieldIds, top-level column names) for every data file —
+    * ONE distributed job over footer tails, collected at one row per
+    * file (manifest scale). Runs only when the table declares a name
+    * mapping. */
+  private def footerShapes(spark: SparkSession,
+      paths: Seq[String]): Seq[(String, Boolean, Seq[String])] = {
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(p), confBc.value.value)
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val fields = rdr.getFileMetaData.getSchema.getFields.asScala
+          (p, fields.exists(_.getId != null), fields.map(_.getName).toSeq)
+        } finally rdr.close()
+      }.collect().toSeq
   }
 
   /** Attach `parquet.field.id` metadata to the top-level fields that

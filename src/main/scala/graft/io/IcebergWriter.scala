@@ -338,9 +338,9 @@ object IcebergWriter {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pfields = IcebergReader.partitionFields(spark, tablePath)
-    val matched = IcebergReader.dataScan(spark, snap)
-      .withColumn("__file", input_file_name())
-      .withColumn("__pos", col("_metadata.row_index"))
+    // __file/__pos are attached inside the scan's branches (`_metadata`
+    // does not resolve through a name-mapped union)
+    val matched = IcebergReader.dataScan(spark, snap, withMeta = true)
       .filter(predicate)
       .select(
         // the spec's reserved field-ids for position-delete columns,
@@ -600,6 +600,157 @@ object IcebergWriter {
     }
     throw new java.io.IOException(
       s"could not claim a ref commit after $attempts attempts at $tablePath")
+  }
+
+  /** Merge `props` into the table's `properties` map — a metadata-only
+    * commit through the same create-exclusive claim loop as data
+    * commits. The property every external engine cares about here is
+    * `schema.name-mapping.default` (spec "Column Projection"), which
+    * lets [[IcebergReader]] resolve data files written WITHOUT parquet
+    * field-ids (imported via `add_files`-style registration) inside an
+    * id-carrying table. */
+  def setProperties(spark: SparkSession, tablePath: String,
+      props: Map[String, String]): Unit = {
+    require(props.nonEmpty, "no properties to set")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      val tgt =
+        if (node.has("properties") && node.get("properties").isObject)
+          node.get("properties").asInstanceOf[ObjectNode]
+        else { val p = mapper.createObjectNode()
+               node.set[ObjectNode]("properties", p); p }
+      props.foreach { case (k, v) => tgt.put(k, v) }
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a properties commit after $attempts attempts at $tablePath")
+  }
+
+  /** Rename a top-level column — a metadata-only commit that changes the
+    * field's NAME while keeping its field-id, exactly the evolution
+    * field-ids exist for: files written under the old name keep reading
+    * correctly because resolution is by id (or, for id-less imported
+    * files, through the name mapping, whose historical `names` list is
+    * extended with the old name so those files keep resolving too). */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Unit = {
+    require(from != to, "rename to the same name is a no-op")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      var renamedId = -1
+      def renameIn(schemaNode: com.fasterxml.jackson.databind.JsonNode): Unit =
+        IcebergReaderAccess.jsonArray(schemaNode.get("fields")).foreach { f =>
+          if (f.get("name").asText == from) {
+            renamedId = f.get("id").asInt
+            f.asInstanceOf[ObjectNode].put("name", to)
+          } else require(f.get("name").asText != to,
+            s"column $to already exists in $tablePath")
+        }
+      Option(node.get("schema")).foreach(renameIn)
+      Option(node.get("schemas"))
+        .foreach(ss => IcebergReaderAccess.jsonArray(ss).foreach(renameIn))
+      require(renamedId > 0, s"column $from not in the schema of $tablePath")
+      // keep id-less imported files resolvable: the mapping entry for
+      // this field keeps (or gains) the old name
+      val propsNode = Option(node.get("properties")).filter(_.isObject)
+        .map(_.asInstanceOf[ObjectNode])
+      propsNode.flatMap(p =>
+        Option(p.get("schema.name-mapping.default")).map(_.asText))
+        .foreach { json =>
+          val arr = mapper.readTree(json).asInstanceOf[ArrayNode]
+          arr.elements().asScala.foreach { e =>
+            if (Option(e.get("field-id")).exists(_.asInt == renamedId)) {
+              val names = e.get("names").asInstanceOf[ArrayNode]
+              val have = names.elements().asScala.map(_.asText).toSet
+              if (!have.contains(from)) names.add(from)
+            }
+          }
+          propsNode.get.put("schema.name-mapping.default",
+            mapper.writeValueAsString(arr))
+        }
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a rename commit after $attempts attempts at $tablePath")
+  }
+
+  /** Register EXISTING parquet files as table data — the `add_files`
+    * import shape (reference: pyiceberg `add_files` through
+    * `s3/_s3_tables_iceberg.py`). The files are not rewritten, not
+    * moved, and usually carry NO parquet field-ids, so this also
+    * installs `schema.name-mapping.default` (current schema's id→name,
+    * preserved by later renames) unless the table already has one —
+    * without it the reader would have no way to resolve the imported
+    * columns next to native id-carrying files. Unpartitioned tables
+    * only (imported files carry no manifest partition tuple). */
+  def addFiles(spark: SparkSession, tablePath: String,
+      files: Seq[String]): Committed = {
+    require(files.nonEmpty, "no files to add")
+    require(IcebergReader.isIcebergTable(spark, tablePath),
+      s"no Iceberg table at $tablePath")
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    require(pfields.isEmpty,
+      "add_files supports unpartitioned tables (imported files carry no partition tuple)")
+    val (schema, _) = IcebergReader.tableInfo(spark, tablePath)
+    if (!IcebergReader.snapshotOpt(spark, tablePath)
+          .exists(_.properties.contains("schema.name-mapping.default")))
+      setProperties(spark, tablePath,
+        Map("schema.name-mapping.default" -> defaultNameMapping(schema)))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts = recordCounts(spark, files)
+    val adds = files.map { f =>
+      val p = new Path(f)
+      FileInfo(fs.makeQualified(p).toString, Map.empty,
+        fs.getFileStatus(p).getLen, counts.getOrElse(f, 0L))
+    }
+    commit(spark, tablePath, schema, pfields, adds, kept = Nil,
+      operation = "append", carryCurrentManifests = true,
+      expectedParent = None)
+  }
+
+  /** The spec's name-mapping JSON for the current schema: each field-id
+    * maps to its current name (renames later EXTEND the names list).
+    * Ids come from the same walk [[icebergSchemaJson]] performs, so the
+    * mapping agrees with the metadata's schema document. */
+  private def defaultNameMapping(schema: StructType): String = {
+    val ids = topLevelFieldIds(schema)
+    val arr = mapper.createArrayNode()
+    schema.fields.foreach { f =>
+      val e = mapper.createObjectNode()
+      e.put("field-id", ids(f.name))
+      e.set[ArrayNode]("names", mapper.createArrayNode().add(f.name))
+      arr.add(e)
+    }
+    mapper.writeValueAsString(arr)
   }
 
   /** `expire_snapshots` + orphan-file cleanup — the maintenance every
@@ -1379,7 +1530,13 @@ object IcebergWriter {
     node.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
     node.put("default-spec-id", 0)
     node.put("last-partition-id", 1000 + partFields.length - 1)
-    node.set[ObjectNode]("properties", mapper.createObjectNode())
+    // properties SURVIVE data commits (like refs) — wiping them would
+    // silently drop schema.name-mapping.default and break id-less reads
+    node.set[ObjectNode]("properties",
+      prior.flatMap(p => Option(p.get("properties")).filter(_.isObject))
+        .map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[ObjectNode])
+        .getOrElse(mapper.createObjectNode()))
     node
   }
 
