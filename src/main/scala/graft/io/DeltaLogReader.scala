@@ -624,6 +624,31 @@ object DeltaLogReader {
     } finally reader.close()
   }
 
+  /** The sidecar files a V2 checkpoint manifest names (spec `sidecar`
+    * actions), resolved the same way replay resolves them (absolute
+    * kept, relative under `_delta_log/_sidecars`). The metadata
+    * retention sweep protects these for every retained manifest. */
+  private[io] def sidecarPaths(spark: SparkSession, tablePath: String,
+      manifestPath: String): Seq[String] = {
+    val refs: Seq[String] =
+      if (manifestPath.endsWith(".json"))
+        readLines(spark, manifestPath).flatMap { line =>
+          Option(mapper.readTree(line).get("sidecar"))
+            .map(_.get("path").asText)
+        }
+      else {
+        val df = spark.read.parquet(manifestPath)
+        if (!df.columns.contains("sidecar")) Nil
+        else df.select(col("sidecar.path")).collect()
+          .flatMap(r => Option(r.getString(0))).toSeq
+      }
+    val sidecarDir = new Path(new Path(tablePath, "_delta_log"), "_sidecars")
+    refs.map { p =>
+      if (p.startsWith("/") || p.contains("://")) new Path(p)
+      else new Path(sidecarDir, p)
+    }.map(_.toString)
+  }
+
   private def readLines(spark: SparkSession, path: String): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

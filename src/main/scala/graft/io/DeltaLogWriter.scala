@@ -335,6 +335,91 @@ object DeltaLogWriter {
       }.collect().toSeq
   }
 
+  /** Sweep EXPIRED `_delta_log` metadata — the retention pass real Delta
+    * runs under `delta.logRetentionDuration` (default 30 days), and the
+    * symmetric twin of what [[IcebergWriter.expireSnapshots]] does for
+    * superseded `vN.metadata.json`: without it commit JSON and
+    * superseded checkpoints accumulate forever on a long-lived table.
+    *
+    * Floor = the newest REPLAYABLE checkpoint (a torn multi-part or
+    * sidecar-less V2 manifest is skipped, exactly as replay skips it).
+    * Deleted: commit JSON and checkpoint files (all three naming forms)
+    * with version strictly below the floor AND modification time past
+    * the retention cutoff, plus `_sidecars/` files past the cutoff that
+    * no retained V2 manifest references. Snapshots at or above the
+    * floor replay exactly as before (checkpoint + retained tail); time
+    * travel below the floor raises the reader's existing loud error —
+    * bounded history is the POINT of retention, never a silent guess.
+    * `_last_checkpoint` names no version and is never swept. Deletion
+    * runs as a job like [[vacuum]] — a 100k-commit log never loops
+    * file-by-file on the driver. Returns the deleted paths. */
+  def cleanupMetadata(spark: SparkSession, tablePath: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Seq[String] = {
+    val logDir = new Path(new Path(tablePath), "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return Nil
+    val entries = fs.listStatus(logDir).toSeq
+    val cutoff = System.currentTimeMillis() - retentionMs
+    val Commit = """(\d{20})\.json""".r
+    val Ckpt1 = """(\d{20})\.checkpoint\.parquet""".r
+    val CkptN = """(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
+    val CkptV2 = """(\d{20})\.checkpoint\.[0-9a-fA-F-]{36}\.(?:parquet|json)""".r
+    def versionOf(name: String): Option[Long] = name match {
+      case Commit(v) => Some(v.toLong)
+      case Ckpt1(v) => Some(v.toLong)
+      case CkptN(v) => Some(v.toLong)
+      case CkptV2(v) => Some(v.toLong)
+      case _ => None
+    }
+    val ckptVersions = entries.map(_.getPath.getName).flatMap {
+      case Ckpt1(v) => Some(v.toLong)
+      case CkptN(v) => Some(v.toLong)
+      case CkptV2(v) => Some(v.toLong)
+      case _ => None
+    }.distinct.sorted(Ordering[Long].reverse)
+    // the replay path itself decides replayability (complete part set,
+    // sidecars present) — never sweep below a checkpoint that cannot
+    // actually serve as the new history floor
+    val floorOpt = ckptVersions.find { v =>
+      try { DeltaLogReader.snapshot(spark, tablePath, Some(v)); true }
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    val floor = floorOpt.getOrElse(return Nil)
+    val protectedSidecars: Set[String] = entries.flatMap { st =>
+      st.getPath.getName match {
+        case CkptV2(v)
+            if v.toLong >= floor || st.getModificationTime >= cutoff =>
+          DeltaLogReader.sidecarPaths(spark, tablePath, st.getPath.toString)
+            .map(p => fs.makeQualified(new Path(p)).toString)
+        case _ => Nil
+      }
+    }.toSet
+    val doomedLog = entries.filter { st =>
+      versionOf(st.getPath.getName)
+        .exists(v => v < floor && st.getModificationTime < cutoff)
+    }.map(_.getPath.toString)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    val doomedSidecars =
+      if (!fs.exists(sidecarDir)) Nil
+      else fs.listStatus(sidecarDir).toSeq.filter { st =>
+        st.getModificationTime < cutoff &&
+          !protectedSidecars.contains(
+            fs.makeQualified(st.getPath).toString)
+      }.map(_.getPath.toString)
+    val doomed = doomedLog ++ doomedSidecars
+    if (doomed.isEmpty) return Nil
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext
+      .parallelize(doomed, math.max(1, math.min(doomed.size, 32)))
+      .map { p =>
+        val pp = new Path(p)
+        pp.getFileSystem(confBc.value.value).delete(pp, false)
+        p
+      }.collect().toSeq
+  }
+
   /** Append must not silently drop or retype columns; `mergeSchema`-style
     * evolution goes through overwrite (which re-emits metaData). */
   private def checkAppendSchema(table: StructType, incoming: StructType): Unit = {

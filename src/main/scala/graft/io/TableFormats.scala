@@ -194,6 +194,14 @@ object TableFormats {
       retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] =
     DeltaLogWriter.vacuum(spark, path, retentionMs)
 
+  /** Delta LOG retention (`delta.logRetentionDuration` semantics):
+    * sweep commit JSON and superseded checkpoints below the newest
+    * replayable checkpoint, past the retention window. Data files are
+    * [[vacuumDeltalake]]'s job; this bounds the metadata. */
+  def cleanupDeltaMetadata(spark: SparkSession, path: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Seq[String] =
+    DeltaLogWriter.cleanupMetadata(spark, path, retentionMs)
+
   /** `expire_snapshots` + orphan cleanup on a real Iceberg table — the
     * Iceberg counterpart of [[vacuumDeltalake]]: drop snapshots past the
     * retention window (keeping the newest `retainLast` and the current

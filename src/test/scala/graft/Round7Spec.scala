@@ -134,6 +134,40 @@ class Round7Spec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, dir).count() == 11)
   }
 
+  test("delta metadata retention: log bounded below the checkpoint floor") {
+    val dir = tmp()
+    DeltaLogWriter.write(df((0L, "a", "x")), dir)
+    (1 to 12).foreach(i =>
+      DeltaLogWriter.write(df((i.toLong, "b", "x")), dir, mode = "append"))
+    val logDir = new java.io.File(dir, "_delta_log")
+    def commitVersions: Set[Long] = logDir.listFiles().map(_.getName)
+      .collect { case n if n.matches("""\d{20}\.json""") =>
+        n.stripSuffix(".json").toLong }.toSet
+    assert(commitVersions == (0L to 12L).toSet)
+    // inside the (default 30-day) retention window nothing is swept
+    assert(DeltaLogWriter.cleanupMetadata(spark, dir).isEmpty)
+    assert(commitVersions == (0L to 12L).toSet)
+    Thread.sleep(50)
+    val deleted = DeltaLogWriter.cleanupMetadata(spark, dir, retentionMs = 0L)
+    assert(deleted.nonEmpty)
+    // commits below the version-10 checkpoint floor are gone; the
+    // checkpoint and its pointer survive
+    assert(commitVersions == (10L to 12L).toSet)
+    assert(new java.io.File(logDir,
+      f"${10L}%020d.checkpoint.parquet").exists())
+    assert(new java.io.File(logDir, "_last_checkpoint").exists())
+    // reads at and above the floor replay exactly as before
+    assert(DeltaLogReader.read(spark, dir).count() == 13)
+    assert(DeltaLogReader.snapshot(spark, dir, Some(10L)).files.length == 11)
+    assert(DeltaLogReader.snapshot(spark, dir, Some(12L)).files.length == 13)
+    // history below the floor raises loudly, never guesses
+    intercept[IllegalArgumentException] {
+      DeltaLogReader.snapshot(spark, dir, Some(5L))
+    }
+    // second sweep finds nothing (idempotent)
+    assert(DeltaLogWriter.cleanupMetadata(spark, dir, retentionMs = 0L).isEmpty)
+  }
+
   test("iceberg: append to an already-v2 table labels its data manifest v2") {
     val dir = tmp()
     IcebergWriter.write(df((1L, "a", "x"), (2L, "b", "y")), dir, mode = "error")
