@@ -3,7 +3,7 @@ package graft.io
 import scala.collection.mutable
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
@@ -365,6 +365,27 @@ object DeltaLogReader {
       return filtered(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], snap.schema))
     filtered(scanFiles(spark, tablePath, snap, files))
+  }
+
+  /** `read(path, predicate)` with an arbitrary Spark `Column` — how
+    * Spark users actually write filters. The predicate's supported
+    * conjuncts prune the file list exactly like the tuple API
+    * ([[ScanFilters.fromColumn]]); the ORIGINAL predicate is then the
+    * row filter, so untranslatable conjuncts (`isNull`, `NOT <=>`,
+    * functions of a column) stay residual-only and results never
+    * change. */
+  def readWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): DataFrame = {
+    val snap = snapshot(spark, tablePath, None)
+    val filters = ScanFilters.fromColumn(spark, snap.schema, predicate)
+    val physOf = physicalNames(snap)
+    val files =
+      if (filters.isEmpty) snap.files
+      else snap.files.filter(f => fileMayMatch(snap, physOf, f, filters))
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
+        .filter(predicate)
+    else scanFiles(spark, tablePath, snap, files).filter(predicate)
   }
 
   /** The snapshot-subset scan `read` is built on: DV-applied,

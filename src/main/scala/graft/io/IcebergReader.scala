@@ -279,6 +279,35 @@ object IcebergReader {
     }
   }
 
+  /** `read(path, predicate)` with an arbitrary Spark `Column`: the
+    * predicate's supported conjuncts prune manifests exactly like the
+    * tuple API ([[ScanFilters.fromColumn]]), and the ORIGINAL predicate
+    * is the row filter — untranslatable conjuncts stay residual-only,
+    * so results never change. */
+  def readWhere(spark: SparkSession, tablePath: String,
+      predicate: Column): DataFrame =
+    snapshotOpt(spark, tablePath) match {
+      case None =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          tableInfo(spark, tablePath)._1).filter(predicate)
+      case Some(snap0) =>
+        val filters = ScanFilters.fromColumn(spark, snap0.schema, predicate)
+        val snap =
+          if (filters.isEmpty) snap0
+          else snap0.copy(files = prunedFiles(spark, tablePath, snap0, filters))
+        val base =
+          if (snap.files.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              snap.schema)
+          else if (snap.deleteFiles.isEmpty && snap.equalityDeleteFiles.isEmpty)
+            dataScan(spark, snap)
+              .select(snap.schema.fieldNames.map(col).toSeq: _*)
+          else applyDeletes(spark, snap)
+        base.filter(predicate)
+    }
+
   /** Files whose manifest partition values may satisfy every filter.
     * Identity fields compare typed; `day/month/year/hour` compare as
     * period ordinals after transforming the filter value through the

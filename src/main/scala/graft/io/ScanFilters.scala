@@ -1,7 +1,10 @@
 package graft.io
 
 import java.time.LocalDate
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
@@ -57,6 +60,108 @@ object ScanFilters {
 
   def residual(filters: Seq[ScanFilter]): Option[Column] =
     filters.map(toColumn).reduceOption(_ && _)
+
+  /** Translate an arbitrary `Column` predicate — the shape Spark users
+    * actually write — into the prunable [[ScanFilter]] conjuncts it
+    * contains. The predicate is resolved against `schema` through a
+    * rows-free analysis (no data is touched), split on `AND`, and each
+    * conjunct of a supported shape (`=`, `<=>` with a non-null literal,
+    * `<`, `<=`, `>`, `>=`, `IN`, `NOT =`/`NOT IN`, and an `OR` of
+    * point predicates on ONE column, which collapses to `in`) becomes a
+    * ScanFilter. Everything else — `isNull`, casts, functions of a
+    * column, cross-column comparisons, disjunctions spanning columns —
+    * is simply NOT emitted: the caller must re-apply the ORIGINAL
+    * predicate as the row filter, so untranslated conjuncts stay
+    * residual-only and results never change. `NOT <=>` is deliberately
+    * untranslated (`!=` pruning drops all-null files, but `NOT(a <=>
+    * v)` MATCHES null rows — translating it would prune wrongly). */
+  def fromColumn(spark: SparkSession, schema: StructType,
+      predicate: Column): Seq[ScanFilter] = {
+    val analyzed = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+      .filter(predicate).queryExecution.analyzed
+    analyzed.collect { case f: Filter => f.condition }
+      .flatMap(splitConjuncts).flatMap(translate)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** A bare column reference (casts/functions around it are not
+    * prunable) and a literal's EXTERNAL value (java.sql.Date, not the
+    * catalyst day ordinal — [[toComparable]] speaks external forms). */
+  private object Attr {
+    def unapply(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+  }
+  private object Lit {
+    def unapply(e: Expression): Option[Any] = e match {
+      case l: Literal if l.value != null =>
+        Some(CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      // type coercion wraps literals in Cast in the ANALYZED plan
+      // (`col("id") === 5` against a long column); fold it here — the
+      // optimizer would, but optimizing would also collapse the
+      // rows-free Filter and lose the condition
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        Option(c.eval(null))
+          .map(CatalystTypeConverters.convertToScala(_, c.dataType))
+      case _ => None // null literals stay residual (x = null is never true)
+    }
+  }
+
+  private def translate(e: Expression): Option[ScanFilter] = e match {
+    case EqualTo(Attr(n), Lit(v)) => Some(ScanFilter(n, "=", v))
+    case EqualTo(Lit(v), Attr(n)) => Some(ScanFilter(n, "=", v))
+    case EqualNullSafe(Attr(n), Lit(v)) => Some(ScanFilter(n, "=", v))
+    case EqualNullSafe(Lit(v), Attr(n)) => Some(ScanFilter(n, "=", v))
+    case LessThan(Attr(n), Lit(v)) => Some(ScanFilter(n, "<", v))
+    case LessThan(Lit(v), Attr(n)) => Some(ScanFilter(n, ">", v))
+    case LessThanOrEqual(Attr(n), Lit(v)) => Some(ScanFilter(n, "<=", v))
+    case LessThanOrEqual(Lit(v), Attr(n)) => Some(ScanFilter(n, ">=", v))
+    case GreaterThan(Attr(n), Lit(v)) => Some(ScanFilter(n, ">", v))
+    case GreaterThan(Lit(v), Attr(n)) => Some(ScanFilter(n, "<", v))
+    case GreaterThanOrEqual(Attr(n), Lit(v)) => Some(ScanFilter(n, ">=", v))
+    case GreaterThanOrEqual(Lit(v), Attr(n)) => Some(ScanFilter(n, "<=", v))
+    case Not(EqualTo(Attr(n), Lit(v))) => Some(ScanFilter(n, "!=", v))
+    case Not(EqualTo(Lit(v), Attr(n))) => Some(ScanFilter(n, "!=", v))
+    case In(Attr(n), vs) =>
+      val ext = vs.collect { case Lit(v) => v }
+      if (ext.length == vs.length) Some(ScanFilter(n, "in", ext)) else None
+    case Not(in @ In(_, _)) =>
+      translate(in).map(f => f.copy(op = "not in"))
+    case InSet(a: AttributeReference, hset) =>
+      // null elements match nothing under IN — dropping them only keeps
+      // the translation exact
+      Some(ScanFilter(a.name, "in", hset.toSeq.filter(_ != null)
+        .map(CatalystTypeConverters.convertToScala(_, a.dataType))))
+    case or: Or => orToIn(or)
+    case _ => None
+  }
+
+  /** `c = v1 OR c = v2 OR c IN (…)` on ONE column → `in` over the union
+    * of the points; any other disjunct shape keeps the whole OR
+    * residual. */
+  private def orToIn(e: Expression): Option[ScanFilter] = {
+    def leaves(x: Expression): Option[Seq[(String, Seq[Any])]] = x match {
+      case Or(l, r) => for { a <- leaves(l); b <- leaves(r) } yield a ++ b
+      case _ => translate(x) match {
+        case Some(ScanFilter(n, "=", v)) => Some(Seq(n -> Seq(v)))
+        case Some(ScanFilter(n, "in", vs: Seq[_])) =>
+          Some(Seq(n -> vs.asInstanceOf[Seq[Any]]))
+        case _ => None
+      }
+    }
+    leaves(e).flatMap { ls =>
+      ls.map(_._1).distinct match {
+        case Seq(n) => Some(ScanFilter(n, "in", ls.flatMap(_._2)))
+        case _ => None
+      }
+    }
+  }
 
   /** May a partition-constant value match `f`? `raw` is the value as the
     * log/manifest carries it (hive string, avro scalar, or null). A null

@@ -101,6 +101,20 @@ object TableFormats {
     }
   }
 
+  /** [[readDeltalake]] with an arbitrary Spark `Column` predicate — the
+    * supported conjuncts prune files exactly like the `partitions`
+    * tuple API; the rest stays residual ([[ScanFilters.fromColumn]]). */
+  def readDeltalakeWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    DeltaLogReader.readWhere(spark, path, predicate)
+
+  /** [[fromIceberg]] with an arbitrary Spark `Column` predicate — the
+    * supported conjuncts prune manifests exactly like the `partitions`
+    * tuple API; the rest stays residual. */
+  def fromIcebergWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    IcebergReader.readWhere(spark, path, predicate)
+
   /** `from_iceberg`: a table carrying REAL Iceberg metadata (committed by
     * another engine) routes through the jar-free [[IcebergReader]] —
     * `version` is then Athena's `VERSION AS OF` snapshot id; otherwise it
