@@ -35,7 +35,10 @@ object Bench {
     }
     // fixture: the per-corpus postings index is ingest-time cost; build
     // it here so `search_postings_query` times the probe, not the build
-    try ops.Postings.indexFor(spark, sfDir) catch { case _: Throwable => }
+    // (skipped when a restricted sweep doesn't run that query at all)
+    if (sys.env.get("SPARK_GRAFT_ONLY")
+          .forall(_.contains("search_postings_query")))
+      try ops.Postings.indexFor(spark, sfDir) catch { case _: Throwable => }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -74,8 +77,17 @@ object Bench {
     // recorded in the output JSON, never silent)
     val skip = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    // SPARK_GRAFT_ONLY: comma-separated name prefixes to RESTRICT a
+    // sweep to (used by the sf10 scale run, where only the flagship
+    // paths are measured — the restriction is recorded in the output
+    // JSON, never silent)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def wanted(name: String): Boolean =
+      (only.isEmpty || only.exists(name.startsWith)) &&
+        !skip.exists(name.startsWith)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => skip.exists(name.startsWith) }
+      .filter { case (name, _) => wanted(name) }
       .map {
       case (name, fn) =>
         val t = time(fn(spark, sfDir).count())
@@ -85,50 +97,68 @@ object Bench {
         name -> t
     }
 
+    val fixed = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+
     // headline dataset write: lineitem partitioned by returnflag
-    val writeDir = Files.createTempDirectory("graft-bench-write").toString
-    val writeTime = time {
-      DatasetWriter.toParquet(Tables.lineitem(spark, sfDir), writeDir,
-        mode = DatasetWriter.Overwrite, partitionCols = Seq("l_returnflag"))
+    if (wanted("w1_partitioned_write")) {
+      val writeDir = Files.createTempDirectory("graft-bench-write").toString
+      fixed += "w1_partitioned_write" -> time {
+        DatasetWriter.toParquet(Tables.lineitem(spark, sfDir), writeDir,
+          mode = DatasetWriter.Overwrite, partitionCols = Seq("l_returnflag"))
+      }
     }
 
-    // headline DML: staged-atomic upsert of 1% of orders into a copy
-    val upsertDir = Files.createTempDirectory("graft-bench-upsert").toString
-    val orders = Tables.load(spark, sfDir, "orders")
-    DatasetWriter.toParquet(orders, upsertDir, mode = DatasetWriter.Overwrite)
-    val src = orders.sample(0.01, seed = 7).localCheckpoint(true)
-    val upsertTime = time {
-      table.MergeOps.upsert(spark, upsertDir, src, keys = Seq("o_orderkey"))
-    }
-
-    // headline txn-log MERGE: snapshot-isolated upsert of 1% of orders
-    val txnDir = Files.createTempDirectory("graft-bench-txn").toString + "/t"
-    table.TxnLog.create(orders, txnDir)
-    val txnMergeTime = time {
-      table.TxnLog.merge(spark, txnDir, src, keys = Seq("o_orderkey"))
+    if (wanted("w2_upsert") || wanted("w3_txn_merge")) {
+      val orders = Tables.load(spark, sfDir, "orders")
+      val src = orders.sample(0.01, seed = 7).localCheckpoint(true)
+      // headline DML: staged-atomic upsert of 1% of orders into a copy
+      if (wanted("w2_upsert")) {
+        val upsertDir = Files.createTempDirectory("graft-bench-upsert").toString
+        DatasetWriter.toParquet(orders, upsertDir,
+          mode = DatasetWriter.Overwrite)
+        fixed += "w2_upsert" -> time {
+          table.MergeOps.upsert(spark, upsertDir, src, keys = Seq("o_orderkey"))
+        }
+      }
+      // headline txn-log MERGE: snapshot-isolated upsert of 1% of orders
+      if (wanted("w3_txn_merge")) {
+        val txnDir = Files.createTempDirectory("graft-bench-txn").toString + "/t"
+        table.TxnLog.create(orders, txnDir)
+        fixed += "w3_txn_merge" -> time {
+          table.TxnLog.merge(spark, txnDir, src, keys = Seq("o_orderkey"))
+        }
+      }
     }
 
     // persisted-ANN probe: index built outside the timer (once per
     // corpus), the timed part is what a query pays
-    val idxDir = Files.createTempDirectory("graft-bench-idx").toString
-    val emb = Tables.embeddings(spark, sfDir)
-    ops.VectorIndex.putLsh(emb, idxDir)
-    val qvec = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
-      .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
-    val probeTime = time {
-      ops.VectorIndex.searchLsh(spark, idxDir, qvec).count()
+    if (wanted("vec_indexed_probe")) {
+      val idxDir = Files.createTempDirectory("graft-bench-idx").toString
+      val emb = Tables.embeddings(spark, sfDir)
+      ops.VectorIndex.putLsh(emb, idxDir)
+      val qvec = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toArray
+      fixed += "vec_indexed_probe" -> time {
+        ops.VectorIndex.searchLsh(spark, idxDir, qvec).count()
+      }
     }
 
     // postings index BUILD as its own entry (the ingest-time cost; the
     // probe cost is `search_postings_query` in the sweep above)
-    val postDir = Files.createTempDirectory("graft-bench-postings")
-      .toString + "/idx"
-    val postingsBuildTime = time {
-      ops.Postings.build(Tables.documents(spark, sfDir), postDir, nBuckets = 16)
-    }
-    val postingsTime = time {
-      ops.Postings.matchQuery(spark, postDir,
-        Seq("spark" -> 3, "join" -> 2, "stream" -> 1)).count()
+    if (wanted("search_postings_build") || wanted("search_postings_probe")) {
+      val postDir = Files.createTempDirectory("graft-bench-postings")
+        .toString + "/idx"
+      val postingsBuildTime = time {
+        ops.Postings.build(Tables.documents(spark, sfDir), postDir,
+          nBuckets = 16)
+      }
+      if (wanted("search_postings_build"))
+        fixed += "search_postings_build" -> postingsBuildTime
+      if (wanted("search_postings_probe"))
+        fixed += "search_postings_probe" -> time {
+          ops.Postings.matchQuery(spark, postDir,
+            Seq("spark" -> 3, "join" -> 2, "stream" -> 1)).count()
+        }
     }
 
     val calibEnd = calibrate()
@@ -139,17 +169,14 @@ object Bench {
       else -1.0
     val contended = calibRatio > 1.5
 
-    val all = queryTimes :+
-      ("w1_partitioned_write" -> writeTime) :+ ("w2_upsert" -> upsertTime) :+
-      ("w3_txn_merge" -> txnMergeTime) :+ ("vec_indexed_probe" -> probeTime) :+
-      ("search_postings_build" -> postingsBuildTime) :+
-      ("search_postings_probe" -> postingsTime)
+    val all = queryTimes ++ fixed
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
     val skipped = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val onlyJson = only.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_prefixes":$skipped,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_prefixes":$skipped,"only_prefixes":$onlyJson,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }
