@@ -458,13 +458,21 @@ object DeltaLogReader {
             case None => true
             case Some(st) =>
               val phys = physOf(fl.column)
-              def bound(section: String): Option[Any] =
-                Option(st.get(section)).flatMap(o =>
+              def section(name: String): Option[JsonNode] =
+                Option(st.get(name)).flatMap(o =>
                   Option(o.get(phys)).orElse(Option(o.get(fl.column))))
                   .filterNot(_.isNull)
-                  .map(n => if (n.isNumber) BigDecimal(n.asText) else n.asText)
-              ScanFilters.intervalMayMatch(field.dataType,
-                bound("minValues"), bound("maxValues"), fl)
+              def bound(name: String): Option[Any] = section(name)
+                .map(n => if (n.isNumber) BigDecimal(n.asText) else n.asText)
+              // nullness ops decide from the stats' per-column
+              // nullCount against numRecords; everything else from the
+              // min/max interval
+              ScanFilters.nullCountMayMatch(
+                section("nullCount").map(_.asLong),
+                Option(st.get("numRecords")).filterNot(_.isNull)
+                  .map(_.asLong), fl) &&
+                ScanFilters.intervalMayMatch(field.dataType,
+                  bound("minValues"), bound("maxValues"), fl)
           }
       }
     }

@@ -55,7 +55,8 @@ object IcebergReader {
       recordCount: Long = 0L, sizeBytes: Long = 0L,
       sequenceNumber: Long = 0L, equalityIds: Seq[Int] = Nil,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -197,7 +198,8 @@ object IcebergReader {
           def fileEntry = DataFileEntry(path, partitionMap(df),
             longOf("record_count"), longOf("file_size_in_bytes"),
             entrySeq, eqIds,
-            boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"))
+            boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
+            countsMap(df, "null_value_counts"))
           // v2 content: manifest-list distinguishes data (0) from delete
           // (1) manifests; inside a delete manifest the data_file content
           // tells position (1) from equality (2) deletes
@@ -332,10 +334,15 @@ object IcebergReader {
       dt <- dtOf.get(fl.column).toSeq
       id <- idOf.get(fl.column).toSeq
     } yield { (f: DataFileEntry) =>
-      if (f.lowerBounds.isEmpty && f.upperBounds.isEmpty) true
-      else ScanFilters.intervalMayMatch(dt,
-        f.lowerBounds.get(id).flatMap(decodeBound(dt, _)),
-        f.upperBounds.get(id).flatMap(decodeBound(dt, _)), fl)
+      // nullness ops prune through the manifests' null_value_counts
+      // (spec field 110) against record_count; value ops through the
+      // decoded bounds interval — each keeps when its stat is absent
+      ScanFilters.nullCountMayMatch(f.nullCounts.get(id),
+        Some(f.recordCount).filter(_ > 0L), fl) &&
+        (if (f.lowerBounds.isEmpty && f.upperBounds.isEmpty) true
+         else ScanFilters.intervalMayMatch(dt,
+           f.lowerBounds.get(id).flatMap(decodeBound(dt, _)),
+           f.upperBounds.get(id).flatMap(decodeBound(dt, _)), fl))
     }
     val checks = partChecks ++ boundChecks
     if (checks.isEmpty) snap.files
@@ -347,6 +354,11 @@ object IcebergReader {
       fl: ScanFilter): DataFileEntry => Boolean = {
     def partRaw(f: DataFileEntry): Option[Any] =
       f.partition.get(pf.name).flatMap(Option(_))
+    // every Iceberg transform maps null to null (spec requirement), so
+    // a file's partition-tuple nullness decides the source column's
+    // nullness for ALL its rows under ANY transform
+    if (fl.op == "is null") return f => partRaw(f).isEmpty
+    if (fl.op == "is not null") return f => partRaw(f).nonEmpty
     if (IcebergTransforms.isIdentity(pf))
       return f => ScanFilters.constantMayMatch(dt, partRaw(f).orNull, fl)
     val monotonic = Set("day", "month", "year", "hour")
@@ -733,6 +745,37 @@ object IcebergReader {
     if (raw.isAbsolute && !p.startsWith("file:")) raw
     else if (p.startsWith("file:")) new Path(new java.net.URI(p).getPath)
     else new Path(root, p)
+  }
+
+  /** `null_value_counts` (spec field 110): field-id → null total, same
+    * array-encoded int-keyed map shape as the bounds. */
+  private def countsMap(dataFile: GenericRecord,
+      field: String): Map[Int, Long] = {
+    def longVal(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case _ => None
+    }
+    fieldOpt(dataFile, field).flatMap(v => Option(v)) match {
+      case Some(l: java.util.List[_]) =>
+        l.asScala.collect { case r: GenericRecord =>
+          for {
+            k <- intOf(r.get("key"))
+            c <- longVal(r.get("value"))
+          } yield k -> c
+        }.flatten.toMap
+      case Some(m: java.util.Map[_, _]) =>
+        m.asScala.flatMap { case (k, v) =>
+          val key = k match {
+            case u: org.apache.avro.util.Utf8 => u.toString.toIntOption
+            case s: String => s.toIntOption
+            case i: java.lang.Integer => Some(i.intValue)
+            case _ => None
+          }
+          for { kk <- key; c <- longVal(v) } yield kk -> c
+        }.toMap
+      case _ => Map.empty
+    }
   }
 
   /** `lower_bounds`/`upper_bounds`: (field-id → Appendix-D bytes). Avro

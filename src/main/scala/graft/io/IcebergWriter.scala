@@ -52,7 +52,8 @@ object IcebergWriter {
       recordCount: Long,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      nullCounts: Map[Int, Long] = Map.empty)
 
   /** `to_iceberg(df, path, mode=…)` in the real format. `partitionBy`
     * entries are transform specs: a bare column name (identity),
@@ -884,7 +885,8 @@ object IcebergWriter {
   private def asInfo(f: IcebergReader.DataFileEntry): FileInfo =
     FileInfo(f.path,
       f.partition.map { case (k, v) => k -> Option(v).map(_.toString) },
-      f.sizeBytes, f.recordCount, f.lowerBounds, f.upperBounds)
+      f.sizeBytes, f.recordCount, f.lowerBounds, f.upperBounds,
+      nullCounts = f.nullCounts)
 
   /** Append must not silently drop or retype columns (the reference's
     * schema check, `s3/_s3_tables_iceberg.py:200-219`). */
@@ -957,11 +959,14 @@ object IcebergWriter {
       val stats = footerStats(spark, moved.map(_._1).toSeq)
       val idOf = topLevelFieldIds(df.schema)
       moved.map { case (path, size) =>
-        val (cnt, lo, hi) = stats.getOrElse(path,
-          (0L, Map.empty[String, Array[Byte]], Map.empty[String, Array[Byte]]))
+        val (cnt, lo, hi, nulls) = stats.getOrElse(path,
+          (0L, Map.empty[String, Array[Byte]], Map.empty[String, Array[Byte]],
+            Map.empty[String, Long]))
         FileInfo(path, partitionValuesOf(path), size, cnt,
           lo.flatMap { case (n, b) => idOf.get(n).map(_ -> b) },
-          hi.flatMap { case (n, b) => idOf.get(n).map(_ -> b) })
+          hi.flatMap { case (n, b) => idOf.get(n).map(_ -> b) },
+          nullCounts =
+            nulls.flatMap { case (n, c) => idOf.get(n).map(_ -> c) })
       }.toSeq
     } finally fs.delete(staging, true)
   }
@@ -1019,7 +1024,8 @@ object IcebergWriter {
     * floats, decimals, nested) are omitted — bounds are per-column
     * optional. */
   private def footerStats(spark: SparkSession, paths: Seq[String])
-      : Map[String, (Long, Map[String, Array[Byte]], Map[String, Array[Byte]])] = {
+      : Map[String, (Long, Map[String, Array[Byte]],
+          Map[String, Array[Byte]], Map[String, Long])] = {
     if (paths.isEmpty) return Map.empty
     import spark.implicits._
     val confBc = spark.sparkContext.broadcast(
@@ -1033,8 +1039,8 @@ object IcebergWriter {
             .fromPath(new Path(f), conf)
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try {
-            val (lo, hi) = footerBounds(rdr)
-            (f, (rdr.getRecordCount, lo, hi))
+            val (lo, hi, nulls) = footerBounds(rdr)
+            (f, (rdr.getRecordCount, lo, hi, nulls))
           } finally rdr.close()
         }
       }
@@ -1042,7 +1048,8 @@ object IcebergWriter {
   }
 
   private def footerBounds(rdr: org.apache.parquet.hadoop.ParquetFileReader)
-      : (Map[String, Array[Byte]], Map[String, Array[Byte]]) = {
+      : (Map[String, Array[Byte]], Map[String, Array[Byte]],
+         Map[String, Long]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -1105,9 +1112,21 @@ object IcebergWriter {
     val acc = mutable.LinkedHashMap
       .empty[String, ((Any, Array[Byte]), (Any, Array[Byte]))]
     val dropped = mutable.Set.empty[String]
+    // per-column null totals (spec `null_value_counts`, field 110):
+    // summed across chunks, dropped the moment any chunk lacks the
+    // count — a partial sum would under-report and prune wrongly
+    val nulls = mutable.LinkedHashMap.empty[String, Long]
+    val nullsDropped = mutable.Set.empty[String]
     rdr.getFooter.getBlocks.asScala.foreach { b =>
       b.getColumns.asScala.foreach { c =>
         val path = c.getPath.toArray
+        if (path.length == 1 && !nullsDropped.contains(path(0))) {
+          val st0 = c.getStatistics
+          if (st0 == null || st0.isEmpty || !st0.isNumNullsSet) {
+            nullsDropped += path(0); nulls.remove(path(0))
+          } else nulls(path(0)) =
+            nulls.getOrElse(path(0), 0L) + st0.getNumNulls
+        }
         if (path.length == 1 && !dropped.contains(path(0))) {
           val name = path(0)
           val st = c.getStatistics
@@ -1134,7 +1153,8 @@ object IcebergWriter {
       }
     }
     (acc.map { case (n, (mn, _)) => n -> mn._2 }.toMap,
-      acc.map { case (n, (_, mx)) => n -> mx._2 }.toMap)
+      acc.map { case (n, (_, mx)) => n -> mx._2 }.toMap,
+      nulls.toMap)
   }
 
   /** `…/data/p=a/q=__HIVE_DEFAULT_PARTITION__/part….parquet` ⇒
@@ -1231,6 +1251,21 @@ object IcebergWriter {
       }
       boundsArray("lower_bounds", f.lowerBounds)
       boundsArray("upper_bounds", f.upperBounds)
+      // same array-encoded int-keyed map shape, long-valued
+      val ncField = dfSchema.getField("null_value_counts")
+      if (ncField != null && f.nullCounts.nonEmpty) {
+        val arrSchema = ncField.schema().getTypes.get(1)
+        val itemSchema = arrSchema.getElementType
+        val arr = new GenericData.Array[GenericRecord](
+          f.nullCounts.size, arrSchema)
+        f.nullCounts.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val kv = new GenericData.Record(itemSchema)
+          kv.put("key", k)
+          kv.put("value", v)
+          arr.add(kv)
+        }
+        dataFile.put("null_value_counts", arr)
+      }
       val e = new GenericData.Record(mSchema)
       e.put("status", status)
       e.put("snapshot_id", snapshotId)
@@ -1718,8 +1753,12 @@ object IcebergWriter {
       else ""
     // lower/upper_bounds: int-keyed maps, encoded (as Iceberg does) as
     // arrays of key/value records with the spec's field-ids
+    // null_value_counts (spec field-id 110, key 121 / value 122): per
+    // field-id null totals — what lets a reader prune IS NULL / IS NOT
+    // NULL predicates without opening a footer
     val boundsFields =
-      """,{"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+      """,{"name":"null_value_counts","field-id":110,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+        |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
         |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}""".stripMargin
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[

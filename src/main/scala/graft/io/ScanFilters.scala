@@ -3,7 +3,7 @@ package graft.io
 import java.time.LocalDate
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
@@ -34,7 +34,8 @@ final case class ScanFilter(column: String, op: String, value: Any) {
   * exactness, pruning only has to never drop a matching file. */
 object ScanFilters {
 
-  private val Ops = Set("=", "!=", "<", "<=", ">", ">=", "in", "not in")
+  private val Ops = Set("=", "!=", "<", "<=", ">", ">=", "in", "not in",
+    "is null", "is not null")
 
   def validate(f: ScanFilter): Unit =
     require(Ops.contains(f.op),
@@ -47,6 +48,8 @@ object ScanFilters {
     validate(f)
     val c = col(f.column)
     f.op match {
+      case "is null" => c.isNull
+      case "is not null" => c.isNotNull
       case "=" => c === lit(f.value)
       case "!=" => c =!= lit(f.value)
       case "<" => c < lit(f.value)
@@ -66,15 +69,17 @@ object ScanFilters {
     * contains. The predicate is resolved against `schema` through a
     * rows-free analysis (no data is touched), split on `AND`, and each
     * conjunct of a supported shape (`=`, `<=>` with a non-null literal,
-    * `<`, `<=`, `>`, `>=`, `IN`, `NOT =`/`NOT IN`, and an `OR` of
-    * point predicates on ONE column, which collapses to `in`) becomes a
-    * ScanFilter. Everything else — `isNull`, casts, functions of a
-    * column, cross-column comparisons, disjunctions spanning columns —
-    * is simply NOT emitted: the caller must re-apply the ORIGINAL
+    * `<`, `<=`, `>`, `>=`, `IN`, `NOT =`/`NOT IN`, `isNull` /
+    * `isNotNull` / `<=> null` — pruned through per-file null counts —
+    * and an `OR` of point predicates on ONE column, which collapses to
+    * `in`) becomes a ScanFilter. Everything else — casts, functions of
+    * a column, cross-column comparisons, disjunctions spanning columns
+    * — is simply NOT emitted: the caller must re-apply the ORIGINAL
     * predicate as the row filter, so untranslated conjuncts stay
-    * residual-only and results never change. `NOT <=>` is deliberately
-    * untranslated (`!=` pruning drops all-null files, but `NOT(a <=>
-    * v)` MATCHES null rows — translating it would prune wrongly). */
+    * residual-only and results never change. `NOT <=>` with a non-null
+    * literal is deliberately untranslated: it means `isNull OR !=`,
+    * which no single conjunct expresses, and `!=` pruning alone would
+    * drop all-null files whose rows MATCH. */
   def fromColumn(spark: SparkSession, schema: StructType,
       predicate: Column): Seq[ScanFilter] = {
     val analyzed = spark.createDataFrame(
@@ -128,6 +133,16 @@ object ScanFilters {
     case GreaterThanOrEqual(Lit(v), Attr(n)) => Some(ScanFilter(n, "<=", v))
     case Not(EqualTo(Attr(n), Lit(v))) => Some(ScanFilter(n, "!=", v))
     case Not(EqualTo(Lit(v), Attr(n))) => Some(ScanFilter(n, "!=", v))
+    case IsNull(Attr(n)) => Some(ScanFilter(n, "is null", null))
+    case IsNotNull(Attr(n)) => Some(ScanFilter(n, "is not null", null))
+    case Not(IsNull(Attr(n))) => Some(ScanFilter(n, "is not null", null))
+    case Not(IsNotNull(Attr(n))) => Some(ScanFilter(n, "is null", null))
+    // `c <=> null` IS an is-null test (the null-literal guard in Lit
+    // rightly rejects it from the equality cases above)
+    case EqualNullSafe(Attr(n), l: Literal) if l.value == null =>
+      Some(ScanFilter(n, "is null", null))
+    case EqualNullSafe(l: Literal, Attr(n)) if l.value == null =>
+      Some(ScanFilter(n, "is null", null))
     case In(Attr(n), vs) =>
       val ext = vs.collect { case Lit(v) => v }
       if (ext.length == vs.length) Some(ScanFilter(n, "in", ext)) else None
@@ -168,6 +183,9 @@ object ScanFilters {
     * partition value matches NO comparison (SQL semantics). */
   def constantMayMatch(dt: DataType, raw: Any, f: ScanFilter): Boolean = {
     validate(f)
+    // nullness ops decide on VALUE PRESENCE, not comparability
+    if (f.op == "is null") return raw == null
+    if (f.op == "is not null") return raw != null
     toComparable(dt, raw) match {
       case None => false // null: =,!=,<,… are all NULL → row filter drops it
       case Some(pv) =>
@@ -190,6 +208,9 @@ object ScanFilters {
   def intervalMayMatch(dt: DataType, minRaw: Option[Any], maxRaw: Option[Any],
       f: ScanFilter): Boolean = {
     validate(f)
+    // min/max say nothing about nullness — [[nullCountMayMatch]] is the
+    // authority for the nullness ops; an interval check must keep
+    if (f.op == "is null" || f.op == "is not null") return true
     val lo = minRaw.flatMap(toComparable(dt, _))
     val hi = maxRaw.flatMap(toComparable(dt, _))
     def contains(v: Any): Boolean =
@@ -208,6 +229,18 @@ object ScanFilters {
         if (!point.getOrElse(false)) true
         else !f.valueSeq.exists(v => cmp(lo.get, dt, v).contains(0))
     }
+  }
+
+  /** May a file with `nullCount` nulls out of `numRecords` rows match a
+    * nullness op? Unknown counts keep the file; non-nullness ops are
+    * decided by the value machinery, not here, so they keep too. */
+  def nullCountMayMatch(nullCount: Option[Long], numRecords: Option[Long],
+      f: ScanFilter): Boolean = f.op match {
+    case "is null" => nullCount.forall(_ > 0L)
+    case "is not null" =>
+      (for { nc <- nullCount; nr <- numRecords } yield nc < nr)
+        .getOrElse(true)
+    case _ => true
   }
 
   private def cmp(normalized: Any, dt: DataType, rawOther: Any): Option[Int] =

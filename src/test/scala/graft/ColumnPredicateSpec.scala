@@ -48,22 +48,26 @@ class ColumnPredicateSpec extends AnyFunSuite {
     // date literals come back in their external form
     val d = java.sql.Date.valueOf("2024-01-02")
     assert(tr(col("d") >= d) == Seq(ScanFilter("d", ">=", d)))
+    // nullness shapes translate to the null-count-pruned ops
+    assert(tr(col("v").isNull) == Seq(ScanFilter("v", "is null", null)))
+    assert(tr(col("v").isNotNull) ==
+      Seq(ScanFilter("v", "is not null", null)))
+    assert(tr(col("p") <=> lit(null.asInstanceOf[String])) ==
+      Seq(ScanFilter("p", "is null", null)))
   }
 
-  test("fromColumn keeps null-sensitive and complex shapes residual-only") {
-    assert(tr(col("v").isNull).isEmpty)
-    assert(tr(col("v").isNotNull).isEmpty)
-    // NOT(<=>) MATCHES null rows; translating it to != would prune
-    // files whose rows are all null — wrongly
+  test("fromColumn keeps unpruneable shapes residual-only") {
+    // NOT(<=>) with a non-null literal means `isNull OR !=` — no single
+    // conjunct expresses it, and a bare != would prune all-null files
+    // whose rows MATCH
     assert(tr(!(col("p") <=> "x")).isEmpty)
-    assert(tr(col("p") <=> lit(null.asInstanceOf[String])).isEmpty)
     assert(tr(upper(col("v")) === "A").isEmpty)
     assert(tr(col("v") === col("p")).isEmpty)
     // OR spanning two columns cannot prune either alone
     assert(tr(col("p") === "x" || col("v") === "y").isEmpty)
-    // a mixed AND still yields its translatable conjunct
+    // a mixed AND yields every translatable conjunct
     assert(tr(col("id") > 3L && col("v").isNull) ==
-      Seq(ScanFilter("id", ">", 3L)))
+      Seq(ScanFilter("id", ">", 3L), ScanFilter("v", "is null", null)))
     assert(tr(col("id") > 3L && (col("p") === "x" || col("v") === "y")) ==
       Seq(ScanFilter("id", ">", 3L)))
   }
@@ -122,7 +126,7 @@ class ColumnPredicateSpec extends AnyFunSuite {
       (10L until 50L).toSet, "a2..a9 are length 2, a10.. are length 3")
   }
 
-  test("null-sensitive predicates stay residual and return exact rows") {
+  test("delta: nullness predicates prune by stats nullCount, exactly") {
     val spark0 = spark
     import spark0.implicits._
     val dir = s"${tmp()}/tbl"
@@ -132,11 +136,47 @@ class ColumnPredicateSpec extends AnyFunSuite {
       Seq((3L, null.asInstanceOf[String])).toDF("id", "v").coalesce(1),
       dir, mode = "append")
     // NOT(v <=> "a") matches the null row — a wrong `!=` translation
-    // would prune the all-null file and lose it
+    // would prune the all-null file and lose it (stays residual)
     assert(DeltaLogReader.readWhere(spark, dir, !(col("v") <=> "a"))
       .select("id").as[Long].collect().toSet == Set(3L))
-    assert(DeltaLogReader.readWhere(spark, dir, col("v").isNull)
-      .select("id").as[Long].collect().toSet == Set(3L))
+    // IS NULL scans ONLY the file whose stats admit nulls; IS NOT NULL
+    // only the one with a non-null row — both from add-action stats
+    val isNull = DeltaLogReader.readWhere(spark, dir, col("v").isNull)
+    assert(isNull.inputFiles.length == 1)
+    assert(isNull.select("id").as[Long].collect().toSet == Set(3L))
+    val notNull = DeltaLogReader.readWhere(spark, dir, col("v").isNotNull)
+    assert(notNull.inputFiles.length == 1)
+    assert(notNull.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // the tuple API prunes identically
+    assert(DeltaLogReader.read(spark, dir,
+        filters = Seq(ScanFilter("v", "is null", null)))
+      .inputFiles.toSet == isNull.inputFiles.toSet)
     assert(DeltaLogReader.readWhere(spark, dir, col("v") =!= "a").count() == 0)
+  }
+
+  test("iceberg: nullness predicates prune by manifest null_value_counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = s"${tmp()}/tbl"
+    IcebergWriter.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1), dir)
+    IcebergWriter.write(
+      Seq((3L, null.asInstanceOf[String])).toDF("id", "v").coalesce(1),
+      dir, mode = "append")
+    // the writer put per-field null totals into the manifests
+    val snap = IcebergReader.snapshot(spark, dir)
+    assert(snap.files.forall(_.nullCounts.nonEmpty),
+      "manifest entries must carry null_value_counts")
+    val isNull = IcebergReader.readWhere(spark, dir, col("v").isNull)
+    assert(isNull.inputFiles.length == 1)
+    assert(isNull.select("id").as[Long].collect().toSet == Set(3L))
+    val notNull = IcebergReader.readWhere(spark, dir, col("v").isNotNull)
+    assert(notNull.inputFiles.length == 1)
+    assert(notNull.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // a rewrite carries the counts through EXISTING manifest entries
+    IcebergWriter.write(Seq((4L, "c")).toDF("id", "v").coalesce(1),
+      dir, mode = "append")
+    assert(IcebergReader.readWhere(spark, dir, col("v").isNull)
+      .select("id").as[Long].collect().toSet == Set(3L))
   }
 }
