@@ -111,6 +111,7 @@ object SparkEntry {
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
     "fmt_delta_pruned_read" -> (TableRoundtrips.deltaPrunedReadRoundtrip _),
     "fmt_iceberg_pruned_read" -> (TableRoundtrips.icebergPrunedReadRoundtrip _),
+    "fmt_iceberg_addfiles" -> (TableRoundtrips.icebergAddFilesRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "fmt_iceberg_rewrite"  -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_delta_pruned_read" -> TableRoundtrips.deltaPrunedReadOracle,
     "fmt_iceberg_pruned_read" -> TableRoundtrips.icebergPrunedReadOracle,
+    "fmt_iceberg_addfiles" -> TableRoundtrips.icebergAddFilesOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,

@@ -215,6 +215,41 @@ object TableRoundtrips {
       out.select(col("o_orderkey"), col("o_ts"), col("o_totalprice")), root)
   }
 
+  /** `add_files` import + name-mapping + rename, oracled: seed an
+    * Iceberg table with one customer slice, register an id-less parquet
+    * file of the adjacent slice WITHOUT rewriting it (pyiceberg's
+    * `add_files` import shape — the registration installs
+    * `schema.name-mapping.default`), rename a column (metadata-only
+    * commit), and read the final table back through the spec reader.
+    * Field-id resolution must serve the native file, the name mapping
+    * the imported one, and BOTH must survive the rename — a dropped
+    * mapping null-projects the imported rows and hash-mismatches. */
+  def icebergAddFilesRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-af").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir).filter(col("c_custkey") <= 30L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(base, tmp, mode = "error")
+    // a PLAIN Spark parquet write carries no field-ids — the id-less
+    // import shape
+    val staging = root + "/import"
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") > 30L && col("c_custkey") <= 60L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .coalesce(1).write.parquet(staging)
+    val imported = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    IcebergWriter.addFiles(s, tmp, imported)
+    IcebergWriter.renameColumn(s, tmp, "c_acctbal", "bal")
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp)
+        .select(col("c_custkey"), col("c_mktsegment"), col("bal")), root)
+  }
+
+  def icebergAddFilesOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal AS bal
+      |FROM customer WHERE c_custkey <= 60""".stripMargin
+
   /** Zero-rewrite Iceberg DELETE roundtrip: seed a partitioned table,
     * delete a key slice via [[graft.io.IcebergWriter.deleteWhere]] —
     * which writes v2 POSITION-DELETE files and a delete manifest while
