@@ -365,8 +365,10 @@ object IcebergReader {
     val isBucket = pf.transform.startsWith("bucket")
     val keepAll = (_: DataFileEntry) => true
     if (!monotonic.contains(pf.transform) && !isBucket) return keepAll
-    // non-injective transforms cannot prune exclusions; buckets only =/in
-    if (fl.op == "!=" || fl.op == "not in") return keepAll
+    // non-injective transforms cannot prune exclusions; buckets only
+    // =/in; a string-prefix test has no transformed ordinal at all
+    if (fl.op == "!=" || fl.op == "not in" || fl.op == "prefix")
+      return keepAll
     if (isBucket && fl.op != "=" && fl.op != "in") return keepAll
     val ordinals = fl.valueSeq.map(v =>
       IcebergTransforms.applyToLiteral(spark, pf, dt, v)

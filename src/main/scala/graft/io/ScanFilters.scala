@@ -3,7 +3,7 @@ package graft.io
 import java.time.LocalDate
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Cast, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.Filter
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
@@ -12,8 +12,9 @@ import org.apache.spark.sql.types._
   * readers — the Spark-side shape of the reference's `partitions`
   * filter tuples (`s3/_read_deltalake.py:41` `list[tuple[str, str,
   * Any]]`, delta-rs `files_by_partitions` syntax). `op` is one of
-  * `=`, `!=`, `<`, `<=`, `>`, `>=`, `in`, `not in`; for the set ops
-  * `value` is a `Seq`.
+  * `=`, `!=`, `<`, `<=`, `>`, `>=`, `in`, `not in`, `is null`,
+  * `is not null`, `prefix` (string starts-with, pruned through string
+  * bounds); for the set ops `value` is a `Seq`.
   *
   * Semantics are EXACT row filtering: the readers prune the snapshot's
   * file list by partition values and file statistics (metadata only,
@@ -35,7 +36,7 @@ final case class ScanFilter(column: String, op: String, value: Any) {
 object ScanFilters {
 
   private val Ops = Set("=", "!=", "<", "<=", ">", ">=", "in", "not in",
-    "is null", "is not null")
+    "is null", "is not null", "prefix")
 
   def validate(f: ScanFilter): Unit =
     require(Ops.contains(f.op),
@@ -50,6 +51,7 @@ object ScanFilters {
     f.op match {
       case "is null" => c.isNull
       case "is not null" => c.isNotNull
+      case "prefix" => c.startsWith(lit(f.value.toString))
       case "=" => c === lit(f.value)
       case "!=" => c =!= lit(f.value)
       case "<" => c < lit(f.value)
@@ -71,8 +73,9 @@ object ScanFilters {
     * conjunct of a supported shape (`=`, `<=>` with a non-null literal,
     * `<`, `<=`, `>`, `>=`, `IN`, `NOT =`/`NOT IN`, `isNull` /
     * `isNotNull` / `<=> null` — pruned through per-file null counts —
-    * and an `OR` of point predicates on ONE column, which collapses to
-    * `in`) becomes a ScanFilter. Everything else — casts, functions of
+    * `startsWith` (pruned through string bounds), and an `OR` of point
+    * predicates on ONE column, which collapses to `in`) becomes a
+    * ScanFilter. Everything else — casts, functions of
     * a column, cross-column comparisons, disjunctions spanning columns
     * — is simply NOT emitted: the caller must re-apply the ORIGINAL
     * predicate as the row filter, so untranslated conjuncts stay
@@ -133,6 +136,8 @@ object ScanFilters {
     case GreaterThanOrEqual(Lit(v), Attr(n)) => Some(ScanFilter(n, "<=", v))
     case Not(EqualTo(Attr(n), Lit(v))) => Some(ScanFilter(n, "!=", v))
     case Not(EqualTo(Lit(v), Attr(n))) => Some(ScanFilter(n, "!=", v))
+    case StartsWith(Attr(n), Lit(p: String)) =>
+      Some(ScanFilter(n, "prefix", p))
     case IsNull(Attr(n)) => Some(ScanFilter(n, "is null", null))
     case IsNotNull(Attr(n)) => Some(ScanFilter(n, "is not null", null))
     case Not(IsNull(Attr(n))) => Some(ScanFilter(n, "is not null", null))
@@ -186,6 +191,10 @@ object ScanFilters {
     // nullness ops decide on VALUE PRESENCE, not comparability
     if (f.op == "is null") return raw == null
     if (f.op == "is not null") return raw != null
+    // prefix is a string test; a non-string column keeps (residual decides)
+    if (f.op == "prefix")
+      return dt != StringType || (raw != null &&
+        raw.toString.startsWith(f.value.toString))
     toComparable(dt, raw) match {
       case None => false // null: =,!=,<,… are all NULL → row filter drops it
       case Some(pv) =>
@@ -211,6 +220,18 @@ object ScanFilters {
     // min/max say nothing about nullness — [[nullCountMayMatch]] is the
     // authority for the nullness ops; an interval check must keep
     if (f.op == "is null" || f.op == "is not null") return true
+    // a string with prefix p sits in [p, successor(p)): the interval
+    // may hold one iff max >= p and (min <= p or min itself starts
+    // with p — a min above p NOT under p has already diverged upward
+    // before p ended, so every later string misses the prefix)
+    if (f.op == "prefix") {
+      if (dt != StringType) return true
+      val p = f.value.toString
+      val lo0 = minRaw.map(_.toString)
+      val hi0 = maxRaw.map(_.toString)
+      return hi0.forall(h => h >= p) &&
+        lo0.forall(l => l <= p || l.startsWith(p))
+    }
     val lo = minRaw.flatMap(toComparable(dt, _))
     val hi = maxRaw.flatMap(toComparable(dt, _))
     def contains(v: Any): Boolean =

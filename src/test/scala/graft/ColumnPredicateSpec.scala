@@ -48,6 +48,9 @@ class ColumnPredicateSpec extends AnyFunSuite {
     // date literals come back in their external form
     val d = java.sql.Date.valueOf("2024-01-02")
     assert(tr(col("d") >= d) == Seq(ScanFilter("d", ">=", d)))
+    // startsWith translates to the bounds-pruned prefix op
+    assert(tr(col("v").startsWith("b")) ==
+      Seq(ScanFilter("v", "prefix", "b")))
     // nullness shapes translate to the null-count-pruned ops
     assert(tr(col("v").isNull) == Seq(ScanFilter("v", "is null", null)))
     assert(tr(col("v").isNotNull) ==
@@ -152,6 +155,37 @@ class ColumnPredicateSpec extends AnyFunSuite {
         filters = Seq(ScanFilter("v", "is null", null)))
       .inputFiles.toSet == isNull.inputFiles.toSet)
     assert(DeltaLogReader.readWhere(spark, dir, col("v") =!= "a").count() == 0)
+  }
+
+  test("prefix predicates prune by string bounds on both formats") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two files with disjoint v prefixes (a* and b*) per format
+    val dirD = s"${tmp()}/d"
+    DeltaLogWriter.write(
+      (0L until 50L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), dirD)
+    DeltaLogWriter.write(
+      (50L until 100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1),
+      dirD, mode = "append")
+    val d = DeltaLogReader.readWhere(spark, dirD, col("v").startsWith("b"))
+    assert(d.inputFiles.length == 1)
+    assert(d.count() == 50)
+    // a prefix between the two files' ranges scans nothing
+    assert(DeltaLogReader.readWhere(spark, dirD, col("v").startsWith("az"))
+      .inputFiles.isEmpty)
+    val dirI = s"${tmp()}/i"
+    IcebergWriter.write(
+      (0L until 50L).map(i => (i, s"a$i")).toDF("id", "v").coalesce(1), dirI)
+    IcebergWriter.write(
+      (50L until 100L).map(i => (i, s"b$i")).toDF("id", "v").coalesce(1),
+      dirI, mode = "append")
+    val ib = IcebergReader.readWhere(spark, dirI, col("v").startsWith("b"))
+    assert(ib.inputFiles.length == 1)
+    assert(ib.count() == 50)
+    // a prefix that PREFIXES a file's min must keep that file: min "a0"
+    // does not exclude prefix "a" even though "a" < "a0"
+    assert(IcebergReader.readWhere(spark, dirI, col("v").startsWith("a"))
+      .count() == 50)
   }
 
   test("iceberg: nullness predicates prune by manifest null_value_counts") {
