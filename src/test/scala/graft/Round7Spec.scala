@@ -168,6 +168,94 @@ class Round7Spec extends AnyFunSuite {
     assert(DeltaLogWriter.cleanupMetadata(spark, dir, retentionMs = 0L).isEmpty)
   }
 
+  test("delta metadata retention protects sidecars of retained v2 checkpoints") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/tbl"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def writeDataFile(rel: String, rows: DataFrame): Unit = {
+      val stg = tmp() + "/stg"
+      rows.coalesce(1).write.parquet(stg)
+      val part = fs.listStatus(new Path(stg))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new Path(dir, rel)
+      fs.mkdirs(dst.getParent)
+      assert(fs.rename(part, dst))
+    }
+    def writeCommit(version: Long, actions: Seq[String]): Unit =
+      java.nio.file.Files.writeString(
+        new java.io.File(s"$dir/_delta_log", f"$version%020d.json").toPath,
+        actions.mkString("", "\n", "\n"))
+    def add(rel: String) =
+      s"""{"add":{"path":"$rel","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    (1 to 4).foreach(i =>
+      writeDataFile(s"f$i.parquet", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    new java.io.File(s"$dir/_delta_log").mkdirs()
+    val schemaStr = com.fasterxml.jackson.databind.json.JsonMapper.builder()
+      .build().writeValueAsString(schema.json)
+    writeCommit(0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      s"""{"metaData":{"id":"fx","format":{"provider":"parquet","options":{}},"schemaString":$schemaStr,"partitionColumns":[],"configuration":{}}}""",
+      add("f1.parquet"), add("f2.parquet")))
+    writeCommit(1, Seq(add("f3.parquet")))
+    // v2 checkpoint at version 1: uuid manifest + two sidecars, plus an
+    // ORPHAN sidecar nothing references
+    val logDir = new Path(dir, "_delta_log")
+    val sideDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sideDir)
+    def writeOneParquet[T <: Product : org.apache.spark.sql.Encoder](
+        rows: Seq[T], dst: Path): Unit = {
+      val stg = tmp() + "/stg"
+      rows.toDS().coalesce(1).write.parquet(stg)
+      val part = fs.listStatus(new Path(stg))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      assert(fs.rename(part, dst))
+    }
+    writeOneParquet(Seq(
+      V2SidecarRow(Some(V2Add("f1.parquet", Map.empty, 1L, 1L, false))),
+      V2SidecarRow(Some(V2Add("f2.parquet", Map.empty, 1L, 1L, false)))),
+      new Path(sideDir, "sc-1.parquet"))
+    writeOneParquet(Seq(
+      V2SidecarRow(Some(V2Add("f3.parquet", Map.empty, 1L, 1L, false)))),
+      new Path(sideDir, "sc-2.parquet"))
+    writeOneParquet(Seq(
+      V2SidecarRow(Some(V2Add("f9.parquet", Map.empty, 1L, 1L, false)))),
+      new Path(sideDir, "sc-orphan.parquet"))
+    val uuid = java.util.UUID.randomUUID().toString
+    writeOneParquet(Seq(
+      V2ManifestRow(Some(V2Prot(3, 7, Seq("v2Checkpoint"), Seq("v2Checkpoint"))),
+        None, None),
+      V2ManifestRow(None, Some(V2Meta("fx", schema.json, Nil)), None),
+      V2ManifestRow(None, None, Some(V2Side("sc-1.parquet", 1L, 1L))),
+      V2ManifestRow(None, None, Some(V2Side("sc-2.parquet", 1L, 1L)))),
+      new Path(logDir, f"${1L}%020d.checkpoint.$uuid.parquet"))
+    writeCommit(2, Seq(add("f4.parquet")))
+    Thread.sleep(50)
+    val deleted = DeltaLogWriter.cleanupMetadata(spark, dir, retentionMs = 0L)
+    // commit 0 (below the v1 checkpoint floor) and the orphan sidecar
+    // are swept; the referenced sidecars and the manifest survive
+    assert(deleted.exists(_.endsWith(f"${0L}%020d.json")))
+    assert(deleted.exists(_.endsWith("sc-orphan.parquet")))
+    assert(fs.exists(new Path(sideDir, "sc-1.parquet")))
+    assert(fs.exists(new Path(sideDir, "sc-2.parquet")))
+    assert(fs.exists(new Path(logDir,
+      f"${1L}%020d.checkpoint.$uuid.parquet")))
+    assert(!fs.exists(new Path(logDir, f"${0L}%020d.json")))
+    // replay = v2 checkpoint (via its protected sidecars) + commit 2
+    assert(DeltaLogReader.read(spark, dir)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (2L, "v2"), (3L, "v3"), (4L, "v4")))
+    intercept[IllegalArgumentException] {
+      DeltaLogReader.snapshot(spark, dir, Some(0L))
+    }
+  }
+
   test("iceberg: append to an already-v2 table labels its data manifest v2") {
     val dir = tmp()
     IcebergWriter.write(df((1L, "a", "x"), (2L, "b", "y")), dir, mode = "error")
