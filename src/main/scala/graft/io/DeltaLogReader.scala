@@ -375,8 +375,11 @@ object DeltaLogReader {
     * functions of a column) stay residual-only and results never
     * change. */
   def readWhere(spark: SparkSession, tablePath: String,
-      predicate: Column): DataFrame = {
-    val snap = snapshot(spark, tablePath, None)
+      predicate: Column, asOfVersion: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None): DataFrame = {
+    val version = asOfVersion.orElse(
+      asOfTimestamp.map(versionAtTimestamp(spark, tablePath, _)))
+    val snap = snapshot(spark, tablePath, version)
     val filters = ScanFilters.fromColumn(spark, snap.schema, predicate)
     val physOf = physicalNames(snap)
     val files =

@@ -287,8 +287,13 @@ object IcebergReader {
     * is the row filter — untranslatable conjuncts stay residual-only,
     * so results never change. */
   def readWhere(spark: SparkSession, tablePath: String,
-      predicate: Column): DataFrame =
-    snapshotOpt(spark, tablePath) match {
+      predicate: Column, asOfSnapshotId: Option[Long] = None,
+      asOfTimestamp: Option[Long] = None,
+      asOfRef: Option[String] = None): DataFrame =
+    snapshotOpt(spark, tablePath, asOfSnapshotId
+      .orElse(asOfRef.map(refSnapshotId(spark, tablePath, _)))
+      .orElse(asOfTimestamp
+        .map(snapshotIdAtTimestamp(spark, tablePath, _)))) match {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

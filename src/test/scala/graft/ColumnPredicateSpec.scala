@@ -104,6 +104,9 @@ class ColumnPredicateSpec extends AnyFunSuite {
     assert(r.inputFiles.length == 1 && r.count() == 50)
     // an unsatisfiable predicate never builds a scan, still answers
     assert(DeltaLogReader.readWhere(spark, dir2, col("id") > 10000L).count() == 0)
+    // predicate + time travel compose
+    assert(DeltaLogReader.readWhere(spark, dir2, col("id") >= 0L,
+      asOfVersion = Some(0L)).count() == 100)
   }
 
   test("iceberg: Column predicate prunes manifests identically") {
@@ -127,6 +130,10 @@ class ColumnPredicateSpec extends AnyFunSuite {
     assert(mixed.inputFiles.length == 1)
     assert(mixed.select("id").as[Long].collect().toSet ==
       (10L until 50L).toSet, "a2..a9 are length 2, a10.. are length 3")
+    // predicate + snapshot time travel compose
+    val firstSnap = IcebergReader.history(spark, dir).last._1
+    assert(IcebergReader.readWhere(spark, dir, col("id") >= 0L,
+      asOfSnapshotId = Some(firstSnap)).count() == 100)
   }
 
   test("delta: nullness predicates prune by stats nullCount, exactly") {
