@@ -146,6 +146,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"))
     }),
+    // REAL codec decode (round 7): genuine PNG/WAV payloads decoded by
+    // the JDK's ImageIO / javax.sound codecs; the oracle reproduces the
+    // decoder-reported geometry and frame counts from the synthesis
+    // arithmetic — green certifies the encode→decode loop, not a fake
+    "mm_real_decode"      -> ((s: SparkSession, _: String) => {
+      import org.apache.spark.sql.functions._
+      graft.multimodal.Multimodal
+        .decodeReal(graft.multimodal.Multimodal.synthesizeReal(s, 1000))
+        .groupBy(col("modality"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("modality") === "image",
+            col("width").cast("long") * col("height")).otherwise(0L))
+            .as("px_total"),
+          sum(when(col("modality") === "audio", col("n_samples"))
+            .otherwise(0L)).as("samp_total"))
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -257,5 +274,7 @@ object SparkEntry {
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal
       .decodeFeaturesOracle(1000),
+    "mm_real_decode"      -> graft.multimodal.Multimodal
+      .decodeRealOracle(1000),
   )
 }
