@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** The events schema as stored (ns timestamps surface as long —
-    * see `graft.Tables.events`). */
+  /** The events schema with `ts` as stored when the files carry parquet
+    * TIMESTAMP(NANOS) (ns surfaces as long — see `graft.Tables.events`;
+    * [[readEvents]] swaps in the actual physical type it finds). */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos as long
@@ -40,10 +41,18 @@ object EventStream {
     val path =
       if (new java.io.File(s"$dir/events.parquet").exists) s"$dir/events*.parquet"
       else dir
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // a file stream must declare its schema up front, so resolve the
+    // physical ts encoding from the files already present (batch schema
+    // inference over the same glob) — the testdata has shipped both
+    // INT64-nanos and native TIMESTAMP encodings (see Tables.events).
+    // An as-yet-empty stream directory defaults to the nanos-long form.
+    val tsType = scala.util.Try(
+      spark.read.parquet(path).schema.apply("ts").dataType
+    ).getOrElse(LongType)
+    val schema = StructType(rawSchema.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(path), "ts")
   }
 
   /** Tumbling-window aggregate with a watermark: counts + exact sums per
