@@ -46,10 +46,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // fixed-cost calibration: a pure-CPU aggregate over a fixed range,
-    // run at sweep start and end. If the two differ by >1.5× the machine
-    // was contended mid-run and the sweep's numbers are not trustworthy —
-    // the JSON flags it instead of letting a starved run masquerade as a
+    // fixed-cost calibration: a pure-CPU aggregate over a fixed range.
+    // Sampled at sweep start/end AND every `probeEvery` entries mid-sweep
+    // (the round-7 blind spot: a contention burst that starts after the
+    // first probe and ends before the last one corrupts the middle of the
+    // sweep while both endpoint samples look clean). If any sample drifts
+    // >1.5× off the best one, the machine was contended and the JSON
+    // flags the run instead of letting a starved sweep masquerade as a
     // regression (the round-3 failure mode).
     // sized to ~1s warm so scheduler jitter (tens of ms) stays well
     // under the 1.5× contention threshold; head() (not count()) so the
@@ -59,17 +62,54 @@ object Bench {
       spark.range(0, 2000000000L, 1, cpus.toInt)
         .selectExpr("max(xxhash64(id))").head()
     }
-    // min of two runs: scheduler noise inflates single samples, and a
-    // false contention flag discards a whole sweep
+    // the pure-CPU probe is blind to disk contention, which is exactly
+    // what shuffle-heavy relational queries feel first — so pair it with
+    // a fixed-cost I/O probe: write 64 MiB through the filesystem with an
+    // fsync (writes can't be served from page cache) and read it back.
+    // Noisier than the CPU probe, so its contention threshold is looser.
+    val ioProbeBuf = {
+      val b = new Array[Byte](1 << 20)
+      val rnd = new java.util.Random(7); rnd.nextBytes(b); b
+    }
+    val ioProbeDir = Files.createTempDirectory("graft-bench-ioprobe")
+    def ioProbeOnce(): Double = {
+      val f = ioProbeDir.resolve(s"probe-${System.nanoTime()}.bin")
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f.toFile)
+      try {
+        var i = 0
+        while (i < 64) { out.write(ioProbeBuf); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      val in = new java.io.FileInputStream(f.toFile)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        while (in.read(buf) >= 0) ()
+      } finally in.close()
+      val dt = (System.nanoTime() - t0) / 1e9
+      java.nio.file.Files.deleteIfExists(f)
+      dt
+    }
+    // min of two runs at the endpoints: scheduler noise inflates single
+    // samples, and a false contention flag discards a whole sweep
     def calibrate(): Double = math.min(calibrateOnce(), calibrateOnce())
-    // untimed warmup of the calibration plan itself: the first run pays
-    // codegen compile, which would read as a spurious start-vs-end skew
-    calibrateOnce()
+    // untimed warmup of both probe paths: the first calibration run pays
+    // codegen compile and the first I/O run pays dir creation, which
+    // would read as a spurious start-vs-end skew
+    calibrateOnce(); ioProbeOnce()
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
     val loadStart = loadAvg()
-    val calibStart = calibrate()
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def probe(minOfTwo: Boolean): Unit = {
+      calibSamples += (if (minOfTwo) calibrate() else calibrateOnce())
+      ioSamples += math.min(ioProbeOnce(), ioProbeOnce())
+    }
+    val probeEvery = 10
+    probe(minOfTwo = true)
+    val calibStart = calibSamples.head
 
     // SPARK_GRAFT_SKIP: comma-separated name prefixes to leave out of a
     // sweep (used by the sf1 scale run to exclude the documented
@@ -88,8 +128,13 @@ object Bench {
         !skip.exists(name.startsWith)
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }
+      .zipWithIndex
       .map {
-      case (name, fn) =>
+      case ((name, fn), i) =>
+        // mid-sweep contention probe: single-sample (cheap) — endpoint
+        // samples use min-of-two, and the flag compares against the BEST
+        // sample so one inflated mid-sweep read can only flag, not mask
+        if (i > 0 && i % probeEvery == 0) probe(minOfTwo = false)
         val t = time(fn(spark, sfDir).count())
         // free any per-query persisted state (dedup signature tables)
         // so one query's blocks never tax the queries after it
@@ -161,13 +206,18 @@ object Bench {
         }
     }
 
-    val calibEnd = calibrate()
+    probe(minOfTwo = true)
+    val calibEnd = calibSamples.last
     val loadEnd = loadAvg()
-    val calibRatio =
-      if (calibStart > 0 && calibEnd > 0)
-        math.max(calibStart, calibEnd) / math.min(calibStart, calibEnd)
-      else -1.0
-    val contended = calibRatio > 1.5
+    // contended iff ANY sample (endpoint or mid-sweep) drifts off the
+    // best one: >1.5× for the CPU probe, >3× for the noisier I/O probe
+    def ratioOf(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ > 0)
+      if (ok.isEmpty) -1.0 else ok.max / ok.min
+    }
+    val calibRatio = ratioOf(calibSamples.toSeq)
+    val ioRatio = ratioOf(ioSamples.toSeq)
+    val contended = calibRatio > 1.5 || ioRatio > 3.0
 
     val all = queryTimes ++ fixed
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
@@ -175,8 +225,10 @@ object Bench {
     val total = all.map(_._2).filter(_ >= 0).sum
     val skipped = skip.map("\"" + _ + "\"").mkString("[", ",", "]")
     val onlyJson = only.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calibJson = calibSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
+    val ioJson = ioSamples.map(s => f"$s%.3f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_prefixes":$skipped,"only_prefixes":$onlyJson,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","skipped_prefixes":$skipped,"only_prefixes":$onlyJson,"calib_start_sec":$calibStart,"calib_end_sec":$calibEnd,"calib_ratio":$calibRatio,"calib_samples_sec":$calibJson,"io_probe_samples_sec":$ioJson,"io_probe_ratio":$ioRatio,"contended":$contended,"load_avg_start":$loadStart,"load_avg_end":$loadEnd}""")
     spark.stop()
   }
 }
