@@ -43,9 +43,20 @@ object DeltaLogWriter {
 
   final case class Committed(version: Long, numFiles: Int)
 
-  /** `to_deltalake(df, path, mode=…)` in the real format. */
+  /** `to_deltalake(df, path, mode=…)` in the real format.
+    *
+    * Appends evolve additively by default (the reference's
+    * `schema_evolution=True` dataset-write semantics): new incoming
+    * columns widen the table via a `metaData` action carrying the merged
+    * schema — old files read them as null because [[DeltaLogReader]]
+    * scans with the snapshot schema. Retyping a column, or appending
+    * without a non-nullable table column, still raises (see
+    * [[SchemaMerge.mergeAppend]]). The merged schema — never the bare
+    * incoming one — is what commits, so a subset-column append can no
+    * longer narrow the table's declared schema. */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
-      partitionBy: Seq[String] = Nil): Committed = {
+      partitionBy: Seq[String] = Nil,
+      schemaEvolution: Boolean = true): Committed = {
     val spark = df.sparkSession
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     val exists = latest >= 0
@@ -60,25 +71,43 @@ object DeltaLogWriter {
     val prior = if (exists) Some(DeltaLogReader.snapshot(spark, tablePath)) else None
     val partCols =
       prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
+    var outSchema = df.schema
     prior.foreach { s =>
       if (partitionBy.nonEmpty && s.partitionColumns != partitionBy)
         throw new IllegalArgumentException(
           s"partitionBy ${partitionBy.mkString(",")} != table's ${s.partitionColumns.mkString(",")}")
-      if (mode == "append") checkAppendSchema(s.schema, df.schema)
+      if (mode == "append") {
+        val fresh = df.schema.fieldNames.toSet -- s.schema.fieldNames
+        if (fresh.nonEmpty && SchemaMerge.isColumnMapped(s.schema))
+          throw new IllegalArgumentException(
+            "schema evolution on a column-mapped Delta table needs new " +
+              "columnMapping id/physicalName assignments; use overwrite")
+        outSchema = SchemaMerge.mergeAppend(s.schema, df.schema,
+          evolve = schemaEvolution)
+      }
     }
     val adds = writeDataFiles(df, tablePath, partCols)
     val removes =
       if (mode == "overwrite") prior.map(_.files.map(_.path)).getOrElse(Nil)
       else Nil
-    val schemaChanged = prior.forall(_.schema.json != df.schema.json)
-    commitLoop(spark, tablePath, df.schema, partCols, adds, removes,
+    val schemaChanged = prior.forall(_.schema.json != outSchema.json)
+    commitLoop(spark, tablePath, outSchema, partCols, adds, removes,
       if (exists) "WRITE" else "CREATE TABLE AS SELECT",
       emitMeta = schemaChanged)
   }
 
+  /** Key-match condition: plain `=` by default, `<=>` with `matchNulls`
+    * — the reference's `merge_match_nulls` (IS NOT DISTINCT FROM joins,
+    * `athena/_write_iceberg.py:297-393`). Without it a null-keyed row
+    * never matches and duplicates on every upsert. */
+  private def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String],
+      matchNulls: Boolean) =
+    keys.map(k => if (matchNulls) l(k) <=> r(k) else l(k) === r(k))
+      .reduce(_ && _)
+
   /** Upsert by key — partition-granular on partitioned tables. */
   def merge(spark: SparkSession, tablePath: String, src: DataFrame,
-      keys: Seq[String]): Committed = {
+      keys: Seq[String], matchNulls: Boolean = false): Committed = {
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     if (latest < 0) return write(src, tablePath, mode = "error")
     val snap = DeltaLogReader.snapshot(spark, tablePath)
@@ -86,7 +115,8 @@ object DeltaLogWriter {
     val srcAligned = src.select(snap.schema.fieldNames.map(col).toSeq: _*)
     if (snap.partitionColumns.isEmpty) {
       // full rewrite: kept = current minus matched keys, plus all of src
-      val merged = current.join(srcAligned, keys, "left_anti")
+      val merged = current.join(srcAligned,
+          keyCond(current, srcAligned, keys, matchNulls), "left_anti")
         .unionByName(srcAligned)
       val adds = writeDataFiles(merged, tablePath, Nil)
       commitLoop(spark, tablePath, snap.schema, Nil, adds,
@@ -94,10 +124,11 @@ object DeltaLogWriter {
     } else {
       val pcols = snap.partitionColumns
       // touched partitions: where src rows land + where matched keys live
+      val srcKeys = srcAligned.select(keys.map(col): _*).distinct()
       val touched = srcAligned.select(pcols.map(col): _*).distinct()
         .unionByName(current.join(
-            org.apache.spark.sql.functions.broadcast(
-              srcAligned.select(keys.map(col): _*).distinct()), keys, "left_semi")
+            org.apache.spark.sql.functions.broadcast(srcKeys),
+            keyCond(current, srcKeys, keys, matchNulls), "left_semi")
           .select(pcols.map(col): _*).distinct())
         .distinct().collect()
         .map(r => pcols.map(c => Option(r.getAs[Any](c)).map(_.toString)))
@@ -109,8 +140,10 @@ object DeltaLogWriter {
           v.map(col(c).cast("string") === lit(_)).getOrElse(col(c).isNull)
         }.reduce(_ && _)
       }.reduceOption(_ || _).getOrElse(lit(false))
-      val merged = current.filter(touchedFilter)
-        .join(srcAligned, keys, "left_anti")
+      val touchedScan = current.filter(touchedFilter)
+      val merged = touchedScan
+        .join(srcAligned, keyCond(touchedScan, srcAligned, keys, matchNulls),
+          "left_anti")
         .unionByName(srcAligned)
       val adds = writeDataFiles(merged, tablePath, pcols)
       commitLoop(spark, tablePath, snap.schema, pcols, adds,
@@ -420,8 +453,9 @@ object DeltaLogWriter {
       }.collect().toSeq
   }
 
-  /** Append must not silently drop or retype columns; `mergeSchema`-style
-    * evolution goes through overwrite (which re-emits metaData). */
+  /** STRICT schema check for the streaming single-txn path (a stream's
+    * schema is fixed at plan time, so drift mid-run is a bug, not
+    * evolution); batch appends evolve via [[SchemaMerge.mergeAppend]]. */
   private def checkAppendSchema(table: StructType, incoming: StructType): Unit = {
     val t = table.fields.map(f => f.name -> f.dataType).toMap
     incoming.fields.foreach { f =>

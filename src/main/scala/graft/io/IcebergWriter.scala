@@ -59,8 +59,22 @@ object IcebergWriter {
     * entries are transform specs: a bare column name (identity),
     * `day/month/year/hour(col)`, or `bucket(n, col)` — the call shapes
     * the reference accepts (`athena/_write_iceberg.py:269-281`). */
+  /** `to_iceberg(df, path, mode=…)` in the real format.
+    *
+    * Appends evolve additively by default, mirroring the reference's
+    * diff-and-ALTER flow (`athena/_write_iceberg.py:112-234`): new
+    * incoming columns join the table schema as trailing nullable fields.
+    * Field-ids stay stable because id assignment is positional over the
+    * merged schema (table order first, new fields appended) and the
+    * incoming frame is re-aligned to that order before writing — old
+    * files resolve the new ids to null via the reader's snapshot-schema
+    * scan. Retyping a column still raises. The single `schemas[0]`
+    * entry is widened in place (ids never reused), so a time-travel
+    * read of a pre-evolution snapshot sees the new columns as null —
+    * read-time schema, the common external-writer behavior. */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
-      partitionBy: Seq[String] = Nil): Committed = {
+      partitionBy: Seq[String] = Nil,
+      schemaEvolution: Boolean = true): Committed = {
     val spark = df.sparkSession
     val exists = IcebergReader.isIcebergTable(spark, tablePath)
     mode match {
@@ -85,15 +99,21 @@ object IcebergWriter {
       throw new IllegalArgumentException(
         s"partitionBy ${partitionBy.mkString(",")} != table's " +
           declaredFields.map(f => s"${f.transform}(${f.source})").mkString(","))
+    var outSchema = df.schema
+    var outDf = df
     declared.foreach { tblSchema =>
-      if (mode == "append") checkAppendSchema(tblSchema, df.schema)
+      if (mode == "append") {
+        outSchema = SchemaMerge.mergeAppend(tblSchema, df.schema,
+          evolve = schemaEvolution)
+        outDf = SchemaMerge.alignTo(df, outSchema)
+      }
     }
-    val adds = writeDataFiles(df, tablePath, partFields)
+    val adds = writeDataFiles(outDf, tablePath, partFields)
     // append CARRIES the current snapshot's manifest files, re-read at
     // claim time inside the commit loop — a concurrent writer's manifests
     // survive a retry (the lost-update hazard of flattening the file list
     // as seen before the claim); overwrite replaces whatever is current
-    commit(spark, tablePath, df.schema, partFields, adds, kept = Nil,
+    commit(spark, tablePath, outSchema, partFields, adds, kept = Nil,
       operation = if (mode == "overwrite" && exists) "overwrite" else "append",
       carryCurrentManifests = mode == "append" && exists,
       expectedParent = None)
@@ -135,10 +155,10 @@ object IcebergWriter {
     * resolved against is still current; if another writer advanced the
     * table, the whole resolution re-runs against the new snapshot. */
   def merge(spark: SparkSession, tablePath: String, src: DataFrame,
-      keys: Seq[String]): Committed = {
+      keys: Seq[String], matchNulls: Boolean = false): Committed = {
     var attempt = 0
     while (true) {
-      try return mergeOnce(spark, tablePath, src, keys)
+      try return mergeOnce(spark, tablePath, src, keys, matchNulls)
       catch {
         case _: ConcurrentCommit if attempt < MaxResolveRetries =>
           attempt += 1
@@ -147,8 +167,17 @@ object IcebergWriter {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Key-match condition: plain `=` by default, `<=>` with `matchNulls`
+    * — the reference's `merge_match_nulls` (IS NOT DISTINCT FROM joins,
+    * `athena/_write_iceberg.py:297-393`). Without it a null-keyed row
+    * never matches and duplicates on every upsert. */
+  private def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String],
+      matchNulls: Boolean) =
+    keys.map(k => if (matchNulls) l(k) <=> r(k) else l(k) === r(k))
+      .reduce(_ && _)
+
   private def mergeOnce(spark: SparkSession, tablePath: String,
-      src: DataFrame, keys: Seq[String]): Committed = {
+      src: DataFrame, keys: Seq[String], matchNulls: Boolean): Committed = {
     if (!IcebergReader.isIcebergTable(spark, tablePath))
       return write(src, tablePath, mode = "error")
     val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
@@ -162,11 +191,11 @@ object IcebergWriter {
     val (touchedByKeys, keptRaw) =
       if (pfields.isEmpty) (snap.files, Nil)
       else {
+        val srcKeys = srcAligned.select(keys.map(col): _*).distinct()
         val touched = touchedPartitions(spark, snap.schema, pfields,
           srcAligned.unionByName(
-            current.join(
-              broadcast(srcAligned.select(keys.map(col): _*).distinct()),
-              keys, "left_semi")))
+            current.join(broadcast(srcKeys),
+              keyCond(current, srcKeys, keys, matchNulls), "left_semi")))
         snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
       }
     // a kept file TARGETED by a live position delete cannot be carried as
@@ -181,7 +210,8 @@ object IcebergWriter {
       if (pfields.isEmpty) current
       else if (touchedFiles.isEmpty) current.limit(0)
       else deleteAwareScan(spark, snap, touchedFiles)
-    val merged = touchedScan.join(srcAligned, keys, "left_anti")
+    val merged = touchedScan.join(srcAligned,
+        keyCond(touchedScan, srcAligned, keys, matchNulls), "left_anti")
       .unionByName(srcAligned)
     val adds = writeDataFiles(merged, tablePath, pfields)
     commit(spark, tablePath, snap.schema, pfields, adds, keptFiles.map(asInfo),
@@ -257,10 +287,10 @@ object IcebergWriter {
     * [[merge]]: untouched files become EXISTING manifest entries, only
     * partitions holding matched keys are rewritten. */
   def deleteMatched(spark: SparkSession, tablePath: String, keys: DataFrame,
-      keyCols: Seq[String]): Committed = {
+      keyCols: Seq[String], matchNulls: Boolean = false): Committed = {
     var attempt = 0
     while (true) {
-      try return deleteMatchedOnce(spark, tablePath, keys, keyCols)
+      try return deleteMatchedOnce(spark, tablePath, keys, keyCols, matchNulls)
       catch {
         case _: ConcurrentCommit if attempt < MaxResolveRetries =>
           attempt += 1
@@ -270,7 +300,8 @@ object IcebergWriter {
   }
 
   private def deleteMatchedOnce(spark: SparkSession, tablePath: String,
-      keys: DataFrame, keyCols: Seq[String]): Committed = {
+      keys: DataFrame, keyCols: Seq[String],
+      matchNulls: Boolean): Committed = {
     require(IcebergReader.isIcebergTable(spark, tablePath),
       s"no Iceberg table at $tablePath")
     val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
@@ -285,7 +316,8 @@ object IcebergWriter {
       if (pfields.isEmpty) (snap.files, Nil)
       else {
         val touched = touchedPartitions(spark, snap.schema, pfields,
-          current.join(broadcast(keySet), keyCols, "left_semi"))
+          current.join(broadcast(keySet),
+            keyCond(current, keySet, keyCols, matchNulls), "left_semi"))
         snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
       }
     val targeted = deleteTargetPaths(spark, snap)
@@ -294,8 +326,11 @@ object IcebergWriter {
     val touchedFiles = touchedByKeys ++ keptTargeted
     val remaining =
       if (touchedFiles.isEmpty) current.limit(0)
-      else deleteAwareScan(spark, snap, touchedFiles)
-        .join(broadcast(keySet), keyCols, "left_anti")
+      else {
+        val scan = deleteAwareScan(spark, snap, touchedFiles)
+        scan.join(broadcast(keySet),
+          keyCond(scan, keySet, keyCols, matchNulls), "left_anti")
+      }
     val adds = writeDataFiles(remaining, tablePath, pfields)
     commit(spark, tablePath, snap.schema, pfields, adds, keptFiles.map(asInfo),
       operation = "delete", carryCurrentManifests = false,

@@ -24,6 +24,25 @@ import org.apache.spark.sql.expressions.Window
   */
 object MergeOps {
 
+  /** Key-match condition: plain `=` by default, `<=>` (IS NOT DISTINCT
+    * FROM) with `matchNulls` — the reference's `merge_match_nulls`
+    * option (`athena/_write_iceberg.py:297-393`). Without it a
+    * null-keyed source row can never match its target row and
+    * duplicates on every upsert. */
+  private def keyCond(l: DataFrame, r: DataFrame, keys: Seq[String],
+      matchNulls: Boolean): Column =
+    keys.map(k => if (matchNulls) l(k) <=> r(k) else l(k) === r(k))
+      .reduce(_ && _)
+
+  /** Partition-tuple match is ALWAYS null-safe: a null partition value
+    * (`__HIVE_DEFAULT_PARTITION__`) is a legitimate partition, and a
+    * `=`-join would exclude its rows from the rewrite set while the
+    * affected-partition list still overwrites the directory — silently
+    * dropping every unmatched row in the null partition. */
+  private def partCond(l: DataFrame, r: DataFrame,
+      partitionCols: Seq[String]): Column =
+    partitionCols.map(c => l(c) <=> r(c)).reduce(_ && _)
+
   /** MERGE … WHEN MATCHED THEN UPDATE (replace row) WHEN NOT MATCHED
     * THEN INSERT — the `athena.to_iceberg(merge_cols=…)` semantic.
     * Returns the merged row count.
@@ -33,13 +52,15 @@ object MergeOps {
       targetPath: String,
       source: DataFrame,
       keys: Seq[String],
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      matchNulls: Boolean = false): Long = {
     require(keys.nonEmpty, "merge requires key columns")
     val target = spark.read.option("basePath", targetPath).parquet(targetPath)
     val sourceKeys = source.select(keys.map(col): _*).distinct()
 
     if (partitionCols.isEmpty) {
-      val kept = target.join(sourceKeys, keys, "left_anti")
+      val kept = target.join(sourceKeys,
+        keyCond(target, sourceKeys, keys, matchNulls), "left_anti")
       val merged = kept.unionByName(source.select(target.columns.map(col): _*))
       StagedCommit.overwrite(merged, targetPath)
     } else {
@@ -50,14 +71,16 @@ object MergeOps {
       // (keys ++ partitionCols) columns only.
       val sourceParts = source.select(partitionCols.map(col): _*).distinct()
       val matchedParts = target
-        .join(broadcast(sourceKeys), keys, "left_semi")
+        .join(broadcast(sourceKeys),
+          keyCond(target, sourceKeys, keys, matchNulls), "left_semi")
         .select(partitionCols.map(col): _*).distinct()
       val affectedDf = sourceParts.unionByName(matchedParts).distinct()
       val affected = collectPartitionValues(affectedDf, partitionCols)
 
-      val targetAffected =
-        target.join(broadcast(affectedDf), partitionCols, "left_semi")
-      val kept = targetAffected.join(sourceKeys, keys, "left_anti")
+      val targetAffected = target.join(broadcast(affectedDf),
+        partCond(target, affectedDf, partitionCols), "left_semi")
+      val kept = targetAffected.join(sourceKeys,
+        keyCond(targetAffected, sourceKeys, keys, matchNulls), "left_anti")
       val merged = kept.unionByName(source.select(target.columns.map(col): _*))
       StagedCommit.overwritePartitions(merged, targetPath, partitionCols,
         affected)
@@ -71,19 +94,22 @@ object MergeOps {
       targetPath: String,
       keys: DataFrame,
       keyCols: Seq[String],
-      partitionCols: Seq[String] = Nil): Long = {
+      partitionCols: Seq[String] = Nil,
+      matchNulls: Boolean = false): Long = {
     val target = spark.read.option("basePath", targetPath).parquet(targetPath)
     val keySet = keys.select(keyCols.map(col): _*).distinct()
-    val remaining = target.join(broadcast(keySet), keyCols, "left_anti")
+    val remaining = target.join(broadcast(keySet),
+      keyCond(target, keySet, keyCols, matchNulls), "left_anti")
     // partitionCols keeps the hive layout through the rewrite; only
     // partitions holding matched keys are touched
     if (partitionCols.isEmpty) StagedCommit.overwrite(remaining, targetPath)
     else {
-      val matchedParts = target.join(broadcast(keySet), keyCols, "left_semi")
+      val matchedParts = target.join(broadcast(keySet),
+        keyCond(target, keySet, keyCols, matchNulls), "left_semi")
         .select(partitionCols.map(col): _*).distinct()
       val affected = collectPartitionValues(matchedParts, partitionCols)
-      val remainingAffected =
-        remaining.join(broadcast(matchedParts), partitionCols, "left_semi")
+      val remainingAffected = remaining.join(broadcast(matchedParts),
+        partCond(remaining, matchedParts, partitionCols), "left_semi")
       StagedCommit.overwritePartitions(remainingAffected, targetPath,
         partitionCols, affected)
     }
