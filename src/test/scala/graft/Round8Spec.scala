@@ -76,4 +76,150 @@ class Round8Spec extends AnyFunSuite {
     val windows = ev.groupBy(window(col("ts"), "1 hour")).count()
     assert(windows.count() > 0)
   }
+
+  // ---- additive schema evolution on real-format appends -------------------
+
+  import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter}
+
+  private def idv(rows: (Long, String)*): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("id", "v")
+  }
+
+  private def idvx(rows: (Long, String, Double)*): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("id", "v", "score")
+  }
+
+  test("delta append evolves additively: old files read new column as null") {
+    val dir = tmp() + "/t"
+    DeltaLogWriter.write(idv(1L -> "a", 2L -> "b"), dir, mode = "error")
+    DeltaLogWriter.write(idvx((3L, "c", 0.5)), dir, mode = "append")
+    val out = DeltaLogReader.read(spark, dir)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // subset-column append must NOT narrow the declared schema back
+    DeltaLogWriter.write(idv(4L -> "d"), dir, mode = "append")
+    assert(DeltaLogReader.snapshot(spark, dir).schema.fieldNames.toSeq ==
+      Seq("id", "v", "score"))
+    assert(DeltaLogReader.read(spark, dir).count() == 4)
+  }
+
+  test("delta append: retype raises; schemaEvolution=false raises on new col") {
+    val dir = tmp() + "/t"
+    DeltaLogWriter.write(idv(1L -> "a"), dir, mode = "error")
+    val spark0 = spark
+    import spark0.implicits._
+    val retyped = Seq((2L, 7)).toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLogWriter.write(retyped, dir, mode = "append"))
+    assert(e1.getMessage.contains("!="))
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogWriter.write(idvx((2L, "b", 1.0)), dir, mode = "append",
+        schemaEvolution = false))
+    assert(e2.getMessage.contains("schemaEvolution=false"))
+  }
+
+  test("iceberg append evolves additively with stable field ids") {
+    val dir = tmp() + "/t"
+    IcebergWriter.write(idv(1L -> "a", 2L -> "b"), dir, mode = "error")
+    IcebergWriter.write(idvx((3L, "c", 0.5)), dir, mode = "append")
+    val out = IcebergReader.read(spark, dir)
+    assert(out.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    val byId = out.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some(0.5)))
+    // merged schema: existing columns keep ids 1,2; the new one takes 3
+    val (schema, _) = IcebergReader.tableInfo(spark, dir)
+    assert(schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    // an out-of-order append re-aligns to the table's field order, so
+    // positional stats/ids cannot silently shift
+    val reordered = idvx((4L, "d", 2.5)).select("score", "id", "v")
+    IcebergWriter.write(reordered, dir, mode = "append")
+    val again = IcebergReader.read(spark, dir)
+    assert(again.schema.fieldNames.toSeq == Seq("id", "v", "score"))
+    assert(again.filter(col("id") === 4L).head.getDouble(2) == 2.5)
+  }
+
+  test("iceberg append: retype raises") {
+    val dir = tmp() + "/t"
+    IcebergWriter.write(idv(1L -> "a"), dir, mode = "error")
+    val spark0 = spark
+    import spark0.implicits._
+    val retyped = Seq((2L, 7)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](
+      IcebergWriter.write(retyped, dir, mode = "append"))
+    assert(e.getMessage.contains("!="))
+  }
+
+  // ---- null-safe MERGE keys ----------------------------------------------
+
+  private def nullKeyed(rows: (java.lang.Long, String)*): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    rows.toDF("id", "v")
+  }
+
+  test("MergeOps.upsert matchNulls: null-keyed row upserts exactly once") {
+    val dir = tmp()
+    graft.io.DatasetWriter.toParquet(
+      nullKeyed((Long.box(1L), "a"), (null, "n0")), dir,
+      mode = graft.io.DatasetWriter.Overwrite)
+    // default: the null key never matches -> duplicates (documented)
+    table.MergeOps.upsert(spark, dir, nullKeyed((null, "n1")), Seq("id"))
+    val dup = spark.read.parquet(dir)
+    assert(dup.filter(col("id").isNull).count() == 2)
+    // matchNulls=true: <=> join replaces BOTH accumulated null rows
+    table.MergeOps.upsert(spark, dir, nullKeyed((null, "n2")), Seq("id"),
+      matchNulls = true)
+    val out = spark.read.parquet(dir)
+    assert(out.filter(col("id").isNull).count() == 1)
+    assert(out.filter(col("id").isNull).head.getString(1) == "n2")
+    assert(out.filter(col("id") === 1L).count() == 1)
+  }
+
+  test("delta merge matchNulls upserts the null key once") {
+    val dir = tmp() + "/t"
+    DeltaLogWriter.write(nullKeyed((Long.box(1L), "a"), (null, "n0")), dir, mode = "error")
+    DeltaLogWriter.merge(spark, dir, nullKeyed((null, "n1")), Seq("id"),
+      matchNulls = true)
+    val out = DeltaLogReader.read(spark, dir)
+    assert(out.count() == 2)
+    assert(out.filter(col("id").isNull).head.getString(1) == "n1")
+  }
+
+  test("iceberg merge matchNulls upserts the null key once") {
+    val dir = tmp() + "/t"
+    IcebergWriter.write(nullKeyed((Long.box(1L), "a"), (null, "n0")), dir, mode = "error")
+    IcebergWriter.merge(spark, dir, nullKeyed((null, "n1")), Seq("id"),
+      matchNulls = true)
+    val out = IcebergReader.read(spark, dir)
+    assert(out.count() == 2)
+    assert(out.filter(col("id").isNull).head.getString(1) == "n1")
+    // and deleteMatched with a null key removes it
+    IcebergWriter.deleteMatched(spark, dir, nullKeyed((null, "x")).select("id"),
+      Seq("id"), matchNulls = true)
+    assert(IcebergReader.read(spark, dir).count() == 1)
+  }
+
+  test("partitioned upsert keeps unmatched rows of a null-valued partition") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    // partition p=null holds TWO rows; upserting one of them used to
+    // overwrite the whole null partition with only the matched row
+    val tgt = Seq((1L, "a", Option("x")), (2L, "b", Option.empty[String]),
+      (3L, "c", Option.empty[String])).toDF("id", "v", "p")
+    graft.io.DatasetWriter.toParquet(tgt, dir,
+      mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("p"))
+    val src = Seq((2L, "B", Option.empty[String])).toDF("id", "v", "p")
+    table.MergeOps.upsert(spark, dir, src, Seq("id"), partitionCols = Seq("p"))
+    val out = spark.read.parquet(dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
 }
