@@ -50,34 +50,45 @@ object TableFormats {
   /** `to_deltalake` in the REAL Delta format (`_delta_log` JSON actions +
     * periodic checkpoint parquet) — any Delta reader, not just this repo,
     * can open the result; [[DeltaLogReader]] is the in-repo consumer.
-    * `mergeKeys` engages the partition-granular MERGE path. */
+    * `mergeKeys` engages the partition-granular MERGE path;
+    * `matchNulls` compiles the key joins to `<=>` (the reference's
+    * `merge_match_nulls`); `schemaEvolution` (default true, reference
+    * `schema_evolution=True`) lets appends widen the schema. */
   def toDeltalake(df: DataFrame, path: String, mode: String = "append",
       mergeKeys: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): DeltaLogWriter.Committed =
+      partitionBy: Seq[String] = Nil,
+      matchNulls: Boolean = false,
+      schemaEvolution: Boolean = true): DeltaLogWriter.Committed =
     if (mergeKeys.nonEmpty &&
       DeltaLogReader.latestVersion(df.sparkSession, path) >= 0)
-      DeltaLogWriter.merge(df.sparkSession, path, df, mergeKeys)
+      DeltaLogWriter.merge(df.sparkSession, path, df, mergeKeys, matchNulls)
     else if (mergeKeys.nonEmpty) // upsert into a not-yet-existing table
       DeltaLogWriter.write(df, path, mode = "error", partitionBy = partitionBy)
-    else DeltaLogWriter.write(df, path, mode, partitionBy)
+    else DeltaLogWriter.write(df, path, mode, partitionBy, schemaEvolution)
 
   /** `to_iceberg` — REAL Iceberg format (metadata json + avro manifests,
     * [[IcebergWriter]]) for new or already-Iceberg tables; a dir holding
     * an existing TxnLog table continues through TxnLog so mixed-format
-    * dirs never fork. `mergeCols` engages partition-granular MERGE. */
+    * dirs never fork. `mergeCols` engages partition-granular MERGE;
+    * `matchNulls` compiles the key joins to `<=>` (the reference's
+    * `merge_match_nulls`); `schemaEvolution` (default true, mirroring
+    * the reference's diff-and-ALTER flow) lets appends widen the
+    * schema with trailing nullable columns. */
   def toIceberg(df: DataFrame, path: String, mode: String = "append",
       mergeCols: Seq[String] = Nil,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      matchNulls: Boolean = false,
+      schemaEvolution: Boolean = true): Unit = {
     val spark = df.sparkSession
     val isTxn = !IcebergReader.isIcebergTable(spark, path) &&
       TxnLog.currentSnapshot(spark, path).nonEmpty
     if (isTxn) toTable(df, path, mode, mergeCols, partitionBy)
     else if (mergeCols.nonEmpty &&
       IcebergReader.isIcebergTable(spark, path))
-      IcebergWriter.merge(spark, path, df, mergeCols)
+      IcebergWriter.merge(spark, path, df, mergeCols, matchNulls)
     else if (mergeCols.nonEmpty)
       IcebergWriter.write(df, path, mode = "error", partitionBy = partitionBy)
-    else IcebergWriter.write(df, path, mode, partitionBy)
+    else IcebergWriter.write(df, path, mode, partitionBy, schemaEvolution)
   }
 
   /** `read_deltalake(path, version=…)` / Iceberg `VERSION AS OF`. */

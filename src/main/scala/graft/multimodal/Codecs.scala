@@ -25,6 +25,35 @@ object Codecs {
   // cache is correct for batch decode of bounded payloads.
   ImageIO.setUseCache(false)
 
+  /** Decompression-bomb ceiling: a tiny PNG can DECLARE arbitrary
+    * dimensions and make ImageIO allocate width*height*4 bytes before a
+    * single compressed byte is inspected — OOMing the executor instead
+    * of degrading one row. 64M pixels (≈256 MB ARGB) comfortably covers
+    * real photography while bounding the allocation. */
+  val MaxPixels: Long = 64L * 1024 * 1024
+
+  /** Decode via an ImageReader so declared dimensions are read from the
+    * header FIRST; anything over [[MaxPixels]] (or undecodable) is None
+    * without touching the pixel data. */
+  private def boundedRead(bytes: Array[Byte]): Option[BufferedImage] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (readers == null || !readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val w = r.getWidth(0)
+            val h = r.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) None
+            else Option(r.read(0))
+          } finally r.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
+
   // ---------------------------------------------------------------- image
 
   /** Encode an ARGB pixel function into real PNG bytes (test/fixture
@@ -57,9 +86,7 @@ object Codecs {
     * thumbnail — the fixed-width feature contract of the decode stage.
     * Returns None on corrupt/undecodable bytes. */
   def decodeImage(bytes: Array[Byte], thumbSide: Int = 8): Option[ImageInfo] = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = boundedRead(bytes).orNull
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
     else {
       val w = img.getWidth
@@ -99,9 +126,7 @@ object Codecs {
     * `Multimodal.planResize`'s ceil arithmetic so the metadata plan and
     * the pixel work agree. None on corrupt input. */
   def resizeImage(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] = {
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = boundedRead(bytes).orNull
     if (img == null) None
     else {
       val scale = math.min(1.0,
@@ -151,26 +176,37 @@ object Codecs {
       peak: Float)
 
   /** Decode WAV bytes via javax.sound: header fields from the parsed
-    * format, RMS/peak from the PCM frames. None on corrupt input. */
+    * format, RMS/peak from the PCM frames. The stream is converted to
+    * canonical signed 16-bit PCM first, so 8-bit (unsigned), 24-bit and
+    * 32-bit payloads measure correctly instead of being misread as raw
+    * shorts — the JDK's PCM-to-PCM codec does the widening/narrowing.
+    * None on corrupt input. */
   def decodeWav(bytes: Array[Byte]): Option[AudioInfo] = {
     try {
-      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
-        val fmt = in.getFormat
-        val nFrames = in.getFrameLength
+        val srcFmt = raw.getFormat
+        val nFrames = raw.getFrameLength
+        val canonical = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, srcFmt.getChannels,
+          srcFmt.getChannels * 2, srcFmt.getSampleRate, false)
+        val in =
+          if (srcFmt.matches(canonical)) raw
+          else AudioSystem.getAudioInputStream(canonical, raw)
         val data = in.readAllBytes()
-        val bb = java.nio.ByteBuffer.wrap(data).order(
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bb = java.nio.ByteBuffer.wrap(data)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         var sumSq = 0.0; var peak = 0f; var n = 0
         while (bb.remaining() >= 2) {
           val v = bb.getShort / 32768.0f
           sumSq += v * v; if (math.abs(v) > peak) peak = math.abs(v); n += 1
         }
-        Some(AudioInfo(fmt.getSampleRate.toInt, fmt.getChannels, nFrames,
-          if (fmt.getSampleRate > 0) nFrames / fmt.getSampleRate.toDouble else 0.0,
+        Some(AudioInfo(srcFmt.getSampleRate.toInt, srcFmt.getChannels, nFrames,
+          if (srcFmt.getSampleRate > 0) nFrames / srcFmt.getSampleRate.toDouble
+          else 0.0,
           if (n == 0) 0f else math.sqrt(sumSq / n).toFloat, peak))
-      } finally in.close()
+      } finally raw.close()
     } catch { case _: Exception => None }
   }
 }

@@ -206,6 +206,54 @@ class Round8Spec extends AnyFunSuite {
     assert(IcebergReader.read(spark, dir).count() == 1)
   }
 
+  // ---- codec hardening ----------------------------------------------------
+
+  test("decodeWav: 8-bit unsigned WAV measures correct rms/peak") {
+    import graft.multimodal.Codecs
+    // hand-built RIFF: 8-bit unsigned mono PCM, 4 samples. Unsigned bytes
+    // 128±d map to signed d/128; full-scale 255/0 -> ~±1.0
+    val samples: Array[Int] = Array(128, 255, 0, 128) // silence, +max, -max, silence
+    val dataLen = samples.length
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000) // rate, byte rate
+      .putShort(1).putShort(8) // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.put(s.toByte))
+    val info = Codecs.decodeWav(buf.array()).get
+    assert(info.sampleRate == 8000 && info.channels == 1 && info.nFrames == 4)
+    // peak must be ~full scale; the pre-fix short-reading of byte pairs
+    // produced garbage near zero or far over 1.0
+    assert(info.peak > 0.95f && info.peak <= 1.01f)
+    // rms of {0, +1, -1, 0} = sqrt(2/4) ~ 0.707
+    assert(math.abs(info.rms - 0.707f) < 0.02f)
+  }
+
+  test("decodeImage: declared-dimension bomb returns None without decoding") {
+    import graft.multimodal.Codecs
+    // take a real 4x4 PNG and patch IHDR width/height to 100000x100000
+    // (declared 10G pixels, payload unchanged), fixing the chunk CRC
+    val good = Codecs.encodePng(4, 4)((_, _) => 0x00112233)
+    val bomb = good.clone()
+    def putInt(off: Int, v: Int): Unit = {
+      bomb(off) = (v >>> 24).toByte; bomb(off + 1) = (v >>> 16).toByte
+      bomb(off + 2) = (v >>> 8).toByte; bomb(off + 3) = v.toByte
+    }
+    putInt(16, 100000) // IHDR width (chunk data starts at offset 16)
+    putInt(20, 100000) // IHDR height
+    val crc = new java.util.zip.CRC32()
+    crc.update(bomb, 12, 4 + 13) // chunk type + IHDR payload
+    putInt(12 + 4 + 13, crc.getValue.toInt)
+    assert(Codecs.decodeImage(bomb).isEmpty)
+    assert(Codecs.resizeImage(bomb, 16).isEmpty)
+    // and the un-patched original still decodes
+    assert(Codecs.decodeImage(good).exists(i => i.width == 4 && i.height == 4))
+  }
+
   test("partitioned upsert keeps unmatched rows of a null-valued partition") {
     val spark0 = spark
     import spark0.implicits._
