@@ -116,8 +116,9 @@ class IcebergWriteSpec extends AnyFunSuite {
     assert(back.select("id", "d").as[(Long, Double)].collect().toSeq ==
       Seq((1L, 1.5)))
     assert(back.select(element_at(col("m"), "k")).as[Long].head() == 2L)
-    intercept[IllegalArgumentException] { // new column on append
-      io.IcebergWriter.write(typed.withColumn("extra", lit(1)), dir)
+    intercept[IllegalArgumentException] { // new column with evolution off
+      io.IcebergWriter.write(typed.withColumn("extra", lit(1)), dir,
+        schemaEvolution = false)
     }
     intercept[IllegalArgumentException] { // retyped column on append
       io.IcebergWriter.write(typed.withColumn("d", lit("s")), dir)

@@ -97,9 +97,9 @@ class MgmtSurfaceSpec extends AnyFunSuite {
     // declared partitioning applied); merge into empty inserts all
     io.S3Tables.toIceberg(Seq((1L, "a", "x"), (2L, "b", "y"))
       .toDF("id", "v", "p"), bucket, "ns", "t")
-    intercept[IllegalArgumentException] { // column drift vs declaration
-      io.S3Tables.toIceberg(Seq((3L, 9))
-        .toDF("id", "extra"), bucket, "ns", "t")
+    intercept[IllegalArgumentException] { // retype vs declaration raises
+      io.S3Tables.toIceberg(Seq(("s", 9))
+        .toDF("id", "v"), bucket, "ns", "t")
     }
     val snap = io.IcebergReader.snapshot(spark, s"$bucket/ns/t")
     assert(snap.partitionColumns == Seq("p"),
