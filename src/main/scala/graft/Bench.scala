@@ -95,8 +95,12 @@ object Bench {
     def calibrate(): Double = math.min(calibrateOnce(), calibrateOnce())
     // untimed warmup of both probe paths: the first calibration run pays
     // codegen compile and the first I/O run pays dir creation, which
-    // would read as a spurious start-vs-end skew
-    calibrateOnce(); ioProbeOnce()
+    // would read as a spurious start-vs-end skew. THREE warmup rounds:
+    // JVM tiered compilation keeps speeding the probe up for a few
+    // iterations (a measured 1.4× decay across the first sweep samples),
+    // and a still-warming first sample burns headroom the 1.5×
+    // contention threshold needs for real detection
+    calibrateOnce(); calibrateOnce(); calibrateOnce(); ioProbeOnce()
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
