@@ -68,10 +68,11 @@ object IcebergWriter {
     * merged schema (table order first, new fields appended) and the
     * incoming frame is re-aligned to that order before writing — old
     * files resolve the new ids to null via the reader's snapshot-schema
-    * scan. Retyping a column still raises. The single `schemas[0]`
-    * entry is widened in place (ids never reused), so a time-travel
-    * read of a pre-evolution snapshot sees the new columns as null —
-    * read-time schema, the common external-writer behavior. */
+    * scan. Retyping a column still raises. Evolution appends a NEW
+    * entry to the metadata's `schemas` history (next schema-id, ids
+    * never reused) and stamps each snapshot with the schema-id it was
+    * written under — a time-travel read of a pre-evolution snapshot
+    * resolves its own narrower schema, per spec. */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
       partitionBy: Seq[String] = Nil,
       schemaEvolution: Boolean = true): Committed = {
@@ -1583,12 +1584,52 @@ object IcebergWriter {
     node.put("last-updated-ms", now)
     val ids = new java.util.concurrent.atomic.AtomicInteger(0)
     val schemaNode = icebergSchemaJson(schema, ids)
-    schemaNode.put("schema-id", 0)
-    node.put("last-column-id", ids.get())
-    node.set[ObjectNode]("schema", schemaNode)
-    node.set[ArrayNode](
-      "schemas", mapper.createArrayNode().add(schemaNode))
-    node.put("current-schema-id", 0)
+    // Schema history (spec `schemas` + `current-schema-id`): additive
+    // evolution APPENDS a new schema entry with the next schema-id so
+    // pre-evolution snapshots keep resolving their own schema (the
+    // reader already looks snapshots' schema-id up in this array).
+    // Positional id assignment stays consistent along the evolution
+    // path because the merged schema preserves table field order and
+    // appends new fields — new columns take ids above the prior
+    // last-column-id, never reusing one. A non-extending overwrite
+    // REPLACES the history (ids would conflict across entries
+    // otherwise) — the existing replace-world semantics.
+    val priorSchemas: Seq[ObjectNode] = prior.toSeq.flatMap { p =>
+      val arr = IcebergReaderAccess.jsonArray(p.get("schemas"))
+        .collect { case o: ObjectNode => o.deepCopy() }
+      if (arr.nonEmpty) arr
+      else Option(p.get("schema")).collect { case o: ObjectNode =>
+        val c = o.deepCopy(); if (!c.has("schema-id")) c.put("schema-id", 0); c
+      }.toSeq
+    }
+    val priorCurrentId = prior.flatMap(p =>
+      Option(p.get("current-schema-id")).map(_.asInt)).getOrElse(0)
+    val priorCurrent = priorSchemas.find(_.get("schema-id").asInt == priorCurrentId)
+    def fieldsOf(s: ObjectNode) = IcebergReaderAccess.jsonArray(s.get("fields"))
+    val newFields = fieldsOf(schemaNode)
+    val (schemasArr, currentId) = priorCurrent match {
+      case Some(pc) if fieldsOf(pc) == newFields =>
+        (priorSchemas, priorCurrentId) // unchanged schema: carry history
+      case Some(pc) if fieldsOf(pc) == newFields.take(fieldsOf(pc).size) =>
+        // additive extension: new entry, history retained
+        val newId = priorSchemas.map(_.get("schema-id").asInt).max + 1
+        schemaNode.put("schema-id", newId)
+        (priorSchemas :+ schemaNode, newId)
+      case _ =>
+        schemaNode.put("schema-id", 0)
+        (Seq(schemaNode), 0)
+    }
+    // last-column-id is monotonic over the table's whole life
+    node.put("last-column-id", math.max(ids.get(),
+      prior.flatMap(p => Option(p.get("last-column-id")).map(_.asInt))
+        .getOrElse(0)))
+    val currentNode =
+      schemasArr.find(_.get("schema-id").asInt == currentId).get
+    node.set[ObjectNode]("schema", currentNode.deepCopy())
+    val schemasJson = mapper.createArrayNode()
+    schemasArr.foreach(schemasJson.add)
+    node.set[ArrayNode]("schemas", schemasJson)
+    node.put("current-schema-id", currentId)
     val specFields = partitionSpecFields(schema, partFields)
     val spec = mapper.createObjectNode()
     spec.put("spec-id", 0)
@@ -1656,7 +1697,9 @@ object IcebergWriter {
     snap.put("snapshot-id", snapshotId)
     snap.put("timestamp-ms", now)
     sequenceNumber.foreach(snap.put("sequence-number", _))
-    snap.put("schema-id", 0)
+    // stamp the snapshot with the schema it was written under, so
+    // time-travel reads resolve the pre-evolution schema from history
+    snap.put("schema-id", node.get("current-schema-id").asInt)
     val summary = mapper.createObjectNode()
     summary.put("operation", operation)
     snap.set[ObjectNode]("summary", summary)

@@ -145,6 +145,33 @@ class Round8Spec extends AnyFunSuite {
     assert(again.filter(col("id") === 4L).head.getDouble(2) == 2.5)
   }
 
+  test("iceberg evolution keeps schema history: time travel resolves the old schema") {
+    val dir = tmp() + "/t"
+    IcebergWriter.write(idv(1L -> "a"), dir, mode = "error")
+    val preEvolution = IcebergReader.snapshot(spark, dir).snapshotId
+    IcebergWriter.write(idvx((2L, "b", 0.5)), dir, mode = "append")
+    // metadata carries BOTH schemas; the new snapshot is stamped with
+    // the new schema-id, the old one keeps resolving schema-id 0
+    def latestMeta() = {
+      val files = new java.io.File(dir, "metadata").listFiles()
+        .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      val f = files.maxBy(
+        _.getName.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
+    }
+    val meta = latestMeta()
+    assert(meta.get("schemas").size == 2)
+    assert(meta.get("current-schema-id").asInt == 1)
+    assert(meta.get("last-column-id").asInt == 3)
+    val oldRead = IcebergReader.read(spark, dir, Some(preEvolution))
+    assert(oldRead.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(IcebergReader.read(spark, dir).schema.fieldNames.toSeq ==
+      Seq("id", "v", "score"))
+    // an identical-schema append reuses the current entry, no growth
+    IcebergWriter.write(idvx((3L, "c", 1.5)), dir, mode = "append")
+    assert(latestMeta().get("schemas").size == 2)
+  }
+
   test("iceberg append: retype raises") {
     val dir = tmp() + "/t"
     IcebergWriter.write(idv(1L -> "a"), dir, mode = "error")
