@@ -82,11 +82,19 @@ object DeltaLogWriter {
           throw new IllegalArgumentException(
             "schema evolution on a column-mapped Delta table needs new " +
               "columnMapping id/physicalName assignments; use overwrite")
+        // promote=false: classic Delta has no type-widening feature, so
+        // a WIDER incoming type raises; a narrower one up-casts below
         outSchema = SchemaMerge.mergeAppend(s.schema, df.schema,
           evolve = schemaEvolution)
       }
     }
-    val adds = writeDataFiles(df, tablePath, partCols)
+    // physical files always carry the table's current type (narrower
+    // incoming columns are cast up), so readers never need
+    // parquet-level type widening
+    val aligned =
+      if (prior.isDefined && mode == "append") SchemaMerge.alignTo(df, outSchema)
+      else df
+    val adds = writeDataFiles(aligned, tablePath, partCols)
     val removes =
       if (mode == "overwrite") prior.map(_.files.map(_.path)).getOrElse(Nil)
       else Nil

@@ -829,12 +829,19 @@ object IcebergReader {
       case IntegerType | DateType if bytes.length == 4 => Some(bb.getInt)
       case LongType | TimestampType | TimestampNTZType if bytes.length == 8 =>
         Some(bb.getLong)
+      // files written BEFORE an int->long promotion carry 4-byte bounds
+      // under a now-long field (spec: bounds may use the old type)
+      case LongType if bytes.length == 4 => Some(bb.getInt.toLong)
       case FloatType if bytes.length == 4 =>
         val f = bb.getFloat
         if (f.isNaN || f.isInfinite) None else Some(f.toDouble)
       case DoubleType if bytes.length == 8 =>
         val d = bb.getDouble
         if (d.isNaN || d.isInfinite) None else Some(d)
+      // pre-promotion float bounds under a now-double field
+      case DoubleType if bytes.length == 4 =>
+        val f = bb.getFloat
+        if (f.isNaN || f.isInfinite) None else Some(f.toDouble)
       case StringType => Some(new String(bytes, "UTF-8"))
       case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
       case _ => None

@@ -105,7 +105,7 @@ object IcebergWriter {
     declared.foreach { tblSchema =>
       if (mode == "append") {
         outSchema = SchemaMerge.mergeAppend(tblSchema, df.schema,
-          evolve = schemaEvolution)
+          evolve = schemaEvolution, promote = true)
         outDf = SchemaMerge.alignTo(df, outSchema)
       }
     }
@@ -1607,11 +1607,31 @@ object IcebergWriter {
     val priorCurrent = priorSchemas.find(_.get("schema-id").asInt == priorCurrentId)
     def fieldsOf(s: ObjectNode) = IcebergReaderAccess.jsonArray(s.get("fields"))
     val newFields = fieldsOf(schemaNode)
+    // a prior field matches when identical OR legally promoted in place
+    // (int→long, float→double, decimal precision widening — the spec's
+    // in-history type evolution; ids/names/positions never change)
+    def promotedType(a: String, b: String): Boolean =
+      (a == "int" && b == "long") || (a == "float" && b == "double") ||
+        (a.startsWith("decimal(") && b.startsWith("decimal(") && {
+          def ps(s: String) = s.stripPrefix("decimal(").stripSuffix(")")
+            .split(",").map(_.trim.toInt)
+          val (pa, pb) = (ps(a), ps(b))
+          pa(1) == pb(1) && pa(0) <= pb(0)
+        })
+    def compatible(prior: Seq[com.fasterxml.jackson.databind.JsonNode]): Boolean =
+      prior.size <= newFields.size && prior.zip(newFields).forall {
+        case (p, n) =>
+          p.get("id") == n.get("id") && p.get("name") == n.get("name") &&
+            p.get("required") == n.get("required") &&
+            (p.get("type") == n.get("type") ||
+              (p.get("type").isTextual && n.get("type").isTextual &&
+                promotedType(p.get("type").asText, n.get("type").asText)))
+      }
     val (schemasArr, currentId) = priorCurrent match {
       case Some(pc) if fieldsOf(pc) == newFields =>
         (priorSchemas, priorCurrentId) // unchanged schema: carry history
-      case Some(pc) if fieldsOf(pc) == newFields.take(fieldsOf(pc).size) =>
-        // additive extension: new entry, history retained
+      case Some(pc) if compatible(fieldsOf(pc)) =>
+        // additive extension / in-place promotion: new entry, history kept
         val newId = priorSchemas.map(_.get("schema-id").asInt).max + 1
         schemaNode.put("schema-id", newId)
         (priorSchemas :+ schemaNode, newId)

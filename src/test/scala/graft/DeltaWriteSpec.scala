@@ -52,12 +52,13 @@ class DeltaWriteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       io.DeltaLogWriter.write(df((0L, "q", "q")), dir, mode = "error")
     }
-    // append with a retyped column is rejected, not silently coerced
+    // append with an incompatibly retyped column is rejected (a
+    // NARROWER int id would up-cast losslessly — see Round8Spec)
     val spark0 = spark
     import spark0.implicits._
     intercept[IllegalArgumentException] {
       io.DeltaLogWriter.write(
-        Seq((1, "a", "x")).toDF("id", "v", "p"), dir, mode = "append")
+        Seq(("s", "a", "x")).toDF("id", "v", "p"), dir, mode = "append")
     }
   }
 

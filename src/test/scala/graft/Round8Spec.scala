@@ -172,6 +172,46 @@ class Round8Spec extends AnyFunSuite {
     assert(latestMeta().get("schemas").size == 2)
   }
 
+  test("iceberg append promotes int->long (spec widening), history kept") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    IcebergWriter.write(Seq((1, "a")).toDF("n", "v"), dir, mode = "error")
+    assert(IcebergReader.read(spark, dir).schema("n").dataType == IntegerType)
+    val preEvolution = IcebergReader.snapshot(spark, dir).snapshotId
+    // wider incoming promotes the table column in place
+    IcebergWriter.write(Seq((5000000000L, "b")).toDF("n", "v"), dir)
+    val out = IcebergReader.read(spark, dir)
+    assert(out.schema("n").dataType == LongType)
+    assert(out.select("n").as[Long].collect().toSet == Set(1L, 5000000000L))
+    // stats pruning still works across the promotion (old 4-byte bounds)
+    val pruned = IcebergReader.readWhere(spark, dir, col("n") > 4000000000L)
+    assert(pruned.count() == 1)
+    // promotion keeps schema history: the old snapshot reads as int
+    val old = IcebergReader.read(spark, dir, Some(preEvolution))
+    assert(old.schema("n").dataType == IntegerType)
+    // narrower incoming up-casts, schema unchanged
+    IcebergWriter.write(Seq((7, "c")).toDF("n", "v"), dir)
+    assert(IcebergReader.read(spark, dir).schema("n").dataType == LongType)
+    assert(IcebergReader.read(spark, dir).count() == 3)
+  }
+
+  test("delta append: narrower incoming up-casts; wider still raises") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("n", "v"), dir, mode = "error")
+    DeltaLogWriter.write(Seq((2, "b")).toDF("n", "v"), dir) // int into long
+    val out = DeltaLogReader.read(spark, dir)
+    assert(out.schema("n").dataType == LongType)
+    assert(out.select("n").as[Long].collect().toSet == Set(1L, 2L))
+    val dir2 = tmp() + "/t2"
+    DeltaLogWriter.write(Seq((1, "a")).toDF("n", "v"), dir2, mode = "error")
+    intercept[IllegalArgumentException] { // long into int: no widening
+      DeltaLogWriter.write(Seq((5000000000L, "b")).toDF("n", "v"), dir2)
+    }
+  }
+
   test("iceberg append: retype raises") {
     val dir = tmp() + "/t"
     IcebergWriter.write(idv(1L -> "a"), dir, mode = "error")
