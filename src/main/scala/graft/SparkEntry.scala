@@ -88,6 +88,7 @@ object SparkEntry {
     "dedup_minhash_fast"  -> (Dedup.minhashFastVerified _),
     "dedup_simhash"       -> (Dedup.simhashVerified _),
     "dedup_winnow"        -> (Dedup.winnowDedup _),
+    "dedup_cc_keep"       -> (Dedup.ccDedup _),
     // time-series (Timestream-shaped)
     "ts_asof_join"        -> (AsOf.clickToPurchase _),
     "ts_tumbling_window"  -> (TimeSeries.tumbling _),
@@ -230,6 +231,8 @@ object SparkEntry {
     "dedup_minhash_fast"  -> Dedup.identicalTokenSetPairsOracle,
     "dedup_simhash"       -> Dedup.identicalTokenSetPairsOracle,
     "dedup_winnow"        -> Dedup.winnowDedupOracle,
+    // CC transitive closure vs DuckDB's recursive label propagation
+    "dedup_cc_keep"       -> Dedup.ccDedupOracle,
     "ts_asof_join"        -> AsOf.clickToPurchaseOracle,
     "ts_tumbling_window"  -> TimeSeries.tumblingOracle,
     "ts_sliding_window"   -> TimeSeries.slidingOracle,

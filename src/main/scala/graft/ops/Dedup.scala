@@ -365,4 +365,171 @@ object Dedup {
         expr("bit_count(sig1 ^ sig2)").as("hamming"))
       .filter(col("hamming") <= 16)
   }
+
+  // ---- connected-component dedup -----------------------------------------
+
+  /** Distributed connected components by alternating large-star /
+    * small-star contractions (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — the missing piece between pair
+    * ENUMERATION ([[minhashLsh]]) and cluster REMOVAL: signature-key
+    * clustering ([[minhashDedupKeep]]) only merges docs whose FULL
+    * signatures collide, so a chain A~B~C where A and C differ never
+    * folds into one group. CC over the verified candidate edges is the
+    * transitive closure a production fuzzy-dedup pass keeps one document
+    * per.
+    *
+    * Shape at scale: each round is two self-contained
+    * groupBy-min + broadcast-free equi-joins over the edge list (no
+    * adjacency materialization, no driver-side graph), converging in
+    * O(log n) rounds on any input; every round `localCheckpoint`s so
+    * lineage stays O(1) instead of O(rounds). Skewed components are the
+    * algorithm's own worst case (the root of a giant component becomes a
+    * high-degree star center) — that hot key is exactly what the paper's
+    * alternation bounds, and AQE's skew-join splitting handles the
+    * residual at cluster scale.
+    *
+    * `edges0`: two numeric columns (endpoints). Returns every edge
+    * endpoint labeled with its component's minimum node id:
+    * (`node`, `component`).
+    */
+  def connectedComponents(edges0: DataFrame, maxRounds: Int = 25)
+      : DataFrame = {
+    val cols = edges0.columns
+    require(cols.length == 2, s"edge frame needs 2 columns, got $cols")
+    var edges = edges0
+      .select(greatest(col(cols(0)), col(cols(1))).as("u"),
+        least(col(cols(0)), col(cols(1))).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+
+    // undirected neighborhoods as both directed copies
+    def nbrs(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: every neighbor LARGER than u links to
+    // min(N(u) ∪ {u}) — emitted (bigger, smaller) by construction
+    def largeStar(e: DataFrame): DataFrame = {
+      val n = nbrs(e)
+      val m = n.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      n.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    // small-star: u and its strictly-smaller neighbors all link to the
+    // smallest of them (each undirected edge grouped once, under its
+    // larger endpoint)
+    def smallStar(e: DataFrame): DataFrame = {
+      val below = nbrs(e).where(col("v") < col("u"))
+      val m = below.groupBy("u").agg(min(col("v")).as("m"))
+      below.join(m, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(m.select(col("u"), col("m").as("v")))
+    }
+
+    // fixpoint detection: the canonical edge set is stable under both
+    // stars exactly when every node points directly at its component
+    // min. Cheap order-insensitive fingerprint first (count + DECIMAL
+    // sum of row hashes — longs would overflow under ANSI), then an
+    // EXACT set-difference confirmation so a hash collision can never
+    // end the loop early with wrong labels.
+    def fingerprint(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+
+    var fp = fingerprint(edges)
+    var round = 0
+    var done = edges.isEmpty
+    while (!done && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
+      val nfp = fingerprint(next)
+      done = nfp._1 == fp._1 && nfp._2.compareTo(fp._2) == 0 &&
+        next.exceptAll(edges).isEmpty
+      edges.unpersist(false)
+      fp = nfp
+      edges = next
+      round += 1
+    }
+    require(done, s"connected components did not converge in $maxRounds rounds")
+    edges.select(col("u").as("node"), col("v").as("component"))
+  }
+
+  /** CC fuzzy dedup over the corpus: md5-family MinHash LSH candidates,
+    * kept as edges when ≥ 8 of the 12 signature components agree (an
+    * INTEGER threshold — differentially portable, no float boundary),
+    * then transitive closure. Output: one row per document with the
+    * component it belongs to (component = min doc_id; singletons label
+    * themselves). Downstream keep-one dedup is `WHERE doc_id = component`.
+    */
+  def ccDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.ArrayMatchCount.register(s)
+    val docs = Tables.documents(s, dir)
+    // exact-dedup first, fuzzy on uniques: docs with IDENTICAL full
+    // signatures share every band key and every agreement count, so
+    // running LSH + CC on one representative per signature produces
+    // bit-identical labels while shrinking the (quadratic-in-dup-density)
+    // candidate join by the corpus's duplication factor — on a dup-dense
+    // corpus this is the difference between joining reps and joining
+    // everything. Representative = min doc_id of the signature group,
+    // so the component min over reps IS the component min over docs.
+    val sigAll = withToks(docs)
+      .select(col("doc_id"), minhashSig.as("sig"))
+      .withColumn("skey", md5(concat_ws("|", col("sig"))))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    liveCaches.add(sigAll)
+    val reps = sigAll.groupBy("skey").agg(min(col("doc_id")).as("rep"))
+    val sig = sigAll.join(reps.select(col("rep").as("doc_id")), "doc_id")
+      .select(col("doc_id"), col("sig"))
+    val bandKeys = expr(
+      s"""transform(sequence(0, ${BANDS - 1}),
+         |  b -> md5(concat_ws('|', slice(sig, b * $ROWS + 1, $ROWS))))""".stripMargin)
+    // lshPairs names its estimate column est_jaccard; here the estimate
+    // IS the raw agreement count, so the threshold is the integer 8
+    val edges = lshPairs(sig, bandKeys,
+        call_function("array_match_count", col("sig1"), col("sig2")))
+      .where(col("est_jaccard") >= 8)
+      .select(col("d1"), col("d2"))
+    val labels = connectedComponents(edges)
+    sigAll.select(col("doc_id"), col("skey"))
+      .join(reps, "skey")
+      .join(labels.withColumnRenamed("node", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("rep")).as("component"))
+  }
+
+  def ccDedupOracle: String =
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+       |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+       |  FROM sig, range(0, $BANDS) AS u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT p.d1, p.d2
+       |  FROM pairs p JOIN sig s1 ON s1.doc_id = p.d1
+       |               JOIN sig s2 ON s2.doc_id = p.d2
+       |  WHERE len(list_filter(generate_series(1, $K),
+       |        i -> s1.sig[i] = s2.sig[i])) >= 8),
+       |und AS (
+       |  SELECT d1 AS u, d2 AS v FROM edges
+       |  UNION SELECT d2, d1 FROM edges),
+       |walk(node, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)
+       |SELECT node AS doc_id, min(lab) AS component
+       |FROM walk GROUP BY node""".stripMargin
 }

@@ -337,4 +337,58 @@ class Round8Spec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
+
+  // ---- connected-components dedup ----------------------------------------
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val spark0 = spark
+    import spark0.implicits._
+    ops.Dedup.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("connectedComponents: chain folds transitively to one min label") {
+    // a signature-key groupBy can never merge this shape: consecutive
+    // links are similar, the endpoints are not
+    val labels = ccOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(labels == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("connectedComponents: separate components keep separate labels") {
+    val labels = ccOf(Seq((10L, 7L), (7L, 12L), (20L, 21L), (30L, 30L)))
+    // (30,30) self-loop is dropped; 30 simply never appears
+    assert(labels == Map(10L -> 7L, 12L -> 7L, 21L -> 20L))
+  }
+
+  test("connectedComponents: worst-case descending chain converges") {
+    // a long path given in the order that maximizes star rounds
+    val n = 64L
+    val labels = ccOf((1L until n).map(i => (i + 1, i)))
+    assert(labels == (2L to n).map(_ -> 1L).toMap)
+  }
+
+  test("ccDedup: labels agree with a driver-side union-find at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val got = ops.Dedup.ccDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference: collect the same verified LSH edges and
+    // union-find them on the driver (corpus is test-sized)
+    graft.expr.ArrayMatchCount.register(spark)
+    val docs = Tables.documents(spark, sf)
+    val edges = ops.Dedup.minhashLsh(spark, sf)
+      .where(round(col("est_jaccard") * 12) >= 8)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map(id => id -> find(id)).toMap
+    assert(got == want)
+  }
 }
