@@ -130,8 +130,17 @@ object ExtFixture {
       pr1.select(col("id").cast("long"), col("n").cast("long"))
         .unionByName(pr2))
 
+    // -- iceberg_specevo: partition-spec evolution mid-table -------------
+    val se1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
+    IcebergWriter.write(se1, s"$outDir/iceberg_specevo")
+    IcebergWriter.updatePartitionSpec(spark, s"$outDir/iceberg_specevo",
+      Seq("grp"))
+    val se2 = Seq((3L, "a", 3.0), (4L, "c", 4.0)).toDF("id", "grp", "v")
+    IcebergWriter.write(se2, s"$outDir/iceberg_specevo")
+    expected("iceberg_specevo", se1.unionByName(se2))
+
     Seq("delta_basic", "delta_dv", "delta_ckpt", "delta_merge",
       "iceberg_basic", "iceberg_posdel", "iceberg_eqdel",
-      "iceberg_rename", "iceberg_promote")
+      "iceberg_rename", "iceberg_promote", "iceberg_specevo")
   }
 }

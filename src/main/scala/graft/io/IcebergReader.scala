@@ -56,7 +56,8 @@ object IcebergReader {
       sequenceNumber: Long = 0L, equalityIds: Seq[Int] = Nil,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      specId: Int = 0)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -68,7 +69,8 @@ object IcebergReader {
       deleteFiles: Seq[DataFileEntry] = Nil,
       equalityDeleteFiles: Seq[DataFileEntry] = Nil,
       fieldIdToName: Map[Int, String] = Map.empty,
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      defaultSpecId: Int = 0)
 
   private val mapper = new ObjectMapper()
   private val MetadataFile = """v(\d+)\.metadata\.json""".r
@@ -172,6 +174,10 @@ object IcebergReader {
           case l: java.lang.Long => l.longValue
           case i: java.lang.Integer => i.longValue
         }.getOrElse(0L)
+      // the spec the manifest's partition tuples were written under —
+      // after partition-spec evolution, files prune under THEIR spec
+      val mSpecId = intOf(fieldOpt(m, "partition_spec_id").orNull)
+        .getOrElse(0)
       readAvro(spark, resolve(root, m.get("manifest_path").toString))
         .foreach { entry =>
           val status = entry.get("status").asInstanceOf[Int]
@@ -199,7 +205,7 @@ object IcebergReader {
             longOf("record_count"), longOf("file_size_in_bytes"),
             entrySeq, eqIds,
             boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
-            countsMap(df, "null_value_counts"))
+            countsMap(df, "null_value_counts"), mSpecId)
           // v2 content: manifest-list distinguishes data (0) from delete
           // (1) manifests; inside a delete manifest the data_file content
           // tells position (1) from equality (2) deletes
@@ -225,7 +231,8 @@ object IcebergReader {
       Option(snap.get("summary")).flatMap(s => Option(s.get("operation")))
         .map(_.asText).getOrElse("unknown"),
       schema, partCols, active.values.toSeq, posDeletes.values.toSeq,
-      eqDeletes.values.toSeq, idToName, metaProperties(meta))
+      eqDeletes.values.toSeq, idToName, metaProperties(meta),
+      Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0))
   }
 
   private def metaProperties(meta: JsonNode): Map[String, String] =
@@ -324,12 +331,19 @@ object IcebergReader {
     * file. */
   private def prunedFiles(spark: SparkSession, tablePath: String,
       snap: Snapshot, filters: Seq[ScanFilter]): Seq[DataFileEntry] = {
-    val pfields = partitionFields(spark, tablePath)
+    // partition checks are built PER SPEC and applied to each file under
+    // the spec its manifest was written with — after spec evolution a
+    // filter on a newly-partitioned column must not prune old-spec files
+    // (their spec has no such field, so no check applies and they keep)
     val dtOf = snap.schema.fields.map(f => f.name -> f.dataType).toMap
-    val partChecks: Seq[DataFileEntry => Boolean] = for {
-      fl <- filters
-      pf <- pfields.filter(p => p.source == fl.column && dtOf.contains(fl.column))
-    } yield partitionCheck(spark, pf, dtOf(fl.column), fl)
+    val partChecksBySpec: Map[Int, Seq[DataFileEntry => Boolean]] =
+      partitionSpecsById(spark, tablePath).map { case (specId, pfields) =>
+        specId -> (for {
+          fl <- filters
+          pf <- pfields.filter(p =>
+            p.source == fl.column && dtOf.contains(fl.column))
+        } yield partitionCheck(spark, pf, dtOf(fl.column), fl))
+      }
     // column min/max from the manifests' lower/upper_bounds (field-id
     // keyed, Appendix-D encoded) — prunes DATA-column predicates without
     // opening a single parquet footer
@@ -349,9 +363,12 @@ object IcebergReader {
            f.lowerBounds.get(id).flatMap(decodeBound(dt, _)),
            f.upperBounds.get(id).flatMap(decodeBound(dt, _)), fl))
     }
-    val checks = partChecks ++ boundChecks
-    if (checks.isEmpty) snap.files
-    else snap.files.filter(f => checks.forall(_(f)))
+    if (partChecksBySpec.values.forall(_.isEmpty) && boundChecks.isEmpty)
+      snap.files
+    else snap.files.filter { f =>
+      partChecksBySpec.getOrElse(f.specId, Nil).forall(_(f)) &&
+        boundChecks.forall(_(f))
+    }
   }
 
   private def partitionCheck(spark: SparkSession,
@@ -692,6 +709,19 @@ object IcebergReader {
 
   private def metaPartFieldsOf(meta: JsonNode)
       : Seq[IcebergTransforms.PartitionField] = {
+    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
+    metaPartSpecsOf(meta).getOrElse(specId, Nil)
+  }
+
+  /** Every partition spec in the metadata's history, keyed by spec-id —
+    * after partition-spec evolution a snapshot holds files written under
+    * several specs, each pruning under its OWN fields. */
+  def partitionSpecsById(spark: SparkSession, tablePath: String)
+      : Map[Int, Seq[IcebergTransforms.PartitionField]] =
+    metaPartSpecsOf(currentMetadata(spark, tablePath))
+
+  private def metaPartSpecsOf(meta: JsonNode)
+      : Map[Int, Seq[IcebergTransforms.PartitionField]] = {
     val sourceById: Map[Int, String] = {
       val wanted = Option(meta.get("current-schema-id")).map(_.asInt)
       val schemaNode = Option(meta.get("schemas"))
@@ -702,17 +732,16 @@ object IcebergReader {
         .map(f => f.get("id").asInt -> f.get("name").asText).toMap)
         .getOrElse(Map.empty)
     }
-    val specId = Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0)
-    Option(meta.get("partition-specs"))
-      .flatMap(ps => jsonArray(ps).find(_.get("spec-id").asInt == specId))
-      .map(spec => jsonArray(spec.get("fields")).map { f =>
-        val name = f.get("name").asText
-        IcebergTransforms.PartitionField(name,
-          Option(f.get("transform")).map(_.asText).getOrElse("identity"),
-          Option(f.get("source-id")).map(_.asInt).flatMap(sourceById.get)
-            .getOrElse(name))
-      })
-      .getOrElse(Nil)
+    Option(meta.get("partition-specs")).map(ps => jsonArray(ps).map { spec =>
+      spec.get("spec-id").asInt ->
+        jsonArray(spec.get("fields")).map { f =>
+          val name = f.get("name").asText
+          IcebergTransforms.PartitionField(name,
+            Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+            Option(f.get("source-id")).map(_.asInt).flatMap(sourceById.get)
+              .getOrElse(name))
+        }
+    }.toMap).getOrElse(Map.empty)
   }
 
   /** The newest metadata json: versions are tried highest-first and a

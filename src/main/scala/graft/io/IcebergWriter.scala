@@ -197,7 +197,12 @@ object IcebergWriter {
           srcAligned.unionByName(
             current.join(broadcast(srcKeys),
               keyCond(current, srcKeys, keys, matchNulls), "left_semi")))
-        snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
+        // a file written under an OLDER partition spec has no tuple in
+        // the current spec's terms: it always rewrites (carrying it as
+        // EXISTING into this commit's current-spec manifest would
+        // mislabel its partition values)
+        snap.files.partition(f => f.specId != snap.defaultSpecId ||
+          touched.contains(partitionTuple(pfields, f)))
       }
     // a kept file TARGETED by a live position delete cannot be carried as
     // a bare EXISTING entry (the delete manifests are not carried by this
@@ -319,7 +324,10 @@ object IcebergWriter {
         val touched = touchedPartitions(spark, snap.schema, pfields,
           current.join(broadcast(keySet),
             keyCond(current, keySet, keyCols, matchNulls), "left_semi"))
-        snap.files.partition(f => touched.contains(partitionTuple(pfields, f)))
+        // old-spec files always rewrite (see merge) — their tuples are
+        // not expressible in the current spec's manifest
+        snap.files.partition(f => f.specId != snap.defaultSpecId ||
+          touched.contains(partitionTuple(pfields, f)))
       }
     val targeted = deleteTargetPaths(spark, snap)
     val (keptTargeted, keptFiles) =
@@ -460,9 +468,14 @@ object IcebergWriter {
     val posTargets = deleteTargetPaths(spark, snap)
     val candidates =
       if (hasEq) snap.files
+      // old-spec files are compaction candidates regardless of size —
+      // rewriting them migrates the table to one spec (the maintenance
+      // pass Iceberg prescribes after partition evolution)
       else snap.files.filter(f => f.sizeBytes < targetFileSizeBytes ||
-        posTargets.contains(normPath(f.path)))
-    val worthIt = hasEq || posTargets.nonEmpty || candidates.size >= 2
+        posTargets.contains(normPath(f.path)) ||
+        f.specId != snap.defaultSpecId)
+    val worthIt = hasEq || posTargets.nonEmpty || candidates.size >= 2 ||
+      candidates.exists(_.specId != snap.defaultSpecId)
     if (candidates.isEmpty || !worthIt)
       return Committed(snap.snapshotId, -1L, 0)
     val kept = {
@@ -737,6 +750,120 @@ object IcebergWriter {
     }
     throw new java.io.IOException(
       s"could not claim a rename commit after $attempts attempts at $tablePath")
+  }
+
+  /** Evolve the table's partition spec (spec "Partition Evolution";
+    * Athena's `ALTER TABLE … ADD/DROP PARTITION FIELD` surface): a
+    * metadata-only commit that appends a new entry to `partition-specs`
+    * and makes it the default. EXISTING data files are never rewritten —
+    * they stay under the spec-id their manifests were committed with,
+    * and the reader prunes each file under its OWN spec (a filter on a
+    * newly-partitioned column keeps old-spec files; a filter on a
+    * dropped partition column still prunes them). Subsequent appends lay
+    * data out under the new spec. Partition field-ids are REUSED for
+    * equivalent (transform, source) fields across history, as the spec
+    * requires; new fields claim ids above `last-partition-id`.
+    * Returns the now-default spec-id. */
+  def updatePartitionSpec(spark: SparkSession, tablePath: String,
+      partitionBy: Seq[String]): Int = {
+    val requested = partitionBy.map(IcebergTransforms.parse)
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      // source-ids from the CURRENT schema's field ids
+      val curSchemaId = Option(node.get("current-schema-id"))
+        .map(_.asInt).getOrElse(0)
+      val schemaNode = Option(node.get("schemas"))
+        .flatMap(ss => IcebergReaderAccess.jsonArray(ss)
+          .find(s => Option(s.get("schema-id")).forall(_.asInt == curSchemaId)))
+        .orElse(Option(node.get("schema")))
+        .getOrElse(throw new IllegalStateException(
+          s"no schema in Iceberg metadata at $tablePath"))
+      val idByName: Map[String, Int] =
+        IcebergReaderAccess.jsonArray(schemaNode.get("fields"))
+          .map(f => f.get("name").asText -> f.get("id").asInt).toMap
+      requested.foreach(pf => require(idByName.contains(pf.source),
+        s"partition source column ${pf.source} not in schema of $tablePath"))
+      // externally-written v1 metadata may carry only the singular
+      // partition-spec — synthesize the history entry so the existing
+      // files keep a spec to prune under
+      val priorSpecs = {
+        val arr = IcebergReaderAccess.jsonArray(node.get("partition-specs"))
+          .collect { case o: ObjectNode => o }
+        if (arr.nonEmpty) arr
+        else Option(node.get("partition-spec")).filter(_.isArray).map { s =>
+          val o = mapper.createObjectNode()
+          o.put("spec-id",
+            Option(node.get("default-spec-id")).map(_.asInt).getOrElse(0))
+          o.set[ArrayNode]("fields",
+            s.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+              .asInstanceOf[ArrayNode])
+          Seq(o)
+        }.getOrElse(Nil)
+      }
+      var lastPartId = Option(node.get("last-partition-id")).map(_.asInt)
+        .getOrElse(999)
+      // reuse partition field-ids for equivalent (transform, source-id)
+      // fields anywhere in history (spec requirement)
+      val knownIds: Map[(String, Int), Int] = priorSpecs.flatMap(s =>
+        IcebergReaderAccess.jsonArray(s.get("fields")).map(f =>
+          (Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+            f.get("source-id").asInt) -> f.get("field-id").asInt)).toMap
+      val newFields = mapper.createArrayNode()
+      requested.foreach { pf =>
+        val srcId = idByName(pf.source)
+        val fid = knownIds.getOrElse((pf.transform, srcId),
+          { lastPartId += 1; lastPartId })
+        val f = mapper.createObjectNode()
+        f.put("name", pf.name)
+        f.put("transform", pf.transform)
+        f.put("source-id", srcId)
+        f.put("field-id", fid)
+        newFields.add(f)
+      }
+      val existing = priorSpecs.find(s =>
+        specKey(s.get("fields")) == specKey(newFields))
+      val curDefault = Option(node.get("default-spec-id")).map(_.asInt)
+        .getOrElse(0)
+      val newDefault = existing match {
+        case Some(e) => e.get("spec-id").asInt
+        case None =>
+          val id = priorSpecs.map(_.get("spec-id").asInt)
+            .foldLeft(-1)(math.max) + 1
+          val entry = mapper.createObjectNode()
+          entry.put("spec-id", id)
+          entry.set[ArrayNode]("fields", newFields)
+          val specs = mapper.createArrayNode()
+          priorSpecs.foreach(specs.add)
+          specs.add(entry)
+          node.set[ArrayNode]("partition-specs", specs)
+          id
+      }
+      if (newDefault == curDefault && existing.nonEmpty) return curDefault
+      node.put("default-spec-id", newDefault)
+      // v1 compat: the singular partition-spec mirrors the default
+      val defaultFields = existing.map(_.get("fields")).getOrElse(newFields)
+      node.set[ArrayNode]("partition-spec",
+        defaultFields.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+          .asInstanceOf[ArrayNode])
+      node.put("last-partition-id", lastPartId)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return newDefault
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a partition-spec commit after $attempts attempts at $tablePath")
   }
 
   /** Register EXISTING parquet files as table data — the `add_files`
@@ -1311,11 +1438,11 @@ object IcebergWriter {
     // spec-prescribed avro file metadata so field-id-driven readers can
     // resolve the manifest without our exact field names
     val schemaIds = new java.util.concurrent.atomic.AtomicInteger(0)
-    def manifestMeta(content: String, fv: Int) = Map(
+    def manifestMeta(content: String, fv: Int, specId: Int) = Map(
       "schema" -> mapper.writeValueAsString(icebergSchemaJson(schema, schemaIds)),
       "partition-spec" -> mapper.writeValueAsString(
         partitionSpecFields(schema, partFields)),
-      "partition-spec-id" -> "0",
+      "partition-spec-id" -> specId.toString,
       "content" -> content,
       "format-version" -> fv.toString)
     val needsV2 = deleteAdds.nonEmpty
@@ -1328,36 +1455,41 @@ object IcebergWriter {
     val hasDataManifest = !(adds.isEmpty && kept.isEmpty && deleteAdds.nonEmpty)
     lazy val dataEntries =
       adds.map(entry(_, 1, 0)) ++ kept.map(entry(_, 0, 0))
-    var writtenDataFv = 0
+    var writtenDataKey: Option[(Int, Int)] = None
     var dataManifestSlot: Option[(Path, Long)] = None
-    def dataManifest(fv: Int): Option[(Path, Long)] = {
-      if (hasDataManifest && writtenDataFv != fv) {
+    def dataManifest(fv: Int, specId: Int): Option[(Path, Long)] = {
+      if (hasDataManifest && !writtenDataKey.contains((fv, specId))) {
         val p = new Path(metaDir, s"$snapshotId-m0.avro")
-        if (writtenDataFv != 0) fs.delete(p, false)
+        if (writtenDataKey.nonEmpty) fs.delete(p, false)
         dataManifestSlot =
           Some(p -> writeAvro(fs, p, mSchema, dataEntries,
-            manifestMeta("data", fv)))
-        writtenDataFv = fv
+            manifestMeta("data", fv, specId)))
+        writtenDataKey = Some((fv, specId))
       }
       dataManifestSlot
     }
-    val deleteManifest: Option[(Path, Long)] =
-      if (deleteAdds.isEmpty) None
-      else {
+    var writtenDelSpec: Option[Int] = None
+    var deleteManifestSlot: Option[(Path, Long)] = None
+    def deleteManifest(specId: Int): Option[(Path, Long)] = {
+      if (deleteAdds.nonEmpty && !writtenDelSpec.contains(specId)) {
         val p = new Path(metaDir, s"$snapshotId-m1.avro")
-        Some(p -> writeAvro(fs, p, mSchema,
+        if (writtenDelSpec.nonEmpty) fs.delete(p, false)
+        deleteManifestSlot = Some(p -> writeAvro(fs, p, mSchema,
           deleteAdds.map(f =>
             entry(f, 1, if (f.equalityIds.nonEmpty) 2 else 1)),
-          manifestMeta("deletes", 2)))
+          manifestMeta("deletes", 2, specId)))
+        writtenDelSpec = Some(specId)
       }
+      deleteManifestSlot
+    }
 
     val lSchema = manifestListSchema
     def listEntry(path: Path, len: Long, content: Int, seq: Option[Long],
-        nAdds: Int, nKept: Int): GenericRecord = {
+        nAdds: Int, nKept: Int, specId: Int): GenericRecord = {
       val mf = new GenericData.Record(lSchema)
       mf.put("manifest_path", fs.makeQualified(path).toString)
       mf.put("manifest_length", len)
-      mf.put("partition_spec_id", 0)
+      mf.put("partition_spec_id", specId)
       mf.put("content", content)
       mf.put("sequence_number", seq.map(Long.box).orNull)
       mf.put("min_sequence_number", seq.map(Long.box).orNull)
@@ -1389,15 +1521,20 @@ object IcebergWriter {
       val priorSeq = parsed.flatMap(p =>
         Option(p._2.get("last-sequence-number")).map(_.asLong)).getOrElse(0L)
       val seq = if (fv >= 2) Some(priorSeq + 1) else None
+      // the spec-id OUR manifests are written under — resolved against
+      // the freshly-claimed metadata so an evolution landing between
+      // retries is observed; carried manifests keep their own spec-ids
+      // through reencode
+      val specId = resolveSpecId(parsed.map(_._2), schema, partFields)
       val carried: Seq[GenericRecord] =
         if (!carryCurrentManifests) Nil
         else parsed.toSeq.flatMap { case (_, meta) =>
           currentManifestRecords(spark, fs, root, meta).map(reencode(lSchema, _))
         }
-      val ours = dataManifest(fv).toSeq.map { case (p, len) =>
-        listEntry(p, len, 0, seq, adds.length, kept.length)
-      } ++ deleteManifest.toSeq.map { case (p, len) =>
-        listEntry(p, len, 1, seq, deleteAdds.length, 0)
+      val ours = dataManifest(fv, specId).toSeq.map { case (p, len) =>
+        listEntry(p, len, 0, seq, adds.length, kept.length, specId)
+      } ++ deleteManifest(specId).toSeq.map { case (p, len) =>
+        listEntry(p, len, 1, seq, deleteAdds.length, 0, specId)
       }
       val listPath = new Path(metaDir, s"snap-$snapshotId-$attempts.avro")
       writeAvro(fs, listPath, lSchema, ours ++ carried,
@@ -1650,17 +1787,45 @@ object IcebergWriter {
     schemasArr.foreach(schemasJson.add)
     node.set[ArrayNode]("schemas", schemasJson)
     node.put("current-schema-id", currentId)
+    // Partition-spec history (spec `partition-specs` + `default-spec-id`):
+    // a data commit writes under the table's CURRENT spec, so when the
+    // committed partitioning matches a spec already in history (compared
+    // on name/transform/source-id — field-ids belong to the history
+    // entry), the whole array and default id carry forward; evolution
+    // entries appended by [[updatePartitionSpec]] survive every data
+    // commit. No match (fresh table, or overwrite re-declaring the
+    // partitioning) replaces the history, like schemas.
     val specFields = partitionSpecFields(schema, partFields)
-    val spec = mapper.createObjectNode()
-    spec.put("spec-id", 0)
-    spec.set[ArrayNode]("fields", specFields)
-    // v1 requires the SINGULAR partition-spec (a bare field array) next
-    // to the newer partition-specs list — readers predating the list
-    // resolve only the singular form
-    node.set[ArrayNode]("partition-spec", specFields.deepCopy())
-    node.set[ArrayNode]("partition-specs", mapper.createArrayNode().add(spec))
-    node.put("default-spec-id", 0)
-    node.put("last-partition-id", 1000 + partFields.length - 1)
+    val priorSpecs: Seq[ObjectNode] = prior.toSeq.flatMap(p =>
+      IcebergReaderAccess.jsonArray(p.get("partition-specs"))
+        .collect { case o: ObjectNode => o.deepCopy() })
+    val matchedSpec = priorSpecs.find(s =>
+      specKey(s.get("fields")) == specKey(specFields))
+    matchedSpec match {
+      case Some(m) =>
+        val specsJson = mapper.createArrayNode()
+        priorSpecs.foreach(specsJson.add)
+        node.set[ArrayNode]("partition-spec",
+          m.get("fields").deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+            .asInstanceOf[ArrayNode])
+        node.set[ArrayNode]("partition-specs", specsJson)
+        node.put("default-spec-id", m.get("spec-id").asInt)
+      case None =>
+        val spec = mapper.createObjectNode()
+        spec.put("spec-id", 0)
+        spec.set[ArrayNode]("fields", specFields)
+        // v1 requires the SINGULAR partition-spec (a bare field array)
+        // next to the newer partition-specs list — readers predating the
+        // list resolve only the singular form
+        node.set[ArrayNode]("partition-spec", specFields.deepCopy())
+        node.set[ArrayNode]("partition-specs",
+          mapper.createArrayNode().add(spec))
+        node.put("default-spec-id", 0)
+    }
+    node.put("last-partition-id", math.max(
+      1000 + partFields.length - 1,
+      prior.flatMap(p => Option(p.get("last-partition-id")).map(_.asInt))
+        .getOrElse(999)))
     // properties SURVIVE data commits (like refs) — wiping them would
     // silently drop schema.name-mapping.default and break id-less reads
     node.set[ObjectNode]("properties",
@@ -1671,17 +1836,47 @@ object IcebergWriter {
     node
   }
 
+  /** Identity of a partition spec for history matching: the
+    * (name, transform, source-id) triple list — field-ids belong to the
+    * history entry that first declared the field, not to the shape. */
+  private def specKey(fields: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(String, String, Int)] =
+    IcebergReaderAccess.jsonArray(fields).map(f =>
+      (f.get("name").asText,
+        Option(f.get("transform")).map(_.asText).getOrElse("identity"),
+        Option(f.get("source-id")).map(_.asInt).getOrElse(-1)))
+
+  /** The spec-id this (schema, partFields) combination resolves to in
+    * `prior`'s partition-spec history: the matching entry's id, or 0
+    * when the history has no such spec (fresh table / redeclaring
+    * overwrite, which resets the history to a single spec 0). */
+  private def resolveSpecId(
+      prior: Option[com.fasterxml.jackson.databind.JsonNode],
+      schema: StructType, partFields: Seq[PartitionField]): Int =
+    prior.flatMap { p =>
+      val key = specKey(partitionSpecFields(schema, partFields))
+      IcebergReaderAccess.jsonArray(p.get("partition-specs"))
+        .find(s => specKey(s.get("fields")) == key)
+        .map(_.get("spec-id").asInt)
+    }.getOrElse(0)
+
   /** The partition-spec field array: name, transform string
     * (`identity`/`day`/`bucket[n]`/…), 1-based source-id into the
     * schema, and the 1000-based partition field-id the spec assigns. */
   private def partitionSpecFields(schema: StructType,
       partFields: Seq[PartitionField]): ArrayNode = {
+    // source-id = the source column's ACTUAL schema field id (positional
+    // only for flat schemas — nested fields consume ids in between), so
+    // spec-history matching agrees with [[updatePartitionSpec]]'s
+    // id-resolved entries
+    val ids = topLevelFieldIds(schema)
     val specFields = mapper.createArrayNode()
     partFields.zipWithIndex.foreach { case (pf, i) =>
       val f = mapper.createObjectNode()
       f.put("name", pf.name)
       f.put("transform", pf.transform)
-      f.put("source-id", schema.fieldNames.indexOf(pf.source) + 1)
+      f.put("source-id", ids.getOrElse(pf.source,
+        schema.fieldNames.indexOf(pf.source) + 1))
       f.put("field-id", 1000 + i)
       specFields.add(f)
     }

@@ -165,6 +165,14 @@ object TableFormats {
       snapshotId: Option[Long] = None, refType: String = "tag"): Long =
     IcebergWriter.setRef(spark, path, name, snapshotId, refType)
 
+  /** Evolve the Iceberg partition spec (`ALTER TABLE … ADD/DROP
+    * PARTITION FIELD`): metadata-only — existing files stay under their
+    * spec and prune under it; new appends lay out under the new spec;
+    * [[rewriteIcebergDataFiles]] migrates old-spec files. */
+  def updateIcebergPartitionSpec(spark: SparkSession, path: String,
+      partitionBy: Seq[String]): Int =
+    IcebergWriter.updatePartitionSpec(spark, path, partitionBy)
+
   /** `TIMESTAMP AS OF` on a real Delta table: the latest version whose
     * (monotonized) commit timestamp is at or before `tsMillis`. */
   def readDeltalakeAtTimestamp(spark: SparkSession, path: String,
