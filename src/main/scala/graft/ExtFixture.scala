@@ -130,6 +130,17 @@ object ExtFixture {
       pr1.select(col("id").cast("long"), col("n").cast("long"))
         .unionByName(pr2))
 
+    // -- delta_rename: column-mapping rename, appends under physical names
+    val dr1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "val")
+    DeltaLogWriter.write(dr1, s"$outDir/delta_rename")
+    DeltaLogWriter.renameColumn(spark, s"$outDir/delta_rename",
+      "val", "amount")
+    val dr2 = Seq((3L, 30.0, "x")).toDF("id", "amount", "tag")
+    DeltaLogWriter.write(dr2, s"$outDir/delta_rename")
+    expected("delta_rename",
+      dr1.withColumnRenamed("val", "amount")
+        .withColumn("tag", lit(null).cast("string")).unionByName(dr2))
+
     // -- iceberg_specevo: partition-spec evolution mid-table -------------
     val se1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
     IcebergWriter.write(se1, s"$outDir/iceberg_specevo")
@@ -140,7 +151,7 @@ object ExtFixture {
     expected("iceberg_specevo", se1.unionByName(se2))
 
     Seq("delta_basic", "delta_dv", "delta_ckpt", "delta_merge",
-      "iceberg_basic", "iceberg_posdel", "iceberg_eqdel",
+      "delta_rename", "iceberg_basic", "iceberg_posdel", "iceberg_eqdel",
       "iceberg_rename", "iceberg_promote", "iceberg_specevo")
   }
 }

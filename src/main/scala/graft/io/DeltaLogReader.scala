@@ -528,6 +528,18 @@ object DeltaLogReader {
     }.toMap
   }
 
+  /** physical column name → columnMapping id, for stamping parquet field
+    * ids on writes to a mapped table (what a `mode=id` reader resolves
+    * by). Empty when the table is unmapped. */
+  private[io] def mappingFieldIds(snap: Snapshot): Map[String, Long] = {
+    val phys = physicalNames(snap)
+    snap.schema.fields.flatMap { f =>
+      if (f.metadata.contains("delta.columnMapping.id"))
+        Some(phys(f.name) -> f.metadata.getLong("delta.columnMapping.id"))
+      else None
+    }.toMap
+  }
+
   /** `(__file, __pos)` rows deleted by the snapshot's deletion vectors,
     * decoded on executors (one task per descriptor batch) so a large DV
     * never materializes on the driver. */

@@ -77,16 +77,38 @@ object DeltaLogWriter {
         throw new IllegalArgumentException(
           s"partitionBy ${partitionBy.mkString(",")} != table's ${s.partitionColumns.mkString(",")}")
       if (mode == "append") {
-        val fresh = df.schema.fieldNames.toSet -- s.schema.fieldNames
-        if (fresh.nonEmpty && SchemaMerge.isColumnMapped(s.schema))
-          throw new IllegalArgumentException(
-            "schema evolution on a column-mapped Delta table needs new " +
-              "columnMapping id/physicalName assignments; use overwrite")
         // promote=false: classic Delta has no type-widening feature, so
         // a WIDER incoming type raises; a narrower one up-casts below
         outSchema = SchemaMerge.mergeAppend(s.schema, df.schema,
           evolve = schemaEvolution)
       }
+    }
+    var outConfig = prior.map(_.configuration).getOrElse(Map.empty)
+    // evolving a column-mapped table: every NEW field needs a fresh
+    // columnMapping id + physical name (protocol contract — resolving a
+    // mapped column by its logical name is not allowed), and the
+    // table's maxColumnId high-water mark advances
+    if (prior.exists(s => SchemaMerge.isColumnMapped(s.schema))) {
+      var maxId = math.max(
+        outConfig.get("delta.columnMapping.maxColumnId")
+          .map(_.toLong).getOrElse(0L),
+        outSchema.fields.flatMap(f =>
+          if (f.metadata.contains("delta.columnMapping.id"))
+            Some(f.metadata.getLong("delta.columnMapping.id"))
+          else None).foldLeft(0L)(math.max))
+      outSchema = StructType(outSchema.fields.map { f =>
+        if (f.metadata.contains("delta.columnMapping.id")) f
+        else {
+          maxId += 1
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", maxId)
+            .putString("delta.columnMapping.physicalName",
+              s"col-${UUID.randomUUID()}")
+            .build())
+        }
+      })
+      outConfig += ("delta.columnMapping.maxColumnId" -> maxId.toString)
     }
     // physical files always carry the table's current type (narrower
     // incoming columns are cast up), so readers never need
@@ -94,14 +116,19 @@ object DeltaLogWriter {
     val aligned =
       if (prior.isDefined && mode == "append") SchemaMerge.alignTo(df, outSchema)
       else df
-    val adds = writeDataFiles(aligned, tablePath, partCols)
+    val mappedSnap = prior.map(s => s.copy(schema = outSchema))
+    val physOf = mappedSnap.map(DeltaLogReader.physicalNames)
+      .getOrElse(Map.empty)
+    val fieldIds = mappedSnap.map(DeltaLogReader.mappingFieldIds)
+      .getOrElse(Map.empty)
+    val adds = writeDataFiles(aligned, tablePath, partCols, physOf, fieldIds)
     val removes =
       if (mode == "overwrite") prior.map(_.files.map(_.path)).getOrElse(Nil)
       else Nil
     val schemaChanged = prior.forall(_.schema.json != outSchema.json)
     commitLoop(spark, tablePath, outSchema, partCols, adds, removes,
       if (exists) "WRITE" else "CREATE TABLE AS SELECT",
-      emitMeta = schemaChanged)
+      emitMeta = schemaChanged, config = outConfig)
   }
 
   /** Key-match condition: plain `=` by default, `<=>` with `matchNulls`
@@ -120,13 +147,15 @@ object DeltaLogWriter {
     if (latest < 0) return write(src, tablePath, mode = "error")
     val snap = DeltaLogReader.snapshot(spark, tablePath)
     val current = DeltaLogReader.read(spark, tablePath)
+    val physOf = DeltaLogReader.physicalNames(snap)
+    val fieldIds = DeltaLogReader.mappingFieldIds(snap)
     val srcAligned = src.select(snap.schema.fieldNames.map(col).toSeq: _*)
     if (snap.partitionColumns.isEmpty) {
       // full rewrite: kept = current minus matched keys, plus all of src
       val merged = current.join(srcAligned,
           keyCond(current, srcAligned, keys, matchNulls), "left_anti")
         .unionByName(srcAligned)
-      val adds = writeDataFiles(merged, tablePath, Nil)
+      val adds = writeDataFiles(merged, tablePath, Nil, physOf, fieldIds)
       commitLoop(spark, tablePath, snap.schema, Nil, adds,
         snap.files.map(_.path), "MERGE", emitMeta = false)
     } else {
@@ -141,8 +170,12 @@ object DeltaLogWriter {
         .distinct().collect()
         .map(r => pcols.map(c => Option(r.getAs[Any](c)).map(_.toString)))
         .toSet
+      // add-action partitionValues are keyed by PHYSICAL name on a
+      // column-mapped table
       def touchedFile(f: DeltaLogReader.AddFile): Boolean =
-        touched.contains(pcols.map(c => f.partitionValues.get(c).flatten))
+        touched.contains(pcols.map(c =>
+          f.partitionValues.get(physOf.getOrElse(c, c))
+            .orElse(f.partitionValues.get(c)).flatten))
       val touchedFilter = touched.map { tup =>
         pcols.zip(tup).map { case (c, v) =>
           v.map(col(c).cast("string") === lit(_)).getOrElse(col(c).isNull)
@@ -153,7 +186,7 @@ object DeltaLogWriter {
         .join(srcAligned, keyCond(touchedScan, srcAligned, keys, matchNulls),
           "left_anti")
         .unionByName(srcAligned)
-      val adds = writeDataFiles(merged, tablePath, pcols)
+      val adds = writeDataFiles(merged, tablePath, pcols, physOf, fieldIds)
       commitLoop(spark, tablePath, snap.schema, pcols, adds,
         snap.files.filter(touchedFile).map(_.path), "MERGE", emitMeta = false)
     }
@@ -186,13 +219,17 @@ object DeltaLogWriter {
       if (latest >= 0) Some(DeltaLogReader.snapshot(spark, tablePath)) else None
     prior.foreach(s => checkAppendSchema(s.schema, agg.schema))
     val partCols = prior.map(_.partitionColumns).getOrElse(Nil)
+    val physOf = prior.map(DeltaLogReader.physicalNames).getOrElse(Map.empty)
+    val fieldIds = prior.map(DeltaLogReader.mappingFieldIds)
+      .getOrElse(Map.empty)
     val stagedDir = new Path(checkpoint, "graft-staged-adds")
     val fs = stagedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val q = agg.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val entries = writeDataFiles(batch, tablePath, partCols)
+        val entries = writeDataFiles(batch, tablePath, partCols, physOf,
+          fieldIds)
         persistStagedAdds(fs,
           new Path(stagedDir, s"batch-$batchId.json"), entries)
         ()
@@ -300,11 +337,10 @@ object DeltaLogWriter {
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     require(latest >= 0, s"no Delta table at $tablePath")
     val snap = DeltaLogReader.snapshot(spark, tablePath)
-    val mode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    if (mode != "none")
-      throw new UnsupportedDeltaFeatureException(
-        s"optimize on a column-mapped table (mode=$mode): rewriting " +
-          "would drop the physical-name mapping")
+    // column-mapped tables rewrite fine: scanFiles restores logical
+    // names and writeDataFiles re-emits physical ones
+    val physOf = DeltaLogReader.physicalNames(snap)
+    val fieldIds = DeltaLogReader.mappingFieldIds(snap)
     val candidates = snap.files.filter(f =>
       f.size < targetSize || f.deletionVector.isDefined)
     val worthIt = candidates.exists(_.deletionVector.isDefined) ||
@@ -325,10 +361,68 @@ object DeltaLogWriter {
         rows.repartitionByRange(outFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else rows.coalesce(outFiles)
-    val adds = writeDataFiles(shaped, tablePath, snap.partitionColumns)
+    val adds = writeDataFiles(shaped, tablePath, snap.partitionColumns,
+      physOf, fieldIds)
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
       removes = candidates.map(_.path), "OPTIMIZE", emitMeta = false,
       dataChange = false)
+  }
+
+  /** Rename a column WITHOUT rewriting a single data file — Delta's
+    * column-mapping rename (PROTOCOL.md "Column Mapping"), the symmetric
+    * twin of [[IcebergWriter.renameColumn]]. A table not yet mapped is
+    * upgraded in the same commit: every field gets a `columnMapping.id`
+    * and keeps its current name as `physicalName` (so the existing
+    * parquet files resolve unchanged), the mode lands in the table
+    * configuration, and the protocol gains the columnMapping feature by
+    * MERGING the existing one. After the upgrade only the LOGICAL name
+    * changes; appends keep writing under physical names. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String): Committed = {
+    require(from != to, "rename to the same name is a no-op")
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    require(snap.schema.fieldNames.contains(from),
+      s"column $from not in the schema of $tablePath")
+    require(!snap.schema.fieldNames.contains(to),
+      s"column $to already exists in $tablePath")
+    val mapped = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    var config = snap.configuration
+    var schema = snap.schema
+    if (!mapped) {
+      var maxId = 0L
+      schema = StructType(schema.fields.map { f =>
+        maxId += 1
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", maxId)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .build())
+      })
+      config += ("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> maxId.toString)
+    }
+    schema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val partCols = snap.partitionColumns.map(c => if (c == from) to else c)
+    val p = snap.protocol
+    val needsUpgrade = !mapped && (p.minReaderVersion < 2 ||
+      (p.minReaderVersion >= 3 && !p.readerFeatures.contains("columnMapping")))
+    val upgrade = if (!needsUpgrade) Nil else if (p.minReaderVersion >= 3 ||
+        p.minWriterVersion >= 7) {
+      val readerFeats = ((if (p.minReaderVersion >= 3) p.readerFeatures
+                          else legacyReaderFeatures(p.minReaderVersion)) +
+        "columnMapping").toSeq.sorted
+      val writerFeats = ((if (p.minWriterVersion >= 7) p.writerFeatures
+                          else legacyWriterFeatures(p.minWriterVersion)) +
+        "columnMapping").toSeq.sorted
+      def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
+    } else // legacy range: columnMapping is reader 2 / writer 5
+      Seq(s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":${math.max(5, p.minWriterVersion)}}}""")
+    commitLoop(spark, tablePath, schema, partCols, adds = Nil,
+      removes = Nil, "RENAME COLUMN", emitMeta = true,
+      extraActions = upgrade, dataChange = false, config = config)
   }
 
   def vacuum(spark: SparkSession, tablePath: String,
@@ -480,15 +574,38 @@ object DeltaLogWriter {
   /** Stage the dataframe as parquet, move the part files into the table
     * tree, and return one add-action per file. The staging dir is inside
     * the table (same filesystem ⇒ rename is a metadata op). */
+  /** Write `df` as table data files. `physOf` (logical → physical column
+    * name) is non-identity on column-mapped tables: the parquet files,
+    * the hive partition directories, the add-action `partitionValues`
+    * keys and the `stats` keys must all carry PHYSICAL names — the
+    * protocol's contract, and what lets a later logical rename touch no
+    * data file. */
   private def writeDataFiles(df: DataFrame, tablePath: String,
-      partCols: Seq[String]): Seq[AddEntry] = {
+      partCols: Seq[String],
+      physOf: Map[String, String] = Map.empty,
+      fieldIds: Map[String, Long] = Map.empty): Seq[AddEntry] = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(root, s".delta-staging-${UUID.randomUUID()}")
+    val renamed = df.columns.foldLeft(df) { (d, c) =>
+      physOf.get(c).filter(_ != c)
+        .map(p => d.withColumnRenamed(c, p)).getOrElse(d)
+    }
+    // mapped tables also stamp parquet field ids (keyed by physical
+    // name) so mode=id readers resolve the files
+    val out =
+      if (fieldIds.isEmpty) renamed
+      else renamed.select(renamed.columns.map { c =>
+        fieldIds.get(c).map(id => col(c).as(c,
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putLong("parquet.field.id", id).build()))
+          .getOrElse(col(c))
+      }.toSeq: _*)
+    val physPartCols = partCols.map(c => physOf.getOrElse(c, c))
     try {
-      val w = df.write.mode("overwrite")
-      (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+      val w = out.write.mode("overwrite")
+      (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w)
         .parquet(staging.toString)
       val files = collectParquet(fs, staging)
       val stagingStr = fs.makeQualified(staging).toString
@@ -874,7 +991,8 @@ object DeltaLogWriter {
       schema: StructType, partCols: Seq[String], adds: Seq[AddEntry],
       removes: Seq[String], operation: String, emitMeta: Boolean,
       extraActions: Seq[String] = Nil,
-      dataChange: Boolean = true): Committed = {
+      dataChange: Boolean = true,
+      config: Map[String, String] = Map.empty): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -882,7 +1000,12 @@ object DeltaLogWriter {
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
       val lines = actionLines(schema, partCols, adds, removes, operation,
-        emitMeta = emitMeta || version == 0L, extraActions, dataChange)
+        emitMeta = emitMeta || version == 0L, extraActions, dataChange,
+        // re-declaring the baseline protocol on a LATER commit would
+        // DOWNGRADE a feature-bearing table (DVs, column mapping) — the
+        // last protocol action wins on replay. Only commit 0 declares
+        // it; upgrades ride in as explicit extraActions.
+        includeProtocol = version == 0L, config)
       val target = new Path(logDir, f"$version%020d.json")
       // AtomicWrite: local-FS create-exclusive is check-then-create in
       // Hadoop — a raw fs.create(_, false) race could double-claim the
@@ -902,13 +1025,18 @@ object DeltaLogWriter {
   private def actionLines(schema: StructType, partCols: Seq[String],
       adds: Seq[AddEntry], removes: Seq[String], operation: String,
       emitMeta: Boolean, extraActions: Seq[String] = Nil,
-      dataChange: Boolean = true): Seq[String] = {
+      dataChange: Boolean = true, includeProtocol: Boolean = true,
+      config: Map[String, String] = Map.empty): Seq[String] = {
     val now = System.currentTimeMillis()
     val info =
       s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)},"operationParameters":{},"engineInfo":"graft"}}"""
-    val metaLines = if (emitMeta) Seq(
-      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":${jstr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":[${partCols.map(jstr).mkString(",")}],"configuration":{},"createdTime":$now}}""")
+    val cfg = config.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val metaLines = if (emitMeta)
+      (if (includeProtocol)
+         Seq(s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+       else Nil) :+
+        s"""{"metaData":{"id":${jstr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jstr(schema.json)},"partitionColumns":[${partCols.map(jstr).mkString(",")}],"configuration":$cfg,"createdTime":$now}}"""
     else Nil
     val removeLines = removes.map(p =>
       s"""{"remove":{"path":${jstr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}""")
@@ -956,7 +1084,7 @@ object DeltaLogWriter {
     val rows: Seq[CkptLine] =
       CkptLine(None,
         Some(CkptMetaData(UUID.randomUUID().toString, snap.schema.json,
-          snap.partitionColumns)),
+          snap.partitionColumns, snap.configuration)),
         Some(CkptProtocol(p.minReaderVersion, minWriter,
           if (p.readerFeatures.isEmpty) None
           else Some(p.readerFeatures.toSeq.sorted),
@@ -993,8 +1121,11 @@ object DeltaLogWriter {
       modificationTime: Long, dataChange: Boolean,
       deletionVector: Option[CkptDv] = None,
       stats: Option[String] = None)
+  // configuration must survive checkpointing — compacting it away would
+  // drop delta.columnMapping.mode and make physical names unresolvable
   final case class CkptMetaData(id: String, schemaString: String,
-      partitionColumns: Seq[String])
+      partitionColumns: Seq[String],
+      configuration: Map[String, String] = Map.empty)
   final case class CkptProtocol(minReaderVersion: Int, minWriterVersion: Int,
       readerFeatures: Option[Seq[String]] = None,
       writerFeatures: Option[Seq[String]] = None)

@@ -165,6 +165,14 @@ object TableFormats {
       snapshotId: Option[Long] = None, refType: String = "tag"): Long =
     IcebergWriter.setRef(spark, path, name, snapshotId, refType)
 
+  /** Rename a Delta column without rewriting data — upgrades the table
+    * to column-mapping `mode=name` on first use
+    * ([[DeltaLogWriter.renameColumn]]); the Iceberg twin is
+    * [[IcebergWriter.renameColumn]]. */
+  def renameDeltalakeColumn(spark: SparkSession, path: String,
+      from: String, to: String): DeltaLogWriter.Committed =
+    DeltaLogWriter.renameColumn(spark, path, from, to)
+
   /** Evolve the Iceberg partition spec (`ALTER TABLE … ADD/DROP
     * PARTITION FIELD`): metadata-only — existing files stay under their
     * spec and prune under it; new appends lay out under the new spec;

@@ -325,6 +325,16 @@ def read_delta(table: str) -> pd.DataFrame:
     col_names = [f["name"] for f in schema["fields"]]
     col_types = {f["name"]: f["type"] for f in schema["fields"]}
     part_cols = meta.get("partitionColumns", [])
+    # column mapping: parquet files and partitionValues carry PHYSICAL
+    # names; the logical rename happens here, from the schema metadata
+    mode = (meta.get("configuration") or {}) \
+        .get("delta.columnMapping.mode", "none")
+    phys_of = {}
+    for f in schema["fields"]:
+        md = f.get("metadata") or {}
+        phys_of[f["name"]] = (
+            md.get("delta.columnMapping.physicalName", f["name"])
+            if mode != "none" else f["name"])
 
     con = duckdb.connect()
     frames = []
@@ -338,9 +348,11 @@ def read_delta(table: str) -> pd.DataFrame:
             deleted = _delta_dv_rows(table, dv)
             df = df[~df["_frn"].isin(deleted)]
         df = df.drop(columns=["_frn"])
+        df = df.rename(columns={p: l for l, p in phys_of.items() if p != l})
         for c in part_cols:
+            pv = info["partitionValues"]
             df[c] = _delta_cast_partition(
-                info["partitionValues"].get(c), col_types[c])
+                pv.get(phys_of[c], pv.get(c)), col_types[c])
         for c in col_names:
             if c not in df.columns:
                 df[c] = None
