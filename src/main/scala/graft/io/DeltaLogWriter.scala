@@ -385,29 +385,61 @@ object DeltaLogWriter {
       s"column $from not in the schema of $tablePath")
     require(!snap.schema.fieldNames.contains(to),
       s"column $to already exists in $tablePath")
-    val mapped = snap.configuration
-      .getOrElse("delta.columnMapping.mode", "none") != "none"
-    var config = snap.configuration
-    var schema = snap.schema
-    if (!mapped) {
-      var maxId = 0L
-      schema = StructType(schema.fields.map { f =>
-        maxId += 1
-        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", maxId)
-          .putString("delta.columnMapping.physicalName", f.name)
-          .build())
-      })
-      config += ("delta.columnMapping.mode" -> "name",
-        "delta.columnMapping.maxColumnId" -> maxId.toString)
-    }
-    schema = StructType(schema.fields.map(f =>
+    val (schema0, config, upgrade) = ensureMapped(snap)
+    val schema = StructType(schema0.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
     val partCols = snap.partitionColumns.map(c => if (c == from) to else c)
+    commitLoop(spark, tablePath, schema, partCols, adds = Nil,
+      removes = Nil, "RENAME COLUMN", emitMeta = true,
+      extraActions = upgrade, dataChange = false, config = config)
+  }
+
+  /** Drop a column WITHOUT rewriting data (PROTOCOL.md: DROP COLUMN
+    * requires column mapping — the physical column stays in the parquet
+    * files, unreferenced by the schema, so readers skip it). A later
+    * re-add of the same logical name gets a FRESH id + physical name and
+    * never resurrects the dropped values. Partition columns cannot be
+    * dropped. */
+  def dropColumn(spark: SparkSession, tablePath: String,
+      name: String): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    require(snap.schema.fieldNames.contains(name),
+      s"column $name not in the schema of $tablePath")
+    require(!snap.partitionColumns.contains(name),
+      s"cannot drop partition column $name")
+    require(snap.schema.length > 1, "cannot drop the only column")
+    val (schema0, config, upgrade) = ensureMapped(snap)
+    val schema = StructType(schema0.fields.filterNot(_.name == name))
+    commitLoop(spark, tablePath, schema, snap.partitionColumns, adds = Nil,
+      removes = Nil, "DROP COLUMNS", emitMeta = true,
+      extraActions = upgrade, dataChange = false, config = config)
+  }
+
+  /** Column-mapping upgrade shared by rename/drop: assign every field a
+    * `columnMapping.id` keeping its current name as `physicalName`, set
+    * the mode + maxColumnId in the configuration, and MERGE the
+    * columnMapping feature into the existing protocol. No-op (schema,
+    * config, no protocol line) when the table is already mapped. */
+  private def ensureMapped(snap: DeltaLogReader.Snapshot)
+      : (StructType, Map[String, String], Seq[String]) = {
+    val mapped = snap.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    if (mapped) return (snap.schema, snap.configuration, Nil)
+    var maxId = 0L
+    val schema = StructType(snap.schema.fields.map { f =>
+      maxId += 1
+      f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", maxId)
+        .putString("delta.columnMapping.physicalName", f.name)
+        .build())
+    })
+    val config = snap.configuration +
+      ("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> maxId.toString)
     val p = snap.protocol
-    val needsUpgrade = !mapped && (p.minReaderVersion < 2 ||
-      (p.minReaderVersion >= 3 && !p.readerFeatures.contains("columnMapping")))
+    val needsUpgrade = p.minReaderVersion < 2 ||
+      (p.minReaderVersion >= 3 && !p.readerFeatures.contains("columnMapping"))
     val upgrade = if (!needsUpgrade) Nil else if (p.minReaderVersion >= 3 ||
         p.minWriterVersion >= 7) {
       val readerFeats = ((if (p.minReaderVersion >= 3) p.readerFeatures
@@ -420,9 +452,7 @@ object DeltaLogWriter {
       Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
     } else // legacy range: columnMapping is reader 2 / writer 5
       Seq(s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":${math.max(5, p.minWriterVersion)}}}""")
-    commitLoop(spark, tablePath, schema, partCols, adds = Nil,
-      removes = Nil, "RENAME COLUMN", emitMeta = true,
-      extraActions = upgrade, dataChange = false, config = config)
+    (schema, config, upgrade)
   }
 
   def vacuum(spark: SparkSession, tablePath: String,

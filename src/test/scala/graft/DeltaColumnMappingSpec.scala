@@ -131,6 +131,28 @@ class DeltaColumnMappingSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, dir).count() == 10)
   }
 
+  test("dropColumn hides the column; re-add never resurrects old values") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    DeltaLogWriter.write(Seq((1L, 10.0, "secret")).toDF("id", "v", "note"),
+      dir)
+    DeltaLogWriter.dropColumn(spark, dir, "note")
+    assert(DeltaLogReader.read(spark, dir).columns.toSeq == Seq("id", "v"))
+    // re-adding `note` maps to a FRESH physical column: the old file's
+    // dropped values stay invisible
+    DeltaLogWriter.write(Seq((2L, 20.0, "fresh")).toDF("id", "v", "note"),
+      dir)
+    val out = DeltaLogReader.read(spark, dir).orderBy("id").collect()
+    assert(out.map(r => Option(r.getAs[String]("note"))).toSeq ==
+      Seq(None, Some("fresh")))
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.schema("note").metadata
+      .getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(snap.schema("note").metadata
+      .getLong("delta.columnMapping.id") == 4L)
+  }
+
   test("a later metaData commit never downgrades the protocol") {
     val spark0 = spark
     import spark0.implicits._
