@@ -128,6 +128,7 @@ object SparkEntry {
     "graph_cypher"        -> (Cypher.supplierRegionQuery _),
     "graph_gremlin"       -> (Gremlin.supplierInEuropeQuery _),
     "graph_gremlin_order" -> (Gremlin.asiaNationsWithSuppliersQuery _),
+    "graph_wcc"           -> (Graph.wcc _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
@@ -264,6 +265,8 @@ object SparkEntry {
     "graph_two_hop"       -> Graph.twoHopOracle,
     "graph_motif"         -> Graph.motifOracle,
     "graph_flatten_props" -> Graph.flattenPropsOracle,
+    // WCC vs DuckDB recursive label propagation over the same edge set
+    "graph_wcc"           -> Graph.wccOracle,
     "graph_bgp"           -> Rdf.bgpQueryOracle,
     "graph_cypher"        -> Cypher.supplierRegionOracle,
     "graph_gremlin"       -> Gremlin.supplierInEuropeOracle,

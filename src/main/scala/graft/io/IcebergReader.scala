@@ -94,6 +94,92 @@ object IcebergReader {
       .sortBy(-_._2)
   }
 
+  /** Iceberg metadata tables — the `table$files` / `$snapshots` /
+    * `$history` / `$manifests` / `$partitions` / `$refs` relations
+    * Athena exposes for inspection queries (`SELECT * FROM "t$files"`),
+    * built straight from the metadata json + manifest avros the reader
+    * already parses. Metadata-scale: the file/manifest lists are the
+    * snapshot's own bookkeeping, never a data scan. Accepts the name
+    * with or without the `$`. */
+  def metadataTable(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    import spark.implicits._
+    val meta = currentMetadata(spark, tablePath)
+    def opOf(s: JsonNode): String =
+      Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+        .map(_.asText).getOrElse("unknown")
+    name.stripPrefix("$") match {
+      case "snapshots" =>
+        jsonArray(meta.get("snapshots")).map(s =>
+          (new java.sql.Timestamp(s.get("timestamp-ms").asLong),
+            s.get("snapshot-id").asLong, opOf(s),
+            s.get("manifest-list").asText))
+          .toDF("committed_at", "snapshot_id", "operation", "manifest_list")
+      case "history" =>
+        val current = Option(meta.get("current-snapshot-id")).map(_.asLong)
+        jsonArray(meta.get("snapshot-log")).map(e =>
+          (new java.sql.Timestamp(e.get("timestamp-ms").asLong),
+            e.get("snapshot-id").asLong,
+            current.contains(e.get("snapshot-id").asLong)))
+          .toDF("made_current_at", "snapshot_id", "is_current")
+      case "refs" =>
+        Option(meta.get("refs")).filter(_.isObject).map { r =>
+          r.fieldNames.asScala.map { n =>
+            val e = r.get(n)
+            (n, Option(e.get("type")).map(_.asText).getOrElse("branch"),
+              e.get("snapshot-id").asLong)
+          }.toSeq
+        }.getOrElse(Nil).toDF("name", "type", "snapshot_id")
+      case "manifests" =>
+        val root = new Path(tablePath)
+        val cur = Option(meta.get("current-snapshot-id")).map(_.asLong)
+          .filter(_ >= 0)
+        val list = cur.flatMap(id => jsonArray(meta.get("snapshots"))
+            .find(_.get("snapshot-id").asLong == id))
+          .map(s => readAvro(spark, resolve(root, s.get("manifest-list").asText)))
+          .getOrElse(Nil)
+        list.map { m =>
+          def intOpt(f: String): Int = Option(m.getSchema.getField(f))
+            .flatMap(_ => Option(m.get(f))).collect {
+              case i: java.lang.Integer => i.intValue
+              case l: java.lang.Long => l.intValue
+            }.getOrElse(0)
+          (m.get("manifest_path").toString,
+            Option(m.get("manifest_length")).collect {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+            }.getOrElse(0L),
+            intOpt("partition_spec_id"), intOpt("content"),
+            Option(m.get("added_snapshot_id")).collect {
+              case l: java.lang.Long => l.longValue
+            }.getOrElse(-1L))
+        }.toDF("path", "length", "partition_spec_id", "content",
+          "added_snapshot_id")
+      case "files" =>
+        val snap = snapshot(spark, tablePath)
+        def rows(fs: Seq[DataFileEntry], content: Int) = fs.map(f =>
+          (content, f.path, "PARQUET", f.specId, f.recordCount,
+            f.sizeBytes, f.partition.map { case (k, v) =>
+              k -> Option(v).map(_.toString).orNull }))
+        (rows(snap.files, 0) ++ rows(snap.deleteFiles, 1) ++
+          rows(snap.equalityDeleteFiles, 2))
+          .toDF("content", "file_path", "file_format", "spec_id",
+            "record_count", "file_size_in_bytes", "partition")
+      case "partitions" =>
+        val snap = snapshot(spark, tablePath)
+        snap.files.groupBy(f => (f.specId, f.partition.map { case (k, v) =>
+            k -> Option(v).map(_.toString).orNull }))
+          .map { case ((specId, part), fs) =>
+            (part, specId, fs.map(_.recordCount).sum, fs.length.toLong)
+          }.toSeq
+          .toDF("partition", "spec_id", "record_count", "file_count")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown Iceberg metadata table $$${other} " +
+            "(files|manifests|snapshots|history|partitions|refs)")
+    }
+  }
+
   /** Declared schema + identity partition columns straight from the
     * current metadata — valid even for a freshly-created table with no
     * snapshot yet (S3 Tables `create_table` makes those). */

@@ -165,6 +165,14 @@ object TableFormats {
       snapshotId: Option[Long] = None, refType: String = "tag"): Long =
     IcebergWriter.setRef(spark, path, name, snapshotId, refType)
 
+  /** Athena's Iceberg metadata relations (`SELECT * FROM "t$files"`,
+    * `$snapshots`, `$history`, `$manifests`, `$partitions`, `$refs`) —
+    * inspection queries over the table's own bookkeeping, metadata-scale
+    * by construction. */
+  def icebergMetadataTable(spark: SparkSession, path: String,
+      name: String): DataFrame =
+    IcebergReader.metadataTable(spark, path, name)
+
   /** Rename a Delta column without rewriting data — upgrades the table
     * to column-mapping `mode=name` on first use
     * ([[DeltaLogWriter.renameColumn]]); the Iceberg twin is

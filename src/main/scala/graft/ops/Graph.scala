@@ -206,6 +206,44 @@ object Graph {
     PropertyGraph(vertices, inRegion.unionByName(locatedIn))
   }
 
+  /** Weakly-connected components of the high-volume trade graph:
+    * vertices are customers (even ids) and suppliers (odd ids), an
+    * undirected edge joins a customer to a supplier when a ≥48-quantity
+    * lineitem links them through an order. Components via the same
+    * alternating large-star/small-star kernel the dedup family uses
+    * ([[Dedup.connectedComponents]]) — O(log n) rounds of two
+    * groupBy-min + equi-join passes, no driver-side graph. The Gremlin/
+    * openCypher component queries (`g.V().…` cluster analyses) are this
+    * operator. */
+  def wcc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).where(col("l_quantity") >= 48)
+    val ord = Tables.orders(s, dir)
+    val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey") * 2).as("u"),
+        (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct()
+    // the star edges label every non-root node; roots label themselves
+    val labels = Dedup.connectedComponents(edges)
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node"))).distinct()
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("component"))
+  }
+
+  def wccOracle: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 48),
+      |und AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+      |nodes AS (SELECT DISTINCT u AS node FROM und),
+      |walk(node, lab) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)
+      |SELECT node, min(lab) AS component FROM walk GROUP BY node""".stripMargin
+
   /** Recursively flatten struct columns into `parent_child` top-level
     * columns (arrays left intact) — the general `flatten_nested_df`
     * utility, usable on any DataFrame. */

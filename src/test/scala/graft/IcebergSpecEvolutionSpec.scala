@@ -123,6 +123,24 @@ class IcebergSpecEvolutionSpec extends AnyFunSuite {
     assert(aFiles.forall(_.contains("grp=")), aFiles.mkString(", "))
   }
 
+  test("evolving to UNPARTITIONED: old-spec files still prune by grp") {
+    val dir = tmp()
+    val spark0 = spark
+    import spark0.implicits._
+    val b1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
+    IcebergWriter.write(b1, dir, partitionBy = Seq("grp")) // spec 0
+    assert(TableFormats.updateIcebergPartitionSpec(spark, dir, Nil) == 1)
+    IcebergWriter.write(Seq((3L, "a", 3.0), (4L, "c", 4.0))
+      .toDF("id", "grp", "v"), dir) // flat layout, spec 1
+    val out = TableFormats.fromIcebergWhere(spark, dir, col("grp") === "a")
+    assert(out.select(sum(col("id"))).head.getLong(0) == 4L)
+    // grp='a' scan surfaces rows from BOTH specs: the spec-0 grp=a
+    // file pruned in (grp=b pruned out) and the flat spec-1 file
+    assert(out.select(input_file_name()).distinct().count() == 2)
+    assert(TableFormats.fromIcebergWhere(spark, dir, col("grp") === "b")
+      .select("id").head.getLong(0) == 2L)
+  }
+
   test("time travel to a pre-evolution snapshot still reads") {
     val dir = tmp()
     mkTable(dir)
