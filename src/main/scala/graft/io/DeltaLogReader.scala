@@ -4,8 +4,8 @@ import scala.collection.mutable
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.util.SerializableConfiguration
 
 /** The requested Delta table uses a protocol feature this reader does not
@@ -439,6 +439,160 @@ object DeltaLogReader {
       else col(physOf(f.name)).as(f.name)
     }.toSeq: _*)
   }
+
+  /** Change Data Feed read (PROTOCOL.md "Change Data Files"): row-level
+    * changes between `startVersion` and `endVersion` (inclusive; default
+    * latest), with `_change_type` / `_commit_version` /
+    * `_commit_timestamp` appended — the contract delta-spark's
+    * `readChangeFeed` serves.
+    *
+    * Per commit: when `cdc` actions are present they are authoritative —
+    * ONLY the `_change_data/` files are read (never derived rows on
+    * top). Without them, a pure-append commit's `add` actions ARE its
+    * insert changes and a pure-remove commit's removed files (scanned at
+    * the PREVIOUS version, deletion vectors applied) are its deletes —
+    * per spec, the two derivable shapes. A commit that rewrites live
+    * files or mixes adds and removes without cdc actions (a MERGE /
+    * DELETE from before the feed was enabled) raises loudly instead of
+    * guessing.
+    *
+    * Schema evolution inside the range is handled per commit: each
+    * version scans with ITS schema (and ITS column-mapping state), and
+    * the frames union by name — rows from before a column existed read
+    * it as null. Scale: the per-version action parse is metadata
+    * (commit-file lines); the data read is one distributed parquet scan
+    * per changed version, file-list-bounded by that commit's actions. */
+  def changes(spark: SparkSession, tablePath: String,
+      startVersion: Long, endVersion: Option[Long] = None): DataFrame = {
+    val latest = latestVersion(spark, tablePath)
+    require(latest >= 0, s"no Delta table at $tablePath")
+    val end = endVersion.getOrElse(latest)
+    require(startVersion >= 0 && startVersion <= end && end <= latest,
+      s"invalid change-feed range [$startVersion, $end] (latest=$latest)")
+    val (commits, _) = logFiles(spark, tablePath)
+    val frames = (startVersion to end).flatMap { v =>
+      val path = commits.getOrElse(v, throw new IllegalArgumentException(
+        s"commit $v is missing from the log at $tablePath " +
+          "(removed by metadata retention?)"))
+      var ts = 0L
+      val cdc = Seq.newBuilder[AddFile]
+      val addsDC = Seq.newBuilder[AddFile]
+      val removesDC = Seq.newBuilder[String]
+      readLines(spark, path).foreach { line =>
+        val n = mapper.readTree(line)
+        Option(n.get("commitInfo")).flatMap(ci => Option(ci.get("timestamp")))
+          .foreach(t => ts = t.asLong)
+        Option(n.get("cdc")).foreach { a =>
+          cdc += AddFile(decodePath(a.get("path").asText), partitionValuesOf(a))
+        }
+        Option(n.get("add")).foreach { a =>
+          if (Option(a.get("dataChange")).forall(_.asBoolean))
+            addsDC += AddFile(decodePath(a.get("path").asText),
+              partitionValuesOf(a), dvFromJson(a))
+        }
+        Option(n.get("remove")).foreach { r =>
+          if (Option(r.get("dataChange")).forall(_.asBoolean))
+            removesDC += decodePath(r.get("path").asText)
+        }
+      }
+      val (cdcF, addF, rmF) = (cdc.result(), addsDC.result(), removesDC.result())
+      if (cdcF.isEmpty && addF.isEmpty && rmF.isEmpty) None
+      else {
+        val snap = snapshot(spark, tablePath, Some(v))
+        val base =
+          if (cdcF.nonEmpty) scanCdcFiles(spark, tablePath, snap, cdcF)
+          else if (rmF.isEmpty) {
+            val prev =
+              if (v == 0) Set.empty[String]
+              else snapshot(spark, tablePath, Some(v - 1)).files
+                .map(_.path).toSet
+            if (addF.exists(a =>
+                prev.contains(a.path) || a.deletionVector.isDefined))
+              throw new UnsupportedDeltaFeatureException(
+                s"version $v of $tablePath rewrites live files without " +
+                  "cdc actions — change data feed was not enabled when " +
+                  "it committed")
+            scanFiles(spark, tablePath, snap, addF)
+              .withColumn("_change_type", lit("insert"))
+          } else if (addF.isEmpty) {
+            val prev = snapshot(spark, tablePath, Some(v - 1))
+            val rmSet = rmF.toSet
+            scanFiles(spark, tablePath, prev,
+                prev.files.filter(f => rmSet.contains(f.path)))
+              .withColumn("_change_type", lit("delete"))
+          } else throw new UnsupportedDeltaFeatureException(
+            s"version $v of $tablePath mixes adds and removes without " +
+              "cdc actions — change data feed was not enabled when it " +
+              "committed")
+        Some(base
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp", lit(new java.sql.Timestamp(ts))))
+      }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        val snap = snapshot(spark, tablePath, Some(end))
+        val schema = StructType(snap.schema.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", LongType),
+          StructField("_commit_timestamp", TimestampType)))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      }
+  }
+
+  /** Scan of one commit's `_change_data/` files: like [[scanFiles]]
+    * (physical-name resolution, partition re-attachment from the cdc
+    * action's `partitionValues`) plus the stored `_change_type` column;
+    * change files never carry deletion vectors. */
+  private def scanCdcFiles(spark: SparkSession, tablePath: String,
+      snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+    val physOf = physicalNames(snap)
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f =>
+      f.copy(name = physOf(f.name))) :+
+      StructField("_change_type", StringType, nullable = true))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = files.map { f =>
+      fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
+    }
+    var df = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
+    if (snap.partitionColumns.nonEmpty) {
+      df = df.withColumn("__file", input_file_name())
+      val manifestSchema = StructType(
+        StructField("__file", StringType, nullable = false) +:
+          snap.partitionColumns.map(c =>
+            StructField(c, StringType, nullable = true)))
+      val manifestRows = qualified.map { case (uri, f) =>
+        Row.fromSeq(uri +: snap.partitionColumns.map { c =>
+          f.partitionValues.get(physOf(c))
+            .orElse(f.partitionValues.get(c)).flatten.orNull
+        })
+      }
+      val manifest = spark.createDataFrame(
+        spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
+      df = df.join(broadcast(manifest), Seq("__file"), "left")
+    }
+    df.select((snap.schema.fields.map { f =>
+      if (snap.partitionColumns.contains(f.name))
+        col(f.name).cast(f.dataType).as(f.name)
+      else col(physOf(f.name)).as(f.name)
+    } :+ col("_change_type")).toSeq: _*)
+  }
+
+  /** `partitionValues` of an `add`/`cdc` action node. */
+  private def partitionValuesOf(a: JsonNode): Map[String, Option[String]] =
+    Option(a.get("partitionValues")).map { o =>
+      val it = o.fields()
+      val b = Map.newBuilder[String, Option[String]]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) None
+          else Some(e.getValue.asText))
+      }
+      b.result()
+    }.getOrElse(Map.empty)
 
   /** Keep-if-maybe-match per file: partition columns decide from the
     * log's `partitionValues`; data columns from the add's `stats`

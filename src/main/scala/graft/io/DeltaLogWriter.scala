@@ -121,6 +121,21 @@ object DeltaLogWriter {
       .getOrElse(Map.empty)
     val fieldIds = mappedSnap.map(DeltaLogReader.mappingFieldIds)
       .getOrElse(Map.empty)
+    // CDF on overwrite: every prior live row is a `delete` change and
+    // every incoming row an `insert` — a mixed add/remove commit cannot
+    // be derived from its actions, so the change file is mandatory.
+    // Appends need none: their add actions ARE the insert changes.
+    val cdc =
+      if (mode != "overwrite" || !prior.exists(cdfEnabled)) Nil
+      else {
+        val old = DeltaLogReader.read(spark, tablePath)
+          .withColumn("_change_type", lit("delete"))
+        val neu = aligned.withColumn("_change_type", lit("insert"))
+        cdcLines(writeDataFiles(
+          old.unionByName(neu, allowMissingColumns = true),
+          tablePath, partCols, physOf, fieldIds,
+          destPrefix = "_change_data"))
+      }
     val adds = writeDataFiles(aligned, tablePath, partCols, physOf, fieldIds)
     val removes =
       if (mode == "overwrite") prior.map(_.files.map(_.path)).getOrElse(Nil)
@@ -128,7 +143,80 @@ object DeltaLogWriter {
     val schemaChanged = prior.forall(_.schema.json != outSchema.json)
     commitLoop(spark, tablePath, outSchema, partCols, adds, removes,
       if (exists) "WRITE" else "CREATE TABLE AS SELECT",
-      emitMeta = schemaChanged, config = outConfig)
+      emitMeta = schemaChanged, config = outConfig, extraActions = cdc)
+  }
+
+  /** Change Data Feed enablement (PROTOCOL.md "Change Data Files" /
+    * `delta.enableChangeDataFeed`): a metadata-only commit that sets the
+    * table property and MERGES the `changeDataFeed` writer feature into
+    * the protocol (legacy tables upgrade to minWriterVersion 4, whose
+    * implicit feature set includes it; feature-range tables append to
+    * `writerFeatures`). From this commit on, MERGE / DELETE / overwrite
+    * record their row-level changes as parquet under `_change_data/`
+    * committed via `cdc` actions, and [[DeltaLogReader.changes]] serves
+    * them back. Appends need no cdc files — their `add` actions ARE the
+    * insert changes, per spec. */
+  def enableChangeDataFeed(spark: SparkSession,
+      tablePath: String): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    if (cdfEnabled(snap)) return Committed(snap.version, 0)
+    val config = snap.configuration + ("delta.enableChangeDataFeed" -> "true")
+    val p = snap.protocol
+    val upgrade =
+      if (p.minWriterVersion >= 7) {
+        if (p.writerFeatures.contains("changeDataFeed")) Nil
+        else {
+          val writerFeats = (p.writerFeatures + "changeDataFeed").toSeq.sorted
+          def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+          val readerPart =
+            if (p.minReaderVersion >= 3)
+              s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
+            else ""
+          Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
+        }
+      } else if (p.minWriterVersion >= 4) Nil // legacy 4+ implies CDF
+      else
+        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":4}}""")
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
+      extraActions = upgrade, dataChange = false, config = config)
+  }
+
+  private def cdfEnabled(snap: DeltaLogReader.Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed")
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** `cdc` action lines for change files staged under `_change_data/`
+    * (`dataChange` is always false — change files never alter the
+    * snapshot's row set). */
+  private def cdcLines(entries: Seq[AddEntry]): Seq[String] =
+    entries.map { a =>
+      val pv = a.partitionValues.map { case (k, v) =>
+        s"${jstr(k)}:${v.map(jstr).getOrElse("null")}"
+      }.mkString("{", ",", "}")
+      s"""{"cdc":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"dataChange":false}}"""
+    }
+
+  /** The MERGE change set when CDF is on: matched current rows as
+    * `update_preimage`, their replacing source rows as
+    * `update_postimage`, unmatched source rows as `insert` — written as
+    * table-partitioned parquet under `_change_data/` (a preimage lands
+    * in ITS partition, which may differ from the postimage's). */
+  private def mergeCdc(cur: DataFrame, srcAligned: DataFrame,
+      keys: Seq[String], matchNulls: Boolean, tablePath: String,
+      partCols: Seq[String], physOf: Map[String, String],
+      fieldIds: Map[String, Long]): Seq[String] = {
+    val pre = cur.join(srcAligned,
+        keyCond(cur, srcAligned, keys, matchNulls), "left_semi")
+      .withColumn("_change_type", lit("update_preimage"))
+    val post = srcAligned.join(cur,
+        keyCond(srcAligned, cur, keys, matchNulls), "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+    val ins = srcAligned.join(cur,
+        keyCond(srcAligned, cur, keys, matchNulls), "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    cdcLines(writeDataFiles(pre.unionByName(post).unionByName(ins),
+      tablePath, partCols, physOf, fieldIds, destPrefix = "_change_data"))
   }
 
   /** Key-match condition: plain `=` by default, `<=>` with `matchNulls`
@@ -155,9 +243,14 @@ object DeltaLogWriter {
       val merged = current.join(srcAligned,
           keyCond(current, srcAligned, keys, matchNulls), "left_anti")
         .unionByName(srcAligned)
+      val cdc =
+        if (!cdfEnabled(snap)) Nil
+        else mergeCdc(current, srcAligned, keys, matchNulls, tablePath,
+          Nil, physOf, fieldIds)
       val adds = writeDataFiles(merged, tablePath, Nil, physOf, fieldIds)
       commitLoop(spark, tablePath, snap.schema, Nil, adds,
-        snap.files.map(_.path), "MERGE", emitMeta = false)
+        snap.files.map(_.path), "MERGE", emitMeta = false,
+        extraActions = cdc)
     } else {
       val pcols = snap.partitionColumns
       // touched partitions: where src rows land + where matched keys live
@@ -186,9 +279,17 @@ object DeltaLogWriter {
         .join(srcAligned, keyCond(touchedScan, srcAligned, keys, matchNulls),
           "left_anti")
         .unionByName(srcAligned)
+      // match state lives only in touched partitions (a key match
+      // anywhere makes its partition touched), so touchedScan is the
+      // complete "current" side for classifying changes
+      val cdc =
+        if (!cdfEnabled(snap)) Nil
+        else mergeCdc(touchedScan, srcAligned, keys, matchNulls, tablePath,
+          pcols, physOf, fieldIds)
       val adds = writeDataFiles(merged, tablePath, pcols, physOf, fieldIds)
       commitLoop(spark, tablePath, snap.schema, pcols, adds,
-        snap.files.filter(touchedFile).map(_.path), "MERGE", emitMeta = false)
+        snap.files.filter(touchedFile).map(_.path), "MERGE",
+        emitMeta = false, extraActions = cdc)
     }
   }
 
@@ -613,7 +714,8 @@ object DeltaLogWriter {
   private def writeDataFiles(df: DataFrame, tablePath: String,
       partCols: Seq[String],
       physOf: Map[String, String] = Map.empty,
-      fieldIds: Map[String, Long] = Map.empty): Seq[AddEntry] = {
+      fieldIds: Map[String, Long] = Map.empty,
+      destPrefix: String = ""): Seq[AddEntry] = {
     val spark = df.sparkSession
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -640,15 +742,20 @@ object DeltaLogWriter {
       val files = collectParquet(fs, staging)
       val stagingStr = fs.makeQualified(staging).toString
       val moved = files.map { st =>
-        val rel = st.getPath.toString.stripPrefix(stagingStr)
+        val rel0 = st.getPath.toString.stripPrefix(stagingStr)
           .stripPrefix("/")
+        val rel = if (destPrefix.isEmpty) rel0 else s"$destPrefix/$rel0"
         val dst = new Path(root, rel)
         fs.mkdirs(dst.getParent)
         if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(s"rename ${st.getPath} -> $dst failed")
         (rel, fs.makeQualified(dst).toString, st.getLen)
       }
-      val stats = fileStatsJson(spark, moved.map(_._2))
+      // cdc actions carry no stats field in the protocol — skip the
+      // footer sweep for `_change_data` writes
+      val stats =
+        if (destPrefix.isEmpty) fileStatsJson(spark, moved.map(_._2))
+        else Map.empty[String, String]
       moved.map { case (rel, uri, len) =>
         AddEntry(rel, partitionValuesOf(rel), len,
           System.currentTimeMillis(), stats = stats.get(uri))
@@ -973,8 +1080,18 @@ object DeltaLogWriter {
       def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
       Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
     }
+    // CDF: the newly-deleted LIVE rows (the DV-applied current state
+    // filtered by the predicate — raw matched positions would replay
+    // already-deleted rows) go to `_change_data/` as `delete` changes
+    val cdc =
+      if (!cdfEnabled(snap)) Nil
+      else cdcLines(writeDataFiles(
+        DeltaLogReader.read(spark, tablePath).filter(predicate)
+          .withColumn("_change_type", lit("delete")),
+        tablePath, snap.partitionColumns, physOf,
+        DeltaLogReader.mappingFieldIds(snap), destPrefix = "_change_data"))
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
-      removes, "DELETE", emitMeta = false, extraActions = upgrade)
+      removes, "DELETE", emitMeta = false, extraActions = upgrade ++ cdc)
   }
 
   /** Per-file raw row counts from parquet footers, read ON EXECUTORS

@@ -195,6 +195,21 @@ object TableFormats {
       tsMillis: Long): DataFrame =
     DeltaLogReader.read(spark, path, asOfTimestamp = Some(tsMillis))
 
+  /** Turn the Change Data Feed on: from this commit forward, MERGE /
+    * DELETE / overwrite record row-level changes under `_change_data/`
+    * ([[DeltaLogWriter.enableChangeDataFeed]]). */
+  def enableDeltaChangeDataFeed(spark: SparkSession,
+      path: String): DeltaLogWriter.Committed =
+    DeltaLogWriter.enableChangeDataFeed(spark, path)
+
+  /** delta-spark's `readChangeFeed`: row-level changes between two table
+    * versions with `_change_type` / `_commit_version` /
+    * `_commit_timestamp` — the incremental-consumer entry point
+    * ([[DeltaLogReader.changes]]). */
+  def readDeltalakeChanges(spark: SparkSession, path: String,
+      startVersion: Long, endVersion: Option[Long] = None): DataFrame =
+    DeltaLogReader.changes(spark, path, startVersion, endVersion)
+
   /** `DELETE FROM` a real Delta table WITHOUT rewriting data files —
     * routes to [[DeltaLogWriter.deleteWhere]], which writes deletion
     * vectors (and removes fully-deleted files). The delete shape that

@@ -306,4 +306,62 @@ object TableRoundtrips {
       |       THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
       |FROM orders
       |WHERE o_orderdate BETWEEN '1995-03-01' AND '1995-03-10'""".stripMargin
+
+  /** Change-Data-Feed roundtrip: seed a partitioned Delta table (v0),
+    * enable the feed (v1), MERGE an overlapping slice (v2 — cdc files
+    * with pre/post images and inserts), DELETE a whole partition (v3 —
+    * cdc delete rows), then read the feed from version 0. The v0
+    * inserts come from the DERIVED add-action path, v2/v3 from real
+    * `_change_data/` parquet — the oracle reconstructs every change row
+    * relationally, so a wrong preimage, a lost insert, or a replayed
+    * already-deleted row hash-mismatches. */
+  def deltaCdfRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-cdf").toString
+    val tmp = root + "/t"
+    seedAndMerge(s, dir)(
+      base => {
+        DeltaLogWriter.write(base, tmp, partitionBy = Seq("c_mktsegment"))
+        DeltaLogWriter.enableChangeDataFeed(s, tmp)
+        ()
+      },
+      src => DeltaLogWriter.merge(s, tmp, src, keys = Seq("c_custkey")))
+    DeltaLogWriter.deleteWhere(s, tmp, col("c_mktsegment") === "BUILDING")
+    materializedWithoutTemp(s,
+      DeltaLogReader.changes(s, tmp, 0L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("_change_type").as("change_type"),
+          col("_commit_version").as("commit_version")), root)
+  }
+
+  def deltaCdfOracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal
+      |  FROM customer WHERE c_custkey <= 50
+      |), src AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal + 1000.0 AS c_acctbal
+      |  FROM customer WHERE c_custkey BETWEEN 40 AND 60
+      |), merged AS (
+      |  SELECT b.* FROM base b
+      |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM src)
+      |  UNION ALL SELECT * FROM src
+      |)
+      |SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version
+      |FROM base
+      |UNION ALL
+      |SELECT b.c_custkey, b.c_mktsegment, b.c_acctbal,
+      |  'update_preimage', CAST(2 AS BIGINT)
+      |FROM base b JOIN src s ON b.c_custkey = s.c_custkey
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal,
+      |  'update_postimage', CAST(2 AS BIGINT)
+      |FROM src s JOIN base b ON s.c_custkey = b.c_custkey
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_mktsegment, s.c_acctbal,
+      |  'insert', CAST(2 AS BIGINT)
+      |FROM src s WHERE s.c_custkey NOT IN (SELECT c_custkey FROM base)
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, c_acctbal,
+      |  'delete', CAST(3 AS BIGINT)
+      |FROM merged WHERE c_mktsegment = 'BUILDING'""".stripMargin
 }
