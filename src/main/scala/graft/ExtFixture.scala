@@ -142,6 +142,28 @@ object ExtFixture {
         .withColumn("tag", lit(null).cast("string")).unionByName(dr2))
 
     // -- iceberg_specevo: partition-spec evolution mid-table -------------
+    // -- delta_cdf: change-data-feed files readable without the engine --
+    // v0 seed, v1 enable, v2 MERGE (cdc pre/post/insert), v3 partition
+    // DELETE (cdc deletes). The external reader reconstructs the FEED
+    // (not the final state) from the cdc actions + _change_data parquet.
+    val cb = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("k", "g", "v")
+    DeltaLogWriter.write(cb, s"$outDir/delta_cdf", partitionBy = Seq("g"))
+    DeltaLogWriter.enableChangeDataFeed(spark, s"$outDir/delta_cdf")
+    DeltaLogWriter.merge(spark, s"$outDir/delta_cdf",
+      Seq((2L, "b", 22.0), (4L, "c", 4.0)).toDF("k", "g", "v"), Seq("k"))
+    DeltaLogWriter.deleteWhere(spark, s"$outDir/delta_cdf", col("g") === "a")
+    expected("delta_cdf",
+      cb.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(0L))
+        .unionByName(Seq(
+          (2L, "b", 2.0, "update_preimage", 2L),
+          (2L, "b", 22.0, "update_postimage", 2L),
+          (4L, "c", 4.0, "insert", 2L),
+          (1L, "a", 1.0, "delete", 3L),
+          (3L, "a", 3.0, "delete", 3L))
+          .toDF("k", "g", "v", "_change_type", "_commit_version")))
+
     val se1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
     IcebergWriter.write(se1, s"$outDir/iceberg_specevo")
     IcebergWriter.updatePartitionSpec(spark, s"$outDir/iceberg_specevo",
@@ -150,7 +172,7 @@ object ExtFixture {
     IcebergWriter.write(se2, s"$outDir/iceberg_specevo")
     expected("iceberg_specevo", se1.unionByName(se2))
 
-    Seq("delta_basic", "delta_dv", "delta_ckpt", "delta_merge",
+    Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_dv", "delta_merge",
       "delta_rename", "iceberg_basic", "iceberg_posdel", "iceberg_eqdel",
       "iceberg_rename", "iceberg_promote", "iceberg_specevo")
   }

@@ -1910,6 +1910,11 @@ object IcebergWriter {
       .foreach(s => snaps.add(s)))
     val snap = mapper.createObjectNode()
     snap.put("snapshot-id", snapshotId)
+    // spec's optional lineage field — incremental consumers (and this
+    // reader's append scan) walk ancestry with it where available
+    prior.flatMap(p => Option(p.get("current-snapshot-id")))
+      .filterNot(_.isNull)
+      .foreach(c => snap.put("parent-snapshot-id", c.asLong))
     snap.put("timestamp-ms", now)
     sequenceNumber.foreach(snap.put("sequence-number", _))
     // stamp the snapshot with the schema it was written under, so

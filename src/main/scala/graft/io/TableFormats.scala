@@ -161,6 +161,17 @@ object TableFormats {
   /** Tag (or branch) a snapshot for reproducible reads — the `refs`
     * metadata commit ([[IcebergWriter.setRef]]); tagged snapshots
     * survive [[expireIcebergSnapshots]]. */
+  /** Iceberg incremental append scan: the rows added after
+    * `fromSnapshotId` (exclusive) up to `toSnapshotId` (inclusive;
+    * default current) — the incremental-consumer entry point
+    * ([[IcebergReader.incrementalAppendScan]]; the Delta twin is
+    * [[readDeltalakeChanges]]). */
+  def fromIcebergIncremental(spark: SparkSession, path: String,
+      fromSnapshotId: Option[Long],
+      toSnapshotId: Option[Long] = None): DataFrame =
+    IcebergReader.incrementalAppendScan(spark, path, fromSnapshotId,
+      toSnapshotId)
+
   def tagIcebergSnapshot(spark: SparkSession, path: String, name: String,
       snapshotId: Option[Long] = None, refType: String = "tag"): Long =
     IcebergWriter.setRef(spark, path, name, snapshotId, refType)

@@ -333,6 +333,34 @@ object TableRoundtrips {
           col("_commit_version").as("commit_version")), root)
   }
 
+  /** Incremental-append roundtrip: seed an Iceberg table (snapshot 1),
+    * append two disjoint slices (snapshots 2 and 3), compact
+    * (`rewrite_data_files` — a `replace` snapshot the scan must skip
+    * without re-reporting rows), then incrementally scan everything
+    * after snapshot 1. The oracle is the two appended slices exactly —
+    * a scan that leaks seed rows (provenance bug), double-counts after
+    * compaction, or drops an append hash-mismatches. */
+  def icebergIncrementalRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-inc").toString
+    val tmp = root + "/t"
+    def slice(lo: Long, hi: Long) = Tables.customer(s, dir)
+      .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(slice(1, 30), tmp,
+      partitionBy = Seq("c_mktsegment"))
+    val seedSnap = IcebergReader.snapshot(s, tmp).snapshotId
+    IcebergWriter.write(slice(31, 45), tmp, mode = "append")
+    IcebergWriter.write(slice(46, 60), tmp, mode = "append")
+    IcebergWriter.rewriteDataFiles(s, tmp) // replace snapshot: skipped
+    materializedWithoutTemp(s,
+      IcebergReader.incrementalAppendScan(s, tmp, Some(seedSnap))
+        .select(cols.map(col): _*), root)
+  }
+
+  def icebergIncrementalOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer WHERE c_custkey BETWEEN 31 AND 60""".stripMargin
+
   def deltaCdfOracle: String =
     """WITH base AS (
       |  SELECT c_custkey, c_mktsegment, c_acctbal

@@ -361,6 +361,72 @@ def read_delta(table: str) -> pd.DataFrame:
         pd.DataFrame(columns=col_names)
 
 
+def read_delta_cdf(table: str) -> pd.DataFrame:
+    """Reconstruct the Change Data Feed (PROTOCOL.md "Change Data Files")
+    from scratch: per commit, `cdc` actions are authoritative and point at
+    `_change_data/` parquet carrying `_change_type`; a pure-append commit
+    without them derives `insert` rows from its `add` actions. Emits the
+    data columns plus `_change_type` and `_commit_version`."""
+    log = os.path.join(table, "_delta_log")
+    commits = {}
+    for f in os.listdir(log):
+        m = _COMMIT_RE.match(f)
+        if m:
+            commits[int(m.group(1))] = os.path.join(log, f)
+    meta = None
+    con = duckdb.connect()
+    frames = []
+    for v in sorted(commits):
+        acts = [json.loads(l) for l in open(commits[v]) if l.strip()]
+        for act in acts:
+            if "metaData" in act:
+                meta = act["metaData"]
+        assert meta is not None, "no metaData before first data commit"
+        schema = json.loads(meta["schemaString"])
+        col_names = [f["name"] for f in schema["fields"]]
+        col_types = {f["name"]: f["type"] for f in schema["fields"]}
+        part_cols = meta.get("partitionColumns", [])
+        mode = (meta.get("configuration") or {}) \
+            .get("delta.columnMapping.mode", "none")
+        phys_of = {f["name"]: ((f.get("metadata") or {})
+                   .get("delta.columnMapping.physicalName", f["name"])
+                   if mode != "none" else f["name"])
+                   for f in schema["fields"]}
+        cdc = [a["cdc"] for a in acts if "cdc" in a]
+        adds = [a["add"] for a in acts
+                if "add" in a and a["add"].get("dataChange", True)]
+        removes = [a["remove"] for a in acts
+                   if "remove" in a and a["remove"].get("dataChange", True)]
+
+        def load(path, pvals, change_type=None):
+            df = con.execute("SELECT * FROM read_parquet(?)",
+                             [os.path.join(table, path)]).fetchdf()
+            df = df.rename(
+                columns={p: l for l, p in phys_of.items() if p != l})
+            for c in part_cols:
+                pv = pvals or {}
+                df[c] = _delta_cast_partition(
+                    pv.get(phys_of[c], pv.get(c)), col_types[c])
+            if change_type is not None:
+                df["_change_type"] = change_type
+            df["_commit_version"] = v
+            return df[col_names + ["_change_type", "_commit_version"]]
+
+        if cdc:
+            for c in cdc:
+                frames.append(load(c["path"], c.get("partitionValues")))
+        elif adds and not removes:
+            for a in adds:
+                frames.append(load(a["path"], a.get("partitionValues"),
+                                   change_type="insert"))
+        elif removes and not cdc:
+            raise AssertionError(
+                f"commit {v} removes files without cdc actions — "
+                "feed not derivable here")
+    return pd.concat(frames, ignore_index=True) if frames else \
+        pd.DataFrame()
+
+
 def _delta_dv_rows(table: str, dv: dict):
     st = dv["storageType"]
     if st == "i":
@@ -585,7 +651,9 @@ def main():
     for name in names:
         table = os.path.join(fix, name)
         try:
-            if name.startswith("delta"):
+            if name == "delta_cdf":
+                got = read_delta_cdf(table)
+            elif name.startswith("delta"):
                 got = read_delta(table)
             else:
                 got = read_iceberg(table)
