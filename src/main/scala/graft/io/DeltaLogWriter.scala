@@ -182,6 +182,52 @@ object DeltaLogWriter {
       extraActions = upgrade, dataChange = false, config = config)
   }
 
+  /** delta-spark's RESTORE: re-commit an earlier version's state as a
+    * NEW version — time travel that moves the table FORWARD; history is
+    * never rewritten, so concurrent readers and time travel to the
+    * intermediate versions keep working. File-level diff, metadata-only
+    * cost: files present only in the current snapshot are removed,
+    * files present only in the target (or whose deletion vector
+    * differs) are re-added with their DVs and stats — no data file is
+    * read or written. A schema change restores the TARGET's schema via
+    * a metaData action (the current configuration is kept — table
+    * features like CDF enablement survive the restore); restoring
+    * across a column-mapping upgrade is refused because the pre-upgrade
+    * schema cannot resolve the mapped physical names. The restore
+    * commit mixes adds and removes, so a change-feed read across it
+    * raises (the documented loud contract) — feed consumers resume
+    * from the restore version. */
+  def restore(spark: SparkSession, tablePath: String,
+      version: Long): Committed = {
+    val cur = DeltaLogReader.snapshot(spark, tablePath)
+    require(version <= cur.version,
+      s"cannot restore $tablePath forward to $version (current ${cur.version})")
+    if (version == cur.version) return Committed(cur.version, 0)
+    val tgt = DeltaLogReader.snapshot(spark, tablePath, Some(version))
+    val mapped = cur.configuration
+      .getOrElse("delta.columnMapping.mode", "none") != "none"
+    if (mapped && tgt.schema.fields.exists(f =>
+        !f.metadata.contains("delta.columnMapping.physicalName")))
+      throw new IllegalArgumentException(
+        s"cannot restore $tablePath to $version: the table is column-" +
+          "mapped and the target schema predates the mapping — its " +
+          "logical names cannot resolve the physical columns")
+    def key(f: DeltaLogReader.AddFile) =
+      (f.path, f.deletionVector.map(d => (d.pathOrInlineDv, d.cardinality)))
+    val tgtPaths = tgt.files.map(_.path).toSet
+    val curKeys = cur.files.map(key).toSet
+    val removes = cur.files.filterNot(f => tgtPaths.contains(f.path))
+      .map(_.path)
+    val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
+      .map(f => AddEntry(f.path, f.partitionValues, math.max(f.size, 1L),
+        math.max(f.modificationTime, 1L), f.deletionVector, f.stats))
+    val schemaChanged = tgt.schema.json != cur.schema.json ||
+      tgt.partitionColumns != cur.partitionColumns
+    commitLoop(spark, tablePath, tgt.schema, tgt.partitionColumns, adds,
+      removes, "RESTORE", emitMeta = schemaChanged,
+      config = cur.configuration)
+  }
+
   private def cdfEnabled(snap: DeltaLogReader.Snapshot): Boolean =
     snap.configuration.get("delta.enableChangeDataFeed")
       .exists(_.equalsIgnoreCase("true"))

@@ -817,7 +817,10 @@ object IcebergReader {
     val byId = jsonArray(meta.get("snapshots"))
       .map(s => s.get("snapshot-id").asLong -> s).toMap
     def idxOf(id: Long, what: String): Int = {
-      val i = logIds.indexOf(id)
+      // lastIndexOf: a rollback re-appends its target's id to the
+      // snapshot log — scanning from/to the LATEST occurrence is the
+      // only reading under which "after this snapshot" is well-defined
+      val i = logIds.lastIndexOf(id)
       require(i >= 0,
         s"$what snapshot $id is not in the snapshot log of $tablePath")
       i

@@ -652,6 +652,63 @@ object IcebergWriter {
       s"could not claim a ref commit after $attempts attempts at $tablePath")
   }
 
+  /** Iceberg's `rollback_to_snapshot`: make an earlier snapshot current
+    * again with a metadata-only commit — the snapshot pointer moves, a
+    * new snapshot-log entry records the rollback, and the `main` branch
+    * ref (when present) follows. History is never rewritten: the
+    * rolled-past snapshots stay in `snapshots` (time travel to them
+    * still works) until `expireSnapshots` sweeps them. Same
+    * create-exclusive claim loop as data commits, so it composes with
+    * concurrent writers. */
+  def rollbackTo(spark: SparkSession, tablePath: String,
+      snapshotId: Long): Unit = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val known = IcebergReaderAccess.jsonArray(meta.get("snapshots"))
+        .map(_.get("snapshot-id").asLong).toSet
+      require(known.contains(snapshotId),
+        s"snapshot $snapshotId not in the log of $tablePath")
+      val now = System.currentTimeMillis()
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      node.put("current-snapshot-id", snapshotId)
+      val log =
+        if (node.has("snapshot-log") && node.get("snapshot-log").isArray)
+          node.get("snapshot-log").asInstanceOf[ArrayNode]
+        else {
+          val l = mapper.createArrayNode()
+          node.set[ArrayNode]("snapshot-log", l); l
+        }
+      val entry = mapper.createObjectNode()
+      entry.put("timestamp-ms", now)
+      entry.put("snapshot-id", snapshotId)
+      log.add(entry)
+      if (node.has("refs") && node.get("refs").isObject) {
+        val refs = node.get("refs").asInstanceOf[ObjectNode]
+        if (refs.has("main") &&
+            "branch" == Option(refs.get("main").get("type"))
+              .map(_.asText).getOrElse("branch"))
+          refs.get("main").asInstanceOf[ObjectNode]
+            .put("snapshot-id", snapshotId)
+      }
+      node.put("last-updated-ms", now)
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a rollback commit after $attempts attempts at $tablePath")
+  }
+
   /** Merge `props` into the table's `properties` map — a metadata-only
     * commit through the same create-exclusive claim loop as data
     * commits. The property every external engine cares about here is

@@ -206,6 +206,20 @@ object TableFormats {
       tsMillis: Long): DataFrame =
     DeltaLogReader.read(spark, path, asOfTimestamp = Some(tsMillis))
 
+  /** delta-spark's RESTORE: re-commit an earlier version's state as a
+    * new version by file-level diff — metadata-only cost, history kept
+    * ([[DeltaLogWriter.restore]]). */
+  def restoreDeltalake(spark: SparkSession, path: String,
+      version: Long): DeltaLogWriter.Committed =
+    DeltaLogWriter.restore(spark, path, version)
+
+  /** Iceberg's `rollback_to_snapshot`: move the current-snapshot
+    * pointer back with a metadata-only commit; rolled-past snapshots
+    * stay time-travelable until expiry ([[IcebergWriter.rollbackTo]]). */
+  def rollbackIceberg(spark: SparkSession, path: String,
+      snapshotId: Long): Unit =
+    IcebergWriter.rollbackTo(spark, path, snapshotId)
+
   /** Turn the Change Data Feed on: from this commit forward, MERGE /
     * DELETE / overwrite record row-level changes under `_change_data/`
     * ([[DeltaLogWriter.enableChangeDataFeed]]). */
