@@ -95,6 +95,7 @@ object SparkEntry {
     "ts_sliding_window"   -> (TimeSeries.sliding _),
     "ts_sessionize"       -> (TimeSeries.sessionize _),
     "ts_top_users"        -> (TimeSeries.topUsers _),
+    "ts_interpolate"      -> (TimeSeries.interpolate _),
     // key-value (DynamoDB-shaped)
     "kv_point_lookup"     -> (KeyValue.pointLookup _),
     "kv_range_query"      -> (KeyValue.rangeQuery _),
@@ -241,6 +242,7 @@ object SparkEntry {
     "ts_sliding_window"   -> TimeSeries.slidingOracle,
     "ts_sessionize"       -> TimeSeries.sessionizeOracle,
     "ts_top_users"        -> TimeSeries.topUsersOracle,
+    "ts_interpolate"      -> TimeSeries.interpolateOracle,
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
     "kv_range_query"      -> KeyValue.rangeQueryOracle,
     "kv_batch_get"        -> KeyValue.batchGetOracle,

@@ -235,4 +235,93 @@ object TimeSeries {
       |  cast(sum(cast(value as decimal(10,2))) as double) AS total_value
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
+
+  /** Timestream's `CREATE_TIME_SERIES` + `INTERPOLATE_LINEAR` shape
+    * (`timestream/_read.py` row decode feeds exactly this query family):
+    * resample each event_type to a regular 15-minute grid between its
+    * first and last bucket, averaging present buckets and LINEARLY
+    * interpolating the missing ones from their flanking observations
+    * (~half the grid at this data's density, so the interpolation path
+    * is genuinely exercised).
+    *
+    * Plan shape at scale: one shuffle for the bucket aggregate (map-side
+    * partials), the per-series grid generated by `sequence()` on
+    * executors (output-sized, never a driver loop), and BOTH flanking
+    * neighbors found by a single window pass per direction over the
+    * series — no self-join of grid against observations. Bit-exact
+    * across engines because the bucket average divides an exact decimal
+    * sum and the interpolation arithmetic is the same IEEE expression
+    * on both sides. */
+  def interpolate(s: SparkSession, dir: String): DataFrame = {
+    val bucketed = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
+      .agg((sum(col("value").cast("decimal(10,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("v"))
+      .select(col("event_type"), col("w.start").as("b"), col("v"))
+    val grid = bucketed.groupBy(col("event_type"))
+      .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 15 minutes)")).as("b"))
+    val joined = grid.join(bucketed, Seq("event_type", "b"), "left")
+    val wPrev = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("event_type").orderBy("b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    joined
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("pb",
+        last(when(col("v").isNotNull, col("b")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .withColumn("nb",
+        first(when(col("v").isNotNull, col("b")), ignoreNulls = true)
+          .over(wNext))
+      .select(col("event_type"),
+        date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        when(col("v").isNotNull, col("v"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((unix_timestamp(col("b")) - unix_timestamp(col("pb")))
+              .cast("double") /
+             (unix_timestamp(col("nb")) - unix_timestamp(col("pb")))
+              .cast("double"))).as("value"),
+        when(col("v").isNotNull, 0L).otherwise(1L).as("interpolated"))
+  }
+
+  def interpolateOracle: String =
+    """WITH bucketed AS (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL '15 minutes', cast(ts as timestamp)) AS b,
+      |    cast(sum(cast(value as decimal(10,2))) as double)
+      |      / cast(count(*) as double) AS v
+      |  FROM events GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT event_type,
+      |    unnest(generate_series(min(b), max(b), INTERVAL '15 minutes')) AS b
+      |  FROM bucketed GROUP BY event_type
+      |), joined AS (
+      |  SELECT g.event_type, g.b, x.v
+      |  FROM grid g LEFT JOIN bucketed x
+      |    ON g.event_type = x.event_type AND g.b = x.b
+      |), flanked AS (
+      |  SELECT event_type, b, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN b END IGNORE NULLS)
+      |      OVER (PARTITION BY event_type ORDER BY b
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+      |  FROM joined
+      |)
+      |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |       ELSE pv + (nv - pv) *
+      |         (cast(epoch(b) - epoch(pb) as double)
+      |          / cast(epoch(nb) - epoch(pb) as double)) END AS value,
+      |  CAST(CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS BIGINT)
+      |    AS interpolated
+      |FROM flanked""".stripMargin
 }
