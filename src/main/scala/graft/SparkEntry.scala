@@ -116,6 +116,7 @@ object SparkEntry {
     "fmt_iceberg_addfiles" -> (TableRoundtrips.icebergAddFilesRoundtrip _),
     "fmt_delta_cdf"         -> (TableRoundtrips.deltaCdfRoundtrip _),
     "fmt_iceberg_incremental" -> (TableRoundtrips.icebergIncrementalRoundtrip _),
+    "fmt_iceberg_wap"       -> (TableRoundtrips.icebergWapRoundtrip _),
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
@@ -262,6 +263,7 @@ object SparkEntry {
     "fmt_iceberg_addfiles" -> TableRoundtrips.icebergAddFilesOracle,
     "fmt_delta_cdf"         -> TableRoundtrips.deltaCdfOracle,
     "fmt_iceberg_incremental" -> TableRoundtrips.icebergIncrementalOracle,
+    "fmt_iceberg_wap"       -> TableRoundtrips.icebergWapOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,

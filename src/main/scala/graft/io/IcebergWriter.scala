@@ -75,9 +75,13 @@ object IcebergWriter {
     * resolves its own narrower schema, per spec. */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
       partitionBy: Seq[String] = Nil,
-      schemaEvolution: Boolean = true): Committed = {
+      schemaEvolution: Boolean = true,
+      toBranch: Option[String] = None): Committed = {
     val spark = df.sparkSession
     val exists = IcebergReader.isIcebergTable(spark, tablePath)
+    require(toBranch.isEmpty || exists,
+      s"cannot write branch ${toBranch.getOrElse("")} of a table that " +
+        s"does not exist yet: $tablePath")
     mode match {
       case "append" | "overwrite" => ()
       case "error" | "errorifexists" =>
@@ -104,8 +108,11 @@ object IcebergWriter {
     var outDf = df
     declared.foreach { tblSchema =>
       if (mode == "append") {
+        // branch writes never evolve the TABLE schema — the metadata's
+        // current schema is shared with main, so a staged write that
+        // widened it would leak into main before publish
         outSchema = SchemaMerge.mergeAppend(tblSchema, df.schema,
-          evolve = schemaEvolution, promote = true)
+          evolve = schemaEvolution && toBranch.isEmpty, promote = true)
         outDf = SchemaMerge.alignTo(df, outSchema)
       }
     }
@@ -113,11 +120,13 @@ object IcebergWriter {
     // append CARRIES the current snapshot's manifest files, re-read at
     // claim time inside the commit loop — a concurrent writer's manifests
     // survive a retry (the lost-update hazard of flattening the file list
-    // as seen before the claim); overwrite replaces whatever is current
+    // as seen before the claim); overwrite replaces whatever is current.
+    // Branch appends carry the BRANCH head's manifests instead (resolved
+    // in the loop), and only the branch ref moves.
     commit(spark, tablePath, outSchema, partFields, adds, kept = Nil,
       operation = if (mode == "overwrite" && exists) "overwrite" else "append",
       carryCurrentManifests = mode == "append" && exists,
-      expectedParent = None)
+      expectedParent = None, branch = toBranch)
   }
 
   /** S3 Tables `create_table`: declare an EMPTY Iceberg table — schema
@@ -707,6 +716,91 @@ object IcebergWriter {
     }
     throw new java.io.IOException(
       s"could not claim a rollback commit after $attempts attempts at $tablePath")
+  }
+
+  /** PUBLISH a staged branch — Iceberg's `fast_forward(main, branch)`,
+    * the second half of write-audit-publish: after auditing the branch
+    * (`read(asOfRef = branch)`), one metadata-only commit moves
+    * `current-snapshot-id` (and the `main` ref) to the branch head,
+    * appending the snapshot-log entry main readers travel by. Requires
+    * main's head to be an ANCESTOR of the branch head (walked over the
+    * stamped `parent-snapshot-id` lineage) — a diverged main raises
+    * instead of silently dropping its commits. The branch ref survives
+    * the publish (matching the Java procedure); staged-but-never-
+    * published snapshots stay pinned by their ref until the ref is
+    * dropped and `expireSnapshots` sweeps them. */
+  def fastForward(spark: SparkSession, tablePath: String,
+      branch: String): Long = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val target = Option(meta.get("refs")).filter(_.isObject)
+        .flatMap(r => Option(r.get(branch)))
+        .map(_.get("snapshot-id").asLong)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no branch '$branch' in the refs of $tablePath"))
+      val cur = Option(meta.get("current-snapshot-id")).map(_.asLong)
+        .filter(_ >= 0)
+      if (cur.contains(target)) return target // already published
+      val parentOf: Map[Long, Option[Long]] =
+        IcebergReaderAccess.jsonArray(meta.get("snapshots")).map(s =>
+          s.get("snapshot-id").asLong ->
+            Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+              .map(_.asLong)).toMap
+      // the branch chain from target back to main's head (exclusive) —
+      // the fast-forward condition AND the history being published
+      val chainBack = Iterator.iterate(Option(target))(
+        _.flatMap(parentOf.get).flatten)
+        .takeWhile(c => c.isDefined && c != cur).flatten.toSeq
+      val reachedMain =
+        cur.isEmpty || chainBack.lastOption.flatMap(parentOf.get)
+          .flatten == cur
+      require(reachedMain,
+        s"cannot fast-forward $tablePath to branch '$branch': main " +
+          s"(${cur.getOrElse(-1L)}) is not an ancestor of the branch " +
+          s"head ($target) — main advanced since the branch forked; " +
+          "rebase the branch")
+      val now = System.currentTimeMillis()
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      node.put("current-snapshot-id", target)
+      val log =
+        if (node.has("snapshot-log") && node.get("snapshot-log").isArray)
+          node.get("snapshot-log").asInstanceOf[ArrayNode]
+        else {
+          val l = mapper.createArrayNode()
+          node.set[ArrayNode]("snapshot-log", l); l
+        }
+      // the WHOLE published chain lands in the log, oldest first — the
+      // log is main's history, and incremental consumers walk it; an
+      // entry for the head alone would make the staged snapshots
+      // invisible to a log-ranged scan
+      chainBack.reverse.foreach { id =>
+        val entry = mapper.createObjectNode()
+        entry.put("timestamp-ms", now)
+        entry.put("snapshot-id", id)
+        log.add(entry)
+      }
+      val refs = node.get("refs").asInstanceOf[ObjectNode]
+      if (refs.has("main"))
+        refs.get("main").asInstanceOf[ObjectNode]
+          .put("snapshot-id", target)
+      node.put("last-updated-ms", now)
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return target
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a fast-forward commit after $attempts attempts " +
+        s"at $tablePath")
   }
 
   /** Merge `props` into the table's `properties` map — a metadata-only
@@ -1417,7 +1511,8 @@ object IcebergWriter {
       kept: Seq[FileInfo], operation: String,
       carryCurrentManifests: Boolean,
       expectedParent: Option[Long],
-      deleteAdds: Seq[FileInfo] = Nil): Committed = {
+      deleteAdds: Seq[FileInfo] = Nil,
+      branch: Option[String] = None): Committed = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
@@ -1583,10 +1678,21 @@ object IcebergWriter {
       // retries is observed; carried manifests keep their own spec-ids
       // through reencode
       val specId = resolveSpecId(parsed.map(_._2), schema, partFields)
+      // a branch commit builds on the BRANCH head's state (falling back
+      // to the fork point — the current snapshot — when the branch does
+      // not exist yet), and its parent is that head, not main's
+      val branchHead: Option[Long] = branch.flatMap { b =>
+        parsed.flatMap { case (_, meta) =>
+          Option(meta.get("refs")).filter(_.isObject)
+            .flatMap(r => Option(r.get(b)))
+            .map(_.get("snapshot-id").asLong)
+        }
+      }
       val carried: Seq[GenericRecord] =
         if (!carryCurrentManifests) Nil
         else parsed.toSeq.flatMap { case (_, meta) =>
-          currentManifestRecords(spark, fs, root, meta).map(reencode(lSchema, _))
+          currentManifestRecords(spark, fs, root, meta, branchHead)
+            .map(reencode(lSchema, _))
         }
       val ours = dataManifest(fv, specId).toSeq.map { case (p, len) =>
         listEntry(p, len, 0, seq, adds.length, kept.length, specId)
@@ -1600,7 +1706,8 @@ object IcebergWriter {
       val version = claimedMax + 1
       val node = metadataJson(parsed.map(_._2), fs.makeQualified(root).toString,
         schema, partFields, snapshotId,
-        fs.makeQualified(listPath).toString, operation, now, fv, seq)
+        fs.makeQualified(listPath).toString, operation, now, fv, seq,
+        branch, branchHead)
       val target = new Path(metaDir, s"v$version.metadata.json")
       if (AtomicWrite.claim(fs, target,
           mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
@@ -1652,9 +1759,10 @@ object IcebergWriter {
   /** The manifest-list records of `meta`'s current snapshot (empty for a
     * table with no current snapshot). */
   private def currentManifestRecords(spark: SparkSession, fs: FileSystem,
-      root: Path, meta: com.fasterxml.jackson.databind.JsonNode)
-      : Seq[GenericRecord] = {
-    val cur = Option(meta.get("current-snapshot-id")).map(_.asLong)
+      root: Path, meta: com.fasterxml.jackson.databind.JsonNode,
+      atSnapshot: Option[Long] = None): Seq[GenericRecord] = {
+    val cur = atSnapshot.orElse(
+      Option(meta.get("current-snapshot-id")).map(_.asLong).filter(_ >= 0))
       .getOrElse(return Nil)
     IcebergReaderAccess.jsonArray(meta.get("snapshots"))
       .find(_.get("snapshot-id").asLong == cur)
@@ -1952,13 +2060,19 @@ object IcebergWriter {
   }
 
   /** Next metadata document: prior snapshots carried, the new one
-    * appended and made current. */
+    * appended and made current — or, for a BRANCH commit (spec `refs`;
+    * the write-audit-publish staging pattern), appended with only the
+    * branch ref moved: `current-snapshot-id`, the snapshot-log, and the
+    * `main` ref are untouched, so main readers never see staged data
+    * until [[IcebergWriter.fastForward]] publishes it. */
   private def metadataJson(
       prior: Option[com.fasterxml.jackson.databind.JsonNode],
       location: String, schema: StructType, partFields: Seq[PartitionField],
       snapshotId: Long, manifestList: String, operation: String,
       now: Long, formatVersion: Int = 1,
-      sequenceNumber: Option[Long] = None): ObjectNode = {
+      sequenceNumber: Option[Long] = None,
+      branch: Option[String] = None,
+      branchParent: Option[Long] = None): ObjectNode = {
     val node = baseMetadata(prior, location, schema, partFields, now,
       formatVersion)
     sequenceNumber.foreach(node.put("last-sequence-number", _))
@@ -1968,10 +2082,15 @@ object IcebergWriter {
     val snap = mapper.createObjectNode()
     snap.put("snapshot-id", snapshotId)
     // spec's optional lineage field — incremental consumers (and this
-    // reader's append scan) walk ancestry with it where available
-    prior.flatMap(p => Option(p.get("current-snapshot-id")))
-      .filterNot(_.isNull)
-      .foreach(c => snap.put("parent-snapshot-id", c.asLong))
+    // reader's append scan) walk ancestry with it where available.
+    // A branch commit's parent is the BRANCH head, not main's.
+    val parent =
+      if (branch.isDefined) branchParent.orElse(
+        prior.flatMap(p => Option(p.get("current-snapshot-id")))
+          .filterNot(_.isNull).map(_.asLong).filter(_ >= 0))
+      else prior.flatMap(p => Option(p.get("current-snapshot-id")))
+        .filterNot(_.isNull).map(_.asLong).filter(_ >= 0)
+    parent.foreach(snap.put("parent-snapshot-id", _))
     snap.put("timestamp-ms", now)
     sequenceNumber.foreach(snap.put("sequence-number", _))
     // stamp the snapshot with the schema it was written under, so
@@ -1983,27 +2102,50 @@ object IcebergWriter {
     snap.put("manifest-list", manifestList)
     snaps.add(snap)
     node.set[ArrayNode]("snapshots", snaps)
-    node.put("current-snapshot-id", snapshotId)
-    val log = mapper.createArrayNode()
-    prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshot-log"))
-      .foreach(s => log.add(s)))
-    val logEntry = mapper.createObjectNode()
-    logEntry.put("timestamp-ms", now)
-    logEntry.put("snapshot-id", snapshotId)
-    log.add(logEntry)
-    node.set[ArrayNode]("snapshot-log", log)
-    // refs (branches/tags) survive data commits; the main branch (when
-    // present) follows the new snapshot
-    prior.flatMap(p => Option(p.get("refs")).filter(_.isObject)).foreach {
-      priorRefs =>
-        val refs = priorRefs.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
-          .asInstanceOf[ObjectNode]
-        if (refs.has("main") &&
-            "branch" == Option(refs.get("main").get("type"))
-              .map(_.asText).getOrElse("branch")) {
-          val main = refs.get("main").asInstanceOf[ObjectNode]
-          main.put("snapshot-id", snapshotId)
+    branch match {
+      case None =>
+        node.put("current-snapshot-id", snapshotId)
+        val log = mapper.createArrayNode()
+        prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshot-log"))
+          .foreach(s => log.add(s)))
+        val logEntry = mapper.createObjectNode()
+        logEntry.put("timestamp-ms", now)
+        logEntry.put("snapshot-id", snapshotId)
+        log.add(logEntry)
+        node.set[ArrayNode]("snapshot-log", log)
+        // refs (branches/tags) survive data commits; the main branch
+        // (when present) follows the new snapshot
+        prior.flatMap(p => Option(p.get("refs")).filter(_.isObject)).foreach {
+          priorRefs =>
+            val refs = priorRefs.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+              .asInstanceOf[ObjectNode]
+            if (refs.has("main") &&
+                "branch" == Option(refs.get("main").get("type"))
+                  .map(_.asText).getOrElse("branch")) {
+              val main = refs.get("main").asInstanceOf[ObjectNode]
+              main.put("snapshot-id", snapshotId)
+            }
+            node.set[ObjectNode]("refs", refs)
         }
+      case Some(b) =>
+        // staged: main's pointer, history, and ref stay exactly as they
+        // were; only the named branch advances to the new snapshot
+        prior.flatMap(p => Option(p.get("current-snapshot-id")))
+          .filterNot(_.isNull).map(_.asLong).filter(_ >= 0)
+          .foreach(node.put("current-snapshot-id", _))
+        val log = mapper.createArrayNode()
+        prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshot-log"))
+          .foreach(s => log.add(s)))
+        node.set[ArrayNode]("snapshot-log", log)
+        val refs = prior.flatMap(p =>
+            Option(p.get("refs")).filter(_.isObject))
+          .map(_.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+            .asInstanceOf[ObjectNode])
+          .getOrElse(mapper.createObjectNode())
+        val entry = mapper.createObjectNode()
+        entry.put("snapshot-id", snapshotId)
+        entry.put("type", "branch")
+        refs.set[ObjectNode](b, entry)
         node.set[ObjectNode]("refs", refs)
     }
     node

@@ -206,6 +206,21 @@ object TableFormats {
       tsMillis: Long): DataFrame =
     DeltaLogReader.read(spark, path, asOfTimestamp = Some(tsMillis))
 
+  /** Stage an append on an Iceberg BRANCH (spec `refs`) — the write
+    * half of write-audit-publish: main readers see nothing until
+    * [[publishIcebergBranch]]; audit the staged state with
+    * `fromIcebergRef(branch)` ([[IcebergWriter.write]] `toBranch`). */
+  def writeIcebergBranch(df: DataFrame, path: String, branch: String,
+      mode: String = "append"): IcebergWriter.Committed =
+    IcebergWriter.write(df, path, mode = mode, toBranch = Some(branch))
+
+  /** Publish a staged branch: fast-forward main to the branch head in
+    * one metadata commit ([[IcebergWriter.fastForward]]). Returns the
+    * published snapshot id. */
+  def publishIcebergBranch(spark: SparkSession, path: String,
+      branch: String): Long =
+    IcebergWriter.fastForward(spark, path, branch)
+
   /** delta-spark's RESTORE: re-commit an earlier version's state as a
     * new version by file-level diff — metadata-only cost, history kept
     * ([[DeltaLogWriter.restore]]). */

@@ -361,6 +361,33 @@ object TableRoundtrips {
     """SELECT c_custkey, c_mktsegment, c_acctbal
       |FROM customer WHERE c_custkey BETWEEN 31 AND 60""".stripMargin
 
+  /** Write-audit-publish roundtrip: seed main, stage TWO branch appends
+    * (invisible to main), verify main still reads the seed alone mid-
+    * stage (a leak would change the returned row set), then publish via
+    * fast-forward and read main. The oracle is seed + both staged
+    * slices — a dropped staged commit, a partial publish, or a staged
+    * row leaking early all hash-mismatch. */
+  def icebergWapRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-wap").toString
+    val tmp = root + "/t"
+    def slice(lo: Long, hi: Long) = Tables.customer(s, dir)
+      .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(slice(1, 20), tmp, partitionBy = Seq("c_mktsegment"))
+    IcebergWriter.write(slice(21, 35), tmp, toBranch = Some("audit"))
+    IcebergWriter.write(slice(36, 50), tmp, toBranch = Some("audit"))
+    val mainMidStage = IcebergReader.read(s, tmp).count()
+    require(mainMidStage == slice(1, 20).count(),
+      s"staged branch rows leaked into main: $mainMidStage")
+    IcebergWriter.fastForward(s, tmp, "audit")
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
+  def icebergWapOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer WHERE c_custkey BETWEEN 1 AND 50""".stripMargin
+
   def deltaCdfOracle: String =
     """WITH base AS (
       |  SELECT c_custkey, c_mktsegment, c_acctbal

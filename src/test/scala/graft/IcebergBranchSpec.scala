@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.{IcebergReader, IcebergWriter}
+
+/** Iceberg branch writes + write-audit-publish: staged appends are
+  * invisible to main until fast-forward, auditable via the ref,
+  * chain-published into the snapshot log, and fenced when main
+  * diverges. */
+class IcebergBranchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmp(): String = Files.createTempDirectory("graft-wap").toString
+
+  private def mainIds(dir: String): Set[Long] =
+    IcebergReader.read(spark, dir).select(col("id")).collect()
+      .map(_.getLong(0)).toSet
+
+  test("staged branch appends stay invisible until publish") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "p"), dir,
+      partitionBy = Seq("p"))
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "p"), dir,
+      toBranch = Some("audit"))
+    IcebergWriter.write(Seq((3L, "c")).toDF("id", "p"), dir,
+      toBranch = Some("audit"))
+    // main unchanged; the branch head carries the full staged state
+    assert(mainIds(dir) == Set(1L))
+    val staged = IcebergReader.read(spark, dir, asOfRef = Some("audit"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(staged == Set(1L, 2L, 3L))
+    // publish: one metadata commit moves main to the branch head
+    val published = IcebergWriter.fastForward(spark, dir, "audit")
+    assert(mainIds(dir) == Set(1L, 2L, 3L))
+    assert(IcebergReader.snapshot(spark, dir).snapshotId == published)
+    // the full published chain landed in the snapshot log
+    val log = IcebergReader.metadataTable(spark, dir, "history")
+    assert(log.count() >= 3) // seed + two published branch snapshots
+  }
+
+  test("incremental scan over a published range sees every staged append") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "p"), dir,
+      partitionBy = Seq("p"))
+    val fork = IcebergReader.snapshot(spark, dir).snapshotId
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "p"), dir,
+      toBranch = Some("wap"))
+    IcebergWriter.write(Seq((3L, "c")).toDF("id", "p"), dir,
+      toBranch = Some("wap"))
+    IcebergWriter.fastForward(spark, dir, "wap")
+    val inc = IcebergReader.incrementalAppendScan(spark, dir, Some(fork))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(inc == Set(2L, 3L)) // BOTH staged commits, not just the head
+  }
+
+  test("publish is fenced when main diverged; second write forks the branch once") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "p"), dir,
+      partitionBy = Seq("p"))
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "p"), dir,
+      toBranch = Some("stage"))
+    // main advances independently → the branch no longer fast-forwards
+    IcebergWriter.write(Seq((9L, "z")).toDF("id", "p"), dir, mode = "append")
+    val e = intercept[IllegalArgumentException] {
+      IcebergWriter.fastForward(spark, dir, "stage")
+    }
+    assert(e.getMessage.contains("not an ancestor"))
+    assert(mainIds(dir) == Set(1L, 9L))
+  }
+
+  test("branch writes refuse schema evolution into the shared metadata") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    IcebergWriter.write(Seq((1L, 1.0)).toDF("id", "v"), dir)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.write(Seq((2L, 2.0, "x")).toDF("id", "v", "extra"),
+        dir, toBranch = Some("b"))
+    }
+  }
+}
