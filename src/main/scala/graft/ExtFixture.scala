@@ -142,6 +142,24 @@ object ExtFixture {
         .withColumn("tag", lit(null).cast("string")).unionByName(dr2))
 
     // -- iceberg_specevo: partition-spec evolution mid-table -------------
+    // -- delta_v2ckpt: V2 checkpoint (uuid manifest + sidecars) is the
+    // ONLY replay source — the pre-checkpoint commit JSON is retention-
+    // swept, so a reader that cannot resolve sidecars reads nothing
+    val v2a = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0),
+      (4L, "c", 4.0)).toDF("id", "g", "v")
+    DeltaLogWriter.write(v2a, s"$outDir/delta_v2ckpt", partitionBy = Seq("g"))
+    DeltaLogWriter.write(Seq((5L, "b", 5.0)).toDF("id", "g", "v"),
+      s"$outDir/delta_v2ckpt")
+    DeltaLogWriter.deleteWhere(spark, s"$outDir/delta_v2ckpt",
+      col("id") === 3L) // DV rides through the checkpoint
+    DeltaLogWriter.checkpointV2(spark, s"$outDir/delta_v2ckpt",
+      sidecarMaxActions = 2) // force multiple sidecars
+    DeltaLogWriter.cleanupMetadata(spark, s"$outDir/delta_v2ckpt",
+      retentionMs = 0L)
+    expected("delta_v2ckpt",
+      v2a.unionByName(Seq((5L, "b", 5.0)).toDF("id", "g", "v"))
+        .where(col("id") =!= 3L))
+
     // -- delta_cdf: change-data-feed files readable without the engine --
     // v0 seed, v1 enable, v2 MERGE (cdc pre/post/insert), v3 partition
     // DELETE (cdc deletes). The external reader reconstructs the FEED
@@ -173,7 +191,8 @@ object ExtFixture {
     expected("iceberg_specevo", se1.unionByName(se2))
 
     Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_dv", "delta_merge",
-      "delta_rename", "iceberg_basic", "iceberg_posdel", "iceberg_eqdel",
-      "iceberg_rename", "iceberg_promote", "iceberg_specevo")
+      "delta_rename", "delta_v2ckpt", "iceberg_basic", "iceberg_posdel",
+      "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
+      "iceberg_specevo")
   }
 }

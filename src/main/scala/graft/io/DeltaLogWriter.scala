@@ -1307,6 +1307,114 @@ object DeltaLogWriter {
     } finally fs.delete(staging, true)
   }
 
+  /** Write a V2 CHECKPOINT (PROTOCOL.md "V2 Spec Checkpoints") for the
+    * current version: a uuid-named manifest holding `checkpointMetadata`
+    * + `protocol` + `metaData` + `sidecar` references, with the file
+    * actions sharded across `_delta_log/_sidecars/` parquet files. The
+    * shape that scales past the classic single-file checkpoint: a
+    * 100k-file snapshot splits into bounded sidecars that replay (and
+    * later compact) independently, and the manifest itself stays
+    * metadata-sized. Upgrades the protocol first when the table does
+    * not yet carry the `v2Checkpoint` reader+writer feature (a real
+    * commit — conformant readers refuse a v2 checkpoint on a table
+    * whose protocol does not declare it). Classic checkpoints keep
+    * being written by the every-10th-commit path; this is the opt-in
+    * large-table form. Returns the checkpointed version. */
+  def checkpointV2(spark: SparkSession, tablePath: String,
+      sidecarMaxActions: Int = 50000): Long = {
+    val snap0 = DeltaLogReader.snapshot(spark, tablePath)
+    val p = snap0.protocol
+    val needsUpgrade = p.minReaderVersion < 3 ||
+      !p.readerFeatures.contains("v2Checkpoint") ||
+      !p.writerFeatures.contains("v2Checkpoint")
+    if (needsUpgrade) {
+      val readerFeats = ((if (p.minReaderVersion >= 3) p.readerFeatures
+                          else legacyReaderFeatures(p.minReaderVersion)) +
+        "v2Checkpoint").toSeq.sorted
+      val writerFeats = ((if (p.minWriterVersion >= 7) p.writerFeatures
+                          else legacyWriterFeatures(p.minWriterVersion)) +
+        "v2Checkpoint").toSeq.sorted
+      def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+      commitLoop(spark, tablePath, snap0.schema, snap0.partitionColumns,
+        adds = Nil, removes = Nil, "UPGRADE PROTOCOL", emitMeta = false,
+        extraActions = Seq(
+          s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}"""),
+        dataChange = false)
+    }
+    val snap = if (needsUpgrade) DeltaLogReader.snapshot(spark, tablePath)
+               else snap0
+    val version = snap.version
+    import spark.implicits._
+    val logDir = new Path(new Path(tablePath), "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    // file actions sharded into bounded sidecar parquet files, written
+    // as ONE spark job (a shard per partition), renamed in under fresh
+    // uuids — sidecars are immutable and never overwritten
+    val addRows: Seq[SidecarLine] = snap.files.map(f => SidecarLine(Some(
+      CkptAddFile(f.path,
+        f.partitionValues.map { case (k, v) => k -> v.orNull },
+        math.max(f.size, 1L), math.max(f.modificationTime, 1L),
+        dataChange = false,
+        f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+          d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
+        f.stats))))
+    val nShards = math.max(1,
+      (addRows.length + sidecarMaxActions - 1) / sidecarMaxActions)
+    val staging = new Path(logDir, s".v2ckpt-staging-${UUID.randomUUID()}")
+    val sidecarNames =
+      try {
+        addRows.toDS().repartition(nShards).write.parquet(staging.toString)
+        collectParquet(fs, staging).map { st =>
+          val name = s"${UUID.randomUUID()}.parquet"
+          if (!fs.rename(st.getPath, new Path(sidecarDir, name)))
+            throw new java.io.IOException(s"sidecar rename failed: $name")
+          (name, st.getLen)
+        }
+      } finally fs.delete(staging, true)
+    // the manifest: checkpointMetadata + protocol + metaData + sidecar
+    // references (relative names resolve under _delta_log/_sidecars)
+    val writerFeats = Some(snap.protocol.writerFeatures.toSeq.sorted)
+    val readerFeats = Some(snap.protocol.readerFeatures.toSeq.sorted)
+    val manifestRows: Seq[V2ManifestLine] =
+      V2ManifestLine(Some(CkptV2Meta(version)), None, None, None) +:
+      V2ManifestLine(None, None,
+        Some(CkptProtocol(snap.protocol.minReaderVersion,
+          snap.protocol.minWriterVersion, readerFeats, writerFeats)),
+        None) +:
+      V2ManifestLine(None,
+        Some(CkptMetaData(UUID.randomUUID().toString, snap.schema.json,
+          snap.partitionColumns, snap.configuration)), None, None) +:
+      sidecarNames.map { case (name, len) =>
+        V2ManifestLine(None, None, None, Some(CkptSidecar(name, len)))
+      }
+    val mStaging = new Path(logDir, s".v2ckpt-m-${UUID.randomUUID()}")
+    try {
+      manifestRows.toDS().coalesce(1).write.parquet(mStaging.toString)
+      val part = collectParquet(fs, mStaging).head
+      val dst = new Path(logDir,
+        f"$version%020d.checkpoint.${UUID.randomUUID()}.parquet")
+      if (!fs.rename(part.getPath, dst))
+        throw new java.io.IOException(s"v2 checkpoint rename failed: $dst")
+      val lc = fs.create(new Path(logDir, "_last_checkpoint"), true)
+      try lc.write(
+        s"""{"version":$version,"size":${manifestRows.length + addRows.length}}"""
+          .getBytes("UTF-8"))
+      finally lc.close()
+    } finally fs.delete(mStaging, true)
+    version
+  }
+
+  final case class CkptV2Meta(version: Long)
+  final case class CkptSidecar(path: String, sizeInBytes: Long)
+  final case class SidecarLine(add: Option[CkptAddFile])
+  final case class V2ManifestLine(
+      checkpointMetadata: Option[CkptV2Meta],
+      metaData: Option[CkptMetaData],
+      protocol: Option[CkptProtocol],
+      sidecar: Option[CkptSidecar])
+
   final case class CkptDv(storageType: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
   final case class CkptAddFile(path: String,

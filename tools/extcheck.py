@@ -252,6 +252,7 @@ def read_avro(path: str):
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CKPT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_CKPT_V2_RE = re.compile(r"^(\d{20})\.checkpoint\.([0-9a-fA-F-]{36})\.parquet$")
 
 
 def _delta_cast_partition(v, typ):
@@ -268,7 +269,7 @@ def _delta_cast_partition(v, typ):
 
 def read_delta(table: str) -> pd.DataFrame:
     log = os.path.join(table, "_delta_log")
-    commits, ckpts = {}, {}
+    commits, ckpts, v2ckpts = {}, {}, {}
     for f in os.listdir(log):
         m = _COMMIT_RE.match(f)
         if m:
@@ -276,14 +277,17 @@ def read_delta(table: str) -> pd.DataFrame:
         m = _CKPT_RE.match(f)
         if m:
             ckpts[int(m.group(1))] = os.path.join(log, f)
-    latest = max(list(commits) + list(ckpts))
+        m = _CKPT_V2_RE.match(f)
+        if m:
+            v2ckpts[int(m.group(1))] = os.path.join(log, f)
+    latest = max(list(commits) + list(ckpts) + list(v2ckpts))
     # honor _last_checkpoint when present (the documented fast path)
     lc = os.path.join(log, "_last_checkpoint")
     ckpt_v = None
     if os.path.exists(lc):
         ckpt_v = json.load(open(lc))["version"]
-    elif ckpts:
-        ckpt_v = max(v for v in ckpts if v <= latest)
+    elif ckpts or v2ckpts:
+        ckpt_v = max(v for v in list(ckpts) + list(v2ckpts) if v <= latest)
 
     adds = {}       # path -> dict(partitionValues, deletionVector)
     meta = None
@@ -291,17 +295,35 @@ def read_delta(table: str) -> pd.DataFrame:
     def apply_add(path, pvals, dv):
         adds[path] = {"partitionValues": pvals or {}, "dv": dv}
 
-    if ckpt_v is not None:
-        tbl = pq.read_table(ckpts[ckpt_v]).to_pylist()
-        for row in tbl:
-            if row.get("metaData") and row["metaData"].get("schemaString"):
-                meta = row["metaData"]
-            a = row.get("add")
-            if a and a.get("path"):
-                pv = a.get("partitionValues")
-                if isinstance(pv, list):  # pyarrow map -> [(k, v), ...]
-                    pv = dict(pv)
-                apply_add(a["path"], pv, a.get("deletionVector"))
+    def apply_ckpt_row(row):
+        nonlocal meta
+        if row.get("metaData") and row["metaData"].get("schemaString"):
+            meta = row["metaData"]
+        a = row.get("add")
+        if a and a.get("path"):
+            pv = a.get("partitionValues")
+            if isinstance(pv, list):  # pyarrow map -> [(k, v), ...]
+                pv = dict(pv)
+            apply_add(a["path"], pv, a.get("deletionVector"))
+
+    if ckpt_v is not None and ckpt_v in v2ckpts:
+        # PROTOCOL.md "V2 Spec Checkpoints": a uuid-named manifest
+        # carries protocol/metaData (+ possibly inline actions) and
+        # `sidecar` references; file actions live in _delta_log/_sidecars
+        sidecars = []
+        for row in pq.read_table(v2ckpts[ckpt_v]).to_pylist():
+            apply_ckpt_row(row)
+            sc = row.get("sidecar")
+            if sc and sc.get("path"):
+                sidecars.append(sc["path"])
+        for s in sidecars:
+            p = s if s.startswith("/") or "://" in s else \
+                os.path.join(log, "_sidecars", s)
+            for row in pq.read_table(p).to_pylist():
+                apply_ckpt_row(row)
+    elif ckpt_v is not None:
+        for row in pq.read_table(ckpts[ckpt_v]).to_pylist():
+            apply_ckpt_row(row)
     start = 0 if ckpt_v is None else ckpt_v + 1
     for v in range(start, latest + 1):
         if v not in commits:
