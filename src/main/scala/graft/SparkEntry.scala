@@ -136,6 +136,7 @@ object SparkEntry {
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
+    "search_bm25"         -> (Postings.searchBm25Query _),
     // log analytics (CloudWatch Logs Insights dialect)
     "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
     // data quality (DQDL-shaped)
@@ -283,6 +284,7 @@ object SparkEntry {
     // the postings pipeline reproduces the scan-based match exactly on a
     // whitespace-token corpus — same oracle text gates both plans
     "search_postings_query" -> Search.matchQueryOracle,
+    "search_bm25"         -> Postings.searchBm25Oracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,

@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
 object Postings {
 
   final case class Meta(nBuckets: Int, textCol: String, idCol: String,
-      carryCols: Seq[String])
+      carryCols: Seq[String], nDocs: Long = 0L, sumDlen: Long = 0L)
 
   private val MetaFile = "_postings_meta"
 
@@ -69,8 +69,21 @@ object Postings {
     postings
       .repartition(col("tok_bucket"))
       .write.partitionBy("tok_bucket").mode("overwrite").parquet(indexPath)
-    writeMeta(spark, indexPath, Meta(nBuckets, textCol, idCol, carryCols))
-    spark.read.parquet(indexPath).count()
+    // doc-length norms (Lucene stores these per doc at index time): the
+    // BM25 length normalization needs |d| and corpus totals, which a
+    // term-bucket probe cannot derive — one extra doc-level aggregate at
+    // build, one tiny sidecar table, exact-integer corpus stats in meta
+    val doclens = docs
+      .select(col(idCol),
+        size(filter(split(lower(col(textCol)), " "),
+          t => t =!= "")).cast("long").as("dlen"))
+    doclens.write.mode("overwrite").parquet(s"$indexPath/_doclens")
+    val stats = spark.read.parquet(s"$indexPath/_doclens")
+      .agg(count(lit(1)), sum(col("dlen"))).head
+    writeMeta(spark, indexPath, Meta(nBuckets, textCol, idCol, carryCols,
+      stats.getLong(0), stats.getLong(1)))
+    spark.read.option("basePath", indexPath)
+      .parquet(indexPath).count()
   }
 
   /** Weighted multi-term match over the postings: reads ONLY the term
@@ -113,7 +126,8 @@ object Postings {
     val out = fs.create(p, true)
     try out.write(
       (Seq(s"nBuckets=${meta.nBuckets}", s"textCol=${meta.textCol}",
-        s"idCol=${meta.idCol}", s"carryCols=${meta.carryCols.mkString(",")}")
+        s"idCol=${meta.idCol}", s"carryCols=${meta.carryCols.mkString(",")}",
+        s"nDocs=${meta.nDocs}", s"sumDlen=${meta.sumDlen}")
         .mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -127,7 +141,8 @@ object Postings {
     val kv = text.linesIterator.filter(_.contains("="))
       .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
     Meta(kv("nBuckets").toInt, kv("textCol"), kv("idCol"),
-      kv("carryCols").split(",").toSeq.filter(_.nonEmpty))
+      kv("carryCols").split(",").toSeq.filter(_.nonEmpty),
+      kv.getOrElse("nDocs", "0").toLong, kv.getOrElse("sumDlen", "0").toLong)
   }
 
   /** One inverted index per corpus directory, built on first use and
@@ -145,6 +160,107 @@ object Postings {
       build(graft.Tables.documents(s, dir), tmp, nBuckets = 16)
       tmp
     })
+
+  /** BM25 ranked retrieval over the persisted index — the scoring
+    * OpenSearch/Lucene actually rank with (`opensearch/_read.py`'s
+    * `search` returns `_score`-ordered hits), not the linear tf weights
+    * of [[matchQuery]]. Per query: the term buckets are read (I/O
+    * bounded by the query's postings), per-term document frequencies
+    * come from the same restricted scan (a per-term count — metadata-
+    * scale), IDFs become literals in the plan, and the per-doc score
+    * joins the build-time `_doclens` norms for length normalization.
+    * Corpus stats (N, Σ|d|) are exact integers from the meta sidecar,
+    * so both engines derive the identical average length; per-term
+    * contributions are summed in FIXED column order and the score
+    * rounds to 4 decimals, keeping the DuckDB differential hash stable
+    * against last-ulp `ln` differences. */
+  def bm25Query(spark: SparkSession, indexPath: String,
+      terms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val meta = readMeta(spark, indexPath)
+    require(meta.nDocs > 0,
+      s"index at $indexPath predates doc-length norms; rebuild it")
+    val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
+    val post = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
+        col("token").isin(terms.map(s => s: Any): _*))
+    val dfMap: Map[String, Long] = post.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byDoc = post.groupBy(col(meta.idCol))
+      .agg(
+        sum(when(col("token") === terms.head, col("tf")).otherwise(0))
+          .cast("int").as(s"tf_${terms.head}"),
+        terms.tail.map(t =>
+          sum(when(col("token") === t, col("tf")).otherwise(0))
+            .cast("int").as(s"tf_$t")): _*)
+    val dlens = spark.read.parquet(s"$indexPath/_doclens")
+    val avgdl = meta.sumDlen.toDouble / meta.nDocs.toDouble
+    val scored = byDoc.join(dlens, Seq(meta.idCol))
+    val contributions = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      val idf = math.log(1.0 + (meta.nDocs.toDouble - df + 0.5) / (df + 0.5))
+      lit(idf) * (col(s"tf_$t").cast("double") * lit(k1 + 1.0)) /
+        (col(s"tf_$t").cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) *
+            col("dlen").cast("double") / lit(avgdl)))
+    }
+    // byDoc already holds only docs with ≥1 matching term, which is the
+    // oracle's membership condition — no post-rounding score filter (a
+    // tiny score rounding to 0.0 must stay IN on both sides)
+    scored
+      .withColumn("score", round(contributions.reduce(_ + _), 4))
+      .orderBy(col("score").desc, col(meta.idCol))
+      .limit(k)
+      .select((col(meta.idCol) +: terms.map(t => col(s"tf_$t")) :+
+        col("score")): _*)
+  }
+
+  /** Oracle-gated BM25 probe against the per-corpus index. */
+  def searchBm25Query(s: SparkSession, dir: String): DataFrame = {
+    val idx = indexFor(s, dir)
+    bm25Query(s, idx, Seq("spark", "join", "stream"), k = 20)
+  }
+
+  /** The oracle recomputes BM25 from the raw corpus: identical analyzer
+    * (single-space split, lowercase, drop empties), exact-integer tf /
+    * df / doc lengths, the same Lucene IDF form, contributions summed
+    * in the same fixed term order, rounded to the same 4 decimals. */
+  def searchBm25Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents
+      |), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+      |tf AS (
+      |  SELECT doc_id,
+      |    cast(sum(CASE WHEN token = 'spark' THEN 1 ELSE 0 END) as int) AS tf_spark,
+      |    cast(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END) as int) AS tf_join,
+      |    cast(sum(CASE WHEN token = 'stream' THEN 1 ELSE 0 END) as int) AS tf_stream,
+      |    cast(count(*) as double) AS dlen
+      |  FROM toks2 GROUP BY doc_id
+      |), stats AS (
+      |  SELECT cast(count(*) as double) AS n,
+      |    cast(sum(dlen) as double) / cast(count(*) as double) AS avgdl,
+      |    cast(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) as double) AS df_spark,
+      |    cast(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) as double) AS df_join,
+      |    cast(sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) as double) AS df_stream
+      |  FROM tf
+      |)
+      |SELECT doc_id, tf_spark, tf_join, tf_stream,
+      |  round(
+      |    ln(1 + (s.n - s.df_spark + 0.5) / (s.df_spark + 0.5))
+      |      * (cast(tf_spark as double) * 2.2)
+      |      / (cast(tf_spark as double) + 1.2 * (0.25 + 0.75 * dlen / s.avgdl))
+      |    + ln(1 + (s.n - s.df_join + 0.5) / (s.df_join + 0.5))
+      |      * (cast(tf_join as double) * 2.2)
+      |      / (cast(tf_join as double) + 1.2 * (0.25 + 0.75 * dlen / s.avgdl))
+      |    + ln(1 + (s.n - s.df_stream + 0.5) / (s.df_stream + 0.5))
+      |      * (cast(tf_stream as double) * 2.2)
+      |      / (cast(tf_stream as double) + 1.2 * (0.25 + 0.75 * dlen / s.avgdl))
+      |  , 4) AS score
+      |FROM tf CROSS JOIN stats s
+      |WHERE tf_spark + tf_join + tf_stream > 0
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** Oracle-gated query: a weighted match probed against the persisted
     * per-corpus index ([[indexFor]] — built once, outside any query
