@@ -480,7 +480,10 @@ object DeltaLogWriter {
     * wrong). */
   def optimize(spark: SparkSession, tablePath: String,
       targetSize: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): Committed = {
+      sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Committed = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy (range clustering) and zorderBy are mutually exclusive")
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     require(latest >= 0, s"no Delta table at $tablePath")
     val snap = DeltaLogReader.snapshot(spark, tablePath)
@@ -503,8 +506,24 @@ object DeltaLogWriter {
     // of clustering at 100 TB. (True Z-ordering interleaves multiple
     // dimensions; range clustering is the single- and leading-column
     // case and uses only built-in operators.)
+    // `zorderBy` = TRUE multi-dimension Z-ordering: quantile cuts per
+    // dimension (driver-side sample, skew-proof), a codegen'd Morton
+    // key ([[graft.expr.ZOrderKey]]), range-partition + sort on it —
+    // every output file gets a narrow min/max envelope in ALL clustered
+    // dimensions, so stats-pruned reads skip files whichever dimension
+    // the predicate hits
     val shaped =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        val cuts = zorderBy.map { c =>
+          rows.stat.approxQuantile(c,
+            (1 until 256).map(_ / 256.0).toArray, 0.001).distinct.sorted
+        }
+        val key = graft.expr.ZOrderKey.key(spark, zorderBy.map(col), cuts)
+        rows.withColumn("__zkey", key)
+          .repartitionByRange(outFiles, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      } else if (sortBy.nonEmpty)
         rows.repartitionByRange(outFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else rows.coalesce(outFiles)

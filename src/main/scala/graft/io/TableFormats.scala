@@ -280,8 +280,9 @@ object TableFormats {
     * superseded files. */
   def optimizeDeltalake(spark: SparkSession, path: String,
       targetSize: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): DeltaLogWriter.Committed =
-    DeltaLogWriter.optimize(spark, path, targetSize, sortBy)
+      sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): DeltaLogWriter.Committed =
+    DeltaLogWriter.optimize(spark, path, targetSize, sortBy, zorderBy)
 
   /** Compact a REAL Iceberg table (`rewrite_data_files`): bin-pack small
     * files and materialize position/equality delete files back into
