@@ -518,7 +518,7 @@ object DeltaLogWriter {
           rows.stat.approxQuantile(c,
             (1 until 256).map(_ / 256.0).toArray, 0.001).distinct.sorted
         }
-        val key = graft.expr.ZOrderKey.key(spark, zorderBy.map(col), cuts)
+        val key = graft.expr.ZOrderKey.key(rows.sparkSession, zorderBy.map(col), cuts)
         rows.withColumn("__zkey", key)
           .repartitionByRange(outFiles, col("__zkey"))
           .sortWithinPartitions(col("__zkey"))
@@ -1271,6 +1271,13 @@ object DeltaLogWriter {
       version: Long): Unit = {
     if (version == 0L || version % 10 != 0L) return
     val snap = DeltaLogReader.snapshot(spark, tablePath, Some(version))
+    // a table opted into the v2 policy keeps getting sharded-sidecar
+    // checkpoints (the protocol upgrade happened at opt-in)
+    if (snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
+      writeV2CheckpointFiles(spark, tablePath, snap,
+        sidecarMaxActions = 50000)
+      return
+    }
     import spark.implicits._
     // the checkpoint must reproduce the REAL protocol and every add's
     // deletion vector — compacting them away would silently resurrect
@@ -1362,6 +1369,29 @@ object DeltaLogWriter {
     }
     val snap = if (needsUpgrade) DeltaLogReader.snapshot(spark, tablePath)
                else snap0
+    writeV2CheckpointFiles(spark, tablePath, snap, sidecarMaxActions)
+    snap.version
+  }
+
+  /** Make V2 the table's ONGOING checkpoint form: sets
+    * `delta.checkpointPolicy=v2` (with the protocol upgrade), so the
+    * every-10th-commit path writes sharded-sidecar checkpoints instead
+    * of the classic single file. */
+  def setCheckpointPolicyV2(spark: SparkSession,
+      tablePath: String): Committed = {
+    checkpointV2(spark, tablePath) // upgrades protocol + seeds one
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    if (snap.configuration.get("delta.checkpointPolicy").contains("v2"))
+      return Committed(snap.version, 0)
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
+      dataChange = false,
+      config = snap.configuration + ("delta.checkpointPolicy" -> "v2"))
+  }
+
+  private def writeV2CheckpointFiles(spark: SparkSession,
+      tablePath: String, snap: DeltaLogReader.Snapshot,
+      sidecarMaxActions: Int): Unit = {
     val version = snap.version
     import spark.implicits._
     val logDir = new Path(new Path(tablePath), "_delta_log")
@@ -1422,7 +1452,6 @@ object DeltaLogWriter {
           .getBytes("UTF-8"))
       finally lc.close()
     } finally fs.delete(mStaging, true)
-    version
   }
 
   final case class CkptV2Meta(version: Long)

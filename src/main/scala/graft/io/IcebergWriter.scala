@@ -452,11 +452,14 @@ object IcebergWriter {
     * compaction the read plan is a bare scan again. */
   def rewriteDataFiles(spark: SparkSession, tablePath: String,
       targetFileSizeBytes: Long = 128L * 1024 * 1024,
-      sortBy: Seq[String] = Nil): Committed = {
+      sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Committed = {
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "sortBy (range clustering) and zorderBy are mutually exclusive")
     var attempt = 0
     while (true) {
       try return rewriteDataFilesOnce(spark, tablePath,
-        targetFileSizeBytes, sortBy)
+        targetFileSizeBytes, sortBy, zorderBy)
       catch {
         case _: ConcurrentCommit if attempt < MaxResolveRetries =>
           attempt += 1
@@ -466,7 +469,8 @@ object IcebergWriter {
   }
 
   private def rewriteDataFilesOnce(spark: SparkSession, tablePath: String,
-      targetFileSizeBytes: Long, sortBy: Seq[String]): Committed = {
+      targetFileSizeBytes: Long, sortBy: Seq[String],
+      zorderBy: Seq[String] = Nil): Committed = {
     require(IcebergReader.isIcebergTable(spark, tablePath),
       s"no Iceberg table at $tablePath")
     val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
@@ -504,15 +508,37 @@ object IcebergWriter {
     // `sortBy` clusters the rewrite by value range so each output file's
     // manifest lower/upper bounds are narrow — the bounds-based file
     // skipping then prunes most files on selective reads
+    // `zorderBy` = multi-dimension Morton clustering (the Iceberg
+    // rewrite action's `zorder` strategy): quantile cuts per dimension,
+    // the shared codegen'd [[graft.expr.ZOrderKey]], range-partition +
+    // sort on it — the manifest lower/upper bounds become narrow in ALL
+    // clustered dimensions, so bounds-based skipping prunes whichever
+    // dimension a predicate hits
     val shaped =
-      if (sortBy.nonEmpty)
+      if (zorderBy.nonEmpty) {
+        val cuts = zorderBy.map { c =>
+          rows.stat.approxQuantile(c,
+            (1 until 256).map(_ / 256.0).toArray, 0.001).distinct.sorted
+        }
+        val key = graft.expr.ZOrderKey.key(rows.sparkSession, zorderBy.map(col), cuts)
+        rows.withColumn("__zkey", key)
+          .repartitionByRange(outFiles, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey")
+      } else if (sortBy.nonEmpty)
         rows.repartitionByRange(outFiles, sortBy.map(col): _*)
           .sortWithinPartitions(sortBy.map(col): _*)
       else rows.coalesce(outFiles)
     val adds = writeDataFiles(shaped, tablePath, pfields)
-    commit(spark, tablePath, snap.schema, pfields, adds, kept.map(asInfo),
-      operation = "replace", carryCurrentManifests = false,
+    val committed = commit(spark, tablePath, snap.schema, pfields, adds,
+      kept.map(asInfo), operation = "replace",
+      carryCurrentManifests = false,
       expectedParent = Some(snap.snapshotId))
+    // a range-clustered rewrite DECLARES its layout (spec sort-orders)
+    // so external engines can exploit it; z-order has no spec transform
+    // and keeps the default order
+    if (sortBy.nonEmpty) declareSortOrder(spark, tablePath, sortBy)
+    committed
   }
 
   /** Zero-rewrite UPSERT via v2 EQUALITY-DELETE files — the Flink-CDC
@@ -716,6 +742,118 @@ object IcebergWriter {
     }
     throw new java.io.IOException(
       s"could not claim a rollback commit after $attempts attempts at $tablePath")
+  }
+
+  /** Declare the table's ACTIVE sort order (spec `sort-orders` /
+    * `default-sort-order-id`) — called after a `sortBy` rewrite so
+    * external engines know the layout: an identity asc nulls-first
+    * field per column, reusing an existing matching order's id or
+    * appending with the next one. Metadata-only claim-loop commit. */
+  def declareSortOrder(spark: SparkSession, tablePath: String,
+      cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "declareSortOrder needs at least one column")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val curSchemaId = Option(meta.get("current-schema-id"))
+        .map(_.asInt).getOrElse(0)
+      val fieldsArr = IcebergReaderAccess.jsonArray(meta.get("schemas"))
+        .find(s => Option(s.get("schema-id")).exists(_.asInt == curSchemaId))
+        .orElse(Option(meta.get("schema")))
+        .map(s => IcebergReaderAccess.jsonArray(s.get("fields")))
+        .getOrElse(Seq.empty)
+      val idOf = fieldsArr.map(f =>
+        f.get("name").asText -> f.get("id").asInt).toMap
+      val srcIds = cols.map(c => idOf.getOrElse(c,
+        throw new IllegalArgumentException(
+          s"sort column $c not in the current schema of $tablePath")))
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      val orders =
+        if (node.has("sort-orders") && node.get("sort-orders").isArray)
+          node.get("sort-orders").asInstanceOf[ArrayNode]
+        else {
+          val a = mapper.createArrayNode()
+          node.set[ArrayNode]("sort-orders", a); a
+        }
+      def matches(o: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+        val fs0 = IcebergReaderAccess.jsonArray(o.get("fields"))
+        fs0.size == srcIds.size && fs0.zip(srcIds).forall { case (f, id) =>
+          f.get("source-id").asInt == id &&
+            f.get("transform").asText == "identity" &&
+            f.get("direction").asText == "asc"
+        }
+      }
+      val existing = IcebergReaderAccess.jsonArray(node.get("sort-orders"))
+        .find(matches).map(_.get("order-id").asInt)
+      val orderId = existing.getOrElse {
+        val next = IcebergReaderAccess.jsonArray(node.get("sort-orders"))
+          .map(_.get("order-id").asInt).foldLeft(0)(math.max) + 1
+        val o = mapper.createObjectNode()
+        o.put("order-id", next)
+        val fArr = mapper.createArrayNode()
+        srcIds.foreach { id =>
+          val f = mapper.createObjectNode()
+          f.put("transform", "identity")
+          f.put("source-id", id)
+          f.put("direction", "asc")
+          f.put("null-order", "nulls-first")
+          fArr.add(f)
+        }
+        o.set[ArrayNode]("fields", fArr)
+        orders.add(o)
+        next
+      }
+      node.put("default-sort-order-id", orderId)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return orderId
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a sort-order commit after $attempts attempts at $tablePath")
+  }
+
+  /** Remove a branch or tag ref — the ref-lifecycle closer: a dropped
+    * WAP branch (or an abandoned audit) stops pinning its snapshots, so
+    * the next [[expireSnapshots]] sweeps the staged files. Metadata-only
+    * commit through the claim loop; dropping `main` or a missing ref
+    * raises. */
+  def dropRef(spark: SparkSession, tablePath: String,
+      name: String): Unit = {
+    require(name != "main", "cannot drop the main branch ref")
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      require(Option(meta.get("refs")).filter(_.isObject)
+          .exists(_.has(name)),
+        s"no ref '$name' in $tablePath")
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      node.get("refs").asInstanceOf[ObjectNode].remove(name)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return
+      } else attempts += 1 // lost the claim
+    }
+    throw new java.io.IOException(
+      s"could not claim a drop-ref commit after $attempts attempts at $tablePath")
   }
 
   /** PUBLISH a staged branch — Iceberg's `fast_forward(main, branch)`,
@@ -1112,10 +1250,31 @@ object IcebergWriter {
       val refIds = Option(meta.get("refs")).toSeq
         .flatMap(r => r.elements().asScala.toSeq
           .map(_.get("snapshot-id").asLong))
-      val keepIds = snaps.sortBy(-_.get("timestamp-ms").asLong)
+      // retainLast / the retention window apply to snapshots REACHABLE
+      // from current or a ref (real expiry's rule): an ORPHAN — a
+      // dropped WAP branch's staged commits — must not ride the
+      // newest-N slot just because it is recent. Tables whose snapshots
+      // predate parent-snapshot-id stamping keep the conservative
+      // everything-reachable reading.
+      val parentOf: Map[Long, Option[Long]] = snaps.map(s =>
+        s.get("snapshot-id").asLong ->
+          Option(s.get("parent-snapshot-id")).filterNot(_.isNull)
+            .map(_.asLong)).toMap
+      val lineageKnown = snaps.size <= 1 ||
+        snaps.exists(s => s.has("parent-snapshot-id"))
+      val reachable: Set[Long] =
+        if (!lineageKnown) parentOf.keySet
+        else (refIds :+ current).filter(_ >= 0).flatMap { head =>
+          Iterator.iterate(Option(head))(_.flatMap(parentOf.get).flatten)
+            .takeWhile(_.isDefined).flatten.toSeq
+        }.toSet
+      val reachableSnaps = snaps.filter(s =>
+        reachable.contains(s.get("snapshot-id").asLong))
+      val keepIds = reachableSnaps.sortBy(-_.get("timestamp-ms").asLong)
         .take(math.max(retainLast, 1))
         .map(_.get("snapshot-id").asLong).toSet ++
-        snaps.filter(_.get("timestamp-ms").asLong >= now - retentionMs)
+        reachableSnaps
+          .filter(_.get("timestamp-ms").asLong >= now - retentionMs)
           .map(_.get("snapshot-id").asLong) ++ refIds + current
       val expired = snaps.map(_.get("snapshot-id").asLong).toSet -- keepIds
       if (expired.isEmpty) done = true
@@ -1884,6 +2043,26 @@ object IcebergWriter {
       .getOrElse(UUID.randomUUID().toString))
     node.put("location", location)
     node.put("last-updated-ms", now)
+    // spec `sort-orders` + `default-sort-order-id` (required fields in
+    // v2 metadata): carried from the prior document; a new table
+    // declares the unsorted order 0. A sorted rewrite declares its
+    // identity order via [[declareSortOrder]].
+    prior.flatMap(p => Option(p.get("sort-orders")).filter(_.isArray)) match {
+      case Some(a) =>
+        node.set[ObjectNode]("sort-orders",
+          a.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+        ()
+      case None =>
+        val arr = mapper.createArrayNode()
+        val o = mapper.createObjectNode()
+        o.put("order-id", 0)
+        o.set[ObjectNode]("fields", mapper.createArrayNode())
+        arr.add(o)
+        node.set[ObjectNode]("sort-orders", arr)
+        ()
+    }
+    node.put("default-sort-order-id", prior.flatMap(p =>
+      Option(p.get("default-sort-order-id")).map(_.asInt)).getOrElse(0))
     val ids = new java.util.concurrent.atomic.AtomicInteger(0)
     val schemaNode = icebergSchemaJson(schema, ids)
     // Schema history (spec `schemas` + `current-schema-id`): additive

@@ -45,6 +45,30 @@ class DeltaV2CheckpointWriteSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, dir).count() == 38L)
   }
 
+  test("checkpointPolicy=v2 makes the periodic checkpoint sharded") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    DeltaLogWriter.write(Seq((0L, "s")).toDF("id", "g"), dir)
+    DeltaLogWriter.setCheckpointPolicyV2(spark, dir)
+    val before = DeltaLogReader.latestVersion(spark, dir)
+    // commit forward across the next multiple-of-10 version
+    val target = ((before / 10) + 1) * 10
+    (before until target).foreach { i =>
+      DeltaLogWriter.write(Seq((i + 100L, "x")).toDF("id", "g"), dir)
+    }
+    val logDir = new Path(dir, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2Name = raw"0*$target\.checkpoint\.[0-9a-f-]{36}\.parquet".r
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    assert(names.exists(n => v2Name.matches(n)),
+      s"expected a v2 checkpoint at $target in ${names.mkString(",")}")
+    assert(!names.contains(f"$target%020d.checkpoint.parquet"),
+      "the classic form must not be written under the v2 policy")
+    assert(DeltaLogReader.read(spark, dir).count() ==
+      (target - before + 1).toLong)
+  }
+
   test("a second checkpointV2 on an already-upgraded table adds no commit") {
     val spark0 = spark
     import spark0.implicits._

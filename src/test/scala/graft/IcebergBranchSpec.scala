@@ -77,6 +77,52 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(mainIds(dir) == Set(1L, 9L))
   }
 
+  test("dropRef unpins a staged branch; expiry sweeps its snapshots") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "p"), dir,
+      partitionBy = Seq("p"))
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "p"), dir,
+      toBranch = Some("abandoned"))
+    val staged = IcebergReader.read(spark, dir, asOfRef = Some("abandoned"))
+      .count()
+    assert(staged == 2L)
+    IcebergWriter.dropRef(spark, dir, "abandoned")
+    intercept[IllegalArgumentException] {
+      IcebergReader.read(spark, dir, asOfRef = Some("abandoned")).count()
+    }
+    // unpinned: retention 0 expires the staged snapshot
+    IcebergWriter.expireSnapshots(spark, dir, retentionMs = 0L)
+    assert(IcebergReader.history(spark, dir).length == 1)
+    assert(mainIds(dir) == Set(1L))
+    intercept[IllegalArgumentException] {
+      IcebergWriter.dropRef(spark, dir, "main")
+    }
+  }
+
+  test("iceberg zorder rewrite prunes manifest bounds on BOTH dimensions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    val n = 1 << 16
+    val base = spark.range(n.toLong).select(
+      (col("id") % 128L).as("x"),
+      expr("id div 128").as("y"),
+      col("id").as("payload"))
+    IcebergWriter.write(base.repartition(32), dir)
+    IcebergWriter.rewriteDataFiles(spark, dir,
+      targetFileSizeBytes = 40_000L, zorderBy = Seq("x", "y"))
+    val total = IcebergReader.snapshot(spark, dir).files.size
+    assert(total >= 6, s"need a multi-file layout: $total")
+    def opened(pred: org.apache.spark.sql.Column): Long =
+      IcebergReader.readWhere(spark, dir, pred)
+        .select(input_file_name()).distinct().count()
+    assert(opened(col("x") === 7L) <= total / 2)
+    assert(opened(col("y") === 7L) <= total / 2)
+    assert(IcebergReader.read(spark, dir).count() == n.toLong)
+  }
+
   test("branch writes refuse schema evolution into the shared metadata") {
     val spark0 = spark
     import spark0.implicits._
