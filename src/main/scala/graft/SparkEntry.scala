@@ -81,6 +81,7 @@ object SparkEntry {
     "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
+    "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
@@ -228,6 +229,7 @@ object SparkEntry {
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
+    "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

@@ -253,4 +253,69 @@ object Curation {
        |    cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
        |    md5(cast(doc_id as varchar)) AS okey
        |  FROM documents) d""".stripMargin
+
+  val packCapacity = 1024L
+  private val packShards = 8L
+
+  /** GPT-style sequence packing — concat-and-chunk, the dominant
+    * pretraining practice: within each shard, documents concatenate in
+    * deterministic order and the token stream splits into fixed-
+    * capacity training sequences; a document straddling a boundary
+    * contributes a span to each sequence it crosses. Output: one row
+    * per (document, sequence) span with the in-document start offset
+    * and span length — exactly what a loader needs to materialize
+    * sequence tensors (and mask cross-document attention).
+    *
+    * Plan shape at scale: documents hash into independent shards, each
+    * shard's offsets come from ONE window prefix-sum (no global
+    * ordering, no driver loop), and the span explosion is `sequence()`
+    * per row — output-sized. All arithmetic is exact integers, so the
+    * DuckDB oracle matches bit-for-bit. */
+  def packChunks(s: SparkSession, dir: String,
+      capacity: Long = packCapacity): DataFrame = {
+    val base = Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).cast("bigint").as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(packShards)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = base
+      .withColumn("cum_end", sum(col("n_tokens")).over(w))
+      .withColumn("cum_before", col("cum_end") - col("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    cum
+      .withColumn("seq_id", explode(expr(
+        s"sequence(cum_before div $capacity, (cum_end - 1) div $capacity)")))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("cum_before"), col("seq_id") * lit(capacity)) -
+          col("cum_before")).as("doc_start"),
+        (least(col("cum_end"), (col("seq_id") + 1) * lit(capacity)) -
+          greatest(col("cum_before"), col("seq_id") * lit(capacity)))
+          .as("n_in_seq"))
+  }
+
+  def packChunksOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+       |    doc_id % $packShards AS shard
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    cast(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      as bigint) AS cum_end
+       |  FROM d
+       |), e AS (
+       |  SELECT doc_id, shard, n_tokens, cum_end,
+       |    cum_end - n_tokens AS cum_before
+       |  FROM c WHERE n_tokens > 0
+       |)
+       |SELECT shard, t.seq AS seq_id, doc_id,
+       |  greatest(cum_before, t.seq * $packCapacity) - cum_before
+       |    AS doc_start,
+       |  least(cum_end, (t.seq + 1) * $packCapacity)
+       |    - greatest(cum_before, t.seq * $packCapacity) AS n_in_seq
+       |FROM e, unnest(generate_series(cum_before // $packCapacity,
+       |  (cum_end - 1) // $packCapacity)) AS t(seq)""".stripMargin
 }
