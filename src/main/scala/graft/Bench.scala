@@ -36,8 +36,8 @@ object Bench {
     // fixture: the per-corpus postings index is ingest-time cost; build
     // it here so `search_postings_query` times the probe, not the build
     // (skipped when a restricted sweep doesn't run that query at all)
-    if (sys.env.get("SPARK_GRAFT_ONLY")
-          .forall(_.contains("search_postings_query")))
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(o =>
+          o.contains("search_postings_query") || o.contains("search_bm25")))
       try ops.Postings.indexFor(spark, sfDir) catch { case _: Throwable => }
 
     def time(body: => Unit): Double = {
