@@ -1211,13 +1211,43 @@ object DeltaLogWriter {
     var attempts = 0
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
+      // PROTOCOL.md: storing TIMESTAMP_NTZ requires the `timestampNtz`
+      // reader+writer feature — a table declaring only the baseline
+      // protocol would have conformant readers misinterpret (or refuse)
+      // the column. Declared at creation, or MERGED into the existing
+      // protocol when evolution introduces the first NTZ column.
+      val ntzUpgrade: Seq[String] =
+        if (!hasNtz(schema)) Nil
+        else if (version == 0L) {
+          val writerFeats =
+            (legacyWriterFeatures(2) + "timestampNtz").toSeq.sorted
+          def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+          Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":${arr(writerFeats)}}}""")
+        } else {
+          val p = DeltaLogReader.snapshot(spark, tablePath).protocol
+          if (p.minReaderVersion >= 3 &&
+              p.readerFeatures.contains("timestampNtz")) Nil
+          else {
+            val readerFeats =
+              ((if (p.minReaderVersion >= 3) p.readerFeatures
+                else legacyReaderFeatures(p.minReaderVersion)) +
+                "timestampNtz").toSeq.sorted
+            val writerFeats =
+              ((if (p.minWriterVersion >= 7) p.writerFeatures
+                else legacyWriterFeatures(p.minWriterVersion)) +
+                "timestampNtz").toSeq.sorted
+            def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+            Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
+          }
+        }
       val lines = actionLines(schema, partCols, adds, removes, operation,
-        emitMeta = emitMeta || version == 0L, extraActions, dataChange,
+        emitMeta = emitMeta || version == 0L, ntzUpgrade ++ extraActions,
+        dataChange,
         // re-declaring the baseline protocol on a LATER commit would
         // DOWNGRADE a feature-bearing table (DVs, column mapping) — the
         // last protocol action wins on replay. Only commit 0 declares
         // it; upgrades ride in as explicit extraActions.
-        includeProtocol = version == 0L, config)
+        includeProtocol = version == 0L && ntzUpgrade.isEmpty, config)
       val target = new Path(logDir, f"$version%020d.json")
       // AtomicWrite: local-FS create-exclusive is check-then-create in
       // Hadoop — a raw fs.create(_, false) race could double-claim the
@@ -1233,6 +1263,18 @@ object DeltaLogWriter {
   }
 
   private def jstr(s: String): String = mapper.writeValueAsString(s)
+
+  /** Does the schema carry TIMESTAMP_NTZ anywhere (including nested)? */
+  private def hasNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+  }
 
   private def actionLines(schema: StructType, partCols: Seq[String],
       adds: Seq[AddEntry], removes: Seq[String], operation: String,

@@ -225,6 +225,35 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(plan.contains("LeftAnti"), "DV application is an anti-join")
   }
 
+  test("TIMESTAMP_NTZ columns declare the timestampNtz feature") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = Files.createTempDirectory("graft-ntz").toString
+    // creation with an NTZ column: protocol (3,7) + feature from v0
+    val df = Seq((1L, "2024-01-01T01:02:03")).toDF("id", "s")
+      .withColumn("t", col("s").cast(TimestampNTZType)).drop("s")
+    graft.io.DeltaLogWriter.write(df, dir)
+    val p0 = DeltaLogReader.snapshot(spark, dir).protocol
+    assert(p0.minReaderVersion == 3 &&
+      p0.readerFeatures.contains("timestampNtz") &&
+      p0.writerFeatures.contains("timestampNtz"))
+    assert(DeltaLogReader.read(spark, dir).schema("t").dataType ==
+      TimestampNTZType)
+    // evolution introducing the FIRST NTZ column merges the feature
+    val dir2 = Files.createTempDirectory("graft-ntz2").toString
+    graft.io.DeltaLogWriter.write(Seq((1L, 1.0)).toDF("id", "v"), dir2)
+    assert(DeltaLogReader.snapshot(spark, dir2).protocol.minReaderVersion == 1)
+    val evolved = Seq((2L, 2.0, "2024-02-02T00:00:00")).toDF("id", "v", "s")
+      .withColumn("t", col("s").cast(TimestampNTZType)).drop("s")
+    graft.io.DeltaLogWriter.write(evolved, dir2)
+    val p2 = DeltaLogReader.snapshot(spark, dir2).protocol
+    assert(p2.minReaderVersion == 3 &&
+      p2.readerFeatures.contains("timestampNtz"))
+    // legacy implied features are enumerated, not dropped
+    assert(p2.writerFeatures.contains("appendOnly"))
+    assert(DeltaLogReader.read(spark, dir2).count() == 2L)
+  }
+
   test("deleteWhere writes deletion vectors — zero data-file rewrite") {
     val spark0 = spark
     import spark0.implicits._
