@@ -173,10 +173,44 @@ object IcebergReader {
             (part, specId, fs.map(_.recordCount).sum, fs.length.toLong)
           }.toSeq
           .toDF("partition", "spec_id", "record_count", "file_count")
+      case "entries" =>
+        // manifest-entry provenance (status / committing snapshot /
+        // sequence number per file) — the relation the incremental
+        // append scan's added-file rule is built on, exposed for
+        // inspection queries
+        val root = new Path(tablePath)
+        val cur = Option(meta.get("current-snapshot-id")).map(_.asLong)
+          .filter(_ >= 0)
+        val manifests = cur.flatMap(id => jsonArray(meta.get("snapshots"))
+            .find(_.get("snapshot-id").asLong == id))
+          .map(s => readAvro(spark,
+            resolve(root, s.get("manifest-list").asText)))
+          .getOrElse(Nil)
+        manifests.flatMap { m =>
+          def longIn(v: Any): Option[Long] = Option(v).collect {
+            case l: java.lang.Long => l.longValue
+            case i: java.lang.Integer => i.longValue
+          }
+          val addedId = fieldOpt(m, "added_snapshot_id").flatMap(longIn)
+          val mSeq = fieldOpt(m, "sequence_number").flatMap(longIn)
+            .getOrElse(0L)
+          readAvro(spark, resolve(root, m.get("manifest_path").toString))
+            .map { e =>
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              (e.get("status").asInstanceOf[Int],
+                fieldOpt(e, "snapshot_id").flatMap(longIn)
+                  .orElse(addedId).getOrElse(-1L),
+                fieldOpt(e, "sequence_number").flatMap(longIn)
+                  .getOrElse(mSeq),
+                resolve(root, df.get("file_path").toString).toString,
+                longIn(df.get("record_count")).getOrElse(0L))
+            }
+        }.toDF("status", "snapshot_id", "sequence_number", "file_path",
+          "record_count")
       case other =>
         throw new IllegalArgumentException(
           s"unknown Iceberg metadata table $$${other} " +
-            "(files|manifests|snapshots|history|partitions|refs)")
+            "(entries|files|manifests|snapshots|history|partitions|refs)")
     }
   }
 

@@ -317,6 +317,26 @@ object TableFormats {
     IcebergWriter.expireSnapshots(spark, path, retentionMs, retainLast)
 
   /** `describe_history` parity. */
+  /** delta-spark's `DESCRIBE DETAIL`: one-row table summary straight
+    * from the log snapshot — metadata-only, never a data scan. */
+  def describeDeltaDetail(spark: SparkSession, path: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val snap = DeltaLogReader.snapshot(spark, path)
+    Seq((
+      "delta", path, snap.version, snap.files.length.toLong,
+      snap.files.map(f => math.max(f.size, 0L)).sum,
+      snap.partitionColumns,
+      snap.files.count(_.deletionVector.isDefined).toLong,
+      snap.configuration.toSeq.sorted.map { case (k, v) => s"$k=$v" },
+      s"${snap.protocol.minReaderVersion}/${snap.protocol.minWriterVersion}",
+      (snap.protocol.readerFeatures ++ snap.protocol.writerFeatures)
+        .toSeq.sorted))
+      .toDF("format", "location", "version", "num_files",
+        "size_in_bytes", "partition_columns", "num_files_with_dvs",
+        "properties", "protocol", "table_features")
+  }
+
   def describeHistory(spark: SparkSession, path: String): DataFrame = {
     val s = spark
     import s.implicits._

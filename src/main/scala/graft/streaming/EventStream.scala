@@ -104,6 +104,33 @@ object EventStream {
   final case class SessState(n: Long, lastMs: Long)
   final case class SessOut(user_id: Long, n_events: Long)
 
+  /** Stream-STREAM interval join — the attribution shape (click →
+    * purchase within an hour, per user) running fully incrementally:
+    * both sides watermarked, the join condition carrying the event-time
+    * interval so Spark bounds BOTH join states and evicts them as the
+    * watermark advances. This is the streaming twin of
+    * [[graft.ops.AsOf.clickToPurchase]]'s batch as-of join; at 100 TB/
+    * day the state held at any instant is one watermark-window of keys
+    * per side, never the history. Inner join + append mode: each match
+    * emits exactly once. */
+  def intervalJoin(clicks: DataFrame, purchases: DataFrame,
+      maxGap: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", "30 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "30 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $maxGap"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("click_value"), col("purchase_value"))
+  }
+
   def statefulSessions(events: org.apache.spark.sql.DataFrame,
       maxEvents: Int = 50): org.apache.spark.sql.Dataset[SessOut] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

@@ -123,6 +123,39 @@ class IcebergBranchSpec extends AnyFunSuite {
     assert(IcebergReader.read(spark, dir).count() == n.toLong)
   }
 
+  test("$entries exposes provenance; describeDeltaDetail summarizes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    IcebergWriter.write(Seq((1L, "a")).toDF("id", "p"), dir,
+      partitionBy = Seq("p"))
+    val s1 = IcebergReader.snapshot(spark, dir).snapshotId
+    IcebergWriter.write(Seq((2L, "b")).toDF("id", "p"), dir, mode = "append")
+    val s2 = IcebergReader.snapshot(spark, dir).snapshotId
+    val entries = IcebergReader.metadataTable(spark, dir, "entries")
+      .select(col("status"), col("snapshot_id"), col("record_count"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    // carried manifest keeps the seed file ADDED under s1; the append
+    // adds its file under s2
+    assert(entries == Set((1, s1, 1L), (1, s2, 1L)))
+
+    val ddir = tmp()
+    graft.io.DeltaLogWriter.write(
+      Seq((1L, "x", 1.0), (3L, "x", 3.0), (2L, "y", 2.0))
+        .toDF("id", "g", "v").coalesce(1), ddir, partitionBy = Seq("g"))
+    graft.io.DeltaLogWriter.deleteWhere(spark, ddir,
+      col("id") === 1L && col("v") < 10.0)
+    val det = graft.io.TableFormats.describeDeltaDetail(spark, ddir).head
+    assert(det.getAs[String]("format") == "delta")
+    assert(det.getAs[Long]("version") == 1L)
+    assert(det.getAs[scala.collection.Seq[String]]("partition_columns")
+      .toSeq == Seq("g"))
+    assert(det.getAs[Long]("num_files") == 2L)
+    assert(det.getAs[Long]("num_files_with_dvs") == 1L)
+    assert(det.getAs[scala.collection.Seq[String]]("table_features")
+      .contains("deletionVectors"))
+  }
+
   test("branch writes refuse schema evolution into the shared metadata") {
     val spark0 = spark
     import spark0.implicits._
