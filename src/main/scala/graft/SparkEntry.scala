@@ -125,6 +125,12 @@ object SparkEntry {
     "vec_knn_lsh"         -> (Vectors.knnLsh _),
     "vec_near_dup"        -> (Vectors.embeddingNearDup _),
     "vec_ivf_search"      -> ((s: SparkSession, d: String) => Vectors.ivfSearch(s, d)),
+    // PQ ANN: ADC over 8-byte codes + exact rerank — k-means codebooks
+    // are not SQL-expressible, so this carries no DuckDB oracle (driver
+    // records the weaker rows-only check); PqSpec gates the codec
+    // exactly and recall@10 >= 0.6 against exact cosine
+    "vec_pq_search"       -> ((s: SparkSession, d: String) =>
+      Vectors.pqSearch(s, d)),
     // graph (Neptune-shaped)
     "graph_two_hop"       -> (Graph.twoHop _),
     "graph_motif"         -> (Graph.motif _),

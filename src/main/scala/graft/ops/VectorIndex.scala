@@ -265,4 +265,117 @@ object VectorIndex {
       .limit(k)
       .select(col("vec_id"), col("label"), col("cell"), col("cosine"))
   }
+
+  // ---- PQ (product quantization) ------------------------------------
+
+  /** Build the PQ index (Jégou et al. 2011; see [[graft.expr.PqCodec]]):
+    * per-subspace codebooks trained driver-side on a BOUNDED
+    * deterministic sample (the `sampleN` lowest vec_ids — m×ksub×dsub
+    * floats of state, milliseconds, paid once at build), then ONE
+    * codegen'd distributed pass packs every vector into an 8-byte code.
+    * The persisted codes table drops the raw embeddings entirely —
+    * 32× less scan I/O at query time, the memory-bound ANN trade. */
+  def putPq(emb: DataFrame, indexPath: String, m: Int = 8,
+      ksub: Int = 16, iters: Int = 5, sampleN: Int = 2048): Unit = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(ksub <= 16, "ksub must be <= 16 (4-bit packed codes)")
+    val dsub = dim / m
+    val sample: Array[Array[Float]] = emb.orderBy(col("vec_id"))
+      .limit(sampleN).select(col("embedding")).collect()
+      .map(_.getAs[Seq[Float]](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    val cents = Array.ofDim[Float](m * ksub * dsub)
+    for (j <- 0 until m) {
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // deterministic init: first ksub distinct subvectors (cycled when
+      // the sample has fewer distinct points)
+      val distinct = pts.distinctBy(_.toSeq)
+      var cs: Array[Array[Float]] = Array.tabulate(ksub)(i =>
+        distinct(i % distinct.length).clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ksub) {
+            var d = 0.0; var t = 0
+            while (t < dsub) {
+              val diff = p(t).toDouble - cs(c)(t); d += diff * diff; t += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var t = 0
+          while (t < dsub) { sums(best)(t) += p(t); t += 1 }
+        }
+        cs = Array.tabulate(ksub)(c =>
+          if (counts(c) == 0) cs(c)
+          else Array.tabulate(dsub)(t => (sums(c)(t) / counts(c)).toFloat))
+      }
+      for (c <- 0 until ksub; t <- 0 until dsub)
+        cents((j * ksub + c) * dsub + t) = cs(c)(t)
+    }
+    graft.expr.PqCodec.register(spark)
+    val coded = emb
+      .withColumn("code", call_function("pq_encode", col("embedding"),
+        typedLit(cents.toSeq), lit(m), lit(ksub), lit(dsub)))
+      .drop("embedding")
+    graft.io.DatasetWriter.toParquet(coded, s"$indexPath/codes",
+      mode = graft.io.DatasetWriter.Overwrite)
+    val metaDf = spark.createDataFrame(
+      Seq((m, ksub, dsub, dim, cents.toSeq)))
+      .toDF("m", "ksub", "dsub", "dim", "cents")
+    graft.io.DatasetWriter.toParquet(metaDf, s"$indexPath/pq_meta",
+      mode = graft.io.DatasetWriter.Overwrite)
+  }
+
+  /** ADC top-k over the codes table: the per-query [m][ksub] distance
+    * table is computed driver-side from the codebooks, rides into the
+    * plan as a literal, and the scan does `m` table lookups per 8-byte
+    * code — no embedding is read. With `rerank > 0` the top `rerank`
+    * ADC candidates re-score exactly against the raw embeddings
+    * (`emb`), the standard recall-recovery step; the exact pass touches
+    * only the candidate ids (broadcast semi-join). */
+  def searchPq(spark: SparkSession, indexPath: String,
+      query: Array[Float], k: Int = 10, rerank: Int = 0,
+      emb: Option[DataFrame] = None): DataFrame = {
+    val mr = spark.read.parquet(s"$indexPath/pq_meta").head
+    val (m, ksub, dsub) = (mr.getAs[Int]("m"), mr.getAs[Int]("ksub"),
+      mr.getAs[Int]("dsub"))
+    val cents = mr.getAs[Seq[Float]]("cents").toArray
+    val table = new Array[Double](m * ksub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      var d = 0.0; var t = 0
+      while (t < dsub) {
+        val diff = query(j * dsub + t).toDouble -
+          cents((j * ksub + c) * dsub + t)
+        d += diff * diff; t += 1
+      }
+      table(j * ksub + c) = d
+    }
+    graft.expr.PqCodec.register(spark)
+    val scored = spark.read.parquet(s"$indexPath/codes")
+      .withColumn("adist", call_function("pq_adc", col("code"),
+        typedLit(table.toSeq), lit(m), lit(ksub)))
+      .orderBy(col("adist"), col("vec_id"))
+    if (rerank <= 0)
+      scored.limit(k).select(col("vec_id"), col("label"), col("adist"))
+    else {
+      val base = emb.getOrElse(throw new IllegalArgumentException(
+        "rerank needs the raw embeddings DataFrame"))
+      graft.expr.CosineSimilarity.register(spark)
+      val cand = scored.limit(math.max(k, rerank)).select(col("vec_id"))
+      base.join(broadcast(cand), Seq("vec_id"), "left_semi")
+        .withColumn("cosine", call_function("cosine_sim",
+          col("embedding"), typedLit(query.toSeq)))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("label"), col("cosine"))
+    }
+  }
 }

@@ -147,6 +147,29 @@ object Vectors {
       .select(col("vec_id"), col("label"))
   }
 
+  /** One persisted PQ index per corpus directory (build is ingest-time
+    * cost, paid once per JVM like [[Postings.indexFor]]). */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PQ ANN probe: ADC over 8-byte codes (32× less scan I/O than raw
+    * embeddings), exact cosine rerank of the top candidates — the
+    * memory-bound scale path beside the IVF and LSH variants
+    * ([[VectorIndex.searchPq]]; recall gated by `PqSpec`). */
+  def pqSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val idx = pqIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-pq-idx").toString + "/idx"
+      VectorIndex.putPq(emb, tmp)
+      tmp
+    })
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    VectorIndex.searchPq(s, idx, query, k = k, rerank = 5 * k,
+      emb = Some(emb))
+  }
+
   private def cosineSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, 64),
        |    i -> cast($a[i] as double) * cast($b[i] as double)))
