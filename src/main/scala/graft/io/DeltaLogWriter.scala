@@ -182,6 +182,24 @@ object DeltaLogWriter {
       extraActions = upgrade, dataChange = false, config = config)
   }
 
+  /** Register EXISTING parquet as a NEW Delta table without rewriting a
+    * byte — the Iceberg→Delta migration path ([[TableMigration]]).
+    * Absolute add-action paths are explicitly allowed by the protocol;
+    * readers, vacuum, and DV deletes all resolve them. */
+  def registerExternalFiles(spark: SparkSession, tablePath: String,
+      schema: StructType, partCols: Seq[String],
+      files: Seq[(String, Map[String, Option[String]], Long)]): Committed = {
+    require(files.nonEmpty, "no files to register")
+    require(DeltaLogReader.latestVersion(spark, tablePath) < 0,
+      s"Delta table already exists at $tablePath")
+    val now = System.currentTimeMillis()
+    val adds = files.map { case (p, pv, size) =>
+      AddEntry(p, pv, math.max(size, 1L), now)
+    }
+    commitLoop(spark, tablePath, schema, partCols, adds, removes = Nil,
+      "CONVERT", emitMeta = true)
+  }
+
   /** delta-spark's RESTORE: re-commit an earlier version's state as a
     * NEW version — time travel that moves the table FORWARD; history is
     * never rewritten, so concurrent readers and time travel to the

@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.avro.file.DataFileStream
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, input_file_name, lit, regexp_replace}
 import org.apache.spark.sql.types._
 
@@ -703,9 +703,39 @@ object IcebergReader {
     val readSchema = StructType(resolved.collect {
       case (f, Some(n)) => StructField(n, f.dataType, nullable = true)
     })
-    val base = metaCols(spark.read.schema(readSchema).parquet(ps: _*))
+    var base = metaCols(spark.read.schema(readSchema).parquet(ps: _*))
+    // spec "Column Projection" rule 1: a field ABSENT from the file
+    // whose id is an identity partition source reads its value from the
+    // MANIFEST PARTITION TUPLE, not as null — registered Delta files
+    // (hive layout: partition columns live in the directory + log, not
+    // the parquet) depend on this
+    val partFallback = resolved.collect {
+      case (f, None) if snap.partitionColumns.contains(f.name) => f.name
+    }
+    if (partFallback.nonEmpty) {
+      val fs = new Path(ps.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val byUri: Map[String, DataFileEntry] = snap.files.map(f =>
+        fs.makeQualified(new Path(f.path)).toUri.toString -> f).toMap
+      val manifestSchema = StructType(
+        StructField("__pfile", StringType, nullable = false) +:
+          partFallback.map(c =>
+            StructField(s"__part_$c", StringType, nullable = true)))
+      val manifestRows = ps.map { p =>
+        val uri = fs.makeQualified(new Path(p)).toUri.toString
+        Row.fromSeq(uri +: partFallback.map(c =>
+          byUri.get(uri).flatMap(f => Option(f.partition.getOrElse(c, null)))
+            .map(_.toString).orNull))
+      }
+      val manifest = spark.createDataFrame(
+        spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
+      base = base.withColumn("__pfile", input_file_name())
+        .join(broadcast(manifest), Seq("__pfile"), "left")
+    }
     base.select(resolved.map {
       case (f, Some(n)) => col(n).as(f.name)
+      case (f, None) if partFallback.contains(f.name) =>
+        col(s"__part_${f.name}").cast(f.dataType).as(f.name)
       case (f, None) => lit(null).cast(f.dataType).as(f.name)
     } ++ (if (withMeta) Seq(col("__file"), col("__pos")) else Nil): _*)
   }

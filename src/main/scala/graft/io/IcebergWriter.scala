@@ -1190,6 +1190,43 @@ object IcebergWriter {
       expectedParent = None)
   }
 
+  /** [[addFiles]] generalized to PARTITIONED tables for callers that
+    * know each file's partition tuple (the Delta→Iceberg migration path,
+    * where the source log carries the tuples): register existing
+    * parquet, tuples attached, without rewriting a byte. Identity
+    * transforms only — a transformed spec's tuples are derived values a
+    * registration cannot trust. */
+  def registerFiles(spark: SparkSession, tablePath: String,
+      files: Seq[(String, Map[String, Option[String]])]): Committed = {
+    require(files.nonEmpty, "no files to register")
+    require(IcebergReader.isIcebergTable(spark, tablePath),
+      s"no Iceberg table at $tablePath")
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    pfields.foreach(pf => require(pf.transform == "identity",
+      s"registerFiles supports identity partitioning only; " +
+        s"table has ${pf.transform}(${pf.source})"))
+    val pnames = pfields.map(_.name).toSet
+    files.foreach { case (f, pv) => require(pv.keySet == pnames,
+      s"file $f carries partition keys ${pv.keySet.mkString(",")} != " +
+        s"table's ${pnames.mkString(",")}") }
+    val (schema, _) = IcebergReader.tableInfo(spark, tablePath)
+    if (!IcebergReader.snapshotOpt(spark, tablePath)
+          .exists(_.properties.contains("schema.name-mapping.default")))
+      setProperties(spark, tablePath,
+        Map("schema.name-mapping.default" -> defaultNameMapping(schema)))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts = recordCounts(spark, files.map(_._1))
+    val adds = files.map { case (f, pv) =>
+      val p = new Path(f)
+      FileInfo(fs.makeQualified(p).toString, pv,
+        fs.getFileStatus(p).getLen, counts.getOrElse(f, 0L))
+    }
+    commit(spark, tablePath, schema, pfields, adds, kept = Nil,
+      operation = "append", carryCurrentManifests = true,
+      expectedParent = None)
+  }
+
   /** The spec's name-mapping JSON for the current schema: each field-id
     * maps to its current name (renames later EXTEND the names list).
     * Ids come from the same walk [[icebergSchemaJson]] performs, so the

@@ -206,6 +206,19 @@ object TableFormats {
       tsMillis: Long): DataFrame =
     DeltaLogReader.read(spark, path, asOfTimestamp = Some(tsMillis))
 
+  /** Zero-rewrite format migration, both directions ([[TableMigration]]):
+    * the source's live files register into a fresh target-format log
+    * with their partition tuples — a metadata commit, never a copy job.
+    * Merge-on-read state (DVs / pos-eq deletes) must be compacted away
+    * first; both raise loudly otherwise. */
+  def convertDeltaToIceberg(spark: SparkSession, deltaPath: String,
+      icebergPath: String): IcebergWriter.Committed =
+    TableMigration.convertDeltaToIceberg(spark, deltaPath, icebergPath)
+
+  def convertIcebergToDelta(spark: SparkSession, icebergPath: String,
+      deltaPath: String): DeltaLogWriter.Committed =
+    TableMigration.convertIcebergToDelta(spark, icebergPath, deltaPath)
+
   /** Stage an append on an Iceberg BRANCH (spec `refs`) — the write
     * half of write-audit-publish: main readers see nothing until
     * [[publishIcebergBranch]]; audit the staged state with
