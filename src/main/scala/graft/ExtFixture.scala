@@ -182,6 +182,19 @@ object ExtFixture {
           (3L, "a", 3.0, "delete", 3L))
           .toDF("k", "g", "v", "_change_type", "_commit_version")))
 
+    // -- delta_conv_src + iceberg_converted: zero-rewrite migration —
+    // the Iceberg log must resolve the DELTA table's hive-layout files
+    // through the name mapping AND fill the identity partition column
+    // from the manifest tuple (spec "Column Projection" rule 1)
+    val convRows = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5))
+      .toDF("id", "g", "v")
+    DeltaLogWriter.write(convRows.coalesce(1), s"$outDir/delta_conv_src",
+      partitionBy = Seq("g"))
+    io.TableMigration.convertDeltaToIceberg(spark,
+      s"$outDir/delta_conv_src", s"$outDir/iceberg_converted")
+    expected("delta_conv_src", convRows)
+    expected("iceberg_converted", convRows)
+
     val se1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "grp", "v")
     IcebergWriter.write(se1, s"$outDir/iceberg_specevo")
     IcebergWriter.updatePartitionSpec(spark, s"$outDir/iceberg_specevo",
@@ -190,8 +203,9 @@ object ExtFixture {
     IcebergWriter.write(se2, s"$outDir/iceberg_specevo")
     expected("iceberg_specevo", se1.unionByName(se2))
 
-    Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_dv", "delta_merge",
-      "delta_rename", "delta_v2ckpt", "iceberg_basic", "iceberg_posdel",
+    Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_conv_src",
+      "delta_dv", "delta_merge", "delta_rename", "delta_v2ckpt",
+      "iceberg_basic", "iceberg_converted", "iceberg_posdel",
       "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
       "iceberg_specevo")
   }

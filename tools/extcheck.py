@@ -536,6 +536,18 @@ def read_iceberg(table: str) -> pd.DataFrame:
             for n in entry.get("names", []):
                 name_mapping[n] = entry["field-id"]
 
+    spec_id = meta.get("default-spec-id", 0)
+    specs = meta.get("partition-specs")
+    spec_fields = []
+    if specs:
+        spec = next((x for x in specs if x.get("spec-id", 0) == spec_id), None)
+        if spec:
+            spec_fields = [f["name"] for f in spec.get("fields", [])
+                           if f.get("transform") == "identity"]
+    elif meta.get("partition-spec"):
+        spec_fields = [f["name"] for f in meta["partition-spec"]
+                       if f.get("transform") == "identity"]
+
     snap_id = meta.get("current-snapshot-id")
     assert snap_id is not None and snap_id != -1, "no current snapshot"
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
@@ -554,7 +566,7 @@ def read_iceberg(table: str) -> pd.DataFrame:
             content = df_.get("content", 0)
             path = df_["file_path"]
             if content == 0:
-                data_files.append((path, seq))
+                data_files.append((path, seq, df_.get("partition") or {}))
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -588,7 +600,7 @@ def read_iceberg(table: str) -> pd.DataFrame:
         eq_sets.append((key_names, vals, seq))
 
     frames = []
-    for path, seq in sorted(data_files):
+    for path, seq, ptuple in sorted(data_files, key=lambda t: t[0]):
         lp = _localize(table, path)
         df = con.execute("SELECT * FROM read_parquet(?)", [lp]).fetchdf()
         fids = _parquet_field_ids(lp)
@@ -615,7 +627,13 @@ def read_iceberg(table: str) -> pd.DataFrame:
                 df = df[~mask]
         for c in col_names:
             if c not in df.columns:
-                df[c] = None
+                # spec "Column Projection" rule 1: an identity partition
+                # source absent from the file reads from the tuple —
+                # registered hive-layout (Delta) files depend on this
+                if c in spec_fields and ptuple.get(c) is not None:
+                    df[c] = ptuple[c]
+                else:
+                    df[c] = None
         frames.append(df[col_names])
     out = pd.concat(frames, ignore_index=True) if frames else \
         pd.DataFrame(columns=col_names)
