@@ -97,6 +97,7 @@ object SparkEntry {
     "ts_sessionize"       -> (TimeSeries.sessionize _),
     "ts_top_users"        -> (TimeSeries.topUsers _),
     "ts_interpolate"      -> (TimeSeries.interpolate _),
+    "ts_anomaly"          -> (TimeSeries.anomaly _),
     // key-value (DynamoDB-shaped)
     "kv_point_lookup"     -> (KeyValue.pointLookup _),
     "kv_range_query"      -> (KeyValue.rangeQuery _),
@@ -140,6 +141,7 @@ object SparkEntry {
     "graph_gremlin"       -> (Gremlin.supplierInEuropeQuery _),
     "graph_gremlin_order" -> (Gremlin.asiaNationsWithSuppliersQuery _),
     "graph_wcc"           -> (Graph.wcc _),
+    "graph_triangles"     -> (Graph.triangles _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
@@ -253,6 +255,7 @@ object SparkEntry {
     "ts_sessionize"       -> TimeSeries.sessionizeOracle,
     "ts_top_users"        -> TimeSeries.topUsersOracle,
     "ts_interpolate"      -> TimeSeries.interpolateOracle,
+    "ts_anomaly"          -> TimeSeries.anomalyOracle,
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
     "kv_range_query"      -> KeyValue.rangeQueryOracle,
     "kv_batch_get"        -> KeyValue.batchGetOracle,
@@ -284,6 +287,7 @@ object SparkEntry {
     "graph_flatten_props" -> Graph.flattenPropsOracle,
     // WCC vs DuckDB recursive label propagation over the same edge set
     "graph_wcc"           -> Graph.wccOracle,
+    "graph_triangles"     -> Graph.trianglesOracle,
     "graph_bgp"           -> Rdf.bgpQueryOracle,
     "graph_cypher"        -> Cypher.supplierRegionOracle,
     "graph_gremlin"       -> Gremlin.supplierInEuropeOracle,

@@ -244,6 +244,47 @@ object Graph {
       |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)
       |SELECT node, min(lab) AS component FROM walk GROUP BY node""".stripMargin
 
+  /** Triangle counting — the classic distributed graph workload (the
+    * clustering-coefficient numerator every graph-analytics engine
+    * ships), over the co-purchase graph: customers are adjacent when
+    * they bought the SAME part at high quantity. Plan shape: the edge
+    * list builds from one equi-self-join per part (sparse by the
+    * quantity filter), then triangles close with TWO hash joins over
+    * the `u < v < w` canonical orientation — each triangle counted
+    * exactly once, no permutation blowup, intermediate wedge volume
+    * bounded by Σ deg². Pure integer counting, bit-exact vs DuckDB. */
+  def triangles(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.lineitem(s, dir).where(col("l_quantity") >= 45)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("pk"), col("o_custkey").as("cust"))
+      .distinct()
+    val edges = t.toDF("pk", "u")
+      .join(t.toDF("pk", "v"), "pk")
+      .where(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+    val tri = edges.toDF("u", "v")
+      .join(edges.toDF("v", "w"), "v")
+      .join(edges.toDF("u", "w"), Seq("u", "w"))
+    tri.agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(edges.agg(count(lit(1)).as("n_edges")))
+  }
+
+  def trianglesOracle: String =
+    """WITH t AS (
+      |  SELECT DISTINCT l_partkey AS pk, o_custkey AS cust
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_quantity >= 45
+      |), edges AS (
+      |  SELECT DISTINCT a.cust AS u, b.cust AS v
+      |  FROM t a JOIN t b ON a.pk = b.pk AND a.cust < b.cust
+      |)
+      |SELECT
+      |  (SELECT count(*) FROM edges e1
+      |     JOIN edges e2 ON e2.u = e1.v
+      |     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles,
+      |  (SELECT count(*) FROM edges) AS n_edges""".stripMargin
+
   /** Recursively flatten struct columns into `parent_child` top-level
     * columns (arrays left intact) — the general `flatten_nested_df`
     * utility, usable on any DataFrame. */

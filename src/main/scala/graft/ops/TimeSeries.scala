@@ -287,6 +287,64 @@ object TimeSeries {
         when(col("v").isNotNull, 0L).otherwise(1L).as("interpolated"))
   }
 
+  /** Rolling z-score anomaly detection — the monitoring query every
+    * time-series store runs (Timestream's anomaly CloudWatch recipes):
+    * per event_type, each hourly bucket's value compares against the
+    * trailing 24-bucket window's mean/σ; |v−μ| > 2σ flags. The fp trap
+    * here is REAL: windowed doubles sum in engine-specific orders
+    * (Spark incremental frames vs DuckDB segment trees), so the test
+    * is formulated entirely in EXACT decimal arithmetic —
+    * `(n·v−s)² > 4·(n·ss−s²)` over decimal sums — which both engines
+    * evaluate bit-identically. One shuffle (bucket aggregate) + one
+    * window pass per series. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("vdec"))
+      .select(col("event_type"), col("w.start").as("b"), col("vdec"))
+    val wTrail = Window.partitionBy(col("event_type")).orderBy(col("b"))
+      .rowsBetween(-24, -1)
+    hourly
+      .withColumn("n", count(lit(1)).over(wTrail))
+      .withColumn("s", sum(col("vdec")).over(wTrail))
+      .withColumn("ss",
+        sum((col("vdec") * col("vdec")).cast("decimal(30,4)")).over(wTrail))
+      .select(col("event_type"),
+        date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("vdec").cast("double").as("value"),
+        when(col("n") === 24 &&
+          ((col("n") * col("vdec") - col("s")) *
+            (col("n") * col("vdec") - col("s"))).cast("decimal(38,4)") >
+          (lit(4) * (col("n") * col("ss") -
+            (col("s") * col("s")).cast("decimal(30,4)")))
+            .cast("decimal(38,4)"), 1L).otherwise(0L).as("is_anomaly"))
+  }
+
+  def anomalyOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL '1 hour', cast(ts as timestamp)) AS b,
+      |    cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) AS vdec
+      |  FROM events GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, b, vdec,
+      |    count(*) OVER w AS n,
+      |    cast(sum(vdec) OVER w as decimal(18,2)) AS s,
+      |    cast(sum(cast(vdec * vdec as decimal(30,4))) OVER w
+      |      as decimal(30,4)) AS ss
+      |  FROM hourly
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY b
+      |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      |)
+      |SELECT event_type, strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  cast(vdec as double) AS value,
+      |  CAST(CASE WHEN n = 24 AND
+      |    cast((n * vdec - s) * (n * vdec - s) as decimal(38,4)) >
+      |    cast(4 * (n * ss - cast(s * s as decimal(30,4)))
+      |      as decimal(38,4))
+      |  THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM stats""".stripMargin
+
   def interpolateOracle: String =
     """WITH bucketed AS (
       |  SELECT event_type,
