@@ -499,7 +499,8 @@ object DeltaLogWriter {
   def optimize(spark: SparkSession, tablePath: String,
       targetSize: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): Committed = {
+      zorderBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None): Committed = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (range clustering) and zorderBy are mutually exclusive")
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
@@ -509,8 +510,43 @@ object DeltaLogWriter {
     // names and writeDataFiles re-emits physical ones
     val physOf = DeltaLogReader.physicalNames(snap)
     val fieldIds = DeltaLogReader.mappingFieldIds(snap)
-    val candidates = snap.files.filter(f =>
-      f.size < targetSize || f.deletionVector.isDefined)
+    // `where` = delta-spark's `OPTIMIZE ... WHERE`: a PARTITION
+    // predicate scoping the rewrite — only whole files whose partition
+    // tuple satisfies it are candidates, so a daily pipeline compacts
+    // yesterday's partition without touching the other 10k. Evaluated
+    // EXACTLY: the arbitrary predicate runs over the distinct partition
+    // tuples themselves (metadata-scale, typed through the declared
+    // schema), so nothing is approximated or silently widened; a
+    // predicate referencing a non-partition column fails resolution
+    // loudly.
+    val inScope: DeltaLogReader.AddFile => Boolean = where match {
+      case None => _ => true
+      case Some(pred) =>
+        require(snap.partitionColumns.nonEmpty,
+          s"optimize WHERE needs a partitioned table: $tablePath")
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+        def tupleOf(f: DeltaLogReader.AddFile): Seq[String] =
+          snap.partitionColumns.map(c =>
+            f.partitionValues.get(physOf.getOrElse(c, c))
+              .orElse(f.partitionValues.get(c)).flatten.orNull)
+        val tuples = snap.files.map(tupleOf).distinct.zipWithIndex
+        val tupleSchema = StructType(
+          StructField("__idx", LongType, nullable = false) +:
+            snap.partitionColumns.map(c =>
+              StructField(c, StringType, nullable = true)))
+        val rows = tuples.map { case (t, i) => Row.fromSeq(i.toLong +: t) }
+        val typed = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), tupleSchema)
+          .select(col("__idx") +: snap.partitionColumns.map(c =>
+            col(c).cast(snap.schema(c).dataType).as(c)): _*)
+        val kept = typed.filter(pred).select(col("__idx"))
+          .collect().map(_.getLong(0)).toSet
+        val idxOf = tuples.map { case (t, i) => t -> i.toLong }.toMap
+        f => kept.contains(idxOf(tupleOf(f)))
+    }
+    val candidates = snap.files.filter(f => inScope(f) &&
+      (f.size < targetSize || f.deletionVector.isDefined))
     val worthIt = candidates.exists(_.deletionVector.isDefined) ||
       candidates.size >= 2
     if (!worthIt) return Committed(latest, 0)

@@ -294,8 +294,11 @@ object TableFormats {
   def optimizeDeltalake(spark: SparkSession, path: String,
       targetSize: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil,
-      zorderBy: Seq[String] = Nil): DeltaLogWriter.Committed =
-    DeltaLogWriter.optimize(spark, path, targetSize, sortBy, zorderBy)
+      zorderBy: Seq[String] = Nil,
+      where: Option[org.apache.spark.sql.Column] = None)
+      : DeltaLogWriter.Committed =
+    DeltaLogWriter.optimize(spark, path, targetSize, sortBy, zorderBy,
+      where)
 
   /** Compact a REAL Iceberg table (`rewrite_data_files`): bin-pack small
     * files and materialize position/equality delete files back into

@@ -42,6 +42,33 @@ class ZOrderSpec extends AnyFunSuite {
     assert(nk == 5L) // x bucket 0, y bucket 3
   }
 
+  test("optimize WHERE scopes the rewrite to matching partitions") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp()
+    // many small files per partition
+    val df = spark.range(4000L).select(
+      (col("id") % 4L).cast("string").as("p"), col("id").as("v"))
+    DeltaLogWriter.write(df.repartition(16), dir, partitionBy = Seq("p"))
+    val before = DeltaLogReader.snapshot(spark, dir).files
+      .groupBy(_.partitionValues.get("p").flatten.getOrElse(""))
+      .view.mapValues(_.size).toMap
+    assert(before.values.forall(_ > 1))
+    DeltaLogWriter.optimize(spark, dir, targetSize = 64L * 1024 * 1024,
+      where = Some(col("p") === "2"))
+    val after = DeltaLogReader.snapshot(spark, dir).files
+      .groupBy(_.partitionValues.get("p").flatten.getOrElse(""))
+      .view.mapValues(_.size).toMap
+    // only partition 2 compacted; the rest untouched
+    assert(after("2") == 1)
+    assert(after.filter(_._1 != "2") == before.filter(_._1 != "2"))
+    assert(DeltaLogReader.read(spark, dir).count() == 4000L)
+    // non-partition column in the predicate fails resolution loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      DeltaLogWriter.optimize(spark, dir, where = Some(col("v") > 10L))
+    }
+  }
+
   test("zorder optimize prunes selective reads on BOTH dimensions") {
     val spark0 = spark
     import spark0.implicits._
