@@ -76,6 +76,7 @@ object SparkEntry {
     // training-pipeline curation: decontamination + stratified sampling
     "curate_decontaminate" -> (Decontaminate.contamination _),
     "curate_strat_sample"  -> (Sampling.stratifiedSample _),
+    "curate_split"         -> (Sampling.split _),
     // curation filters + training-set export (Gopher/Dolma recipes)
     "text_repetition"     -> (Curation.repetitionScore _),
     "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
@@ -233,6 +234,7 @@ object SparkEntry {
     "text_bpe_tokens"     -> Text.bpeTokenCountOracle,
     "curate_decontaminate" -> Decontaminate.contaminationOracle,
     "curate_strat_sample"  -> Sampling.stratifiedSampleOracle,
+    "curate_split"         -> Sampling.splitOracle,
     "text_repetition"     -> Curation.repetitionScoreOracle,
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,

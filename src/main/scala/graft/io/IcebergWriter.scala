@@ -1903,7 +1903,23 @@ object IcebergWriter {
       val node = metadataJson(parsed.map(_._2), fs.makeQualified(root).toString,
         schema, partFields, snapshotId,
         fs.makeQualified(listPath).toString, operation, now, fv, seq,
-        branch, branchHead)
+        branch, branchHead,
+        summaryStats = Map(
+          "added-data-files" -> adds.length.toLong,
+          "added-records" -> adds.map(_.recordCount).sum,
+          "added-files-size" -> adds.map(_.size).sum,
+          "added-delete-files" -> deleteAdds.length.toLong,
+          "total-data-files" -> (adds.length + kept.length +
+            (if (carryCurrentManifests)
+               carried.map(c => Option(c.get("added_data_files_count"))
+                 .collect { case i: java.lang.Integer => i.longValue
+                            case l: java.lang.Long => l.longValue }
+                 .getOrElse(0L) +
+                 Option(c.get("existing_data_files_count"))
+                 .collect { case i: java.lang.Integer => i.longValue
+                            case l: java.lang.Long => l.longValue }
+                 .getOrElse(0L)).sum
+             else 0L))))
       val target = new Path(metaDir, s"v$version.metadata.json")
       if (AtomicWrite.claim(fs, target,
           mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
@@ -2288,7 +2304,8 @@ object IcebergWriter {
       now: Long, formatVersion: Int = 1,
       sequenceNumber: Option[Long] = None,
       branch: Option[String] = None,
-      branchParent: Option[Long] = None): ObjectNode = {
+      branchParent: Option[Long] = None,
+      summaryStats: Map[String, Long] = Map.empty): ObjectNode = {
     val node = baseMetadata(prior, location, schema, partFields, now,
       formatVersion)
     sequenceNumber.foreach(node.put("last-sequence-number", _))
@@ -2314,6 +2331,12 @@ object IcebergWriter {
     snap.put("schema-id", node.get("current-schema-id").asInt)
     val summary = mapper.createObjectNode()
     summary.put("operation", operation)
+    // the metrics real Iceberg stamps on every snapshot (spec
+    // "Snapshots" summary fields) — external engines and humans read
+    // commit sizes here without touching a manifest
+    summaryStats.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      summary.put(k, v.toString)
+    }
     snap.set[ObjectNode]("summary", summary)
     snap.put("manifest-list", manifestList)
     snaps.add(snap)

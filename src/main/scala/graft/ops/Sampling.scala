@@ -57,4 +57,31 @@ object Sampling {
     """SELECT doc_id, source FROM documents
       |WHERE substring(md5(source || ':' || cast(doc_id AS varchar)), 1, 8)
       |  < CASE WHEN length(source) = 4 THEN '99999999' ELSE '40000000' END""".stripMargin
+
+  /** Deterministic train/validation/test assignment — the split every
+    * training pipeline needs pinned BEFORE experiments start: the same
+    * md5 key-space as [[keepPredicate]] partitions documents
+    * 90/5/5, so membership is a pure function of the key (stable
+    * across re-runs, retries, repartitions, and engines), disjoint and
+    * exhaustive by construction, and a codegen'd map-side projection —
+    * no shuffle, no state. */
+  def split(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(concat_ws(":", lit("split"),
+      col("doc_id").cast("string"))), 1, 8)
+    // 0.90 → 0xe6666666, 0.95 → 0xf3333333 (floor(rate × 2^32) in hex)
+    Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      when(h < "e6666666", "train")
+        .when(h < "f3333333", "validation")
+        .otherwise("test").as("split"))
+  }
+
+  def splitOracle: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN h < 'e6666666' THEN 'train'
+      |       WHEN h < 'f3333333' THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, source,
+      |    substring(md5('split:' || cast(doc_id AS varchar)), 1, 8) AS h
+      |  FROM documents) t""".stripMargin
 }

@@ -107,5 +107,11 @@ class IcebergIncrementalSpec extends AnyFunSuite {
     }
     assert(parents == Seq(None, Some(s1)))
     assert(snaps.length == 2)
+    // spec summary metrics stamped on each snapshot: the append added
+    // one file / one record, and totals count the carried seed file
+    val sum2 = meta.get("snapshots").get(1).get("summary")
+    assert(sum2.get("added-data-files").asText == "1")
+    assert(sum2.get("added-records").asText == "1")
+    assert(sum2.get("total-data-files").asText == "2")
   }
 }
