@@ -214,10 +214,17 @@ object Bench {
     val calibEnd = calibSamples.last
     val loadEnd = loadAvg()
     // contended iff ANY sample (endpoint or mid-sweep) drifts off the
-    // best one: >1.5× for the CPU probe, >3× for the noisier I/O probe
+    // MEDIAN: >1.5× for the CPU probe, >3× for the noisier I/O probe.
+    // The denominator is the median, not the best sample — an idle
+    // sweep's fastest probe (post-sweep, fully JIT-settled, no
+    // neighboring query's GC) can be 1.5× under the typical one, and a
+    // max/min ratio then flags a machine whose queries are the fastest
+    // on record. A real burst (the round-7 class: 8-19× query blowups)
+    // still lifts samples far past 1.5× of the median.
     def ratioOf(xs: Seq[Double]): Double = {
-      val ok = xs.filter(_ > 0)
-      if (ok.isEmpty) -1.0 else ok.max / ok.min
+      val ok = xs.filter(_ > 0).sorted
+      if (ok.isEmpty) -1.0
+      else ok.max / ok(ok.size / 2)
     }
     val calibRatio = ratioOf(calibSamples.toSeq)
     val ioRatio = ratioOf(ioSamples.toSeq)
