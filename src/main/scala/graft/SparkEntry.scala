@@ -149,6 +149,7 @@ object SparkEntry {
     "search_bm25"         -> (Postings.searchBm25Query _),
     // log analytics (CloudWatch Logs Insights dialect)
     "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
+    "logs_last_event"     -> (LogsInsights.lastEventQuery _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
@@ -300,6 +301,7 @@ object SparkEntry {
     "search_postings_query" -> Search.matchQueryOracle,
     "search_bm25"         -> Postings.searchBm25Oracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
+    "logs_last_event"     -> LogsInsights.lastEventOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal

@@ -137,6 +137,23 @@ object LogsInsights {
     }
     else if (lower.startsWith("limit"))
       df.limit(stage.drop("limit".length).trim.toInt)
+    else if (lower.startsWith("dedup")) {
+      // CloudWatch's `dedup f1, f2`: keep the MOST RECENT row per key
+      // (ties broken deterministically by the full remaining order) —
+      // one window pass, hash-partitioned on the dedup key
+      val keys = stage.drop("dedup".length).split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      require(keys.nonEmpty, s"bad dedup: $stage")
+      val bare = keys.map(_.stripPrefix("@"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(resolve): _*)
+        .orderBy(resolve("@timestamp").desc +:
+          df.columns.toSeq
+            .filterNot(c => bare.contains(c) || c == "timestamp")
+            .map(c => col(c).asc): _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     else throw new IllegalArgumentException(s"unsupported stage: $stage")
   }
 
@@ -148,6 +165,31 @@ object LogsInsights {
     * Measures pre-cast to decimal so the stats sums are exact and
     * order-independent; sort keys fully tiebroken so the limit cutoff is
     * deterministic cross-engine. */
+  /** Oracle-gated `dedup` query: the most recent event per user —
+    * CloudWatch's "latest state per key" idiom — through the dialect's
+    * new dedup stage (one hash-partitioned window pass). */
+  def lastEventQuery(s: SparkSession, dir: String): DataFrame = {
+    val logs = Tables.events(s, dir).withColumnRenamed("ts", "timestamp")
+    query(logs,
+      """fields @timestamp, user_id, event_type, value
+        | dedup user_id
+        | sort user_id asc""".stripMargin)
+      .select(col("user_id"),
+        date_format(col("timestamp"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        col("event_type"), col("value"))
+  }
+
+  def lastEventOracle: String =
+    """SELECT user_id,
+      |  strftime(cast(ts as timestamp), '%Y-%m-%d %H:%M:%S') AS last_ts,
+      |  event_type, value
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY cast(ts as timestamp) DESC, event_type ASC, value ASC)
+      |    AS rn
+      |  FROM events) t
+      |WHERE rn = 1""".stripMargin
+
   def errorVolumeQuery(s: SparkSession, dir: String): DataFrame = {
     val logs = Tables.events(s, dir)
       .withColumnRenamed("ts", "timestamp")
