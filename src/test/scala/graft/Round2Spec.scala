@@ -368,8 +368,15 @@ class Round2Spec extends AnyFunSuite {
       "stats count(*) as n, max(v) as mx by bin(60m)")
     assert(stats.count() == 2)
     assert(stats.agg(sum(col("n"))).head().getLong(0) == 3)
+    // dedup keeps the MOST RECENT row per key
+    val latest = ops.LogsInsights.query(logs
+        .withColumn("sev", split(col("message"), " ").getItem(0)),
+      "dedup sev | sort sev asc")
+    assert(latest.select(col("sev"), col("v")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("ERROR", 2.0), ("INFO", 3.0)))
     intercept[IllegalArgumentException] {
-      ops.LogsInsights.query(logs, "dedup x")
+      ops.LogsInsights.query(logs, "explode x")
     }
   }
 
