@@ -99,6 +99,7 @@ object SparkEntry {
     "ts_top_users"        -> (TimeSeries.topUsers _),
     "ts_interpolate"      -> (TimeSeries.interpolate _),
     "ts_anomaly"          -> (TimeSeries.anomaly _),
+    "ts_cohort_retention" -> (TimeSeries.cohortRetention _),
     // key-value (DynamoDB-shaped)
     "kv_point_lookup"     -> (KeyValue.pointLookup _),
     "kv_range_query"      -> (KeyValue.rangeQuery _),
@@ -259,6 +260,7 @@ object SparkEntry {
     "ts_top_users"        -> TimeSeries.topUsersOracle,
     "ts_interpolate"      -> TimeSeries.interpolateOracle,
     "ts_anomaly"          -> TimeSeries.anomalyOracle,
+    "ts_cohort_retention" -> TimeSeries.cohortRetentionOracle,
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
     "kv_range_query"      -> KeyValue.rangeQueryOracle,
     "kv_batch_get"        -> KeyValue.batchGetOracle,

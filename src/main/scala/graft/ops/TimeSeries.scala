@@ -236,6 +236,39 @@ object TimeSeries {
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
 
+  /** Cohort retention — the product-analytics staple: users grouped by
+    * their FIRST-activity week, each later week's active share of the
+    * cohort counted. Two hash aggregations (first week per user,
+    * distinct user-weeks) joined on user — the smaller firsts side
+    * broadcast-eligible at any realistic cohort cardinality — then one
+    * rollup; all integer arithmetic, bit-exact across engines. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(s, dir).select(col("user_id"),
+      floor(datediff(col("ts").cast("date"), lit("2024-01-01")) / 7)
+        .as("week"))
+    val activity = weeks.distinct()
+    val firsts = activity.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    activity.join(firsts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  def cohortRetentionOracle: String =
+    """WITH activity AS (
+      |  SELECT DISTINCT user_id,
+      |    cast(floor(datediff('day', DATE '2024-01-01',
+      |      cast(ts as date)) / 7) as bigint) AS week
+      |  FROM events
+      |), firsts AS (
+      |  SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1
+      |)
+      |SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+      |  cast(count(DISTINCT a.user_id) as bigint) AS n_users
+      |FROM activity a JOIN firsts f ON a.user_id = f.user_id
+      |GROUP BY 1, 2""".stripMargin
+
   /** Timestream's `CREATE_TIME_SERIES` + `INTERPOLATE_LINEAR` shape
     * (`timestream/_read.py` row decode feeds exactly this query family):
     * resample each event_type to a regular 15-minute grid between its
