@@ -100,6 +100,7 @@ object SparkEntry {
     "ts_interpolate"      -> (TimeSeries.interpolate _),
     "ts_anomaly"          -> (TimeSeries.anomaly _),
     "ts_cohort_retention" -> (TimeSeries.cohortRetention _),
+    "ts_funnel"           -> (TimeSeries.funnel _),
     // key-value (DynamoDB-shaped)
     "kv_point_lookup"     -> (KeyValue.pointLookup _),
     "kv_range_query"      -> (KeyValue.rangeQuery _),
@@ -261,6 +262,7 @@ object SparkEntry {
     "ts_interpolate"      -> TimeSeries.interpolateOracle,
     "ts_anomaly"          -> TimeSeries.anomalyOracle,
     "ts_cohort_retention" -> TimeSeries.cohortRetentionOracle,
+    "ts_funnel"           -> TimeSeries.funnelOracle,
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
     "kv_range_query"      -> KeyValue.rangeQueryOracle,
     "kv_batch_get"        -> KeyValue.batchGetOracle,

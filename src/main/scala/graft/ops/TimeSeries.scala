@@ -236,6 +236,49 @@ object TimeSeries {
       |FROM events GROUP BY user_id
       |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin
 
+  /** Ordered conversion funnel (view → click → purchase, strictly
+    * later at each step) — the sequential-event query funnels engines
+    * sell: each stage is one filtered aggregate joined to the previous
+    * stage's per-user first-completion time, so the work narrows as the
+    * funnel does and every join key is user_id (co-partitioned through
+    * all three shuffles). Exact timestamp comparisons — bit-exact
+    * counts vs DuckDB. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+  }
+
+  def funnelOracle: String =
+    """WITH v AS (
+      |  SELECT user_id, min(cast(ts as timestamp)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(cast(e.ts as timestamp)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND cast(e.ts as timestamp) > v.t_view
+      |  GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(cast(e.ts as timestamp)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase'
+      |    AND cast(e.ts as timestamp) > c.t_click
+      |  GROUP BY 1
+      |)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_view_click,
+      |       (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin
+
   /** Cohort retention — the product-analytics staple: users grouped by
     * their FIRST-activity week, each later week's active share of the
     * cohort counted. Two hash aggregations (first week per user,
