@@ -22,11 +22,18 @@ import org.roaringbitmap.RoaringBitmap
   * Sidecar layout: a 1-byte format version (1), then at `offset`: 4-byte
   * big-endian data size, the serialized bitmap, and a 4-byte big-endian
   * CRC-32 of the bitmap bytes. The bitmap is the portable 64-bit
-  * RoaringBitmapArray: int32-LE magic 1681511377, int64-LE count of
-  * 32-bit bitmaps, then each bitmap's standard portable RoaringBitmap
-  * serialization in index order — bitmap i covers row indexes
-  * [i·2^32, (i+1)·2^32). Decoded with the org.roaringbitmap the Spark
-  * distribution already ships, so no Delta jar is needed.
+  * RoaringBitmapArray — int32-LE magic 1681511377, then the portable
+  * serialization of a 64-bit roaring bitmap exactly as the RoaringBitmap
+  * format spec's 64-bit extension defines it (and as Roaring64NavigableMap
+  * and delta's RoaringBitmapArray implement it): an int64-LE count of
+  * NON-EMPTY 32-bit buckets, then for each bucket in increasing key
+  * order an int32-LE key (the high 32 bits of the row indexes it holds)
+  * followed by that bucket's standard portable RoaringBitmap
+  * serialization. Bucket k covers row indexes [k·2^32, (k+1)·2^32);
+  * empty buckets are never written. Decoded with the org.roaringbitmap
+  * the Spark distribution already ships, so no Delta jar is needed.
+  * (Iceberg v3 deletion-vector blobs serialize the identical magic +
+  * vector byte layout — see [[Puffin]].)
   *
   * Scale: one descriptor per data file (metadata-sized); bitmap decode
   * happens on executors ([[DeltaLogReader.read]] parallelizes the
@@ -154,20 +161,37 @@ object DeltaDeletionVectors {
 
   // ---- portable RoaringBitmapArray ------------------------------------
 
-  def decodeBitmapArray(bytes: Array[Byte]): Array[Long] = {
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    val magic = bb.getInt
-    require(magic == MagicNumber,
-      f"bad RoaringBitmapArray magic 0x$magic%08x (expected 0x$MagicNumber%08x)")
+  def decodeBitmapArray(bytes: Array[Byte]): Array[Long] =
+    decodeVector(bytes, 0, requireMagic = true)
+
+  /** Decode the keyed portable 64-bit vector starting at `off`;
+    * `requireMagic` controls whether the 4-byte LE magic prefix is
+    * expected first (Delta and Iceberg DV payloads both carry it). */
+  private[io] def decodeVector(bytes: Array[Byte], off: Int,
+      requireMagic: Boolean): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes, off, bytes.length - off)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    if (requireMagic) {
+      val magic = bb.getInt
+      require(magic == MagicNumber,
+        f"bad RoaringBitmapArray magic 0x$magic%08x (expected 0x$MagicNumber%08x)")
+    }
     val count = bb.getLong
     val din = new DataInputStream(
       new ByteArrayInputStream(bytes, bb.position(), bytes.length - bb.position()))
     val out = mutable.ArrayBuffer.empty[Long]
     var i = 0L
+    var lastKey = -1L
     while (i < count) {
+      // portable 64-bit form: each non-empty bucket is preceded by its
+      // int32-LE key (the high 32 bits), keys strictly increasing
+      val key = (Integer.reverseBytes(din.readInt()) & 0xffffffffL)
+      require(key > lastKey || i == 0,
+        s"RoaringBitmapArray bucket keys not increasing ($lastKey -> $key)")
+      lastKey = key
       val rb = new RoaringBitmap()
       rb.deserialize(din)
-      val hi = i << 32
+      val hi = key << 32
       rb.forEach(new org.roaringbitmap.IntConsumer {
         override def accept(v: Int): Unit = out += (hi | (v & 0xffffffffL))
       })
@@ -177,15 +201,14 @@ object DeltaDeletionVectors {
   }
 
   /** Serialize row indexes to the portable RoaringBitmapArray bytes (the
-    * write half — used by fixtures and any future DV-emitting writer). */
+    * write half — used by fixtures and the DV-emitting writers). */
   def encodeBitmapArray(indexes: Seq[Long]): Array[Byte] = {
     val byKey = indexes.groupBy(_ >>> 32)
-    val maxKey = if (byKey.isEmpty) -1L else byKey.keys.max
-    val bitmaps = (0L to maxKey).map { k =>
+    val bitmaps = byKey.keys.toSeq.sorted.map { k =>
       val rb = new RoaringBitmap()
-      byKey.getOrElse(k, Nil).foreach(ix => rb.add((ix & 0xffffffffL).toInt))
+      byKey(k).foreach(ix => rb.add((ix & 0xffffffffL).toInt))
       rb.runOptimize()
-      rb
+      k -> rb
     }
     serializeBitmaps(bitmaps)
   }
@@ -197,25 +220,30 @@ object DeltaDeletionVectors {
     * This is the 100 TB shape of a broad DELETE: a file's positions
     * stream through one executor task without materializing. */
   def encodeStreaming(indexes: Iterator[Long]): (Array[Byte], Long) = {
-    val bitmaps = mutable.ArrayBuffer.empty[RoaringBitmap]
+    val buckets = mutable.SortedMap.empty[Long, RoaringBitmap]
     indexes.foreach { ix =>
-      val key = (ix >>> 32).toInt
-      while (bitmaps.length <= key) bitmaps += new RoaringBitmap()
-      bitmaps(key).add((ix & 0xffffffffL).toInt)
+      val key = ix >>> 32
+      buckets.getOrElseUpdate(key, new RoaringBitmap())
+        .add((ix & 0xffffffffL).toInt)
     }
-    bitmaps.foreach(_.runOptimize())
-    val card = bitmaps.iterator.map(_.getLongCardinality).sum
-    (serializeBitmaps(bitmaps.toSeq), card)
+    buckets.values.foreach(_.runOptimize())
+    val card = buckets.valuesIterator.map(_.getLongCardinality).sum
+    (serializeBitmaps(buckets.toSeq), card)
   }
 
-  private def serializeBitmaps(bitmaps: Seq[RoaringBitmap]): Array[Byte] = {
+  private def serializeBitmaps(
+      bitmaps: Seq[(Long, RoaringBitmap)]): Array[Byte] = {
+    val nonEmpty = bitmaps.filter(_._2.getCardinality > 0)
     val header = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
     header.putInt(MagicNumber)
-    header.putLong(bitmaps.size.toLong)
+    header.putLong(nonEmpty.size.toLong)
     val bos = new ByteArrayOutputStream()
     bos.write(header.array())
     val dos = new DataOutputStream(bos)
-    bitmaps.foreach(_.serialize(dos))
+    nonEmpty.foreach { case (key, rb) =>
+      dos.writeInt(Integer.reverseBytes(key.toInt))
+      rb.serialize(dos)
+    }
     dos.flush()
     bos.toByteArray
   }

@@ -81,6 +81,40 @@ class DeltaProtocolSpec extends AnyFunSuite {
     assert(decoded.toSeq == indexes.sorted)
   }
 
+  test("portable bitmap bytes conform to the official 64-bit portable format") {
+    // The protocol's DV payload is the magic number followed by the
+    // RoaringFormatSpec 64-bit portable serialization — the format
+    // Roaring64NavigableMap implements. Cross-decode both directions
+    // against that INDEPENDENT implementation so our bytes are the
+    // bytes a real delta-rs / Iceberg-v3 reader parses, not merely
+    // self-consistent. Sparse buckets (0 and 3) prove keys are written,
+    // not dense positions.
+    import org.roaringbitmap.longlong.Roaring64NavigableMap
+    val indexes = Seq(0L, 5L, 1000L, (3L << 32) + 1L, (3L << 32) + 99L)
+    val ours = DeltaDeletionVectors.encodeBitmapArray(indexes)
+    // theirs -> ours
+    val rm = new Roaring64NavigableMap()
+    indexes.foreach(rm.addLong)
+    rm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    rm.serializePortable(new java.io.DataOutputStream(bos))
+    val theirs = bos.toByteArray
+    assert(ours.drop(4).toSeq == theirs.toSeq,
+      "our vector bytes != Roaring64NavigableMap portable bytes")
+    // ours -> theirs
+    val rm2 = new Roaring64NavigableMap()
+    rm2.deserializePortable(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(ours.drop(4))))
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    rm2.forEach(new org.roaringbitmap.longlong.LongConsumer {
+      override def accept(v: Long): Unit = got += v
+    })
+    assert(got.toSeq == indexes.sorted)
+    // magic prefix pinned byte-for-byte (0x643 9D3D1 little-endian)
+    assert(ours.take(4).toSeq ==
+      Seq[Byte](0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte))
+  }
+
   test("deletion vectors: sidecar and inline DVs drop exactly the flagged rows") {
     val spark0 = spark
     import spark0.implicits._

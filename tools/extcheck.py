@@ -110,18 +110,29 @@ def _read_roaring32(buf: bytes, off: int):
     return values, off
 
 
-def roaring64_array_decode(buf: bytes):
-    """Delta's portable 64-bit RoaringBitmapArray: int32-LE magic
-    1681511377, int64-LE bitmap count, then each 32-bit portable bitmap;
-    bitmap i covers [i*2^32, (i+1)*2^32)."""
-    (magic,) = struct.unpack_from("<i", buf, 0)
-    assert magic == 1681511377, f"bad DV magic {magic}"
-    (count,) = struct.unpack_from("<q", buf, 4)
-    off = 12
+def roaring64_array_decode(buf: bytes, off: int = 0, magic: bool = True):
+    """Portable 64-bit RoaringBitmapArray (delta PROTOCOL.md "Deletion
+    Vector Format"; identical to the RoaringFormatSpec 64-bit portable
+    extension with a magic prefix, and to Iceberg v3's deletion-vector
+    blob payload): int32-LE magic 1681511377, int64-LE count of NON-EMPTY
+    32-bit buckets, then per bucket an int32-LE key (high 32 bits)
+    followed by that bucket's standard portable 32-bit serialization,
+    keys strictly increasing."""
+    if magic:
+        (m,) = struct.unpack_from("<i", buf, off)
+        assert m == 1681511377, f"bad DV magic {m}"
+        off += 4
+    (count,) = struct.unpack_from("<q", buf, off)
+    off += 8
     out = []
-    for i in range(count):
+    last_key = -1
+    for _ in range(count):
+        (key,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        assert key > last_key, f"DV bucket keys not increasing ({last_key}->{key})"
+        last_key = key
         vals, off = _read_roaring32(buf, off)
-        out.extend((i << 32) | v for v in vals)
+        out.extend((key << 32) | v for v in vals)
     return set(out)
 
 
