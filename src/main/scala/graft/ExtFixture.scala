@@ -203,10 +203,28 @@ object ExtFixture {
     IcebergWriter.write(se2, s"$outDir/iceberg_specevo")
     expected("iceberg_specevo", se1.unionByName(se2))
 
+    // -- iceberg_v3dv: format-version 3 deletion vectors — two stacked
+    // DELETEs, the second SUPERSEDING the first file-by-file (union in
+    // one puffin blob per file). The external reader must locate each
+    // DV by the manifest triple (referenced_data_file/content_offset/
+    // content_size_in_bytes), verify the blob framing + CRC, and decode
+    // the keyed portable bitmap — the v3 read path end-to-end.
+    val v3 = (1L to 60L).map(i => (i, s"p-$i", (i % 3).toInt))
+      .toDF("id", "payload", "grp")
+    IcebergWriter.createEmpty(spark, s"$outDir/iceberg_v3dv", v3.schema,
+      formatVersion = 3)
+    IcebergWriter.write(v3.coalesce(2), s"$outDir/iceberg_v3dv")
+    IcebergWriter.deleteWhere(spark, s"$outDir/iceberg_v3dv",
+      col("id") % 10 === 0)
+    IcebergWriter.deleteWhere(spark, s"$outDir/iceberg_v3dv",
+      col("id") % 7 === 0)
+    expected("iceberg_v3dv",
+      v3.where(col("id") % 10 =!= 0 && col("id") % 7 =!= 0))
+
     Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_conv_src",
       "delta_dv", "delta_merge", "delta_rename", "delta_v2ckpt",
       "iceberg_basic", "iceberg_converted", "iceberg_posdel",
       "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
-      "iceberg_specevo")
+      "iceberg_specevo", "iceberg_v3dv")
   }
 }

@@ -113,6 +113,7 @@ object SparkEntry {
     "fmt_iceberg_roundtrip" -> (TableRoundtrips.icebergMergeRoundtrip _),
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
     "fmt_iceberg_pos_delete" -> (TableRoundtrips.icebergPosDeleteRoundtrip _),
+    "fmt_iceberg_v3_dv"     -> (TableRoundtrips.icebergV3DvRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
@@ -128,6 +129,7 @@ object SparkEntry {
     "vec_label_stats"     -> (Vectors.labelStats _),
     "vec_knn_lsh"         -> (Vectors.knnLsh _),
     "vec_near_dup"        -> (Vectors.embeddingNearDup _),
+    "vec_semdedup"        -> ((s: SparkSession, d: String) => Vectors.semDedup(s, d)),
     "vec_ivf_search"      -> ((s: SparkSession, d: String) => Vectors.ivfSearch(s, d)),
     // PQ ANN: ADC over 8-byte codes + exact rerank — k-means codebooks
     // are not SQL-expressible, so this carries no DuckDB oracle (driver
@@ -272,6 +274,7 @@ object SparkEntry {
     "fmt_iceberg_roundtrip" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
     "fmt_iceberg_pos_delete" -> TableRoundtrips.icebergPosDeleteOracle,
+    "fmt_iceberg_v3_dv"     -> TableRoundtrips.icebergV3DvOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     // compaction is result-INVARIANT: the oracles are the pre-compaction
     // states — any lost/resurrected row hash-mismatches
@@ -289,6 +292,7 @@ object SparkEntry {
     "vec_knn_lsh"         -> Vectors.knnLshOracle,
     "vec_ivf_search"      -> Vectors.ivfSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
+    "vec_semdedup"        -> Vectors.semDedupOracle,
     "graph_two_hop"       -> Graph.twoHopOracle,
     "graph_motif"         -> Graph.motifOracle,
     "graph_flatten_props" -> Graph.flattenPropsOracle,

@@ -231,6 +231,15 @@ object DeltaDeletionVectors {
     (serializeBitmaps(buckets.toSeq), card)
   }
 
+  /** Serialize pre-built (bucket key → 32-bit bitmap) pairs, increasing
+    * key order — the executor-side encode when positions were already
+    * accumulated into buckets (the Iceberg DV delete job). */
+  def encodeBuckets(buckets: Seq[(Long, RoaringBitmap)]): (Array[Byte], Long) = {
+    buckets.foreach(_._2.runOptimize())
+    val card = buckets.iterator.map(_._2.getLongCardinality).sum
+    (serializeBitmaps(buckets), card)
+  }
+
   private def serializeBitmaps(
       bitmaps: Seq[(Long, RoaringBitmap)]): Array[Byte] = {
     val nonEmpty = bitmaps.filter(_._2.getCardinality > 0)

@@ -34,7 +34,7 @@ final class UnsupportedIcebergFeatureException(msg: String)
   * as real columns, so the read is a plain distributed parquet scan over
   * the active file list; manifest partition values serve pruning.
   *
-  * Format-version gating: format-version 1 and 2 are read; anything newer
+  * Format-version gating: format-versions 1-3 are read; anything newer
   * raises [[UnsupportedIcebergFeatureException]]. v2 manifests are split
   * by the manifest-list `content` field: data manifests (0) replay as
   * active files, delete manifests (1) are collected and applied —
@@ -44,6 +44,17 @@ final class UnsupportedIcebergFeatureException(msg: String)
   * data-file paths, so applying every live delete file to the active set
   * is safe without sequence-number ordering: a rewritten (compacted) data
   * file has a new path that old deletes cannot match.
+  *
+  * v3 (spec "Deletion Vectors" + "Row Lineage"): content=1 entries in
+  * PUFFIN format are deletion vectors — one blob per referenced data
+  * file, located by the manifest entry's `referenced_data_file` /
+  * `content_offset` / `content_size_in_bytes` (field-ids 143/144/145),
+  * decoded on executors ([[Puffin.readDv]]) into the same position
+  * anti-join. Row lineage resolves each data file's effective
+  * `first_row_id` (142) — explicit, or inherited from the manifest
+  * list's `first_row_id` (520) by the spec's record-count walk — and
+  * [[readWithLineage]] exposes `_row_id` /
+  * `_last_updated_sequence_number` as derived columns.
   *
   * Scale: metadata only on the driver (same cost every Iceberg reader
   * pays); the data scan is distributed. Avro manifests are streamed, not
@@ -57,7 +68,18 @@ object IcebergReader {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       nullCounts: Map[Int, Long] = Map.empty,
-      specId: Int = 0)
+      specId: Int = 0,
+      fileFormat: String = "PARQUET",
+      // v3 deletion-vector fields (spec data_file field-ids 143/144/145):
+      // the data file this puffin DV applies to, and the blob's byte range
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeBytes: Option[Long] = None,
+      // v3 row lineage (field-id 142): first _row_id of this data file —
+      // EFFECTIVE value (explicit, or assigned by the spec's inheritance
+      // walk from the manifest list's first_row_id); None when the table
+      // predates lineage
+      firstRowId: Option[Long] = None)
 
   final case class Snapshot(
       snapshotId: Long,
@@ -70,7 +92,11 @@ object IcebergReader {
       equalityDeleteFiles: Seq[DataFileEntry] = Nil,
       fieldIdToName: Map[Int, String] = Map.empty,
       properties: Map[String, String] = Map.empty,
-      defaultSpecId: Int = 0)
+      defaultSpecId: Int = 0,
+      // v3 deletion vectors (puffin blobs, content=1 file_format=PUFFIN);
+      // a separate collection so every pos-delete-parquet consumer stays
+      // explicit about whether it handles them
+      dvFiles: Seq[DataFileEntry] = Nil)
 
   private val mapper = new ObjectMapper()
   private val MetadataFile = """v(\d+)\.metadata\.json""".r
@@ -158,10 +184,11 @@ object IcebergReader {
       case "files" =>
         val snap = snapshot(spark, tablePath)
         def rows(fs: Seq[DataFileEntry], content: Int) = fs.map(f =>
-          (content, f.path, "PARQUET", f.specId, f.recordCount,
+          (content, f.path, f.fileFormat, f.specId, f.recordCount,
             f.sizeBytes, f.partition.map { case (k, v) =>
               k -> Option(v).map(_.toString).orNull }))
         (rows(snap.files, 0) ++ rows(snap.deleteFiles, 1) ++
+          rows(snap.dvFiles, 1) ++
           rows(snap.equalityDeleteFiles, 2))
           .toDF("content", "file_path", "file_format", "spec_id",
             "record_count", "file_size_in_bytes", "partition")
@@ -217,6 +244,11 @@ object IcebergReader {
   /** Declared schema + identity partition columns straight from the
     * current metadata — valid even for a freshly-created table with no
     * snapshot yet (S3 Tables `create_table` makes those). */
+  /** The table's current format-version (1-3). */
+  def formatVersion(spark: SparkSession, tablePath: String): Int =
+    Option(currentMetadata(spark, tablePath).get("format-version"))
+      .map(_.asInt).getOrElse(1)
+
   def tableInfo(spark: SparkSession,
       tablePath: String): (StructType, Seq[String]) = {
     val meta = currentMetadata(spark, tablePath)
@@ -285,6 +317,11 @@ object IcebergReader {
     val active = mutable.LinkedHashMap.empty[String, DataFileEntry]
     val posDeletes = mutable.LinkedHashMap.empty[String, DataFileEntry]
     val eqDeletes = mutable.LinkedHashMap.empty[String, DataFileEntry]
+    val dvs = mutable.LinkedHashMap.empty[String, DataFileEntry]
+    def longIn(v: Any): Option[Long] = Option(v).collect {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+    }
     readAvro(spark, manifestList).foreach { m =>
       val mContent = intOf(fieldOpt(m, "content").orNull).getOrElse(0)
       // v2 sequence numbers: entries inherit the manifest's unless they
@@ -298,6 +335,12 @@ object IcebergReader {
       // after partition-spec evolution, files prune under THEIR spec
       val mSpecId = intOf(fieldOpt(m, "partition_spec_id").orNull)
         .getOrElse(0)
+      // v3 row lineage: the manifest list's first_row_id (field-id 520)
+      // seeds the spec's inheritance walk — data files without an
+      // explicit first_row_id (142) are assigned running values in
+      // entry order, advancing by record_count
+      val mFirstRowId = fieldOpt(m, "first_row_id").flatMap(longIn)
+      var rowIdCursor = mFirstRowId
       readAvro(spark, resolve(root, m.get("manifest_path").toString))
         .foreach { entry =>
           val status = entry.get("status").asInstanceOf[Int]
@@ -321,19 +364,47 @@ object IcebergReader {
               }
               case _ => Nil
             }.getOrElse(Nil)
+          val fmt = fieldOpt(df, "file_format").map(_.toString)
+            .getOrElse("PARQUET").toUpperCase
+          val refFile = fieldOpt(df, "referenced_data_file")
+            .flatMap(Option(_)).map(v => resolve(root, v.toString).toString)
+          // explicit first_row_id wins; otherwise inherit from the
+          // manifest's cursor (data files only), advancing it either way
+          val explicitFri = fieldOpt(df, "first_row_id").flatMap(longIn)
+          val fileContent = intOf(fieldOpt(df, "content").orNull)
+            .getOrElse(if (mContent == 1) 1 else 0)
+          // spec assignment rule: within a manifest, a null first_row_id
+          // is assigned the manifest's first_row_id plus the record
+          // counts of all PREVIOUS null-first_row_id data files —
+          // explicit entries keep their value and do not consume range
+          val fri =
+            if (fileContent != 0) None
+            else explicitFri.orElse {
+              val assigned = rowIdCursor
+              rowIdCursor = rowIdCursor.map(_ + longOf("record_count"))
+              assigned
+            }
           def fileEntry = DataFileEntry(path, partitionMap(df),
             longOf("record_count"), longOf("file_size_in_bytes"),
             entrySeq, eqIds,
             boundsMap(df, "lower_bounds"), boundsMap(df, "upper_bounds"),
-            countsMap(df, "null_value_counts"), mSpecId)
+            countsMap(df, "null_value_counts"), mSpecId,
+            fmt, refFile,
+            fieldOpt(df, "content_offset").flatMap(longIn),
+            fieldOpt(df, "content_size_in_bytes").flatMap(longIn),
+            fri)
           // v2 content: manifest-list distinguishes data (0) from delete
           // (1) manifests; inside a delete manifest the data_file content
-          // tells position (1) from equality (2) deletes
-          val fileContent = intOf(fieldOpt(df, "content").orNull)
-            .getOrElse(if (mContent == 1) 1 else 0)
+          // tells position (1) from equality (2) deletes. A content=1
+          // entry in PUFFIN format (v3) is a deletion vector — one blob
+          // per referenced data file, keyed by its blob range.
           fileContent match {
             case 0 =>
               if (status == 2) active.remove(path) else active(path) = fileEntry
+            case 1 if fmt == "PUFFIN" || refFile.isDefined =>
+              val key = s"$path#${fieldOpt(df, "content_offset")
+                .flatMap(longIn).getOrElse(0L)}"
+              if (status == 2) dvs.remove(key) else dvs(key) = fileEntry
             case 1 =>
               if (status == 2) posDeletes.remove(path)
               else posDeletes(path) = fileEntry
@@ -352,7 +423,8 @@ object IcebergReader {
         .map(_.asText).getOrElse("unknown"),
       schema, partCols, active.values.toSeq, posDeletes.values.toSeq,
       eqDeletes.values.toSeq, idToName, metaProperties(meta),
-      Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0))
+      Option(meta.get("default-spec-id")).map(_.asInt).getOrElse(0),
+      dvFiles = dvs.values.toSeq)
   }
 
   private def metaProperties(meta: JsonNode): Map[String, String] =
@@ -400,7 +472,8 @@ object IcebergReader {
           if (snap.files.isEmpty)
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-          else if (snap.deleteFiles.isEmpty && snap.equalityDeleteFiles.isEmpty)
+          else if (snap.deleteFiles.isEmpty && snap.dvFiles.isEmpty &&
+              snap.equalityDeleteFiles.isEmpty)
             dataScan(spark, snap)
               .select(snap.schema.fieldNames.map(col).toSeq: _*)
           else applyDeletes(spark, snap)
@@ -435,7 +508,8 @@ object IcebergReader {
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               snap.schema)
-          else if (snap.deleteFiles.isEmpty && snap.equalityDeleteFiles.isEmpty)
+          else if (snap.deleteFiles.isEmpty && snap.dvFiles.isEmpty &&
+              snap.equalityDeleteFiles.isEmpty)
             dataScan(spark, snap)
               .select(snap.schema.fieldNames.map(col).toSeq: _*)
           else applyDeletes(spark, snap)
@@ -564,10 +638,19 @@ object IcebergReader {
     // would not resolve through the union a name-mapped scan builds
     var data = dataScan(spark, snap, withMeta = true)
       .withColumn("__file", normalizePath(col("__file")))
-    if (snap.deleteFiles.nonEmpty) {
-      val dels = spark.read.parquet(snap.deleteFiles.map(_.path): _*)
-        .select(normalizePath(col("file_path")).as("__file"),
-          col("pos").cast(LongType).as("__pos"))
+    if (snap.deleteFiles.nonEmpty || snap.dvFiles.nonEmpty) {
+      val posDels =
+        if (snap.deleteFiles.isEmpty) None
+        else Some(spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+          .select(normalizePath(col("file_path")).as("__file"),
+            col("pos").cast(LongType).as("__pos")))
+      // v3 deletion vectors: each puffin blob expands to its referenced
+      // file's deleted positions ON EXECUTORS (the driver holds only the
+      // blob descriptors) and joins through the same anti-join
+      val dvDels =
+        if (snap.dvFiles.isEmpty) None
+        else Some(dvPositions(spark, snap.dvFiles))
+      val dels = (posDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
       data = data
         .join(dels, Seq("__file", "__pos"), "left_anti")
     }
@@ -607,6 +690,87 @@ object IcebergReader {
     }
     data.select(snap.schema.fieldNames.map(col).toSeq: _*)
   }
+
+  /** Deleted (file, position) pairs of the snapshot's deletion vectors:
+    * the blob descriptor list (manifest-scale) parallelizes, each task
+    * range-reads its puffin blobs and expands the bitmaps — positions
+    * never materialize on the driver. */
+  private[io] def dvPositions(spark: SparkSession,
+      dvFiles: Seq[DataFileEntry]): DataFrame = {
+    import spark.implicits._
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val descs = dvFiles.map(f => (f.path,
+      f.referencedDataFile.getOrElse(throw new UnsupportedIcebergFeatureException(
+        s"puffin delete file ${f.path} lacks referenced_data_file")),
+      f.contentOffset.getOrElse(throw new UnsupportedIcebergFeatureException(
+        s"puffin delete file ${f.path} lacks content_offset")),
+      f.contentSizeBytes.getOrElse(throw new UnsupportedIcebergFeatureException(
+        s"puffin delete file ${f.path} lacks content_size_in_bytes"))))
+    spark.createDataset(descs)
+      .repartition(math.min(descs.size, 32))
+      .flatMap { case (puffin, refFile, off, len) =>
+        Puffin.readDv(confBc.value.value, new Path(puffin), off, len)
+          .iterator.map(pos => (refFile, pos))
+      }
+      .toDF("__file", "__pos")
+      .withColumn("__file", normalizePath(col("__file")))
+  }
+
+  /** The snapshot with the v3 ROW-LINEAGE metadata columns attached:
+    * `_row_id` = the file's effective `first_row_id` + the row's
+    * position, `_last_updated_sequence_number` = the file's data
+    * sequence number (spec "Row Lineage" — null-lineage files, e.g.
+    * written before an upgrade's manifest-list re-stamp, surface null).
+    * Stable row identity across engines and re-reads — the property a
+    * training-data pipeline keys provenance and incremental annotation
+    * on. The (file → first_row_id, seq) manifest is metadata-scale and
+    * broadcast; the scan stays one distributed pass. */
+  def readWithLineage(spark: SparkSession, tablePath: String,
+      asOfSnapshotId: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, asOfSnapshotId)
+    val lineage = {
+      import spark.implicits._
+      snap.files.map(f => (normPathStr(f.path),
+          f.firstRowId.map(java.lang.Long.valueOf).orNull,
+          f.sequenceNumber))
+        .toDF("__file", "__fri", "__seq2")
+    }
+    val data = applyDeletes0(spark, snap)
+    data
+      .join(broadcast(lineage), Seq("__file"), "left")
+      .withColumn("_row_id", col("__fri") + col("__pos"))
+      .withColumn("_last_updated_sequence_number", col("__seq2"))
+      .select((snap.schema.fieldNames.map(col) :+ col("_row_id") :+
+        col("_last_updated_sequence_number")).toSeq: _*)
+  }
+
+  /** [[applyDeletes]] without the final projection — `__file`/`__pos`
+    * kept for lineage derivation. */
+  private def applyDeletes0(spark: SparkSession,
+      snap: Snapshot): DataFrame = {
+    var data = dataScan(spark, snap, withMeta = true)
+      .withColumn("__file", normalizePath(col("__file")))
+    if (snap.deleteFiles.nonEmpty || snap.dvFiles.nonEmpty) {
+      val posDels =
+        if (snap.deleteFiles.isEmpty) None
+        else Some(spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+          .select(normalizePath(col("file_path")).as("__file"),
+            col("pos").cast(LongType).as("__pos")))
+      val dvDels =
+        if (snap.dvFiles.isEmpty) None
+        else Some(dvPositions(spark, snap.dvFiles))
+      val dels = (posDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
+      data = data.join(dels, Seq("__file", "__pos"), "left_anti")
+    }
+    require(snap.equalityDeleteFiles.isEmpty,
+      "lineage read over live equality deletes not supported; compact first")
+    data
+  }
+
+  private[io] def normPathStr(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Scan the snapshot's data files. When the files carry parquet
     * field-ids (the Iceberg spec requires native writers to embed them),
@@ -1022,9 +1186,9 @@ object IcebergReader {
       .getOrElse(throw new IllegalStateException(
         s"no parseable vN.metadata.json under $metaDir"))
     val fv = Option(node.get("format-version")).map(_.asInt).getOrElse(1)
-    if (fv > 2)
+    if (fv > 3)
       throw new UnsupportedIcebergFeatureException(
-        s"$tablePath is Iceberg format-version $fv; this reader supports 1 and 2")
+        s"$tablePath is Iceberg format-version $fv; this reader supports 1-3")
     node
   }
 

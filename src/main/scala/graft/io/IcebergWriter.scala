@@ -53,7 +53,16 @@ object IcebergWriter {
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       equalityIds: Seq[Int] = Nil,
-      nullCounts: Map[Int, Long] = Map.empty)
+      nullCounts: Map[Int, Long] = Map.empty,
+      fileFormat: String = "PARQUET",
+      // v3 deletion-vector triple (spec field-ids 143/144/145)
+      referencedDataFile: Option[String] = None,
+      contentOffset: Option[Long] = None,
+      contentSizeBytes: Option[Long] = None,
+      // v3 row lineage: explicit first_row_id for EXISTING carried files
+      // (ADDED files are assigned by the commit); None = let the commit
+      // assign (adds) or leave null (pre-lineage files)
+      firstRowId: Option[Long] = None)
 
   /** `to_iceberg(df, path, mode=…)` in the real format. `partitionBy`
     * entries are transform specs: a bare column name (identity),
@@ -133,9 +142,12 @@ object IcebergWriter {
     * and partition spec in v1.metadata.json, no snapshot. The first
     * append commits against the declaration (schema-checked). */
   def createEmpty(spark: SparkSession, tablePath: String,
-      schema: StructType, partitionBy: Seq[String] = Nil): Unit = {
+      schema: StructType, partitionBy: Seq[String] = Nil,
+      formatVersion: Int = 1): Unit = {
     require(!IcebergReader.isIcebergTable(spark, tablePath),
       s"Iceberg table already exists at $tablePath")
+    require(formatVersion >= 1 && formatVersion <= 3,
+      s"unsupported format-version $formatVersion")
     val partFields = partitionBy.map(IcebergTransforms.parse)
     partFields.foreach(f => require(schema.fieldNames.contains(f.source),
       s"partition source column ${f.source} not in schema"))
@@ -144,7 +156,7 @@ object IcebergWriter {
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
     val node = emptyMetadataJson(fs.makeQualified(root).toString, schema,
-      partFields, System.currentTimeMillis())
+      partFields, System.currentTimeMillis(), formatVersion)
     if (!AtomicWrite.claim(fs, new Path(metaDir, "v1.metadata.json"),
         mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node)))
       throw new java.io.IOException(
@@ -253,14 +265,20 @@ object IcebergWriter {
 
   /** Normalized data-file paths any live position-delete file targets —
     * a distributed scan of the (small) delete files, one distinct path
-    * per row back to the driver (manifest-scale). */
+    * per row back to the driver (manifest-scale). v3 deletion vectors
+    * name their target in the MANIFEST (`referenced_data_file`), so
+    * their contribution costs no scan at all. */
   private def deleteTargetPaths(spark: SparkSession,
-      snap: IcebergReader.Snapshot): Set[String] =
-    if (snap.deleteFiles.isEmpty) Set.empty
-    else spark.read.parquet(snap.deleteFiles.map(_.path): _*)
-      .select(regexp_replace(col("file_path"),
-        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("f"))
-      .distinct().collect().map(_.getString(0)).toSet
+      snap: IcebergReader.Snapshot): Set[String] = {
+    val fromParquet =
+      if (snap.deleteFiles.isEmpty) Set.empty[String]
+      else spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+        .select(regexp_replace(col("file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as("f"))
+        .distinct().collect().map(_.getString(0)).toSet
+    fromParquet ++
+      snap.dvFiles.flatMap(_.referencedDataFile).map(normPath)
+  }
 
   /** Scan of `files` with the snapshot's position deletes applied (the
     * reader's anti-join, restricted to the touched subset). */
@@ -269,7 +287,7 @@ object IcebergWriter {
       files: Seq[IcebergReader.DataFileEntry]): DataFrame = {
     val sub = snap.copy(files = files, equalityDeleteFiles = Nil)
     val scan =
-      if (snap.deleteFiles.isEmpty)
+      if (snap.deleteFiles.isEmpty && snap.dvFiles.isEmpty)
         IcebergReader.dataScan(spark, sub)
       else IcebergReader.applyDeletes(spark, sub)
     scan.select(snap.schema.fieldNames.map(col).toSeq: _*)
@@ -389,6 +407,11 @@ object IcebergWriter {
     val snap = snapOpt.get
     checkNoEqualityDeletes(snap, tablePath, "delete_where")
     if (snap.files.isEmpty) return Committed(snap.snapshotId, -1L, 0)
+    // a v3 table deletes through DELETION VECTORS (position-delete FILES
+    // must not be added to v3 tables, per spec)
+    if (IcebergReader.formatVersion(spark, tablePath) >= 3)
+      return deleteWhereDvOnce(spark, tablePath, predicate, snap,
+        requireMatches = true)
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pfields = IcebergReader.partitionFields(spark, tablePath)
@@ -436,6 +459,189 @@ object IcebergWriter {
         operation = "delete", carryCurrentManifests = true,
         expectedParent = Some(snap.snapshotId), deleteAdds = delFiles)
     } finally fs.delete(staging, true)
+  }
+
+  /** v3 `DELETE FROM … WHERE` via DELETION VECTORS (iceberg spec
+    * "Deletion Vectors"): matched positions are UNIONED with every
+    * previously deleted position (prior DVs and any pre-upgrade
+    * position-delete parquet) and re-encoded as one puffin DV blob per
+    * touched data file — preserving the v3 invariant of AT MOST ONE DV
+    * per data file, with each new DV superseding the old. The commit
+    * appends one delete manifest of DV entries
+    * (`referenced_data_file`/`content_offset`/`content_size_in_bytes`,
+    * field-ids 143/144/145), carries data and equality-delete manifests,
+    * and DROPS replaced positional delete manifests.
+    *
+    * Scale shape: only (file, position) pairs shuffle (hash-partitioned
+    * by file); each task encodes its files' bitmaps and writes ONE
+    * puffin with one blob per file; the driver receives blob descriptors
+    * only. Delete cost is O(matched + previously deleted), never
+    * O(table). */
+  private def deleteWhereDvOnce(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      snap: IcebergReader.Snapshot,
+      requireMatches: Boolean): Committed = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    val strip = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+    val matched = IcebergReader.dataScan(spark, snap, withMeta = true)
+      .filter(predicate)
+      .select(strip(col("__file")).as("f"),
+        col("__pos").cast("long").as("p"))
+    val priorParquet =
+      if (snap.deleteFiles.isEmpty) None
+      else Some(spark.read.parquet(snap.deleteFiles.map(_.path): _*)
+        .select(strip(col("file_path")).as("f"),
+          col("pos").cast("long").as("p")))
+    val priorDvs =
+      if (snap.dvFiles.isEmpty) None
+      else Some(IcebergReader.dvPositions(spark, snap.dvFiles)
+        .select(col("__file").as("f"), col("__pos").as("p")))
+    val all = (Seq(matched) ++ priorParquet ++ priorDvs)
+      .reduce(_ unionByName _)
+    // the predicted snapshot identity, stamped into the puffin blob
+    // metadata; a concurrent commit invalidates it and the claim loop's
+    // expectedParent check forces a full re-resolution
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val predictedSeq = {
+      val metaDir = new Path(root, "metadata")
+      logState(fs, metaDir)._2.flatMap(p =>
+        Option(p._2.get("last-sequence-number")).map(_.asLong))
+        .getOrElse(0L) + 1
+    }
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val dataDir = fs.makeQualified(new Path(root, "data")).toString
+    fs.mkdirs(new Path(root, "data"))
+    import spark.implicits._
+    val blobs = all
+      .repartition(col("f")).sortWithinPartitions(col("f"), col("p"))
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val dvs = mutable.ArrayBuffer.empty[Puffin.DvBlob]
+          var curFile: String = null
+          var buckets = mutable.SortedMap.empty[Long, org.roaringbitmap.RoaringBitmap]
+          def finish(): Unit = if (curFile != null) {
+            val (bytes, card) =
+              DeltaDeletionVectors.encodeBuckets(buckets.toSeq)
+            dvs += Puffin.DvBlob(curFile, bytes, card)
+          }
+          it.foreach { row =>
+            val f = row.getString(0)
+            if (f != curFile) {
+              finish()
+              curFile = f
+              buckets = mutable.SortedMap.empty
+            }
+            val pos = row.getLong(1)
+            buckets.getOrElseUpdate(pos >>> 32,
+              new org.roaringbitmap.RoaringBitmap())
+              .add((pos & 0xffffffffL).toInt)
+          }
+          finish()
+          if (dvs.isEmpty) Iterator.empty
+          else {
+            val p = new Path(dataDir,
+              s"dv-${UUID.randomUUID()}.puffin")
+            val located = Puffin.writeDvFile(confBc.value.value, p,
+              dvs.toSeq, snapshotId, predictedSeq)
+            val size = p.getFileSystem(confBc.value.value)
+              .getFileStatus(p).getLen
+            val cardOf = dvs.map(d => d.referencedDataFile -> d.cardinality).toMap
+            located.iterator.map { case (ref, off, len) =>
+              (ref, p.toString, off, len, cardOf(ref), size)
+            }
+          }
+        }
+      }.collect()
+    if (blobs.isEmpty)
+      return Committed(snap.snapshotId, -1L, 0)
+    if (requireMatches) {
+      // pure no-op only when nothing NEW matched and nothing converts:
+      // identical DV state re-encoded would churn a snapshot
+      val priorDeleted = snap.dvFiles.map(_.recordCount).sum +
+        snap.deleteFiles.map(_.recordCount).sum
+      val nowDeleted = blobs.map(_._5).sum
+      if (nowDeleted == priorDeleted && snap.deleteFiles.isEmpty) {
+        blobs.map(_._2).distinct.foreach(p => fs.delete(new Path(p), false))
+        return Committed(snap.snapshotId, -1L, 0)
+      }
+    }
+    val partOf: Map[String, Map[String, Option[String]]] =
+      snap.files.map(f => normPath(f.path) ->
+        f.partition.map { case (k, v) => k -> Option(v).map(_.toString) })
+        .toMap
+    val dvInfos = blobs.toSeq.map { case (ref, puffin, off, len, card, size) =>
+      FileInfo(puffin, partOf.getOrElse(ref, Map.empty), size, card,
+        fileFormat = "PUFFIN", referencedDataFile = Some(ref),
+        contentOffset = Some(off), contentSizeBytes = Some(len))
+    }
+    try commit(spark, tablePath, snap.schema, pfields, adds = Nil, kept = Nil,
+      operation = "delete", carryCurrentManifests = true,
+      expectedParent = Some(snap.snapshotId), deleteAdds = dvInfos,
+      snapshotIdOverride = Some(snapshotId), minFormatVersion = 3,
+      dropPosDeleteManifests = true)
+    catch {
+      case e: Throwable =>
+        // the commit never published: the staged puffins are orphans
+        blobs.map(_._2).distinct.foreach(p =>
+          try fs.delete(new Path(p), false) catch { case _: Exception => () })
+        throw e
+    }
+  }
+
+  /** Upgrade a table's format version (only 2→3 / 1→3 supported). v3
+    * requires positional delete state as DELETION VECTORS, so any
+    * existing position-delete parquet converts in the upgrade commit
+    * (one DV per targeted file); row lineage starts at
+    * `next-row-id = 0` and existing manifests are re-stamped with
+    * `first_row_id` lazily by the next commit's manifest-list rewrite
+    * (explicitly, so external readers need no out-of-band state). A
+    * v3 table keeps every v2 capability: equality-delete upserts,
+    * rewrites, branches, spec evolution. */
+  def setFormatVersion(spark: SparkSession, tablePath: String,
+      version: Int): Unit = {
+    require(version == 3,
+      s"only upgrading to format-version 3 is supported, not $version")
+    val fv = IcebergReader.formatVersion(spark, tablePath)
+    if (fv >= 3) return
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val snapOpt = IcebergReader.snapshotOpt(spark, tablePath)
+    snapOpt.filter(_.deleteFiles.nonEmpty) match {
+      case Some(snap) =>
+        // conversion commit: all pos-delete parquet positions re-encode
+        // as DVs; minFormatVersion=3 lifts the metadata in the same claim
+        deleteWhereDvOnce(spark, tablePath, lit(false), snap,
+          requireMatches = false)
+        ()
+      case None =>
+        // metadata-only bump: format-version 3 + row-lineage bookkeeping
+        var attempts = 0
+        while (attempts < 20) {
+          val (claimedMax, parsedOpt) = logState(fs, metaDir)
+          val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+            s"no parseable Iceberg metadata at $tablePath"))
+          val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+            .asInstanceOf[ObjectNode]
+          node.put("format-version", 3)
+          if (!node.has("next-row-id")) node.put("next-row-id", 0L)
+          node.put("last-updated-ms", System.currentTimeMillis())
+          val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+          if (AtomicWrite.claim(fs, targetPath,
+              mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+            writeHint(fs, metaDir, claimedMax + 1)
+            return
+          } else attempts += 1
+        }
+        throw new java.io.IOException(
+          s"could not claim the format-version upgrade at $tablePath")
+    }
   }
 
   /** `rewrite_data_files` — Iceberg's compaction: rewrite small files
@@ -498,7 +704,7 @@ object IcebergWriter {
     val pfields = IcebergReader.partitionFields(spark, tablePath)
     val sub = snap.copy(files = candidates)
     val rows =
-      if (snap.deleteFiles.isEmpty && !hasEq)
+      if (snap.deleteFiles.isEmpty && snap.dvFiles.isEmpty && !hasEq)
         IcebergReader.dataScan(spark, sub)
           .select(snap.schema.fieldNames.map(col).toSeq: _*)
       else IcebergReader.applyDeletes(spark, sub)
@@ -1377,7 +1583,8 @@ object IcebergWriter {
           val pp = new Path(p)
           lazy val q = pp.getFileSystem(conf).makeQualified(pp).toString
           val dataOrManifest =
-            (name.endsWith(".parquet") || name.endsWith(".avro")) &&
+            (name.endsWith(".parquet") || name.endsWith(".avro") ||
+              name.endsWith(".puffin")) &&
               !lv.contains(q)
           val staleMeta = name match {
             case MetaFile(v) => v.toLong < currentVersion
@@ -1396,7 +1603,13 @@ object IcebergWriter {
     FileInfo(f.path,
       f.partition.map { case (k, v) => k -> Option(v).map(_.toString) },
       f.sizeBytes, f.recordCount, f.lowerBounds, f.upperBounds,
-      nullCounts = f.nullCounts)
+      nullCounts = f.nullCounts, fileFormat = f.fileFormat,
+      referencedDataFile = f.referencedDataFile,
+      contentOffset = f.contentOffset,
+      contentSizeBytes = f.contentSizeBytes,
+      // EXISTING carried files keep their effective first_row_id
+      // explicitly (spec: carried entries must not be re-assigned)
+      firstRowId = f.firstRowId)
 
   /** Append must not silently drop or retype columns (the reference's
     * schema check, `s3/_s3_tables_iceberg.py:200-219`). */
@@ -1708,22 +1921,31 @@ object IcebergWriter {
       carryCurrentManifests: Boolean,
       expectedParent: Option[Long],
       deleteAdds: Seq[FileInfo] = Nil,
-      branch: Option[String] = None): Committed = {
+      branch: Option[String] = None,
+      snapshotIdOverride: Option[Long] = None,
+      minFormatVersion: Int = 1,
+      dropPosDeleteManifests: Boolean = false): Committed = {
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
-    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    val snapshotId = snapshotIdOverride.getOrElse(
+      math.abs(UUID.randomUUID().getMostSignificantBits))
     val now = System.currentTimeMillis()
 
     // one DATA manifest per commit (ADDED entries + carried EXISTING
-    // entries), plus — for position-delete commits — one DELETE manifest
-    // whose data_file entries carry content=1 (spec field-id 134)
-    val mSchema = manifestSchema(partFields.map(_.name),
-      withContent = deleteAdds.nonEmpty)
-    val dfSchema = mSchema.getField("data_file").schema()
-    val pSchema = dfSchema.getField("partition").schema()
-    def entry(f: FileInfo, status: Int, content: Int): GenericRecord = {
+    // entries), plus — for delete commits — one DELETE manifest whose
+    // data_file entries carry content=1/2 (spec field-id 134). The v3
+    // fields (first_row_id + the deletion-vector triple) join the
+    // schema only on v3 commits, keeping v1/v2 manifests byte-stable.
+    val hasDvAdds = deleteAdds.exists(_.fileFormat == "PUFFIN")
+    def buildSchema(v3: Boolean): org.apache.avro.Schema =
+      manifestSchema(partFields.map(_.name),
+        withContent = deleteAdds.nonEmpty, withV3Fields = v3 || hasDvAdds)
+    def entry(mSchema: org.apache.avro.Schema, f: FileInfo, status: Int,
+        content: Int, firstRowId: Option[Long]): GenericRecord = {
+      val dfSchema = mSchema.getField("data_file").schema()
+      val pSchema = dfSchema.getField("partition").schema()
       val part = new GenericData.Record(pSchema)
       partFields.foreach(pf =>
         part.put(pf.name, f.partitionValues.get(pf.name).flatten.orNull))
@@ -1739,10 +1961,19 @@ object IcebergWriter {
         dataFile.put("equality_ids", arr)
       }
       dataFile.put("file_path", f.path)
-      dataFile.put("file_format", "PARQUET")
+      dataFile.put("file_format", f.fileFormat)
       dataFile.put("partition", part)
       dataFile.put("record_count", f.recordCount)
       dataFile.put("file_size_in_bytes", f.size)
+      if (dfSchema.getField("first_row_id") != null)
+        dataFile.put("first_row_id", firstRowId.map(Long.box).orNull)
+      if (dfSchema.getField("referenced_data_file") != null) {
+        dataFile.put("referenced_data_file", f.referencedDataFile.orNull)
+        dataFile.put("content_offset",
+          f.contentOffset.map(Long.box).orNull)
+        dataFile.put("content_size_in_bytes",
+          f.contentSizeBytes.map(Long.box).orNull)
+      }
       def boundsArray(field: String,
           bounds: Map[Int, Array[Byte]]): Unit = {
         val sf = dfSchema.getField(field)
@@ -1801,39 +2032,64 @@ object IcebergWriter {
     // already-v2 table `format-version=1` would be legal but
     // inconsistent with the metadata/manifest-list for external readers
     val hasDataManifest = !(adds.isEmpty && kept.isEmpty && deleteAdds.nonEmpty)
-    lazy val dataEntries =
-      adds.map(entry(_, 1, 0)) ++ kept.map(entry(_, 0, 0))
-    var writtenDataKey: Option[(Int, Int)] = None
-    var dataManifestSlot: Option[(Path, Long)] = None
-    def dataManifest(fv: Int, specId: Int): Option[(Path, Long)] = {
-      if (hasDataManifest && !writtenDataKey.contains((fv, specId))) {
+    // v3 row lineage: ADDED files take [rowBase, …); kept EXISTING files
+    // without an explicit first_row_id (pre-lineage files carried into
+    // our manifest) are assigned after them — leaving them null would
+    // make the reader's inheritance walk overlap the adds' explicit ids.
+    // Returns the entries and the next unassigned row id.
+    def dataEntries(mSchema: org.apache.avro.Schema, v3: Boolean,
+        rowBase: Long): (Seq[GenericRecord], Long) = {
+      var cursor = rowBase
+      def assign(f: FileInfo, status: Int): GenericRecord =
+        if (!v3) entry(mSchema, f, status, 0, None)
+        else f.firstRowId match {
+          case Some(existing) => entry(mSchema, f, status, 0, Some(existing))
+          case None =>
+            val e = entry(mSchema, f, status, 0, Some(cursor))
+            cursor += f.recordCount
+            e
+        }
+      val es = adds.map(assign(_, 1)) ++ kept.map(assign(_, 0))
+      (es, cursor)
+    }
+    var writtenDataKey: Option[(Int, Int, Long)] = None
+    var dataManifestSlot: Option[(Path, Long, Long)] = None
+    def dataManifest(fv: Int, specId: Int,
+        rowBase: Long): Option[(Path, Long, Long)] = {
+      if (hasDataManifest && !writtenDataKey.contains((fv, specId, rowBase))) {
         val p = new Path(metaDir, s"$snapshotId-m0.avro")
         if (writtenDataKey.nonEmpty) fs.delete(p, false)
+        val mSchema = buildSchema(fv >= 3)
+        val (es, nextRow) = dataEntries(mSchema, fv >= 3, rowBase)
         dataManifestSlot =
-          Some(p -> writeAvro(fs, p, mSchema, dataEntries,
-            manifestMeta("data", fv, specId)))
-        writtenDataKey = Some((fv, specId))
+          Some((p, writeAvro(fs, p, mSchema, es,
+            manifestMeta("data", fv, specId)), nextRow))
+        writtenDataKey = Some((fv, specId, rowBase))
       }
       dataManifestSlot
     }
-    var writtenDelSpec: Option[Int] = None
+    var writtenDelKey: Option[(Int, Int)] = None
     var deleteManifestSlot: Option[(Path, Long)] = None
-    def deleteManifest(specId: Int): Option[(Path, Long)] = {
-      if (deleteAdds.nonEmpty && !writtenDelSpec.contains(specId)) {
+    def deleteManifest(fv: Int, specId: Int): Option[(Path, Long)] = {
+      if (deleteAdds.nonEmpty && !writtenDelKey.contains((fv, specId))) {
         val p = new Path(metaDir, s"$snapshotId-m1.avro")
-        if (writtenDelSpec.nonEmpty) fs.delete(p, false)
+        if (writtenDelKey.nonEmpty) fs.delete(p, false)
+        val mSchema = buildSchema(fv >= 3)
         deleteManifestSlot = Some(p -> writeAvro(fs, p, mSchema,
           deleteAdds.map(f =>
-            entry(f, 1, if (f.equalityIds.nonEmpty) 2 else 1)),
-          manifestMeta("deletes", 2, specId)))
-        writtenDelSpec = Some(specId)
+            entry(mSchema, f, 1,
+              if (f.equalityIds.nonEmpty) 2 else 1, None)),
+          manifestMeta("deletes", math.max(fv, 2), specId)))
+        writtenDelKey = Some((fv, specId))
       }
       deleteManifestSlot
     }
 
     val lSchema = manifestListSchema
     def listEntry(path: Path, len: Long, content: Int, seq: Option[Long],
-        nAdds: Int, nKept: Int, specId: Int): GenericRecord = {
+        nAdds: Int, nKept: Int, specId: Int,
+        addedRows: Long = 0L, keptRows: Long = 0L,
+        firstRowId: Option[Long] = None): GenericRecord = {
       val mf = new GenericData.Record(lSchema)
       mf.put("manifest_path", fs.makeQualified(path).toString)
       mf.put("manifest_length", len)
@@ -1845,7 +2101,31 @@ object IcebergWriter {
       mf.put("added_data_files_count", nAdds)
       mf.put("existing_data_files_count", nKept)
       mf.put("deleted_data_files_count", 0)
+      mf.put("added_rows_count", addedRows)
+      mf.put("existing_rows_count", keptRows)
+      mf.put("first_row_id", firstRowId.map(Long.box).orNull)
       mf
+    }
+    // does a carried content=1 manifest hold position-delete state (pos
+    // parquet or puffin DVs)? Read once per manifest, manifest-scale.
+    def holdsPositionDeletes(listRec: GenericRecord): Boolean = {
+      val entries = IcebergReader.readAvro(spark,
+        IcebergReader.resolve(root, listRec.get("manifest_path").toString))
+      val kinds = entries.map { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val hasEqIds = Option(df.getSchema.getField("equality_ids"))
+          .flatMap(_ => Option(df.get("equality_ids"))).exists {
+            case l: java.util.List[_] => !l.isEmpty
+            case _ => false
+          }
+        !hasEqIds // true = positional (pos parquet or DV)
+      }
+      if (kinds.contains(true) && kinds.contains(false))
+        throw new UnsupportedIcebergFeatureException(
+          s"mixed position/equality delete manifest " +
+            s"${listRec.get("manifest_path")} cannot be replaced by a " +
+            "deletion-vector commit")
+      kinds.contains(true)
     }
 
     // claim vN+1 with create-exclusive; manifest list is (re)built INSIDE
@@ -1861,14 +2141,23 @@ object IcebergWriter {
             s"table advanced past snapshot $p (now $cur); re-resolve")
       }
       // format-version and sequence numbers are PRESERVED: appending to a
-      // v2 table must not downgrade its metadata (external readers use
+      // v2/v3 table must not downgrade its metadata (external readers use
       // last-sequence-number to order deletes against data)
       val priorFv = parsed.flatMap(p =>
         Option(p._2.get("format-version")).map(_.asInt)).getOrElse(1)
-      val fv = if (needsV2 || priorFv >= 2) 2 else 1
+      val fv =
+        if (math.max(priorFv, minFormatVersion) >= 3) 3
+        else if (needsV2 || priorFv >= 2) 2
+        else 1
       val priorSeq = parsed.flatMap(p =>
         Option(p._2.get("last-sequence-number")).map(_.asLong)).getOrElse(0L)
       val seq = if (fv >= 2) Some(priorSeq + 1) else None
+      // v3 row lineage: this snapshot's first-row-id is the table's
+      // next-row-id; explicit ids are assigned to our adds (and to kept
+      // files lacking one), then to carried manifests missing a
+      // first_row_id (the post-upgrade lazy re-stamp)
+      val rowBase: Long = parsed.flatMap(p =>
+        Option(p._2.get("next-row-id")).map(_.asLong)).getOrElse(0L)
       // the spec-id OUR manifests are written under — resolved against
       // the freshly-claimed metadata so an evolution landing between
       // retries is observed; carried manifests keep their own spec-ids
@@ -1884,16 +2173,62 @@ object IcebergWriter {
             .map(_.get("snapshot-id").asLong)
         }
       }
-      val carried: Seq[GenericRecord] =
+      val carried0: Seq[GenericRecord] =
         if (!carryCurrentManifests) Nil
         else parsed.toSeq.flatMap { case (_, meta) =>
           currentManifestRecords(spark, fs, root, meta, branchHead)
             .map(reencode(lSchema, _))
         }
-      val ours = dataManifest(fv, specId).toSeq.map { case (p, len) =>
-        listEntry(p, len, 0, seq, adds.length, kept.length, specId)
-      } ++ deleteManifest(specId).toSeq.map { case (p, len) =>
-        listEntry(p, len, 1, seq, deleteAdds.length, 0, specId)
+      // a deletion-vector commit REPLACES all positional delete state:
+      // the new DVs already union every prior deleted position, so
+      // carried pos/DV delete manifests drop (the invariant is at most
+      // one DV per data file); equality-delete manifests carry through
+      val carried =
+        if (!dropPosDeleteManifests) carried0
+        else carried0.filterNot { r =>
+          intValOf(r.get("content")) == 1 && holdsPositionDeletes(r)
+        }
+      val ourData = dataManifest(fv, specId, rowBase)
+      val afterOurs: Long = ourData.map(_._3).getOrElse(rowBase)
+      // post-upgrade lazy re-stamp: carried data manifests without a
+      // first_row_id get one here, advancing the cursor by their row
+      // counts (summed from the manifest when the counts are absent)
+      var rowCursor = afterOurs
+      if (fv >= 3) carried.foreach { r =>
+        if (intValOf(r.get("content")) == 0 && r.get("first_row_id") == null) {
+          r.put("first_row_id", Long.box(rowCursor))
+          val declared = (Option(r.get("added_rows_count")) ++
+            Option(r.get("existing_rows_count"))).collect {
+              case l: java.lang.Long => l.longValue
+              case i: java.lang.Integer => i.longValue
+            }.sum
+          val rows =
+            if (Option(r.get("added_rows_count")).isDefined ||
+                Option(r.get("existing_rows_count")).isDefined) declared
+            else IcebergReader.readAvro(spark, IcebergReader.resolve(root,
+                r.get("manifest_path").toString))
+              .filter(e => e.get("status").asInstanceOf[Int] != 2)
+              .map(e => e.get("data_file").asInstanceOf[GenericRecord])
+              .filter(df => intValOf(
+                if (df.getSchema.getField("content") == null) null
+                else df.get("content")) == 0)
+              .map(df => df.get("record_count") match {
+                case l: java.lang.Long => l.longValue
+                case i: java.lang.Integer => i.longValue
+                case _ => 0L
+              }).sum
+          rowCursor += rows
+        }
+      }
+      val nextRowId = rowCursor
+      val ours = ourData.toSeq.map { case (p, len, _) =>
+        listEntry(p, len, 0, seq, adds.length, kept.length, specId,
+          addedRows = adds.map(_.recordCount).sum,
+          keptRows = kept.map(_.recordCount).sum,
+          firstRowId = if (fv >= 3) Some(rowBase) else None)
+      } ++ deleteManifest(fv, specId).toSeq.map { case (p, len) =>
+        listEntry(p, len, 1, seq, deleteAdds.length, 0, specId,
+          addedRows = deleteAdds.map(_.recordCount).sum)
       }
       val listPath = new Path(metaDir, s"snap-$snapshotId-$attempts.avro")
       writeAvro(fs, listPath, lSchema, ours ++ carried,
@@ -1904,6 +2239,8 @@ object IcebergWriter {
         schema, partFields, snapshotId,
         fs.makeQualified(listPath).toString, operation, now, fv, seq,
         branch, branchHead,
+        firstRowId = if (fv >= 3) Some(rowBase) else None,
+        nextRowId = if (fv >= 3) Some(nextRowId) else None,
         summaryStats = Map(
           "added-data-files" -> adds.length.toLong,
           "added-records" -> adds.map(_.recordCount).sum,
@@ -1970,6 +2307,12 @@ object IcebergWriter {
 
   /** The manifest-list records of `meta`'s current snapshot (empty for a
     * table with no current snapshot). */
+  private def intValOf(v: Any): Int = v match {
+    case i: java.lang.Integer => i.intValue
+    case l: java.lang.Long => l.intValue
+    case _ => 0
+  }
+
   private def currentManifestRecords(spark: SparkSession, fs: FileSystem,
       root: Path, meta: com.fasterxml.jackson.databind.JsonNode,
       atSnapshot: Option[Long] = None): Seq[GenericRecord] = {
@@ -2019,6 +2362,12 @@ object IcebergWriter {
     out.put("existing_data_files_count",
       intOf("existing_data_files_count", null))
     out.put("deleted_data_files_count", intOf("deleted_data_files_count", null))
+    // v3 row lineage: a carried manifest KEEPS its first_row_id (and the
+    // row counts the assignment walk advances by); external manifests
+    // may use the spec's alternate count field names
+    out.put("added_rows_count", longOf("added_rows_count"))
+    out.put("existing_rows_count", longOf("existing_rows_count"))
+    out.put("first_row_id", longOf("first_row_id"))
     out
   }
 
@@ -2283,8 +2632,12 @@ object IcebergWriter {
   /** Initial metadata of an empty table (S3 Tables `create_table`): the
     * declared schema and partition spec, no snapshot yet. */
   private def emptyMetadataJson(location: String, schema: StructType,
-      partFields: Seq[PartitionField], now: Long): ObjectNode = {
-    val node = baseMetadata(None, location, schema, partFields, now)
+      partFields: Seq[PartitionField], now: Long,
+      formatVersion: Int = 1): ObjectNode = {
+    val node = baseMetadata(None, location, schema, partFields, now,
+      formatVersion)
+    if (formatVersion >= 2) node.put("last-sequence-number", 0L)
+    if (formatVersion >= 3) node.put("next-row-id", 0L)
     node.set[ArrayNode]("snapshots", mapper.createArrayNode())
     node.put("current-snapshot-id", -1L)
     node.set[ArrayNode]("snapshot-log", mapper.createArrayNode())
@@ -2305,10 +2658,15 @@ object IcebergWriter {
       sequenceNumber: Option[Long] = None,
       branch: Option[String] = None,
       branchParent: Option[Long] = None,
+      firstRowId: Option[Long] = None,
+      nextRowId: Option[Long] = None,
       summaryStats: Map[String, Long] = Map.empty): ObjectNode = {
     val node = baseMetadata(prior, location, schema, partFields, now,
       formatVersion)
     sequenceNumber.foreach(node.put("last-sequence-number", _))
+    // v3 row lineage: next-row-id is required table metadata; the
+    // committing snapshot records its assigned base as first-row-id
+    nextRowId.foreach(node.put("next-row-id", _))
     val snaps = mapper.createArrayNode()
     prior.foreach(p => IcebergReaderAccess.jsonArray(p.get("snapshots"))
       .foreach(s => snaps.add(s)))
@@ -2326,6 +2684,7 @@ object IcebergWriter {
     parent.foreach(snap.put("parent-snapshot-id", _))
     snap.put("timestamp-ms", now)
     sequenceNumber.foreach(snap.put("sequence-number", _))
+    firstRowId.foreach(snap.put("first-row-id", _))
     // stamp the snapshot with the schema it was written under, so
     // time-travel reads resolve the pre-evolution schema from history
     snap.put("schema-id", node.get("current-schema-id").asInt)
@@ -2474,7 +2833,8 @@ object IcebergWriter {
     * columns by field-id, not name. Partition values are carried as
     * nullable strings (hive-encoded transform results). */
   private def manifestSchema(partNames: Seq[String],
-      withContent: Boolean = false): org.apache.avro.Schema = {
+      withContent: Boolean = false,
+      withV3Fields: Boolean = false): org.apache.avro.Schema = {
     val partFields = partNames.zipWithIndex.map { case (c, i) =>
       s"""{"name":${mapper.writeValueAsString(c)},"type":["null","string"],"default":null,"field-id":${1000 + i}}"""
     }.mkString(",")
@@ -2486,6 +2846,16 @@ object IcebergWriter {
       if (withContent)
         """{"name":"content","type":"int","default":0,"field-id":134},
           |{"name":"equality_ids","field-id":135,"default":null,"type":["null",{"type":"array","items":"int","element-id":136}]},""".stripMargin
+      else ""
+    // v3 additions (spec data_file table): first_row_id=142 (row
+    // lineage), and the deletion-vector triple referenced_data_file=143,
+    // content_offset=144, content_size_in_bytes=145
+    val v3Fields =
+      if (withV3Fields)
+        """,{"name":"first_row_id","type":["null","long"],"default":null,"field-id":142},
+          |{"name":"referenced_data_file","type":["null","string"],"default":null,"field-id":143},
+          |{"name":"content_offset","type":["null","long"],"default":null,"field-id":144},
+          |{"name":"content_size_in_bytes","type":["null","long"],"default":null,"field-id":145}""".stripMargin
       else ""
     // lower/upper_bounds: int-keyed maps, encoded (as Iceberg does) as
     // arrays of key/value records with the spec's field-ids
@@ -2508,6 +2878,7 @@ object IcebergWriter {
          |    {"name":"record_count","type":"long","field-id":103},
          |    {"name":"file_size_in_bytes","type":"long","field-id":104}
          |    $boundsFields
+         |    $v3Fields
          |  ]}}
          |]}""".stripMargin)
   }
@@ -2532,7 +2903,10 @@ object IcebergWriter {
         |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503},
         |  {"name":"added_data_files_count","type":["null","int"],"default":null,"field-id":504},
         |  {"name":"existing_data_files_count","type":["null","int"],"default":null,"field-id":505},
-        |  {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506}
+        |  {"name":"deleted_data_files_count","type":["null","int"],"default":null,"field-id":506},
+        |  {"name":"added_rows_count","type":["null","long"],"default":null,"field-id":512},
+        |  {"name":"existing_rows_count","type":["null","long"],"default":null,"field-id":513},
+        |  {"name":"first_row_id","type":["null","long"],"default":null,"field-id":520}
         |]}""".stripMargin)
 }
 

@@ -200,6 +200,21 @@ object TableFormats {
       partitionBy: Seq[String]): Int =
     IcebergWriter.updatePartitionSpec(spark, path, partitionBy)
 
+  /** Upgrade an Iceberg table to format-version 3: DELETEs switch to
+    * puffin deletion vectors, existing position-delete parquet converts
+    * in the upgrade commit, and row lineage (`_row_id`) begins. */
+  def upgradeIcebergFormatVersion(spark: SparkSession, path: String,
+      version: Int = 3): Unit =
+    IcebergWriter.setFormatVersion(spark, path, version)
+
+  /** v3 row lineage: the table with `_row_id` /
+    * `_last_updated_sequence_number` attached — stable row identity
+    * across engines, the provenance key a training-data pipeline joins
+    * incremental annotations on. */
+  def fromIcebergWithLineage(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame =
+    IcebergReader.readWithLineage(spark, path, version)
+
   /** `TIMESTAMP AS OF` on a real Delta table: the latest version whose
     * (monotonized) commit timestamp is at or before `tsMillis`. */
   def readDeltalakeAtTimestamp(spark: SparkSession, path: String,

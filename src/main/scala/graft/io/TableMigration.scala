@@ -52,7 +52,8 @@ object TableMigration {
   def convertIcebergToDelta(spark: SparkSession, icebergPath: String,
       deltaPath: String): DeltaLogWriter.Committed = {
     val snap = IcebergReader.snapshot(spark, icebergPath)
-    require(snap.deleteFiles.isEmpty && snap.equalityDeleteFiles.isEmpty,
+    require(snap.deleteFiles.isEmpty && snap.dvFiles.isEmpty &&
+        snap.equalityDeleteFiles.isEmpty,
       s"$icebergPath carries position/equality deletes — " +
         "rewrite_data_files first (registering them would resurrect " +
         "deleted rows)")

@@ -295,6 +295,38 @@ object TableRoundtrips {
       |WHERE (c_custkey <= 50 AND c_custkey % 7 <> 0)
       |   OR (c_custkey > 50 AND c_custkey <= 60)""".stripMargin
 
+  /** Iceberg v3 DELETION-VECTOR roundtrip: a format-version-3 table
+    * deletes through puffin DV blobs (spec "Deletion Vectors") — two
+    * stacked DELETEs, the second superseding the first's DV per file
+    * (positions unioned, at most one DV per data file), then an append
+    * whose commit carries the DV manifest and assigns row-lineage ids.
+    * Zero data-file rewrite throughout; the read applies the DVs as a
+    * position anti-join decoded on executors. */
+  def icebergV3DvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-dv").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.createEmpty(s, tmp, base.schema,
+      partitionBy = Seq("c_mktsegment"), formatVersion = 3)
+    IcebergWriter.write(base, tmp, partitionBy = Seq("c_mktsegment"))
+    IcebergWriter.deleteWhere(s, tmp, col("c_custkey") % 7 === 0)
+    IcebergWriter.deleteWhere(s, tmp, col("c_custkey") % 5 === 0)
+    val extra = Tables.customer(s, dir)
+      .filter(col("c_custkey") > 50L && col("c_custkey") <= 60L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(extra, tmp, mode = "append")
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
+  def icebergV3DvOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE (c_custkey <= 50 AND c_custkey % 7 <> 0 AND c_custkey % 5 <> 0)
+      |   OR (c_custkey > 50 AND c_custkey <= 60)""".stripMargin
+
   def icebergPrunedReadOracle: String =
     """SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_ts, o_totalprice
       |FROM orders

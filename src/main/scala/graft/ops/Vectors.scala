@@ -106,6 +106,81 @@ object Vectors {
       |        i -> cast(a.embedding[i] as double) * cast(b.embedding[i] as double)))
       |      / (a.nrm * b.nrm) >= 0.4""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC
+    * deduplication over embeddings — cluster with a coarse quantizer,
+    * then prune near-identical pairs WITHIN each cluster only, keeping
+    * one representative (lowest id) per duplicate group. The clustering
+    * is what makes semantic dedup tractable at corpus scale: the
+    * quadratic pair comparison is bounded per cluster instead of global
+    * (k clusters cut the candidate join by ~k²/k = k).
+    *
+    * Shapes, in order: exact-decimal centroids (order-independent sums,
+    * so both engines agree bit-for-bit), a broadcast nearest-centroid
+    * assignment reduced by a partial-aggregable `max(struct(...))` —
+    * map-side combine, no window sort over the n×k cross join — then
+    * one within-cluster self-join. Keep rule: drop any vector that has
+    * a ≥τ neighbor with a smaller id in its cluster; deterministic and
+    * SQL-expressible, so the whole pipeline differentially tests
+    * against DuckDB. */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+    // nearest-centroid assignment: max(struct(similarity, -label)) picks
+    // the highest cosine, lowest label on ties — partial-aggregable
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(s, "embedding", "centroid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdist"), (-col("c_label")).as("nl"))).as("best"))
+      .select(col("vec_id"), (-col("best.nl")).cast("int").as("cluster"))
+    val withCluster = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, "vec_id")
+    val a = withCluster.select(col("vec_id").as("id1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = withCluster.select(col("vec_id").as("id2"), col("cluster"),
+      col("embedding").as("e2"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(s, "e1", "e2"))
+      .filter(col("cosine") >= tau)
+      .select(col("id2")).distinct()
+    withCluster
+      .join(dups, col("vec_id") === col("id2"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  def semDedupOracle: String =
+    s"""WITH cm AS (
+       |  SELECT label, i,
+       |    cast(cast(sum(cast(embedding[i] as decimal(20,10))) as double)
+       |         / cast(count(*) as double) as float) AS m
+       |  FROM embeddings, generate_series(1, 64) g(i)
+       |  GROUP BY label, i),
+       |cent AS (SELECT label AS c_label, list(m ORDER BY i) AS c
+       |         FROM cm GROUP BY label),
+       |asg AS (
+       |  SELECT vec_id, c_label AS cluster, embedding FROM (
+       |    SELECT e.vec_id, cent.c_label, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("c", "e.embedding")} DESC, cent.c_label)
+       |        AS rk
+       |    FROM embeddings e CROSS JOIN cent) WHERE rk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT vec_id, cluster FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin
+
   /** IVF-style ANN: coarse quantizer = per-label centroids (label plays
     * the coarse cell here; [[VectorIndex]] holds the k-means + persisted
     * variant), probe the `nprobe` nearest cells, exact re-rank inside.

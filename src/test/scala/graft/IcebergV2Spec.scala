@@ -279,8 +279,10 @@ class IcebergV2Spec extends AnyFunSuite {
     }
   }
 
-  test("format-version 3 raises instead of guessing") {
-    val dir = fixture(withDeletes = false, formatVersion = 3)
+  test("format-version beyond 3 raises instead of guessing") {
+    // v3 reads are supported (IcebergV3Spec); v4 does not exist yet and
+    // must raise, never guess
+    val dir = fixture(withDeletes = false, formatVersion = 4)
     intercept[UnsupportedIcebergFeatureException] {
       IcebergReader.read(spark, dir)
     }

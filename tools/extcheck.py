@@ -28,6 +28,7 @@ import json
 import os
 import re
 import struct
+import zlib
 import sys
 import uuid as uuidlib
 
@@ -567,6 +568,7 @@ def read_iceberg(table: str) -> pd.DataFrame:
     data_files = []   # (path, sequence)
     pos_deletes = []  # (path of delete file, sequence)
     eq_deletes = []   # (path, sequence, [equality field ids])
+    dv_blobs = []     # (puffin path, referenced data file, offset, length)
     for m in manifests:
         seq = m.get("sequence_number") or 0
         entries = read_avro(_localize(table, m["manifest_path"]))
@@ -578,6 +580,13 @@ def read_iceberg(table: str) -> pd.DataFrame:
             path = df_["file_path"]
             if content == 0:
                 data_files.append((path, seq, df_.get("partition") or {}))
+            elif content == 1 and (
+                    str(df_.get("file_format", "")).upper() == "PUFFIN"
+                    or df_.get("referenced_data_file") is not None):
+                # v3 deletion vector: one puffin blob per referenced file
+                dv_blobs.append((path, df_["referenced_data_file"],
+                                 int(df_["content_offset"]),
+                                 int(df_["content_size_in_bytes"])))
             elif content == 1:
                 pos_deletes.append((path, seq))
             elif content == 2:
@@ -595,6 +604,22 @@ def read_iceberg(table: str) -> pd.DataFrame:
         for fp, pos in zip(pdf[fcol], pdf[pcol]):
             pos_by_file.setdefault(os.path.basename(str(fp)),
                                    set()).add(int(pos))
+
+    # v3 deletion vectors: the blob framing is a 4-byte BE length of
+    # (magic + vector), the D1D33964 magic, the keyed portable 64-bit
+    # roaring vector, and a 4-byte BE CRC-32 of magic + vector
+    # (iceberg spec "Deletion Vectors"); the vector itself is the same
+    # serialization Delta DVs use, decoded by roaring64_array_decode
+    for puffin, ref, off, ln in dv_blobs:
+        buf = open(_localize(table, puffin), "rb").read()
+        (dlen,) = struct.unpack_from(">i", buf, off)
+        assert dlen + 8 == ln, f"DV blob framing mismatch in {puffin}@{off}"
+        payload = buf[off + 4: off + 4 + dlen]
+        (crc,) = struct.unpack_from(">I", buf, off + 4 + dlen)
+        assert zlib.crc32(payload) & 0xFFFFFFFF == crc, "DV blob CRC mismatch"
+        positions = roaring64_array_decode(payload, 0, magic=True)
+        pos_by_file.setdefault(os.path.basename(str(ref)),
+                               set()).update(positions)
 
     # equality deletes: value tuples + the sequence they were committed at
     eq_sets = []  # (field names tuple, set of value tuples, sequence)
