@@ -99,6 +99,7 @@ object SparkEntry {
     "ts_top_users"        -> (TimeSeries.topUsers _),
     "ts_interpolate"      -> (TimeSeries.interpolate _),
     "ts_anomaly"          -> (TimeSeries.anomaly _),
+    "ts_ewma"             -> (TimeSeries.ewma _),
     "ts_cohort_retention" -> (TimeSeries.cohortRetention _),
     "ts_funnel"           -> (TimeSeries.funnel _),
     // key-value (DynamoDB-shaped)
@@ -114,6 +115,7 @@ object SparkEntry {
     "fmt_iceberg_day_roundtrip" -> (TableRoundtrips.icebergDayRoundtrip _),
     "fmt_iceberg_pos_delete" -> (TableRoundtrips.icebergPosDeleteRoundtrip _),
     "fmt_iceberg_v3_dv"     -> (TableRoundtrips.icebergV3DvRoundtrip _),
+    "fmt_iceberg_lineage"   -> (TableRoundtrips.icebergLineageRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
@@ -263,6 +265,7 @@ object SparkEntry {
     "ts_top_users"        -> TimeSeries.topUsersOracle,
     "ts_interpolate"      -> TimeSeries.interpolateOracle,
     "ts_anomaly"          -> TimeSeries.anomalyOracle,
+    "ts_ewma"             -> TimeSeries.ewmaOracle,
     "ts_cohort_retention" -> TimeSeries.cohortRetentionOracle,
     "ts_funnel"           -> TimeSeries.funnelOracle,
     "kv_point_lookup"     -> KeyValue.pointLookupOracle,
@@ -275,6 +278,7 @@ object SparkEntry {
     "fmt_iceberg_day_roundtrip" -> TableRoundtrips.icebergDayRoundtripOracle,
     "fmt_iceberg_pos_delete" -> TableRoundtrips.icebergPosDeleteOracle,
     "fmt_iceberg_v3_dv"     -> TableRoundtrips.icebergV3DvOracle,
+    "fmt_iceberg_lineage"   -> TableRoundtrips.icebergLineageOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     // compaction is result-INVARIANT: the oracles are the pre-compaction
     // states — any lost/resurrected row hash-mismatches

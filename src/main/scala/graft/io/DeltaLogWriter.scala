@@ -125,6 +125,10 @@ object DeltaLogWriter {
     // every incoming row an `insert` — a mixed add/remove commit cannot
     // be derived from its actions, so the change file is mandatory.
     // Appends need none: their add actions ARE the insert changes.
+    if (mode == "overwrite")
+      prior.filter(_.files.nonEmpty)
+        .foreach(enforceAppendOnly(_, "overwrite"))
+    prior.foreach(s => enforceConstraints(Some(s), aligned, "write"))
     val cdc =
       if (mode != "overwrite" || !prior.exists(cdfEnabled)) Nil
       else {
@@ -182,6 +186,114 @@ object DeltaLogWriter {
       extraActions = upgrade, dataChange = false, config = config)
   }
 
+  // ---- CHECK constraints + append-only (PROTOCOL.md "CHECK Constraints"
+  // and `delta.appendOnly`) -----------------------------------------------
+
+  /** `ALTER TABLE ADD CONSTRAINT` (writer feature `checkConstraints`,
+    * legacy minWriterVersion 3): the constraint is stored as
+    * `delta.constraints.<name>` in the table configuration and every
+    * later row-adding commit verifies it (SQL CHECK semantics: a NULL
+    * result satisfies, only FALSE violates). EXISTING rows are validated
+    * first — the scan stops at the first violation (`limit(1)`), and the
+    * violating row is named in the error. */
+  def addCheckConstraint(spark: SparkSession, tablePath: String,
+      name: String, exprSql: String): Committed = {
+    require(name.matches("[a-zA-Z0-9_]+"),
+      s"constraint name '$name' must be alphanumeric/underscore")
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(!snap.configuration.contains(key),
+      s"constraint $name already exists on $tablePath")
+    val bad = DeltaLogReader.read(spark, tablePath)
+      .filter(violationFilter(exprSql)).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"cannot add CHECK constraint $name ($exprSql): existing row " +
+          s"violates it: ${bad.head}")
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "ADD CONSTRAINT", emitMeta = true,
+      extraActions =
+        writerFeatureUpgrade(snap.protocol, "checkConstraints", 3),
+      dataChange = false,
+      config = snap.configuration + (key -> exprSql))
+  }
+
+  /** `ALTER TABLE DROP CONSTRAINT`. */
+  def dropCheckConstraint(spark: SparkSession, tablePath: String,
+      name: String): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    val key = s"delta.constraints.${name.toLowerCase}"
+    require(snap.configuration.contains(key),
+      s"no constraint $name on $tablePath")
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "DROP CONSTRAINT", emitMeta = true,
+      dataChange = false, config = snap.configuration - key)
+  }
+
+  /** `delta.appendOnly` (writer feature `appendOnly`, legacy
+    * minWriterVersion 2): once set, commits that remove live data —
+    * overwrite, MERGE, DELETE, RESTORE — raise; appends and
+    * `dataChange=false` maintenance (OPTIMIZE) stay allowed, per spec. */
+  def setAppendOnly(spark: SparkSession, tablePath: String,
+      enabled: Boolean = true): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
+      extraActions =
+        if (enabled) writerFeatureUpgrade(snap.protocol, "appendOnly", 2)
+        else Nil,
+      dataChange = false,
+      config = snap.configuration + ("delta.appendOnly" -> enabled.toString))
+  }
+
+  /** Protocol action (if any) merging `feature` into the writer feature
+    * set: feature-range tables (minWriterVersion 7) append to
+    * `writerFeatures`; legacy tables upgrade to `legacyVersion`, whose
+    * implicit feature set includes it. The existing sets are MERGED,
+    * never replaced (the round-6 downgrade hazard). */
+  private def writerFeatureUpgrade(p: DeltaLogReader.Protocol,
+      feature: String, legacyVersion: Int): Seq[String] = {
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    if (p.minWriterVersion >= 7) {
+      if (p.writerFeatures.contains(feature)) Nil
+      else {
+        val writerFeats = (p.writerFeatures + feature).toSeq.sorted
+        val readerPart =
+          if (p.minReaderVersion >= 3)
+            s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
+          else ""
+        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
+      }
+    } else if (p.minWriterVersion >= legacyVersion) Nil
+    else
+      Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":$legacyVersion}}""")
+  }
+
+  private def violationFilter(exprSql: String): org.apache.spark.sql.Column =
+    !org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.functions.expr(exprSql), lit(true))
+
+  /** Verify incoming rows against every `delta.constraints.*` — one
+    * short-circuiting pass over the batch (the per-row validation cost
+    * every engine pays on constrained tables). */
+  private def enforceConstraints(snap: Option[DeltaLogReader.Snapshot],
+      df: DataFrame, op: String): Unit =
+    snap.map(_.configuration).getOrElse(Map.empty).foreach {
+      case (k, sql) if k.startsWith("delta.constraints.") =>
+        val bad = df.filter(violationFilter(sql)).limit(1).collect()
+        if (bad.nonEmpty)
+          throw new IllegalArgumentException(
+            s"$op violates CHECK constraint " +
+              s"${k.stripPrefix("delta.constraints.")} ($sql): ${bad.head}")
+      case _ => ()
+    }
+
+  private def enforceAppendOnly(snap: DeltaLogReader.Snapshot,
+      op: String): Unit =
+    if (snap.configuration.get("delta.appendOnly").contains("true"))
+      throw new UnsupportedOperationException(
+        s"$op is not allowed: table is append-only (delta.appendOnly)")
+
   /** Register EXISTING parquet as a NEW Delta table without rewriting a
     * byte — the Iceberg→Delta migration path ([[TableMigration]]).
     * Absolute add-action paths are explicitly allowed by the protocol;
@@ -218,6 +330,7 @@ object DeltaLogWriter {
   def restore(spark: SparkSession, tablePath: String,
       version: Long): Committed = {
     val cur = DeltaLogReader.snapshot(spark, tablePath)
+    enforceAppendOnly(cur, "RESTORE")
     require(version <= cur.version,
       s"cannot restore $tablePath forward to $version (current ${cur.version})")
     if (version == cur.version) return Committed(cur.version, 0)
@@ -302,6 +415,8 @@ object DeltaLogWriter {
     val physOf = DeltaLogReader.physicalNames(snap)
     val fieldIds = DeltaLogReader.mappingFieldIds(snap)
     val srcAligned = src.select(snap.schema.fieldNames.map(col).toSeq: _*)
+    enforceAppendOnly(snap, "MERGE")
+    enforceConstraints(Some(snap), srcAligned, "MERGE")
     if (snap.partitionColumns.isEmpty) {
       // full rewrite: kept = current minus matched keys, plus all of src
       val merged = current.join(srcAligned,
@@ -393,6 +508,7 @@ object DeltaLogWriter {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        enforceConstraints(prior, batch, "streaming write")
         val entries = writeDataFiles(batch, tablePath, partCols, physOf,
           fieldIds)
         persistStagedAdds(fs,
@@ -1077,6 +1193,7 @@ object DeltaLogWriter {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val snap = DeltaLogReader.snapshot(spark, tablePath)
+    enforceAppendOnly(snap, "DELETE")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualifiedRoot = fs.makeQualified(root).toString

@@ -200,6 +200,21 @@ object TableFormats {
       partitionBy: Seq[String]): Int =
     IcebergWriter.updatePartitionSpec(spark, path, partitionBy)
 
+  /** `ALTER TABLE ADD CONSTRAINT` on a Delta table (PROTOCOL.md "CHECK
+    * Constraints"): existing rows validated, later writes enforce. */
+  def addDeltalakeCheckConstraint(spark: SparkSession, path: String,
+      name: String, exprSql: String): Unit =
+    DeltaLogWriter.addCheckConstraint(spark, path, name, exprSql)
+
+  def dropDeltalakeCheckConstraint(spark: SparkSession, path: String,
+      name: String): Unit =
+    DeltaLogWriter.dropCheckConstraint(spark, path, name)
+
+  /** `delta.appendOnly`: data-removing commits raise once set. */
+  def setDeltalakeAppendOnly(spark: SparkSession, path: String,
+      enabled: Boolean = true): Unit =
+    DeltaLogWriter.setAppendOnly(spark, path, enabled)
+
   /** Upgrade an Iceberg table to format-version 3: DELETEs switch to
     * puffin deletion vectors, existing position-delete parquet converts
     * in the upgrade commit, and row lineage (`_row_id`) begins. */

@@ -321,6 +321,38 @@ object TableRoundtrips {
       IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
   }
 
+  /** v3 ROW LINEAGE differential: a fresh format-version-3 table built
+    * from two single-file sorted appends must assign `_row_id` exactly
+    * as the spec's explicit-assignment rule prescribes — batch 1 takes
+    * [0, n₁), batch 2 [n₁, n₁+n₂) in file row order — which, with the
+    * batches key-ordered and key-disjoint, equals the global dense rank.
+    * The DuckDB oracle computes that rank independently; a mis-assigned
+    * base, a re-assigned carried file, or a lost next-row-id advance
+    * all hash-mismatch. */
+  def icebergLineageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-rl").toString
+    val tmp = root + "/t"
+    val b1 = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 80L)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .coalesce(1).sortWithinPartitions("c_custkey")
+    IcebergWriter.createEmpty(s, tmp, b1.schema, formatVersion = 3)
+    IcebergWriter.write(b1, tmp)
+    val b2 = Tables.customer(s, dir)
+      .filter(col("c_custkey") > 80L && col("c_custkey") <= 100L)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .coalesce(1).sortWithinPartitions("c_custkey")
+    IcebergWriter.write(b2, tmp, mode = "append")
+    materializedWithoutTemp(s,
+      IcebergReader.readWithLineage(s, tmp)
+        .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
+  }
+
+  def icebergLineageOracle: String =
+    """SELECT c_custkey, c_acctbal,
+      |  row_number() OVER (ORDER BY c_custkey) - 1 AS _row_id
+      |FROM customer WHERE c_custkey <= 100""".stripMargin
+
   def icebergV3DvOracle: String =
     """SELECT c_custkey, c_mktsegment, c_acctbal
       |FROM customer

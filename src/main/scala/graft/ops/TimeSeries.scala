@@ -373,6 +373,63 @@ object TimeSeries {
     * `(n·v−s)² > 4·(n·ss−s²)` over decimal sums — which both engines
     * evaluate bit-identically. One shuffle (bucket aggregate) + one
     * window pass per series. */
+  /** Exponentially-weighted moving aggregate (the smoothing form of
+    * Timestream's `interpolate`/window family): per-series hourly
+    * buckets, each smoothed over its trailing 12 observed buckets with
+    * DYADIC weights 2^(11-d) (newest heaviest — the α=1/2 EWMA kernel,
+    * truncated). Weights are INTEGERS and values exact decimals, so the
+    * weighted sum is bit-exact in any engine and any evaluation order —
+    * the float-free formulation of a smoothing pass (windowed doubles
+    * sum in engine-specific orders; see [[anomaly]]). Emitted as
+    * numerator + weight total so consumers divide at the precision they
+    * want; warmup rows (fewer than 12 trailing buckets) carry their
+    * actual weight total. Shape: one bucket aggregation, then a BANDED
+    * self-join (equi on the series key + an 11-hour range) — per-series
+    * linear in buckets with a ×12 constant, no window sort. */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("vdec"))
+      .select(col("event_type"), col("w.start").as("b"), col("vdec"))
+    val contrib = hourly.select(col("event_type").as("et2"),
+      col("b").as("b2"), col("vdec").as("v2"))
+    hourly.join(contrib,
+        col("event_type") === col("et2") &&
+          col("b2") <= col("b") &&
+          col("b2") >= col("b") - expr("interval 11 hours"))
+      .withColumn("d",
+        ((unix_timestamp(col("b")) - unix_timestamp(col("b2"))) / 3600L)
+          .cast("int"))
+      .withColumn("wgt", expr("shiftleft(1L, 11 - d)"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(
+        sum((col("v2") * col("wgt")).cast("decimal(30,2)"))
+          .cast("decimal(30,2)").cast("double").as("wsum"),
+        sum(col("wgt")).as("wtot"))
+      .select(col("event_type"),
+        date_format(col("b"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col("wsum"), col("wtot"))
+  }
+
+  def ewmaOracle: String =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    time_bucket(INTERVAL '1 hour', cast(ts as timestamp)) AS b,
+      |    cast(sum(cast(value as decimal(18,2))) as decimal(18,2)) AS vdec
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT a.event_type, strftime(a.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+      |  cast(cast(sum(cast(c.vdec *
+      |      (1::BIGINT << (11 - cast(date_diff('hour', c.b, a.b) as int)))
+      |    as decimal(30,2))) as decimal(30,2)) as double) AS wsum,
+      |  cast(sum(1::BIGINT <<
+      |    (11 - cast(date_diff('hour', c.b, a.b) as int))) as bigint)
+      |    AS wtot
+      |FROM hourly a JOIN hourly c
+      |  ON a.event_type = c.event_type
+      | AND c.b <= a.b AND c.b >= a.b - INTERVAL 11 HOUR
+      |GROUP BY 1, a.b""".stripMargin
+
   def anomaly(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))

@@ -103,6 +103,8 @@ object EventStream {
   final case class SessEvent(user_id: Long, ts: java.sql.Timestamp)
   final case class SessState(n: Long, lastMs: Long)
   final case class SessOut(user_id: Long, n_events: Long)
+  final case class SpendEvent(user_id: Long, value: Double)
+  final case class SpendTotal(user_id: Long, total: Double, n: Long)
 
   /** Stream-STREAM interval join — the attribution shape (click →
     * purchase within an hour, per user) running fully incrementally:
@@ -166,6 +168,53 @@ object EventStream {
             emitted.iterator
           }
       }
+  }
+
+  /** Per-user RUNNING TOTALS via `transformWithState` — Spark 4's
+    * arbitrary-stateful-processing API (the successor of
+    * `flatMapGroupsWithState`, SPARK-46815): a [[TotalsProcessor]]
+    * holds one typed [[org.apache.spark.sql.streaming.ValueState]]
+    * cell per user and emits the updated lifetime total + event count
+    * each micro-batch a user appears in. State is keyed and
+    * incremental — at 100 TB/day the store holds one small record per
+    * ACTIVE user, maintained by the RocksDB state store provider the
+    * API requires (set `spark.sql.streaming.stateStore.providerClass`
+    * to `RocksDBStateStoreProvider` on the session). */
+  def runningTotals(events: DataFrame)
+      : org.apache.spark.sql.Dataset[SpendTotal] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[SpendEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TotalsProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The stateful processor behind [[runningTotals]]: one ValueState
+    * per key, no timers (`TimeMode.None`). */
+  final class TotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SpendEvent, SpendTotal] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SpendTotal] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SpendTotal]("totals",
+        org.apache.spark.sql.Encoders.product[SpendTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SpendEvent],
+        timerValues: TimerValues): Iterator[SpendTotal] = {
+      val prev = Option(state.get())
+        .getOrElse(SpendTotal(key, 0.0, 0L))
+      var total = prev.total
+      var n = prev.n
+      rows.foreach { e => total += e.value; n += 1 }
+      val out = SpendTotal(key, total, n)
+      state.update(out)
+      Iterator.single(out)
+    }
   }
 
   /** foreachBatch sink appending micro-batches to a parquet dataset —

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** `transformWithState` (Spark 4's arbitrary-stateful API, SPARK-46815):
+  * the per-user running-total processor accumulates across micro-batches
+  * through a typed ValueState cell backed by the RocksDB state store,
+  * emits one updated record per (user, batch) it appears in, and keys
+  * never interfere. */
+class TransformWithStateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("running totals accumulate per key across micro-batches") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prior = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val events = MemoryStream[(Long, Double)]
+    val totals = EventStream.runningTotals(
+      events.toDF().toDF("user_id", "value"))
+    val q = totals.writeStream.format("memory")
+      .queryName("tws_out").outputMode("append").start()
+    try {
+      events.addData((1L, 10.0), (1L, 5.0), (2L, 7.0))
+      q.processAllAvailable()
+      events.addData((1L, 1.0), (3L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .select("user_id", "total", "n")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      // batch 1 emits the totals as of batch 1; batch 2 the updated ones
+      assert(rows == Set(
+        (1L, 15.0, 2L), (2L, 7.0, 1L),   // after batch 1
+        (1L, 16.0, 3L), (3L, 2.0, 1L)),  // after batch 2 (user 2 silent)
+        s"unexpected: $rows")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
