@@ -221,10 +221,24 @@ object ExtFixture {
     expected("iceberg_v3dv",
       v3.where(col("id") % 10 =!= 0 && col("id") % 7 =!= 0))
 
+    // -- delta_rowtrack: Row Tracking — baseRowId assignment on append,
+    // stability under a DV delete; the external reader recomputes
+    // _row_id = baseRowId + physical row index independently
+    val rt = (1L to 40L).map(i => (i, s"r-$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+    DeltaLogWriter.write(rt.limit(0), s"$outDir/delta_rowtrack")
+    DeltaLogWriter.enableRowTracking(spark, s"$outDir/delta_rowtrack")
+    DeltaLogWriter.write(rt, s"$outDir/delta_rowtrack")
+    DeltaLogWriter.deleteWhere(spark, s"$outDir/delta_rowtrack",
+      col("id") % 4 === 0)
+    expected("delta_rowtrack",
+      rt.withColumn("_row_id", col("id") - 1)
+        .where(col("id") % 4 =!= 0))
+
     Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_conv_src",
       "delta_dv", "delta_merge", "delta_rename", "delta_v2ckpt",
       "iceberg_basic", "iceberg_converted", "iceberg_posdel",
       "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
-      "iceberg_specevo", "iceberg_v3dv")
+      "iceberg_specevo", "iceberg_v3dv", "delta_rowtrack")
   }
 }

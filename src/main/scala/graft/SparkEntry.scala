@@ -82,6 +82,7 @@ object SparkEntry {
     "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
+    "curate_dsir_weights" -> (Curation.dsirWeights _),
     "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -116,6 +117,7 @@ object SparkEntry {
     "fmt_iceberg_pos_delete" -> (TableRoundtrips.icebergPosDeleteRoundtrip _),
     "fmt_iceberg_v3_dv"     -> (TableRoundtrips.icebergV3DvRoundtrip _),
     "fmt_iceberg_lineage"   -> (TableRoundtrips.icebergLineageRoundtrip _),
+    "fmt_delta_row_ids"     -> (TableRoundtrips.deltaRowIdsRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
@@ -246,6 +248,7 @@ object SparkEntry {
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
+    "curate_dsir_weights" -> Curation.dsirWeightsOracle,
     "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
@@ -279,6 +282,7 @@ object SparkEntry {
     "fmt_iceberg_pos_delete" -> TableRoundtrips.icebergPosDeleteOracle,
     "fmt_iceberg_v3_dv"     -> TableRoundtrips.icebergV3DvOracle,
     "fmt_iceberg_lineage"   -> TableRoundtrips.icebergLineageOracle,
+    "fmt_delta_row_ids"     -> TableRoundtrips.deltaRowIdsOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     // compaction is result-INVARIANT: the oracles are the pre-compaction
     // states — any lost/resurrected row hash-mismatches

@@ -53,7 +53,11 @@ object DeltaLogReader {
       partitionValues: Map[String, Option[String]],
       deletionVector: Option[DeltaDeletionVectors.Descriptor] = None,
       size: Long = 0L, modificationTime: Long = 0L,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      // Row Tracking (PROTOCOL.md): fresh row ids of this file start at
+      // baseRowId; rows carry defaultRowCommitVersion unless materialized
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   final case class Protocol(minReaderVersion: Int = 1,
       readerFeatures: Set[String] = Set.empty,
@@ -66,7 +70,10 @@ object DeltaLogReader {
       partitionColumns: Seq[String],
       files: Seq[AddFile],
       protocol: Protocol = Protocol(),
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      // live domainMetadata actions (domain -> configuration JSON) —
+      // delta.rowTracking holds the row-id high watermark
+      domainMetadata: Map[String, String] = Map.empty)
 
   final case class Commit(version: Long, timestampMs: Long, operation: String)
 
@@ -100,6 +107,7 @@ object DeltaLogReader {
     var partCols: Seq[String] = Nil
     var protocol = Protocol()
     var configuration = Map.empty[String, String]
+    val domains = mutable.LinkedHashMap.empty[String, String]
   }
 
   /** Latest version present in the log, or -1 for an empty/absent log. */
@@ -176,7 +184,7 @@ object DeltaLogReader {
       state.schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying to version $version")),
       state.partCols, state.active.values.toSeq, state.protocol,
-      state.configuration)
+      state.configuration, state.domains.toMap)
   }
 
   private def copyState(from: ReplayState, to: ReplayState): Unit = {
@@ -185,6 +193,7 @@ object DeltaLogReader {
     to.partCols = from.partCols
     to.protocol = from.protocol
     to.configuration = from.configuration
+    to.domains.clear(); to.domains ++= from.domains
   }
 
   /** Replay one checkpoint into a fresh state; None when the checkpoint
@@ -238,7 +247,8 @@ object DeltaLogReader {
   private def processCheckpointParquet(spark: SparkSession,
       state: ReplayState, paths: Seq[String]): Unit = {
     val ckpt = spark.read.parquet(paths: _*)
-    val actionCols = ckpt.columns.filter(Set("metaData", "add", "remove", "protocol"))
+    val actionCols = ckpt.columns.filter(
+      Set("metaData", "add", "remove", "protocol", "domainMetadata"))
     if (actionCols.isEmpty) return
     val rows = ckpt.select(actionCols.map(col).toSeq: _*).collect()
     rows.foreach { r =>
@@ -270,17 +280,30 @@ object DeltaLogReader {
         def num(f: String): Long =
           if (!a.schema.fieldNames.contains(f)) 0L
           else Option(a.getAs[Number](f)).map(_.longValue).getOrElse(0L)
+        def numOpt(f: String): Option[Long] =
+          if (!a.schema.fieldNames.contains(f)) None
+          else Option(a.getAs[Number](f)).map(_.longValue)
         val add = AddFile(a.getAs[String]("path"),
           Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
             .map(_.toMap.map { case (k, v) => k -> Option(v) })
             .getOrElse(Map.empty),
           dvFromRow(a), num("size"), num("modificationTime"),
           if (!a.schema.fieldNames.contains("stats")) None
-          else Option(a.getAs[String]("stats")))
+          else Option(a.getAs[String]("stats")),
+          numOpt("baseRowId"), numOpt("defaultRowCommitVersion"))
         state.active(add.path) = add
       }
       struct("remove").foreach(rm =>
         state.active.remove(rm.getAs[String]("path")))
+      struct("domainMetadata").foreach { d =>
+        val domain = d.getAs[String]("domain")
+        val removed = d.schema.fieldNames.contains("removed") &&
+          Option(d.getAs[Any]("removed")).contains(true)
+        if (removed) state.domains.remove(domain)
+        else state.domains(domain) = Option(
+          if (d.schema.fieldNames.contains("configuration"))
+            d.getAs[String]("configuration") else null).getOrElse("{}")
+      }
     }
   }
 
@@ -320,11 +343,23 @@ object DeltaLogReader {
       val add = AddFile(decodePath(a.get("path").asText), pv, dvFromJson(a),
         Option(a.get("size")).map(_.asLong).getOrElse(0L),
         Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-        Option(a.get("stats")).filterNot(_.isNull).map(_.asText))
+        Option(a.get("stats")).filterNot(_.isNull).map(_.asText),
+        Option(a.get("baseRowId")).filterNot(_.isNull).map(_.asLong),
+        Option(a.get("defaultRowCommitVersion")).filterNot(_.isNull)
+          .map(_.asLong))
       state.active(add.path) = add
     }
     Option(node.get("remove")).foreach(rm =>
       state.active.remove(decodePath(rm.get("path").asText)))
+    // domainMetadata (PROTOCOL.md "Domain Metadata"): keyed by domain,
+    // last writer wins, removed=true retracts
+    Option(node.get("domainMetadata")).foreach { d =>
+      val domain = d.get("domain").asText
+      if (Option(d.get("removed")).exists(_.asBoolean))
+        state.domains.remove(domain)
+      else state.domains(domain) =
+        Option(d.get("configuration")).map(_.asText).getOrElse("{}")
+    }
   }
 
   /** `read_deltalake(version=…)`: the snapshot as a DataFrame.
@@ -389,6 +424,63 @@ object DeltaLogReader {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snap.schema)
         .filter(predicate)
     else scanFiles(spark, tablePath, snap, files).filter(predicate)
+  }
+
+  /** ROW TRACKING read (PROTOCOL.md "Row Tracking"): the snapshot with
+    * `_row_id` (= the file's `baseRowId` + the row's physical index)
+    * and `_row_commit_version` attached — stable row identity under
+    * appends AND under deletion-vector deletes (a DV never shifts the
+    * physical row index of surviving rows), the Delta twin of
+    * [[IcebergReader.readWithLineage]]. Files written before row
+    * tracking was enabled surface null ids until rewritten. The
+    * (file → baseRowId) manifest is metadata-scale and broadcast. */
+  def readWithRowIds(spark: SparkSession, tablePath: String,
+      asOfVersion: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, asOfVersion)
+    val physOf = physicalNames(snap)
+    val dataFields = snap.schema.fields
+      .filterNot(f => snap.partitionColumns.contains(f.name))
+    val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (snap.files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(snap.schema.fields :+
+          StructField("_row_id", LongType) :+
+          StructField("_row_commit_version", LongType)))
+    val qualified = snap.files.map { f =>
+      fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
+    }
+    var df = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
+      .withColumn("__file", input_file_name())
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (snap.files.exists(_.deletionVector.isDefined)) {
+      val qualifiedRoot = fs.makeQualified(root).toString
+      df = df.join(deletedRows(spark, qualifiedRoot, qualified),
+        Seq("__file", "__pos"), "left_anti")
+    }
+    val manifestSchema = StructType(
+      StructField("__file", StringType, nullable = false) +:
+        (snap.partitionColumns.map(c =>
+          StructField(s"__pv_$c", StringType, nullable = true)) :+
+          StructField("__base", LongType, nullable = true) :+
+          StructField("__rcv", LongType, nullable = true)))
+    val manifestRows = qualified.map { case (uri, f) =>
+      Row.fromSeq((uri +: snap.partitionColumns.map { c =>
+        f.partitionValues.get(physOf(c))
+          .orElse(f.partitionValues.get(c)).flatten.orNull
+      }) :+ f.baseRowId.map(Long.box).orNull :+
+        f.defaultRowCommitVersion.map(Long.box).orNull)
+    }
+    val manifest = spark.createDataFrame(
+      spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
+    df = df.join(broadcast(manifest), Seq("__file"), "left")
+    df.select((snap.schema.fields.map { f =>
+      if (snap.partitionColumns.contains(f.name))
+        col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
+      else col(physOf(f.name)).as(f.name)
+    } :+ (col("__base") + col("__pos")).as("_row_id") :+
+      col("__rcv").as("_row_commit_version")).toSeq: _*)
   }
 
   /** The snapshot-subset scan `read` is built on: DV-applied,

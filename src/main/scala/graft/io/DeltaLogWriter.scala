@@ -147,7 +147,8 @@ object DeltaLogWriter {
     val schemaChanged = prior.forall(_.schema.json != outSchema.json)
     commitLoop(spark, tablePath, outSchema, partCols, adds, removes,
       if (exists) "WRITE" else "CREATE TABLE AS SELECT",
-      emitMeta = schemaChanged, config = outConfig, extraActions = cdc)
+      emitMeta = schemaChanged, config = outConfig, extraActions = cdc,
+      priorConfig = Some(outConfig))
   }
 
   /** Change Data Feed enablement (PROTOCOL.md "Change Data Files" /
@@ -244,6 +245,44 @@ object DeltaLogWriter {
         else Nil,
       dataChange = false,
       config = snap.configuration + ("delta.appendOnly" -> enabled.toString))
+  }
+
+  /** Row Tracking enablement (PROTOCOL.md "Row Tracking", writer
+    * features `rowTracking` + `domainMetadata`): from this commit on,
+    * every committed add is assigned a `baseRowId` range above the
+    * `delta.rowTracking` high watermark and stamps its
+    * `defaultRowCommitVersion`; [[DeltaLogReader.readWithRowIds]]
+    * serves `_row_id` = baseRowId + physical row index — stable under
+    * appends and under deletion-vector deletes. Pre-enablement files
+    * surface null ids until rewritten (no backfill, per spec).
+    * `rowTracking` has no legacy writer version, so enablement always
+    * lands the table in the feature range (minWriterVersion 7) with the
+    * legacy-implied features enumerated. */
+  def enableRowTracking(spark: SparkSession,
+      tablePath: String): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    if (snap.configuration.get("delta.enableRowTracking").contains("true"))
+      return Committed(snap.version, 0)
+    val p = snap.protocol
+    val need = Set("rowTracking", "domainMetadata")
+    val upgrade =
+      if (p.minWriterVersion >= 7 && need.subsetOf(p.writerFeatures)) Nil
+      else {
+        val writerFeats =
+          ((if (p.minWriterVersion >= 7) p.writerFeatures
+            else legacyWriterFeatures(p.minWriterVersion)) ++ need)
+            .toSeq.sorted
+        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+        val readerPart =
+          if (p.minReaderVersion >= 3)
+            s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
+          else ""
+        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
+      }
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
+      extraActions = upgrade, dataChange = false,
+      config = snap.configuration + ("delta.enableRowTracking" -> "true"))
   }
 
   /** Protocol action (if any) merging `feature` into the writer feature
@@ -351,7 +390,8 @@ object DeltaLogWriter {
       .map(_.path)
     val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
       .map(f => AddEntry(f.path, f.partitionValues, math.max(f.size, 1L),
-        math.max(f.modificationTime, 1L), f.deletionVector, f.stats))
+        math.max(f.modificationTime, 1L), f.deletionVector, f.stats,
+        f.baseRowId, f.defaultRowCommitVersion))
     val schemaChanged = tgt.schema.json != cur.schema.json ||
       tgt.partitionColumns != cur.partitionColumns
     commitLoop(spark, tablePath, tgt.schema, tgt.partitionColumns, adds,
@@ -429,7 +469,7 @@ object DeltaLogWriter {
       val adds = writeDataFiles(merged, tablePath, Nil, physOf, fieldIds)
       commitLoop(spark, tablePath, snap.schema, Nil, adds,
         snap.files.map(_.path), "MERGE", emitMeta = false,
-        extraActions = cdc)
+        extraActions = cdc, priorConfig = Some(snap.configuration))
     } else {
       val pcols = snap.partitionColumns
       // touched partitions: where src rows land + where matched keys live
@@ -468,7 +508,8 @@ object DeltaLogWriter {
       val adds = writeDataFiles(merged, tablePath, pcols, physOf, fieldIds)
       commitLoop(spark, tablePath, snap.schema, pcols, adds,
         snap.files.filter(touchedFile).map(_.path), "MERGE",
-        emitMeta = false, extraActions = cdc)
+        emitMeta = false, extraActions = cdc,
+        priorConfig = Some(snap.configuration))
     }
   }
 
@@ -529,7 +570,8 @@ object DeltaLogWriter {
       .groupBy(_.path).map(_._2.last).toSeq
     val committed = commitLoop(spark, tablePath, agg.schema, partCols,
       all, Nil, "STREAMING UPDATE",
-      emitMeta = prior.isEmpty)
+      emitMeta = prior.isEmpty,
+      priorConfig = Some(prior.map(_.configuration).getOrElse(Map.empty)))
     fs.delete(stagedDir, true)
     committed
   }
@@ -701,7 +743,7 @@ object DeltaLogWriter {
       physOf, fieldIds)
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
       removes = candidates.map(_.path), "OPTIMIZE", emitMeta = false,
-      dataChange = false)
+      dataChange = false, priorConfig = Some(snap.configuration))
   }
 
   /** Rename a column WITHOUT rewriting a single data file — Delta's
@@ -1038,7 +1080,9 @@ object DeltaLogWriter {
       partitionValues: Map[String, Option[String]], size: Long,
       modificationTime: Long,
       deletionVector: Option[DeltaDeletionVectors.Descriptor] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   /** Per-file `stats` JSON (numRecords + per-column min/max/nullCount)
     * from parquet FOOTERS, computed on executors — the metadata other
@@ -1294,7 +1338,8 @@ object DeltaLogWriter {
         if (f.size > 0L) f.size
         else fs.getFileStatus(new Path(qualifiedRoot, f.path)).getLen
       AddEntry(f.path, f.partitionValues, size, System.currentTimeMillis(),
-        Some(desc), stats = f.stats)
+        Some(desc), stats = f.stats, baseRowId = f.baseRowId,
+        defaultRowCommitVersion = f.defaultRowCommitVersion)
     }
     val removes = touched.collect { case (uri, None) => byUri(uri).path }
     val p = snap.protocol
@@ -1327,7 +1372,8 @@ object DeltaLogWriter {
         tablePath, snap.partitionColumns, physOf,
         DeltaLogReader.mappingFieldIds(snap), destPrefix = "_change_data"))
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
-      removes, "DELETE", emitMeta = false, extraActions = upgrade ++ cdc)
+      removes, "DELETE", emitMeta = false, extraActions = upgrade ++ cdc,
+      priorConfig = Some(snap.configuration))
   }
 
   /** Per-file raw row counts from parquet footers, read ON EXECUTORS
@@ -1349,6 +1395,30 @@ object DeltaLogWriter {
         try (u, rdr.getRecordCount) finally rdr.close()
       }
     }.collect().toMap
+  }
+
+  /** Per-add record counts for row-id assignment: stats numRecords
+    * where present, else one executor-side footer sweep of the rest. */
+  private def recordCountsForAdds(spark: SparkSession, tablePath: String,
+      adds: Seq[AddEntry]): Map[String, Long] = {
+    val fromStats = adds.flatMap(a => a.stats.flatMap { st =>
+      try Option(mapper.readTree(st).get("numRecords")).map(n =>
+        a.path -> n.asLong)
+      catch { case _: Exception => None }
+    }).toMap
+    val missing = adds.filter(a =>
+      a.baseRowId.isEmpty && !fromStats.contains(a.path))
+    if (missing.isEmpty) fromStats
+    else {
+      val root = new Path(tablePath)
+      def uriOf(rel: String): String =
+        if (rel.startsWith("/") || rel.contains("://")) rel
+        else new Path(root, rel).toString
+      val counted = footerRecordCounts(spark,
+        missing.map(a => uriOf(a.path)))
+      fromStats ++ missing.map(a =>
+        a.path -> counted.getOrElse(uriOf(a.path), 0L))
+    }
   }
 
   /** Features a legacy `minReaderVersion` implies, enumerated when an
@@ -1375,13 +1445,50 @@ object DeltaLogWriter {
       removes: Seq[String], operation: String, emitMeta: Boolean,
       extraActions: Seq[String] = Nil,
       dataChange: Boolean = true,
-      config: Map[String, String] = Map.empty): Committed = {
+      config: Map[String, String] = Map.empty,
+      priorConfig: Option[Map[String, String]] = None): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
+    // Row Tracking (PROTOCOL.md): on an enabled table every committed
+    // add carries a baseRowId — fresh files take the next range above
+    // the delta.rowTracking high watermark, re-committed files (DV
+    // re-adds, RESTORE) keep theirs. Record counts come from the adds'
+    // own stats; files without stats fall back to one footer sweep.
+    val rtEnabled = (priorConfig.getOrElse(Map.empty) ++ config)
+      .get("delta.enableRowTracking").contains("true")
+    lazy val rtCounts: Map[String, Long] =
+      recordCountsForAdds(spark, tablePath, adds)
     var attempts = 0
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
+      val (adds2, rtExtra) =
+        if (!rtEnabled || adds.forall(_.baseRowId.isDefined))
+          (adds, Nil)
+        else {
+          // hwm re-read inside the loop: a competing commit advances it
+          val hwm0 =
+            (if (version == 0L) None
+             else DeltaLogReader.snapshot(spark, tablePath)
+               .domainMetadata.get("delta.rowTracking"))
+              .flatMap(cfgStr =>
+                Option(mapper.readTree(cfgStr).get("rowIdHighWaterMark"))
+                  .map(_.asLong))
+              .getOrElse(-1L)
+          var next = hwm0 + 1
+          val assigned = adds.map { a =>
+            if (a.baseRowId.isDefined) a
+            else {
+              val b = next
+              next += rtCounts.getOrElse(a.path, 0L)
+              a.copy(baseRowId = Some(b),
+                defaultRowCommitVersion = Some(version))
+            }
+          }
+          val dmCfg = jstr(s"""{"rowIdHighWaterMark":${next - 1}}""")
+          (assigned, Seq(
+            s"""{"domainMetadata":{"domain":"delta.rowTracking","configuration":$dmCfg,"removed":false}}"""))
+        }
       // PROTOCOL.md: storing TIMESTAMP_NTZ requires the `timestampNtz`
       // reader+writer feature — a table declaring only the baseline
       // protocol would have conformant readers misinterpret (or refuse)
@@ -1411,8 +1518,9 @@ object DeltaLogWriter {
             Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
           }
         }
-      val lines = actionLines(schema, partCols, adds, removes, operation,
-        emitMeta = emitMeta || version == 0L, ntzUpgrade ++ extraActions,
+      val lines = actionLines(schema, partCols, adds2, removes, operation,
+        emitMeta = emitMeta || version == 0L,
+        ntzUpgrade ++ rtExtra ++ extraActions,
         dataChange,
         // re-declaring the baseline protocol on a LATER commit would
         // DOWNGRADE a feature-bearing table (DVs, column mapping) — the
@@ -1473,7 +1581,13 @@ object DeltaLogWriter {
         s""","deletionVector":{"storageType":${jstr(d.storageType)},"pathOrInlineDv":${jstr(d.pathOrInlineDv)},"offset":${d.offset.getOrElse(1)},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""")
         .getOrElse("")
       val st = a.stats.map(s => s""","stats":${jstr(s)}""").getOrElse("")
-      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":$dataChange$dv$st}}"""
+      val rt = (a.baseRowId, a.defaultRowCommitVersion) match {
+        case (Some(b), Some(v)) =>
+          s""","baseRowId":$b,"defaultRowCommitVersion":$v"""
+        case (Some(b), None) => s""","baseRowId":$b"""
+        case _ => ""
+      }
+      s"""{"add":{"path":${jstr(a.path)},"partitionValues":$pv,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":$dataChange$dv$st$rt}}"""
     }
     (info +: metaLines) ++ extraActions ++ removeLines ++ addLines
   }
@@ -1520,7 +1634,11 @@ object DeltaLogWriter {
         Some(CkptProtocol(p.minReaderVersion, minWriter,
           if (p.readerFeatures.isEmpty) None
           else Some(p.readerFeatures.toSeq.sorted),
-          writerFeats))) +:
+          writerFeats)), None) +:
+      (snap.domainMetadata.toSeq.sorted.map { case (dom, cfg) =>
+        CkptLine(None, None, None,
+          Some(CkptDomainMetadata(dom, cfg)))
+      } ++
       snap.files.map(f => CkptLine(
         Some(CkptAddFile(f.path,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
@@ -1528,8 +1646,8 @@ object DeltaLogWriter {
           dataChange = false,
           f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
             d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
-          f.stats)),
-        None, None))
+          f.stats, f.baseRowId, f.defaultRowCommitVersion)),
+        None, None)))
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(logDir, s".ckpt-staging-${UUID.randomUUID()}")
@@ -1621,7 +1739,7 @@ object DeltaLogWriter {
         dataChange = false,
         f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
           d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
-        f.stats))))
+        f.stats, f.baseRowId, f.defaultRowCommitVersion))))
     val nShards = math.max(1,
       (addRows.length + sidecarMaxActions - 1) / sidecarMaxActions)
     val staging = new Path(logDir, s".v2ckpt-staging-${UUID.randomUUID()}")
@@ -1648,9 +1766,13 @@ object DeltaLogWriter {
       V2ManifestLine(None,
         Some(CkptMetaData(UUID.randomUUID().toString, snap.schema.json,
           snap.partitionColumns, snap.configuration)), None, None) +:
+      (snap.domainMetadata.toSeq.sorted.map { case (dom, cfg) =>
+        V2ManifestLine(None, None, None, None,
+          Some(CkptDomainMetadata(dom, cfg)))
+      } ++
       sidecarNames.map { case (name, len) =>
         V2ManifestLine(None, None, None, Some(CkptSidecar(name, len)))
-      }
+      })
     val mStaging = new Path(logDir, s".v2ckpt-m-${UUID.randomUUID()}")
     try {
       manifestRows.toDS().coalesce(1).write.parquet(mStaging.toString)
@@ -1674,7 +1796,8 @@ object DeltaLogWriter {
       checkpointMetadata: Option[CkptV2Meta],
       metaData: Option[CkptMetaData],
       protocol: Option[CkptProtocol],
-      sidecar: Option[CkptSidecar])
+      sidecar: Option[CkptSidecar],
+      domainMetadata: Option[CkptDomainMetadata] = None)
 
   final case class CkptDv(storageType: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
@@ -1682,7 +1805,11 @@ object DeltaLogWriter {
       partitionValues: Map[String, String], size: Long,
       modificationTime: Long, dataChange: Boolean,
       deletionVector: Option[CkptDv] = None,
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
+  final case class CkptDomainMetadata(domain: String,
+      configuration: String, removed: Boolean = false)
   // configuration must survive checkpointing — compacting it away would
   // drop delta.columnMapping.mode and make physical names unresolvable
   final case class CkptMetaData(id: String, schemaString: String,
@@ -1692,5 +1819,6 @@ object DeltaLogWriter {
       readerFeatures: Option[Seq[String]] = None,
       writerFeatures: Option[Seq[String]] = None)
   final case class CkptLine(add: Option[CkptAddFile],
-      metaData: Option[CkptMetaData], protocol: Option[CkptProtocol])
+      metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
+      domainMetadata: Option[CkptDomainMetadata] = None)
 }

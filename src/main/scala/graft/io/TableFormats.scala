@@ -210,6 +210,16 @@ object TableFormats {
       name: String): Unit =
     DeltaLogWriter.dropCheckConstraint(spark, path, name)
 
+  /** Row tracking on a Delta table: stable `_row_id` identity
+    * (PROTOCOL.md "Row Tracking") — the Delta twin of
+    * [[fromIcebergWithLineage]]. */
+  def enableDeltalakeRowTracking(spark: SparkSession, path: String): Unit =
+    DeltaLogWriter.enableRowTracking(spark, path)
+
+  def readDeltalakeWithRowIds(spark: SparkSession, path: String,
+      version: Option[Long] = None): DataFrame =
+    DeltaLogReader.readWithRowIds(spark, path, version)
+
   /** `delta.appendOnly`: data-removing commits raise once set. */
   def setDeltalakeAppendOnly(spark: SparkSession, path: String,
       enabled: Boolean = true): Unit =

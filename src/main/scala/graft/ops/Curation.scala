@@ -318,4 +318,68 @@ object Curation {
        |    - greatest(cum_before, t.seq * $packCapacity) AS n_in_seq
        |FROM e, unnest(generate_series(cum_before // $packCapacity,
        |  (cum_end - 1) // $packCapacity)) AS t(seq)""".stripMargin
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling", arXiv:2302.03169):
+    * score each document by how much its HASHED token-feature
+    * distribution looks like a TARGET corpus (here: the `lang = 'en'`
+    * slice) relative to the raw pool — the per-doc log importance
+    * weight Σ_features c·ln((target_b+1)/(raw_b+1)) that importance
+    * resampling then samples by.
+    *
+    * Exactness recipe (the [[graft.ops.Postings]] bm25 pattern): the
+    * 256 hashed-bucket log-ratios are the ONLY float computation,
+    * rounded to 6 decimals and cast to exact decimal; every per-doc
+    * contribution and sum after that is decimal arithmetic —
+    * order-independent, so Spark's partial aggregation and DuckDB's
+    * sequential fold agree bit-for-bit.
+    *
+    * Scale shape: two 256-row feature aggregations (broadcast back),
+    * one (doc, bucket) count aggregation, a broadcast join, one final
+    * per-doc sum — no quadratic stage, no driver data. Buckets are
+    * md5-prefix strings, identical in every engine. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bucketed = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("b", substring(md5(col("tok")), 1, 2))
+    val raw = bucketed.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = bucketed.filter(col("lang") === "en")
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val w = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        round(log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (col("cr") + 1).cast("double")), 6)
+          .cast("decimal(12,6)").as("w"))
+    val perDoc = bucketed.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    perDoc.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum((col("c") * col("w")).cast("decimal(30,6)"))
+        .cast("decimal(30,6)").cast("double").as("dsir_logweight"))
+  }
+
+  def dsirWeightsOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, t AS tok FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+      |    FROM documents)
+      |  WHERE length(t) > 0),
+      |bk AS (SELECT doc_id, lang, substring(md5(tok), 1, 2) AS b
+      |       FROM toks),
+      |raw AS (SELECT b, count(*) AS cr FROM bk GROUP BY 1),
+      |tgt AS (SELECT b, count(*) AS ct FROM bk WHERE lang = 'en'
+      |        GROUP BY 1),
+      |w AS (SELECT raw.b,
+      |  cast(round(ln((coalesce(ct, 0) + 1)::DOUBLE / (cr + 1)::DOUBLE),
+      |    6) as decimal(12,6)) AS w
+      |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b),
+      |pd AS (SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2)
+      |SELECT pd.doc_id,
+      |  cast(cast(sum(cast(pd.c * w.w as decimal(30,6)))
+      |    as decimal(30,6)) as double) AS dsir_logweight
+      |FROM pd JOIN w ON pd.b = w.b
+      |GROUP BY 1""".stripMargin
 }

@@ -348,6 +348,35 @@ object TableRoundtrips {
         .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
   }
 
+  /** Delta ROW-TRACKING differential (the [[icebergLineageRoundtrip]]
+    * twin): enable tracking, append one key-sorted file, DV-DELETE a
+    * slice — surviving rows must keep the `_row_id` they were assigned
+    * at append (a deletion vector never shifts the physical index). The
+    * oracle ranks independently and filters; a shifted or re-assigned
+    * id hash-mismatches. */
+  def deltaRowIdsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-delta-rt").toString
+    val tmp = root + "/t"
+    val b1 = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 100L)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .coalesce(1).sortWithinPartitions("c_custkey")
+    DeltaLogWriter.write(b1.limit(0), tmp)
+    DeltaLogWriter.enableRowTracking(s, tmp)
+    DeltaLogWriter.write(b1, tmp)
+    DeltaLogWriter.deleteWhere(s, tmp, col("c_custkey") % 7 === 0)
+    materializedWithoutTemp(s,
+      DeltaLogReader.readWithRowIds(s, tmp)
+        .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
+  }
+
+  def deltaRowIdsOracle: String =
+    """SELECT c_custkey, c_acctbal, _row_id FROM (
+      |  SELECT c_custkey, c_acctbal,
+      |    row_number() OVER (ORDER BY c_custkey) - 1 AS _row_id
+      |  FROM customer WHERE c_custkey <= 100)
+      |WHERE c_custkey % 7 <> 0""".stripMargin
+
   def icebergLineageOracle: String =
     """SELECT c_custkey, c_acctbal,
       |  row_number() OVER (ORDER BY c_custkey) - 1 AS _row_id

@@ -279,7 +279,7 @@ def _delta_cast_partition(v, typ):
     return v  # string, date kept lexical
 
 
-def read_delta(table: str) -> pd.DataFrame:
+def read_delta(table: str, row_ids: bool = False) -> pd.DataFrame:
     log = os.path.join(table, "_delta_log")
     commits, ckpts, v2ckpts = {}, {}, {}
     for f in os.listdir(log):
@@ -304,8 +304,9 @@ def read_delta(table: str) -> pd.DataFrame:
     adds = {}       # path -> dict(partitionValues, deletionVector)
     meta = None
 
-    def apply_add(path, pvals, dv):
-        adds[path] = {"partitionValues": pvals or {}, "dv": dv}
+    def apply_add(path, pvals, dv, base_row_id=None):
+        adds[path] = {"partitionValues": pvals or {}, "dv": dv,
+                      "baseRowId": base_row_id}
 
     def apply_ckpt_row(row):
         nonlocal meta
@@ -316,7 +317,8 @@ def read_delta(table: str) -> pd.DataFrame:
             pv = a.get("partitionValues")
             if isinstance(pv, list):  # pyarrow map -> [(k, v), ...]
                 pv = dict(pv)
-            apply_add(a["path"], pv, a.get("deletionVector"))
+            apply_add(a["path"], pv, a.get("deletionVector"),
+                      a.get("baseRowId"))
 
     if ckpt_v is not None and ckpt_v in v2ckpts:
         # PROTOCOL.md "V2 Spec Checkpoints": a uuid-named manifest
@@ -350,7 +352,7 @@ def read_delta(table: str) -> pd.DataFrame:
             elif "add" in act:
                 a = act["add"]
                 apply_add(a["path"], a.get("partitionValues"),
-                          a.get("deletionVector"))
+                          a.get("deletionVector"), a.get("baseRowId"))
             elif "remove" in act:
                 adds.pop(act["remove"]["path"], None)
 
@@ -381,6 +383,11 @@ def read_delta(table: str) -> pd.DataFrame:
         if dv:
             deleted = _delta_dv_rows(table, dv)
             df = df[~df["_frn"].isin(deleted)]
+        if row_ids:
+            # Row Tracking: _row_id = the add's baseRowId + the PHYSICAL
+            # row index — DV filtering above must not shift it
+            base = info.get("baseRowId")
+            df["_row_id"] = (df["_frn"] + base) if base is not None else None
         df = df.drop(columns=["_frn"])
         df = df.rename(columns={p: l for l, p in phys_of.items() if p != l})
         for c in part_cols:
@@ -390,9 +397,11 @@ def read_delta(table: str) -> pd.DataFrame:
         for c in col_names:
             if c not in df.columns:
                 df[c] = None
-        frames.append(df[col_names])
+        out_cols = col_names + (["_row_id"] if row_ids else [])
+        frames.append(df[out_cols])
+    out_cols = col_names + (["_row_id"] if row_ids else [])
     return pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame(columns=col_names)
+        pd.DataFrame(columns=out_cols)
 
 
 def read_delta_cdf(table: str) -> pd.DataFrame:
@@ -729,6 +738,8 @@ def main():
         try:
             if name == "delta_cdf":
                 got = read_delta_cdf(table)
+            elif name == "delta_rowtrack":
+                got = read_delta(table, row_ids=True)
             elif name.startswith("delta"):
                 got = read_delta(table)
             else:
