@@ -904,8 +904,15 @@ object DeltaLogReader {
           val n = mapper.readTree(line)
           if (n.has("commitInfo")) {
             val ci = n.get("commitInfo")
-            return (if (ci.has("timestamp")) Some(ci.get("timestamp").asLong)
-                    else None, scanned)
+            // In-Commit Timestamps (PROTOCOL.md): when present, the
+            // inCommitTimestamp is authoritative for time ordering —
+            // writers maintain it monotonically, unlike wall clocks
+            val ts =
+              if (ci.has("inCommitTimestamp"))
+                Some(ci.get("inCommitTimestamp").asLong)
+              else if (ci.has("timestamp")) Some(ci.get("timestamp").asLong)
+              else None
+            return (ts, scanned)
           }
         }
         line = reader.readLine()

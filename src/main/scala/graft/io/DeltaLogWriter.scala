@@ -247,6 +247,43 @@ object DeltaLogWriter {
       config = snap.configuration + ("delta.appendOnly" -> enabled.toString))
   }
 
+  /** In-Commit Timestamps enablement (PROTOCOL.md "In-Commit
+    * Timestamps", writer feature `inCommitTimestamp`): from this commit
+    * on, every commitInfo carries a monotonically increasing
+    * `inCommitTimestamp` (max(now, prev + 1)) which timestamp-based
+    * time travel prefers over wall clocks — cross-writer clock skew can
+    * no longer reorder history. The enablement commit records
+    * `delta.inCommitTimestampEnablementVersion`/`...Timestamp`. */
+  def enableInCommitTimestamps(spark: SparkSession,
+      tablePath: String): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, tablePath)
+    if (snap.configuration.get("delta.enableInCommitTimestamps")
+        .contains("true"))
+      return Committed(snap.version, 0)
+    val p = snap.protocol
+    val upgrade =
+      if (p.minWriterVersion >= 7 &&
+          p.writerFeatures.contains("inCommitTimestamp")) Nil
+      else {
+        val writerFeats =
+          ((if (p.minWriterVersion >= 7) p.writerFeatures
+            else legacyWriterFeatures(p.minWriterVersion)) +
+            "inCommitTimestamp").toSeq.sorted
+        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+        val readerPart =
+          if (p.minReaderVersion >= 3)
+            s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
+          else ""
+        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
+      }
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
+      extraActions = upgrade, dataChange = false,
+      config = snap.configuration +
+        ("delta.enableInCommitTimestamps" -> "true"),
+      priorConfig = Some(snap.configuration))
+  }
+
   /** Row Tracking enablement (PROTOCOL.md "Row Tracking", writer
     * features `rowTracking` + `domainMetadata`): from this commit on,
     * every committed add is assigned a `baseRowId` range above the
@@ -1518,6 +1555,33 @@ object DeltaLogWriter {
             Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
           }
         }
+      // In-Commit Timestamps (PROTOCOL.md): on an enabled table every
+      // commitInfo carries a MONOTONIC inCommitTimestamp =
+      // max(now, previous + 1) — wall-clock regressions cannot reorder
+      // history. The enablement commit itself records the version and
+      // timestamp it began at.
+      val ictEnabled = (priorConfig.getOrElse(Map.empty) ++ config)
+        .get("delta.enableInCommitTimestamps").contains("true")
+      val ict: Option[Long] =
+        if (!ictEnabled) None
+        else {
+          val prev =
+            if (version == 0L) None
+            else DeltaLogReader.commitInfoTimestamp(fs,
+              new Path(logDir, f"${version - 1}%020d.json").toString)._1
+          Some(math.max(System.currentTimeMillis(),
+            prev.map(_ + 1).getOrElse(Long.MinValue)))
+        }
+      val isIctEnablement = ictEnabled &&
+        config.get("delta.enableInCommitTimestamps").contains("true") &&
+        !priorConfig.exists(
+          _.get("delta.enableInCommitTimestamps").contains("true")) &&
+        !config.contains("delta.inCommitTimestampEnablementVersion")
+      val config2 =
+        if (!isIctEnablement) config
+        else config +
+          ("delta.inCommitTimestampEnablementVersion" -> version.toString) +
+          ("delta.inCommitTimestampEnablementTimestamp" -> ict.get.toString)
       val lines = actionLines(schema, partCols, adds2, removes, operation,
         emitMeta = emitMeta || version == 0L,
         ntzUpgrade ++ rtExtra ++ extraActions,
@@ -1526,7 +1590,8 @@ object DeltaLogWriter {
         // DOWNGRADE a feature-bearing table (DVs, column mapping) — the
         // last protocol action wins on replay. Only commit 0 declares
         // it; upgrades ride in as explicit extraActions.
-        includeProtocol = version == 0L && ntzUpgrade.isEmpty, config)
+        includeProtocol = version == 0L && ntzUpgrade.isEmpty, config2,
+        inCommitTs = ict)
       val target = new Path(logDir, f"$version%020d.json")
       // AtomicWrite: local-FS create-exclusive is check-then-create in
       // Hadoop — a raw fs.create(_, false) race could double-claim the
@@ -1559,10 +1624,12 @@ object DeltaLogWriter {
       adds: Seq[AddEntry], removes: Seq[String], operation: String,
       emitMeta: Boolean, extraActions: Seq[String] = Nil,
       dataChange: Boolean = true, includeProtocol: Boolean = true,
-      config: Map[String, String] = Map.empty): Seq[String] = {
+      config: Map[String, String] = Map.empty,
+      inCommitTs: Option[Long] = None): Seq[String] = {
     val now = System.currentTimeMillis()
+    val ict = inCommitTs.map(t => s""""inCommitTimestamp":$t,""").getOrElse("")
     val info =
-      s"""{"commitInfo":{"timestamp":$now,"operation":${jstr(operation)},"operationParameters":{},"engineInfo":"graft"}}"""
+      s"""{"commitInfo":{${ict}"timestamp":$now,"operation":${jstr(operation)},"operationParameters":{},"engineInfo":"graft"}}"""
     val cfg = config.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val metaLines = if (emitMeta)

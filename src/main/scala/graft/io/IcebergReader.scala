@@ -308,8 +308,14 @@ object IcebergReader {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not found in $tablePath (have ${snaps.map(_.get("snapshot-id").asLong).mkString(",")})"))
 
+    // time-travel reads resolve the schema the snapshot was WRITTEN
+    // under (its stamped schema-id); a current read uses the table's
+    // CURRENT schema — a metadata-only evolution (addColumn/defaults)
+    // advances current-schema-id without a new snapshot, and the new
+    // column must be visible immediately
     val schema = metaSchema(meta,
-      Option(snap.get("schema-id")).map(_.asInt))
+      if (asOfSnapshotId.isEmpty) None
+      else Option(snap.get("schema-id")).map(_.asInt))
     val partCols = metaPartCols(meta)
 
     val root = new Path(tablePath)
@@ -802,6 +808,52 @@ object IcebergReader {
     * through the union the mapped scan builds, so callers must not
     * reach for `_metadata` themselves. */
   private[io] def dataScan(spark: SparkSession, snap: Snapshot,
+      only: Option[Seq[String]] = None,
+      withMeta: Boolean = false): DataFrame = {
+    // v3 column defaults (spec "Default values"): a field with an
+    // `initial-default` reads that value — NOT null — from data files
+    // written before the column existed. Files are split by one footer
+    // sweep into shape groups (the name-mapping machinery's sweep);
+    // groups missing a defaulted column scan without it and restore it
+    // as a typed literal, so a stored null in a newer file is never
+    // confused with column absence. Zero cost for tables without
+    // defaults. Defaulted columns resolve by NAME in the footer
+    // (rename a defaulted column only through [[IcebergWriter]], which
+    // keeps names consistent).
+    val defaulted = snap.schema.fields
+      .filter(_.metadata.contains("iceberg.initial-default"))
+    val paths0 = only.getOrElse(snap.files.map(_.path))
+    if (defaulted.nonEmpty && paths0.nonEmpty) {
+      val shapes = footerShapes(spark, paths0)
+      val byMissing: Map[Set[String], Seq[String]] =
+        shapes.groupBy { case (_, _, cols) =>
+          defaulted.map(_.name).filterNot(cols.contains).toSet
+        }.map { case (k, v) => k -> v.map(_._1) }
+      if (byMissing.keySet != Set(Set.empty[String])) {
+        val branches = byMissing.toSeq.map { case (missing, ps) =>
+          if (missing.isEmpty) dataScan0(spark, snap, Some(ps), withMeta)
+          else {
+            val subSchema = StructType(
+              snap.schema.fields.filterNot(f => missing.contains(f.name)))
+            val base = dataScan0(spark, snap.copy(schema = subSchema),
+              Some(ps), withMeta)
+            missing.foldLeft(base) { (d, m) =>
+              val f = snap.schema(m)
+              d.withColumn(m, defaultLiteral(f.dataType,
+                f.metadata.getString("iceberg.initial-default")))
+            }
+          }
+        }
+        val cols0 = snap.schema.fieldNames.toSeq ++
+          (if (withMeta) Seq("__file", "__pos") else Nil)
+        return branches.map(_.select(cols0.map(col): _*))
+          .reduce(_ unionByName _)
+      }
+    }
+    dataScan0(spark, snap, only, withMeta)
+  }
+
+  private def dataScan0(spark: SparkSession, snap: Snapshot,
       only: Option[Seq[String]] = None,
       withMeta: Boolean = false): DataFrame = {
     val paths = only.getOrElse(snap.files.map(_.path))
@@ -1335,9 +1387,37 @@ object IcebergReader {
 
   private def icebergStruct(node: JsonNode): StructType =
     StructType(jsonArray(node.get("fields")).map { f =>
+      // v3 column defaults (spec "Default values"): carried as field
+      // metadata so the scan can fill pre-existence files
+      // (initial-default) and the writer can fill absent input columns
+      // (write-default)
+      val md = new MetadataBuilder()
+      Option(f.get("initial-default")).filterNot(_.isNull)
+        .foreach(d => md.putString("iceberg.initial-default", d.toString))
+      Option(f.get("write-default")).filterNot(_.isNull)
+        .foreach(d => md.putString("iceberg.write-default", d.toString))
       StructField(f.get("name").asText, icebergType(f.get("type")),
-        nullable = !f.get("required").asBoolean(false))
+        nullable = !f.get("required").asBoolean(false),
+        metadata = md.build())
     })
+
+  /** A JSON-serialized default (spec Appendix D single-value JSON) as a
+    * typed literal Column. */
+  private[io] def defaultLiteral(dt: DataType, json: String): Column = {
+    val node = mapper.readTree(json)
+    val v: Any = dt match {
+      case BooleanType => node.asBoolean
+      case IntegerType => node.asInt
+      case LongType => node.asLong
+      case FloatType => node.asDouble.toFloat
+      case DoubleType => node.asDouble
+      case StringType => node.asText
+      case _: DecimalType => new java.math.BigDecimal(node.asText)
+      case other => throw new UnsupportedIcebergFeatureException(
+        s"default values for type ${other.simpleString} not supported")
+    }
+    lit(v).cast(dt)
+  }
 
   private val Decimal = """decimal\((\d+),\s*(\d+)\)""".r
   private val Fixed = """fixed\[(\d+)\]""".r

@@ -594,6 +594,90 @@ object IcebergWriter {
     }
   }
 
+  /** `ALTER TABLE ADD COLUMN ... DEFAULT` (v3 spec "Default values"):
+    * a metadata-only commit appending the field — with
+    * `initial-default` (the value rows in PRE-EXISTING files read,
+    * instead of null) and optionally `write-default` (the value appends
+    * lacking the column fill in) — to a NEW schemas-history entry.
+    * Existing data files are never touched; the reader's shape-grouped
+    * scan restores the default as a typed literal exactly for files
+    * that predate the column. Adding a REQUIRED column to a non-empty
+    * table demands an initial-default, per spec. */
+  def addColumn(spark: SparkSession, tablePath: String, name: String,
+      dataType: DataType, initialDefault: Option[Any] = None,
+      writeDefault: Option[Any] = None,
+      required: Boolean = false): Unit = {
+    require(IcebergReader.formatVersion(spark, tablePath) >= 3,
+      "column defaults require format-version 3 (setFormatVersion first)")
+    require(!required || initialDefault.isDefined ||
+        IcebergReader.snapshotOpt(spark, tablePath).forall(_.files.isEmpty),
+      s"adding REQUIRED column $name to existing rows needs an initial-default")
+    def renderDefault(v: Any): com.fasterxml.jackson.databind.JsonNode =
+      v match {
+        case b: Boolean => mapper.getNodeFactory.booleanNode(b)
+        case i: Int => mapper.getNodeFactory.numberNode(i)
+        case l: Long => mapper.getNodeFactory.numberNode(l)
+        case f: Float => mapper.getNodeFactory.numberNode(f.toDouble)
+        case d: Double => mapper.getNodeFactory.numberNode(d)
+        case s: String => mapper.getNodeFactory.textNode(s)
+        case d: java.math.BigDecimal => mapper.getNodeFactory.numberNode(d)
+        case other => throw new IllegalArgumentException(
+          s"unsupported default value $other")
+      }
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsedOpt) = logState(fs, metaDir)
+      val (_, meta) = parsedOpt.getOrElse(throw new IllegalStateException(
+        s"no parseable Iceberg metadata at $tablePath"))
+      val node = meta.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+        .asInstanceOf[ObjectNode]
+      val curId = Option(node.get("current-schema-id")).map(_.asInt)
+        .getOrElse(0)
+      val schemas = IcebergReaderAccess.jsonArray(node.get("schemas"))
+        .collect { case o: ObjectNode => o }
+      val current = schemas.find(_.get("schema-id").asInt == curId)
+        .getOrElse(throw new IllegalStateException("no current schema"))
+      require(!IcebergReaderAccess.jsonArray(current.get("fields"))
+          .exists(_.get("name").asText == name),
+        s"column $name already exists in $tablePath")
+      val newId = Option(node.get("last-column-id")).map(_.asInt)
+        .getOrElse(0) + 1
+      val fieldNode = mapper.createObjectNode()
+      fieldNode.put("id", newId)
+      fieldNode.put("name", name)
+      fieldNode.put("required", required)
+      fieldNode.set[com.fasterxml.jackson.databind.JsonNode]("type",
+        icebergTypeJson(dataType,
+          new java.util.concurrent.atomic.AtomicInteger(newId)))
+      initialDefault.foreach(v =>
+        fieldNode.set[com.fasterxml.jackson.databind.JsonNode](
+          "initial-default", renderDefault(v)))
+      writeDefault.orElse(initialDefault).foreach(v =>
+        fieldNode.set[com.fasterxml.jackson.databind.JsonNode](
+          "write-default", renderDefault(v)))
+      val evolved = current.deepCopy()
+      val newSchemaId = schemas.map(_.get("schema-id").asInt).max + 1
+      evolved.put("schema-id", newSchemaId)
+      evolved.get("fields").asInstanceOf[ArrayNode].add(fieldNode)
+      node.get("schemas").asInstanceOf[ArrayNode].add(evolved)
+      node.put("current-schema-id", newSchemaId)
+      node.set[ObjectNode]("schema", evolved.deepCopy())
+      node.put("last-column-id", newId)
+      node.put("last-updated-ms", System.currentTimeMillis())
+      val targetPath = new Path(metaDir, s"v${claimedMax + 1}.metadata.json")
+      if (AtomicWrite.claim(fs, targetPath,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, claimedMax + 1)
+        return
+      } else attempts += 1
+    }
+    throw new java.io.IOException(
+      s"could not claim the add-column commit at $tablePath")
+  }
+
   /** Upgrade a table's format version (only 2→3 / 1→3 supported). v3
     * requires positional delete state as DELETION VECTORS, so any
     * existing position-delete parquet converts in the upgrade commit
@@ -2763,6 +2847,13 @@ object IcebergWriter {
       fn.put("required", !f.nullable)
       fn.set[com.fasterxml.jackson.databind.JsonNode](
         "type", icebergTypeJson(f.dataType, ids))
+      // v3 column defaults survive re-rendered schema history
+      if (f.metadata.contains("iceberg.initial-default"))
+        fn.set[com.fasterxml.jackson.databind.JsonNode]("initial-default",
+          mapper.readTree(f.metadata.getString("iceberg.initial-default")))
+      if (f.metadata.contains("iceberg.write-default"))
+        fn.set[com.fasterxml.jackson.databind.JsonNode]("write-default",
+          mapper.readTree(f.metadata.getString("iceberg.write-default")))
       fields.add(fn)
     }
     node.set[ArrayNode]("fields", fields)

@@ -102,6 +102,11 @@ object SchemaMerge {
       present.get(f.name) match {
         case Some(dt) if dt == f.dataType => col(f.name)
         case Some(_) => col(f.name).cast(f.dataType).as(f.name)
+        case None if f.metadata.contains("iceberg.write-default") =>
+          // v3 write-default (spec "Default values"): an append lacking
+          // the column fills the declared default, not null
+          IcebergReader.defaultLiteral(f.dataType,
+            f.metadata.getString("iceberg.write-default")).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name)
       }
     }: _*)

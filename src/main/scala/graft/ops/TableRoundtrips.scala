@@ -348,6 +348,37 @@ object TableRoundtrips {
         .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
   }
 
+  /** v3 COLUMN DEFAULTS differential (spec "Default values"): add a
+    * column with an initial-default to a populated v3 table —
+    * pre-existing rows must read the DEFAULT (never null, and never a
+    * rewrite), later rows their explicit values. The oracle computes
+    * the same split relationally. */
+  def icebergDefaultsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-dflt").toString
+    val tmp = root + "/t"
+    val b1 = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_acctbal"))
+    IcebergWriter.createEmpty(s, tmp, b1.schema, formatVersion = 3)
+    IcebergWriter.write(b1, tmp)
+    IcebergWriter.addColumn(s, tmp, "bonus",
+      org.apache.spark.sql.types.IntegerType, initialDefault = Some(5))
+    val b2 = Tables.customer(s, dir)
+      .filter(col("c_custkey") > 50L && col("c_custkey") <= 60L)
+      .select(col("c_custkey"), col("c_acctbal"),
+        (col("c_custkey") % 3).cast("int").as("bonus"))
+    IcebergWriter.write(b2, tmp, mode = "append")
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp)
+        .select(col("c_custkey"), col("c_acctbal"), col("bonus")), root)
+  }
+
+  def icebergDefaultsOracle: String =
+    """SELECT c_custkey, c_acctbal,
+      |  CAST(CASE WHEN c_custkey <= 50 THEN 5
+      |       ELSE c_custkey % 3 END AS INT) AS bonus
+      |FROM customer WHERE c_custkey <= 60""".stripMargin
+
   /** Delta ROW-TRACKING differential (the [[icebergLineageRoundtrip]]
     * twin): enable tracking, append one key-sorted file, DV-DELETE a
     * slice — surviving rows must keep the `_row_id` they were assigned

@@ -78,6 +78,36 @@ class DeltaConstraintsSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, dir).count() == 4)
   }
 
+  test("in-commit timestamps: monotonic, preferred by time travel") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seed(dir)
+    DeltaLogWriter.enableInCommitTimestamps(spark, dir)
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.configuration("delta.enableInCommitTimestamps") == "true")
+    assert(snap.configuration.contains(
+      "delta.inCommitTimestampEnablementVersion"))
+    assert(snap.protocol.writerFeatures.contains("inCommitTimestamp"))
+    // rapid commits: ICTs must STRICTLY increase even inside one ms
+    DeltaLogWriter.write(Seq((3L, 30.0, "c")).toDF("id", "amount", "note"), dir)
+    DeltaLogWriter.write(Seq((4L, 40.0, "d")).toDF("id", "amount", "note"), dir)
+    DeltaLogWriter.write(Seq((5L, 50.0, "e")).toDF("id", "amount", "note"), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val icts = (1L to 4L).map { v =>
+      DeltaLogReader.commitInfoTimestamp(fs,
+        f"$dir/_delta_log/$v%020d.json")._1.get
+    }
+    assert(icts == icts.sorted && icts.distinct.size == icts.size,
+      s"ICTs must strictly increase: $icts")
+    // time travel by the ICT of version 2 resolves exactly version 2
+    val v2 = DeltaLogReader.versionAtTimestamp(spark, dir, icts(1))
+    assert(v2 == 2L, s"expected version 2 at ICT ${icts(1)}, got $v2")
+    assert(DeltaLogReader.read(spark, dir, asOfVersion = Some(v2))
+      .count() == 3)
+  }
+
   test("append-only: removes raise, appends and OPTIMIZE stay allowed") {
     val spark0 = spark
     import spark0.implicits._

@@ -179,6 +179,49 @@ class IcebergV3Spec extends AnyFunSuite {
     assert(lineage.size == 31 && lineage.values.toSet.size == 31)
   }
 
+  test("column defaults: initial-default fills pre-existence files, " +
+      "write-default fills absent input, stored nulls stay null") {
+    val dir = tmp()
+    val spark0 = spark
+    import spark0.implicits._
+    val b1 = (1L to 10L).map(i => (i, s"a$i")).toDF("id", "v")
+    IcebergWriter.createEmpty(spark, dir, b1.schema, formatVersion = 3)
+    IcebergWriter.write(b1, dir)
+    IcebergWriter.addColumn(spark, dir, "score",
+      org.apache.spark.sql.types.IntegerType, initialDefault = Some(7))
+    // pre-existing rows read the default, not null
+    val r1 = IcebergReader.read(spark, dir)
+      .select("id", "score").as[(Long, Int)].collect().toMap
+    assert(r1.size == 10 && r1.values.forall(_ == 7))
+    // explicit values (incl. a stored NULL) are never overridden
+    val b2 = Seq((11L, "b", Some(3)), (12L, "b", None))
+      .toDF("id", "v", "score")
+    IcebergWriter.write(b2, dir)
+    val r2 = IcebergReader.read(spark, dir)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(r2(11L).contains(3) && r2(12L).isEmpty && r2(1L).contains(7))
+    // an append LACKING the column fills the write-default
+    IcebergWriter.write(Seq((13L, "c")).toDF("id", "v"), dir)
+    val r3 = IcebergReader.read(spark, dir)
+      .select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(r3(13L).contains(7) && r3.size == 13)
+    // guards: REQUIRED without a default on a non-empty table; pre-v3
+    intercept[IllegalArgumentException] {
+      IcebergWriter.addColumn(spark, dir, "must",
+        org.apache.spark.sql.types.LongType, required = true)
+    }
+    val v1dir = tmp()
+    IcebergWriter.write(b1, v1dir)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.addColumn(spark, v1dir, "score",
+        org.apache.spark.sql.types.IntegerType, initialDefault = Some(1))
+    }
+  }
+
   test("equality-delete upserts still work on a v3 table") {
     val dir = tmp()
     mkV3(dir, rows = 40L)
