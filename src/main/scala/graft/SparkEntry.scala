@@ -119,6 +119,7 @@ object SparkEntry {
     "fmt_iceberg_lineage"   -> (TableRoundtrips.icebergLineageRoundtrip _),
     "fmt_delta_row_ids"     -> (TableRoundtrips.deltaRowIdsRoundtrip _),
     "fmt_iceberg_defaults"  -> (TableRoundtrips.icebergDefaultsRoundtrip _),
+    "fmt_sql_dml"           -> (TableRoundtrips.sqlDmlRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
@@ -285,6 +286,7 @@ object SparkEntry {
     "fmt_iceberg_lineage"   -> TableRoundtrips.icebergLineageOracle,
     "fmt_delta_row_ids"     -> TableRoundtrips.deltaRowIdsOracle,
     "fmt_iceberg_defaults"  -> TableRoundtrips.icebergDefaultsOracle,
+    "fmt_sql_dml"           -> TableRoundtrips.sqlDmlOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     // compaction is result-INVARIANT: the oracles are the pre-compaction
     // states — any lost/resurrected row hash-mismatches

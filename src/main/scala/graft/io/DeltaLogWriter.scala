@@ -1270,11 +1270,33 @@ object DeltaLogWriter {
     * readers (including [[DeltaLogReader]]) understand. */
   def deleteWhere(spark: SparkSession,
       tablePath: String,
-      predicate: org.apache.spark.sql.Column): Committed = {
+      predicate: org.apache.spark.sql.Column): Committed =
+    deleteWhereImpl(spark, tablePath, predicate, None)
+
+  /** `UPDATE … SET … WHERE` as ONE zero-rewrite commit: the matched
+    * LIVE rows re-land as new data files with the assignments applied,
+    * and their old positions are flagged via deletion vectors in the
+    * SAME commit — the Delta twin of [[IcebergWriter.updateWhere]].
+    * Untouched files stay byte-identical; cost follows the matched
+    * rows. On a CDF-enabled table the commit carries
+    * `update_preimage`/`update_postimage` change rows. */
+  def updateWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): Committed = {
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    deleteWhereImpl(spark, tablePath, predicate, Some(assignments))
+  }
+
+  private def deleteWhereImpl(spark: SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      updateAssignments: Option[Seq[(String, org.apache.spark.sql.Column)]])
+      : Committed = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val snap = DeltaLogReader.snapshot(spark, tablePath)
-    enforceAppendOnly(snap, "DELETE")
+    enforceAppendOnly(snap,
+      if (updateAssignments.isDefined) "UPDATE" else "DELETE")
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val qualifiedRoot = fs.makeQualified(root).toString
@@ -1398,20 +1420,61 @@ object DeltaLogWriter {
       def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
       Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}""")
     }
+    // UPDATE: the replacement rows (live matched, assignments applied)
+    // land in the same commit as the DVs that hide the old positions
+    val updatedAdds = updateAssignments match {
+      case None => Nil
+      case Some(asg0) =>
+        val asg = asg0.toMap
+        asg.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+          s"UPDATE assignment targets unknown column $c"))
+        enforceConstraints(Some(snap),
+          updatedLiveRows(spark, tablePath, snap, predicate, asg), "UPDATE")
+        writeDataFiles(
+          updatedLiveRows(spark, tablePath, snap, predicate, asg),
+          tablePath, snap.partitionColumns, physOf,
+          DeltaLogReader.mappingFieldIds(snap))
+    }
     // CDF: the newly-deleted LIVE rows (the DV-applied current state
     // filtered by the predicate — raw matched positions would replay
-    // already-deleted rows) go to `_change_data/` as `delete` changes
+    // already-deleted rows) go to `_change_data/` as `delete` changes;
+    // an UPDATE records pre/post images instead
     val cdc =
       if (!cdfEnabled(snap)) Nil
-      else cdcLines(writeDataFiles(
-        DeltaLogReader.read(spark, tablePath).filter(predicate)
-          .withColumn("_change_type", lit("delete")),
-        tablePath, snap.partitionColumns, physOf,
-        DeltaLogReader.mappingFieldIds(snap), destPrefix = "_change_data"))
-    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns, adds,
-      removes, "DELETE", emitMeta = false, extraActions = upgrade ++ cdc,
+      else {
+        val live = DeltaLogReader.read(spark, tablePath).filter(predicate)
+        val changes = updateAssignments match {
+          case None => live.withColumn("_change_type", lit("delete"))
+          case Some(asg0) =>
+            val asg = asg0.toMap
+            live.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(
+                updatedLiveRows(spark, tablePath, snap, predicate, asg)
+                  .withColumn("_change_type", lit("update_postimage")))
+        }
+        cdcLines(writeDataFiles(changes,
+          tablePath, snap.partitionColumns, physOf,
+          DeltaLogReader.mappingFieldIds(snap), destPrefix = "_change_data"))
+      }
+    commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
+      adds ++ updatedAdds,
+      removes,
+      if (updateAssignments.isDefined) "UPDATE" else "DELETE",
+      emitMeta = false, extraActions = upgrade ++ cdc,
       priorConfig = Some(snap.configuration))
   }
+
+  /** The replacement rows of an UPDATE: the live matched scan with the
+    * assignments projected in, typed to the table schema. */
+  private def updatedLiveRows(spark: SparkSession, tablePath: String,
+      snap: DeltaLogReader.Snapshot,
+      predicate: org.apache.spark.sql.Column,
+      asg: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    DeltaLogReader.read(spark, tablePath).filter(predicate)
+      .select(snap.schema.fields.map { f =>
+        asg.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))
+      }.toSeq: _*)
 
   /** Per-file raw row counts from parquet footers, read ON EXECUTORS
     * (metadata-only; the driver receives one (uri, count) pair per file —

@@ -348,6 +348,44 @@ object TableRoundtrips {
         .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
   }
 
+  /** SQL DML differential: Athena's `UPDATE` / `DELETE FROM` /
+    * `MERGE INTO` statements ([[graft.sql.TableDml]]) driven as SQL
+    * STRINGS against a real Iceberg table — the update lands as a
+    * single zero-rewrite commit, the delete as position deletes, the
+    * merge inserts through the partition-granular path. The oracle
+    * replays all three relationally. */
+  def sqlDmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-sqldml").toString
+    val tmp = root + "/t"
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 60L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    IcebergWriter.write(base, tmp)
+    val reg = Map("t" -> tmp)
+    graft.sql.TableDml.execute(s,
+      "UPDATE t SET c_acctbal = c_acctbal + 100 WHERE c_custkey <= 10", reg)
+    graft.sql.TableDml.execute(s,
+      "DELETE FROM t WHERE c_custkey % 9 = 0", reg)
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") > 60L && col("c_custkey") <= 65L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .createOrReplaceTempView("sqldml_src")
+    graft.sql.TableDml.execute(s,
+      """MERGE INTO t USING (SELECT * FROM sqldml_src) s ON t.c_custkey = s.c_custkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, reg)
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
+  def sqlDmlOracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_custkey <= 10 THEN c_acctbal + 100
+      |       ELSE c_acctbal END AS c_acctbal
+      |FROM customer
+      |WHERE c_custkey <= 65
+      |  AND NOT (c_custkey % 9 = 0 AND c_custkey <= 60)""".stripMargin
+
   /** v3 COLUMN DEFAULTS differential (spec "Default values"): add a
     * column with an initial-default to a populated v3 table —
     * pre-existing rows must read the DEFAULT (never null, and never a

@@ -170,6 +170,21 @@ object EventStream {
       }
   }
 
+  /** STREAMING exact dedup bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`, SPARK-42931): the streaming
+    * twin of the batch `dedup_exact` path — an ingestion stream whose
+    * source can re-deliver (at-least-once Kafka, retried batches)
+    * emits each key once per watermark window, and the dedup STATE is
+    * evicted as the watermark passes, so state size follows the
+    * out-of-orderness bound, never the stream's history. The shape a
+    * 100 TB/day training-data ingest needs: without the watermark
+    * bound, `dropDuplicates` on a stream retains every key forever. */
+  def dedupWithinWatermark(events: DataFrame,
+      keys: Seq[String] = Seq("event_id"),
+      delay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Per-user RUNNING TOTALS via `transformWithState` — Spark 4's
     * arbitrary-stateful-processing API (the successor of
     * `flatMapGroupsWithState`, SPARK-46815): a [[TotalsProcessor]]

@@ -14,6 +14,29 @@ import graft.streaming.EventStream
 class TransformWithStateSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("dropDuplicatesWithinWatermark: re-delivered keys emit once") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val deduped = EventStream.dedupWithinWatermark(
+      events.toDF().toDF("event_id", "ts", "value"))
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      events.addData((1L, ts(0), 1.0), (2L, ts(1), 2.0), (1L, ts(2), 1.0))
+      q.processAllAvailable()
+      // a later batch re-delivers key 1 inside the watermark window
+      events.addData((1L, ts(3), 1.0), (3L, ts(4), 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted == Seq(1L, 2L, 3L),
+        s"each key must emit exactly once: $ids")
+    } finally q.stop()
+  }
+
   test("running totals accumulate per key across micro-batches") {
     val spark0 = spark
     import spark0.implicits._
