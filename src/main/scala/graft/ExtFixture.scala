@@ -221,6 +221,31 @@ object ExtFixture {
     expected("iceberg_v3dv",
       v3.where(col("id") % 10 =!= 0 && col("id") % 7 =!= 0))
 
+    // -- iceberg_v3lineage: v3 row lineage through the UPGRADE path —
+    // the pre-v3 manifest has NO entry-level first_row_id, so the
+    // external reader must run the spec's INHERITANCE walk (manifest
+    // list first_row_id + record_count accumulation); the post-upgrade
+    // append carries explicit ids; a DV delete must not shift survivors
+    val lin = (1L to 25L).map(i => (i, s"L-$i")).toDF("id", "v")
+      .coalesce(1).sortWithinPartitions("id")
+    IcebergWriter.write(lin, s"$outDir/iceberg_v3lineage")
+    IcebergWriter.setFormatVersion(spark, s"$outDir/iceberg_v3lineage", 3)
+    IcebergWriter.write(
+      Seq((26L, "L-26"), (27L, "L-27")).toDF("id", "v")
+        .coalesce(1).sortWithinPartitions("id"),
+      s"$outDir/iceberg_v3lineage")
+    IcebergWriter.deleteWhere(spark, s"$outDir/iceberg_v3lineage",
+      col("id") % 5 === 0)
+    // id assignment order: the append commit's OWN adds take the base
+    // range [0,2), the carried pre-v3 manifest is re-stamped after —
+    // so batch 2 holds ids 0-1 and batch 1 ids 2-26 (disjoint explicit
+    // ranges; the spec constrains uniqueness, not ordering)
+    expected("iceberg_v3lineage",
+      ((1L to 25L).map(i => (i, s"L-$i", i + 1)) ++
+        Seq((26L, "L-26", 0L), (27L, "L-27", 1L)))
+        .toDF("id", "v", "_row_id")
+        .where(col("id") % 5 =!= 0))
+
     // -- delta_rowtrack: Row Tracking — baseRowId assignment on append,
     // stability under a DV delete; the external reader recomputes
     // _row_id = baseRowId + physical row index independently
@@ -239,6 +264,7 @@ object ExtFixture {
       "delta_dv", "delta_merge", "delta_rename", "delta_v2ckpt",
       "iceberg_basic", "iceberg_converted", "iceberg_posdel",
       "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
-      "iceberg_specevo", "iceberg_v3dv", "delta_rowtrack")
+      "iceberg_specevo", "iceberg_v3dv", "iceberg_v3lineage",
+      "delta_rowtrack")
   }
 }

@@ -539,7 +539,7 @@ def _parquet_field_ids(path: str):
     return ids
 
 
-def read_iceberg(table: str) -> pd.DataFrame:
+def read_iceberg(table: str, row_ids: bool = False) -> pd.DataFrame:
     meta = json.load(open(_ice_latest_metadata(table)))
     cur_schema_id = meta.get("current-schema-id", 0)
     schema = next(s for s in meta.get("schemas", [meta.get("schema")])
@@ -574,21 +574,31 @@ def read_iceberg(table: str) -> pd.DataFrame:
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == snap_id)
     manifests = read_avro(_localize(table, snap["manifest-list"]))
 
-    data_files = []   # (path, sequence)
+    data_files = []   # (path, sequence, partition tuple, first_row_id)
     pos_deletes = []  # (path of delete file, sequence)
     eq_deletes = []   # (path, sequence, [equality field ids])
     dv_blobs = []     # (puffin path, referenced data file, offset, length)
     for m in manifests:
         seq = m.get("sequence_number") or 0
         entries = read_avro(_localize(table, m["manifest_path"]))
+        # v3 row lineage: a null entry first_row_id inherits from the
+        # manifest list's first_row_id, advancing by record_count over
+        # the manifest's null-first_row_id data files (spec "Row
+        # Lineage" assignment walk)
+        row_cursor = m.get("first_row_id")
         for e in entries:
-            if e["status"] == 2:  # DELETED
-                continue
             df_ = e["data_file"]
             content = df_.get("content", 0)
             path = df_["file_path"]
+            fri = df_.get("first_row_id")
+            if content == 0 and fri is None and row_cursor is not None:
+                fri = row_cursor
+                row_cursor += df_.get("record_count", 0)
+            if e["status"] == 2:  # DELETED
+                continue
             if content == 0:
-                data_files.append((path, seq, df_.get("partition") or {}))
+                data_files.append((path, seq, df_.get("partition") or {},
+                                   fri))
             elif content == 1 and (
                     str(df_.get("file_format", "")).upper() == "PUFFIN"
                     or df_.get("referenced_data_file") is not None):
@@ -645,9 +655,11 @@ def read_iceberg(table: str) -> pd.DataFrame:
         eq_sets.append((key_names, vals, seq))
 
     frames = []
-    for path, seq, ptuple in sorted(data_files, key=lambda t: t[0]):
+    for path, seq, ptuple, fri in sorted(data_files, key=lambda t: t[0]):
         lp = _localize(table, path)
-        df = con.execute("SELECT * FROM read_parquet(?)", [lp]).fetchdf()
+        df = con.execute(
+            "SELECT *, file_row_number AS _ifrn FROM read_parquet(?,"
+            " file_row_number=true)", [lp]).fetchdf()
         fids = _parquet_field_ids(lp)
         # resolve file columns to CURRENT names: field ids first, then
         # the table's name mapping for id-less imported files
@@ -659,10 +671,16 @@ def read_iceberg(table: str) -> pd.DataFrame:
             if fid is not None and fid in id_to_name:
                 rename[c] = id_to_name[fid]
         df = df.rename(columns=rename)
-        df = df[[c for c in df.columns if c in col_names]]
+        if row_ids:
+            # _row_id = effective first_row_id + PHYSICAL row index;
+            # DV/pos-delete filtering below must not shift it
+            df["_row_id"] = (df["_ifrn"] + fri) if fri is not None else None
+        df = df[[c for c in df.columns
+                 if c in col_names or c in ("_ifrn", "_row_id")]]
         pos = pos_by_file.get(os.path.basename(_localize(table, path)))
         if pos:
-            df = df[~df.reset_index(drop=True).index.isin(pos)]
+            df = df[~df["_ifrn"].isin(pos)]
+        df = df.drop(columns=["_ifrn"])
         for key_names, vals, dseq in eq_sets:
             if dseq > seq and all(k in df.columns for k in key_names):
                 keys = list(key_names)
@@ -679,9 +697,11 @@ def read_iceberg(table: str) -> pd.DataFrame:
                     df[c] = ptuple[c]
                 else:
                     df[c] = None
-        frames.append(df[col_names])
+        out_cols = col_names + (["_row_id"] if row_ids else [])
+        frames.append(df[out_cols])
+    out_cols = col_names + (["_row_id"] if row_ids else [])
     out = pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame(columns=col_names)
+        pd.DataFrame(columns=out_cols)
     # current-schema types (covers int->long promotion on old files)
     for c in col_names:
         want = _ICE_PRIM.get(col_types[c])
@@ -740,6 +760,8 @@ def main():
                 got = read_delta_cdf(table)
             elif name == "delta_rowtrack":
                 got = read_delta(table, row_ids=True)
+            elif name == "iceberg_v3lineage":
+                got = read_iceberg(table, row_ids=True)
             elif name.startswith("delta"):
                 got = read_delta(table)
             else:
