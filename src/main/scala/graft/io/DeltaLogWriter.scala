@@ -260,22 +260,8 @@ object DeltaLogWriter {
     if (snap.configuration.get("delta.enableInCommitTimestamps")
         .contains("true"))
       return Committed(snap.version, 0)
-    val p = snap.protocol
-    val upgrade =
-      if (p.minWriterVersion >= 7 &&
-          p.writerFeatures.contains("inCommitTimestamp")) Nil
-      else {
-        val writerFeats =
-          ((if (p.minWriterVersion >= 7) p.writerFeatures
-            else legacyWriterFeatures(p.minWriterVersion)) +
-            "inCommitTimestamp").toSeq.sorted
-        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
-        val readerPart =
-          if (p.minReaderVersion >= 3)
-            s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
-          else ""
-        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
-      }
+    val upgrade = writerFeaturesUpgrade(snap.protocol,
+      Set("inCommitTimestamp"), None)
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
       adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
       extraActions = upgrade, dataChange = false,
@@ -300,22 +286,8 @@ object DeltaLogWriter {
     val snap = DeltaLogReader.snapshot(spark, tablePath)
     if (snap.configuration.get("delta.enableRowTracking").contains("true"))
       return Committed(snap.version, 0)
-    val p = snap.protocol
-    val need = Set("rowTracking", "domainMetadata")
-    val upgrade =
-      if (p.minWriterVersion >= 7 && need.subsetOf(p.writerFeatures)) Nil
-      else {
-        val writerFeats =
-          ((if (p.minWriterVersion >= 7) p.writerFeatures
-            else legacyWriterFeatures(p.minWriterVersion)) ++ need)
-            .toSeq.sorted
-        def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
-        val readerPart =
-          if (p.minReaderVersion >= 3)
-            s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
-          else ""
-        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
-      }
+    val upgrade = writerFeaturesUpgrade(snap.protocol,
+      Set("rowTracking", "domainMetadata"), None)
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
       adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
       extraActions = upgrade, dataChange = false,
@@ -328,21 +300,37 @@ object DeltaLogWriter {
     * implicit feature set includes it. The existing sets are MERGED,
     * never replaced (the round-6 downgrade hazard). */
   private def writerFeatureUpgrade(p: DeltaLogReader.Protocol,
-      feature: String, legacyVersion: Int): Seq[String] = {
+      feature: String, legacyVersion: Int): Seq[String] =
+    writerFeaturesUpgrade(p, Set(feature), Some(legacyVersion))
+
+  /** Generalized form: merge `features` into the writer feature set.
+    * `legacyVersion` = a pre-feature writer version that implies them
+    * all (no protocol change needed at or above it); None = the
+    * features exist only in the feature range, so the table always
+    * lands on minWriterVersion 7 with the legacy-implied features
+    * enumerated. */
+  private def writerFeaturesUpgrade(p: DeltaLogReader.Protocol,
+      features: Set[String], legacyVersion: Option[Int]): Seq[String] = {
     def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    val readerPart =
+      if (p.minReaderVersion >= 3)
+        s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
+      else ""
     if (p.minWriterVersion >= 7) {
-      if (p.writerFeatures.contains(feature)) Nil
+      if (features.subsetOf(p.writerFeatures)) Nil
       else {
-        val writerFeats = (p.writerFeatures + feature).toSeq.sorted
-        val readerPart =
-          if (p.minReaderVersion >= 3)
-            s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
-          else ""
+        val writerFeats = (p.writerFeatures ++ features).toSeq.sorted
         Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
       }
-    } else if (p.minWriterVersion >= legacyVersion) Nil
-    else
-      Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":$legacyVersion}}""")
+    } else if (legacyVersion.exists(p.minWriterVersion >= _)) Nil
+    else legacyVersion match {
+      case Some(lv) =>
+        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":$lv}}""")
+      case None =>
+        val writerFeats =
+          (legacyWriterFeatures(p.minWriterVersion) ++ features).toSeq.sorted
+        Seq(s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":7$readerPart,"writerFeatures":${arr(writerFeats)}}}""")
+    }
   }
 
   private def violationFilter(exprSql: String): org.apache.spark.sql.Column =
@@ -1422,17 +1410,21 @@ object DeltaLogWriter {
     }
     // UPDATE: the replacement rows (live matched, assignments applied)
     // land in the same commit as the DVs that hide the old positions
-    val updatedAdds = updateAssignments match {
+    // the replacement frame is pinned ONCE (localCheckpoint) and shared
+    // by the constraint check, the data write, and the CDF postimage —
+    // three full DV-applied scans otherwise
+    val updatedFrame: Option[DataFrame] = updateAssignments.map { asg0 =>
+      val asg = asg0.toMap
+      asg.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"UPDATE assignment targets unknown column $c"))
+      updatedLiveRows(spark, tablePath, snap, predicate, asg)
+        .localCheckpoint()
+    }
+    val updatedAdds = updatedFrame match {
       case None => Nil
-      case Some(asg0) =>
-        val asg = asg0.toMap
-        asg.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
-          s"UPDATE assignment targets unknown column $c"))
-        enforceConstraints(Some(snap),
-          updatedLiveRows(spark, tablePath, snap, predicate, asg), "UPDATE")
-        writeDataFiles(
-          updatedLiveRows(spark, tablePath, snap, predicate, asg),
-          tablePath, snap.partitionColumns, physOf,
+      case Some(upd) =>
+        enforceConstraints(Some(snap), upd, "UPDATE")
+        writeDataFiles(upd, tablePath, snap.partitionColumns, physOf,
           DeltaLogReader.mappingFieldIds(snap))
     }
     // CDF: the newly-deleted LIVE rows (the DV-applied current state
@@ -1443,14 +1435,12 @@ object DeltaLogWriter {
       if (!cdfEnabled(snap)) Nil
       else {
         val live = DeltaLogReader.read(spark, tablePath).filter(predicate)
-        val changes = updateAssignments match {
+        val changes = updatedFrame match {
           case None => live.withColumn("_change_type", lit("delete"))
-          case Some(asg0) =>
-            val asg = asg0.toMap
+          case Some(upd) =>
             live.withColumn("_change_type", lit("update_preimage"))
               .unionByName(
-                updatedLiveRows(spark, tablePath, snap, predicate, asg)
-                  .withColumn("_change_type", lit("update_postimage")))
+                upd.withColumn("_change_type", lit("update_postimage")))
         }
         cdcLines(writeDataFiles(changes,
           tablePath, snap.partitionColumns, physOf,
@@ -1826,7 +1816,7 @@ object DeltaLogWriter {
         adds = Nil, removes = Nil, "UPGRADE PROTOCOL", emitMeta = false,
         extraActions = Seq(
           s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${arr(readerFeats)},"writerFeatures":${arr(writerFeats)}}}"""),
-        dataChange = false)
+        dataChange = false, priorConfig = Some(snap0.configuration))
     }
     val snap = if (needsUpgrade) DeltaLogReader.snapshot(spark, tablePath)
                else snap0
@@ -1847,7 +1837,8 @@ object DeltaLogWriter {
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
       adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
       dataChange = false,
-      config = snap.configuration + ("delta.checkpointPolicy" -> "v2"))
+      config = snap.configuration + ("delta.checkpointPolicy" -> "v2"),
+      priorConfig = Some(snap.configuration))
   }
 
   private def writeV2CheckpointFiles(spark: SparkSession,

@@ -642,24 +642,7 @@ object IcebergReader {
       snap: Snapshot): DataFrame = {
     // __file/__pos come from INSIDE dataScan's branches — `_metadata`
     // would not resolve through the union a name-mapped scan builds
-    var data = dataScan(spark, snap, withMeta = true)
-      .withColumn("__file", normalizePath(col("__file")))
-    if (snap.deleteFiles.nonEmpty || snap.dvFiles.nonEmpty) {
-      val posDels =
-        if (snap.deleteFiles.isEmpty) None
-        else Some(spark.read.parquet(snap.deleteFiles.map(_.path): _*)
-          .select(normalizePath(col("file_path")).as("__file"),
-            col("pos").cast(LongType).as("__pos")))
-      // v3 deletion vectors: each puffin blob expands to its referenced
-      // file's deleted positions ON EXECUTORS (the driver holds only the
-      // blob descriptors) and joins through the same anti-join
-      val dvDels =
-        if (snap.dvFiles.isEmpty) None
-        else Some(dvPositions(spark, snap.dvFiles))
-      val dels = (posDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
-      data = data
-        .join(dels, Seq("__file", "__pos"), "left_anti")
-    }
+    var data = applyDeletes0(spark, snap)
     if (snap.equalityDeleteFiles.nonEmpty) {
       // an equality delete is only applicable relative to its sequence
       // number; a delete whose sequence could not be read would silently
@@ -743,6 +726,8 @@ object IcebergReader {
           f.sequenceNumber))
         .toDF("__file", "__fri", "__seq2")
     }
+    require(snap.equalityDeleteFiles.isEmpty,
+      "lineage read over live equality deletes not supported; compact first")
     val data = applyDeletes0(spark, snap)
     data
       .join(broadcast(lineage), Seq("__file"), "left")
@@ -752,8 +737,13 @@ object IcebergReader {
         col("_last_updated_sequence_number")).toSeq: _*)
   }
 
-  /** [[applyDeletes]] without the final projection — `__file`/`__pos`
-    * kept for lineage derivation. */
+  /** The POSITION-delete stage shared by [[applyDeletes]] (which adds
+    * the equality stage and the final projection) and
+    * [[readWithLineage]] (which keeps `__file`/`__pos` for row-id
+    * derivation): the data scan with position-delete parquet and v3
+    * puffin deletion vectors applied as one (file, pos) anti-join —
+    * DV blobs expand to positions ON EXECUTORS, the driver holds only
+    * blob descriptors. */
   private def applyDeletes0(spark: SparkSession,
       snap: Snapshot): DataFrame = {
     var data = dataScan(spark, snap, withMeta = true)
@@ -770,8 +760,6 @@ object IcebergReader {
       val dels = (posDels.toSeq ++ dvDels.toSeq).reduce(_ unionByName _)
       data = data.join(dels, Seq("__file", "__pos"), "left_anti")
     }
-    require(snap.equalityDeleteFiles.isEmpty,
-      "lineage read over live equality deletes not supported; compact first")
     data
   }
 

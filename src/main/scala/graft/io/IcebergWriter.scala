@@ -404,7 +404,12 @@ object IcebergWriter {
     * are flagged in the SAME commit — position-delete files on v1/v2,
     * puffin deletion vectors on v3. Untouched files stay byte-identical;
     * cost follows the matched rows, never the table. Assignments are
-    * (column → expression) pairs evaluated against the current row. */
+    * (column → expression) pairs evaluated against the current row.
+    * v3 row-lineage caveat (shared with [[rewriteDataFiles]]): the
+    * REPLACEMENT rows land in fresh files and take fresh `_row_id`s —
+    * preserving ids across a rewrite requires materialized lineage
+    * columns, which this writer does not emit yet; pipelines keying on
+    * `_row_id` should treat an UPDATE as delete+insert. */
   def updateWhere(spark: SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)]): Committed = {
@@ -647,8 +652,9 @@ object IcebergWriter {
       dropPosDeleteManifests = true)
     catch {
       case e: Throwable =>
-        // the commit never published: the staged puffins are orphans
-        blobs.map(_._2).distinct.foreach(p =>
+        // the commit never published: the staged puffins AND the
+        // UPDATE's freshly written replacement files are orphans
+        (blobs.map(_._2).distinct ++ adds.map(_.path)).foreach(p =>
           try fs.delete(new Path(p), false) catch { case _: Exception => () })
         throw e
     }
@@ -672,6 +678,13 @@ object IcebergWriter {
     require(!required || initialDefault.isDefined ||
         IcebergReader.snapshotOpt(spark, tablePath).forall(_.files.isEmpty),
       s"adding REQUIRED column $name to existing rows needs an initial-default")
+    require(dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: StructType => false
+      case _ => true
+    }, s"addColumn supports primitive types only, not ${dataType.simpleString}" +
+      " (nested types consume field-ids; evolve through an append instead)")
     def renderDefault(v: Any): com.fasterxml.jackson.databind.JsonNode =
       v match {
         case b: Boolean => mapper.getNodeFactory.booleanNode(b)
@@ -2341,26 +2354,27 @@ object IcebergWriter {
       if (fv >= 3) carried.foreach { r =>
         if (intValOf(r.get("content")) == 0 && r.get("first_row_id") == null) {
           r.put("first_row_id", Long.box(rowCursor))
-          val declared = (Option(r.get("added_rows_count")) ++
-            Option(r.get("existing_rows_count"))).collect {
+          // advance by EXACTLY what the reader's inheritance walk will
+          // consume: record_count of every NULL-first_row_id data entry
+          // in the manifest, DELETED entries included (the declared
+          // added/existing row counts exclude them and would
+          // under-reserve, colliding _row_id ranges)
+          val rows = IcebergReader.readAvro(spark, IcebergReader.resolve(root,
+              r.get("manifest_path").toString))
+            .map(e => e.get("data_file").asInstanceOf[GenericRecord])
+            .filter { df =>
+              val isData = intValOf(
+                if (df.getSchema.getField("content") == null) null
+                else df.get("content")) == 0
+              val hasFri = df.getSchema.getField("first_row_id") != null &&
+                df.get("first_row_id") != null
+              isData && !hasFri
+            }
+            .map(df => df.get("record_count") match {
               case l: java.lang.Long => l.longValue
               case i: java.lang.Integer => i.longValue
-            }.sum
-          val rows =
-            if (Option(r.get("added_rows_count")).isDefined ||
-                Option(r.get("existing_rows_count")).isDefined) declared
-            else IcebergReader.readAvro(spark, IcebergReader.resolve(root,
-                r.get("manifest_path").toString))
-              .filter(e => e.get("status").asInstanceOf[Int] != 2)
-              .map(e => e.get("data_file").asInstanceOf[GenericRecord])
-              .filter(df => intValOf(
-                if (df.getSchema.getField("content") == null) null
-                else df.get("content")) == 0)
-              .map(df => df.get("record_count") match {
-                case l: java.lang.Long => l.longValue
-                case i: java.lang.Integer => i.longValue
-                case _ => 0L
-              }).sum
+              case _ => 0L
+            }).sum
           rowCursor += rows
         }
       }

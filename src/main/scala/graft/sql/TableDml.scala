@@ -25,6 +25,8 @@ import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter}
   */
 object TableDml {
 
+  private val InsertRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s+(SELECT\s+.+?|VALUES\s+.+?)\s*;?\s*""".r
   private val DeleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val UpdateRe =
@@ -39,6 +41,24 @@ object TableDml {
 
   def execute(spark: SparkSession, sql: String,
       tables: Map[String, String]): Result = sql match {
+    case InsertRe(t, body) =>
+      val path = pathOf(tables, t)
+      // VALUES renders through a SELECT so types resolve identically;
+      // the incoming frame aligns to the table schema by NAME for a
+      // SELECT and by POSITION for bare VALUES
+      val src0 = spark.sql(
+        if (body.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM ($body)"
+        else body)
+      route(spark, path,
+        ice = {
+          val schema = IcebergReader.tableInfo(spark, path)._1
+          IcebergWriter.write(aligned(src0, schema), path)
+        },
+        delta = {
+          val schema = DeltaLogReader.snapshot(spark, path).schema
+          DeltaLogWriter.write(aligned(src0, schema), path)
+        })
+      Result("INSERT", t)
     case DeleteRe(t, pred) =>
       val path = pathOf(tables, t)
       route(spark, path,
@@ -70,6 +90,22 @@ object TableDml {
       throw new IllegalArgumentException(
         s"unsupported DML statement (DELETE FROM / UPDATE / MERGE INTO " +
           s"with UPDATE SET * + INSERT *): ${other.take(120)}")
+  }
+
+  /** Align an INSERT source to the table schema: by NAME when the
+    * names match, by POSITION otherwise (the bare-VALUES case, whose
+    * synthesized col1/col2 names mean nothing). */
+  private def aligned(src: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(src.schema.length == schema.length,
+      s"INSERT arity ${src.schema.length} != table's ${schema.length}")
+    val byName = schema.fieldNames.forall(src.schema.fieldNames.contains)
+    val picked =
+      if (byName) src.select(schema.fieldNames.map(src(_)).toSeq: _*)
+      else src
+    picked.toDF(schema.fieldNames.toSeq: _*)
+      .select(schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name)
+          .cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
   private def pathOf(tables: Map[String, String], name: String): String =

@@ -106,6 +106,19 @@ class DeltaConstraintsSpec extends AnyFunSuite {
     assert(v2 == 2L, s"expected version 2 at ICT ${icts(1)}, got $v2")
     assert(DeltaLogReader.read(spark, dir, asOfVersion = Some(v2))
       .count() == 3)
+    // a protocol-upgrade commit (checkpointV2) must ALSO carry an ICT —
+    // a plain-timestamp commit in the chain would let the sequence
+    // regress and reorder time travel
+    DeltaLogWriter.checkpointV2(spark, dir)
+    DeltaLogWriter.write(Seq((6L, 60.0, "f")).toDF("id", "amount", "note"),
+      dir)
+    val latest = DeltaLogReader.latestVersion(spark, dir)
+    val all = (1L to latest).map { v =>
+      DeltaLogReader.commitInfoTimestamp(fs,
+        f"$dir/_delta_log/$v%020d.json")._1.get
+    }
+    assert(all == all.sorted && all.distinct.size == all.size,
+      s"every commit incl. protocol upgrades must chain ICTs: $all")
   }
 
   test("append-only: removes raise, appends and OPTIMIZE stay allowed") {

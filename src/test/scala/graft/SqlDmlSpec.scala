@@ -64,6 +64,18 @@ class SqlDmlSpec extends AnyFunSuite {
       .select("id", "name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(2L) == "UPDATED" && got(31L) == "NEW" && got.size == 28)
+    // INSERT INTO: VALUES aligns by position, SELECT by name
+    TableDml.execute(spark,
+      "INSERT INTO t VALUES (40, 'forty', 400.0), (41, 'fortyone', 410.0)",
+      Map("t" -> dir))
+    TableDml.execute(spark,
+      "INSERT INTO t SELECT 420.0 AS amt, 42 AS id, 'fortytwo' AS name",
+      Map("t" -> dir))
+    val afterIns = IcebergReader.read(spark, dir)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(afterIns(40L) == "forty" && afterIns(42L) == "fortytwo" &&
+      afterIns.size == 31)
     // unsupported shapes raise loudly
     intercept[IllegalArgumentException] {
       TableDml.execute(spark, "TRUNCATE TABLE t", Map("t" -> dir))
