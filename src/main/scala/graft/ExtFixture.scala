@@ -256,9 +256,14 @@ object ExtFixture {
     DeltaLogWriter.write(rt, s"$outDir/delta_rowtrack")
     DeltaLogWriter.deleteWhere(spark, s"$outDir/delta_rowtrack",
       col("id") % 4 === 0)
+    // compaction must PRESERVE ids through the materialized column
+    DeltaLogWriter.write(Seq((41L, "r-41")).toDF("id", "v"),
+      s"$outDir/delta_rowtrack")
+    DeltaLogWriter.optimize(spark, s"$outDir/delta_rowtrack")
     expected("delta_rowtrack",
       rt.withColumn("_row_id", col("id") - 1)
-        .where(col("id") % 4 =!= 0))
+        .where(col("id") % 4 =!= 0)
+        .unionByName(Seq((41L, "r-41", 40L)).toDF("id", "v", "_row_id")))
 
     Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_conv_src",
       "delta_dv", "delta_merge", "delta_rename", "delta_v2ckpt",

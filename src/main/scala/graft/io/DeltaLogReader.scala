@@ -437,24 +437,47 @@ object DeltaLogReader {
   def readWithRowIds(spark: SparkSession, tablePath: String,
       asOfVersion: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, asOfVersion)
+    scanFilesWithRowIds(spark, tablePath, snap, snap.files)
+  }
+
+  /** [[readWithRowIds]] over a file subset (the compaction path reads
+    * its candidates through this to materialize their ids). Files
+    * REWRITTEN by a previous OPTIMIZE carry their ids in the table's
+    * MATERIALIZED row-id columns (config
+    * `delta.rowTracking.materializedRowIdColumnName` /
+    * `…RowCommitVersionColumnName`), which take precedence over the
+    * baseRowId + index derivation, per the protocol. */
+  private[io] def scanFilesWithRowIds(spark: SparkSession,
+      tablePath: String, snap: Snapshot,
+      files: Seq[AddFile]): DataFrame = {
     val physOf = physicalNames(snap)
     val dataFields = snap.schema.fields
       .filterNot(f => snap.partitionColumns.contains(f.name))
     val dataSchema = StructType(dataFields.map(f => f.copy(name = physOf(f.name))))
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (snap.files.isEmpty)
+    if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         StructType(snap.schema.fields :+
           StructField("_row_id", LongType) :+
           StructField("_row_commit_version", LongType)))
-    val qualified = snap.files.map { f =>
+    // materialized lineage columns (written by OPTIMIZE rewrites) read
+    // alongside the data; files lacking them surface null and fall back
+    // to baseRowId + position below
+    val matId = snap.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+    val matVer = snap.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val scanSchema = StructType(dataSchema.fields ++
+      matId.map(StructField(_, LongType)) ++
+      matVer.map(StructField(_, LongType)))
+    val qualified = files.map { f =>
       fs.makeQualified(new Path(root, f.path)).toUri.toString -> f
     }
-    var df = spark.read.schema(dataSchema).parquet(qualified.map(_._1): _*)
+    var df = spark.read.schema(scanSchema).parquet(qualified.map(_._1): _*)
       .withColumn("__file", input_file_name())
       .withColumn("__pos", col("_metadata.row_index"))
-    if (snap.files.exists(_.deletionVector.isDefined)) {
+    if (files.exists(_.deletionVector.isDefined)) {
       val qualifiedRoot = fs.makeQualified(root).toString
       df = df.join(deletedRows(spark, qualifiedRoot, qualified),
         Seq("__file", "__pos"), "left_anti")
@@ -475,12 +498,19 @@ object DeltaLogReader {
     val manifest = spark.createDataFrame(
       spark.sparkContext.parallelize(manifestRows, 1), manifestSchema)
     df = df.join(broadcast(manifest), Seq("__file"), "left")
+    import org.apache.spark.sql.functions.coalesce
+    val rowIdCol = matId
+      .map(m => coalesce(col(m), col("__base") + col("__pos")))
+      .getOrElse(col("__base") + col("__pos"))
+    val rowVerCol = matVer
+      .map(m => coalesce(col(m), col("__rcv")))
+      .getOrElse(col("__rcv"))
     df.select((snap.schema.fields.map { f =>
       if (snap.partitionColumns.contains(f.name))
         col(s"__pv_${f.name}").cast(f.dataType).as(f.name)
       else col(physOf(f.name)).as(f.name)
-    } :+ (col("__base") + col("__pos")).as("_row_id") :+
-      col("__rcv").as("_row_commit_version")).toSeq: _*)
+    } :+ rowIdCol.as("_row_id") :+
+      rowVerCol.as("_row_commit_version")).toSeq: _*)
   }
 
   /** The snapshot-subset scan `read` is built on: DV-applied,

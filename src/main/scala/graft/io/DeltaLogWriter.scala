@@ -291,7 +291,12 @@ object DeltaLogWriter {
     commitLoop(spark, tablePath, snap.schema, snap.partitionColumns,
       adds = Nil, removes = Nil, "SET TBLPROPERTIES", emitMeta = true,
       extraActions = upgrade, dataChange = false,
-      config = snap.configuration + ("delta.enableRowTracking" -> "true"))
+      config = snap.configuration +
+        ("delta.enableRowTracking" -> "true") +
+        ("delta.rowTracking.materializedRowIdColumnName" ->
+          s"_row-id-col-${UUID.randomUUID()}") +
+        ("delta.rowTracking.materializedRowCommitVersionColumnName" ->
+          s"_row-commit-version-col-${UUID.randomUUID()}"))
   }
 
   /** Protocol action (if any) merging `feature` into the writer feature
@@ -733,7 +738,27 @@ object DeltaLogWriter {
     val worthIt = candidates.exists(_.deletionVector.isDefined) ||
       candidates.size >= 2
     if (!worthIt) return Committed(latest, 0)
-    val rows = DeltaLogReader.scanFiles(spark, tablePath, snap, candidates)
+    // Row Tracking: compaction PRESERVES row identity by materializing
+    // _row_id/_row_commit_version into the rewritten files under the
+    // table's declared materialized column names (the protocol's
+    // mechanism — the reader prefers them over baseRowId + position)
+    val matId = snap.configuration
+      .get("delta.rowTracking.materializedRowIdColumnName")
+      .filter(_ => snap.configuration
+        .get("delta.enableRowTracking").contains("true"))
+    val matVer = snap.configuration
+      .get("delta.rowTracking.materializedRowCommitVersionColumnName")
+    val rows = matId match {
+      case Some(mid) =>
+        var r = DeltaLogReader
+          .scanFilesWithRowIds(spark, tablePath, snap, candidates)
+          .withColumnRenamed("_row_id", mid)
+        matVer.foreach(mv =>
+          r = r.withColumnRenamed("_row_commit_version", mv))
+        r
+      case None =>
+        DeltaLogReader.scanFiles(spark, tablePath, snap, candidates)
+    }
     val outFiles = math.max(1L,
       (candidates.map(_.size).sum + targetSize - 1) / targetSize).toInt
     // `sortBy` = the ZORDER-lite clustering lever: range-partition the

@@ -72,6 +72,42 @@ class DeltaRowTrackingSpec extends AnyFunSuite {
     after.foreach { case (id, rid) => assert(rid == before(id)) }
   }
 
+  test("OPTIMIZE preserves _row_id via materialized lineage columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    val df = (1L to 40L).map(i => (i, s"p$i")).toDF("id", "v")
+    DeltaLogWriter.write(df.limit(0), dir)
+    DeltaLogWriter.enableRowTracking(spark, dir)
+    // two small files + a DV delete: compaction candidates
+    DeltaLogWriter.write(df.filter(col("id") <= 20L).coalesce(1)
+      .sortWithinPartitions("id"), dir)
+    DeltaLogWriter.write(df.filter(col("id") > 20L).coalesce(1)
+      .sortWithinPartitions("id"), dir)
+    DeltaLogWriter.deleteWhere(spark, dir, col("id") % 6 === 0)
+    val before = DeltaLogReader.readWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    DeltaLogWriter.optimize(spark, dir)
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.files.size == 1 && snap.files.forall(_.deletionVector.isEmpty),
+      "compaction must fold the files and materialize the DV")
+    val after = DeltaLogReader.readWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after.size == before.size)
+    // identity preserved THROUGH the rewrite (materialized column wins
+    // over the compacted file's fresh baseRowId + position)
+    after.foreach { case (id, rid) => assert(rid == before(id),
+      s"row $id changed _row_id ${before(id)} -> $rid across OPTIMIZE") }
+    // and a later DV delete still keeps the survivors stable
+    DeltaLogWriter.deleteWhere(spark, dir, col("id") === 1L)
+    val later = DeltaLogReader.readWithRowIds(spark, dir)
+      .select("id", "_row_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    later.foreach { case (id, rid) => assert(rid == before(id)) }
+  }
+
   test("row-tracking state survives a V2 checkpoint with the tail swept") {
     val spark0 = spark
     import spark0.implicits._

@@ -373,6 +373,11 @@ def read_delta(table: str, row_ids: bool = False) -> pd.DataFrame:
             if mode != "none" else f["name"])
 
     con = duckdb.connect()
+    # Row Tracking: files REWRITTEN by OPTIMIZE carry their ids in the
+    # table's MATERIALIZED row-id column, which takes precedence over
+    # the baseRowId + index derivation (PROTOCOL.md)
+    mat_id = (meta.get("configuration") or {}).get(
+        "delta.rowTracking.materializedRowIdColumnName")
     frames = []
     for path, info in sorted(adds.items()):
         full = os.path.join(table, path)
@@ -384,10 +389,12 @@ def read_delta(table: str, row_ids: bool = False) -> pd.DataFrame:
             deleted = _delta_dv_rows(table, dv)
             df = df[~df["_frn"].isin(deleted)]
         if row_ids:
-            # Row Tracking: _row_id = the add's baseRowId + the PHYSICAL
-            # row index — DV filtering above must not shift it
             base = info.get("baseRowId")
-            df["_row_id"] = (df["_frn"] + base) if base is not None else None
+            derived = (df["_frn"] + base) if base is not None else None
+            if mat_id and mat_id in df.columns and df[mat_id].notna().all():
+                df["_row_id"] = df[mat_id].astype("int64")
+            else:
+                df["_row_id"] = derived
         df = df.drop(columns=["_frn"])
         df = df.rename(columns={p: l for l, p in phys_of.items() if p != l})
         for c in part_cols:
