@@ -120,6 +120,7 @@ object SparkEntry {
     "fmt_delta_row_ids"     -> (TableRoundtrips.deltaRowIdsRoundtrip _),
     "fmt_iceberg_defaults"  -> (TableRoundtrips.icebergDefaultsRoundtrip _),
     "fmt_sql_dml"           -> (TableRoundtrips.sqlDmlRoundtrip _),
+    "fmt_uniform_mirror"    -> (TableRoundtrips.uniformMirrorRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
@@ -287,6 +288,7 @@ object SparkEntry {
     "fmt_delta_row_ids"     -> TableRoundtrips.deltaRowIdsOracle,
     "fmt_iceberg_defaults"  -> TableRoundtrips.icebergDefaultsOracle,
     "fmt_sql_dml"           -> TableRoundtrips.sqlDmlOracle,
+    "fmt_uniform_mirror"    -> TableRoundtrips.uniformMirrorOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     // compaction is result-INVARIANT: the oracles are the pre-compaction
     // states — any lost/resurrected row hash-mismatches

@@ -1560,8 +1560,12 @@ object IcebergWriter {
     * transforms only — a transformed spec's tuples are derived values a
     * registration cannot trust. */
   def registerFiles(spark: SparkSession, tablePath: String,
-      files: Seq[(String, Map[String, Option[String]])]): Committed = {
+      files: Seq[(String, Map[String, Option[String]])],
+      mode: String = "append",
+      knownCounts: Map[String, Long] = Map.empty): Committed = {
     require(files.nonEmpty, "no files to register")
+    require(mode == "append" || mode == "overwrite",
+      s"registerFiles mode must be append|overwrite, not $mode")
     require(IcebergReader.isIcebergTable(spark, tablePath),
       s"no Iceberg table at $tablePath")
     val pfields = IcebergReader.partitionFields(spark, tablePath)
@@ -1579,14 +1583,19 @@ object IcebergWriter {
         Map("schema.name-mapping.default" -> defaultNameMapping(schema)))
     val root = new Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val counts = recordCounts(spark, files.map(_._1))
+    // counts the caller already knows (an incremental mirror refresh
+    // carries them from the previous snapshot) skip the footer sweep —
+    // the refresh then reads footers only for files NEW since last time
+    val unknown = files.map(_._1).filterNot(knownCounts.contains)
+    val counts = knownCounts ++ recordCounts(spark, unknown)
     val adds = files.map { case (f, pv) =>
       val p = new Path(f)
       FileInfo(fs.makeQualified(p).toString, pv,
         fs.getFileStatus(p).getLen, counts.getOrElse(f, 0L))
     }
     commit(spark, tablePath, schema, pfields, adds, kept = Nil,
-      operation = "append", carryCurrentManifests = true,
+      operation = if (mode == "overwrite") "overwrite" else "append",
+      carryCurrentManifests = mode == "append",
       expectedParent = None)
   }
 

@@ -46,6 +46,40 @@ object TableMigration {
     IcebergWriter.registerFiles(spark, icebergPath, files)
   }
 
+  /** UniForm-style MIRROR refresh: keep an Iceberg metadata mirror of a
+    * LIVE Delta table current — Delta stays the writing format, Iceberg
+    * readers see the same data files through their own metadata (the
+    * Delta "universal format" idea, composed from the zero-rewrite
+    * conversion). First call creates the mirror; later calls commit one
+    * Iceberg snapshot whose file set is the Delta snapshot's live set.
+    * Incremental at metadata cost: record counts for files the previous
+    * mirror snapshot already registered are CARRIED, so each refresh
+    * reads footers only for files new since last time — O(delta), not
+    * O(table). Same honest preconditions as the conversion: deletion
+    * vectors must be compacted away first, no column mapping. */
+  def refreshUniform(spark: SparkSession, deltaPath: String,
+      icebergMirrorPath: String): IcebergWriter.Committed = {
+    if (!IcebergReader.isIcebergTable(spark, icebergMirrorPath))
+      return convertDeltaToIceberg(spark, deltaPath, icebergMirrorPath)
+    val snap = DeltaLogReader.snapshot(spark, deltaPath)
+    require(snap.files.forall(_.deletionVector.isEmpty),
+      s"$deltaPath carries deletion vectors — OPTIMIZE before refreshing " +
+        "the mirror (registering DV'd files would resurrect deleted rows)")
+    require(snap.configuration
+        .getOrElse("delta.columnMapping.mode", "none") == "none",
+      s"$deltaPath is column-mapped; physical parquet names have no " +
+        "Iceberg translation in this mirror")
+    val root = new Path(deltaPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = IcebergReader.snapshotOpt(spark, icebergMirrorPath)
+      .map(_.files.map(f => f.path -> f.recordCount).toMap)
+      .getOrElse(Map.empty)
+    val files = snap.files.map(f =>
+      fs.makeQualified(new Path(root, f.path)).toString -> f.partitionValues)
+    IcebergWriter.registerFiles(spark, icebergMirrorPath, files,
+      mode = "overwrite", knownCounts = prior)
+  }
+
   /** Iceberg → Delta: one CONVERT commit registering the live files
     * under ABSOLUTE paths (protocol-sanctioned) with partition tuples
     * rendered to Delta's string form (date tuples as ISO dates). */

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter}
+import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter, TableMigration}
 
 /** Oracle-gated end-to-end roundtrips through the REAL table formats:
   * seed a table from `customer`, run a partition-granular MERGE through
@@ -347,6 +347,38 @@ object TableRoundtrips {
       IcebergReader.readWithLineage(s, tmp)
         .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
   }
+
+  /** UniForm-mirror differential: a LIVE Delta table (seed + append +
+    * MERGE) mirrored into Iceberg metadata by
+    * [[graft.io.TableMigration.refreshUniform]] — the ICEBERG reader
+    * must see exactly the Delta state, through registered (not copied)
+    * files, across two refreshes. */
+  def uniformMirrorRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-uniform").toString
+    val (d, m) = (root + "/d", root + "/m")
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 40L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(base, d)
+    TableMigration.refreshUniform(s, d, m)
+    val extra = Tables.customer(s, dir)
+      .filter(col("c_custkey") > 40L && col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(extra, d)
+    DeltaLogWriter.merge(s, d,
+      base.filter(col("c_custkey") <= 5L)
+        .withColumn("c_acctbal", col("c_acctbal") + 100),
+      Seq("c_custkey"))
+    TableMigration.refreshUniform(s, d, m)
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, m).select(cols.map(col): _*), root)
+  }
+
+  def uniformMirrorOracle: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_custkey <= 5 THEN c_acctbal + 100
+      |       ELSE c_acctbal END AS c_acctbal
+      |FROM customer WHERE c_custkey <= 50""".stripMargin
 
   /** SQL DML differential: Athena's `UPDATE` / `DELETE FROM` /
     * `MERGE INTO` statements ([[graft.sql.TableDml]]) driven as SQL

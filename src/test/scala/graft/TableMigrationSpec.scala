@@ -82,4 +82,48 @@ class TableMigrationSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((1L, "2024-03-01"), (2L, "2024-03-02")))
   }
+
+  test("uniform mirror: Delta keeps writing, the Iceberg mirror refreshes") {
+    val spark0 = spark
+    import spark0.implicits._
+    val (d, m) = (tmp() + "/d", tmp() + "/mirror")
+    DeltaLogWriter.write(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "g", "v").coalesce(1),
+      d, partitionBy = Seq("g"))
+    // first refresh = conversion
+    TableMigration.refreshUniform(spark, d, m)
+    assert(IcebergReader.read(spark, m).count() == 2)
+    // Delta evolves: an append and a MERGE (file rewrite, no DVs)
+    DeltaLogWriter.write(
+      Seq((3L, "a", 3.0)).toDF("id", "g", "v").coalesce(1), d)
+    DeltaLogWriter.merge(spark, d,
+      Seq((2L, "b", 22.0)).toDF("id", "g", "v"), Seq("id"))
+    // the mirror is stale until refreshed, then exactly matches
+    assert(IcebergReader.read(spark, m).count() == 2)
+    TableMigration.refreshUniform(spark, d, m)
+    val got = IcebergReader.read(spark, m)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 22.0, 3L -> 3.0))
+    // mirror history: each refresh is one Iceberg snapshot, and the
+    // data files are the DELTA files (no copies under the mirror)
+    assert(IcebergReader.history(spark, m).size == 2)
+    val fs = new org.apache.hadoop.fs.Path(m).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val snap = IcebergReader.snapshotOpt(spark, m).get
+    snap.files.foreach(f => assert(f.path.contains("/d/"),
+      s"mirror must reference the Delta tree, got ${f.path}"))
+    // DV'd Delta tables refuse the refresh (honest precondition):
+    // a PARTIAL-file delete leaves a deletion vector behind
+    DeltaLogWriter.write(
+      Seq((10L, "a", 10.0), (11L, "a", 11.0), (12L, "a", 12.0))
+        .toDF("id", "g", "v").coalesce(1), d)
+    DeltaLogWriter.deleteWhere(spark, d, col("id") === 10L)
+    assert(DeltaLogReader.snapshot(spark, d)
+      .files.exists(_.deletionVector.isDefined))
+    val e = intercept[IllegalArgumentException] {
+      TableMigration.refreshUniform(spark, d, m)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
+  }
 }
