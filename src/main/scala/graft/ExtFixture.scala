@@ -221,6 +221,22 @@ object ExtFixture {
     expected("iceberg_v3dv",
       v3.where(col("id") % 10 =!= 0 && col("id") % 7 =!= 0))
 
+    // -- delta_clone: shallow clone — absolute-path adds referencing
+    // the SOURCE's files (zero copies), the source's DV carried as an
+    // absolute `p` descriptor, then an independent append to the clone
+    val cs = (1L to 24L).map(i => (i, s"c-$i")).toDF("id", "v").coalesce(1)
+    DeltaLogWriter.write(cs, s"$outDir/delta_clone_src")
+    DeltaLogWriter.deleteWhere(spark, s"$outDir/delta_clone_src",
+      col("id") % 6 === 0)
+    DeltaLogWriter.shallowClone(spark, s"$outDir/delta_clone_src",
+      s"$outDir/delta_clone")
+    DeltaLogWriter.write(Seq((25L, "c-25")).toDF("id", "v"),
+      s"$outDir/delta_clone")
+    expected("delta_clone_src", cs.where(col("id") % 6 =!= 0))
+    expected("delta_clone",
+      cs.where(col("id") % 6 =!= 0)
+        .unionByName(Seq((25L, "c-25")).toDF("id", "v")))
+
     // -- iceberg_v3lineage: v3 row lineage through the UPGRADE path —
     // the pre-v3 manifest has NO entry-level first_row_id, so the
     // external reader must run the spec's INHERITANCE walk (manifest
@@ -270,6 +286,6 @@ object ExtFixture {
       "iceberg_basic", "iceberg_converted", "iceberg_posdel",
       "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
       "iceberg_specevo", "iceberg_v3dv", "iceberg_v3lineage",
-      "delta_rowtrack")
+      "delta_rowtrack", "delta_clone_src", "delta_clone")
   }
 }

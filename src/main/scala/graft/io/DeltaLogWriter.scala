@@ -363,6 +363,73 @@ object DeltaLogWriter {
       throw new UnsupportedOperationException(
         s"$op is not allowed: table is append-only (delta.appendOnly)")
 
+  /** Shallow CLONE (delta-spark's `CREATE TABLE … SHALLOW CLONE`): a
+    * NEW table whose add actions reference the SOURCE's data files by
+    * ABSOLUTE path — zero bytes copied, one metadata commit. The clone
+    * carries the source's schema, configuration, PROTOCOL (feature
+    * tables keep their features — dropping them would let a
+    * non-DV-aware writer resurrect deleted rows), deletion vectors
+    * (`u`-storage descriptors resolve against the SOURCE root, so they
+    * convert to absolute `p` storage), stats, and row-tracking state
+    * (baseRowIds + the high-watermark domain metadata). After the
+    * clone the tables evolve independently: the clone's vacuum lists
+    * only ITS tree, so source files are never swept by clone
+    * maintenance. At 100 TB a clone is the difference between an
+    * instant dev/test fork and a day-long copy. */
+  def shallowClone(spark: SparkSession, srcPath: String,
+      dstPath: String): Committed = {
+    val snap = DeltaLogReader.snapshot(spark, srcPath)
+    require(DeltaLogReader.latestVersion(spark, dstPath) < 0,
+      s"Delta table already exists at $dstPath")
+    val srcRoot = new Path(srcPath)
+    val fs = srcRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualifiedSrc = fs.makeQualified(srcRoot)
+    val now = System.currentTimeMillis()
+    val adds = snap.files.map { f =>
+      // SCHEME-LESS absolute paths (same contract as the migration's
+      // registerExternalFiles): a scheme'd string re-parses with a null
+      // URI authority, short-circuits makeQualified, and then never
+      // compares equal to input_file_name()'s qualified form — the scan
+      // would silently skip DVs and manifest joins. Scheme-less paths
+      // re-qualify consistently against the reader's filesystem (clone
+      // and source must share one filesystem, as with any shallow clone).
+      val abs = fs.makeQualified(new Path(srcRoot, f.path)).toUri.getPath
+      val dv = f.deletionVector.map { d =>
+        if (d.storageType == "i") d
+        else d.copy(storageType = "p",
+          pathOrInlineDv = fs.makeQualified(DeltaDeletionVectors
+            .sidecarPath(qualifiedSrc, d)).toUri.getPath)
+      }
+      AddEntry(abs, f.partitionValues,
+        math.max(f.size, 1L), now, dv, f.stats,
+        f.baseRowId, f.defaultRowCommitVersion)
+    }
+    val p = snap.protocol
+    def arr(xs: Seq[String]) = xs.map(jstr).mkString("[", ",", "]")
+    val protocolLine = {
+      val rf =
+        if (p.minReaderVersion >= 3)
+          s""","readerFeatures":${arr(p.readerFeatures.toSeq.sorted)}"""
+        else ""
+      val wf =
+        if (p.minWriterVersion >= 7)
+          s""","writerFeatures":${arr(p.writerFeatures.toSeq.sorted)}"""
+        else ""
+      s"""{"protocol":{"minReaderVersion":${p.minReaderVersion},"minWriterVersion":${p.minWriterVersion}$rf$wf}}"""
+    }
+    val domainLines = snap.domainMetadata.toSeq.sorted.map { case (dom, cfg) =>
+      s"""{"domainMetadata":{"domain":${jstr(dom)},"configuration":${jstr(cfg)},"removed":false}}"""
+    }
+    commitLoop(spark, dstPath, snap.schema, snap.partitionColumns,
+      adds, removes = Nil, "CLONE", emitMeta = true,
+      extraActions = protocolLine +: domainLines,
+      config = snap.configuration,
+      priorConfig = Some(Map.empty),
+      // row-tracking state is CLONED verbatim (ids + high watermark);
+      // re-assigning here would collide with the preserved ranges
+      assignRowIds = false)
+  }
+
   /** Register EXISTING parquet as a NEW Delta table without rewriting a
     * byte — the Iceberg→Delta migration path ([[TableMigration]]).
     * Absolute add-action paths are explicitly allowed by the protocol;
@@ -1561,7 +1628,8 @@ object DeltaLogWriter {
       extraActions: Seq[String] = Nil,
       dataChange: Boolean = true,
       config: Map[String, String] = Map.empty,
-      priorConfig: Option[Map[String, String]] = None): Committed = {
+      priorConfig: Option[Map[String, String]] = None,
+      assignRowIds: Boolean = true): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -1570,8 +1638,9 @@ object DeltaLogWriter {
     // the delta.rowTracking high watermark, re-committed files (DV
     // re-adds, RESTORE) keep theirs. Record counts come from the adds'
     // own stats; files without stats fall back to one footer sweep.
-    val rtEnabled = (priorConfig.getOrElse(Map.empty) ++ config)
-      .get("delta.enableRowTracking").contains("true")
+    val rtEnabled = assignRowIds &&
+      (priorConfig.getOrElse(Map.empty) ++ config)
+        .get("delta.enableRowTracking").contains("true")
     lazy val rtCounts: Map[String, Long] =
       recordCountsForAdds(spark, tablePath, adds)
     var attempts = 0

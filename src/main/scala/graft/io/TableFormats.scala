@@ -220,6 +220,18 @@ object TableFormats {
       version: Option[Long] = None): DataFrame =
     DeltaLogReader.readWithRowIds(spark, path, version)
 
+  /** Shallow CLONE: zero-copy Delta fork referencing the source's
+    * files; tables evolve independently afterwards. */
+  def shallowCloneDeltalake(spark: SparkSession, srcPath: String,
+      dstPath: String): Unit =
+    DeltaLogWriter.shallowClone(spark, srcPath, dstPath)
+
+  /** UniForm-style mirror: keep an Iceberg metadata mirror of a live
+    * Delta table current ([[TableMigration.refreshUniform]]). */
+  def refreshUniformIceberg(spark: SparkSession, deltaPath: String,
+      icebergMirrorPath: String): Unit =
+    TableMigration.refreshUniform(spark, deltaPath, icebergMirrorPath)
+
   /** `delta.appendOnly`: data-removing commits raise once set. */
   def setDeltalakeAppendOnly(spark: SparkSession, path: String,
       enabled: Boolean = true): Unit =
