@@ -121,6 +121,7 @@ object SparkEntry {
     "fmt_iceberg_defaults"  -> (TableRoundtrips.icebergDefaultsRoundtrip _),
     "fmt_sql_dml"           -> (TableRoundtrips.sqlDmlRoundtrip _),
     "fmt_uniform_mirror"    -> (TableRoundtrips.uniformMirrorRoundtrip _),
+    "fmt_delta_clone"       -> (TableRoundtrips.deltaCloneRoundtrip _),
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
@@ -289,6 +290,7 @@ object SparkEntry {
     "fmt_iceberg_defaults"  -> TableRoundtrips.icebergDefaultsOracle,
     "fmt_sql_dml"           -> TableRoundtrips.sqlDmlOracle,
     "fmt_uniform_mirror"    -> TableRoundtrips.uniformMirrorOracle,
+    "fmt_delta_clone"       -> TableRoundtrips.deltaCloneOracle,
     "fmt_iceberg_eq_upsert" -> TableRoundtrips.mergeRoundtripOracle,
     // compaction is result-INVARIANT: the oracles are the pre-compaction
     // states — any lost/resurrected row hash-mismatches

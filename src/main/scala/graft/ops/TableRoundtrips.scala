@@ -348,6 +348,34 @@ object TableRoundtrips {
         .select(col("c_custkey"), col("c_acctbal"), col("_row_id")), root)
   }
 
+  /** Shallow-CLONE differential: seed + DV-delete a source, clone it
+    * (zero copies — absolute-path adds), append to the CLONE, read the
+    * clone. The oracle reconstructs source-after-delete plus the
+    * clone-only append; a DV lost in the clone, a path that fails to
+    * resolve, or cross-contamination with the source hash-mismatches. */
+  def deltaCloneRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-clone-rt").toString
+    val (src, dst) = (root + "/src", root + "/clone")
+    val base = Tables.customer(s, dir)
+      .filter(col("c_custkey") <= 50L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(base, src)
+    DeltaLogWriter.deleteWhere(s, src, col("c_custkey") % 7 === 0)
+    DeltaLogWriter.shallowClone(s, src, dst)
+    val extra = Tables.customer(s, dir)
+      .filter(col("c_custkey") > 50L && col("c_custkey") <= 60L)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    DeltaLogWriter.write(extra, dst)
+    materializedWithoutTemp(s,
+      DeltaLogReader.read(s, dst).select(cols.map(col): _*), root)
+  }
+
+  def deltaCloneOracle: String =
+    """SELECT c_custkey, c_mktsegment, c_acctbal
+      |FROM customer
+      |WHERE (c_custkey <= 50 AND c_custkey % 7 <> 0)
+      |   OR (c_custkey > 50 AND c_custkey <= 60)""".stripMargin
+
   /** UniForm-mirror differential: a LIVE Delta table (seed + append +
     * MERGE) mirrored into Iceberg metadata by
     * [[graft.io.TableMigration.refreshUniform]] — the ICEBERG reader
