@@ -307,6 +307,7 @@ object SparkEntry {
     "vec_label_stats"     -> Vectors.labelStatsOracle,
     "vec_knn_lsh"         -> Vectors.knnLshOracle,
     "vec_ivf_search"      -> Vectors.ivfSearchOracle,
+    "vec_pq_search"       -> Vectors.pqSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "vec_semdedup"        -> Vectors.semDedupOracle,
     "graph_two_hop"       -> Graph.twoHopOracle,

@@ -401,7 +401,7 @@ object DeltaLogWriter {
             .sidecarPath(qualifiedSrc, d)).toUri.getPath)
       }
       AddEntry(abs, f.partitionValues,
-        math.max(f.size, 1L), now, dv, f.stats,
+        f.size, now, dv, f.stats,
         f.baseRowId, f.defaultRowCommitVersion)
     }
     val p = snap.protocol

@@ -880,7 +880,7 @@ object IcebergReader {
         val (withIds, idless) = shapes.partition(_._2)
         val branches =
           (if (withIds.nonEmpty) Seq(idScan(withIds.map(_._1))) else Nil) ++
-            idless.groupBy(_._3).toSeq.sortBy(_._1.mkString(" "))
+            idless.groupBy(_._3).toSeq.sortBy(_._1.mkString("\u0000"))
               .map { case (fileCols, group) =>
                 mappedScan(spark, snap, idOf, mapping, fileCols,
                   group.map(_._1), metaCols, withMeta)

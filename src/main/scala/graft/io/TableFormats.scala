@@ -158,9 +158,6 @@ object TableFormats {
       ref: String): DataFrame =
     IcebergReader.read(spark, path, asOfRef = Some(ref))
 
-  /** Tag (or branch) a snapshot for reproducible reads — the `refs`
-    * metadata commit ([[IcebergWriter.setRef]]); tagged snapshots
-    * survive [[expireIcebergSnapshots]]. */
   /** Iceberg incremental append scan: the rows added after
     * `fromSnapshotId` (exclusive) up to `toSnapshotId` (inclusive;
     * default current) — the incremental-consumer entry point
@@ -172,6 +169,9 @@ object TableFormats {
     IcebergReader.incrementalAppendScan(spark, path, fromSnapshotId,
       toSnapshotId)
 
+  /** Tag (or branch) a snapshot for reproducible reads — the `refs`
+    * metadata commit ([[IcebergWriter.setRef]]); tagged snapshots
+    * survive [[expireIcebergSnapshots]]. */
   def tagIcebergSnapshot(spark: SparkSession, path: String, name: String,
       snapshotId: Option[Long] = None, refType: String = "tag"): Long =
     IcebergWriter.setRef(spark, path, name, snapshotId, refType)

@@ -276,12 +276,36 @@ object VectorIndex {
     * The persisted codes table drops the raw embeddings entirely —
     * 32× less scan I/O at query time, the memory-bound ANN trade. */
   def putPq(emb: DataFrame, indexPath: String, m: Int = 8,
-      ksub: Int = 16, iters: Int = 5, sampleN: Int = 2048): Unit = {
+      ksub: Int = 16, iters: Int = 5, sampleN: Int = 2048,
+      codebook: Option[Array[Float]] = None): Unit = {
     val spark = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     require(ksub <= 16, "ksub must be <= 16 (4-bit packed codes)")
     val dsub = dim / m
+    val cents = codebook.getOrElse(
+      trainPqFloat(emb, m, ksub, dsub, iters, sampleN))
+    require(cents.length == m * ksub * dsub,
+      s"codebook length ${cents.length} != m*ksub*dsub ${m * ksub * dsub}")
+    graft.expr.PqCodec.register(spark)
+    val coded = emb
+      .withColumn("code", call_function("pq_encode", col("embedding"),
+        typedLit(cents.toSeq), lit(m), lit(ksub), lit(dsub)))
+      .drop("embedding")
+    graft.io.DatasetWriter.toParquet(coded, s"$indexPath/codes",
+      mode = graft.io.DatasetWriter.Overwrite)
+    val metaDf = spark.createDataFrame(
+      Seq((m, ksub, dsub, dim, cents.toSeq)))
+      .toDF("m", "ksub", "dsub", "dim", "cents")
+    graft.io.DatasetWriter.toParquet(metaDf, s"$indexPath/pq_meta",
+      mode = graft.io.DatasetWriter.Overwrite)
+  }
+
+  /** Driver-side float Lloyd's over a bounded sample — the default
+    * codebook trainer (fast, not differentially testable: float means
+    * are order-dependent). */
+  private def trainPqFloat(emb: DataFrame, m: Int, ksub: Int, dsub: Int,
+      iters: Int, sampleN: Int): Array[Float] = {
     val sample: Array[Array[Float]] = emb.orderBy(col("vec_id"))
       .limit(sampleN).select(col("embedding")).collect()
       .map(_.getAs[Seq[Float]](0).toArray)
@@ -320,18 +344,71 @@ object VectorIndex {
       for (c <- 0 until ksub; t <- 0 until dsub)
         cents((j * ksub + c) * dsub + t) = cs(c)(t)
     }
-    graft.expr.PqCodec.register(spark)
-    val coded = emb
-      .withColumn("code", call_function("pq_encode", col("embedding"),
-        typedLit(cents.toSeq), lit(m), lit(ksub), lit(dsub)))
-      .drop("embedding")
-    graft.io.DatasetWriter.toParquet(coded, s"$indexPath/codes",
-      mode = graft.io.DatasetWriter.Overwrite)
-    val metaDf = spark.createDataFrame(
-      Seq((m, ksub, dsub, dim, cents.toSeq)))
-      .toDF("m", "ksub", "dsub", "dim", "cents")
-    graft.io.DatasetWriter.toParquet(metaDf, s"$indexPath/pq_meta",
-      mode = graft.io.DatasetWriter.Overwrite)
+    cents
+  }
+
+  /** Exact-decimal deterministic PQ codebook — the differentially
+    * testable trainer (same trick as the IVF centroids at
+    * [[Vectors.ivfSearch]]): seeds are the subvectors of the `ksub`
+    * lowest vec_ids, ONE Lloyd step assigns the bounded sample by
+    * sequential-double squared L2 (ties to the lowest cell, the exact
+    * argmin of [[graft.expr.PqImpl.encode]]), and the refined centroid
+    * is an order-independent decimal(20,10) mean cast to float — so
+    * DuckDB reproduces every centroid bit-for-bit and the whole
+    * encode→ADC→rerank probe oracles end-to-end. Runs as Spark
+    * DataFrame ops (the sample is bounded; the collect is k·dim floats).
+    */
+  def trainPqExact(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      sampleN: Int = 2048): Array[Float] = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val sample = emb.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("embedding"))
+    val sub = sample
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col("embedding"))
+      .select(col("vec_id"), col("j"),
+        expr(s"slice(embedding, j * $dsub + 1, $dsub)").as("p"))
+    val seedIds = sample.orderBy(col("vec_id")).limit(ksub)
+      .select(col("vec_id"))
+    val seeds = sub.join(broadcast(seedIds), "vec_id")
+      .withColumn("c",
+        row_number().over(Window.partitionBy("j").orderBy("vec_id")) - 1)
+      .select(col("j"), col("c"), col("p").as("s"))
+    // sequential-double squared L2, the byte-for-byte arithmetic of
+    // PqImpl.encode (float operands promoted to double, left fold)
+    val dist = expr(
+      """aggregate(zip_with(p, s, (x, y) ->
+        |  (cast(x as double) - cast(y as double)) *
+        |  (cast(x as double) - cast(y as double))),
+        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin)
+    val asg = sub.join(broadcast(seeds), "j")
+      .withColumn("d", dist)
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min(struct(col("d"), col("c"))).as("b"), first(col("p")).as("p"))
+      .select(col("j"), col("b.c").as("c"), col("p"))
+    val cmeans = asg
+      .select(col("j"), col("c"), posexplode(col("p")))
+      .groupBy(col("j"), col("c"), col("pos"))
+      .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)).cast("double")).cast("float").as("v"))
+      .groupBy(col("j"), col("c"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("j"), col("c"), expr("transform(pv, x -> x.v)").as("cv"))
+    // seed cells that attracted no sample member keep the seed itself
+    val rows = seeds.join(cmeans, Seq("j", "c"), "left")
+      .select(col("j"), col("c"), coalesce(col("cv"), col("s")).as("cv"))
+      .collect()
+    val cents = Array.ofDim[Float](m * ksub * dsub)
+    rows.foreach { r =>
+      val j = r.getAs[Int]("j"); val c = r.getAs[Int]("c")
+      val cv = r.getAs[scala.collection.Seq[Float]]("cv")
+      var t = 0
+      while (t < dsub) { cents((j * ksub + c) * dsub + t) = cv(t); t += 1 }
+    }
+    cents
   }
 
   /** ADC top-k over the codes table: the per-query [m][ksub] distance
@@ -343,7 +420,8 @@ object VectorIndex {
     * only the candidate ids (broadcast semi-join). */
   def searchPq(spark: SparkSession, indexPath: String,
       query: Array[Float], k: Int = 10, rerank: Int = 0,
-      emb: Option[DataFrame] = None): DataFrame = {
+      emb: Option[DataFrame] = None,
+      excludeId: Option[Long] = None): DataFrame = {
     val mr = spark.read.parquet(s"$indexPath/pq_meta").head
     val (m, ksub, dsub) = (mr.getAs[Int]("m"), mr.getAs[Int]("ksub"),
       mr.getAs[Int]("dsub"))
@@ -359,7 +437,9 @@ object VectorIndex {
       table(j * ksub + c) = d
     }
     graft.expr.PqCodec.register(spark)
-    val scored = spark.read.parquet(s"$indexPath/codes")
+    val codes0 = spark.read.parquet(s"$indexPath/codes")
+    val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
+    val scored = codes
       .withColumn("adist", call_function("pq_adc", col("code"),
         typedLit(table.toSeq), lit(m), lit(ksub)))
       .orderBy(col("adist"), col("vec_id"))

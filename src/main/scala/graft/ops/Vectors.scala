@@ -230,20 +230,102 @@ object Vectors {
   /** PQ ANN probe: ADC over 8-byte codes (32× less scan I/O than raw
     * embeddings), exact cosine rerank of the top candidates — the
     * memory-bound scale path beside the IVF and LSH variants
-    * ([[VectorIndex.searchPq]]; recall gated by `PqSpec`). */
+    * ([[VectorIndex.searchPq]]; recall gated by `PqSpec`).
+    *
+    * The codebook comes from [[VectorIndex.trainPqExact]] — seeds at the
+    * `ksub` lowest vec_ids, one Lloyd step with order-independent
+    * decimal(20,10) means — so every centroid, every packed code, the
+    * whole ADC candidate ranking and the exact rerank reproduce
+    * bit-for-bit in DuckDB: the full probe differentially tests against
+    * [[pqSearchOracle]], not just a rows-count check. */
   def pqSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
     val idx = pqIndexCache.computeIfAbsent(dir, _ => {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft-pq-idx").toString + "/idx"
-      VectorIndex.putPq(emb, tmp)
+      VectorIndex.putPq(emb, tmp,
+        codebook = Some(VectorIndex.trainPqExact(emb)))
       tmp
     })
     val query = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
     VectorIndex.searchPq(s, idx, query, k = k, rerank = 5 * k,
-      emb = Some(emb))
+      emb = Some(emb), excludeId = Some(0L))
+      .select(col("vec_id"), col("label"))
   }
+
+  /** DuckDB mirror of the ENTIRE PQ probe: exact-decimal codebook
+    * training (seed → one Lloyd step → decimal mean), per-subspace
+    * argmin encoding (ties to the lowest cell, the strict-< scan of
+    * `PqImpl.encode`), per-query ADC table, candidate top-`rerank` by
+    * (adist, vec_id), exact cosine rerank. Every float is cast to
+    * double before arithmetic and every sum is a sequential fold, the
+    * byte-for-byte arithmetic of the Spark path. */
+  def pqSearchOracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048),
+       |sub AS (
+       |  SELECT vec_id, j,
+       |    list_transform(generate_series(1, 8), t -> embedding[j*8 + t]) AS p
+       |  FROM sample, generate_series(0, 7) g(j)),
+       |seeds AS (
+       |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c,
+       |         p AS s
+       |  FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM sample ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT j, c, p FROM (
+       |    SELECT sub.j, seeds.c, sub.p,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.j
+       |        ORDER BY list_sum(list_transform(generate_series(1, 8), t ->
+       |          (cast(p[t] as double) - cast(s[t] as double)) *
+       |          (cast(p[t] as double) - cast(s[t] as double)))), seeds.c)
+       |        AS rk
+       |    FROM sub JOIN seeds ON sub.j = seeds.j) z WHERE rk = 1),
+       |cm AS (
+       |  SELECT j, c, t,
+       |    cast(cast(sum(cast(p[t] as decimal(20,10))) as double)
+       |         / cast(count(*) as double) as float) AS v
+       |  FROM asg, generate_series(1, 8) g(t)
+       |  GROUP BY j, c, t),
+       |cmeans AS (
+       |  SELECT j, c, list(v ORDER BY t) AS cv FROM cm GROUP BY j, c),
+       |cent AS (
+       |  SELECT seeds.j, seeds.c, coalesce(cmeans.cv, seeds.s) AS cv
+       |  FROM seeds LEFT JOIN cmeans
+       |    ON seeds.j = cmeans.j AND seeds.c = cmeans.c),
+       |allsub AS (
+       |  SELECT vec_id, j,
+       |    list_transform(generate_series(1, 8), t -> embedding[j*8 + t]) AS p
+       |  FROM embeddings, generate_series(0, 7) g(j)),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT a.vec_id, a.j, cent.c,
+       |      row_number() OVER (PARTITION BY a.vec_id, a.j
+       |        ORDER BY list_sum(list_transform(generate_series(1, 8), t ->
+       |          (cast(p[t] as double) - cast(cv[t] as double)) *
+       |          (cast(p[t] as double) - cast(cv[t] as double)))), cent.c)
+       |        AS rk
+       |    FROM allsub a JOIN cent ON a.j = cent.j) z WHERE rk = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |dtab AS (
+       |  SELECT cent.j, cent.c,
+       |    list_sum(list_transform(generate_series(1, 8), t ->
+       |      (cast(qe[cent.j*8 + t] as double) - cast(cv[t] as double)) *
+       |      (cast(qe[cent.j*8 + t] as double) - cast(cv[t] as double))))
+       |      AS d
+       |  FROM cent CROSS JOIN q),
+       |adc AS (
+       |  SELECT vec_id, list_sum(list(d ORDER BY j)) AS adist
+       |  FROM (SELECT codes.vec_id, codes.j, dtab.d
+       |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
+       |        WHERE codes.vec_id <> 0) z
+       |  GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50)
+       |SELECT e.vec_id, e.label
+       |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+       |ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id
+       |LIMIT 10""".stripMargin
 
   private def cosineSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, 64),

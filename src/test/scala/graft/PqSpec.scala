@@ -60,4 +60,24 @@ class PqSpec extends AnyFunSuite {
     val recall = (exact & approx).size / 10.0
     assert(recall >= 0.6, s"recall@10 = $recall (expected >= 0.6)")
   }
+
+  test("exact-decimal codebook (the oracled path) holds the recall bar") {
+    val emb = Tables.embeddings(spark, dir)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    val idx = Files.createTempDirectory("graft-pq3").toString
+    VectorIndex.putPq(emb, idx,
+      codebook = Some(VectorIndex.trainPqExact(emb)))
+    graft.expr.CosineSimilarity.register(spark)
+    val exact = emb.filter(col("vec_id") =!= 0L)
+      .withColumn("cosine", call_function("cosine_sim",
+        col("embedding"), typedLit(query.toSeq)))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val approx = VectorIndex.searchPq(spark, idx, query, k = 10,
+      rerank = 50, emb = Some(emb), excludeId = Some(0L))
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approx).size / 10.0
+    assert(recall >= 0.6, s"recall@10 = $recall (expected >= 0.6)")
+  }
 }
