@@ -1351,7 +1351,24 @@ object DeltaLogWriter {
   def deleteWhere(spark: SparkSession,
       tablePath: String,
       predicate: org.apache.spark.sql.Column): Committed =
-    deleteWhereImpl(spark, tablePath, predicate, None)
+    deleteWhereImpl(spark, tablePath, _.filter(predicate), None)
+
+  /** Delete every row whose key tuple appears in `keys` — the
+    * `MERGE … WHEN MATCHED THEN DELETE` / correlated
+    * `DELETE … WHERE EXISTS` shape, on the same zero-rewrite
+    * deletion-vector path as [[deleteWhere]] (the Iceberg twin is
+    * [[IcebergWriter.deleteMatched]]). The match is a semi-join, so
+    * the key set scales past anything an IN-list predicate could
+    * carry. */
+  def deleteMatched(spark: SparkSession, tablePath: String,
+      keys: DataFrame, keyCols: Seq[String],
+      matchNulls: Boolean = false): Committed = {
+    require(keyCols.nonEmpty, "deleteMatched needs key columns")
+    val keySet = keys.select(keyCols.map(col): _*).distinct()
+    deleteWhereImpl(spark, tablePath,
+      df => df.join(keySet, keyCond(df, keySet, keyCols, matchNulls),
+        "left_semi"), None)
+  }
 
   /** `UPDATE … SET … WHERE` as ONE zero-rewrite commit: the matched
     * LIVE rows re-land as new data files with the assignments applied,
@@ -1364,12 +1381,17 @@ object DeltaLogWriter {
       predicate: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)]): Committed = {
     require(assignments.nonEmpty, "UPDATE needs at least one assignment")
-    deleteWhereImpl(spark, tablePath, predicate, Some(assignments))
+    deleteWhereImpl(spark, tablePath, _.filter(predicate), Some(assignments))
   }
 
+  /** `matcher` selects the affected rows from a scan frame — a plain
+    * predicate filter for DELETE/UPDATE, a key semi-join for
+    * [[deleteMatched]]. It runs against both the raw position scan and
+    * the live table read (for UPDATE replacements / CDF rows), so it
+    * must be a pure row-selection. */
   private def deleteWhereImpl(spark: SparkSession,
       tablePath: String,
-      predicate: org.apache.spark.sql.Column,
+      matcher: DataFrame => DataFrame,
       updateAssignments: Option[Seq[(String, org.apache.spark.sql.Column)]])
       : Committed = {
     import org.apache.spark.sql.Row
@@ -1438,8 +1460,8 @@ object DeltaLogWriter {
     // A file whose rows are ALL deleted (old DV ∪ new) gets NO sidecar —
     // it is removed from the snapshot outright. Driver receives one
     // (path, descriptor) pair per touched file: manifest-scale.
-    val touched: Seq[(String, Option[DeltaDeletionVectors.Descriptor])] = df
-      .filter(predicate)
+    val touched: Seq[(String, Option[DeltaDeletionVectors.Descriptor])] =
+      matcher(df)
       .select(col("__file"), col("__pos"))
       .repartition(col("__file"))
       .sortWithinPartitions(col("__file"), col("__pos"))
@@ -1509,7 +1531,7 @@ object DeltaLogWriter {
       val asg = asg0.toMap
       asg.keys.foreach(c => require(snap.schema.fieldNames.contains(c),
         s"UPDATE assignment targets unknown column $c"))
-      updatedLiveRows(spark, tablePath, snap, predicate, asg)
+      updatedLiveRows(spark, tablePath, snap, matcher, asg)
         .localCheckpoint()
     }
     val updatedAdds = updatedFrame match {
@@ -1526,7 +1548,7 @@ object DeltaLogWriter {
     val cdc =
       if (!cdfEnabled(snap)) Nil
       else {
-        val live = DeltaLogReader.read(spark, tablePath).filter(predicate)
+        val live = matcher(DeltaLogReader.read(spark, tablePath))
         val changes = updatedFrame match {
           case None => live.withColumn("_change_type", lit("delete"))
           case Some(upd) =>
@@ -1550,9 +1572,9 @@ object DeltaLogWriter {
     * assignments projected in, typed to the table schema. */
   private def updatedLiveRows(spark: SparkSession, tablePath: String,
       snap: DeltaLogReader.Snapshot,
-      predicate: org.apache.spark.sql.Column,
+      matcher: DataFrame => DataFrame,
       asg: Map[String, org.apache.spark.sql.Column]): DataFrame =
-    DeltaLogReader.read(spark, tablePath).filter(predicate)
+    matcher(DeltaLogReader.read(spark, tablePath))
       .select(snap.schema.fields.map { f =>
         asg.get(f.name).map(_.cast(f.dataType).as(f.name))
           .getOrElse(col(f.name))

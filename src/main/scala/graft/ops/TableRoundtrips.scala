@@ -434,17 +434,47 @@ object TableRoundtrips {
       """MERGE INTO t USING (SELECT * FROM sqldml_src) s ON t.c_custkey = s.c_custkey
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin, reg)
+    // the reference's own generated MERGE, replayed VERBATIM
+    // (athena/_write_iceberg.py:376-385: explicit per-column
+    // assignments, quoted identifiers, INSERT (cols) VALUES)
+    Tables.customer(s, dir)
+      .filter((col("c_custkey") >= 1L && col("c_custkey") <= 3L) ||
+        (col("c_custkey") > 65L && col("c_custkey") <= 70L))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + 500).as("c_acctbal"))
+      .createOrReplaceTempView("sqldml_src2")
+    graft.sql.TableDml.execute(s,
+      """
+        |            MERGE INTO "t" target
+        |            USING "sqldml_src2" source
+        |            ON (target."c_custkey" = source."c_custkey")
+        |            WHEN MATCHED THEN
+        |                UPDATE SET "c_custkey" = source."c_custkey", "c_mktsegment" = source."c_mktsegment", "c_acctbal" = source."c_acctbal"
+        |            WHEN NOT MATCHED THEN
+        |                INSERT ("c_custkey", "c_mktsegment", "c_acctbal")
+        |                VALUES (source."c_custkey", source."c_mktsegment", source."c_acctbal")
+        |        """.stripMargin, reg)
+    // correlated DELETE — the WHERE EXISTS shape
+    Tables.customer(s, dir).filter(col("c_custkey") === 50L)
+      .select(col("c_custkey"))
+      .createOrReplaceTempView("sqldml_del")
+    graft.sql.TableDml.execute(s,
+      "DELETE FROM t WHERE EXISTS " +
+        "(SELECT 1 FROM sqldml_del s WHERE s.c_custkey = t.c_custkey)", reg)
     materializedWithoutTemp(s,
       IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
   }
 
   def sqlDmlOracle: String =
     """SELECT c_custkey, c_mktsegment,
-      |  CASE WHEN c_custkey <= 10 THEN c_acctbal + 100
+      |  CASE WHEN (c_custkey BETWEEN 1 AND 3) OR c_custkey > 65
+      |         THEN c_acctbal + 500
+      |       WHEN c_custkey <= 10 THEN c_acctbal + 100
       |       ELSE c_acctbal END AS c_acctbal
       |FROM customer
-      |WHERE c_custkey <= 65
-      |  AND NOT (c_custkey % 9 = 0 AND c_custkey <= 60)""".stripMargin
+      |WHERE c_custkey <= 70
+      |  AND NOT (c_custkey % 9 = 0 AND c_custkey <= 60)
+      |  AND c_custkey <> 50""".stripMargin
 
   /** v3 COLUMN DEFAULTS differential (spec "Default values"): add a
     * column with an initial-default to a populated v3 table —

@@ -64,18 +64,27 @@ class SqlDmlSpec extends AnyFunSuite {
       .select("id", "name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(2L) == "UPDATED" && got(31L) == "NEW" && got.size == 28)
-    // INSERT INTO: VALUES aligns by position, SELECT by name
+    // INSERT INTO: both VALUES and SELECT align by POSITION (ANSI) —
+    // source column names are irrelevant, even when they collide with
+    // table column names in a different order
     TableDml.execute(spark,
       "INSERT INTO t VALUES (40, 'forty', 400.0), (41, 'fortyone', 410.0)",
       Map("t" -> dir))
     TableDml.execute(spark,
-      "INSERT INTO t SELECT 420.0 AS amt, 42 AS id, 'fortytwo' AS name",
+      "INSERT INTO t SELECT 42 AS amt, 'fortytwo' AS id, 420.0 AS name",
       Map("t" -> dir))
     val afterIns = IcebergReader.read(spark, dir)
       .select("id", "name").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(afterIns(40L) == "forty" && afterIns(42L) == "fortytwo" &&
       afterIns.size == 31)
+    // explicit column list: listed columns bind positionally, the rest null
+    TableDml.execute(spark,
+      "INSERT INTO t (name, id) SELECT 'fortythree', 43", Map("t" -> dir))
+    val r43 = IcebergReader.read(spark, dir)
+      .filter(col("id") === 43L).collect()
+    assert(r43.length == 1 && r43.head.getAs[String]("name") == "fortythree"
+      && r43.head.isNullAt(r43.head.fieldIndex("amt")))
     // unsupported shapes raise loudly
     intercept[IllegalArgumentException] {
       TableDml.execute(spark, "TRUNCATE TABLE t", Map("t" -> dir))
@@ -110,6 +119,151 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(feed.count(_._2 == "update_preimage") == 3)
     assert(feed.count(_._2 == "update_postimage") == 3)
     // DV state: old files carried with deletion vectors, not rewritten
+    val snap = DeltaLogReader.snapshot(spark, dir)
+    assert(snap.files.exists(_.deletionVector.isDefined))
+  }
+
+  test("reference-generated MERGE replays verbatim: explicit assignments, " +
+      "quoted identifiers, INSERT (cols) VALUES") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq((2L, "UPD", 999.0), (31L, "NEW", 1.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("ref_src")
+    // the exact statement athena.merge_iceberg generates
+    // (reference athena/_write_iceberg.py:376-385)
+    TableDml.execute(spark,
+      """
+        |            MERGE INTO "t" target
+        |            USING "ref_src" source
+        |            ON (target."id" = source."id")
+        |            WHEN MATCHED THEN
+        |                UPDATE SET "id" = source."id", "name" = source."name", "amt" = source."amt"
+        |            WHEN NOT MATCHED THEN
+        |                INSERT ("id", "name", "amt")
+        |                VALUES (source."id", source."name", source."amt")
+        |        """.stripMargin, Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == "UPD" && got(31L) == "NEW" && got.size == 31)
+  }
+
+  test("partial-assignment MERGE updates only the assigned columns") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq((3L, "X", 7.0), (32L, "Y", 8.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("part_src")
+    TableDml.execute(spark,
+      """MERGE INTO t USING part_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET amt = s.amt * 2
+        |WHEN NOT MATCHED THEN INSERT (id, amt) VALUES (s.id, s.amt)""".stripMargin,
+      Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("name"), r.getAs[Double]("amt")))).toMap
+    assert(got(3L) == (("n3", 14.0)))     // name kept, amt reassigned
+    assert(got(32L)._1 == null && got(32L)._2 == 8.0) // unlisted col null
+    assert(got.size == 31)
+  }
+
+  test("matched-only MERGE DELETE and correlated DELETE WHERE EXISTS") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq(Tuple1(5L), Tuple1(6L)).toDF("id").createOrReplaceTempView("del_keys")
+    // the exact statement athena.delete_from_iceberg_table generates
+    // (reference athena/_write_iceberg.py:831-838)
+    TableDml.execute(spark,
+      """
+        |            MERGE INTO "t" target
+        |            USING "del_keys" source
+        |            ON target."id" = source."id"
+        |            WHEN MATCHED THEN
+        |                DELETE
+        |        """.stripMargin, Map("t" -> dir))
+    assert(IcebergReader.read(spark, dir).count() == 28)
+    Seq(Tuple1(7L)).toDF("id").createOrReplaceTempView("del_keys2")
+    TableDml.execute(spark,
+      "DELETE FROM t WHERE EXISTS (SELECT 1 FROM del_keys2 s WHERE s.id = t.id)",
+      Map("t" -> dir))
+    val ids = IcebergReader.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(7L) && ids.size == 27)
+  }
+
+  test("null-safe ON (IS NOT DISTINCT FROM) matches null keys") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    IcebergWriter.write(
+      Seq((Option(1L), "a"), (Option.empty[Long], "b"))
+        .toDF("k", "v"), dir)
+    Seq((Option.empty[Long], "B2"), (Option(2L), "c"))
+      .toDF("k", "v").createOrReplaceTempView("ns_src")
+    TableDml.execute(spark,
+      """MERGE INTO t USING ns_src s
+        |ON (t."k" IS NOT DISTINCT FROM s."k")
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir).collect()
+      .map(r => Option(r.get(r.fieldIndex("k"))) -> r.getAs[String]("v"))
+      .toMap
+    assert(got(None) == "B2" && got(Some(1L)) == "a" && got(Some(2L)) == "c")
+  }
+
+  test("insert-only MERGE, unconditioned UPDATE and DELETE") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq((1L, "DONT_TOUCH", 0.0), (40L, "NEW40", 1.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("ins_src")
+    // merge_condition="ignore": no matched clause — matched rows stay
+    TableDml.execute(spark,
+      """MERGE INTO t USING ins_src s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "n1" && got(40L) == "NEW40" && got.size == 31)
+    TableDml.execute(spark, "UPDATE t SET amt = 0.0", Map("t" -> dir))
+    assert(IcebergReader.read(spark, dir)
+      .filter(col("amt") =!= 0.0).count() == 0)
+    // reference _write_iceberg.py:647 overwrite mode
+    TableDml.execute(spark, "DELETE FROM t", Map("t" -> dir))
+    assert(IcebergReader.read(spark, dir).count() == 0)
+  }
+
+  test("Delta: MERGE DELETE and correlated EXISTS ride deletion vectors") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    DeltaLogWriter.write(
+      (1L to 20L).map(i => (i, s"r$i")).toDF("id", "v"), dir)
+    Seq(Tuple1(2L), Tuple1(3L)).toDF("id").createOrReplaceTempView("ddel")
+    TableDml.execute(spark,
+      """MERGE INTO t USING ddel s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin, Map("t" -> dir))
+    assert(DeltaLogReader.read(spark, dir).count() == 18)
+    Seq(Tuple1(5L), Tuple1(99L)).toDF("id").createOrReplaceTempView("ddel2")
+    TableDml.execute(spark,
+      "DELETE FROM t WHERE EXISTS (SELECT 1 FROM ddel2 s WHERE s.id = t.id)",
+      Map("t" -> dir))
+    val left = DeltaLogReader.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!left.contains(5L) && left.size == 17)
+    // non-equi correlated predicates raise rather than silently misparse
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        "DELETE FROM t WHERE EXISTS (SELECT 1 FROM ddel2 s WHERE s.id = t.id + 1)",
+        Map("t" -> dir))
+    }
+    // DVs, not rewrites: original files carried
     val snap = DeltaLogReader.snapshot(spark, dir)
     assert(snap.files.exists(_.deletionVector.isDefined))
   }
