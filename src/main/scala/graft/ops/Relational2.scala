@@ -57,14 +57,47 @@ object Relational2 {
       |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
 
   /** Chained CTEs: revenue per supplier → quartile bucket → bucket stats
-    * (the multi-stage analyst query shape). */
+    * (the multi-stage analyst query shape).
+    *
+    * The quartile is a GLOBAL ntile, which a naive `Window.orderBy`
+    * computes by sorting the whole input in ONE task — fine at supplier
+    * cardinality, fatal at 100 TB key counts. The distributed
+    * formulation: range-exchange on the sort key (every task holds one
+    * contiguous rank range), local row_number per range, per-range
+    * counts (≤ shuffle-partition-count rows, collected driver-side) →
+    * rank offsets broadcast back as a map literal, then the exact
+    * ntile arithmetic as a map-side expression. Bit-identical to
+    * `ntile(4) OVER (ORDER BY rev, l_suppkey)` — the sort key is
+    * unique, so ranks are exact — with the biggest single task bounded
+    * by one range partition instead of the table. */
   def q22CteChain(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val rev = li.groupBy(col("l_suppkey"))
       .agg(sum(col("l_extendedprice").cast("decimal(10,2)"))
         .cast("double").as("rev"))
-    val w = Window.orderBy(col("rev"), col("l_suppkey"))
-    val bucketed = rev.withColumn("q", ntile(4).over(w))
+    // pinned once: the counts job and the rank job share the exchange
+    val parts = rev.repartitionByRange(col("rev"), col("l_suppkey"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val cnt = parts.groupBy(col("pid")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Int]("pid") -> r.getAs[Long]("c"))
+      .sortBy(_._1)
+    val n = cnt.map(_._2).sum
+    val offsets: Map[Int, Long] =
+      cnt.map(_._1).zip(cnt.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val nb = 4L
+    val base = n / nb
+    val rem = n % nb
+    val lw = Window.partitionBy(col("pid"))
+      .orderBy(col("rev"), col("l_suppkey"))
+    val bucketed = parts
+      .withColumn("r", row_number().over(lw).cast("long") +
+        element_at(typedLit(offsets), col("pid")))
+      .withColumn("q",
+        when(lit(rem) > 0 && col("r") <= lit(rem * (base + 1)),
+          expr(s"(r - 1) div ${base + 1} + 1"))
+          .otherwise(expr(s"$rem + (r - 1 - ${rem * (base + 1)}) div $base + 1"))
+          .cast("int"))
     bucketed.groupBy(col("q"))
       .agg(count(lit(1)).as("n_supps"),
         min(col("rev")).as("min_rev"), max(col("rev")).as("max_rev"))

@@ -41,6 +41,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q19_top_k").contains("TakeOrderedAndProject"))
   }
 
+  test("q22 global ntile never funnels into a single-partition window") {
+    // the distributed formulation: range exchange + per-range window,
+    // never an `Exchange SinglePartition` feeding a global sort
+    val p = planOf("q22_cte_chain")
+    assert(!p.contains("SinglePartition"),
+      "q22 plan collapsed to a single partition:\n" + p)
+  }
+
   test("kv point lookup pushes the key equality into the scan") {
     val p = planOf("kv_point_lookup")
     assert(p.contains("EqualTo(c_custkey,42)"))
