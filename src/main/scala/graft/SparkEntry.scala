@@ -138,6 +138,7 @@ object SparkEntry {
     "vec_knn_lsh"         -> (Vectors.knnLsh _),
     "vec_near_dup"        -> (Vectors.embeddingNearDup _),
     "vec_semdedup"        -> ((s: SparkSession, d: String) => Vectors.semDedup(s, d)),
+    "vec_semdedup_k"      -> ((s: SparkSession, d: String) => Vectors.semDedupK(s, d)),
     "vec_ivf_search"      -> ((s: SparkSession, d: String) => Vectors.ivfSearch(s, d)),
     // PQ ANN: ADC over 8-byte codes + exact rerank — k-means codebooks
     // are not SQL-expressible, so this carries no DuckDB oracle (driver
@@ -310,6 +311,7 @@ object SparkEntry {
     "vec_pq_search"       -> Vectors.pqSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "vec_semdedup"        -> Vectors.semDedupOracle,
+    "vec_semdedup_k"      -> Vectors.semDedupKOracle,
     "graph_two_hop"       -> Graph.twoHopOracle,
     "graph_motif"         -> Graph.motifOracle,
     "graph_flatten_props" -> Graph.flattenPropsOracle,

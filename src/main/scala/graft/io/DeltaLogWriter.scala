@@ -755,7 +755,8 @@ object DeltaLogWriter {
       targetSize: Long = 128L * 1024 * 1024,
       sortBy: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil,
-      where: Option[org.apache.spark.sql.Column] = None): Committed = {
+      where: Option[org.apache.spark.sql.Column] = None,
+      dvOnly: Boolean = false): Committed = {
     require(sortBy.isEmpty || zorderBy.isEmpty,
       "sortBy (range clustering) and zorderBy are mutually exclusive")
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
@@ -800,8 +801,11 @@ object DeltaLogWriter {
         val idxOf = tuples.map { case (t, i) => t -> i.toLong }.toMap
         f => kept.contains(idxOf(tupleOf(f)))
     }
+    // dvOnly scopes the rewrite to deletion-vector carriers (the
+    // UniForm compact-before-mirror path) — cost follows the deleted
+    // delta, small-but-clean files stay untouched
     val candidates = snap.files.filter(f => inScope(f) &&
-      (f.size < targetSize || f.deletionVector.isDefined))
+      (f.deletionVector.isDefined || (!dvOnly && f.size < targetSize)))
     val worthIt = candidates.exists(_.deletionVector.isDefined) ||
       candidates.size >= 2
     if (!worthIt) return Committed(latest, 0)

@@ -56,15 +56,25 @@ object TableMigration {
     * mirror snapshot already registered are CARRIED, so each refresh
     * reads footers only for files new since last time — O(delta), not
     * O(table). Same honest preconditions as the conversion: deletion
-    * vectors must be compacted away first, no column mapping. */
+    * vectors must be compacted away first (the real UniForm
+    * restriction), no column mapping. `compactFirst=true` folds a DV'd
+    * source through [[DeltaLogWriter.optimize]] before the refresh —
+    * the integrated OPTIMIZE-then-refresh the default's error message
+    * points at; the compaction rewrites ONLY DV-carrying files, so its
+    * cost follows the deleted delta, not the table. */
   def refreshUniform(spark: SparkSession, deltaPath: String,
-      icebergMirrorPath: String): IcebergWriter.Committed = {
+      icebergMirrorPath: String,
+      compactFirst: Boolean = false): IcebergWriter.Committed = {
     if (!IcebergReader.isIcebergTable(spark, icebergMirrorPath))
       return convertDeltaToIceberg(spark, deltaPath, icebergMirrorPath)
+    if (compactFirst && DeltaLogReader.snapshot(spark, deltaPath)
+        .files.exists(_.deletionVector.isDefined))
+      DeltaLogWriter.optimize(spark, deltaPath, dvOnly = true)
     val snap = DeltaLogReader.snapshot(spark, deltaPath)
     require(snap.files.forall(_.deletionVector.isEmpty),
       s"$deltaPath carries deletion vectors — OPTIMIZE before refreshing " +
-        "the mirror (registering DV'd files would resurrect deleted rows)")
+        "the mirror (registering DV'd files would resurrect deleted " +
+        "rows), or pass compactFirst=true")
     require(snap.configuration
         .getOrElse("delta.columnMapping.mode", "none") == "none",
       s"$deltaPath is column-mapped; physical parquet names have no " +

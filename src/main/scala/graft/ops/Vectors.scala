@@ -181,6 +181,63 @@ object Vectors {
        |SELECT vec_id, cluster FROM asg
        |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin
 
+  /** SemDeDup with an EXPLICIT cluster-count knob — the "k ≫ 10"
+    * clustering the paper (and the 100 TB story) requires: the
+    * quadratic within-cluster pair comparison is bounded by n²/k, so k
+    * scales WITH the corpus to hold per-cluster cost constant. The
+    * quantizer here is the deterministic seed form (centroids = the
+    * embeddings of the `k` lowest vec_ids — no iteration, bit-exact in
+    * any engine); assignment and the prune are identical to
+    * [[semDedup]]. At 100× data, [[semDedup]]'s 10 label-clusters make
+    * the pair join 100× heavier per cluster; this variant at k=64
+    * holds the same corpus at a fraction of the candidate pairs —
+    * the measured contrast is recorded in BASELINE.md. */
+  def semDedupK(s: SparkSession, dir: String, k: Int = 64,
+      tau: Double = 0.4): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("c_id"), col("embedding").as("centroid"))
+    val assigned = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", cosine(s, "embedding", "centroid"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdist"), (-col("c_id")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).cast("long").as("cluster"))
+    val withCluster = emb.select(col("vec_id"), col("embedding"))
+      .join(assigned, "vec_id")
+    val a = withCluster.select(col("vec_id").as("id1"), col("cluster"),
+      col("embedding").as("e1"))
+    val b = withCluster.select(col("vec_id").as("id2"), col("cluster"),
+      col("embedding").as("e2"))
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(s, "e1", "e2"))
+      .filter(col("cosine") >= tau)
+      .select(col("id2")).distinct()
+    withCluster
+      .join(dups, col("vec_id") === col("id2"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  def semDedupKOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c
+       |  FROM embeddings ORDER BY vec_id LIMIT 64),
+       |asg AS (
+       |  SELECT vec_id, c_id AS cluster, embedding FROM (
+       |    SELECT e.vec_id, cent.c_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("c", "e.embedding")} DESC, cent.c_id)
+       |        AS rk
+       |    FROM embeddings e CROSS JOIN cent) z WHERE rk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT vec_id, cluster FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin
+
   /** IVF-style ANN: coarse quantizer = per-label centroids (label plays
     * the coarse cell here; [[VectorIndex]] holds the k-means + persisted
     * variant), probe the `nprobe` nearest cells, exact re-rank inside.

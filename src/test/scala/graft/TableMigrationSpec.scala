@@ -125,5 +125,19 @@ class TableMigrationSpec extends AnyFunSuite {
       TableMigration.refreshUniform(spark, d, m)
     }
     assert(e.getMessage.contains("deletion vectors"))
+    // compactFirst folds the DVs away (OPTIMIZE scoped to DV carriers)
+    // and the refresh proceeds — the integrated path the error points at
+    val cleanBefore = DeltaLogReader.snapshot(spark, d)
+      .files.filter(_.deletionVector.isEmpty).map(_.path).toSet
+    TableMigration.refreshUniform(spark, d, m, compactFirst = true)
+    val after = DeltaLogReader.snapshot(spark, d)
+    assert(after.files.forall(_.deletionVector.isEmpty))
+    // DV-free files were NOT rewritten by the scoped compaction
+    assert(cleanBefore.subsetOf(after.files.map(_.path).toSet))
+    val mirrored = IcebergReader.read(spark, m)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val direct = DeltaLogReader.read(spark, d)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(mirrored == direct && !mirrored.contains(10L))
   }
 }
