@@ -92,6 +92,8 @@ object SparkEntry {
     "dedup_simhash"       -> (Dedup.simhashVerified _),
     "dedup_winnow"        -> (Dedup.winnowDedup _),
     "dedup_cc_keep"       -> (Dedup.ccDedup _),
+    "dedup_exact_segments" -> ((s: SparkSession, d: String) =>
+      Dedup.exactSegmentDedup(s, d)),
     // time-series (Timestream-shaped)
     "ts_asof_join"        -> (AsOf.clickToPurchase _),
     "ts_tumbling_window"  -> (TimeSeries.tumbling _),
@@ -266,6 +268,7 @@ object SparkEntry {
     "dedup_winnow"        -> Dedup.winnowDedupOracle,
     // CC transitive closure vs DuckDB's recursive label propagation
     "dedup_cc_keep"       -> Dedup.ccDedupOracle,
+    "dedup_exact_segments" -> Dedup.exactSegmentDedupOracle,
     "ts_asof_join"        -> AsOf.clickToPurchaseOracle,
     "ts_tumbling_window"  -> TimeSeries.tumblingOracle,
     "ts_sliding_window"   -> TimeSeries.slidingOracle,

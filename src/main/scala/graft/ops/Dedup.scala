@@ -532,4 +532,64 @@ object Dedup {
        |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)
        |SELECT node AS doc_id, min(lab) AS component
        |FROM walk GROUP BY node""".stripMargin
+
+  /** EXACT SEGMENT dedup — the RefinedWeb/MassiveText "exact line
+    * dedup" pass (Penedo et al. 2023, arXiv:2306.01116 §3.3; Rae et
+    * al. 2021 repetition removal; Lee et al. 2021, arXiv:2107.06499
+    * fixed-granularity exact substring dedup): any SEGMENT (here a
+    * non-overlapping `segTokens`-token window — the corpus has no
+    * newlines, so the window plays the line) that appears verbatim in
+    * at least `minDocs` distinct documents is boilerplate and is cut
+    * from EVERY document; each document is reassembled from its
+    * surviving segments in order. Documents whose every segment is
+    * boilerplate drop out entirely.
+    *
+    * Scale shape — all linear, no pair joins: one explode (corpus
+    * tokens), one count aggregation keyed by segment text (map-side
+    * partial combine takes the duplicate mass out before the shuffle),
+    * one anti-join back on the segment key (plain shuffle join — the
+    * frequent-segment set is NOT collected or broadcast, so a 100 TB
+    * corpus with terabytes of boilerplate works unchanged), one per-doc
+    * reassembly aggregation. */
+  def exactSegmentDedup(s: SparkSession, dir: String,
+      segTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / $segTokens.0d) as int) - 1),
+           |  i -> array_join(slice(toks, i * $segTokens + 1, $segTokens),
+           |                  ' '))""".stripMargin)))
+      .withColumnRenamed("col", "seg")
+    val frequent = segs.groupBy(col("seg"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"))
+    segs.join(frequent, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("seg"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ps, x -> x.seg), ' ')").as("text"))
+  }
+
+  def exactSegmentDedupOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |segs AS (
+      |  SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        range(cast(ceil(len(toks) / 8.0) as int)),
+      |        k -> struct_pack(
+      |          pos := k,
+      |          seg := array_to_string(toks[(k*8+1):(k*8+8)], ' ')))) AS s
+      |    FROM t) z),
+      |freq AS (
+      |  SELECT seg FROM segs GROUP BY seg
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |kept AS (
+      |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM freq))
+      |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+      |FROM kept GROUP BY doc_id""".stripMargin
 }

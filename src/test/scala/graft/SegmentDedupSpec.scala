@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Dedup
+
+/** Exact-segment (line-level) dedup on a constructed corpus: shared
+  * segments are boilerplate and cut from every document, unique
+  * segments survive in their original order, and a document made
+  * entirely of boilerplate drops out. */
+class SegmentDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("shared segments cut everywhere, unique segments kept in order") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-segdd").toString
+    def seg(w: String): String = Seq.fill(8)(w).mkString(" ")
+    // doc 1: unique A, boiler B, unique C; doc 2: boiler B, unique D;
+    // doc 3: ONLY boiler B (drops out); doc 4: a short tail segment
+    val rows = Seq(
+      (1L, s"${seg("a")} ${seg("b")} ${seg("c")}", "en", "s", 0L),
+      (2L, s"${seg("b")} ${seg("d")}", "en", "s", 0L),
+      (3L, seg("b"), "en", "s", 0L),
+      (4L, s"${seg("e")} tail only", "en", "s", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.exactSegmentDedup(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == s"${seg("a")} ${seg("c")}") // b cut, a-c order kept
+    assert(got(2L) == seg("d"))
+    assert(!got.contains(3L))                     // all-boilerplate doc gone
+    assert(got(4L) == s"${seg("e")} tail only")   // short tail segment kept
+    assert(got.size == 3)
+  }
+}
