@@ -382,4 +382,132 @@ object Curation {
       |    as decimal(30,6)) as double) AS dsir_logweight
       |FROM pd JOIN w ON pd.b = w.b
       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // End-to-end curation pipeline                                     //
+  // ---------------------------------------------------------------- //
+
+  /** The COMPOSED curation pipeline — the RefinedWeb/CCNet shape a
+    * production pretraining run actually executes, as ONE declarative
+    * DataFrame plan Catalyst optimizes end-to-end (the scrub, the
+    * quality expressions and the filters fuse into the same
+    * whole-stage-codegen'd scan; only the dedup/decontamination
+    * aggregations shuffle):
+    *
+    *   1. PII scrub ([[piiPatterns]]) — map-side projection;
+    *   2. quality gate (the [[Text.qualityScore]] formula over the
+    *      SCRUBBED text, `>= minQuality`) — map-side filter;
+    *   3. test-set decontamination (drop any doc sharing a `contamN`-
+    *      token gram with the benchmark stand-in, `source = src0`, as
+    *      in [[Decontaminate.contamination]]) — broadcast gram
+    *      semi-join, no corpus shuffle;
+    *   4. exact-segment boilerplate removal
+    *      ([[Dedup.exactSegmentDedup]]'s pass, applied to the
+    *      survivors) — linear count + anti-join.
+    *
+    * Output: (doc_id, text, n_tokens) of the curated corpus. Every
+    * stage's arithmetic is the hash-exact form its standalone oracle
+    * already proves, so the WHOLE pipeline differentially tests
+    * against DuckDB as one query. */
+  def curatePipeline(s: SparkSession, dir: String,
+      minQuality: Double = 0.55, contamN: Int = 4,
+      segTokens: Int = 8, minDocs: Int = 2): DataFrame = {
+    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
+    val cleanCol = piiPatterns.foldLeft(col("text")) {
+      case (c, (_, re, rep)) => regexp_replace(c, lit(re), lit(rep))
+    }
+    val scrubbed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), cleanCol.as("text"))
+    val toks = split(col("text"), " ")
+    val quality =
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")) * 0.5 +
+      (lit(1.0) - expr(s"size(filter(split(text,' '), t -> t IN ($stopList)))")
+        .cast("double") / size(toks).cast("double")) * 0.2 +
+      least(size(toks).cast("double") / lit(64.0), lit(1.0)) * 0.3
+    val qual = scrubbed.filter(quality >= minQuality)
+    // decontamination: benchmark = src0 docs (scrubbed + quality-gated
+    // the same way), corpus = the rest
+    val contaminated = Decontaminate.check(
+      qual.filter(col("source") =!= "src0"),
+      qual.filter(col("source") === "src0"), n = contamN)
+      .select(col("doc_id"))
+    val survivors = qual.filter(col("source") =!= "src0")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    // exact-segment boilerplate removal over the survivors
+    val segs = survivors
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(toks) / $segTokens.0d) as int) - 1),
+           |  i -> array_join(slice(toks, i * $segTokens + 1, $segTokens),
+           |                  ' '))""".stripMargin)))
+      .withColumnRenamed("col", "seg")
+    val frequent = segs.groupBy(col("seg"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("seg"))
+    segs.join(frequent, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("seg"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ps, x -> x.seg), ' ')").as("text"))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+  }
+
+  def curatePipelineOracle: String = {
+    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
+    val clean = piiPatterns.foldLeft("text") {
+      case (c, (_, re, rep)) => s"regexp_replace($c, '$re', '$rep', 'g')"
+    }
+    s"""WITH scrub AS (
+       |  SELECT doc_id, source, $clean AS text FROM documents),
+       |qual AS (
+       |  SELECT doc_id, source, text FROM scrub
+       |  WHERE cast(len(list_distinct(string_split(text,' '))) as double)
+       |          / cast(len(string_split(text,' ')) as double) * 0.5
+       |      + (1.0 - cast(len(list_filter(string_split(text,' '),
+       |            t -> t IN ($stopList))) as double)
+       |          / cast(len(string_split(text,' ')) as double)) * 0.2
+       |      + least(cast(len(string_split(text,' ')) as double) / 64.0,
+       |              1.0) * 0.3
+       |    >= 0.55),
+       |toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+       |         FROM qual),
+       |g AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_distinct(list_transform(
+       |      generate_series(1, greatest(len(t) - 3, 0)),
+       |      i -> array_to_string(t[i:i+3], ' ')))) AS g
+       |  FROM toks),
+       |contaminated AS (
+       |  SELECT DISTINCT c.doc_id
+       |  FROM (SELECT doc_id, g FROM g WHERE source <> 'src0') c
+       |  JOIN (SELECT DISTINCT g FROM g WHERE source = 'src0') b USING (g)),
+       |survivors AS (
+       |  SELECT doc_id, text FROM qual
+       |  WHERE source <> 'src0'
+       |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |st AS (SELECT doc_id, str_split(text, ' ') AS toks FROM survivors),
+       |segs AS (
+       |  SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        range(cast(ceil(len(toks) / 8.0) as int)),
+       |        k -> struct_pack(
+       |          pos := k,
+       |          seg := array_to_string(toks[(k*8+1):(k*8+8)], ' ')))) AS s
+       |    FROM st) z),
+       |freq AS (
+       |  SELECT seg FROM segs GROUP BY seg
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (
+       |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM freq))
+       |SELECT doc_id, text,
+       |  cast(len(string_split(text, ' ')) as int) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+       |  FROM kept GROUP BY doc_id) f""".stripMargin
+  }
 }

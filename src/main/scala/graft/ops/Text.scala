@@ -70,7 +70,7 @@ object Text {
       |    AS est_subwords
       |FROM documents""".stripMargin
 
-  private val stopwords = Seq("the", "a", "of")
+  private[ops] val stopwords = Seq("the", "a", "of")
 
   /** Quality scoring: stopword ratio, lexical diversity, length prior —
     * the heuristics a pretraining filter applies per document. The score
