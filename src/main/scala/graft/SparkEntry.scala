@@ -68,6 +68,8 @@ object SparkEntry {
     }),
     // text analysis (SURVEY north-star extensions)
     "text_token_stats"    -> (Text.tokenStats _),
+    "text_classifier"     -> ((s: SparkSession, d: String) =>
+      Text.classifierScore(s, d)),
     "text_quality_score"  -> (Text.qualityScore _),
     "text_corpus_profile" -> (Text.corpusProfile _),
     "text_fingerprint"    -> (Text.fingerprint _),
@@ -245,6 +247,7 @@ object SparkEntry {
         |  FROM lineitem) t
         |WHERE rn <= 3""".stripMargin,
     "text_token_stats"    -> Text.tokenStatsOracle,
+    "text_classifier"     -> Text.classifierScoreOracle,
     "text_quality_score"  -> Text.qualityScoreOracle,
     "text_corpus_profile" -> Text.corpusProfileOracle,
     "text_fingerprint"    -> Text.fingerprintOracle,

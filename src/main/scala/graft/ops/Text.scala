@@ -72,6 +72,71 @@ object Text {
 
   private[ops] val stopwords = Seq("the", "a", "of")
 
+  /** Linear text-classifier scoring at corpus scale — the fastText-style
+    * quality filter (Joulin et al. 2016, arXiv:1607.01759) that CCNet-
+    * class pipelines apply between heuristics and training: hashed
+    * bag-of-words features, a weight per hash bucket, document score =
+    * mean token weight, keep/drop by sign. The MODEL-INFERENCE shape is
+    * what matters here: weights ride as a broadcast table (a real
+    * trained model swaps in as a (bucket, weight) parquet), the feature
+    * hash and the scoring are codegen'd map-side work, and the only
+    * shuffle is the per-document partial-aggregated sum — linear at any
+    * corpus size.
+    *
+    * Determinism: buckets come from the md5-hex-prefix arithmetic both
+    * engines render identically (the [[graft.ops.Vectors.knnLsh]]
+    * precedent); the stand-in weights are exact INTEGERS in
+    * [-1000, 1000] derived the same way, so the score is an exact
+    * integer sum over an exact count — the whole op differentially
+    * tests bit-for-bit. */
+  def classifierScore(s: SparkSession, dir: String,
+      nBuckets: Int = 512): DataFrame = {
+    val weights: Seq[(Long, Long)] = (0 until nBuckets).map { b =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(b.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(6)
+      b.toLong -> ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L)
+    }
+    val wdf = broadcast(s.createDataFrame(weights).toDF("bucket", "w"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .withColumn("bucket",
+        expr("cast(conv(substring(md5(tok), 1, 6), 16, 10) as bigint)")
+          % nBuckets)
+      .join(wdf, "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("wsum"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("wsum").cast("double") /
+          (col("n_tokens") * 1000L).cast("double")).as("score"))
+      .withColumn("verdict",
+        when(col("score") >= 0.0, "keep").otherwise("drop"))
+  }
+
+  def classifierScoreOracle: String =
+    """WITH w AS (
+      |  SELECT b,
+      |    (('0x' || substr(md5(cast(b as varchar)), 1, 6))::BIGINT % 2001)
+      |      - 1000 AS wt
+      |  FROM range(512) t(b)),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |bt AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 6))::BIGINT % 512 AS bucket
+      |  FROM tok),
+      |agg AS (
+      |  SELECT doc_id, sum(wt) AS wsum, count(*) AS n_tokens
+      |  FROM bt JOIN w ON bt.bucket = w.b
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  cast(wsum as double) / cast(n_tokens * 1000 as double) AS score,
+      |  CASE WHEN cast(wsum as double) / cast(n_tokens * 1000 as double)
+      |         >= 0.0
+      |       THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM agg""".stripMargin
+
   /** Quality scoring: stopword ratio, lexical diversity, length prior —
     * the heuristics a pretraining filter applies per document. The score
     * is one fixed double expression evaluated identically everywhere. */
