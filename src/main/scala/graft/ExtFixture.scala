@@ -281,11 +281,27 @@ object ExtFixture {
         .where(col("id") % 4 =!= 0)
         .unionByName(Seq((41L, "r-41", 40L)).toDF("id", "v", "_row_id")))
 
+    // -- iceberg_rwmanifest: rewrite_manifests metadata compaction —
+    // three commits (append, eq-upsert, append) collapse their data
+    // manifests into ONE; the external reader must honor the rewritten
+    // entries' EXPLICIT per-entry sequence numbers (manifest-entry
+    // field 3) or the eq-delete re-orders and resurrects the old row
+    val rwm = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    IcebergWriter.write(rwm, s"$outDir/iceberg_rwmanifest")
+    IcebergWriter.upsertByKey(spark, s"$outDir/iceberg_rwmanifest",
+      Seq((1L, "new")).toDF("k", "v"), keys = Seq("k"))
+    IcebergWriter.write(Seq((3L, "later")).toDF("k", "v"),
+      s"$outDir/iceberg_rwmanifest")
+    IcebergWriter.rewriteManifests(spark, s"$outDir/iceberg_rwmanifest")
+    expected("iceberg_rwmanifest",
+      Seq((1L, "new"), (2L, "keep"), (3L, "later")).toDF("k", "v"))
+
     Seq("delta_basic", "delta_cdf", "delta_ckpt", "delta_conv_src",
       "delta_dv", "delta_merge", "delta_rename", "delta_v2ckpt",
       "iceberg_basic", "iceberg_converted", "iceberg_posdel",
       "iceberg_eqdel", "iceberg_rename", "iceberg_promote",
       "iceberg_specevo", "iceberg_v3dv", "iceberg_v3lineage",
-      "delta_rowtrack", "delta_clone_src", "delta_clone")
+      "iceberg_rwmanifest", "delta_rowtrack", "delta_clone_src",
+      "delta_clone")
   }
 }

@@ -131,6 +131,7 @@ object SparkEntry {
     "fmt_iceberg_eq_upsert" -> (TableRoundtrips.icebergEqUpsertRoundtrip _),
     "fmt_delta_optimize"   -> (TableRoundtrips.deltaOptimizeRoundtrip _),
     "fmt_iceberg_rewrite"  -> (TableRoundtrips.icebergRewriteRoundtrip _),
+    "fmt_iceberg_rw_manifests" -> (TableRoundtrips.icebergRwManifestsRoundtrip _),
     "fmt_delta_pruned_read" -> (TableRoundtrips.deltaPrunedReadRoundtrip _),
     "fmt_iceberg_pruned_read" -> (TableRoundtrips.icebergPrunedReadRoundtrip _),
     "fmt_iceberg_addfiles" -> (TableRoundtrips.icebergAddFilesRoundtrip _),
@@ -306,6 +307,7 @@ object SparkEntry {
     // states — any lost/resurrected row hash-mismatches
     "fmt_delta_optimize"   -> TableRoundtrips.deltaDvDeleteOracle,
     "fmt_iceberg_rewrite"  -> TableRoundtrips.mergeRoundtripOracle,
+    "fmt_iceberg_rw_manifests" -> TableRoundtrips.mergeRoundtripOracle,
     "fmt_delta_pruned_read" -> TableRoundtrips.deltaPrunedReadOracle,
     "fmt_iceberg_pruned_read" -> TableRoundtrips.icebergPrunedReadOracle,
     "fmt_iceberg_addfiles" -> TableRoundtrips.icebergAddFilesOracle,

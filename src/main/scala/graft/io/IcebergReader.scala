@@ -1360,6 +1360,27 @@ object IcebergReader {
     } finally { reader.close(); in.close() }
   }
 
+  /** Like [[readAvro]] but also returns the file-level avro metadata
+    * (Iceberg stamps `schema`, `partition-spec`, `partition-spec-id`,
+    * `content`, `format-version` on every manifest — a rewritten
+    * manifest must carry them verbatim). */
+  private[io] def readAvroWithMeta(spark: SparkSession, path: Path)
+      : (Seq[GenericRecord], Map[String, String]) = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val reader = new DataFileStream[GenericRecord](in,
+      new GenericDatumReader[GenericRecord]())
+    try {
+      import scala.jdk.CollectionConverters._
+      val meta = reader.getMetaKeys.asScala.toSeq
+        .filterNot(_.startsWith("avro."))
+        .map(k => k -> reader.getMetaString(k)).toMap
+      val out = mutable.ArrayBuffer.empty[GenericRecord]
+      while (reader.hasNext) out += reader.next()
+      (out.toSeq, meta)
+    } finally { reader.close(); in.close() }
+  }
+
   private def readText(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

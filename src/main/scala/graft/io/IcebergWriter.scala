@@ -1637,6 +1637,229 @@ object IcebergWriter {
     * Returns deleted paths. Time travel to an expired snapshot raises
     * afterwards (it is gone from the log); retained reads are
     * untouched. */
+  /** REWRITE MANIFESTS — Iceberg's metadata-compaction maintenance op
+    * (the `rewrite_manifests` procedure): consolidate the current
+    * snapshot's DATA manifests into one manifest per (partition-spec,
+    * schema shape), committed as a `replace` snapshot that touches NO
+    * data files. At 100 TB a table that has taken thousands of commits
+    * carries thousands of manifests and every planning pass opens all
+    * of them; after the rewrite a plan opens one (delete manifests are
+    * carried unchanged — their entries must keep their own sequence
+    * ordering anyway).
+    *
+    * The spec-subtle parts of moving entries between manifests:
+    *  - merged entries become EXISTING (status 0) and keep their
+    *    ORIGINAL `snapshot_id`, with EXPLICIT per-entry
+    *    `sequence_number` / `file_sequence_number` (entry fields 3/4)
+    *    written out — inherited values would re-bind to the NEW
+    *    manifest's sequence number and change which position/equality
+    *    deletes apply to which files;
+    *  - v3 row lineage: a null `first_row_id` is MATERIALIZED from the
+    *    source manifest's cumulative record_count walk before the move
+    *    (DELETED entries consume ids in that walk too); a manifest
+    *    whose lineage cannot be resolved is carried unmerged rather
+    *    than guessed;
+    *  - DELETED (status 2) entries drop — they exist for incremental
+    *    consumption of PAST snapshots, which keep reading their own
+    *    manifest lists;
+    *  - each `data_file` record is carried under its source manifest's
+    *    avro sub-schema byte-for-byte (grouping key = spec-id + schema
+    *    + file metadata), so stats, bounds, equality ids and DV
+    *    references survive whatever engine wrote them. */
+  def rewriteManifests(spark: SparkSession, tablePath: String): Committed = {
+    val root = new Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metaDir = new Path(root, "metadata")
+    val schema = IcebergReader.tableInfo(spark, tablePath)._1
+    val pfields = IcebergReader.partitionFields(spark, tablePath)
+    val lSchema = manifestListSchema
+    val now = System.currentTimeMillis()
+    val snapshotId = math.abs(UUID.randomUUID().getMostSignificantBits)
+    def longValOf(v: Any): java.lang.Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => Long.box(i.longValue)
+      case _ => null
+    }
+    var attempts = 0
+    while (attempts < 20) {
+      val (claimedMax, parsed) = logState(fs, metaDir)
+      val meta = parsed.map(_._2).getOrElse(
+        throw new IllegalArgumentException(s"no Iceberg table at $tablePath"))
+      val fv = Option(meta.get("format-version")).map(_.asInt).getOrElse(1)
+      val priorSeq = Option(meta.get("last-sequence-number"))
+        .map(_.asLong).getOrElse(0L)
+      val seq = if (fv >= 2) Some(priorSeq + 1) else None
+      val curSnap = Option(meta.get("current-snapshot-id"))
+        .map(_.asLong).filter(_ >= 0)
+      val listRecs = currentManifestRecords(spark, fs, root, meta)
+      val (dataMfs, deleteMfs) =
+        listRecs.partition(r => intValOf(r.get("content")) == 0)
+      if (dataMfs.size <= 1)
+        return Committed(curSnap.getOrElse(-1L), claimedMax, 0)
+
+      final case class MEntry(dseq: java.lang.Long, fseq: java.lang.Long,
+        esnap: java.lang.Long, df: GenericRecord)
+      val merged = mutable.LinkedHashMap
+        .empty[(Int, org.apache.avro.Schema, Map[String, String]),
+          mutable.ArrayBuffer[MEntry]]
+      val carriedUnmerged = mutable.ArrayBuffer.empty[GenericRecord]
+      dataMfs.foreach { lr =>
+        val mPath = IcebergReader.resolve(root,
+          lr.get("manifest_path").toString)
+        val (entries, fMeta) = IcebergReader.readAvroWithMeta(spark, mPath)
+        if (entries.nonEmpty) {
+          val dfSchema = entries.head.getSchema.getField("data_file").schema()
+          val specId = intValOf(lr.get("partition_spec_id"))
+          val mSeq = longValOf(lr.get("sequence_number"))
+          val addedSnap = longValOf(lr.get("added_snapshot_id"))
+          val listFri =
+            if (lSchema.getField("first_row_id") == null) null
+            else longValOf(lr.get("first_row_id"))
+          val hasFriField = dfSchema.getField("first_row_id") != null
+          def dfOf(e: GenericRecord) =
+            e.get("data_file").asInstanceOf[GenericRecord]
+          def isData(df: GenericRecord): Boolean =
+            dfSchema.getField("content") == null ||
+              intValOf(df.get("content")) == 0
+          val needsFri = fv >= 3 && entries.exists { e =>
+            val df = dfOf(e)
+            isData(df) && (!hasFriField || df.get("first_row_id") == null)
+          }
+          if (needsFri && listFri == null) {
+            // un-stamped lineage (pre-upgrade manifest before its lazy
+            // re-stamp): carry unmerged, never guess row ids
+            carriedUnmerged += reencode(lSchema, lr)
+          } else {
+            var cursor: Long = if (listFri == null) 0L else listFri.longValue
+            val buf = merged.getOrElseUpdate((specId, dfSchema, fMeta),
+              mutable.ArrayBuffer.empty[MEntry])
+            entries.foreach { e =>
+              val df = dfOf(e)
+              if (fv >= 3 && isData(df) && hasFriField &&
+                  df.get("first_row_id") == null) {
+                df.put("first_row_id", Long.box(cursor))
+                cursor += (df.get("record_count") match {
+                  case l: java.lang.Long => l.longValue
+                  case i: java.lang.Integer => i.longValue
+                  case _ => 0L
+                })
+              }
+              if (intValOf(e.get("status")) != 2) {
+                val eseq =
+                  if (e.getSchema.getField("sequence_number") == null) null
+                  else longValOf(e.get("sequence_number"))
+                val efseq =
+                  if (e.getSchema.getField("file_sequence_number") == null)
+                    null
+                  else longValOf(e.get("file_sequence_number"))
+                val esnap = longValOf(e.get("snapshot_id"))
+                // a v1-era manifest under a v2+ table carries no
+                // sequence number — the spec's upgrade rule assigns
+                // DATA SEQUENCE 0 to pre-upgrade files, and that must
+                // become explicit here (inheriting the NEW manifest's
+                // sequence would let later deletes skip these files)
+                val inherited: java.lang.Long =
+                  if (mSeq != null) mSeq else Long.box(0L)
+                buf += MEntry(
+                  if (eseq != null) eseq else inherited,
+                  if (efseq != null) efseq else inherited,
+                  if (esnap != null) esnap else addedSnap,
+                  df)
+              }
+            }
+          }
+        }
+      }
+
+      var totalFiles = 0L
+      val mergedList = merged.toSeq.zipWithIndex.map {
+        case (((specId, dfSchema, fMeta), buf), i) =>
+          val mSchema = new org.apache.avro.Schema.Parser().parse(
+            s"""{"type":"record","name":"manifest_entry","fields":[
+               |  {"name":"status","type":"int","field-id":0},
+               |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+               |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+               |  {"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+               |  {"name":"data_file","field-id":2,"type":${dfSchema.toString}}
+               |]}""".stripMargin)
+          val recs = buf.map { me =>
+            val r = new GenericData.Record(mSchema)
+            r.put("status", 0)
+            r.put("snapshot_id", me.esnap)
+            r.put("sequence_number", if (fv >= 2) me.dseq else null)
+            r.put("file_sequence_number", if (fv >= 2) me.fseq else null)
+            r.put("data_file", me.df)
+            r
+          }
+          val p = new Path(metaDir, s"manifest-rw-$snapshotId-$attempts-$i.avro")
+          val len = writeAvro(fs, p, mSchema, recs.toSeq, fMeta)
+          val rows = buf.map(me => me.df.get("record_count") match {
+            case l: java.lang.Long => l.longValue
+            case n: java.lang.Integer => n.longValue
+            case _ => 0L
+          }).sum
+          totalFiles += buf.size
+          val mf = new GenericData.Record(lSchema)
+          mf.put("manifest_path", fs.makeQualified(p).toString)
+          mf.put("manifest_length", len)
+          mf.put("partition_spec_id", specId)
+          mf.put("content", 0)
+          mf.put("sequence_number", seq.map(Long.box).orNull)
+          val minSeq: java.lang.Long = {
+            val seqs = buf.flatMap(me => Option(me.dseq)).map(_.longValue)
+            if (seqs.isEmpty) seq.map(Long.box).orNull else Long.box(seqs.min)
+          }
+          mf.put("min_sequence_number",
+            if (fv >= 2) minSeq else null)
+          mf.put("added_snapshot_id", snapshotId)
+          mf.put("added_data_files_count", 0)
+          mf.put("existing_data_files_count", buf.size)
+          mf.put("deleted_data_files_count", 0)
+          mf.put("added_rows_count", 0L)
+          mf.put("existing_rows_count", rows)
+          // every entry carries an explicit first_row_id, so the merged
+          // manifest needs no inheritance base
+          mf.put("first_row_id", null)
+          mf
+      }
+      val deleteCarried = deleteMfs.map(reencode(lSchema, _))
+      val listPath = new Path(metaDir, s"snap-$snapshotId-$attempts.avro")
+      writeAvro(fs, listPath, lSchema,
+        mergedList ++ carriedUnmerged.toSeq ++ deleteCarried,
+        Map("format-version" -> fv.toString,
+          "snapshot-id" -> snapshotId.toString))
+      val rowBase = Option(meta.get("next-row-id")).map(_.asLong).getOrElse(0L)
+      val node = metadataJson(parsed.map(_._2),
+        fs.makeQualified(root).toString, schema, pfields, snapshotId,
+        fs.makeQualified(listPath).toString, "replace", now, fv, seq,
+        firstRowId = if (fv >= 3) Some(rowBase) else None,
+        nextRowId = if (fv >= 3) Some(rowBase) else None,
+        summaryStats = Map(
+          "manifests-replaced" ->
+            (dataMfs.size - carriedUnmerged.size).toLong,
+          "manifests-created" -> mergedList.size.toLong,
+          "total-data-files" -> totalFiles))
+      val version = claimedMax + 1
+      val target = new Path(metaDir, s"v$version.metadata.json")
+      if (AtomicWrite.claim(fs, target,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(node))) {
+        writeHint(fs, metaDir, version)
+        val (_, latest) = logState(fs, metaDir)
+        val visible = latest.exists { case (_, m) =>
+          IcebergReaderAccess.jsonArray(m.get("snapshots"))
+            .exists(s => s.get("snapshot-id").asLong == snapshotId)
+        }
+        if (visible) return Committed(snapshotId, version, totalFiles.toInt)
+        attempts += 1
+      } else {
+        fs.delete(listPath, false)
+        attempts += 1
+      }
+    }
+    throw new java.io.IOException(
+      s"could not claim a manifest rewrite after $attempts attempts at $tablePath")
+  }
+
   def expireSnapshots(spark: SparkSession, tablePath: String,
       retentionMs: Long = 7L * 24 * 3600 * 1000,
       retainLast: Int = 1): Seq[String] = {

@@ -361,6 +361,14 @@ object TableFormats {
       sortBy: Seq[String] = Nil): IcebergWriter.Committed =
     IcebergWriter.rewriteDataFiles(spark, path, targetSize, sortBy)
 
+  /** Compact a real Iceberg table's METADATA (`rewrite_manifests`):
+    * consolidate the current snapshot's data manifests into one per
+    * spec — planning opens one manifest instead of one per historical
+    * commit; no data file is touched ([[IcebergWriter.rewriteManifests]]). */
+  def rewriteIcebergManifests(spark: SparkSession,
+      path: String): IcebergWriter.Committed =
+    IcebergWriter.rewriteManifests(spark, path)
+
   /** `VACUUM` a real Delta table: physically remove data files and DV
     * sidecars no current-snapshot reference, past the retention window. */
   def vacuumDeltalake(spark: SparkSession, path: String,

@@ -144,6 +144,24 @@ object TableRoundtrips {
       IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
   }
 
+  /** `rewrite_manifests` roundtrip: multi-commit table (partitioned
+    * seed + eq-delete upsert + append) whose data manifests consolidate
+    * into one, then a full read — content identical, eq-delete
+    * ordering preserved through the entries' explicit sequence numbers,
+    * zero data files touched ([[IcebergWriter.rewriteManifests]]). */
+  def icebergRwManifestsRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-iceberg-rwm").toString
+    val tmp = root + "/t"
+    seedAndMerge(s, dir)(
+      base => IcebergWriter.write(base, tmp,
+        partitionBy = Seq("c_mktsegment")),
+      src => IcebergWriter.upsertByKey(s, tmp, src, keys = Seq("c_custkey")))
+    IcebergWriter.rewriteManifests(s, tmp)
+    materializedWithoutTemp(s,
+      IcebergReader.read(s, tmp).select(cols.map(col): _*), root)
+  }
+
   /** Iceberg `day(ts)` partition-transform roundtrip: a timestamp-keyed
     * table partitioned by the day transform, merged on a 3-day slice —
     * the merge must rewrite ONLY the matched day partitions (EXISTING

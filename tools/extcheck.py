@@ -603,8 +603,14 @@ def read_iceberg(table: str, row_ids: bool = False) -> pd.DataFrame:
                 row_cursor += df_.get("record_count", 0)
             if e["status"] == 2:  # DELETED
                 continue
+            # spec manifest-entry field 3: an EXISTING entry moved into a
+            # rewritten manifest carries its data sequence EXPLICITLY —
+            # inheriting the new manifest's would re-order deletes
+            eseq = e.get("sequence_number")
+            if eseq is None:
+                eseq = seq
             if content == 0:
-                data_files.append((path, seq, df_.get("partition") or {},
+                data_files.append((path, eseq, df_.get("partition") or {},
                                    fri))
             elif content == 1 and (
                     str(df_.get("file_format", "")).upper() == "PUFFIN"
@@ -614,9 +620,9 @@ def read_iceberg(table: str, row_ids: bool = False) -> pd.DataFrame:
                                  int(df_["content_offset"]),
                                  int(df_["content_size_in_bytes"])))
             elif content == 1:
-                pos_deletes.append((path, seq))
+                pos_deletes.append((path, eseq))
             elif content == 2:
-                eq_deletes.append((path, seq, df_.get("equality_ids") or []))
+                eq_deletes.append((path, eseq, df_.get("equality_ids") or []))
 
     con = duckdb.connect()
 
