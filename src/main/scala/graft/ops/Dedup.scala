@@ -501,7 +501,9 @@ object Dedup {
         coalesce(col("component"), col("rep")).as("component"))
   }
 
-  def ccDedupOracle: String =
+  /** The signature → banding → candidate → edge → transitive-closure
+    * CTE chain shared by [[ccDedupOracle]] and [[ccBestKeepOracle]]. */
+  private def ccWalkCtes: String =
     s"""WITH RECURSIVE sig AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, ${K - 1}),
@@ -529,9 +531,63 @@ object Dedup {
        |walk(node, lab) AS (
        |  SELECT doc_id, doc_id FROM documents
        |  UNION
-       |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)
+       |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)""".stripMargin
+
+  def ccDedupOracle: String =
+    s"""$ccWalkCtes
        |SELECT node AS doc_id, min(lab) AS component
        |FROM walk GROUP BY node""".stripMargin
+
+  /** QUALITY-AWARE representative selection over the fuzzy-dup
+    * components: per connected component keep the HIGHEST-quality
+    * document (the [[Text.qualityScore]] formula; ties to the lowest
+    * doc_id) instead of the arbitrary lowest id — what a production
+    * dedup pass actually ships to training (SemDeDup §4 and the
+    * RefinedWeb pipeline both select representatives, not survivors
+    * by id). Cost on top of [[ccDedup]]: one map-side quality
+    * projection and one partial-aggregable per-component argmax —
+    * no extra joins over the corpus. */
+  def ccBestKeep(s: SparkSession, dir: String): DataFrame = {
+    val labels = ccDedup(s, dir)
+    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
+    val toks = split(col("text"), " ")
+    val quality =
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")) * 0.5 +
+      (lit(1.0) - expr(s"size(filter(split(text,' '), t -> t IN ($stopList)))")
+        .cast("double") / size(toks).cast("double")) * 0.2 +
+      least(size(toks).cast("double") / lit(64.0), lit(1.0)) * 0.3
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), quality.as("quality"))
+    labels.join(q, "doc_id")
+      .groupBy(col("component"))
+      .agg(min(struct((-col("quality")).as("nq"), col("doc_id"))).as("b"))
+      .select(col("b.doc_id").as("doc_id"), col("component"))
+  }
+
+  def ccBestKeepOracle: String = {
+    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
+    s"""$ccWalkCtes,
+       |comp AS (
+       |  SELECT node AS doc_id, min(lab) AS component
+       |  FROM walk GROUP BY node),
+       |q AS (
+       |  SELECT doc_id,
+       |    cast(len(list_distinct(string_split(text,' '))) as double)
+       |      / cast(len(string_split(text,' ')) as double) * 0.5
+       |    + (1.0 - cast(len(list_filter(string_split(text,' '),
+       |          t -> t IN ($stopList))) as double)
+       |        / cast(len(string_split(text,' ')) as double)) * 0.2
+       |    + least(cast(len(string_split(text,' ')) as double) / 64.0,
+       |            1.0) * 0.3 AS quality
+       |  FROM documents)
+       |SELECT doc_id, component FROM (
+       |  SELECT comp.doc_id, comp.component,
+       |    row_number() OVER (PARTITION BY comp.component
+       |      ORDER BY q.quality DESC, comp.doc_id) AS rk
+       |  FROM comp JOIN q ON comp.doc_id = q.doc_id) z
+       |WHERE rk = 1""".stripMargin
+  }
 
   /** EXACT SEGMENT dedup — the RefinedWeb/MassiveText "exact line
     * dedup" pass (Penedo et al. 2023, arXiv:2306.01116 §3.3; Rae et
