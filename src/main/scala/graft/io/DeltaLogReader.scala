@@ -73,7 +73,11 @@ object DeltaLogReader {
       configuration: Map[String, String] = Map.empty,
       // live domainMetadata actions (domain -> configuration JSON) —
       // delta.rowTracking holds the row-id high watermark
-      domainMetadata: Map[String, String] = Map.empty)
+      domainMetadata: Map[String, String] = Map.empty,
+      // SetTransaction watermarks (PROTOCOL.md "Transaction
+      // Identifiers"): appId -> highest committed version, what an
+      // idempotent (streaming) writer consults before re-committing
+      transactions: Map[String, Long] = Map.empty)
 
   final case class Commit(version: Long, timestampMs: Long, operation: String)
 
@@ -108,6 +112,7 @@ object DeltaLogReader {
     var protocol = Protocol()
     var configuration = Map.empty[String, String]
     val domains = mutable.LinkedHashMap.empty[String, String]
+    val txns = mutable.LinkedHashMap.empty[String, Long]
   }
 
   /** Latest version present in the log, or -1 for an empty/absent log. */
@@ -184,7 +189,7 @@ object DeltaLogReader {
       state.schema.getOrElse(throw new IllegalStateException(
         s"no metaData action found replaying to version $version")),
       state.partCols, state.active.values.toSeq, state.protocol,
-      state.configuration, state.domains.toMap)
+      state.configuration, state.domains.toMap, state.txns.toMap)
   }
 
   private def copyState(from: ReplayState, to: ReplayState): Unit = {
@@ -194,6 +199,7 @@ object DeltaLogReader {
     to.protocol = from.protocol
     to.configuration = from.configuration
     to.domains.clear(); to.domains ++= from.domains
+    to.txns.clear(); to.txns ++= from.txns
   }
 
   /** Replay one checkpoint into a fresh state; None when the checkpoint
@@ -248,7 +254,8 @@ object DeltaLogReader {
       state: ReplayState, paths: Seq[String]): Unit = {
     val ckpt = spark.read.parquet(paths: _*)
     val actionCols = ckpt.columns.filter(
-      Set("metaData", "add", "remove", "protocol", "domainMetadata"))
+      Set("metaData", "add", "remove", "protocol", "domainMetadata",
+          "txn"))
     if (actionCols.isEmpty) return
     val rows = ckpt.select(actionCols.map(col).toSeq: _*).collect()
     rows.foreach { r =>
@@ -303,6 +310,10 @@ object DeltaLogReader {
         else state.domains(domain) = Option(
           if (d.schema.fieldNames.contains("configuration"))
             d.getAs[String]("configuration") else null).getOrElse("{}")
+      }
+      struct("txn").foreach { t =>
+        state.txns(t.getAs[String]("appId")) =
+          t.getAs[Number]("version").longValue
       }
     }
   }
@@ -359,6 +370,11 @@ object DeltaLogReader {
         state.domains.remove(domain)
       else state.domains(domain) =
         Option(d.get("configuration")).map(_.asText).getOrElse("{}")
+    }
+    // txn (PROTOCOL.md "Transaction Identifiers"): per-appId version
+    // watermark, replay order decides
+    Option(node.get("txn")).foreach { t =>
+      state.txns(t.get("appId").asText) = t.get("version").asLong
     }
   }
 

@@ -56,10 +56,20 @@ object DeltaLogWriter {
     * longer narrow the table's declared schema. */
   def write(df: DataFrame, tablePath: String, mode: String = "append",
       partitionBy: Seq[String] = Nil,
-      schemaEvolution: Boolean = true): Committed = {
+      schemaEvolution: Boolean = true,
+      txn: Option[(String, Long)] = None): Committed = {
     val spark = df.sparkSession
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     val exists = latest >= 0
+    // SetTransaction idempotency (PROTOCOL.md "Transaction
+    // Identifiers"): a (appId, version) at or below the table's
+    // recorded watermark has ALREADY committed — a retried micro-batch
+    // or replayed job skips instead of double-writing
+    txn.foreach { case (appId, v) =>
+      if (exists && DeltaLogReader.snapshot(spark, tablePath)
+          .transactions.get(appId).exists(_ >= v))
+        return Committed(latest, 0)
+    }
     mode match {
       case "append" | "overwrite" => ()
       case "error" | "errorifexists" =>
@@ -145,11 +155,25 @@ object DeltaLogWriter {
       if (mode == "overwrite") prior.map(_.files.map(_.path)).getOrElse(Nil)
       else Nil
     val schemaChanged = prior.forall(_.schema.json != outSchema.json)
+    val txnLines = txn.toSeq.map { case (appId, v) =>
+      s"""{"txn":{"appId":${jstr(appId)},"version":$v,"lastUpdated":${System.currentTimeMillis()}}}"""
+    }
     commitLoop(spark, tablePath, outSchema, partCols, adds, removes,
       if (exists) "WRITE" else "CREATE TABLE AS SELECT",
-      emitMeta = schemaChanged, config = outConfig, extraActions = cdc,
+      emitMeta = schemaChanged, config = outConfig,
+      extraActions = cdc ++ txnLines,
       priorConfig = Some(outConfig))
   }
+
+  /** The table's recorded SetTransaction watermark for `appId` — what
+    * an idempotent writer consults (delta-spark's
+    * `txnVersion`/`txnAppId` options; PROTOCOL.md "Transaction
+    * Identifiers"). Survives checkpointing and log cleanup: the
+    * checkpoint carries one `txn` row per live appId. */
+  def lastTransactionVersion(spark: SparkSession, tablePath: String,
+      appId: String): Option[Long] =
+    if (DeltaLogReader.latestVersion(spark, tablePath) < 0) None
+    else DeltaLogReader.snapshot(spark, tablePath).transactions.get(appId)
 
   /** Change Data Feed enablement (PROTOCOL.md "Change Data Files" /
     * `delta.enableChangeDataFeed`): a metadata-only commit that sets the
@@ -1879,6 +1903,9 @@ object DeltaLogWriter {
         CkptLine(None, None, None,
           Some(CkptDomainMetadata(dom, cfg)))
       } ++
+      snap.transactions.toSeq.sorted.map { case (app, v) =>
+        CkptLine(None, None, None, None, Some(CkptTxn(app, v)))
+      } ++
       snap.files.map(f => CkptLine(
         Some(CkptAddFile(f.path,
           f.partitionValues.map { case (k, v) => k -> v.orNull },
@@ -2011,6 +2038,9 @@ object DeltaLogWriter {
         V2ManifestLine(None, None, None, None,
           Some(CkptDomainMetadata(dom, cfg)))
       } ++
+      snap.transactions.toSeq.sorted.map { case (app, v) =>
+        V2ManifestLine(None, None, None, None, None, Some(CkptTxn(app, v)))
+      } ++
       sidecarNames.map { case (name, len) =>
         V2ManifestLine(None, None, None, Some(CkptSidecar(name, len)))
       })
@@ -2038,7 +2068,8 @@ object DeltaLogWriter {
       metaData: Option[CkptMetaData],
       protocol: Option[CkptProtocol],
       sidecar: Option[CkptSidecar],
-      domainMetadata: Option[CkptDomainMetadata] = None)
+      domainMetadata: Option[CkptDomainMetadata] = None,
+      txn: Option[CkptTxn] = None)
 
   final case class CkptDv(storageType: String, pathOrInlineDv: String,
       offset: Int, sizeInBytes: Int, cardinality: Long)
@@ -2051,6 +2082,8 @@ object DeltaLogWriter {
       defaultRowCommitVersion: Option[Long] = None)
   final case class CkptDomainMetadata(domain: String,
       configuration: String, removed: Boolean = false)
+  final case class CkptTxn(appId: String, version: Long,
+      lastUpdated: Option[Long] = None)
   // configuration must survive checkpointing — compacting it away would
   // drop delta.columnMapping.mode and make physical names unresolvable
   final case class CkptMetaData(id: String, schemaString: String,
@@ -2061,5 +2094,6 @@ object DeltaLogWriter {
       writerFeatures: Option[Seq[String]] = None)
   final case class CkptLine(add: Option[CkptAddFile],
       metaData: Option[CkptMetaData], protocol: Option[CkptProtocol],
-      domainMetadata: Option[CkptDomainMetadata] = None)
+      domainMetadata: Option[CkptDomainMetadata] = None,
+      txn: Option[CkptTxn] = None)
 }
