@@ -41,6 +41,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(planOf("q19_top_k").contains("TakeOrderedAndProject"))
   }
 
+  test("text_classifier broadcasts the weight table; one shuffle only") {
+    val p = planOf("text_classifier")
+    assert(p.contains("BroadcastHashJoin"),
+      "weights must broadcast, not shuffle-join")
+    // the per-document sum is the ONLY exchange beyond the broadcast
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("curate_pipeline: decontamination gram set broadcasts over the corpus") {
+    val p = planOf("curate_pipeline")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark grams must reach the corpus as a broadcast")
+  }
+
   test("q22 global ntile never funnels into a single-partition window") {
     // the distributed formulation: range exchange + per-range window,
     // never an `Exchange SinglePartition` feeding a global sort
