@@ -148,10 +148,10 @@ object SparkEntry {
     "vec_semdedup"        -> ((s: SparkSession, d: String) => Vectors.semDedup(s, d)),
     "vec_semdedup_k"      -> ((s: SparkSession, d: String) => Vectors.semDedupK(s, d)),
     "vec_ivf_search"      -> ((s: SparkSession, d: String) => Vectors.ivfSearch(s, d)),
-    // PQ ANN: ADC over 8-byte codes + exact rerank — k-means codebooks
-    // are not SQL-expressible, so this carries no DuckDB oracle (driver
-    // records the weaker rows-only check); PqSpec gates the codec
-    // exactly and recall@10 >= 0.6 against exact cosine
+    // PQ ANN: ADC over 8-byte codes + exact rerank. The codebook is the
+    // exact-decimal deterministic one-step Lloyd's (trainPqExact), so
+    // the FULL probe oracles against DuckDB (pqSearchOracle); PqSpec
+    // additionally gates the codec exactly and recall@10 >= 0.6
     "vec_pq_search"       -> ((s: SparkSession, d: String) =>
       Vectors.pqSearch(s, d)),
     // graph (Neptune-shaped)

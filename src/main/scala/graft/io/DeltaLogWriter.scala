@@ -61,15 +61,6 @@ object DeltaLogWriter {
     val spark = df.sparkSession
     val latest = DeltaLogReader.latestVersion(spark, tablePath)
     val exists = latest >= 0
-    // SetTransaction idempotency (PROTOCOL.md "Transaction
-    // Identifiers"): a (appId, version) at or below the table's
-    // recorded watermark has ALREADY committed — a retried micro-batch
-    // or replayed job skips instead of double-writing
-    txn.foreach { case (appId, v) =>
-      if (exists && DeltaLogReader.snapshot(spark, tablePath)
-          .transactions.get(appId).exists(_ >= v))
-        return Committed(latest, 0)
-    }
     mode match {
       case "append" | "overwrite" => ()
       case "error" | "errorifexists" =>
@@ -79,6 +70,15 @@ object DeltaLogWriter {
         throw new IllegalArgumentException(s"unsupported mode: $other")
     }
     val prior = if (exists) Some(DeltaLogReader.snapshot(spark, tablePath)) else None
+    // SetTransaction idempotency (PROTOCOL.md "Transaction
+    // Identifiers"): a (appId, version) at or below the table's
+    // recorded watermark has ALREADY committed — a retried micro-batch
+    // or replayed job skips instead of double-writing. Re-validated
+    // inside commitLoop on claim conflicts (the check-then-act race).
+    txn.foreach { case (appId, v) =>
+      if (prior.exists(_.transactions.get(appId).exists(_ >= v)))
+        return Committed(latest, 0)
+    }
     val partCols =
       prior.map(_.partitionColumns).filter(_.nonEmpty).getOrElse(partitionBy)
     var outSchema = df.schema
@@ -162,7 +162,8 @@ object DeltaLogWriter {
       if (exists) "WRITE" else "CREATE TABLE AS SELECT",
       emitMeta = schemaChanged, config = outConfig,
       extraActions = cdc ++ txnLines,
-      priorConfig = Some(outConfig))
+      priorConfig = Some(outConfig),
+      skipIfTxnCommitted = txn)
   }
 
   /** The table's recorded SetTransaction watermark for `appId` — what
@@ -1679,7 +1680,8 @@ object DeltaLogWriter {
       dataChange: Boolean = true,
       config: Map[String, String] = Map.empty,
       priorConfig: Option[Map[String, String]] = None,
-      assignRowIds: Boolean = true): Committed = {
+      assignRowIds: Boolean = true,
+      skipIfTxnCommitted: Option[(String, Long)] = None): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -1696,6 +1698,15 @@ object DeltaLogWriter {
     var attempts = 0
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
+      // SetTransaction check-then-act closure: a claim conflict means a
+      // competitor committed since the caller's pre-check — re-validate
+      // the (appId, version) watermark against the ADVANCED snapshot so
+      // two racing retries of the same micro-batch cannot both land
+      if (attempts > 0) skipIfTxnCommitted.foreach { case (appId, v) =>
+        if (version > 0 && DeltaLogReader.snapshot(spark, tablePath)
+            .transactions.get(appId).exists(_ >= v))
+          return Committed(version - 1, 0)
+      }
       val (adds2, rtExtra) =
         if (!rtEnabled || adds.forall(_.baseRowId.isDefined))
           (adds, Nil)

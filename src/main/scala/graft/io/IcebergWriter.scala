@@ -1725,9 +1725,12 @@ object IcebergWriter {
             val df = dfOf(e)
             isData(df) && (!hasFriField || df.get("first_row_id") == null)
           }
-          if (needsFri && listFri == null) {
-            // un-stamped lineage (pre-upgrade manifest before its lazy
-            // re-stamp): carry unmerged, never guess row ids
+          if (needsFri && (listFri == null || !hasFriField)) {
+            // lineage that cannot be materialized per-entry — either
+            // un-stamped (pre-upgrade manifest before its lazy
+            // re-stamp) or a v2-schema manifest whose data_file record
+            // has no first_row_id field to make explicit: carry
+            // unmerged, never guess or silently drop row ids
             carriedUnmerged += reencode(lSchema, lr)
           } else {
             var cursor: Long = if (listFri == null) 0L else listFri.longValue
@@ -1852,7 +1855,12 @@ object IcebergWriter {
         if (visible) return Committed(snapshotId, version, totalFiles.toInt)
         attempts += 1
       } else {
+        // losing attempt: sweep EVERYTHING this attempt wrote — the
+        // merged manifests too, not just the list (they are referenced
+        // by nothing and no later cleanup would find them)
         fs.delete(listPath, false)
+        mergedList.foreach(mf => fs.delete(
+          new Path(mf.get("manifest_path").toString), false))
         attempts += 1
       }
     }

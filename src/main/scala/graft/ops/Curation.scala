@@ -412,20 +412,12 @@ object Curation {
   def curatePipeline(s: SparkSession, dir: String,
       minQuality: Double = 0.55, contamN: Int = 4,
       segTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
     val cleanCol = piiPatterns.foldLeft(col("text")) {
       case (c, (_, re, rep)) => regexp_replace(c, lit(re), lit(rep))
     }
     val scrubbed = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), cleanCol.as("text"))
-    val toks = split(col("text"), " ")
-    val quality =
-      (size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double")) * 0.5 +
-      (lit(1.0) - expr(s"size(filter(split(text,' '), t -> t IN ($stopList)))")
-        .cast("double") / size(toks).cast("double")) * 0.2 +
-      least(size(toks).cast("double") / lit(64.0), lit(1.0)) * 0.3
-    val qual = scrubbed.filter(quality >= minQuality)
+    val qual = scrubbed.filter(Text.qualityCol >= minQuality)
     // decontamination: benchmark = src0 docs (scrubbed + quality-gated
     // the same way), corpus = the rest
     val contaminated = Decontaminate.check(
@@ -434,25 +426,10 @@ object Curation {
       .select(col("doc_id"))
     val survivors = qual.filter(col("source") =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
-    // exact-segment boilerplate removal over the survivors
-    val segs = survivors
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(
-           |  sequence(0, cast(ceil(size(toks) / $segTokens.0d) as int) - 1),
-           |  i -> array_join(slice(toks, i * $segTokens + 1, $segTokens),
-           |                  ' '))""".stripMargin)))
-      .withColumnRenamed("col", "seg")
-    val frequent = segs.groupBy(col("seg"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("seg"))
-    segs.join(frequent, Seq("seg"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("seg"))))
-        .as("ps"))
-      .select(col("doc_id"),
-        expr("array_join(transform(ps, x -> x.seg), ' ')").as("text"))
+    // exact-segment boilerplate removal over the survivors (the shared
+    // pass of Dedup.exactSegmentDedup)
+    Dedup.segmentDedupPass(survivors.select(col("doc_id"), col("text")),
+        segTokens, minDocs)
       .withColumn("n_tokens", size(split(col("text"), " ")))
   }
 

@@ -549,16 +549,8 @@ object Dedup {
     * no extra joins over the corpus. */
   def ccBestKeep(s: SparkSession, dir: String): DataFrame = {
     val labels = ccDedup(s, dir)
-    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
-    val toks = split(col("text"), " ")
-    val quality =
-      (size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double")) * 0.5 +
-      (lit(1.0) - expr(s"size(filter(split(text,' '), t -> t IN ($stopList)))")
-        .cast("double") / size(toks).cast("double")) * 0.2 +
-      least(size(toks).cast("double") / lit(64.0), lit(1.0)) * 0.3
     val q = Tables.documents(s, dir)
-      .select(col("doc_id"), quality.as("quality"))
+      .select(col("doc_id"), Text.qualityCol.as("quality"))
     labels.join(q, "doc_id")
       .groupBy(col("component"))
       .agg(min(struct((-col("quality")).as("nq"), col("doc_id"))).as("b"))
@@ -608,8 +600,15 @@ object Dedup {
     * corpus with terabytes of boilerplate works unchanged), one per-doc
     * reassembly aggregation. */
   def exactSegmentDedup(s: SparkSession, dir: String,
-      segTokens: Int = 8, minDocs: Int = 2): DataFrame = {
-    val segs = Tables.documents(s, dir)
+      segTokens: Int = 8, minDocs: Int = 2): DataFrame =
+    segmentDedupPass(Tables.documents(s, dir), segTokens, minDocs)
+
+  /** The segment pass over an explicit (doc_id, text) frame — the one
+    * definition [[exactSegmentDedup]] and
+    * [[graft.ops.Curation.curatePipeline]] share. */
+  private[ops] def segmentDedupPass(docs: DataFrame,
+      segTokens: Int, minDocs: Int): DataFrame = {
+    val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(

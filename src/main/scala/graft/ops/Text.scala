@@ -72,6 +72,22 @@ object Text {
 
   private[ops] val stopwords = Seq("the", "a", "of")
 
+  /** The composite quality score of `text` as ONE Column expression —
+    * the single definition shared by the quality-gated pipeline stages
+    * ([[graft.ops.Curation.curatePipeline]]) and the dup-cluster
+    * representative selection ([[graft.ops.Dedup.ccBestKeep]]); the
+    * arithmetic is identical to [[qualityScore]]'s column form, so all
+    * three differential oracles share one formula. */
+  private[ops] def qualityCol: org.apache.spark.sql.Column = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(",")
+    val toks = split(col("text"), " ")
+    (size(array_distinct(toks)).cast("double") /
+      size(toks).cast("double")) * 0.5 +
+    (lit(1.0) - expr(s"size(filter(split(text,' '), t -> t IN ($stopList)))")
+      .cast("double") / size(toks).cast("double")) * 0.2 +
+    least(size(toks).cast("double") / lit(64.0), lit(1.0)) * 0.3
+  }
+
   /** Linear text-classifier scoring at corpus scale — the fastText-style
     * quality filter (Joulin et al. 2016, arXiv:1607.01759) that CCNet-
     * class pipelines apply between heuristics and training: hashed

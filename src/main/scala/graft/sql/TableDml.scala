@@ -1,7 +1,7 @@
 package graft.sql
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, count, expr, lit}
 import org.apache.spark.sql.types.StructType
 
 import graft.io.{DeltaLogReader, DeltaLogWriter, IcebergReader, IcebergWriter}
@@ -42,12 +42,12 @@ object TableDml {
   private val InsertRe =
     (s"""(?is)\\s*INSERT\\s+INTO\\s+($QName)\\s*""" +
       """(?:\(([^()]*)\)\s*)?(SELECT\s.+?|VALUES\s*\(.+?)\s*;?\s*""").r
-  private val DeleteRe =
+  private val DeleteHeadRe =
     (s"""(?is)\\s*DELETE\\s+FROM\\s+($QName)(?:\\s+AS)?""" +
-      """(?:\s+(?!WHERE\b)(\w+))?(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
-  private val UpdateRe =
+      """(?:\s+(?!WHERE\b)(\w+))?\s*""").r
+  private val UpdateHeadRe =
     (s"""(?is)\\s*UPDATE\\s+($QName)(?:\\s+AS)?(?:\\s+(?!SET\\b)(\\w+))?""" +
-      """\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*;?\s*""").r
+      """\s+SET\s""").r
   private val MergeHeadRe =
     (s"""(?is)\\s*MERGE\\s+INTO\\s+($QName)(?:\\s+AS)?""" +
       """(?:\s+(?!USING\b)(\w+))?\s+USING\s+""").r
@@ -87,11 +87,14 @@ object TableDml {
           DeltaLogWriter.write(aligned(src0, schema, colList), path)
         })
       Result("INSERT", name)
-    case DeleteRe(t, aliasOpt, predOpt) =>
-      val name = qnameKey(t)
+    case s if fullHead(DeleteHeadRe, s).isDefined =>
+      val head = fullHead(DeleteHeadRe, s).get
+      val name = qnameKey(head.group(1))
       val path = pathOf(tables, name)
-      val tAlias = Option(aliasOpt).getOrElse(lastIdent(t))
-      Option(predOpt) match {
+      val tAlias = Option(head.group(2)).getOrElse(lastIdent(head.group(1)))
+      val predOpt = clauseAfterWhere(s.substring(head.end),
+        s"DELETE FROM $name")
+      predOpt match {
         case None => // DELETE FROM t — every row (reference `:647`)
           route(spark, path,
             ice = IcebergWriter.deleteWhere(spark, path, lit(true)),
@@ -113,14 +116,23 @@ object TableDml {
               expr(dequoteExpr(pred))))
       }
       Result("DELETE", name)
-    case UpdateRe(t, _, setList, predOpt) =>
-      val name = qnameKey(t)
+    case s if UpdateHeadRe.findPrefixMatchOf(s).isDefined =>
+      val head = UpdateHeadRe.findPrefixMatchOf(s).get
+      val name = qnameKey(head.group(1))
       val path = pathOf(tables, name)
+      val rest = s.substring(head.end).trim.stripSuffix(";").trim
+      // split SET list from WHERE at the first TOP-LEVEL occurrence —
+      // a ' WHERE ' inside a string literal belongs to the assignment
+      val (setList, predOpt) = topWordIndices(rest, "WHERE") match {
+        case Seq() => (rest, None)
+        case idx +: _ =>
+          (rest.substring(0, idx).trim,
+            Some(rest.substring(idx + "WHERE".length).trim))
+      }
       val assignments = parseAssignments(setList).map { case (c, e) =>
         c -> expr(dequoteExpr(e))
       }
-      val pred = Option(predOpt).map(p => expr(dequoteExpr(p)))
-        .getOrElse(lit(true))
+      val pred = predOpt.map(p => expr(dequoteExpr(p))).getOrElse(lit(true))
       route(spark, path,
         ice = IcebergWriter.updateWhere(spark, path, pred, assignments),
         delta = DeltaLogWriter.updateWhere(spark, path, pred, assignments))
@@ -131,6 +143,24 @@ object TableDml {
       throw new IllegalArgumentException(
         s"unsupported DML statement (INSERT INTO / DELETE FROM / UPDATE " +
           s"/ MERGE INTO): ${other.take(120)}")
+  }
+
+  private def fullHead(re: scala.util.matching.Regex,
+      s: String): Option[scala.util.matching.Regex.Match] =
+    re.findPrefixMatchOf(s)
+
+  /** The predicate after a statement head: nothing (None), or a
+    * TOP-LEVEL `WHERE <pred>` — any other trailing text raises. */
+  private def clauseAfterWhere(rest0: String,
+      ctx: String): Option[String] = {
+    val rest = rest0.trim.stripSuffix(";").trim
+    if (rest.isEmpty) None
+    else topWordIndices(rest, "WHERE") match {
+      case idx +: _ if idx == 0 =>
+        Some(rest.substring("WHERE".length).trim)
+      case _ => throw new IllegalArgumentException(
+        s"unsupported clause after $ctx: ${rest.take(80)}")
+    }
   }
 
   // ---- MERGE ---------------------------------------------------------------
@@ -232,9 +262,12 @@ object TableDml {
             al.equalsIgnoreCase(sAlias) && cc.equalsIgnoreCase(c)
           }
       }
+    // order-insensitive: the reference lists columns in the source
+    // DataFrame's order, which need not match the table schema's
     def isPlainInsert(ic: InsertCols): Boolean =
-      ic.cols.map(_.toLowerCase) ==
-        schema.fieldNames.toSeq.map(_.toLowerCase) &&
+      ic.cols.map(_.toLowerCase).toSet ==
+        schema.fieldNames.map(_.toLowerCase).toSet &&
+        ic.cols.size == schema.size &&
         ic.vals.zip(ic.cols).forall { case (v, c) =>
           refOf(v.trim).exists { case (al, cc) =>
             al.equalsIgnoreCase(sAlias) && cc.equalsIgnoreCase(c)
@@ -284,12 +317,30 @@ object TableDml {
                 .map(c => c -> s"$sAlias.$c")
               case DeleteMatched => Nil // unreachable
             }
-            assignments.foreach { case (c, _) =>
+            assignments.foreach { case (c, e) =>
               require(schema.fieldNames.contains(c),
                 s"UPDATE assignment targets unknown column $c")
-              require(!keys.exists(_.equalsIgnoreCase(c)),
+              // a key may only be "assigned" its own source value —
+              // identity under the ON equality (the reference's
+              // generated SET covers every column, keys included);
+              // anything else would re-key matched rows
+              require(!keys.exists(_.equalsIgnoreCase(c)) ||
+                refOf(e.trim).exists { case (al, cc) =>
+                  al.equalsIgnoreCase(sAlias) && cc.equalsIgnoreCase(c)
+                },
                 s"MERGE may not reassign key column $c")
             }
+            // ANSI/Athena cardinality rule: a target row matched by
+            // MORE THAN ONE source row is an error, never a silent
+            // double-replacement (the check is one aggregation over
+            // the MATCHED pairs only — unmatched dup-key inserts are
+            // legal and unaffected)
+            val dupMatched = t.join(sdf, keyJoin(t, sdf), "inner")
+              .groupBy(keys.map(k => t(k)): _*)
+              .agg(count(lit(1)).as("n"))
+              .filter(col("n") > 1).limit(1).count() > 0
+            require(!dupMatched,
+              "MERGE: a target row matches more than one source row")
             val byCol = assignments
               .map { case (c, e) => c.toLowerCase -> e }.toMap
             val updRows = t.join(sdf, keyJoin(t, sdf), "inner")

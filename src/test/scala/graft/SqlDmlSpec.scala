@@ -268,6 +268,61 @@ class SqlDmlSpec extends AnyFunSuite {
     assert(snap.files.exists(_.deletionVector.isDefined))
   }
 
+  test("MERGE raises on a target row matched by multiple source rows") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq((3L, "X", 1.0), (3L, "Y", 2.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("dup_src")
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        """MERGE INTO t USING dup_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET amt = s.amt""".stripMargin,
+        Map("t" -> dir))
+    }
+  }
+
+  test("full-replace MERGE accepts a reordered INSERT column list") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq((2L, "R2", 9.0), (33L, "R33", 3.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("reord_src")
+    // column list in source order (name, amt, id), not schema order —
+    // the reference generates df.columns order
+    TableDml.execute(spark,
+      """MERGE INTO "t" target USING "reord_src" source
+        |ON (target."id" = source."id")
+        |WHEN MATCHED THEN UPDATE SET "name" = source."name", "amt" = source."amt", "id" = source."id"
+        |WHEN NOT MATCHED THEN INSERT ("name", "amt", "id")
+        |VALUES (source."name", source."amt", source."id")""".stripMargin,
+      Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == "R2" && got(33L) == "R33" && got.size == 31)
+  }
+
+  test("a string literal containing ' WHERE ' does not split the statement") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    TableDml.execute(spark,
+      "UPDATE t SET name = 'a WHERE b' WHERE id = 1", Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a WHERE b" && got(2L) == "n2")
+    // and an UPDATE whose literal holds WHERE but has NO predicate
+    TableDml.execute(spark,
+      "UPDATE t SET name = 'all WHERE none'", Map("t" -> dir))
+    assert(IcebergReader.read(spark, dir)
+      .filter(col("name") === "all WHERE none").count() == 30)
+  }
+
   test("v3 Iceberg UPDATE goes through deletion vectors") {
     val spark0 = spark
     import spark0.implicits._
