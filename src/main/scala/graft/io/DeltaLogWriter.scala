@@ -163,7 +163,7 @@ object DeltaLogWriter {
       emitMeta = schemaChanged, config = outConfig,
       extraActions = cdc ++ txnLines,
       priorConfig = Some(outConfig),
-      skipIfTxnCommitted = txn)
+      skipIfTxnCommitted = txn.map { case (a, v) => (a, v, latest) })
   }
 
   /** The table's recorded SetTransaction watermark for `appId` — what
@@ -1681,7 +1681,10 @@ object DeltaLogWriter {
       config: Map[String, String] = Map.empty,
       priorConfig: Option[Map[String, String]] = None,
       assignRowIds: Boolean = true,
-      skipIfTxnCommitted: Option[(String, Long)] = None): Committed = {
+      // (appId, txnVersion, tableVersionAtPreCheck): re-validate the
+      // SetTransaction watermark whenever the table moved past the
+      // caller's pre-check — not only on claim conflicts
+      skipIfTxnCommitted: Option[(String, Long, Long)] = None): Committed = {
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(logDir)
@@ -1698,13 +1701,16 @@ object DeltaLogWriter {
     var attempts = 0
     while (attempts < 20) {
       val version = DeltaLogReader.latestVersion(spark, tablePath) + 1
-      // SetTransaction check-then-act closure: a claim conflict means a
-      // competitor committed since the caller's pre-check — re-validate
-      // the (appId, version) watermark against the ADVANCED snapshot so
-      // two racing retries of the same micro-batch cannot both land
-      if (attempts > 0) skipIfTxnCommitted.foreach { case (appId, v) =>
-        if (version > 0 && DeltaLogReader.snapshot(spark, tablePath)
-            .transactions.get(appId).exists(_ >= v))
+      // SetTransaction check-then-act closure: the table having moved
+      // past the caller's pre-check (a competitor landed while we were
+      // writing data files, OR a claim conflict bounced us here) means
+      // the watermark must be re-validated against the ADVANCED
+      // snapshot — otherwise two racing retries of the same
+      // micro-batch both land
+      skipIfTxnCommitted.foreach { case (appId, v, checkedAt) =>
+        if ((version - 1 != checkedAt || attempts > 0) && version > 0 &&
+            DeltaLogReader.snapshot(spark, tablePath)
+              .transactions.get(appId).exists(_ >= v))
           return Committed(version - 1, 0)
       }
       val (adds2, rtExtra) =

@@ -434,7 +434,6 @@ object Curation {
   }
 
   def curatePipelineOracle: String = {
-    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
     val clean = piiPatterns.foldLeft("text") {
       case (c, (_, re, rep)) => s"regexp_replace($c, '$re', '$rep', 'g')"
     }
@@ -442,13 +441,7 @@ object Curation {
        |  SELECT doc_id, source, $clean AS text FROM documents),
        |qual AS (
        |  SELECT doc_id, source, text FROM scrub
-       |  WHERE cast(len(list_distinct(string_split(text,' '))) as double)
-       |          / cast(len(string_split(text,' ')) as double) * 0.5
-       |      + (1.0 - cast(len(list_filter(string_split(text,' '),
-       |            t -> t IN ($stopList))) as double)
-       |          / cast(len(string_split(text,' ')) as double)) * 0.2
-       |      + least(cast(len(string_split(text,' ')) as double) / 64.0,
-       |              1.0) * 0.3
+       |  WHERE ${Text.qualitySql}
        |    >= 0.55),
        |toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
        |         FROM qual),
@@ -466,21 +459,7 @@ object Curation {
        |  SELECT doc_id, text FROM qual
        |  WHERE source <> 'src0'
        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-       |st AS (SELECT doc_id, str_split(text, ' ') AS toks FROM survivors),
-       |segs AS (
-       |  SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
-       |    SELECT doc_id,
-       |      unnest(list_transform(
-       |        range(cast(ceil(len(toks) / 8.0) as int)),
-       |        k -> struct_pack(
-       |          pos := k,
-       |          seg := array_to_string(toks[(k*8+1):(k*8+8)], ' ')))) AS s
-       |    FROM st) z),
-       |freq AS (
-       |  SELECT seg FROM segs GROUP BY seg
-       |  HAVING count(DISTINCT doc_id) >= 2),
-       |kept AS (
-       |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM freq))
+       |${graft.ops.Dedup.segmentSqlCtes("survivors")}
        |SELECT doc_id, text,
        |  cast(len(string_split(text, ' ')) as int) AS n_tokens
        |FROM (

@@ -558,20 +558,13 @@ object Dedup {
   }
 
   def ccBestKeepOracle: String = {
-    val stopList = Text.stopwords.map(w => s"'$w'").mkString(",")
     s"""$ccWalkCtes,
        |comp AS (
        |  SELECT node AS doc_id, min(lab) AS component
        |  FROM walk GROUP BY node),
        |q AS (
        |  SELECT doc_id,
-       |    cast(len(list_distinct(string_split(text,' '))) as double)
-       |      / cast(len(string_split(text,' ')) as double) * 0.5
-       |    + (1.0 - cast(len(list_filter(string_split(text,' '),
-       |          t -> t IN ($stopList))) as double)
-       |        / cast(len(string_split(text,' ')) as double)) * 0.2
-       |    + least(cast(len(string_split(text,' ')) as double) / 64.0,
-       |            1.0) * 0.3 AS quality
+       |    ${Text.qualitySql} AS quality
        |  FROM documents)
        |SELECT doc_id, component FROM (
        |  SELECT comp.doc_id, comp.component,
@@ -628,23 +621,29 @@ object Dedup {
         expr("array_join(transform(ps, x -> x.seg), ' ')").as("text"))
   }
 
+  /** The segment-pass CTE chain over a `(doc_id, text)` relation
+    * `src` — the one SQL text [[exactSegmentDedupOracle]] and
+    * [[graft.ops.Curation.curatePipelineOracle]] splice in (defines
+    * CTEs st/segs/freq/kept). */
+  private[ops] def segmentSqlCtes(src: String): String =
+    s"""st AS (SELECT doc_id, str_split(text, ' ') AS toks FROM $src),
+       |segs AS (
+       |  SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        range(cast(ceil(len(toks) / 8.0) as int)),
+       |        k -> struct_pack(
+       |          pos := k,
+       |          seg := array_to_string(toks[(k*8+1):(k*8+8)], ' ')))) AS s
+       |    FROM st) z),
+       |freq AS (
+       |  SELECT seg FROM segs GROUP BY seg
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |kept AS (
+       |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM freq))""".stripMargin
+
   def exactSegmentDedupOracle: String =
-    """WITH t AS (
-      |  SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
-      |segs AS (
-      |  SELECT doc_id, s.pos AS pos, s.seg AS seg FROM (
-      |    SELECT doc_id,
-      |      unnest(list_transform(
-      |        range(cast(ceil(len(toks) / 8.0) as int)),
-      |        k -> struct_pack(
-      |          pos := k,
-      |          seg := array_to_string(toks[(k*8+1):(k*8+8)], ' ')))) AS s
-      |    FROM t) z),
-      |freq AS (
-      |  SELECT seg FROM segs GROUP BY seg
-      |  HAVING count(DISTINCT doc_id) >= 2),
-      |kept AS (
-      |  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM freq))
-      |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
-      |FROM kept GROUP BY doc_id""".stripMargin
+    s"""WITH ${segmentSqlCtes("documents")}
+       |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
+       |FROM kept GROUP BY doc_id""".stripMargin
 }

@@ -78,6 +78,19 @@ object Text {
     * representative selection ([[graft.ops.Dedup.ccBestKeep]]); the
     * arithmetic is identical to [[qualityScore]]'s column form, so all
     * three differential oracles share one formula. */
+  /** The DuckDB rendering of [[qualityCol]] — the one SQL text the
+    * curation-pipeline and dup-representative oracles splice in. */
+  private[ops] def qualitySql: String = {
+    val stopList = stopwords.map(w => s"'$w'").mkString(",")
+    s"""cast(len(list_distinct(string_split(text,' '))) as double)
+       |        / cast(len(string_split(text,' ')) as double) * 0.5
+       |    + (1.0 - cast(len(list_filter(string_split(text,' '),
+       |          t -> t IN ($stopList))) as double)
+       |        / cast(len(string_split(text,' ')) as double)) * 0.2
+       |    + least(cast(len(string_split(text,' ')) as double) / 64.0,
+       |            1.0) * 0.3""".stripMargin
+  }
+
   private[ops] def qualityCol: org.apache.spark.sql.Column = {
     val stopList = stopwords.map(w => s"'$w'").mkString(",")
     val toks = split(col("text"), " ")
@@ -171,8 +184,9 @@ object Text {
         least(col("n_tokens").cast("double") / lit(64.0), lit(1.0)))
       .select(col("doc_id"), col("n_tokens"), col("n_stop"), col("ttr"),
         col("stop_ratio"), col("len_prior"),
-        (col("ttr") * 0.5 + (lit(1.0) - col("stop_ratio")) * 0.2 +
-          col("len_prior") * 0.3).as("quality"))
+        // the SHARED formula (same arithmetic as the intermediate
+        // columns compose to — one definition, three oracled users)
+        qualityCol.as("quality"))
   }
 
   def qualityScoreOracle: String = {

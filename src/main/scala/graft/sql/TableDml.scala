@@ -216,13 +216,23 @@ object TableDml {
     val NmStar = """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
     val NmCols =
       """(?is)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s*\(([^()]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+    def setMatched(m: Matched): Unit = {
+      require(matched.isEmpty,
+        "MERGE has more than one WHEN MATCHED clause")
+      matched = Some(m)
+    }
+    def setNotMatched(n: NotMatched): Unit = {
+      require(notMatched.isEmpty,
+        "MERGE has more than one WHEN NOT MATCHED clause")
+      notMatched = Some(n)
+    }
     clauses.foreach {
-      case MDel() => matched = Some(DeleteMatched)
-      case MUpdStar() => matched = Some(UpdateStar)
-      case MUpd(asg) => matched = Some(UpdateAssign(parseAssignments(asg)))
-      case NmStar() => notMatched = Some(InsertStar)
-      case NmCols(cols, vals) => notMatched =
-        Some(InsertCols(splitTop(cols).map(unq), splitTop(vals)))
+      case MDel() => setMatched(DeleteMatched)
+      case MUpdStar() => setMatched(UpdateStar)
+      case MUpd(asg) => setMatched(UpdateAssign(parseAssignments(asg)))
+      case NmStar() => setNotMatched(InsertStar)
+      case NmCols(cols, vals) =>
+        setNotMatched(InsertCols(splitTop(cols).map(unq), splitTop(vals)))
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE clause: ${other.take(120)}")
     }
@@ -256,11 +266,16 @@ object TableDml {
     // assignment is semantically UPDATE SET * — route both through the
     // one-shot upsert; anything partial builds replacement rows first
     def isFullReplace(a: Seq[(String, String)]): Boolean =
+      // every schema column assigned exactly once its own source value
+      // (a duplicated assignment with another column missing must NOT
+      // classify as full replace — the unassigned column would silently
+      // take the source's value instead of being preserved)
+      a.map(_._1.toLowerCase).toSet ==
+        schema.fieldNames.map(_.toLowerCase).toSet &&
       a.size == schema.size && a.forall { case (c, e) =>
-        schema.fieldNames.contains(c) &&
-          refOf(e.trim).exists { case (al, cc) =>
-            al.equalsIgnoreCase(sAlias) && cc.equalsIgnoreCase(c)
-          }
+        refOf(e.trim).exists { case (al, cc) =>
+          al.equalsIgnoreCase(sAlias) && cc.equalsIgnoreCase(c)
+        }
       }
     // order-insensitive: the reference lists columns in the source
     // DataFrame's order, which need not match the table schema's
@@ -294,7 +309,8 @@ object TableDml {
           case InsertStar => alignedByName(
             sdf.join(t, keyJoin(sdf, t), "left_anti"), schema)
           case InsertCols(cols, vals) =>
-            cols.foreach(c => require(schema.fieldNames.contains(c),
+            cols.foreach(c => require(
+              schema.fieldNames.exists(_.equalsIgnoreCase(c)),
               s"INSERT column $c not in table schema"))
             val byCol = cols.map(_.toLowerCase).zip(vals).toMap
             sdf.join(t, keyJoin(sdf, t), "left_anti")
@@ -318,7 +334,7 @@ object TableDml {
               case DeleteMatched => Nil // unreachable
             }
             assignments.foreach { case (c, e) =>
-              require(schema.fieldNames.contains(c),
+              require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
                 s"UPDATE assignment targets unknown column $c")
               // a key may only be "assigned" its own source value —
               // identity under the ON equality (the reference's
@@ -334,7 +350,9 @@ object TableDml {
             // MORE THAN ONE source row is an error, never a silent
             // double-replacement (the check is one aggregation over
             // the MATCHED pairs only — unmatched dup-key inserts are
-            // legal and unaffected)
+            // legal and unaffected). This probe re-joins, but Catalyst
+            // column-prunes it to the key columns — a key-only shuffle,
+            // not a second full-row join.
             val dupMatched = t.join(sdf, keyJoin(t, sdf), "inner")
               .groupBy(keys.map(k => t(k)): _*)
               .agg(count(lit(1)).as("n"))
@@ -465,8 +483,8 @@ object TableDml {
     (parsed.map(_._1), nullSafes.head)
   }
 
-  private[sql] def parseAssignments(setList: String): Seq[(String, String)] =
-    splitTop(setList).map { a =>
+  private[sql] def parseAssignments(setList: String): Seq[(String, String)] = {
+    val parsed = splitTop(setList).map { a =>
       val i = a.indexOf('=')
       require(i > 0, s"malformed assignment '$a'")
       val lhs = unq(a.take(i).trim) match {
@@ -476,6 +494,13 @@ object TableDml {
       }
       lhs -> a.drop(i + 1).trim
     }
+    // ANSI: assigning the same column twice in one SET list is an
+    // error, never a silent last-wins
+    val dup = parsed.map(_._1.toLowerCase).groupBy(identity)
+      .collectFirst { case (c, xs) if xs.size > 1 => c }
+    require(dup.isEmpty, s"column ${dup.get} assigned more than once")
+    parsed
+  }
 
   /** `alias.col` reference (both parts optionally quoted), or None. */
   private def refOf(e: String): Option[(String, String)] = {

@@ -281,6 +281,19 @@ class SqlDmlSpec extends AnyFunSuite {
           |WHEN MATCHED THEN UPDATE SET amt = s.amt""".stripMargin,
         Map("t" -> dir))
     }
+    // duplicate WHEN clauses and duplicate SET targets raise, never
+    // silent last-wins
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        """MERGE INTO t USING dup_src s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET amt = s.amt""".stripMargin,
+        Map("t" -> dir))
+    }
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        "UPDATE t SET amt = 1.0, amt = 2.0 WHERE id = 1", Map("t" -> dir))
+    }
   }
 
   test("full-replace MERGE accepts a reordered INSERT column list") {
