@@ -247,6 +247,26 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** foreachBatch sink appending micro-batches to a REAL Delta table
+    * with SetTransaction idempotency — the delta streaming-sink
+    * contract: every batch commits carrying `txn = (appId, batchId)`,
+    * so a batch REPLAYED after a checkpoint rollback/loss SKIPS at the
+    * table instead of duplicating. Spark's replay guarantee is
+    * at-least-once; the watermark turns it into exactly-once at the
+    * table (PROTOCOL.md "Transaction Identifiers" — what
+    * [[graft.io.DeltaLogWriter.write]]'s txn parameter implements). */
+  def runToDeltaExactlyOnce(agg: DataFrame, path: String,
+      checkpoint: String, appId: String): StreamingQuery =
+    agg.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.io.DeltaLogWriter.write(batch, path, txn = Some((appId, id)))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run
     * commits as ONE table version): batches stage into per-batch data

@@ -60,6 +60,38 @@ class DeltaTxnSpec extends AnyFunSuite {
     assert(DeltaLogReader.read(spark, dir).count() == 12)
   }
 
+  test("streaming sink: a replayed micro-batch run does not duplicate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp()
+    val ckpt1 = Files.createTempDirectory("graft-txn-ck1").toString
+    val ms = MemoryStream[(Long, String)]
+    ms.addData((1L, "a"), (2L, "b"))
+    val q1 = graft.streaming.EventStream.runToDeltaExactlyOnce(
+      ms.toDF.toDF("id", "v"), dir, ckpt1, appId = "stream-q")
+    q1.awaitTermination()
+    assert(DeltaLogReader.read(spark, dir).count() == 2)
+    // checkpoint LOST: the same source replays from batch 0 under a
+    // fresh checkpoint — the txn watermark must absorb the replay
+    val ckpt2 = Files.createTempDirectory("graft-txn-ck2").toString
+    val ms2 = MemoryStream[(Long, String)]
+    ms2.addData((1L, "a"), (2L, "b"))
+    val q2 = graft.streaming.EventStream.runToDeltaExactlyOnce(
+      ms2.toDF.toDF("id", "v"), dir, ckpt2, appId = "stream-q")
+    q2.awaitTermination()
+    assert(DeltaLogReader.read(spark, dir).count() == 2,
+      "replayed batch 0 duplicated its rows")
+    // a genuinely NEW batch (higher batchId under the original
+    // checkpoint) still lands
+    ms.addData((3L, "c"))
+    val q3 = graft.streaming.EventStream.runToDeltaExactlyOnce(
+      ms.toDF.toDF("id", "v"), dir, ckpt1, appId = "stream-q")
+    q3.awaitTermination()
+    assert(DeltaLogReader.read(spark, dir).count() == 3)
+  }
+
   test("watermarks survive a V2 checkpoint") {
     val spark0 = spark
     import spark0.implicits._
