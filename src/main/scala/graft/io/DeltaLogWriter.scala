@@ -488,6 +488,23 @@ object DeltaLogWriter {
     * commit mixes adds and removes, so a change-feed read across it
     * raises (the documented loud contract) — feed consumers resume
     * from the restore version. */
+  /** The add action's `size`/`modificationTime` are protocol-required;
+    * entries replayed from logs that omitted them read back as 0 —
+    * resolve the REAL values by statting the data file rather than
+    * fabricating a 1-byte size (one stat per degenerate entry only,
+    * never per file; the same honesty rule as shallow CLONE's sizes). */
+  private def realSizeMtime(spark: SparkSession, tablePath: String,
+      f: DeltaLogReader.AddFile): (Long, Long) =
+    if (f.size > 0L && f.modificationTime > 0L) (f.size, f.modificationTime)
+    else {
+      val root = new Path(tablePath)
+      val st = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(new Path(root, f.path))
+      (if (f.size > 0L) f.size else st.getLen,
+        if (f.modificationTime > 0L) f.modificationTime
+        else st.getModificationTime)
+    }
+
   def restore(spark: SparkSession, tablePath: String,
       version: Long): Committed = {
     val cur = DeltaLogReader.snapshot(spark, tablePath)
@@ -511,9 +528,11 @@ object DeltaLogWriter {
     val removes = cur.files.filterNot(f => tgtPaths.contains(f.path))
       .map(_.path)
     val adds = tgt.files.filterNot(f => curKeys.contains(key(f)))
-      .map(f => AddEntry(f.path, f.partitionValues, math.max(f.size, 1L),
-        math.max(f.modificationTime, 1L), f.deletionVector, f.stats,
-        f.baseRowId, f.defaultRowCommitVersion))
+      .map { f =>
+        val (sz, mt) = realSizeMtime(spark, tablePath, f)
+        AddEntry(f.path, f.partitionValues, sz, mt, f.deletionVector,
+          f.stats, f.baseRowId, f.defaultRowCommitVersion)
+      }
     val schemaChanged = tgt.schema.json != cur.schema.json ||
       tgt.partitionColumns != cur.partitionColumns
     commitLoop(spark, tablePath, tgt.schema, tgt.partitionColumns, adds,
@@ -1923,15 +1942,18 @@ object DeltaLogWriter {
       snap.transactions.toSeq.sorted.map { case (app, v) =>
         CkptLine(None, None, None, None, Some(CkptTxn(app, v)))
       } ++
-      snap.files.map(f => CkptLine(
-        Some(CkptAddFile(f.path,
-          f.partitionValues.map { case (k, v) => k -> v.orNull },
-          math.max(f.size, 1L), math.max(f.modificationTime, 1L),
-          dataChange = false,
-          f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
-            d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
-          f.stats, f.baseRowId, f.defaultRowCommitVersion)),
-        None, None)))
+      snap.files.map { f =>
+        val (sz, mt) = realSizeMtime(spark, tablePath, f)
+        CkptLine(
+          Some(CkptAddFile(f.path,
+            f.partitionValues.map { case (k, v) => k -> v.orNull },
+            sz, mt,
+            dataChange = false,
+            f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+              d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
+            f.stats, f.baseRowId, f.defaultRowCommitVersion)),
+          None, None)
+      })
     val logDir = new Path(new Path(tablePath), "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val staging = new Path(logDir, s".ckpt-staging-${UUID.randomUUID()}")
@@ -2017,14 +2039,17 @@ object DeltaLogWriter {
     // file actions sharded into bounded sidecar parquet files, written
     // as ONE spark job (a shard per partition), renamed in under fresh
     // uuids — sidecars are immutable and never overwritten
-    val addRows: Seq[SidecarLine] = snap.files.map(f => SidecarLine(Some(
-      CkptAddFile(f.path,
-        f.partitionValues.map { case (k, v) => k -> v.orNull },
-        math.max(f.size, 1L), math.max(f.modificationTime, 1L),
-        dataChange = false,
-        f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
-          d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
-        f.stats, f.baseRowId, f.defaultRowCommitVersion))))
+    val addRows: Seq[SidecarLine] = snap.files.map { f =>
+      val (sz, mt) = realSizeMtime(spark, tablePath, f)
+      SidecarLine(Some(
+        CkptAddFile(f.path,
+          f.partitionValues.map { case (k, v) => k -> v.orNull },
+          sz, mt,
+          dataChange = false,
+          f.deletionVector.map(d => CkptDv(d.storageType, d.pathOrInlineDv,
+            d.offset.getOrElse(1), d.sizeInBytes, d.cardinality)),
+          f.stats, f.baseRowId, f.defaultRowCommitVersion)))
+    }
     val nShards = math.max(1,
       (addRows.length + sidecarMaxActions - 1) / sidecarMaxActions)
     val staging = new Path(logDir, s".v2ckpt-staging-${UUID.randomUUID()}")
