@@ -142,6 +142,7 @@ object SparkEntry {
     "fmt_txn_roundtrip"     -> (TableRoundtrips.txnMergeRoundtrip _),
     // vectors (S3 Vectors-shaped + ANN)
     "vec_knn_exact"       -> (Vectors.knnExact _),
+    "vec_knn_euclidean"   -> (Vectors.knnEuclidean _),
     "vec_label_stats"     -> (Vectors.labelStats _),
     "vec_knn_lsh"         -> (Vectors.knnLsh _),
     "vec_near_dup"        -> (Vectors.embeddingNearDup _),
@@ -318,6 +319,7 @@ object SparkEntry {
     "fmt_iceberg_wap"       -> TableRoundtrips.icebergWapOracle,
     "fmt_txn_roundtrip"     -> TableRoundtrips.mergeRoundtripOracle,
     "vec_knn_exact"       -> Vectors.knnExactOracle,
+    "vec_knn_euclidean"   -> Vectors.knnEuclideanOracle,
     "vec_label_stats"     -> Vectors.labelStatsOracle,
     "vec_knn_lsh"         -> Vectors.knnLshOracle,
     "vec_ivf_search"      -> Vectors.ivfSearchOracle,

@@ -1,0 +1,67 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Euclidean (L2) distance over two `array<float>` columns — the
+  * second distance metric of the `s3.query_vectors` surface
+  * (`s3/_vectors/_mgmt.py` records `distance_metric` cosine|euclidean;
+  * `_read.py:249-344` queries honor it). Same design as
+  * [[CosineSimilarity]]: one fused generated loop, sequential
+  * left-to-right accumulation, bit-identical to the higher-order fold
+  * it replaces — so the DuckDB oracle's `list_sum` mirror agrees
+  * bit-for-bit. */
+object EuclideanDistImpl {
+  def dist(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+}
+
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"euclidean_dist expects array<float>, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    EuclideanDistImpl.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = EuclideanDistImpl.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = $impl.dist($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EuclideanDistance {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "euclidean_dist", exprs => EuclideanDistance(exprs(0), exprs(1)),
+      "built-in")
+}

@@ -132,6 +132,35 @@ object VectorStore {
     VectorIndex.searchLsh(spark, s"$storePath/_lsh_index",
       embedder.embedBatch(Seq(text)).head, k, nProbe)
 
+  /** `query_vectors` with the INDEX'S declared distance metric
+    * (`s3/_vectors/_read.py:249-344` honors `distance_metric`): exact
+    * top-k over the store under cosine (descending similarity) or
+    * euclidean (ascending distance), both through native codegen'd
+    * expressions, with the optional metadata filter tree applied
+    * before ranking. */
+  def queryVectors(spark: SparkSession, storePath: String,
+      query: Array[Float], k: Int = 10,
+      metric: String = "cosine", vecCol: String = "embedding",
+      filter: Option[Map[String, Any]] = None): DataFrame = {
+    require(Seq("cosine", "euclidean").contains(metric),
+      s"unsupported distance metric: $metric")
+    val base = listVectors(spark, storePath, filter)
+    val qLit = org.apache.spark.sql.functions.typedLit(query.toSeq)
+    if (metric == "cosine") {
+      graft.expr.CosineSimilarity.register(spark)
+      base.withColumn("distance",
+          -call_function("cosine_sim", col(vecCol), qLit))
+        .orderBy(col("distance").asc)
+        .limit(k)
+    } else {
+      graft.expr.EuclideanDistance.register(spark)
+      base.withColumn("distance",
+          call_function("euclidean_dist", col(vecCol), qLit))
+        .orderBy(col("distance").asc)
+        .limit(k)
+    }
+  }
+
   // ---- bucket / index management (`s3/_vectors/_mgmt.py:42-290`) --------
   //
   // A vector BUCKET is a root directory carrying `_vector_bucket.json`;

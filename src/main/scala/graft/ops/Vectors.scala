@@ -59,6 +59,38 @@ object Vectors {
       |  DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** Exact brute-force EUCLIDEAN top-k — the reference's second
+    * distance metric (`s3/_vectors/_mgmt.py` `distance_metric`
+    * cosine|euclidean; queries honor the index's metric). Same plan
+    * shape as [[knnExact]] with the native codegen'd
+    * [[graft.expr.EuclideanDistance]]; ids-only output for the same
+    * last-ulp reason. */
+  def knnEuclidean(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.EuclideanDistance.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("q"))
+    emb.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(query))
+      .withColumn("dist", call_function("euclidean_dist",
+        col("embedding"), col("q")))
+      .orderBy(col("dist").asc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("label"))
+  }
+
+  def knnEuclideanOracle: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT vec_id, label
+      |FROM embeddings, q
+      |WHERE vec_id <> 0
+      |ORDER BY
+      |  sqrt(list_sum(list_transform(generate_series(1, 64),
+      |    i -> (cast(embedding[i] as double) - cast(qe[i] as double))
+      |       * (cast(embedding[i] as double) - cast(qe[i] as double)))))
+      |  ASC, vec_id
+      |LIMIT 10""".stripMargin
+
   /** Per-label centroid norms + membership — the IVF coarse-quantizer
     * statistics (label plays the role of the coarse cell). Counts only
     * (exact in both engines). */

@@ -142,4 +142,32 @@ class MgmtSurfaceSpec extends AnyFunSuite {
     assert(back.select("id").as[Long].collect().toSet == Set(1L, 2L))
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("tag=")))
   }
+
+  test("queryVectors honors the distance metric and the metadata filter") {
+    val spark0 = spark
+    import spark0.implicits._
+    val store = Files.createTempDirectory("graft-vq").toString + "/s"
+    // a=(10,0): cosine-identical to q=(1,0) but far; b=(0.9,0.1): close
+    // but angled — the two metrics must rank them OPPOSITELY
+    val rows = Seq(
+      ("a", Seq(10f, 0f), "x"),
+      ("b", Seq(0.9f, 0.1f), "y"))
+      .toDF("key", "embedding", "tag")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    ops.VectorStore.putVectors(rows, store)
+    val q = Array(1f, 0f)
+    def top(metric: String) =
+      ops.VectorStore.queryVectors(spark, store, q, k = 1, metric = metric)
+        .select("key").collect().head.getString(0)
+    assert(top("cosine") == "a")
+    assert(top("euclidean") == "b")
+    // metadata filter applies BEFORE ranking
+    val filtered = ops.VectorStore.queryVectors(spark, store, q, k = 1,
+      metric = "cosine", filter = Some(Map("tag" -> Map("$eq" -> "y"))))
+      .select("key").collect().head.getString(0)
+    assert(filtered == "b")
+    intercept[IllegalArgumentException] {
+      ops.VectorStore.queryVectors(spark, store, q, metric = "manhattan")
+    }
+  }
 }
