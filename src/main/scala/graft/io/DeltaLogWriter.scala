@@ -496,13 +496,21 @@ object DeltaLogWriter {
   private def realSizeMtime(spark: SparkSession, tablePath: String,
       f: DeltaLogReader.AddFile): (Long, Long) =
     if (f.size > 0L && f.modificationTime > 0L) (f.size, f.modificationTime)
-    else {
+    else try {
       val root = new Path(tablePath)
       val st = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(new Path(root, f.path))
       (if (f.size > 0L) f.size else st.getLen,
         if (f.modificationTime > 0L) f.modificationTime
         else st.getModificationTime)
+    } catch {
+      // the degenerate entry's file is physically absent (vacuumed old
+      // version, external registration): carry the RECORDED values
+      // unchanged — a checkpoint/restore must not abort over one
+      // unstat-able entry, and writing the truth-as-recorded beats
+      // fabricating a byte
+      case _: java.io.FileNotFoundException =>
+        (f.size, f.modificationTime)
     }
 
   def restore(spark: SparkSession, tablePath: String,
@@ -1541,12 +1549,11 @@ object DeltaLogWriter {
 
     val adds = touched.collect { case (uri, Some(desc)) =>
       val f = byUri(uri)
-      // add.size is the DATA file's byte size (the protocol requires it;
-      // engines plan with it) — carried from the log, never the sidecar's
-      val size =
-        if (f.size > 0L) f.size
-        else fs.getFileStatus(new Path(qualifiedRoot, f.path)).getLen
-      AddEntry(f.path, f.partitionValues, size, System.currentTimeMillis(),
+      // add.size/modificationTime are the DATA file's (the protocol
+      // requires them; engines plan with size) — carried from the log,
+      // never the sidecar's, degenerate entries resolved by one stat
+      val (size, mtime) = realSizeMtime(spark, tablePath, f)
+      AddEntry(f.path, f.partitionValues, size, mtime,
         Some(desc), stats = f.stats, baseRowId = f.baseRowId,
         defaultRowCommitVersion = f.defaultRowCommitVersion)
     }

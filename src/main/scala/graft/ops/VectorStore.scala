@@ -132,33 +132,55 @@ object VectorStore {
     VectorIndex.searchLsh(spark, s"$storePath/_lsh_index",
       embedder.embedBatch(Seq(text)).head, k, nProbe)
 
-  /** `query_vectors` with the INDEX'S declared distance metric
-    * (`s3/_vectors/_read.py:249-344` honors `distance_metric`): exact
-    * top-k over the store under cosine (descending similarity) or
-    * euclidean (ascending distance), both through native codegen'd
-    * expressions, with the optional metadata filter tree applied
-    * before ranking. */
+  /** `query_vectors` (`s3/_vectors/_read.py:249-344`): exact top-k
+    * over the store, ranked by the INDEX'S declared distance metric —
+    * resolved from the store's `_vector_index.json` when present
+    * (`metric = None`, the reference behavior) or overridden
+    * explicitly. Cosine reports the conventional DISTANCE `1 - sim`
+    * (0 = identical); euclidean the L2 distance — both ascending, both
+    * through native codegen'd expressions. The query's dimension is
+    * validated against the index's declared (or the store's actual)
+    * dimension: the fused loops truncate to the shorter array, which
+    * would otherwise return a confidently wrong top-k. The optional
+    * metadata filter tree applies before ranking. */
   def queryVectors(spark: SparkSession, storePath: String,
       query: Array[Float], k: Int = 10,
-      metric: String = "cosine", vecCol: String = "embedding",
+      metric: Option[String] = None, vecCol: String = "embedding",
       filter: Option[Map[String, Any]] = None): DataFrame = {
-    require(Seq("cosine", "euclidean").contains(metric),
-      s"unsupported distance metric: $metric")
-    val base = listVectors(spark, storePath, filter)
-    val qLit = org.apache.spark.sql.functions.typedLit(query.toSeq)
-    if (metric == "cosine") {
-      graft.expr.CosineSimilarity.register(spark)
-      base.withColumn("distance",
-          -call_function("cosine_sim", col(vecCol), qLit))
-        .orderBy(col("distance").asc)
-        .limit(k)
-    } else {
-      graft.expr.EuclideanDistance.register(spark)
-      base.withColumn("distance",
-          call_function("euclidean_dist", col(vecCol), qLit))
-        .orderBy(col("distance").asc)
-        .limit(k)
+    val declared = {
+      val (fs, p) = fsFor(spark, s"$storePath/_vector_index.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val node = try mapper.readTree(
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+        Some((node.get("distanceMetric").asText,
+          node.get("dimension").asInt))
+      }
     }
+    val m = metric.orElse(declared.map(_._1)).getOrElse("cosine")
+    require(Seq("cosine", "euclidean").contains(m),
+      s"unsupported distance metric: $m")
+    val base = listVectors(spark, storePath, filter)
+    val dim = declared.map(_._2).getOrElse(
+      base.select(org.apache.spark.sql.functions.size(col(vecCol)))
+        .head.getInt(0))
+    require(query.length == dim,
+      s"query dimension ${query.length} != index dimension $dim")
+    val qLit = org.apache.spark.sql.functions.typedLit(query.toSeq)
+    val distCol =
+      if (m == "cosine") {
+        graft.expr.CosineSimilarity.register(spark)
+        org.apache.spark.sql.functions.lit(1.0) -
+          call_function("cosine_sim", col(vecCol), qLit)
+      } else {
+        graft.expr.EuclideanDistance.register(spark)
+        call_function("euclidean_dist", col(vecCol), qLit)
+      }
+    base.withColumn("distance", distCol)
+      .orderBy(col("distance").asc)
+      .limit(k)
   }
 
   // ---- bucket / index management (`s3/_vectors/_mgmt.py:42-290`) --------

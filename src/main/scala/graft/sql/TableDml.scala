@@ -232,7 +232,13 @@ object TableDml {
       case MUpd(asg) => setMatched(UpdateAssign(parseAssignments(asg)))
       case NmStar() => setNotMatched(InsertStar)
       case NmCols(cols, vals) =>
-        setNotMatched(InsertCols(splitTop(cols).map(unq), splitTop(vals)))
+        val cs = splitTop(cols).map(unq)
+        // same no-silent-last-wins rule as SET lists and WHEN clauses
+        val dup = cs.map(_.toLowerCase).groupBy(identity)
+          .collectFirst { case (c, xs) if xs.size > 1 => c }
+        require(dup.isEmpty,
+          s"INSERT column ${dup.getOrElse("")} listed more than once")
+        setNotMatched(InsertCols(cs, splitTop(vals)))
       case other => throw new IllegalArgumentException(
         s"unsupported MERGE clause: ${other.take(120)}")
     }

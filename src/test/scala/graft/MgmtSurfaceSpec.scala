@@ -157,17 +157,37 @@ class MgmtSurfaceSpec extends AnyFunSuite {
     ops.VectorStore.putVectors(rows, store)
     val q = Array(1f, 0f)
     def top(metric: String) =
-      ops.VectorStore.queryVectors(spark, store, q, k = 1, metric = metric)
+      ops.VectorStore.queryVectors(spark, store, q, k = 1,
+        metric = Some(metric))
         .select("key").collect().head.getString(0)
     assert(top("cosine") == "a")
     assert(top("euclidean") == "b")
+    // cosine reports the conventional DISTANCE: 1 - sim, 0 = identical
+    val d = ops.VectorStore.queryVectors(spark, store, q, k = 1,
+      metric = Some("cosine")).select("distance").head.getDouble(0)
+    assert(math.abs(d) < 1e-12)
     // metadata filter applies BEFORE ranking
     val filtered = ops.VectorStore.queryVectors(spark, store, q, k = 1,
-      metric = "cosine", filter = Some(Map("tag" -> Map("$eq" -> "y"))))
+      metric = Some("cosine"), filter = Some(Map("tag" -> Map("$eq" -> "y"))))
       .select("key").collect().head.getString(0)
     assert(filtered == "b")
     intercept[IllegalArgumentException] {
-      ops.VectorStore.queryVectors(spark, store, q, metric = "manhattan")
+      ops.VectorStore.queryVectors(spark, store, q,
+        metric = Some("manhattan"))
     }
+    // dimension mismatch raises instead of silently truncating
+    intercept[IllegalArgumentException] {
+      ops.VectorStore.queryVectors(spark, store, Array(1f))
+    }
+    // with an index descriptor beside the data, the DECLARED metric is
+    // the default (the reference honors the index's distance_metric)
+    ops.VectorStore.createVectorBucket(spark,
+      new java.io.File(store).getParent)
+    ops.VectorStore.createVectorIndex(spark,
+      new java.io.File(store).getParent, new java.io.File(store).getName,
+      dimension = 2, distanceMetric = "euclidean")
+    val viaIndex = ops.VectorStore.queryVectors(spark, store, q, k = 1)
+      .select("key").collect().head.getString(0)
+    assert(viaIndex == "b")
   }
 }
