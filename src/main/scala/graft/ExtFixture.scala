@@ -26,7 +26,23 @@ import graft.io.{DeltaLogWriter, IcebergWriter}
 object ExtFixture {
 
   def main(args: Array[String]): Unit = {
+    // ONE positional arg (outDir) — `ExtFixture <sfDir> <outDir>`, the
+    // Verify-shaped invocation, would silently spray fixture tables
+    // into the testdata directory. Reject it loudly.
+    require(args.length <= 1,
+      s"usage: graft.ExtFixture [outDir] — got ${args.length} args " +
+        "(ExtFixture synthesizes its own data; it takes NO sfDir)")
     val outDir = args.headOption.getOrElse("/tmp/extfix")
+    // refuse a directory that already holds parquet tables (a testdata
+    // dir, a Verify output) — fixtures always go to a fresh/own dir
+    val existing = new java.io.File(outDir).listFiles()
+    if (existing != null) {
+      val parquet = existing.filter(_.getName.endsWith(".parquet"))
+      require(parquet.isEmpty,
+        s"$outDir already contains parquet tables " +
+          s"(${parquet.take(3).map(_.getName).mkString(", ")}…) — " +
+          "refusing to write fixtures into it; pass a fresh directory")
+    }
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -146,8 +146,12 @@ object SparkEntry {
     "vec_label_stats"     -> (Vectors.labelStats _),
     "vec_knn_lsh"         -> (Vectors.knnLsh _),
     "vec_near_dup"        -> (Vectors.embeddingNearDup _),
+    // one operator, one knob (r11): default k ≈ ⌈√n⌉ scales with the
+    // corpus — the scale-safe path; the _k row pins the explicit
+    // fixed-k argument form
     "vec_semdedup"        -> ((s: SparkSession, d: String) => Vectors.semDedup(s, d)),
-    "vec_semdedup_k"      -> ((s: SparkSession, d: String) => Vectors.semDedupK(s, d)),
+    "vec_semdedup_k"      -> ((s: SparkSession, d: String) =>
+      Vectors.semDedup(s, d, k = Some(64))),
     "vec_ivf_search"      -> ((s: SparkSession, d: String) => Vectors.ivfSearch(s, d)),
     // PQ ANN: ADC over 8-byte codes + exact rerank. The codebook is the
     // exact-decimal deterministic one-step Lloyd's (trainPqExact), so
@@ -172,6 +176,10 @@ object SparkEntry {
     // log analytics (CloudWatch Logs Insights dialect)
     "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
     "logs_last_event"     -> (LogsInsights.lastEventQuery _),
+    // Trino-dialect front door (r11): Athena SQL text executed verbatim
+    // through readSqlQuery's TrinoCompat shim
+    "trino_read_sql"      -> (graft.sql.TrinoQueries.readSql _),
+    "trino_unnest_ord"    -> (graft.sql.TrinoQueries.unnestOrdinality _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
@@ -344,6 +352,8 @@ object SparkEntry {
     "search_bm25"         -> Postings.searchBm25Oracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "logs_last_event"     -> LogsInsights.lastEventOracle,
+    "trino_read_sql"      -> graft.sql.TrinoQueries.readSqlOracle,
+    "trino_unnest_ord"    -> graft.sql.TrinoQueries.unnestOrdinalityOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal

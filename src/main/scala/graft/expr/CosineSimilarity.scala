@@ -17,9 +17,16 @@ import org.apache.spark.sql.types._
   * (`s3/_vectors/_read.py:249-344`, cosine metric).
   */
 object CosineSimImpl {
-  /** Sequential fused loop: dot and both norms in one pass. */
+  /** Sequential fused loop: dot and both norms in one pass. A dimension
+    * mismatch raises — the reference's service boundary errors on it
+    * (`s3/_vectors/_read.py` validates query dimension), and a silent
+    * prefix-compare over a ragged embedding column is a confidently
+    * wrong top-k. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimension mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

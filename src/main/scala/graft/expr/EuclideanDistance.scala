@@ -15,8 +15,13 @@ import org.apache.spark.sql.types._
   * it replaces — so the DuckDB oracle's `list_sum` mirror agrees
   * bit-for-bit. */
 object EuclideanDistImpl {
+  /** Raises on dimension mismatch, same contract as
+    * [[CosineSimImpl.cosine]] — never a silent prefix compare. */
   def dist(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"euclidean_dist: vector dimension mismatch ($n vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {

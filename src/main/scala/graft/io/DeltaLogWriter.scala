@@ -425,8 +425,12 @@ object DeltaLogWriter {
           pathOrInlineDv = fs.makeQualified(DeltaDeletionVectors
             .sidecarPath(qualifiedSrc, d)).toUri.getPath)
       }
+      // size/mtime are protocol-required — a degenerate source entry
+      // (size 0) resolves its REAL values by statting against the
+      // clone SOURCE root, the same honesty rule as checkpoint/RESTORE
+      val (sz, mt) = realSizeMtime(spark, srcPath, f)
       AddEntry(abs, f.partitionValues,
-        f.size, now, dv, f.stats,
+        sz, if (mt > 0L) mt else now, dv, f.stats,
         f.baseRowId, f.defaultRowCommitVersion)
     }
     val p = snap.protocol
@@ -467,7 +471,15 @@ object DeltaLogWriter {
       s"Delta table already exists at $tablePath")
     val now = System.currentTimeMillis()
     val adds = files.map { case (p, pv, size) =>
-      AddEntry(p, pv, math.max(size, 1L), now)
+      // size is protocol-required: a zero-byte registration stats the
+      // real file instead of fabricating a byte (same realSizeMtime
+      // fallback as RESTORE/checkpoints/clone; an unstat-able entry
+      // carries its recorded value unchanged)
+      val (sz, mt) =
+        if (size > 0L) (size, now)
+        else realSizeMtime(spark, tablePath,
+          DeltaLogReader.AddFile(p, pv, None, 0L, 0L))
+      AddEntry(p, pv, sz, if (mt > 0L) mt else now)
     }
     commitLoop(spark, tablePath, schema, partCols, adds, removes = Nil,
       "CONVERT", emitMeta = true)
@@ -1697,6 +1709,33 @@ object DeltaLogWriter {
     b.result()
   }
 
+  /** Data files of a commit abandoned AFTER they were written (the
+    * SetTransaction skip) are referenced by no commit — delete them
+    * rather than leave orphans only a retention-expired vacuum would
+    * find. Best-effort: a failed delete costs storage, never
+    * correctness. Only `u`-storage DV sidecars are swept (the only
+    * kind this writer stages fresh alongside a pending commit). */
+  private def sweepUncommitted(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path, adds: Seq[AddEntry], extraActions: Seq[String]): Unit = {
+    def del(p: Path): Unit =
+      try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+    def resolve(rel: String): Path =
+      if (rel.contains("://") || rel.startsWith("/")) new Path(rel)
+      else new Path(root, rel)
+    adds.foreach { a =>
+      del(resolve(a.path))
+      a.deletionVector.filter(_.storageType == "u").foreach(d =>
+        del(DeltaDeletionVectors.sidecarPath(fs.makeQualified(root), d)))
+    }
+    extraActions.foreach { line =>
+      try {
+        val node = mapper.readTree(line)
+        Option(node.get("cdc")).flatMap(c => Option(c.get("path")))
+          .foreach(p => del(resolve(p.asText)))
+      } catch { case _: Exception => () }
+    }
+  }
+
   /** Claim `<version>.json` with create-exclusive; on collision re-read
     * the log and retry at the next version. */
   private def commitLoop(spark: SparkSession, tablePath: String,
@@ -1736,8 +1775,15 @@ object DeltaLogWriter {
       skipIfTxnCommitted.foreach { case (appId, v, checkedAt) =>
         if ((version - 1 != checkedAt || attempts > 0) && version > 0 &&
             DeltaLogReader.snapshot(spark, tablePath)
-              .transactions.get(appId).exists(_ >= v))
+              .transactions.get(appId).exists(_ >= v)) {
+          // the skip fires AFTER the batch's data files were written:
+          // sweep them (plus CDC files and fresh DV sidecars) so the
+          // abandoned commit leaves no orphans lingering until a
+          // vacuum past retention — the same losing-claim cleanup
+          // rewriteManifests does
+          sweepUncommitted(fs, new Path(tablePath), adds, extraActions)
           return Committed(version - 1, 0)
+        }
       }
       val (adds2, rtExtra) =
         if (!rtEnabled || adds.forall(_.baseRowId.isDefined))

@@ -140,9 +140,10 @@ object VectorStore {
     * (0 = identical); euclidean the L2 distance — both ascending, both
     * through native codegen'd expressions. The query's dimension is
     * validated against the index's declared (or the store's actual)
-    * dimension: the fused loops truncate to the shorter array, which
-    * would otherwise return a confidently wrong top-k. The optional
-    * metadata filter tree applies before ranking. */
+    * dimension at the API boundary, and the fused loops themselves
+    * raise on any per-row length mismatch (r11) — a ragged store can
+    * never silently prefix-compare. The optional metadata filter tree
+    * applies before ranking. */
   def queryVectors(spark: SparkSession, storePath: String,
       query: Array[Float], k: Int = 10,
       metric: Option[String] = None, vecCol: String = "embedding",

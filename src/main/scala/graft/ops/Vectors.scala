@@ -146,88 +146,29 @@ object Vectors {
     * quadratic pair comparison is bounded per cluster instead of global
     * (k clusters cut the candidate join by ~k²/k = k).
     *
-    * Shapes, in order: exact-decimal centroids (order-independent sums,
-    * so both engines agree bit-for-bit), a broadcast nearest-centroid
-    * assignment reduced by a partial-aggregable `max(struct(...))` —
-    * map-side combine, no window sort over the n×k cross join — then
-    * one within-cluster self-join. Keep rule: drop any vector that has
-    * a ≥τ neighbor with a smaller id in its cluster; deterministic and
-    * SQL-expressible, so the whole pipeline differentially tests
-    * against DuckDB. */
-  def semDedup(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    * ONE operator, one knob (r11 — folds the former fixed-k variant):
+    * `k` is the cluster count of the deterministic seed quantizer
+    * (centroids = the embeddings of the k lowest vec_ids — no
+    * iteration, bit-exact in any engine). The DEFAULT k ≈ ⌈√n⌉ SCALES
+    * WITH THE CORPUS, holding the within-cluster quadratic at
+    * n²/√n = n^1.5 — the scale-safe shape; a fixed k is reachable as an
+    * explicit argument but at 100× data makes every cluster 100×
+    * heavier (the measured 42×-vs-13× contrast in BASELINE.md). The
+    * knob is priced by one count(*) (parquet footer metadata, no data
+    * scan).
+    *
+    * Shapes: a broadcast nearest-centroid assignment reduced by a
+    * partial-aggregable `max(struct(...))` — map-side combine, no
+    * window sort over the n×k cross join — then one within-cluster
+    * self-join. Keep rule: drop any vector that has a ≥τ neighbor with
+    * a smaller id in its cluster; deterministic and SQL-expressible,
+    * so the whole pipeline differentially tests against DuckDB. */
+  def semDedup(s: SparkSession, dir: String, tau: Double = 0.4,
+      k: Option[Int] = None): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
-        count(lit(1)).cast("double")).as("m"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"),
-        expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
-    // nearest-centroid assignment: max(struct(similarity, -label)) picks
-    // the highest cosine, lowest label on ties — partial-aggregable
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(s, "embedding", "centroid"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cdist"), (-col("c_label")).as("nl"))).as("best"))
-      .select(col("vec_id"), (-col("best.nl")).cast("int").as("cluster"))
-    val withCluster = emb.select(col("vec_id"), col("embedding"))
-      .join(assigned, "vec_id")
-    val a = withCluster.select(col("vec_id").as("id1"), col("cluster"),
-      col("embedding").as("e1"))
-    val b = withCluster.select(col("vec_id").as("id2"), col("cluster"),
-      col("embedding").as("e2"))
-    val dups = a.join(b, Seq("cluster"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cosine", cosine(s, "e1", "e2"))
-      .filter(col("cosine") >= tau)
-      .select(col("id2")).distinct()
-    withCluster
-      .join(dups, col("vec_id") === col("id2"), "left_anti")
-      .select(col("vec_id"), col("cluster"))
-  }
-
-  def semDedupOracle: String =
-    s"""WITH cm AS (
-       |  SELECT label, i,
-       |    cast(cast(sum(cast(embedding[i] as decimal(20,10))) as double)
-       |         / cast(count(*) as double) as float) AS m
-       |  FROM embeddings, generate_series(1, 64) g(i)
-       |  GROUP BY label, i),
-       |cent AS (SELECT label AS c_label, list(m ORDER BY i) AS c
-       |         FROM cm GROUP BY label),
-       |asg AS (
-       |  SELECT vec_id, c_label AS cluster, embedding FROM (
-       |    SELECT e.vec_id, cent.c_label, e.embedding,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosineSql("c", "e.embedding")} DESC, cent.c_label)
-       |        AS rk
-       |    FROM embeddings e CROSS JOIN cent) WHERE rk = 1),
-       |dups AS (
-       |  SELECT DISTINCT b.vec_id
-       |  FROM asg a JOIN asg b
-       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
-       |SELECT vec_id, cluster FROM asg
-       |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin
-
-  /** SemDeDup with an EXPLICIT cluster-count knob — the "k ≫ 10"
-    * clustering the paper (and the 100 TB story) requires: the
-    * quadratic within-cluster pair comparison is bounded by n²/k, so k
-    * scales WITH the corpus to hold per-cluster cost constant. The
-    * quantizer here is the deterministic seed form (centroids = the
-    * embeddings of the `k` lowest vec_ids — no iteration, bit-exact in
-    * any engine); assignment and the prune are identical to
-    * [[semDedup]]. At 100× data, [[semDedup]]'s 10 label-clusters make
-    * the pair join 100× heavier per cluster; this variant at k=64
-    * holds the same corpus at a fraction of the candidate pairs —
-    * the measured contrast is recorded in BASELINE.md. */
-  def semDedupK(s: SparkSession, dir: String, k: Int = 64,
-      tau: Double = 0.4): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    val centroids = emb.orderBy(col("vec_id")).limit(k)
+    val kk = k.getOrElse(
+      math.max(1, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
+    val centroids = emb.orderBy(col("vec_id")).limit(kk)
       .select(col("vec_id").as("c_id"), col("embedding").as("centroid"))
     val assigned = emb.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(centroids))
@@ -251,6 +192,30 @@ object Vectors {
       .select(col("vec_id"), col("cluster"))
   }
 
+  /** Oracle for the DEFAULT (scale-safe) path: DuckDB computes the same
+    * k = ⌈√n⌉ via a scalar-subquery LIMIT. */
+  def semDedupOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS c_id, embedding AS c
+       |  FROM embeddings ORDER BY vec_id
+       |  LIMIT (SELECT cast(ceil(sqrt(count(*))) as bigint)
+       |         FROM embeddings)),
+       |asg AS (
+       |  SELECT vec_id, c_id AS cluster, embedding FROM (
+       |    SELECT e.vec_id, cent.c_id, e.embedding,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("c", "e.embedding")} DESC, cent.c_id)
+       |        AS rk
+       |    FROM embeddings e CROSS JOIN cent) z WHERE rk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM asg a JOIN asg b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.4)
+       |SELECT vec_id, cluster FROM asg
+       |WHERE vec_id NOT IN (SELECT vec_id FROM dups)""".stripMargin
+
+  /** Oracle for the explicit fixed-k path (k=64). */
   def semDedupKOracle: String =
     s"""WITH cent AS (
        |  SELECT vec_id AS c_id, embedding AS c

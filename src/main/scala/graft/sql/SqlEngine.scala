@@ -150,7 +150,11 @@ object SqlEngine {
         case (_, _: Seq[_]) | (_, _: Map[_, _]) => true
         case _ => false
       }
-      val text = substitute(sql, collections, strict = false)
+      // the reference's entry point takes Athena (= Trino) SQL verbatim
+      // (`athena/_read.py:951-1308`): register the Trino-name functions
+      // and translate the Trino-only syntax before Catalyst parses
+      TrinoCompat.ensureRegistered(spark)
+      val text = TrinoCompat.rewrite(substitute(sql, collections, strict = false))
       if (scalars.nonEmpty)
         spark.sql(text, scalars.map { case (k, v) => k -> unwrap(v) })
       else spark.sql(text)
@@ -163,13 +167,50 @@ object SqlEngine {
     }
   }
 
+  private val DmlHead = """(?is)^\s*(INSERT|UPDATE|DELETE|MERGE)\b""".r
+
+  /** ONE front door for reads AND table DML — the reference executes
+    * both through the same `start_query_execution` path
+    * (`athena/_executions.py:34`); Athena's engine routes
+    * INSERT/UPDATE/DELETE/MERGE to its Iceberg DML executor and
+    * everything else to the query engine. Here: a DML head dispatches
+    * to [[TableDml.execute]] with table paths resolved from the
+    * SESSION CATALOG (`DESCRIBE FORMATTED … Location`, the mapping
+    * `catalog.getTableLocation` serves) — `tables` entries override or
+    * extend that; anything else runs through [[readSqlQuery]]. DML
+    * params render client-side (the regex dialect has no binding
+    * channel); reads keep server-side scalar binding. DML invalidates
+    * this session's query cache, exactly like the dataset writers.
+    * Returns the result rows for reads; for DML a one-row frame
+    * `(operation, table)` mirroring the reference's execution record. */
+  def executeSql(
+      spark: SparkSession,
+      sql: String,
+      params: Map[String, Any] = Map.empty,
+      tables: Map[String, String] = Map.empty): DataFrame =
+    if (DmlHead.findFirstIn(sql).isEmpty)
+      readSqlQuery(spark, sql, params)
+    else {
+      val rendered = substitute(sql, params, strict = true)
+      val resolve: String => Option[String] = name =>
+        tables.get(name).orElse(tables.get(name.toLowerCase)).orElse(
+          try Some(graft.catalog.Catalog.getTableLocation(spark, name))
+          catch { case _: Exception => None })
+      val res = TableDml.execute(spark, rendered, resolve)
+      noteDatasetWrite(spark)
+      import spark.implicits._
+      Seq((res.operation, res.table)).toDF("operation", "table")
+    }
+
   /** Positional `?` binding — the reference's server-side "qmark" style
     * (`EXECUTE … USING`, `athena/_utils.py:385-401`). */
   def readSqlQueryQmark(
       spark: SparkSession,
       sql: String,
-      args: Seq[Any]): DataFrame =
-    spark.sql(sql, args.map(unwrap).toArray)
+      args: Seq[Any]): DataFrame = {
+    TrinoCompat.ensureRegistered(spark)
+    spark.sql(TrinoCompat.rewrite(sql), args.map(unwrap).toArray)
+  }
 
   private def unwrap(v: Any): Any = v match {
     case Some(x) => x

@@ -69,7 +69,16 @@ object TableDml {
     extends NotMatched
 
   def execute(spark: SparkSession, sql: String,
-      tables: Map[String, String]): Result = sql match {
+      tables: Map[String, String]): Result =
+    execute(spark, sql,
+      (n: String) => tables.get(n).orElse(tables.get(n.toLowerCase)))
+
+  /** Resolver form (r11): table names resolve through a function — the
+    * SQL front door ([[SqlEngine.executeSql]]) passes a resolver backed
+    * by the SESSION CATALOG, so DML flows through the same entry point
+    * as reads, no explicit registry needed. */
+  def execute(spark: SparkSession, sql: String,
+      tables: String => Option[String]): Result = sql match {
     case InsertRe(t, colsOpt, body) =>
       val name = qnameKey(t)
       val path = pathOf(tables, name)
@@ -166,7 +175,7 @@ object TableDml {
   // ---- MERGE ---------------------------------------------------------------
 
   private def executeMerge(spark: SparkSession, sql: String,
-      tables: Map[String, String]): Result = {
+      tables: String => Option[String]): Result = {
     val head = MergeHeadRe.findPrefixMatchOf(sql).get
     val tName = qnameKey(head.group(1))
     val tAlias = Option(head.group(2)).getOrElse(lastIdent(head.group(1)))
@@ -268,6 +277,24 @@ object TableDml {
     def keyJoin(l: DataFrame, r: DataFrame): Column =
       keys.map(k => if (matchNulls) l(k) <=> r(k) else l(k) === r(k))
         .reduce(_ && _)
+    // ANSI/Athena cardinality rule: a target row matched by MORE THAN
+    // ONE source row is an error, never a silent double-replacement or
+    // double-delete — enforced for EVERY matched clause, fast paths
+    // included (the writers' left_anti-union-source construction would
+    // otherwise land both duplicates where Athena errors). One
+    // aggregation over the MATCHED pairs only — unmatched dup-key
+    // inserts are legal and unaffected; Catalyst column-prunes the
+    // probe to the key columns, a key-only shuffle.
+    def checkMatchedCardinality(): Unit = {
+      val t0 = target.alias(tAlias)
+      val s0 = src.alias(sAlias)
+      val dupMatched = t0.join(s0, keyJoin(t0, s0), "inner")
+        .groupBy(keys.map(k => t0(k)): _*)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count() > 0
+      require(!dupMatched,
+        "MERGE: a target row matches more than one source row")
+    }
     // the reference's generated `"c" = source."c"` full-column
     // assignment is semantically UPDATE SET * — route both through the
     // one-shot upsert; anything partial builds replacement rows first
@@ -299,12 +326,15 @@ object TableDml {
       case (None, None) =>
         throw new IllegalArgumentException("MERGE needs a WHEN clause")
       case (Some(DeleteMatched), None) =>
+        checkMatchedCardinality()
         doDeleteMatched(src)
       case (Some(UpdateStar), Some(InsertStar)) =>
+        checkMatchedCardinality()
         doMerge(alignedByName(src, schema))
       case (Some(UpdateAssign(a)), Some(ic: InsertCols))
           if isFullReplace(a) && isPlainInsert(ic) =>
         // the exact statement `athena.merge_iceberg` generates
+        checkMatchedCardinality()
         doMerge(alignedByName(src, schema))
       case (m, nm) =>
         // general path: build the replacement/insert rows explicitly,
@@ -328,6 +358,7 @@ object TableDml {
         }
         m match {
           case Some(DeleteMatched) =>
+            checkMatchedCardinality()
             // inserts resolve against the PRE-delete snapshot
             val pinned = insRows.map(_.localCheckpoint())
             doDeleteMatched(src)
@@ -352,19 +383,7 @@ object TableDml {
                 },
                 s"MERGE may not reassign key column $c")
             }
-            // ANSI/Athena cardinality rule: a target row matched by
-            // MORE THAN ONE source row is an error, never a silent
-            // double-replacement (the check is one aggregation over
-            // the MATCHED pairs only — unmatched dup-key inserts are
-            // legal and unaffected). This probe re-joins, but Catalyst
-            // column-prunes it to the key columns — a key-only shuffle,
-            // not a second full-row join.
-            val dupMatched = t.join(sdf, keyJoin(t, sdf), "inner")
-              .groupBy(keys.map(k => t(k)): _*)
-              .agg(count(lit(1)).as("n"))
-              .filter(col("n") > 1).limit(1).count() > 0
-            require(!dupMatched,
-              "MERGE: a target row matches more than one source row")
+            checkMatchedCardinality()
             val byCol = assignments
               .map { case (c, e) => c.toLowerCase -> e }.toMap
             val updRows = t.join(sdf, keyJoin(t, sdf), "inner")
@@ -424,11 +443,11 @@ object TableDml {
 
   private def resolveSource(spark: SparkSession,
       spec: Either[String, String],
-      tables: Map[String, String]): DataFrame = spec match {
+      tables: String => Option[String]): DataFrame = spec match {
     case Left(query) => spark.sql(dequoteExpr(query))
     case Right(name0) =>
       val name = qnameKey(name0)
-      tables.get(name).orElse(tables.get(name.toLowerCase)) match {
+      tables(name) match {
         case Some(p) =>
           if (IcebergReader.isIcebergTable(spark, p))
             IcebergReader.read(spark, p)
@@ -437,10 +456,9 @@ object TableDml {
       }
   }
 
-  private def pathOf(tables: Map[String, String], name: String): String =
-    tables.getOrElse(name, tables.getOrElse(name.toLowerCase,
-      throw new IllegalArgumentException(
-        s"table $name not registered (known: ${tables.keys.mkString(", ")})")))
+  private def pathOf(tables: String => Option[String], name: String): String =
+    tables(name).getOrElse(throw new IllegalArgumentException(
+      s"table $name is not registered and not in the session catalog"))
 
   private def route(spark: SparkSession, path: String,
       ice: => Any, delta: => Any): Unit =
@@ -491,13 +509,18 @@ object TableDml {
 
   private[sql] def parseAssignments(setList: String): Seq[(String, String)] = {
     val parsed = splitTop(setList).map { a =>
-      val i = a.indexOf('=')
-      require(i > 0, s"malformed assignment '$a'")
-      val lhs = unq(a.take(i).trim) match {
-        // a qualified lhs (t."c") assigns the column itself
-        case l if l.contains('.') => unq(l.substring(l.lastIndexOf('.') + 1))
-        case l => l
+      // first `=` OUTSIDE quoted identifiers splits lhs from rhs (a
+      // quoted identifier may legally contain '=')
+      var i = 0; var inQ = false
+      while (i < a.length && (inQ || a(i) != '=')) {
+        if (a(i) == '"') inQ = !inQ
+        i += 1
       }
+      require(i > 0 && i < a.length, s"malformed assignment '$a'")
+      // a qualified lhs (t."c", "t"."c") assigns the column itself —
+      // split quote-aware FIRST, then unquote: unq-then-split turns
+      // '"t"."c"' into the broken name '"c'
+      val lhs = splitQName(a.take(i).trim).last
       lhs -> a.drop(i + 1).trim
     }
     // ANSI: assigning the same column twice in one SET list is an

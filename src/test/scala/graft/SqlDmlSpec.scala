@@ -336,6 +336,86 @@ class SqlDmlSpec extends AnyFunSuite {
       .filter(col("name") === "all WHERE none").count() == 30)
   }
 
+  test("executeSql front door: MERGE resolves the table from the session catalog") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    // register in the SESSION catalog — no explicit registry map; the
+    // front door resolves the location via DESCRIBE FORMATTED
+    spark.sql("DROP TABLE IF EXISTS dml_front_t")
+    spark.sql(
+      s"CREATE TABLE dml_front_t (id BIGINT, name STRING, amt DOUBLE) " +
+        s"USING parquet LOCATION '$dir'")
+    Seq((2L, "FRONT", 999.0), (31L, "NEW", 1.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("front_src")
+    val res = graft.sql.SqlEngine.executeSql(spark,
+      """MERGE INTO dml_front_t t USING front_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(res.collect().head.getString(0) == "MERGE")
+    val got = IcebergReader.read(spark, dir)
+      .select("id", "name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(2L) == "FRONT" && got(31L) == "NEW" && got.size == 31)
+    // the same entry point serves reads
+    assert(graft.sql.SqlEngine.executeSql(spark,
+      "SELECT count(*) AS n FROM front_src").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE dml_front_t")
+  }
+
+  test("fast-path MERGE forms also enforce the cardinality rule") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    Seq((3L, "X", 1.0), (3L, "Y", 2.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("dup_src2")
+    // UPDATE SET * + INSERT * (the one-shot upsert fast path)
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        """MERGE INTO t USING dup_src2 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        Map("t" -> dir))
+    }
+    // the reference-generated full-replace form
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        """MERGE INTO t USING dup_src2 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET "id" = s."id", "name" = s."name", "amt" = s."amt"
+          |WHEN NOT MATCHED THEN INSERT ("id", "name", "amt") VALUES (s."id", s."name", s."amt")""".stripMargin,
+        Map("t" -> dir))
+    }
+    // matched-only DELETE: deleting one row twice is an error in
+    // ANSI/Athena, not an idempotent no-op
+    intercept[IllegalArgumentException] {
+      TableDml.execute(spark,
+        """MERGE INTO t USING dup_src2 s ON t.id = s.id
+          |WHEN MATCHED THEN DELETE""".stripMargin,
+        Map("t" -> dir))
+    }
+    // unmatched duplicate keys remain legal on the insert-only path
+    Seq((41L, "A", 1.0), (41L, "B", 2.0))
+      .toDF("id", "name", "amt").createOrReplaceTempView("dup_ins")
+    TableDml.execute(spark,
+      """MERGE INTO t USING dup_ins s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      Map("t" -> dir))
+    assert(IcebergReader.read(spark, dir).filter(col("id") === 41L)
+      .count() == 2)
+  }
+
+  test("fully quoted qualified SET lhs parses to the bare column") {
+    val dir = tmp() + "/t"
+    seedIceberg(dir)
+    TableDml.execute(spark,
+      """UPDATE t SET "t"."amt" = 0.5 WHERE id = 1""", Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir)
+      .filter(col("id") === 1L).select("amt").head().getDouble(0)
+    assert(got == 0.5)
+  }
+
   test("v3 Iceberg UPDATE goes through deletion vectors") {
     val spark0 = spark
     import spark0.implicits._

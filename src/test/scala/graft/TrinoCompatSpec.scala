@@ -1,0 +1,229 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sql.{SqlEngine, TrinoCompat}
+
+/** The Trino-dialect shim, gated by a corpus of reference-shaped
+  * statements: the parameter renderer's generated syntax
+  * (`_sql_formatter.py:50-67` — `ARRAY [...]`,
+  * `MAP(ARRAY [...], ARRAY [...])`, `DECIMAL '12.03'`, the
+  * `test_sql_params_formatter.py:40-43` vectors) plus the Trino-only
+  * functions an Athena user types (`approx_distinct`, string-unit
+  * `date_diff`/`date_add`, `TRY`, `UNNEST … WITH ORDINALITY`,
+  * subscripts). Every test compares against the equivalent native
+  * Spark formulation or a hand-computed expectation. */
+class TrinoCompatSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def one(sql: String): Row =
+    SqlEngine.readSqlQuery(spark, sql).head()
+
+  private def rows(sql: String): Seq[Row] =
+    SqlEngine.readSqlQuery(spark, sql).collect().toSeq
+
+  // ---- ARRAY constructor + subscripts -------------------------------------
+
+  test("ARRAY [..] constructor (renderer shape, with the space)") {
+    assert(one("SELECT ARRAY [1, 2, 3] AS a").getSeq[Int](0) == Seq(1, 2, 3))
+    assert(one("SELECT ARRAY['a','b'] AS a").getSeq[String](0) == Seq("a", "b"))
+  }
+
+  test("nested ARRAY constructors") {
+    val r = one("SELECT ARRAY [ARRAY [1], ARRAY [2, 3]] AS a")
+    assert(r.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) ==
+      Seq(Seq(1), Seq(2, 3)))
+  }
+
+  test("subscripts are 1-based (Trino), not 0-based (Spark)") {
+    assert(one("SELECT ARRAY [10, 20, 30][1] AS x").getInt(0) == 10)
+    assert(one("SELECT ARRAY [10, 20, 30][3] AS x").getInt(0) == 30)
+    // subscript over a column, qualified base
+    val r = rows(
+      "SELECT t.arr[2] AS x FROM (SELECT ARRAY [5, 6, 7] AS arr) t")
+    assert(r.map(_.getInt(0)) == Seq(6))
+  }
+
+  test("map subscript is key lookup") {
+    assert(one(
+      "SELECT MAP(ARRAY ['a', 'b'], ARRAY [1, 2])['b'] AS v").getInt(0) == 2)
+  }
+
+  // ---- MAP constructors ----------------------------------------------------
+
+  test("MAP(ARRAY [..], ARRAY [..]) — the exact renderer shape") {
+    val r = one(
+      "SELECT MAP(ARRAY ['int', 'date'], ARRAY [4, 5]) AS m")
+    assert(r.getMap[String, Int](0) == Map("int" -> 4, "date" -> 5))
+  }
+
+  test("MAP() empty constructor") {
+    assert(one("SELECT MAP() AS m").getMap[String, String](0).isEmpty)
+  }
+
+  test("Spark's own map(k, v) is NOT rewritten") {
+    assert(one("SELECT map('k', 7) AS m").getMap[String, Int](0) ==
+      Map("k" -> 7))
+  }
+
+  // ---- DECIMAL literals ----------------------------------------------------
+
+  test("DECIMAL 'x.yz' literal infers precision/scale from the text") {
+    val df = SqlEngine.readSqlQuery(spark, "SELECT DECIMAL '12.03' AS d")
+    assert(df.schema("d").dataType.simpleString == "decimal(4,2)")
+    assert(df.head().getDecimal(0) == new java.math.BigDecimal("12.03"))
+    assert(one("SELECT DECIMAL '33.33' + 1 AS d").getDecimal(0)
+      == new java.math.BigDecimal("34.33"))
+    // CAST(x AS DECIMAL(10,2)) must be untouched
+    assert(one("SELECT CAST(5 AS DECIMAL(10,2)) AS d").getDecimal(0)
+      == new java.math.BigDecimal("5.00"))
+  }
+
+  // ---- date_diff / date_add ------------------------------------------------
+
+  test("date_diff: Trino string-unit argument order (from, to)") {
+    assert(one("SELECT date_diff('day', DATE '2020-01-01', DATE '2020-03-01') AS d")
+      .getLong(0) == 60L)
+    assert(one(
+      "SELECT date_diff('hour', TIMESTAMP '2023-01-01 00:00:00', TIMESTAMP '2023-01-02 06:30:00') AS d")
+      .getLong(0) == 30L)
+    // negative when from > to, exactly as Trino
+    assert(one("SELECT date_diff('day', DATE '2020-03-01', DATE '2020-01-01') AS d")
+      .getLong(0) == -60L)
+  }
+
+  test("date_diff: 2-arg call keeps Spark builtin semantics (end, start)") {
+    assert(one("SELECT date_diff(DATE '2020-01-03', DATE '2020-01-01') AS d")
+      .getInt(0) == 2)
+  }
+
+  test("date_add: Trino string-unit form and 2-arg Spark form") {
+    assert(one("SELECT CAST(date_add('day', 3, DATE '2020-01-01') AS DATE) AS d")
+      .getDate(0).toString == "2020-01-04")
+    assert(one("SELECT date_add('month', -1, TIMESTAMP '2020-03-15 10:00:00') AS d")
+      .getTimestamp(0).toString.startsWith("2020-02-15 10:00:00"))
+    assert(one("SELECT date_add(DATE '2020-01-01', 3) AS d")
+      .getDate(0).toString == "2020-01-04")
+  }
+
+  // ---- TRY -----------------------------------------------------------------
+
+  test("TRY returns NULL on runtime error") {
+    assert(one("SELECT TRY(1/0) AS v").isNullAt(0))
+    assert(one("SELECT TRY(CAST('nope' AS INT)) AS v").isNullAt(0))
+    assert(one("SELECT TRY(1 + 1) AS v").getInt(0) == 2)
+  }
+
+  // ---- approx_distinct -----------------------------------------------------
+
+  test("approx_distinct tracks exact NDV within the error bound") {
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    val approx = one("SELECT approx_distinct(l_orderkey) AS n FROM lineitem")
+      .getLong(0)
+    val exact = one("SELECT count(DISTINCT l_orderkey) AS n FROM lineitem")
+      .getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  // ---- aliases -------------------------------------------------------------
+
+  test("strpos / arbitrary / json_extract_scalar / bare VARCHAR") {
+    assert(one("SELECT strpos('hello', 'll') AS p").getInt(0) == 3)
+    assert(one("SELECT strpos('hello', 'zz') AS p").getInt(0) == 0)
+    assert(one("SELECT arbitrary(x) AS v FROM (SELECT 9 AS x)").getInt(0) == 9)
+    assert(one(
+      """SELECT json_extract_scalar('{"a": {"b": 7}}', '$.a.b') AS v""")
+      .getString(0) == "7")
+    assert(one("SELECT CAST(5 AS VARCHAR) AS v").getString(0) == "5")
+    // VARCHAR(n) is untouched by the rewrite (Spark's varchar cast does
+    // not truncate — a documented divergence from Trino's CAST)
+    assert(one("SELECT CAST('abcdef' AS VARCHAR(3)) AS v").getString(0)
+      .startsWith("abc"))
+  }
+
+  // ---- UNNEST --------------------------------------------------------------
+
+  test("CROSS JOIN UNNEST of an array") {
+    val r = rows(
+      """SELECT x FROM (SELECT ARRAY [10, 20, 30] AS arr) t
+        |CROSS JOIN UNNEST(t.arr) AS u (x)""".stripMargin)
+    assert(r.map(_.getInt(0)) == Seq(10, 20, 30))
+  }
+
+  test("comma-join UNNEST of a map yields (key, value)") {
+    val r = rows(
+      """SELECT k, v FROM (SELECT MAP(ARRAY ['a','b'], ARRAY [1,2]) AS m) t,
+        |UNNEST(t.m) AS u (k, v)""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getInt(1))).sorted ==
+      Seq(("a", 1), ("b", 2)))
+  }
+
+  test("UNNEST WITH ORDINALITY is 1-based with ordinality last") {
+    val r = rows(
+      """SELECT x, ord FROM (SELECT ARRAY ['p','q','r'] AS arr) t
+        |CROSS JOIN UNNEST(t.arr) WITH ORDINALITY AS u (x, ord)""".stripMargin)
+    assert(r.map(x => (x.getString(0), x.getInt(1))) ==
+      Seq(("p", 1), ("q", 2), ("r", 3)))
+  }
+
+  test("UNNEST WITH ORDINALITY: empty array yields zero rows, null yields zero rows") {
+    val empty = rows(
+      """SELECT x, ord FROM (SELECT ARRAY [1][1] AS probe, array() AS arr) t
+        |CROSS JOIN UNNEST(CAST(t.arr AS ARRAY<INT>)) WITH ORDINALITY AS u (x, ord)""".stripMargin)
+    assert(empty.isEmpty)
+    val nul = rows(
+      """SELECT x, ord FROM (SELECT CAST(NULL AS ARRAY<INT>) AS arr) t
+        |CROSS JOIN UNNEST(t.arr) WITH ORDINALITY AS u (x, ord)""".stripMargin)
+    assert(nul.isEmpty)
+  }
+
+  test("multi-array UNNEST zips with null padding (Trino semantics)") {
+    val r = rows(
+      """SELECT x, y FROM (SELECT ARRAY [1, 2, 3] AS a, ARRAY ['u','v'] AS b) t
+        |CROSS JOIN UNNEST(t.a, t.b) AS u (x, y)""".stripMargin)
+    assert(r.map(x => (x.getInt(0), if (x.isNullAt(1)) null else x.getString(1)))
+      == Seq((1, "u"), (2, "v"), (3, null)))
+  }
+
+  test("multi-array UNNEST WITH ORDINALITY") {
+    val r = rows(
+      """SELECT x, y, ord FROM (SELECT ARRAY [1] AS a, ARRAY ['u','v'] AS b) t
+        |CROSS JOIN UNNEST(t.a, t.b) WITH ORDINALITY AS u (x, y, ord)""".stripMargin)
+    assert(r.map(x => (if (x.isNullAt(0)) null else x.getInt(0),
+      x.getString(1), x.getInt(2))) == Seq((1, "u", 1), (null, "v", 2)))
+  }
+
+  test("UNNEST without a column alias list raises loudly") {
+    val e = intercept[IllegalArgumentException] {
+      SqlEngine.readSqlQuery(spark,
+        "SELECT 1 FROM (SELECT ARRAY [1] AS a) t CROSS JOIN UNNEST(t.a)")
+    }
+    assert(e.getMessage.contains("UNNEST"))
+  }
+
+  // ---- rewrite hygiene -----------------------------------------------------
+
+  test("rewrite leaves string literals untouched") {
+    assert(one("SELECT 'ARRAY [1]' AS s").getString(0) == "ARRAY [1]")
+    assert(one("SELECT 'TRY(x)' AS s").getString(0) == "TRY(x)")
+    assert(one("SELECT 'DECIMAL ''1.5''' AS s").getString(0) == "DECIMAL '1.5'")
+  }
+
+  test("rewrite is a no-op on plain Spark SQL") {
+    val sql = """SELECT l_returnflag, sum(l_quantity) AS q
+                |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+    assert(TrinoCompat.rewrite(sql) == sql)
+  }
+
+  test("reference renderer vectors parse end-to-end (test_sql_params_formatter.py:40-43)") {
+    // the exact shapes the reference's Presto engine renders for params
+    val r = one(
+      """SELECT ARRAY [DECIMAL '33.33', DECIMAL '1.00', NULL] AS l,
+        |       MAP(ARRAY ['int', 'date'], ARRAY [CAST(4 AS VARCHAR),
+        |           CAST(DATE '2022-08-22' AS VARCHAR)]) AS m""".stripMargin)
+    assert(r.getSeq[java.math.BigDecimal](0).head
+      == new java.math.BigDecimal("33.33"))
+    assert(r.getMap[String, String](1)("date") == "2022-08-22")
+  }
+}
