@@ -168,6 +168,136 @@ object SqlEngine {
   }
 
   private val DmlHead = """(?is)^\s*(INSERT|UPDATE|DELETE|MERGE)\b""".r
+  private val UnloadHead = """(?is)^\s*UNLOAD\s*\(""".r
+  // only the Athena CTAS shape (WITH(props) AS query); a Spark-dialect
+  // CREATE TABLE falls through to spark.sql untouched
+  private val CtasHead =
+    ("""(?is)^\s*CREATE\s+TABLE\s+("[^"]+"(?:\."[^"]+")?|[\w.]+)""" +
+      """\s+WITH\s*\(""").r
+
+  /** Athena property value: `'str'` (doubled-quote escapes), a number,
+    * or `ARRAY['a', 'b']` (the Python-list rendering the reference
+    * emits, `athena/_utils.py:852-857`). */
+  private def propValue(v0: String): Either[String, Seq[String]] = {
+    val v = v0.trim
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      Left(v.substring(1, v.length - 1).replace("''", "'"))
+    else if (v.length >= 6 && v.regionMatches(true, 0, "ARRAY", 0, 5)) {
+      val open = v.indexOf('[')
+      require(open > 0 && v.endsWith("]"), s"malformed ARRAY property: $v")
+      Right(TrinoCompat.splitTop(v.substring(open + 1, v.length - 1))
+        .map(e => propValue(e).swap.getOrElse(
+          throw new IllegalArgumentException(s"non-string ARRAY element: $e"))))
+    } else Left(v)
+  }
+
+  private def parseProps(body: String): Map[String, Either[String, Seq[String]]] =
+    TrinoCompat.splitTop(body).map { p =>
+      val i = p.indexOf('=')
+      require(i > 0, s"malformed property '$p' (expected key = value)")
+      p.take(i).trim.toLowerCase -> propValue(p.drop(i + 1))
+    }.toMap
+
+  private def str(props: Map[String, Either[String, Seq[String]]],
+      k: String): Option[String] =
+    props.get(k).map(_.swap.getOrElse(throw new IllegalArgumentException(
+      s"property $k expects a string value")))
+
+  private def arr(props: Map[String, Either[String, Seq[String]]],
+      k: String): Seq[String] =
+    props.get(k).map(_.getOrElse(throw new IllegalArgumentException(
+      s"property $k expects an ARRAY value"))).getOrElse(Nil)
+
+  /** Athena format name → Spark datasource (+ default options). */
+  private def sparkFormat(fmt: String,
+      fieldDelimiter: Option[String]): (String, Map[String, String]) =
+    fmt.toUpperCase match {
+      case "PARQUET" => ("parquet", Map.empty)
+      case "ORC" => ("orc", Map.empty)
+      case "JSON" => ("json", Map.empty)
+      case "AVRO" => ("avro", Map.empty)
+      case "TEXTFILE" | "CSV" =>
+        ("csv", Map("sep" -> fieldDelimiter.getOrElse(",")))
+      case other => throw new IllegalArgumentException(
+        s"unsupported UNLOAD/CTAS format: $other")
+    }
+
+  /** The reference's generated `UNLOAD (sql) TO 'path' WITH (props)`
+    * (`athena/_read.py:791`): query → files, no table. */
+  private def executeUnload(spark: SparkSession, sql: String): DataFrame = {
+    val open = sql.indexOf('(')
+    val close = TrinoCompat.balancedClose(sql, open)
+    val query = sql.substring(open + 1, close)
+    val TailRe =
+      """(?is)\s*TO\s*'([^']*)'\s*WITH\s*\(""".r
+    val tail = TailRe.findPrefixMatchOf(sql.substring(close + 1)).getOrElse(
+      throw new IllegalArgumentException(
+        s"UNLOAD expects … TO '<path>' WITH (props): ${sql.take(120)}"))
+    val path = tail.group(1)
+    val pOpen = close + 1 + tail.end - 1
+    val pClose = TrinoCompat.balancedClose(sql, pOpen)
+    val props = parseProps(sql.substring(pOpen + 1, pClose))
+    val (fmt, opts) = sparkFormat(
+      str(props, "format").getOrElse("PARQUET"), str(props, "field_delimiter"))
+    unload(spark, TrinoCompat.rewrite(query), path, fmt,
+      partitionedBy = arr(props, "partitioned_by"),
+      compression = str(props, "compression").map(_.toLowerCase)
+        .getOrElse(if (fmt == "parquet") "snappy" else "none"),
+      options = opts)
+    import spark.implicits._
+    Seq(("UNLOAD", path)).toDF("operation", "table")
+  }
+
+  /** The reference's generated Athena CTAS (`athena/_utils.py:860-873`):
+    * `CREATE TABLE "db"."t" WITH(external_location = …, partitioned_by =
+    * ARRAY[…], bucketed_by = ARRAY[…], bucket_count = N, field_delimiter
+    * = …, write_compression = …, format = …) AS sql [WITH NO DATA]` →
+    * the equivalent Spark CTAS (USING / PARTITIONED BY / CLUSTERED BY /
+    * OPTIONS / LOCATION). `WITH NO DATA` registers the schema with zero
+    * rows. The table lands in the SESSION catalog, so a later
+    * [[executeSql]] DML statement resolves it by name. */
+  private def executeCtas(spark: SparkSession, sql: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val name = TableDml.qnameKey(m.group(1))
+    val pOpen = sql.indexOf('(', m.end - 1)
+    val pClose = TrinoCompat.balancedClose(sql, pOpen)
+    val props = parseProps(sql.substring(pOpen + 1, pClose))
+    val AsRe = """(?is)\s*AS\s""".r
+    val asM = AsRe.findPrefixMatchOf(sql.substring(pClose + 1)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Athena CTAS expects WITH(props) AS <query>: ${sql.take(120)}"))
+    var query = sql.substring(pClose + 1 + asM.end).trim.stripSuffix(";").trim
+    val NoData = """(?is)\s*WITH\s+NO\s+DATA\s*$""".r
+    val noData = NoData.findFirstMatchIn(query).map { nm =>
+      query = query.substring(0, nm.start); true
+    }.getOrElse(false)
+    val (fmt, fmtOpts) = sparkFormat(
+      str(props, "format").getOrElse("PARQUET"), str(props, "field_delimiter"))
+    val opts = fmtOpts ++
+      str(props, "write_compression").map(c => "compression" -> c.toLowerCase)
+    val partCols = arr(props, "partitioned_by")
+    val buckets = arr(props, "bucketed_by")
+    val ddl = new StringBuilder(s"CREATE TABLE $name USING $fmt")
+    if (opts.nonEmpty)
+      ddl ++= opts.map { case (k, v) => s"'$k' '$v'" }
+        .mkString(" OPTIONS (", ", ", ")")
+    if (partCols.nonEmpty)
+      ddl ++= partCols.mkString(" PARTITIONED BY (", ", ", ")")
+    if (buckets.nonEmpty) {
+      val n = str(props, "bucket_count").getOrElse(
+        throw new IllegalArgumentException(
+          "bucketed_by requires bucket_count"))
+      ddl ++= buckets.mkString(" CLUSTERED BY (", ", ", s") INTO $n BUCKETS")
+    }
+    str(props, "external_location").foreach(l => ddl ++= s" LOCATION '$l'")
+    val q = TrinoCompat.rewrite(query)
+    ddl ++= " AS " +
+      (if (noData) s"SELECT * FROM ($q) WHERE 1 = 0" else q)
+    TrinoCompat.ensureRegistered(spark)
+    spark.sql(ddl.toString)
+    import spark.implicits._
+    Seq(("CTAS", name)).toDF("operation", "table")
+  }
 
   /** ONE front door for reads AND table DML — the reference executes
     * both through the same `start_query_execution` path
@@ -188,7 +318,12 @@ object SqlEngine {
       sql: String,
       params: Map[String, Any] = Map.empty,
       tables: Map[String, String] = Map.empty): DataFrame =
-    if (DmlHead.findFirstIn(sql).isEmpty)
+    if (UnloadHead.findFirstIn(sql).isDefined)
+      executeUnload(spark, substitute(sql, params, strict = true))
+    else if (CtasHead.findPrefixMatchOf(sql).isDefined)
+      executeCtas(spark, substitute(sql, params, strict = true),
+        CtasHead.findPrefixMatchOf(sql).get)
+    else if (DmlHead.findFirstIn(sql).isEmpty)
       readSqlQuery(spark, sql, params)
     else {
       val rendered = substitute(sql, params, strict = true)

@@ -81,8 +81,9 @@ object TrinoCompat {
       case other => throw new IllegalArgumentException(
         s"strpos expects (string, substring), got ${other.size} args")
     }
+    // "an arbitrary non-null value of x, if one exists" (Trino docs)
     fn("arbitrary") {
-      case Seq(c) => First(c, ignoreNulls = false)
+      case Seq(c) => First(c, ignoreNulls = true)
       case other => throw new IllegalArgumentException(
         s"arbitrary expects 1 argument, got ${other.size}")
     }
@@ -137,7 +138,7 @@ object TrinoCompat {
 
   /** Index of the close paren/bracket balancing the opener at `open`
     * (quote-aware; both () and [] nest). */
-  private def balancedClose(s: String, open: Int): Int = {
+  private[sql] def balancedClose(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     var quote: Char = 0
@@ -157,7 +158,7 @@ object TrinoCompat {
   }
 
   /** Split a comma list at the TOP level only. */
-  private def splitTop(s: String): Seq[String] = {
+  private[sql] def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     var depth = 0

@@ -132,6 +132,11 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(one("SELECT strpos('hello', 'll') AS p").getInt(0) == 3)
     assert(one("SELECT strpos('hello', 'zz') AS p").getInt(0) == 0)
     assert(one("SELECT arbitrary(x) AS v FROM (SELECT 9 AS x)").getInt(0) == 9)
+    // non-null value preferred (Trino contract)
+    assert(one(
+      """SELECT arbitrary(x) AS v FROM
+        |  (SELECT CAST(NULL AS INT) AS x, 1 AS o
+        |   UNION ALL SELECT 5, 2 ORDER BY o)""".stripMargin).getInt(0) == 5)
     assert(one(
       """SELECT json_extract_scalar('{"a": {"b": 7}}', '$.a.b') AS v""")
       .getString(0) == "7")
@@ -214,6 +219,62 @@ class TrinoCompatSpec extends AnyFunSuite {
     val sql = """SELECT l_returnflag, sum(l_quantity) AS q
                 |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
     assert(TrinoCompat.rewrite(sql) == sql)
+  }
+
+  // ---- Athena CTAS / UNLOAD statements through the front door -------------
+
+  test("Athena-shaped CTAS statement executes through executeSql") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctas").toString
+    spark.sql("DROP TABLE IF EXISTS ctas_front_t")
+    val res = SqlEngine.executeSql(spark,
+      s"""CREATE TABLE ctas_front_t
+         |WITH(
+         |    external_location = '$dir/ctas_front_t',
+         |    partitioned_by = ARRAY['flag'],
+         |    write_compression = 'SNAPPY',
+         |    format = 'PARQUET'
+         |)
+         |AS SELECT id, CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS flag
+         |   FROM range(10)""".stripMargin)
+    assert(res.head().getString(0) == "CTAS")
+    assert(spark.table("ctas_front_t").count() == 10)
+    assert(new java.io.File(s"$dir/ctas_front_t").listFiles()
+      .exists(_.getName.startsWith("flag=")))
+    spark.sql("DROP TABLE ctas_front_t")
+  }
+
+  test("CTAS WITH NO DATA registers the schema with zero rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ctas0").toString
+    spark.sql("DROP TABLE IF EXISTS ctas_nodata_t")
+    SqlEngine.executeSql(spark,
+      s"""CREATE TABLE ctas_nodata_t
+         |WITH(
+         |    external_location = '$dir/t',
+         |    format = 'PARQUET')
+         |AS SELECT id, id * 2 AS dbl FROM range(7)
+         |WITH NO DATA""".stripMargin)
+    assert(spark.table("ctas_nodata_t").count() == 0)
+    assert(spark.table("ctas_nodata_t").columns.toSeq == Seq("id", "dbl"))
+    spark.sql("DROP TABLE ctas_nodata_t")
+  }
+
+  test("UNLOAD statement writes query results to files") {
+    val base = java.nio.file.Files.createTempDirectory("graft-unl").toString
+    val res = SqlEngine.executeSql(spark,
+      s"UNLOAD (SELECT id, id * 2 AS dbl FROM range(5)) TO '$base/p' " +
+        "WITH (  format='PARQUET')")
+    assert(res.head().getString(0) == "UNLOAD")
+    assert(spark.read.parquet(s"$base/p").count() == 5)
+    // TEXTFILE with a field delimiter, partitioned — the exact property
+    // rendering of `athena/_read.py:783-791`
+    SqlEngine.executeSql(spark,
+      s"UNLOAD (SELECT id, CAST(id % 2 AS STRING) AS par FROM range(6)) " +
+        s"TO '$base/t' WITH (  format='TEXTFILE'  , field_delimiter='|'" +
+        "  , partitioned_by=ARRAY['par'])")
+    val back = spark.read.option("sep", "|").csv(s"$base/t")
+    assert(back.count() == 6)
+    assert(new java.io.File(s"$base/t").listFiles()
+      .exists(_.getName.startsWith("par=")))
   }
 
   test("reference renderer vectors parse end-to-end (test_sql_params_formatter.py:40-43)") {
