@@ -180,6 +180,7 @@ object SparkEntry {
     // through readSqlQuery's TrinoCompat shim
     "trino_read_sql"      -> (graft.sql.TrinoQueries.readSql _),
     "trino_unnest_ord"    -> (graft.sql.TrinoQueries.unnestOrdinality _),
+    "trino_cast_json"     -> (graft.sql.TrinoQueries.castJson _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
@@ -354,6 +355,7 @@ object SparkEntry {
     "logs_last_event"     -> LogsInsights.lastEventOracle,
     "trino_read_sql"      -> graft.sql.TrinoQueries.readSqlOracle,
     "trino_unnest_ord"    -> graft.sql.TrinoQueries.unnestOrdinalityOracle,
+    "trino_cast_json"     -> graft.sql.TrinoQueries.castJsonOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal

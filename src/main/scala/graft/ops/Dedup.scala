@@ -39,6 +39,12 @@ object Dedup {
     while (df != null) { df.unpersist(false); df = liveCaches.poll() }
   }
 
+  /** Register an externally persisted table for the same
+    * release-after-action lifecycle (used by [[Vectors.semDedup]]'s
+    * assignment table — same multi-branch reuse shape as the LSH
+    * signatures). */
+  private[graft] def registerCache(df: DataFrame): Unit = liveCaches.add(df)
+
   /** Distinct character 3-gram shingles per document. */
   private def shingles = array_distinct(
     expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))

@@ -170,14 +170,34 @@ object Vectors {
       math.max(1, math.ceil(math.sqrt(emb.count().toDouble)).toInt))
     val centroids = emb.orderBy(col("vec_id")).limit(kk)
       .select(col("vec_id").as("c_id"), col("embedding").as("centroid"))
-    val assigned = emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("cdist", cosine(s, "embedding", "centroid"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cdist"), (-col("c_id")).as("nc"))).as("best"))
-      .select(col("vec_id"), (-col("best.nc")).cast("long").as("cluster"))
+    // assignment: ONE codegen'd argmax per row over the broadcast
+    // centroid array (graft.expr.NearestCentroid — same cosine fold,
+    // same lowest-c_id tie rule as the crossJoin+argmax-agg shape it
+    // replaced, which materialized n×k rows through a hash aggregate
+    // and dominated the 100× wall time once k scaled as √n). The
+    // 1-row centroid collection is k-bounded (k ≈ √n) and rides the
+    // same broadcast the join shipped anyway.
+    graft.expr.NearestCentroid.register(s)
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(col("c_id"), col("centroid"))))
+        .as("cents"))
+    // repartition before the argmax: the k·d flops per row dwarf one
+    // linear shuffle for any real k (a compact corpus can arrive as a
+    // single input split, which would run the whole assignment on one
+    // core); persist because the assignment feeds THREE plan branches
+    // (both pair sides + the final anti-join) — without it the n×k
+    // argmax re-runs per branch. Released by the harness via
+    // [[Dedup.releaseCaches]], the LSH-signature lifecycle.
+    val parts = math.max(s.sparkContext.defaultParallelism,
+      s.conf.get("spark.sql.shuffle.partitions").toInt)
     val withCluster = emb.select(col("vec_id"), col("embedding"))
-      .join(assigned, "vec_id")
+      .repartition(parts)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"),
+        call_function("nearest_centroid", col("embedding"), col("cents"))
+          .as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(withCluster)
     val a = withCluster.select(col("vec_id").as("id1"), col("cluster"),
       col("embedding").as("e1"))
     val b = withCluster.select(col("vec_id").as("id2"), col("cluster"),

@@ -2,8 +2,17 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Expression, GetJsonObject, Literal, StringInstr, TryEval}
+  Abs, Add, And, Ascii, AssertTrue, Base64, Cast, Coalesce, Concat,
+  CreateNamedStruct, DateFormatClass, DayOfYear, Divide, EqualTo,
+  Expression, Floor, GetJsonObject, GreaterThan, Hex, If, IsNaN, IsNull,
+  Length, Levenshtein, Literal, Multiply, Not, NullIf, ParseToTimestamp,
+  ParseUrl, Rand, RegExpExtract, SecondsToTimestamp, Sha2, StringInstr,
+  StructsToJson, Substring, Subtract, TryEval, UnBase64, Unhex,
+  UnixMicros, WeekDay, WeekOfYear}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types.{
+  BinaryType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Trino/Presto dialect compatibility for `readSqlQuery` — the
   * reference's headline entry point accepts Athena (= Trino) SQL
@@ -42,7 +51,33 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPl
   *       ordinality is 1-based via `arrays_zip(e, sequence(1, ...))`,
   *       multi-array unnest zips with null-padding exactly as Trino;
   *     - `TRY(` → the registered `try` function;
-  *     - bare `VARCHAR` (no length) → `STRING` in casts.
+  *     - bare `VARCHAR` (no length) → `STRING` in casts;
+  *     - CAST/TRY_CAST type targets: `ROW(n T, …)` → `STRUCT<n: T, …>`,
+  *       `ARRAY(T)`/`MAP(K, V)` → `ARRAY<T>`/`MAP<K, V>`, `AS JSON` →
+  *       `graft_cast_json(expr)`; remaining `ROW(` constructors →
+  *       `struct(` (a bare ROW's default field names differ — Spark
+  *       `col1…`; a cast assigns the Trino names).
+  *
+  * Layer 1 additionally registers (all Catalyst expressions, codegen'd
+  * via their replacements): `nan`/`infinity`/`is_nan`/`is_finite`/
+  * `is_infinite`, `random([n])` with Trino's positive-bound check,
+  * ISO `day_of_week`/`dow`, `day_of_year`/`doy`, `week[_of_year]`,
+  * fractional `to_unixtime`, timestamp-returning `from_unixtime`,
+  * MySQL-specifier `date_parse` and `date_format` (the %-form),
+  * Joda-pattern `format_datetime`, `codepoint`,
+  * `levenshtein_distance`, `to_hex`/`from_hex`, `to_base64`/
+  * `from_base64`, varbinary `sha256`, array-or-string `contains`,
+  * the `url_extract_*` family, WKT-valued `st_point`/`st_astext`/
+  * `st_geometryfromtext`/`st_linefromtext`/`st_polygon`, and the JSON
+  * trio `graft_cast_json`/`json_parse`/`json_format`.
+  *
+  * Known divergences (documented, loud where possible): `json_extract`
+  * returns the extracted JSON text but — like Spark's
+  * `get_json_object` it maps to — unquotes top-level string scalars
+  * (Trino keeps the quotes; `json_extract_scalar` matches Trino
+  * exactly). `md5`/`sha1` keep Spark's hex-string semantics — the
+  * repo's own oracled SQL depends on them, and shadowing them would
+  * change unrelated queries.
   */
 object TrinoCompat {
 
@@ -97,6 +132,219 @@ object TrinoCompat {
       case other => throw new IllegalArgumentException(
         s"json_extract expects (json, path), got ${other.size} args")
     }
+
+    // ---- JSON type (`CAST(x AS JSON)`, test_athena.py:1135-1173) ----------
+    // Our model has no JSON type: a JSON value IS its canonical text.
+    // The rewrite turns `CAST(x AS JSON)` into `graft_cast_json(x)`,
+    // which renders ANY input as JSON text — scalars and complex types
+    // alike — by round-tripping through Jackson (`to_json` of a 1-field
+    // struct, prefix/suffix stripped), so string quoting and escaping
+    // are exactly the JSON spec's, not a hand-rolled escape chain.
+    // `json_parse`/`json_format` are then identities on that model
+    // (json_format(CAST(x AS JSON)) composes correctly: the cast output
+    // is already text).
+    fn("graft_cast_json") {
+      case Seq(c) => jsonText(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_cast_json expects 1 argument, got ${other.size}")
+    }
+    fn("json_parse") { case Seq(c) => c }
+    fn("json_format") { case Seq(c) => c }
+
+    // ---- numeric specials (test_athena.py:1550-1561) ----------------------
+    fn("nan") { case Seq() => Literal(Double.NaN) }
+    fn("infinity") { case Seq() => Literal(Double.PositiveInfinity) }
+    fn("is_nan") { case Seq(c) => IsNaN(Cast(c, DoubleType)) }
+    fn("is_infinite") { case Seq(c) =>
+      EqualTo(Abs(Cast(c, DoubleType)), Literal(Double.PositiveInfinity))
+    }
+    fn("is_finite") { case Seq(c) =>
+      val d = Cast(c, DoubleType)
+      And(Not(IsNaN(d)),
+        Not(EqualTo(Abs(d), Literal(Double.PositiveInfinity))))
+    }
+    // Trino random(n): uniform integer in [0, n), n must be positive
+    // (test_athena.py:1122 expects random(-1) to FAIL the query). The
+    // Coalesce forces the AssertTrue guard to evaluate first; it
+    // returns null on success, so the draw is the result.
+    fn("random") {
+      case Seq() => new Rand(Literal(scala.util.Random.nextLong()))
+      case Seq(n) =>
+        val guard = new AssertTrue(GreaterThan(Cast(n, LongType), Literal(0L)))
+        val draw = Cast(Floor(Multiply(
+          new Rand(Literal(scala.util.Random.nextLong())),
+          Cast(n, DoubleType))), LongType)
+        Coalesce(Seq(Cast(guard, LongType), draw))
+      case other => throw new IllegalArgumentException(
+        s"random expects 0 or 1 arguments, got ${other.size}")
+    }
+
+    // ---- date/time (Trino names & semantics) ------------------------------
+    // day_of_week is ISO (1 = Monday .. 7 = Sunday) in Trino; Spark's
+    // dayofweek is 1 = Sunday, so these go through weekday() + 1.
+    fn("day_of_week") { case Seq(c) => Add(WeekDay(c), Literal(1)) }
+    fn("dow") { case Seq(c) => Add(WeekDay(c), Literal(1)) }
+    fn("day_of_year") { case Seq(c) => DayOfYear(c) }
+    fn("doy") { case Seq(c) => DayOfYear(c) }
+    fn("week") { case Seq(c) => WeekOfYear(c) }
+    fn("week_of_year") { case Seq(c) => WeekOfYear(c) }
+    // Trino to_unixtime returns DOUBLE seconds (fractional); Spark's
+    // unix_timestamp truncates, so go through microseconds.
+    fn("to_unixtime") { case Seq(c) =>
+      Divide(Cast(UnixMicros(Cast(c, TimestampType)), DoubleType),
+        Literal(1000000.0))
+    }
+    // Trino from_unixtime returns a TIMESTAMP; Spark's builtin of the
+    // same name returns a formatted STRING. The Trino semantics win
+    // inside the compat layer (the repo's own SQL never calls it).
+    fn("from_unixtime") {
+      case Seq(c) => SecondsToTimestamp(Cast(c, DoubleType))
+      case other => throw new IllegalArgumentException(
+        "from_unixtime(unixtime) is supported; zone/offset forms are not")
+    }
+    // date_parse uses MySQL %-specifiers (Trino docs: date_parse);
+    // translated to Spark's pattern letters at registration time.
+    fn("date_parse") {
+      case Seq(s, Literal(fmt: UTF8String, StringType)) =>
+        new ParseToTimestamp(s, Literal(mysqlToJava(fmt.toString)))
+      case _ => throw new IllegalArgumentException(
+        "date_parse expects (string, literal MySQL-style format)")
+    }
+    // format_datetime takes a Joda pattern — for the specifier set the
+    // reference's tutorials use (yyyy/MM/dd/HH/mm/ss, literals) Joda
+    // and java.time patterns coincide; pass through.
+    fn("format_datetime") { case Seq(t, f) =>
+      DateFormatClass(Cast(t, TimestampType), f)
+    }
+    // Trino's date_format ALSO uses MySQL %-specifiers — same name as
+    // Spark's (Java-pattern) builtin. A literal format containing '%'
+    // is unambiguously the Trino form and is translated; any other
+    // call keeps Spark's builtin semantics.
+    fn("date_format") {
+      case Seq(t, Literal(fmt: UTF8String, StringType))
+          if fmt.toString.contains("%") =>
+        DateFormatClass(Cast(t, TimestampType),
+          Literal(mysqlToJava(fmt.toString)))
+      case Seq(t, f) => DateFormatClass(t, f)
+      case other => throw new IllegalArgumentException(
+        s"date_format expects 2 arguments, got ${other.size}")
+    }
+
+    // ---- strings / binary -------------------------------------------------
+    fn("codepoint") { case Seq(c) => Ascii(c) }
+    fn("levenshtein_distance") { case Seq(a, b) => Levenshtein(a, b) }
+    fn("to_hex") { case Seq(c) => Hex(c) }
+    fn("from_hex") { case Seq(c) => Unhex(c) }
+    fn("to_base64") { case Seq(c) => new Base64(c) }
+    fn("from_base64") { case Seq(c) => UnBase64(c) }
+    // Trino sha256 returns VARBINARY (Spark's sha2 returns hex text)
+    fn("sha256") { case Seq(c) =>
+      Unhex(Sha2(Cast(c, BinaryType), Literal(256)))
+    }
+    // Trino contains(array, elem); Spark's contains is string-only —
+    // TrinoContains dispatches on the resolved argument type so both
+    // dialects work through the one name.
+    fn("contains") { case Seq(a, b) => graft.expr.TrinoContains(a, b) }
+
+    // ---- URL decomposition ------------------------------------------------
+    fn("url_extract_host") { case Seq(u) =>
+      new ParseUrl(Seq(u, Literal("HOST")))
+    }
+    fn("url_extract_path") { case Seq(u) =>
+      new ParseUrl(Seq(u, Literal("PATH")))
+    }
+    fn("url_extract_protocol") { case Seq(u) =>
+      new ParseUrl(Seq(u, Literal("PROTOCOL")))
+    }
+    // parse_url has no PORT part — take it off the AUTHORITY
+    // (`host:port`); absent port → NULL, as in Trino
+    fn("url_extract_port") { case Seq(u) =>
+      Cast(new NullIf(RegExpExtract(new ParseUrl(Seq(u, Literal("AUTHORITY"))),
+        Literal(":([0-9]+)$"), Literal(1)), Literal("")), LongType)
+    }
+    fn("url_extract_query") { case Seq(u) =>
+      new ParseUrl(Seq(u, Literal("QUERY")))
+    }
+    fn("url_extract_fragment") { case Seq(u) =>
+      new ParseUrl(Seq(u, Literal("REF")))
+    }
+    fn("url_extract_parameter") { case Seq(u, p) =>
+      new ParseUrl(Seq(u, Literal("QUERY"), p))
+    }
+
+    // ---- geospatial (test_athena_geospatial.py:11-17) ---------------------
+    // Geometry values are WKT strings in our model — the same rendering
+    // the catalog layer chose for geometry columns (AthenaTypes
+    // geometry→WKT), and what the reference materializes client-side.
+    fn("st_point") { case Seq(x, y) =>
+      Concat(Seq(Literal("POINT ("), Cast(x, StringType), Literal(" "),
+        Cast(y, StringType), Literal(")")))
+    }
+    fn("st_astext") { case Seq(g) => g }
+    fn("st_geometryfromtext") { case Seq(t) => t }
+    fn("st_geomfromtext") { case Seq(t) => t }
+    fn("st_linefromtext") { case Seq(t) => t }
+    fn("st_polygon") { case Seq(t) => t }
+  }
+
+  /** JSON text of ANY value: round-trip through `to_json` of a 1-field
+    * struct and strip the `{"v":` / `}` wrapper — Jackson does the
+    * quoting/escaping, identically for scalars and nested types. */
+  private def jsonText(c: Expression): Expression = {
+    val j = StructsToJson(Map("ignoreNullFields" -> "false"),
+      CreateNamedStruct(Seq(Literal("v"), c)), None)
+    If(IsNull(c), Literal(null, StringType),
+      Substring(j, Literal(6), Subtract(Length(j), Literal(6))))
+  }
+
+  /** MySQL/Trino %-specifiers → Spark datetime pattern letters
+    * (trino.io docs: date_format/date_parse MySQL table). Literal
+    * letters are quoted so Spark's formatter keeps them verbatim. */
+  private[graft] def mysqlToJava(fmt: String): String = {
+    val out = new StringBuilder
+    val lit = new StringBuilder
+    def flush(): Unit = if (lit.nonEmpty) {
+      out ++= "'" + lit.toString.replace("'", "''") + "'"
+      lit.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        val spec: String = fmt(i + 1) match {
+          case 'Y' => "yyyy"
+          case 'y' => "yy"
+          case 'm' => "MM"
+          case 'c' => "M"
+          case 'd' => "dd"
+          case 'e' => "d"
+          case 'H' => "HH"
+          case 'k' => "H"
+          case 'h' | 'I' => "hh"
+          case 'l' => "h"
+          case 'i' => "mm"
+          case 's' | 'S' => "ss"
+          case 'f' => "SSSSSS"
+          case 'p' => "a"
+          case 'W' => "EEEE"
+          case 'a' => "EEE"
+          case 'M' => "MMMM"
+          case 'b' => "MMM"
+          case 'j' => "DDD"
+          case 'T' => "HH:mm:ss"
+          case '%' => null
+          case other => throw new IllegalArgumentException(
+            s"unsupported MySQL datetime specifier %$other")
+        }
+        if (spec == null) lit += '%' else { flush(); out ++= spec }
+        i += 2
+      } else {
+        if (c.isLetter || c == '\'') lit += c else { flush(); out += c }
+        i += 1
+      }
+    }
+    flush()
+    out.toString
   }
 
   private val Units = Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
@@ -113,7 +361,9 @@ object TrinoCompat {
     s = dateFnUnits(s)
     s = rewriteUnnest(s)
     s = mapConstructors(s)
+    s = castTargets(s)
     s = bracketsPass(s)
+    s = renameCall(s, "ROW", "struct")
     s = renameCall(s, "TRY", "try")
     s = bareVarchar(s)
     s
@@ -369,6 +619,118 @@ object TrinoCompat {
       } else { out += c; i += 1 }
     }
     out.toString
+  }
+
+  // ---- CAST targets: ROW(..)/ARRAY(..)/MAP(..)/JSON type syntax ------------
+
+  /** Rewrites the TYPE argument of every `CAST` / `TRY_CAST`:
+    *
+    *  - `ROW(name T, ...)` → `STRUCT<name: T, ...>` (recursive; quoted
+    *    field names become backticked) — the shape
+    *    `test_athena.py:1226-1251` casts its ROW constructors to;
+    *  - `ARRAY(T)` → `ARRAY<T>`, `MAP(K, V)` → `MAP<K, V>`;
+    *  - `JSON` → the whole cast becomes `graft_cast_json(expr)`
+    *    (wrapped in `try(...)` for TRY_CAST).
+    *
+    * The expression side of the cast is recursed for nested casts; the
+    * later passes (brackets, ROW→struct, bareVarchar) then apply inside
+    * both the expression and the emitted STRUCT<> field types. */
+  private def castTargets(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) { out += c; if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+      else {
+        val kw =
+          if (wordAt(sql, i, "TRY_CAST")) Some("TRY_CAST")
+          else if (wordAt(sql, i, "CAST")) Some("CAST")
+          else None
+        kw match {
+          case Some(k)
+              if skipWs(sql, i + k.length) < sql.length &&
+                sql(skipWs(sql, i + k.length)) == '(' =>
+            val open = skipWs(sql, i + k.length)
+            val close = balancedClose(sql, open)
+            splitAtTopAs(sql.substring(open + 1, close)) match {
+              case Some((expr, tpe)) =>
+                val e = castTargets(expr)
+                if (tpe.trim.equalsIgnoreCase("JSON"))
+                  out ++= (if (k == "TRY_CAST") s"try(graft_cast_json($e))"
+                           else s"graft_cast_json($e)")
+                else out ++= s"$k($e AS ${trinoType(tpe)})"
+                i = close + 1
+              case None =>
+                out ++= sql.substring(i, i + k.length)
+                i += k.length
+            }
+          case _ => out += c; i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  /** Split `expr AS type` at the last TOP-level `AS`. */
+  private def splitAtTopAs(s: String): Option[(String, String)] = {
+    var last = -1
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ =>
+          if (depth == 0 && wordAt(s, i, "AS")) last = i
+      }
+      i += 1
+    }
+    if (last < 0) None
+    else Some((s.substring(0, last), s.substring(last + 2)))
+  }
+
+  /** Trino type text → Spark type text (recursive). Unrecognized type
+    * names pass through untouched for Spark's parser to judge. */
+  private[sql] def trinoType(t0: String): String = {
+    val t = t0.trim
+    def headParen(w: String): Option[(Int, Int)] = {
+      if (!wordAt(t, 0, w)) return None
+      val j = skipWs(t, w.length)
+      if (j < t.length && t(j) == '(' && balancedClose(t, j) == t.length - 1)
+        Some((j, t.length - 1))
+      else None
+    }
+    headParen("ROW").map { case (open, close) =>
+      val fields = splitTop(t.substring(open + 1, close)).map { f =>
+        // name is a bare identifier or a double-quoted one (which may
+        // itself contain spaces) — split AFTER the closing quote
+        val sp =
+          if (f.startsWith("\"")) f.indexOf('"', 1) + 1
+          else f.indexWhere(_.isWhitespace)
+        require(sp > 0 && sp < f.length,
+          s"ROW field needs a name and a type: $f")
+        val name0 = f.take(sp).trim
+        val name =
+          if (name0.startsWith("\"") && name0.endsWith("\""))
+            "`" + name0.substring(1, name0.length - 1) + "`"
+          else name0
+        s"$name: ${trinoType(f.drop(sp + 1))}"
+      }
+      s"STRUCT<${fields.mkString(", ")}>"
+    }.orElse(headParen("ARRAY").map { case (open, close) =>
+      s"ARRAY<${trinoType(t.substring(open + 1, close))}>"
+    }).orElse(headParen("MAP").map { case (open, close) =>
+      val kv = splitTop(t.substring(open + 1, close))
+      require(kv.size == 2, s"MAP type needs (key, value): $t")
+      s"MAP<${trinoType(kv.head)}, ${trinoType(kv(1))}>"
+    }).getOrElse(
+      if (t.equalsIgnoreCase("VARBINARY")) "BINARY" else t)
   }
 
   // ---- TRY( → try( ---------------------------------------------------------

@@ -50,6 +50,31 @@ object TrinoQueries {
         |WHERE d.doc_id < 50 AND u.ord <= 5""".stripMargin)
   }
 
+  /** The round-11 widened surface in one statement: `CAST(MAP(ARRAY…,
+    * ARRAY…) AS JSON)` (the exact `test_athena.py:1135-1152` shapes),
+    * a ROW-typed cast with Trino field names + field access
+    * (`test_athena.py:1226`), and ISO `day_of_week`. All map-side
+    * expression work over one scan — codegen'd, no shuffle beyond the
+    * final collect, the shape that survives any corpus size. */
+  def castJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    SqlEngine.readSqlQuery(s,
+      """SELECT o_orderkey AS id,
+        |       CAST(MAP(ARRAY['status', 'prio'], ARRAY[o_orderstatus, o_orderpriority]) AS JSON) AS j,
+        |       CAST(ROW(o_custkey, o_orderstatus) AS ROW(ck BIGINT, st VARCHAR)).ck AS ck2,
+        |       day_of_week(o_orderdate) AS dw
+        |FROM orders
+        |WHERE o_orderkey % 50 = 0""".stripMargin)
+  }
+
+  def castJsonOracle: String =
+    """SELECT o_orderkey AS id,
+      |       '{"status":"' || o_orderstatus || '","prio":"' || o_orderpriority || '"}' AS j,
+      |       CAST(o_custkey AS BIGINT) AS ck2,
+      |       CAST(isodow(o_orderdate) AS INTEGER) AS dw
+      |FROM orders
+      |WHERE o_orderkey % 50 = 0""".stripMargin
+
   def unnestOrdinalityOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
       |           FROM documents WHERE doc_id < 50)

@@ -221,6 +221,191 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(TrinoCompat.rewrite(sql) == sql)
   }
 
+  // ---- ROW constructors and ROW-type casts (test_athena.py:1226,2127) -----
+
+  test("CAST(ROW(..) AS ROW(..)) assigns the Trino field names") {
+    val r = one(
+      "SELECT CAST(ROW(1, 'foo') AS ROW(id BIGINT, value VARCHAR)) AS col0")
+    val s = r.getStruct(0)
+    assert(s.schema.fieldNames.toSeq == Seq("id", "value"))
+    assert(s.getLong(0) == 1L && s.getString(1) == "foo")
+  }
+
+  test("nested ROW cast (the test_athena.py:2127 shape)") {
+    val r = one(
+      "SELECT CAST(" +
+        "    ROW(1, ROW(2, ROW(3, '4'))) AS" +
+        "    ROW(field0 BIGINT, field1 ROW(field2 BIGINT, field3 ROW(field4 BIGINT, field5 VARCHAR)))" +
+        ") AS col0")
+    val s = r.getStruct(0)
+    assert(s.getLong(0) == 1L)
+    val f1 = s.getStruct(1)
+    assert(f1.getLong(0) == 2L)
+    val f3 = f1.getStruct(1)
+    assert(f3.getLong(0) == 3L && f3.getString(1) == "4")
+  }
+
+  test("row field access after a cast; ARRAY/MAP type targets") {
+    assert(one(
+      "SELECT CAST(ROW(7, 'x') AS ROW(k BIGINT, s VARCHAR)).k AS k").getLong(0) == 7L)
+    assert(one("SELECT CAST(ARRAY[1, 2] AS ARRAY(BIGINT))[2] AS x").getLong(0) == 2L)
+    assert(one(
+      "SELECT CAST(MAP(ARRAY['a'], ARRAY[1]) AS MAP(VARCHAR, BIGINT))['a'] AS x")
+      .getLong(0) == 1L)
+  }
+
+  // ---- CAST(.. AS JSON) (test_athena.py:1135-1152) ------------------------
+
+  test("CAST AS JSON renders scalars and maps as JSON text") {
+    // the exact expectations of test_athena_read_json
+    val r = one(
+      """WITH dataset AS (
+        |SELECT
+        |    CAST('HELLO ATHENA' AS JSON) AS some_str,
+        |    CAST(12345 AS JSON) AS some_int,
+        |    CAST(MAP(ARRAY['a', 'b'], ARRAY[1,2]) AS JSON) AS some_map
+        |)
+        |SELECT * FROM dataset""".stripMargin)
+    assert(r.getString(0) == "\"HELLO ATHENA\"")
+    assert(r.getString(1) == "12345")
+    assert(r.getString(2) == """{"a":1,"b":2}""")
+  }
+
+  test("CAST AS JSON: escaping, null, TRY_CAST form") {
+    assert(one("""SELECT CAST('say "hi"' AS JSON) AS j""").getString(0) ==
+      """"say \"hi\""""")
+    assert(one("SELECT CAST(CAST(NULL AS BIGINT) AS JSON) AS j").isNullAt(0))
+    assert(one("SELECT TRY_CAST(ARRAY[1, 2] AS JSON) AS j").getString(0) ==
+      "[1,2]")
+    // json_format/json_parse compose as identities over the text model
+    assert(one("""SELECT json_format(json_parse('{"a":1}')) AS j""")
+      .getString(0) == """{"a":1}""")
+  }
+
+  // ---- numeric specials (test_athena.py:1122,1550) ------------------------
+
+  test("nan()/infinity() and the is_* predicates") {
+    val r = one(
+      "SELECT nan() AS nan, infinity() AS inf, -infinity() AS inf_n, 1.2 AS regular")
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1).isPosInfinity && r.getDouble(2).isNegInfinity)
+    // Spark types the bare literal DECIMAL(2,1) where Athena v2 used
+    // DOUBLE — value equality is what the reference asserts
+    assert(r.getAs[Any](3).toString.toDouble == 1.2)
+    val p = one(
+      "SELECT is_nan(nan()) AS a, is_infinite(-infinity()) AS b, " +
+        "is_finite(1.5) AS c, is_finite(infinity()) AS d, is_nan(1.0) AS e")
+    assert(p.getBoolean(0) && p.getBoolean(1) && p.getBoolean(2))
+    assert(!p.getBoolean(3) && !p.getBoolean(4))
+  }
+
+  test("random(n): integer in [0, n); non-positive bound fails the query") {
+    val draws = rows("SELECT random(10) AS r FROM range(200)")
+      .map(_.getLong(0))
+    assert(draws.forall(d => d >= 0 && d < 10))
+    assert(draws.distinct.size > 1)
+    // test_athena.py:1122 runs SELECT random(-1) and expects QueryFailed
+    val e = intercept[Exception](one("SELECT random(-1) AS r"))
+    assert(e.getMessage != null)
+  }
+
+  // ---- date/time semantics ------------------------------------------------
+
+  test("day_of_week is ISO (Monday=1); doy/week match Trino") {
+    // 2026-08-10 is a Monday
+    val r = one(
+      "SELECT day_of_week(DATE '2026-08-10') AS dw1, " +
+        "dow(DATE '2026-08-16') AS dw7, " +
+        "day_of_year(DATE '2026-02-01') AS doy, " +
+        "week(DATE '2026-01-08') AS wk")
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 7)
+    assert(r.getInt(2) == 32)
+    assert(r.getInt(3) == 2)
+  }
+
+  test("to_unixtime is fractional; from_unixtime returns a timestamp") {
+    val r = one(
+      "SELECT to_unixtime(TIMESTAMP '1970-01-01 00:00:01.5') AS u, " +
+        "CAST(from_unixtime(86400) AS STRING) AS t")
+    assert(r.getDouble(0) == 1.5)
+    assert(r.getString(1) == "1970-01-02 00:00:00")
+  }
+
+  test("date_parse / %-form date_format use MySQL specifiers") {
+    val r = one(
+      "SELECT CAST(date_parse('2026-08-14 13:24:11', '%Y-%m-%d %H:%i:%s') AS STRING) AS p, " +
+        "date_format(TIMESTAMP '2026-08-14 13:24:11', '%Y/%m/%d %T') AS f, " +
+        "date_format(TIMESTAMP '2026-08-14 13:24:11', 'yyyy-MM') AS spark_form")
+    assert(r.getString(0) == "2026-08-14 13:24:11")
+    assert(r.getString(1) == "2026/08/14 13:24:11")
+    assert(r.getString(2) == "2026-08")
+  }
+
+  test("mysqlToJava quotes literal letters and keeps %%") {
+    assert(TrinoCompat.mysqlToJava("%Y-%m-%dT%H:%i:%s") ==
+      "yyyy-MM-dd'T'HH:mm:ss")
+    assert(TrinoCompat.mysqlToJava("%d%%") == "dd'%'")
+    intercept[IllegalArgumentException](TrinoCompat.mysqlToJava("%Q"))
+  }
+
+  // ---- strings / binary / URL ---------------------------------------------
+
+  test("codepoint, levenshtein_distance, hex/base64, varbinary sha256") {
+    val r = one(
+      "SELECT codepoint('A') AS cp, " +
+        "levenshtein_distance('kitten', 'sitting') AS lev, " +
+        "to_hex(CAST('AB' AS VARBINARY)) AS hx, " +
+        "CAST(from_hex('4142') AS STRING) AS unhx, " +
+        "to_base64(CAST('hi' AS VARBINARY)) AS b64, " +
+        "to_hex(sha256(CAST('' AS VARBINARY))) AS sha")
+    assert(r.getInt(0) == 65)
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "4142" && r.getString(3) == "AB")
+    assert(r.getString(4) == "aGk=")
+    // SHA-256 of the empty string, the classic vector
+    assert(r.getString(5) ==
+      "E3B0C44298FC1C149AFBF4C8996FB92427AE41E4649B934CA495991B7852B855")
+  }
+
+  test("contains dispatches: Trino array form AND Spark string form") {
+    val r = one(
+      "SELECT contains(ARRAY[1, 2, 3], 2) AS arr_yes, " +
+        "contains(ARRAY[1, 2, 3], 9) AS arr_no, " +
+        "contains('hello', 'ell') AS str_yes")
+    assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
+  }
+
+  test("url_extract_* family decomposes a URL") {
+    val u = "'https://host.example.com:8042/over/there?name=ferret&x=1#nose'"
+    val r = one(
+      s"SELECT url_extract_protocol($u) AS proto, url_extract_host($u) AS host, " +
+        s"url_extract_port($u) AS port, url_extract_path($u) AS path, " +
+        s"url_extract_query($u) AS q, url_extract_fragment($u) AS frag, " +
+        s"url_extract_parameter($u, 'name') AS p")
+    assert(r.getString(0) == "https")
+    assert(r.getString(1) == "host.example.com")
+    assert(r.getLong(2) == 8042L)
+    assert(r.getString(3) == "/over/there")
+    assert(r.getString(4) == "name=ferret&x=1")
+    assert(r.getString(5) == "nose")
+    assert(r.getString(6) == "ferret")
+  }
+
+  // ---- geospatial (test_athena_geospatial.py:11-17) -----------------------
+
+  test("ST_ functions produce WKT (the geometry model of the catalog)") {
+    val r = one(
+      "SELECT ST_Point(-121.7602, 46.8527) AS point, " +
+        "ST_LineFromText('LINESTRING(1 2, 3 4)') AS line, " +
+        "ST_Polygon('POLYGON ((1 1, 1 4, 4 4, 4 1))') AS polygon, " +
+        "ST_AsText(ST_GeometryFromText('POLYGON EMPTY')) AS polygon_empty")
+    assert(r.getString(0) == "POINT (-121.7602 46.8527)")
+    assert(r.getString(1) == "LINESTRING(1 2, 3 4)")
+    assert(r.getString(2) == "POLYGON ((1 1, 1 4, 4 4, 4 1))")
+    assert(r.getString(3) == "POLYGON EMPTY")
+  }
+
   // ---- Athena CTAS / UNLOAD statements through the front door -------------
 
   test("Athena-shaped CTAS statement executes through executeSql") {
