@@ -392,6 +392,16 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(r.getString(6) == "ferret")
   }
 
+  test("TIME literal parses natively (test_athena.py:1283)") {
+    // Spark 4.1 has TimeType — the Trino literal needs no rewrite (row
+    // encoding of a raw TIME column is still gated, so surface it as
+    // text, which is also what the reference's non-arrow path returns)
+    val df = SqlEngine.readSqlQuery(spark, "SELECT time '13:24:11' as col")
+    assert(df.schema.head.dataType.typeName.startsWith("time"))
+    assert(one("SELECT CAST(time '13:24:11' AS VARCHAR) AS col")
+      .getString(0) == "13:24:11")
+  }
+
   // ---- geospatial (test_athena_geospatial.py:11-17) -----------------------
 
   test("ST_ functions produce WKT (the geometry model of the catalog)") {
