@@ -22,20 +22,37 @@ import org.apache.spark.sql.types._
   * same sequential fold as [[CosineSimImpl.cosine]] — bit-identical
   * assignments, purely a plan improvement. */
 object NearestCentroidImpl {
-  /** `cents` is `array<struct<c_id: bigint, centroid: array<float>>>`. */
+  /** `cents` is `array<struct<c_id: bigint, centroid: array<float>>>`.
+    * A null centroid embedding is SKIPPED (the argmax-aggregate shape
+    * this replaced produced a null distance for it and never picked
+    * it); if no valid centroid remains the call raises rather than
+    * inventing an assignment. A dimension mismatch raises inside the
+    * cosine — a ragged corpus is loud, never silently mis-clustered. */
   def nearest(e: ArrayData, cents: ArrayData): Long = {
     val k = cents.numElements()
-    if (k == 0)
-      throw new IllegalArgumentException("nearest_centroid: empty centroid set")
     var bestId = 0L
     var best = Double.NegativeInfinity
+    var found = false
     var j = 0
     while (j < k) {
       val c = cents.getStruct(j, 2)
-      val cos = CosineSimImpl.cosine(e, c.getArray(1))
-      if (cos > best) { best = cos; bestId = c.getLong(0) }
+      if (c != null && !c.isNullAt(1)) {
+        val cos = CosineSimImpl.cosine(e, c.getArray(1))
+        // first valid entry seeds; then strictly-greater, with NaN
+        // ranked ABOVE every real value — how BOTH replay engines
+        // order it (Spark's struct-max and DuckDB's DESC sort treat
+        // NaN as greatest), so assignments stay bit-identical even on
+        // a zero-vector corpus. NaN-vs-NaN keeps the first (lowest
+        // c_id), the shared tie rule.
+        if (!found || cos > best || (cos.isNaN && !best.isNaN)) {
+          best = cos; bestId = c.getLong(0); found = true
+        }
+      }
       j += 1
     }
+    if (!found)
+      throw new IllegalArgumentException(
+        "nearest_centroid: no non-null centroid to assign to")
     bestId
   }
 }

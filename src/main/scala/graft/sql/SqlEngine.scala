@@ -239,11 +239,13 @@ object SqlEngine {
     val props = parseProps(sql.substring(pOpen + 1, pClose))
     val (fmt, opts) = sparkFormat(
       str(props, "format").getOrElse("PARQUET"), str(props, "field_delimiter"))
+    TrinoCompat.ensureRegistered(spark)
     unload(spark, TrinoCompat.rewrite(query), path, fmt,
       partitionedBy = arr(props, "partitioned_by"),
       compression = str(props, "compression").map(_.toLowerCase)
         .getOrElse(if (fmt == "parquet") "snappy" else "none"),
       options = opts)
+    noteDatasetWrite(spark) // files changed under cached query results
     import spark.implicits._
     Seq(("UNLOAD", path)).toDF("operation", "table")
   }
@@ -295,6 +297,7 @@ object SqlEngine {
       (if (noData) s"SELECT * FROM ($q) WHERE 1 = 0" else q)
     TrinoCompat.ensureRegistered(spark)
     spark.sql(ddl.toString)
+    noteDatasetWrite(spark) // files landed under cached query results
     import spark.implicits._
     Seq(("CTAS", name)).toDF("operation", "table")
   }
@@ -326,15 +329,63 @@ object SqlEngine {
     else if (DmlHead.findFirstIn(sql).isEmpty)
       readSqlQuery(spark, sql, params)
     else {
+      import spark.implicits._
       val rendered = substitute(sql, params, strict = true)
       val resolve: String => Option[String] = name =>
         tables.get(name).orElse(tables.get(name.toLowerCase)).orElse(
           try Some(graft.catalog.Catalog.getTableLocation(spark, name))
           catch { case _: Exception => None })
-      val res = TableDml.execute(spark, rendered, resolve)
-      noteDatasetWrite(spark)
-      import spark.implicits._
-      Seq((res.operation, res.table)).toDF("operation", "table")
+      def isFormatTable(p: String): Boolean =
+        try graft.io.IcebergReader.isIcebergTable(spark, p) ||
+          graft.io.DeltaLogReader.latestVersion(spark, p) >= 0
+        catch { case _: Exception => false }
+      // Athena executes INSERT INTO against PLAIN (non-Iceberg) catalog
+      // tables through its query engine; only a format table routes to
+      // the transactional DML executor. Mirror that: an INSERT whose
+      // target carries no Iceberg/Delta log runs as Spark SQL against
+      // the session catalog (UPDATE/DELETE/MERGE on a plain table stays
+      // a loud TableDml error — Athena refuses those too).
+      val InsertHead =
+        """(?is)^\s*INSERT\s+INTO\s+("[^"]+"(?:\."[^"]+")?|[\w.]+)""".r
+      val plainInsert = InsertHead.findPrefixMatchOf(rendered).filter { m =>
+        !resolve(TableDml.qnameKey(m.group(1))).exists(isFormatTable)
+      }
+      plainInsert match {
+        case Some(m) =>
+          spark.sql(rendered)
+          noteDatasetWrite(spark)
+          Seq(("INSERT", TableDml.qnameKey(m.group(1))))
+            .toDF("operation", "table")
+        case None =>
+          val res = TableDml.execute(spark, rendered, resolve)
+          noteDatasetWrite(spark)
+          // front-door READS of this name must see the state this DML
+          // just wrote: a session-catalog entry declared `USING
+          // parquet` over an Iceberg/Delta location would re-scan raw
+          // files (superseded data included) and serve Spark's cached
+          // relation. Shadow the name with a temp view over the
+          // format-aware reader (single-part names; a qualified name
+          // cannot be a temp view — refresh its cached relation
+          // instead).
+          resolve(res.table).filter(isFormatTable).foreach { p =>
+            val current =
+              if (graft.io.IcebergReader.isIcebergTable(spark, p))
+                graft.io.IcebergReader.read(spark, p)
+              else graft.io.DeltaLogReader.read(spark, p)
+            // the readers may build their scan on a forked session
+            // (field-id reads flip a parquet conf on newSession()) —
+            // re-home the ANALYZED plan into the caller's session or
+            // the temp view would register invisibly on the fork
+            val rehomed = org.apache.spark.sql.GraftBridge.ofRows(spark,
+              org.apache.spark.sql.GraftBridge.analyzed(current))
+            if (!res.table.contains(".") &&
+                spark.catalog.tableExists(res.table))
+              rehomed.createOrReplaceTempView(res.table)
+            else if (spark.catalog.tableExists(res.table))
+              spark.catalog.refreshTable(res.table)
+          }
+          Seq((res.operation, res.table)).toDF("operation", "table")
+      }
     }
 
   /** Positional `?` binding — the reference's server-side "qmark" style

@@ -277,21 +277,27 @@ object TableDml {
     def keyJoin(l: DataFrame, r: DataFrame): Column =
       keys.map(k => if (matchNulls) l(k) <=> r(k) else l(k) === r(k))
         .reduce(_ && _)
-    // ANSI/Athena cardinality rule: a target row matched by MORE THAN
+    // ANSI/Athena cardinality rule: a target ROW matched by MORE THAN
     // ONE source row is an error, never a silent double-replacement or
     // double-delete — enforced for EVERY matched clause, fast paths
     // included (the writers' left_anti-union-source construction would
-    // otherwise land both duplicates where Athena errors). One
-    // aggregation over the MATCHED pairs only — unmatched dup-key
-    // inserts are legal and unaffected; Catalyst column-prunes the
+    // otherwise land both duplicates where Athena errors). The probe
+    // must count SOURCE rows per key, not joined pairs: duplicate keys
+    // in the TARGET are ANSI-legal (each target row still matches one
+    // source row) and a pair count would falsely flag them. So: source
+    // keys with multiplicity > 1 that match ANY target row → error.
+    // Unmatched dup-key inserts stay legal; Catalyst column-prunes the
     // probe to the key columns, a key-only shuffle.
     def checkMatchedCardinality(): Unit = {
       val t0 = target.alias(tAlias)
-      val s0 = src.alias(sAlias)
-      val dupMatched = t0.join(s0, keyJoin(t0, s0), "inner")
-        .groupBy(keys.map(k => t0(k)): _*)
+      val dupSrcKeys = src
+        .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).limit(1).count() > 0
+        .filter(col("n") > 1)
+        .alias(sAlias)
+      val dupMatched = dupSrcKeys
+        .join(t0, keyJoin(t0, dupSrcKeys), "left_semi")
+        .limit(1).count() > 0
       require(!dupMatched,
         "MERGE: a target row matches more than one source row")
     }

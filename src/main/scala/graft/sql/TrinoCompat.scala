@@ -355,8 +355,42 @@ object TrinoCompat {
     up
   }
 
+  /** Strip SQL comments (`-- …` to end of line, `/* … */` including
+    * Spark-style nesting) OUTSIDE string literals. Every rewrite pass
+    * below tracks quote state lexically; an apostrophe inside a comment
+    * would otherwise flip that state and silently disable translation
+    * of everything after it (e.g. a 1-based subscript passed through to
+    * Spark's 0-based `[]`). Comments are whitespace to the parser, so
+    * removing them up front is semantics-preserving. */
+  private[graft] def stripComments(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < sql.length) {
+      val c = sql(i)
+      if (quote != 0) { out += c; if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; out += c; i += 1 }
+      else if (c == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        while (i < sql.length && sql(i) != '\n') i += 1 // newline kept
+      } else if (c == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        var depth = 1
+        i += 2
+        while (i < sql.length && depth > 0) {
+          if (sql(i) == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (sql(i) == '*' && i + 1 < sql.length && sql(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        out += ' '
+      } else { out += c; i += 1 }
+    }
+    out.toString
+  }
+
   /** The full Trino→Spark text rewrite, applied before parsing. */
-  def rewrite(sql: String): String = {
+  def rewrite(sql0: String): String = {
+    val sql = stripComments(sql0)
     var s = decimalLiterals(sql)
     s = dateFnUnits(s)
     s = rewriteUnnest(s)
@@ -795,18 +829,19 @@ object TrinoCompat {
   private def rewriteUnnest(sql: String): String = {
     val UnnestHead =
       """(?is)(CROSS\s+JOIN|,)\s*UNNEST\s*\(""".r
-    val m = UnnestHead.findFirstMatchIn(sql) match {
+    // first match NOT inside a string literal (an in-literal match is
+    // data; genuine UNNEST clauses after it must still translate)
+    val m = UnnestHead.findAllMatchIn(sql).find { mm =>
+      var q: Char = 0
+      sql.take(mm.start).foreach { c =>
+        if (q != 0) { if (c == q) q = 0 }
+        else if (c == '\'' || c == '"') q = c
+      }
+      q == 0
+    } match {
       case None => return sql
       case Some(mm) => mm
     }
-    // quote guard: a match inside a string literal is left alone (scan
-    // quote state up to the match)
-    var q: Char = 0
-    sql.take(m.start).foreach { c =>
-      if (q != 0) { if (c == q) q = 0 }
-      else if (c == '\'' || c == '"') q = c
-    }
-    if (q != 0) return sql // inside a literal: nothing to rewrite
     val open = sql.indexOf('(', m.end - 1)
     val close = balancedClose(sql, open)
     val args = splitTop(sql.substring(open + 1, close))
@@ -828,24 +863,30 @@ object TrinoCompat {
     require(cols.nonEmpty, "UNNEST alias needs column names")
 
     val nVals = if (ordinality) cols.size - 1 else cols.size
+    // in the MULTI-array zip a NULL argument must act as EMPTY (Trino
+    // null-pads the other arrays to the longest; arrays_zip would
+    // instead null-propagate and drop every row). array() is
+    // ARRAY<VOID>, so the coalesce coerces to each argument's type.
+    def nz(a: String) = s"coalesce($a, array())"
     val lateral: String =
       if (!ordinality && args.size == 1 && nVals <= 2)
         // 1 col: array explode; 2 cols: map explode (key, value) — an
-        // array of rows with 2 fields fails analysis loudly instead
+        // array of rows with 2 fields fails analysis loudly instead.
+        // explode(NULL) is zero rows, exactly Trino's UNNEST(NULL).
         s" LATERAL VIEW explode(${args.head}) $alias AS ${cols.mkString(", ")}"
       else if (!ordinality) {
         require(args.size == nVals,
           s"UNNEST of ${args.size} arrays needs ${args.size} column aliases, got $nVals")
-        s" LATERAL VIEW inline(arrays_zip(${args.mkString(", ")})) $alias AS ${cols.mkString(", ")}"
+        s" LATERAL VIEW inline(arrays_zip(${args.map(nz).mkString(", ")})) $alias AS ${cols.mkString(", ")}"
       } else {
         require(nVals == args.size,
           s"UNNEST … WITH ORDINALITY of ${args.size} arrays needs " +
             s"${args.size}+1 column aliases, got ${cols.size}")
         val len =
-          if (args.size == 1) s"size(${args.head})"
-          else s"greatest(${args.map(a => s"size($a)").mkString(", ")})"
+          if (args.size == 1) s"size(${nz(args.head)})"
+          else s"greatest(${args.map(a => s"size(${nz(a)})").mkString(", ")})"
         val zipped =
-          s"arrays_zip(${args.mkString(", ")}, sequence(1, greatest($len, 1)))"
+          s"arrays_zip(${args.map(nz).mkString(", ")}, sequence(1, greatest($len, 1)))"
         s" LATERAL VIEW inline(slice($zipped, 1, $len)) $alias AS ${cols.mkString(", ")}"
       }
     // recurse for further UNNESTs in the remainder

@@ -168,4 +168,22 @@ class OpsSpec extends AnyFunSuite {
     assert(res.length == 5)
     assert(res.forall(_.getAs[Boolean]("passed")))
   }
+
+  test("nearest_centroid skips null centroids; empty set raises") {
+    graft.expr.NearestCentroid.register(spark)
+    // the null-embedding centroid must never win; the valid one does
+    val r = spark.sql(
+      """SELECT nearest_centroid(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |  array(named_struct('c_id', CAST(1 AS BIGINT),
+        |                     'centroid', CAST(NULL AS ARRAY<FLOAT>)),
+        |        named_struct('c_id', CAST(2 AS BIGINT),
+        |                     'centroid', CAST(array(1.0, 0.0) AS ARRAY<FLOAT>)))) AS c""".stripMargin)
+    assert(r.head().getLong(0) == 2L)
+    // only null centroids → loud failure, never an invented assignment
+    intercept[Exception](spark.sql(
+      """SELECT nearest_centroid(CAST(array(1.0) AS ARRAY<FLOAT>),
+        |  array(named_struct('c_id', CAST(1 AS BIGINT),
+        |                     'centroid', CAST(NULL AS ARRAY<FLOAT>)))) AS c""".stripMargin)
+      .head())
+  }
 }

@@ -336,6 +336,45 @@ class SqlDmlSpec extends AnyFunSuite {
       .filter(col("name") === "all WHERE none").count() == 30)
   }
 
+  test("duplicate keys in the TARGET are ANSI-legal (only dup SOURCE keys raise)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    // two target rows share id=1 — each matches the ONE source row,
+    // which Athena accepts (updates both); the probe must not flag it
+    IcebergWriter.write(
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "c", 3.0))
+        .toDF("id", "name", "amt"), dir)
+    Seq((1L, "X", 9.0)).toDF("id", "name", "amt")
+      .createOrReplaceTempView("dup_tgt_src")
+    TableDml.execute(spark,
+      """MERGE INTO t USING dup_tgt_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      Map("t" -> dir))
+    val got = IcebergReader.read(spark, dir).select("id", "name")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.count(_._1 == 1L) >= 1)
+    assert(got.forall { case (id, n) => id != 1L || n == "X" })
+  }
+
+  test("executeSql INSERT into a PLAIN catalog table runs as Spark SQL") {
+    val dir = Files.createTempDirectory("graft-plainins").toString
+    spark.sql("DROP TABLE IF EXISTS plain_ins_t")
+    spark.sql(
+      s"CREATE TABLE plain_ins_t (id BIGINT, name STRING) USING parquet " +
+        s"LOCATION '$dir/t'")
+    val res = graft.sql.SqlEngine.executeSql(spark,
+      "INSERT INTO plain_ins_t VALUES (1, 'a'), (2, 'b')")
+    assert(res.head().getString(0) == "INSERT")
+    assert(graft.sql.SqlEngine.executeSql(spark,
+      "SELECT count(*) AS n FROM plain_ins_t").head().getLong(0) == 2L)
+    // UPDATE on the plain table stays a loud error (Athena refuses too)
+    intercept[Exception](graft.sql.SqlEngine.executeSql(spark,
+      "UPDATE plain_ins_t SET name = 'x' WHERE id = 1"))
+    spark.sql("DROP TABLE plain_ins_t")
+  }
+
   test("executeSql front door: MERGE resolves the table from the session catalog") {
     val spark0 = spark
     import spark0.implicits._
@@ -361,6 +400,15 @@ class SqlDmlSpec extends AnyFunSuite {
     // the same entry point serves reads
     assert(graft.sql.SqlEngine.executeSql(spark,
       "SELECT count(*) AS n FROM front_src").head().getLong(0) == 2L)
+    // ... and a front-door READ of the DML'd name must see the state
+    // the MERGE wrote (the parquet-declared catalog entry over an
+    // Iceberg location is shadowed by a format-aware view — a raw
+    // parquet scan here would double-count superseded files)
+    val reread = graft.sql.SqlEngine.executeSql(spark,
+      "SELECT count(*) AS n, sum(CASE WHEN name = 'FRONT' THEN 1 ELSE 0 END) AS f " +
+        "FROM dml_front_t").head()
+    assert(reread.getLong(0) == 31L && reread.getLong(1) == 1L)
+    spark.catalog.dropTempView("dml_front_t")
     spark.sql("DROP TABLE dml_front_t")
   }
 

@@ -416,6 +416,44 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(r.getString(3) == "POLYGON EMPTY")
   }
 
+  // ---- lexical robustness: comments, in-literal matches -------------------
+
+  test("a comment containing an apostrophe does not derail the rewrite") {
+    // the quote in "user's" sits in a comment; the 1-based subscript
+    // AFTER it must still translate
+    val r = one(
+      "SELECT -- user's pick\n ARRAY[10, 20, 30][2] AS x")
+    assert(r.getInt(0) == 20)
+    val b = one(
+      "SELECT /* isn't /* nested */ bad */ ARRAY[7, 8][1] AS x")
+    assert(b.getInt(0) == 7)
+    // comments inside string literals are DATA, untouched
+    assert(one("SELECT '-- not a comment' AS s").getString(0) ==
+      "-- not a comment")
+  }
+
+  test("an UNNEST inside a string literal does not mask a real UNNEST") {
+    val r = rows(
+      "SELECT 'cross join unnest(' AS note, u.x FROM (SELECT ARRAY[1, 2] AS a) t " +
+        "CROSS JOIN UNNEST(t.a) AS u (x)")
+    assert(r.map(_.getInt(1)) == Seq(1, 2))
+  }
+
+  test("multi-array UNNEST null-pads a NULL argument (Trino zip)") {
+    val r = rows(
+      "SELECT u.x, u.y FROM (SELECT CAST(NULL AS ARRAY(BIGINT)) AS a, " +
+        "ARRAY[1, 2] AS b) t CROSS JOIN UNNEST(t.a, t.b) AS u (x, y)")
+    assert(r.size == 2)
+    assert(r.forall(_.isNullAt(0)))
+    assert(r.map(_.getInt(1)) == Seq(1, 2))
+    // ... and WITH ORDINALITY keeps 1-based positions over the pad
+    val o = rows(
+      "SELECT u.x, u.y, u.ord FROM (SELECT CAST(NULL AS ARRAY(BIGINT)) AS a, " +
+        "ARRAY[5] AS b) t CROSS JOIN UNNEST(t.a, t.b) WITH ORDINALITY AS u (x, y, ord)")
+    assert(o.size == 1 && o.head.isNullAt(0) && o.head.getInt(1) == 5)
+    assert(o.head.getInt(2) == 1)
+  }
+
   // ---- Athena CTAS / UNLOAD statements through the front door -------------
 
   test("Athena-shaped CTAS statement executes through executeSql") {
