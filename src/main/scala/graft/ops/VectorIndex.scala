@@ -197,24 +197,24 @@ object VectorIndex {
     centroids
   }
 
-  /** Nearest-centroid assignment (broadcast join against the tiny
-    * centroid table; one codegen'd cosine per (vector, cell)). The argmax
-    * is a single hash aggregate — `max_by` over `struct(sim, -cell)`
-    * (ties on sim break toward the lowest cell, same total order the
-    * previous window formulation used) — so no k×n sort ever happens;
-    * per-iteration cost is one broadcast join + one partial-aggregating
-    * shuffle of n rows. */
+  /** Nearest-centroid assignment via the codegen'd `nearest_centroid`
+    * argmax (`expr/NearestCentroid.scala`): ONE fused k·d loop per
+    * input row against the broadcast centroid array — no n×k
+    * intermediate rows and, unlike the previous `max_by` aggregate, NO
+    * shuffle at all, which matters because k-means re-assigns every
+    * iteration. Tie/NaN ordering is the same total order the aggregate
+    * used (lowest cell on ties, NaN ranked greatest), so clustering is
+    * bit-identical. */
   private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val payloadCols = emb.columns.filterNot(_ == "vec_id")
-    val scored = emb.crossJoin(broadcast(centroids))
-      .withColumn("sim",
-        call_function("cosine_sim", col("embedding"), col("centroid")))
-    scored.groupBy(col("vec_id"))
-      .agg(max_by(
-        struct((payloadCols.map(col) :+ col("cell")): _*),
-        struct(col("sim"), -col("cell"))).as("__best"))
-      .select(col("vec_id") +:
-        (payloadCols :+ "cell").map(n => col(s"__best.$n").as(n)): _*)
+    graft.expr.NearestCentroid.register(emb.sparkSession)
+    val centArr = centroids
+      .agg(array_sort(collect_list(struct(
+        col("cell").cast("long").as("c_id"), col("centroid")))).as("cents"))
+    emb.crossJoin(broadcast(centArr))
+      .withColumn("cell",
+        call_function("nearest_centroid", col("embedding"), col("cents"))
+          .cast("int"))
+      .drop("cents")
   }
 
   /** Build the IVF index: k-means quantizer, assignments partitioned by
