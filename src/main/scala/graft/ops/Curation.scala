@@ -424,6 +424,14 @@ object Curation {
       qual.filter(col("source") =!= "src0"),
       qual.filter(col("source") === "src0"), n = contamN)
       .select(col("doc_id"))
+    // deliberately NOT persisted: the segment pass consumes survivors
+    // twice, but both recomputes are streamed codegen (regex scrub →
+    // quality filter → broadcast gram anti-join) and a 100× A/B showed
+    // every caching variant LOSES to recompute here — exploded segs
+    // cached 175 s, survivors cached 188 s, plain recompute 126 s:
+    // columnar cache *build* of corpus text costs more than a second
+    // streamed pass. (Contrast semDedup, where the recomputed branch
+    // is an n×k·d argmax, not a stream — there the persist wins 10×.)
     val survivors = qual.filter(col("source") =!= "src0")
       .join(contaminated, Seq("doc_id"), "left_anti")
     // exact-segment boilerplate removal over the survivors (the shared

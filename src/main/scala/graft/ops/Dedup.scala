@@ -615,6 +615,14 @@ object Dedup {
     * [[graft.ops.Curation.curatePipeline]] share. */
   private[ops] def segmentDedupPass(docs: DataFrame,
       segTokens: Int, minDocs: Int): DataFrame = {
+    // NOT persisted: segs feeds two branches (frequency aggregate +
+    // anti-join probe), but each recompute pipelines the explode
+    // straight into its consumer inside one codegen stage — measured
+    // 100× A/B showed CACHING the ~16×-row exploded text (columnar
+    // build + rescan) costs more than the second explode it saves
+    // (curate_pipeline 126 s recompute vs 175 s cached). Callers with
+    // an EXPENSIVE upstream persist their input instead
+    // ([[graft.ops.Curation.curatePipeline]]).
     val segs = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(expr(
