@@ -302,6 +302,162 @@ object SqlEngine {
     Seq(("CTAS", name)).toDF("operation", "table")
   }
 
+  private val MsckHead = """(?is)^\s*MSCK\s+REPAIR\s+TABLE\b""".r
+  private val DropHead = """(?is)^\s*DROP\s+(?:TABLE|VIEW)\b""".r
+  private val ViewRe =
+    ("""(?is)^\s*(CREATE\s+(?:OR\s+REPLACE\s+)?VIEW)\s+""" +
+      """("[^"]+"|`[^`]+`|[\w.]+)\s+AS\s+(.*)$""").r
+  private val AlterRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" +
+      """("[^"]+"(?:\."[^"]+")?|`[^`]+`|[\w.]+)\s+(.*?)\s*;?\s*$""").r
+  private val ExtTableRe =
+    ("""(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """("[^"]+"|`[^`]+`|[\w.]+)\s*\(""").r
+
+  /** Identifier as Athena renders it (`"t"`, `` `t` ``, bare) →
+    * Spark-parsable (backticked where quoted). */
+  private def sparkIdent(name: String): String =
+    if (name.startsWith("\"") && name.endsWith("\""))
+      "`" + name.substring(1, name.length - 1) + "`"
+    else name
+
+  /** The reference's generated Hive DDL (`athena/_utils.py:1076-1096`:
+    * `CREATE EXTERNAL TABLE … [PARTITIONED BY (…)] ROW FORMAT SERDE …
+    * STORED AS INPUTFORMAT … OUTPUTFORMAT … LOCATION … [TBLPROPERTIES
+    * (…)]`, also the hand-written `STORED AS PARQUET` shorthand) →
+    * a Spark `CREATE TABLE … USING <fmt>`: partition columns merge into
+    * the column list (Spark's USING form), the SerDe/format classes map
+    * to a datasource, column COMMENTs and TBLPROPERTIES pass through. */
+  private def executeCreateExternal(spark: SparkSession, sql: String,
+      m: scala.util.matching.Regex.Match): DataFrame = {
+    val name = sparkIdent(m.group(1))
+    val open = sql.indexOf('(', m.end - 1)
+    val close = TrinoCompat.balancedClose(sql, open)
+    val dataCols = TrinoCompat.splitTop(sql.substring(open + 1, close))
+    var rest = sql.substring(close + 1)
+    val PartRe = """(?is)^\s*PARTITIONED\s+BY\s*\(""".r
+    val partCols = PartRe.findPrefixMatchOf(rest) match {
+      case Some(pm) =>
+        val pOpen = pm.end - 1
+        val pClose = TrinoCompat.balancedClose(rest, pOpen)
+        val cols = TrinoCompat.splitTop(rest.substring(pOpen + 1, pClose))
+        rest = rest.substring(pClose + 1)
+        cols
+      case None => Nil
+    }
+    def colName(c: String): String =
+      c.trim.split("\\s+", 2)(0)
+    val LocRe = """(?is)\bLOCATION\s+'([^']*)'""".r
+    val location = LocRe.findFirstMatchIn(rest).map(_.group(1)).getOrElse(
+      throw new IllegalArgumentException(
+        "CREATE EXTERNAL TABLE requires LOCATION"))
+    val TblPropsRe = """(?is)\bTBLPROPERTIES\s*\(""".r
+    val props = TblPropsRe.findFirstMatchIn(rest).map { tm =>
+      val tOpen = tm.end - 1
+      rest.substring(tOpen, TrinoCompat.balancedClose(rest, tOpen) + 1)
+    }
+    val StoredAsWord = """(?is)\bSTORED\s+AS\s+(\w+)""".r
+    val InputFmtRe = """(?is)\bINPUTFORMAT\s+'([^']*)'""".r
+    val SerdeRe = """(?is)\bROW\s+FORMAT\s+SERDE\s+'([^']*)'""".r
+    val serde = SerdeRe.findFirstMatchIn(rest).map(_.group(1)).getOrElse("")
+    val fmt = InputFmtRe.findFirstMatchIn(rest).map(_.group(1)) match {
+      case Some(cls) =>
+        val c = cls.toLowerCase
+        if (c.contains("parquet")) "parquet"
+        else if (c.contains("orc")) "orc"
+        else if (c.contains("avro")) "avro"
+        else if (serde.toLowerCase.contains("json")) "json"
+        else if (c.contains("text")) "csv"
+        else throw new IllegalArgumentException(
+          s"unsupported INPUTFORMAT: $cls")
+      case None => StoredAsWord.findFirstMatchIn(rest).map(_.group(1))
+        .map(_.toUpperCase) match {
+        case Some("PARQUET") => "parquet"
+        case Some("ORC") => "orc"
+        case Some("AVRO") => "avro"
+        case Some("TEXTFILE") => "csv"
+        case Some(other) => throw new IllegalArgumentException(
+          s"unsupported STORED AS format: $other")
+        case None => "parquet"
+      }
+    }
+    val ddl = new StringBuilder(s"CREATE TABLE $name (")
+    ddl ++= (dataCols ++ partCols).mkString(", ")
+    ddl ++= s") USING $fmt"
+    if (partCols.nonEmpty)
+      ddl ++= partCols.map(colName)
+        .mkString(" PARTITIONED BY (", ", ", ")")
+    ddl ++= s" LOCATION '$location'"
+    props.foreach(p => ddl ++= s" TBLPROPERTIES $p")
+    spark.sql(ddl.toString)
+    import spark.implicits._
+    Seq(("CREATE", name)).toDF("operation", "table")
+  }
+
+  /** `ALTER TABLE` front door. The two statements the reference
+    * GENERATES for Iceberg schema evolution
+    * (`athena/_write_iceberg.py:221,231` — `ADD COLUMNS (c t, …)` and
+    * `CHANGE COLUMN c c t`) execute against a resolved Iceberg/Delta
+    * table as an EMPTY append carrying the evolved schema (one schema
+    * commit, no data files — the writers' own merge rules apply, so
+    * retypes beyond legal promotion still raise). Everything else —
+    * and any table that is not a format table — passes through to
+    * Spark SQL (partition DDL, properties, v1 ADD COLUMNS). */
+  private def executeAlter(spark: SparkSession, sql: String, name0: String,
+      rest: String, resolve: String => Option[String]): DataFrame = {
+    import spark.implicits._
+    val key = TableDml.qnameKey(name0)
+    def emptyWith(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    def evolved(path: String, mutate: org.apache.spark.sql.types.StructType
+        => org.apache.spark.sql.types.StructType): Unit =
+      if (graft.io.IcebergReader.isIcebergTable(spark, path)) {
+        val cur = graft.io.IcebergReader.tableInfo(spark, path)._1
+        graft.io.IcebergWriter.write(emptyWith(mutate(cur)), path,
+          mode = "append", schemaEvolution = true)
+      } else {
+        val cur = graft.io.DeltaLogReader.snapshot(spark, path).schema
+        graft.io.DeltaLogWriter.write(emptyWith(mutate(cur)), path,
+          schemaEvolution = true)
+        ()
+      }
+    val AddColsRe = """(?is)^ADD\s+COLUMNS?\s*\(""".r
+    val ChangeRe =
+      """(?is)^CHANGE\s+COLUMN\s+(\w+)\s+(\w+)\s+(.+)$""".r
+    val formatPath = resolve(key).filter(p =>
+      try graft.io.IcebergReader.isIcebergTable(spark, p) ||
+        graft.io.DeltaLogReader.latestVersion(spark, p) >= 0
+      catch { case _: Exception => false })
+    (formatPath, rest) match {
+      case (Some(p), r) if AddColsRe.findPrefixMatchOf(r).isDefined =>
+        val open = r.indexOf('(')
+        val cols = TrinoCompat.splitTop(
+          r.substring(open + 1, TrinoCompat.balancedClose(r, open)))
+        val fields = cols.map { c =>
+          val parts = c.trim.split("\\s+", 2)
+          require(parts.length == 2, s"ADD COLUMNS needs name type: $c")
+          org.apache.spark.sql.types.StructField(
+            parts(0).stripPrefix("`").stripSuffix("`"),
+            graft.types.AthenaTypes.fromAthena(parts(1).trim))
+        }
+        evolved(p, cur => org.apache.spark.sql.types.StructType(
+          cur.fields ++ fields))
+      case (Some(p), ChangeRe(oldN, newN, tpe)) =>
+        require(oldN.equalsIgnoreCase(newN),
+          "CHANGE COLUMN rename is not supported (type promotion only, " +
+            "the statement shape the reference generates)")
+        val t = graft.types.AthenaTypes.fromAthena(tpe.trim)
+        evolved(p, cur => org.apache.spark.sql.types.StructType(
+          cur.fields.map(f =>
+            if (f.name.equalsIgnoreCase(oldN)) f.copy(dataType = t) else f)))
+      case _ =>
+        spark.sql(sql) // session-catalog DDL: Spark's own ALTER surface
+    }
+    noteDatasetWrite(spark)
+    Seq(("ALTER", key)).toDF("operation", "table")
+  }
+
   /** ONE front door for reads AND table DML — the reference executes
     * both through the same `start_query_execution` path
     * (`athena/_executions.py:34`); Athena's engine routes
@@ -326,7 +482,43 @@ object SqlEngine {
     else if (CtasHead.findPrefixMatchOf(sql).isDefined)
       executeCtas(spark, substitute(sql, params, strict = true),
         CtasHead.findPrefixMatchOf(sql).get)
-    else if (DmlHead.findFirstIn(sql).isEmpty)
+    else if (ExtTableRe.findPrefixMatchOf(sql).isDefined) {
+      val rendered = substitute(sql, params, strict = true)
+      executeCreateExternal(spark, rendered,
+        ExtTableRe.findPrefixMatchOf(rendered).get)
+    } else if (MsckHead.findFirstIn(sql).isDefined ||
+        DropHead.findFirstIn(sql).isDefined) {
+      // `MSCK REPAIR TABLE `t`;` (athena/_utils.py:581) and DROP —
+      // Spark's own statements, verbatim
+      spark.sql(substitute(sql, params, strict = true).trim
+        .stripSuffix(";"))
+      import spark.implicits._
+      Seq((sql.trim.split("\\s+")(0).toUpperCase, "")).toDF(
+        "operation", "table")
+    } else if (ViewRe.findPrefixMatchOf(sql).isDefined) {
+      val rendered = substitute(sql, params, strict = true)
+      val vm = ViewRe.findPrefixMatchOf(rendered).get
+      // view NAME is double-quoted in the generated shape
+      // (athena/_utils.py:1073); the BODY is Trino SQL. The view lands
+      // as a SESSION view: a persistent one could not reference the
+      // compat layer's registered functions (Spark forbids temp
+      // functions inside persistent views), and the front door's
+      // catalog is session-scoped anyway.
+      TrinoCompat.ensureRegistered(spark)
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
+        s"${sparkIdent(vm.group(2))} AS " +
+        TrinoCompat.rewrite(vm.group(3)))
+      import spark.implicits._
+      Seq(("VIEW", sparkIdent(vm.group(2)))).toDF("operation", "table")
+    } else if (AlterRe.findPrefixMatchOf(sql).isDefined) {
+      val rendered = substitute(sql, params, strict = true)
+      val am = AlterRe.findPrefixMatchOf(rendered).get
+      val resolve: String => Option[String] = name =>
+        tables.get(name).orElse(tables.get(name.toLowerCase)).orElse(
+          try Some(graft.catalog.Catalog.getTableLocation(spark, name))
+          catch { case _: Exception => None })
+      executeAlter(spark, rendered, am.group(1), am.group(2), resolve)
+    } else if (DmlHead.findFirstIn(sql).isEmpty)
       readSqlQuery(spark, sql, params)
     else {
       import spark.implicits._

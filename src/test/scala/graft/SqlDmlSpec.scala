@@ -336,6 +336,75 @@ class SqlDmlSpec extends AnyFunSuite {
       .filter(col("name") === "all WHERE none").count() == 30)
   }
 
+  test("CREATE EXTERNAL TABLE (the generated Hive shape) maps to a Spark table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val base = Files.createTempDirectory("graft-ext").toString
+    Seq((1L, "a", "p1"), (2L, "b", "p2")).toDF("id", "name", "par")
+      .write.partitionBy("par").parquet(s"$base/t")
+    spark.sql("DROP TABLE IF EXISTS ext_ddl_t")
+    // the exact statement shape athena/_utils.py:1076-1096 generates
+    val res = graft.sql.SqlEngine.executeSql(spark,
+      s"""CREATE EXTERNAL TABLE `ext_ddl_t`(
+         |  `id` bigint COMMENT 'the key',
+         |  `name` string)
+         |PARTITIONED BY (
+         |  `par` string)
+         |ROW FORMAT SERDE
+         |  'org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe'
+         |STORED AS INPUTFORMAT
+         |  'org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat'
+         |OUTPUTFORMAT
+         |  'org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat'
+         |LOCATION
+         |  '$base/t'
+         |TBLPROPERTIES (
+         |  'classification'='parquet')""".stripMargin)
+    assert(res.head().getString(0) == "CREATE")
+    // partition discovery via the MSCK front door (athena/_utils.py:581)
+    graft.sql.SqlEngine.executeSql(spark, "MSCK REPAIR TABLE `ext_ddl_t`;")
+    assert(graft.sql.SqlEngine.executeSql(spark,
+      "SELECT count(*) AS n FROM ext_ddl_t").head().getLong(0) == 2L)
+    spark.sql("DROP TABLE ext_ddl_t")
+  }
+
+  test("CREATE OR REPLACE VIEW with a Trino body; DROP through the front door") {
+    graft.sql.SqlEngine.executeSql(spark,
+      """CREATE OR REPLACE VIEW "trino_v" AS
+        |SELECT ARRAY[1, 2, 3][2] AS x, approx_distinct(c) AS ad
+        |FROM (SELECT 1 AS c UNION ALL SELECT 2)""".stripMargin)
+    val r = graft.sql.SqlEngine.executeSql(spark,
+      "SELECT x, ad FROM trino_v").head()
+    assert(r.getInt(0) == 2 && r.getLong(1) == 2L)
+    graft.sql.SqlEngine.executeSql(spark, "DROP VIEW trino_v")
+    intercept[Exception](spark.sql("SELECT * FROM trino_v").collect())
+  }
+
+  test("ALTER TABLE ADD COLUMNS / CHANGE COLUMN evolve an Iceberg table") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmp() + "/t"
+    IcebergWriter.write(
+      Seq((1, "a"), (2, "b")).toDF("id", "name"), dir)
+    // the statements athena/_write_iceberg.py:221,231 generates
+    graft.sql.SqlEngine.executeSql(spark,
+      "ALTER TABLE t ADD COLUMNS (score double)", tables = Map("t" -> dir))
+    val evolved = IcebergReader.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("id", "name", "score"))
+    assert(evolved.filter(col("score").isNull).count() == 2)
+    graft.sql.SqlEngine.executeSql(spark,
+      "ALTER TABLE t CHANGE COLUMN id id bigint", tables = Map("t" -> dir))
+    assert(IcebergReader.read(spark, dir).schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // appends compose after the evolution
+    IcebergWriter.write(Seq((3L, "c", 1.5)).toDF("id", "name", "score"),
+      dir)
+    assert(IcebergReader.read(spark, dir).count() == 3)
+    // an illegal retype stays a loud error (writer merge rules apply)
+    intercept[Exception](graft.sql.SqlEngine.executeSql(spark,
+      "ALTER TABLE t CHANGE COLUMN name name int", tables = Map("t" -> dir)))
+  }
+
   test("duplicate keys in the TARGET are ANSI-legal (only dup SOURCE keys raise)") {
     val spark0 = spark
     import spark0.implicits._
