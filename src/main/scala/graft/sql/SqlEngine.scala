@@ -306,12 +306,12 @@ object SqlEngine {
   private val DropHead = """(?is)^\s*DROP\s+(?:TABLE|VIEW)\b""".r
   private val ViewRe =
     ("""(?is)^\s*(CREATE\s+(?:OR\s+REPLACE\s+)?VIEW)\s+""" +
-      """("[^"]+"|`[^`]+`|[\w.]+)\s+AS\s+(.*)$""").r
+      """("[^"]+"(?:\."[^"]+")?|`[^`]+`|[\w.]+)\s+AS\s+(.*)$""").r
   private val AlterRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" +
       """("[^"]+"(?:\."[^"]+")?|`[^`]+`|[\w.]+)\s+(.*?)\s*;?\s*$""").r
   private val ExtTableRe =
-    ("""(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+    ("""(?is)^\s*CREATE\s+EXTERNAL\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
       """("[^"]+"|`[^`]+`|[\w.]+)\s*\(""").r
 
   /** Identifier as Athena renders it (`"t"`, `` `t` ``, bare) →
@@ -321,6 +321,47 @@ object SqlEngine {
       "`" + name.substring(1, name.length - 1) + "`"
     else name
 
+  /** table name → storage location. The TABLE metadata of the session
+    * catalog is consulted FIRST (immune to a temp view shadowing the
+    * name — the post-DML shadow view would otherwise break every later
+    * statement on the same table: DESCRIBE FORMATTED of a view has no
+    * Location row); then the explicit `tables` map callers pass; then
+    * DESCRIBE FORMATTED as a last resort. */
+  private def tableResolver(spark: SparkSession,
+      tables: Map[String, String]): String => Option[String] = name =>
+    tables.get(name).orElse(tables.get(name.toLowerCase)).orElse {
+      try {
+        val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+        spark.sessionState.catalog.getTableMetadata(ident)
+          .storage.locationUri.map(_.toString)
+      } catch { case _: Exception => None }
+    }.orElse(
+      try Some(graft.catalog.Catalog.getTableLocation(spark, name))
+      catch { case _: Exception => None })
+
+  /** Split a DDL column list at top level — like
+    * [[TrinoCompat.splitTop]] but ALSO depth-tracking `<>` so commas
+    * inside `map<string,int>` / `struct<a:int,b:int>` types do not
+    * split the list. */
+  private def splitCols(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur += c; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; cur += c
+        case '(' | '[' | '<' => depth += 1; cur += c
+        case ')' | ']' | '>' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _ => cur += c
+      }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   /** The reference's generated Hive DDL (`athena/_utils.py:1076-1096`:
     * `CREATE EXTERNAL TABLE … [PARTITIONED BY (…)] ROW FORMAT SERDE …
     * STORED AS INPUTFORMAT … OUTPUTFORMAT … LOCATION … [TBLPROPERTIES
@@ -328,19 +369,25 @@ object SqlEngine {
     * a Spark `CREATE TABLE … USING <fmt>`: partition columns merge into
     * the column list (Spark's USING form), the SerDe/format classes map
     * to a datasource, column COMMENTs and TBLPROPERTIES pass through. */
+  // Hive LazySimpleSerDe's delimiter-less default field separator
+  // (ctrl-A, 0x01) — built from the code point so the source file stays
+  // plain ASCII
+  private val ctrlA = 1.toChar.toString
+
   private def executeCreateExternal(spark: SparkSession, sql: String,
       m: scala.util.matching.Regex.Match): DataFrame = {
-    val name = sparkIdent(m.group(1))
+    val ifNotExists = m.group(1) != null
+    val name = sparkIdent(m.group(2))
     val open = sql.indexOf('(', m.end - 1)
     val close = TrinoCompat.balancedClose(sql, open)
-    val dataCols = TrinoCompat.splitTop(sql.substring(open + 1, close))
+    val dataCols = splitCols(sql.substring(open + 1, close))
     var rest = sql.substring(close + 1)
     val PartRe = """(?is)^\s*PARTITIONED\s+BY\s*\(""".r
     val partCols = PartRe.findPrefixMatchOf(rest) match {
       case Some(pm) =>
         val pOpen = pm.end - 1
         val pClose = TrinoCompat.balancedClose(rest, pOpen)
-        val cols = TrinoCompat.splitTop(rest.substring(pOpen + 1, pClose))
+        val cols = splitCols(rest.substring(pOpen + 1, pClose))
         rest = rest.substring(pClose + 1)
         cols
       case None => Nil
@@ -381,9 +428,57 @@ object SqlEngine {
         case None => "parquet"
       }
     }
-    val ddl = new StringBuilder(s"CREATE TABLE $name (")
+    // CSV reader options from the serde declaration — dropping these
+    // would silently mis-split every row (Hive's delimiter-less
+    // LazySimpleSerDe default is , not comma):
+    // WITH SERDEPROPERTIES ('field.delim'/'separatorChar',
+    // 'escape.delim'/'escapeChar', 'quoteChar',
+    // 'skip.header.line.count'), or ROW FORMAT DELIMITED FIELDS
+    // TERMINATED BY '…' (the catalog create_csv_table shapes).
+    val serdeProps: Map[String, String] = {
+      val SerdePropsRe = """(?is)\bWITH\s+SERDEPROPERTIES\s*\(""".r
+      SerdePropsRe.findFirstMatchIn(rest).map { sm =>
+        val sOpen = sm.end - 1
+        TrinoCompat.splitTop(
+          rest.substring(sOpen + 1, TrinoCompat.balancedClose(rest, sOpen)))
+          .flatMap { p =>
+            val kv = p.split("=", 2)
+            if (kv.length == 2)
+              Some(kv(0).trim.stripPrefix("'").stripSuffix("'") ->
+                kv(1).trim.stripPrefix("'").stripSuffix("'"))
+            else None
+          }.toMap
+      }.getOrElse(Map.empty)
+    }
+    val TermRe =
+      """(?is)\bROW\s+FORMAT\s+DELIMITED\s+FIELDS\s+TERMINATED\s+BY\s+'([^']*)'""".r
+    val delimited = TermRe.findFirstMatchIn(rest).map(_.group(1))
+    def unescape(s: String): String =
+      s.replace("\\t", "\t").replace("\\u0001", ctrlA)
+    val csvOpts: Seq[(String, String)] =
+      if (fmt != "csv") Nil
+      else {
+        val sep = serdeProps.get("field.delim")
+          .orElse(serdeProps.get("separatorChar")).orElse(delimited)
+          .map(unescape)
+          .getOrElse(
+            if (serde.toLowerCase.contains("lazysimple")) ctrlA
+            else ",")
+        Seq("sep" -> sep) ++
+          serdeProps.get("escapeChar").map("escape" -> _) ++
+          serdeProps.get("quoteChar").map("quote" -> _) ++
+          serdeProps.get("skip.header.line.count")
+            .filter(_ != "0").map(_ => "header" -> "true")
+      }
+    val ddl = new StringBuilder("CREATE TABLE ")
+    if (ifNotExists) ddl ++= "IF NOT EXISTS "
+    ddl ++= s"$name ("
     ddl ++= (dataCols ++ partCols).mkString(", ")
     ddl ++= s") USING $fmt"
+    if (csvOpts.nonEmpty)
+      ddl ++= csvOpts.map { case (k, v) =>
+        s"'$k' '${v.replace("\\", "\\\\").replace("'", "\\'")}'"
+      }.mkString(" OPTIONS (", ", ", ")")
     if (partCols.nonEmpty)
       ddl ++= partCols.map(colName)
         .mkString(" PARTITIONED BY (", ", ", ")")
@@ -432,7 +527,9 @@ object SqlEngine {
     (formatPath, rest) match {
       case (Some(p), r) if AddColsRe.findPrefixMatchOf(r).isDefined =>
         val open = r.indexOf('(')
-        val cols = TrinoCompat.splitTop(
+        // splitCols, not splitTop: commas inside map<,>/struct<,>
+        // column types must not split the list
+        val cols = splitCols(
           r.substring(open + 1, TrinoCompat.balancedClose(r, open)))
         val fields = cols.map { c =>
           val parts = c.trim.split("\\s+", 2)
@@ -448,9 +545,17 @@ object SqlEngine {
           "CHANGE COLUMN rename is not supported (type promotion only, " +
             "the statement shape the reference generates)")
         val t = graft.types.AthenaTypes.fromAthena(tpe.trim)
-        evolved(p, cur => org.apache.spark.sql.types.StructType(
-          cur.fields.map(f =>
-            if (f.name.equalsIgnoreCase(oldN)) f.copy(dataType = t) else f)))
+        evolved(p, cur => {
+          // Athena errors on an unknown column — a typo'd promotion
+          // must not become a silent no-op schema commit
+          require(cur.fields.exists(_.name.equalsIgnoreCase(oldN)),
+            s"CHANGE COLUMN: no column $oldN in " +
+              cur.fieldNames.mkString("(", ", ", ")"))
+          org.apache.spark.sql.types.StructType(
+            cur.fields.map(f =>
+              if (f.name.equalsIgnoreCase(oldN)) f.copy(dataType = t)
+              else f))
+        })
       case _ =>
         spark.sql(sql) // session-catalog DDL: Spark's own ALTER surface
     }
@@ -490,8 +595,22 @@ object SqlEngine {
         DropHead.findFirstIn(sql).isDefined) {
       // `MSCK REPAIR TABLE `t`;` (athena/_utils.py:581) and DROP —
       // Spark's own statements, verbatim
-      spark.sql(substitute(sql, params, strict = true).trim
-        .stripSuffix(";"))
+      val rendered = substitute(sql, params, strict = true).trim
+        .stripSuffix(";")
+      // a front-door DROP TABLE must clear any post-DML shadow view of
+      // the name FIRST — Spark's DROP TABLE resolves the temp view and
+      // would drop the shadow instead of the table, leaving reads
+      // serving the "dropped" relation
+      val DropTableName =
+        """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?("[^"]+"|`[^`]+`|[\w.]+)""".r
+      DropTableName.findPrefixMatchOf(rendered).foreach { dm =>
+        val n = TableDml.qnameKey(dm.group(1))
+        if (!n.contains(".")) spark.catalog.dropTempView(n)
+      }
+      spark.sql(rendered)
+      // both mutate what reads see: repair discovers partitions, drop
+      // removes the relation — stale cached results must not survive
+      noteDatasetWrite(spark)
       import spark.implicits._
       Seq((sql.trim.split("\\s+")(0).toUpperCase, "")).toDF(
         "operation", "table")
@@ -503,30 +622,28 @@ object SqlEngine {
       // as a SESSION view: a persistent one could not reference the
       // compat layer's registered functions (Spark forbids temp
       // functions inside persistent views), and the front door's
-      // catalog is session-scoped anyway.
+      // catalog is session-scoped anyway — so a database-qualified
+      // name is refused loudly rather than silently mis-scoped.
+      val name = sparkIdent(vm.group(2))
+      require(!TableDml.qnameKey(vm.group(2)).contains("."),
+        s"front-door views are session-scoped; use an unqualified view " +
+          s"name, got ${vm.group(2)}")
       TrinoCompat.ensureRegistered(spark)
-      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW " +
-        s"${sparkIdent(vm.group(2))} AS " +
+      spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW $name AS " +
         TrinoCompat.rewrite(vm.group(3)))
       import spark.implicits._
-      Seq(("VIEW", sparkIdent(vm.group(2)))).toDF("operation", "table")
+      Seq(("VIEW", name)).toDF("operation", "table")
     } else if (AlterRe.findPrefixMatchOf(sql).isDefined) {
       val rendered = substitute(sql, params, strict = true)
       val am = AlterRe.findPrefixMatchOf(rendered).get
-      val resolve: String => Option[String] = name =>
-        tables.get(name).orElse(tables.get(name.toLowerCase)).orElse(
-          try Some(graft.catalog.Catalog.getTableLocation(spark, name))
-          catch { case _: Exception => None })
-      executeAlter(spark, rendered, am.group(1), am.group(2), resolve)
+      executeAlter(spark, rendered, am.group(1), am.group(2),
+        tableResolver(spark, tables))
     } else if (DmlHead.findFirstIn(sql).isEmpty)
       readSqlQuery(spark, sql, params)
     else {
       import spark.implicits._
       val rendered = substitute(sql, params, strict = true)
-      val resolve: String => Option[String] = name =>
-        tables.get(name).orElse(tables.get(name.toLowerCase)).orElse(
-          try Some(graft.catalog.Catalog.getTableLocation(spark, name))
-          catch { case _: Exception => None })
+      val resolve = tableResolver(spark, tables)
       def isFormatTable(p: String): Boolean =
         try graft.io.IcebergReader.isIcebergTable(spark, p) ||
           graft.io.DeltaLogReader.latestVersion(spark, p) >= 0
@@ -538,13 +655,17 @@ object SqlEngine {
       // the session catalog (UPDATE/DELETE/MERGE on a plain table stays
       // a loud TableDml error — Athena refuses those too).
       val InsertHead =
-        """(?is)^\s*INSERT\s+INTO\s+("[^"]+"(?:\."[^"]+")?|[\w.]+)""".r
+        """(?is)^\s*INSERT\s+INTO\s+("[^"]+"(?:\."[^"]+")?|`[^`]+`|[\w.]+)""".r
       val plainInsert = InsertHead.findPrefixMatchOf(rendered).filter { m =>
         !resolve(TableDml.qnameKey(m.group(1))).exists(isFormatTable)
       }
       plainInsert match {
         case Some(m) =>
-          spark.sql(rendered)
+          // the statement is Trino SQL like every front-door input:
+          // translate the dialect and dequote identifiers before
+          // Spark's parser sees it
+          TrinoCompat.ensureRegistered(spark)
+          spark.sql(TableDml.dequoteExpr(TrinoCompat.rewrite(rendered)))
           noteDatasetWrite(spark)
           Seq(("INSERT", TableDml.qnameKey(m.group(1))))
             .toDF("operation", "table")

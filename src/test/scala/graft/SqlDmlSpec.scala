@@ -477,8 +477,21 @@ class SqlDmlSpec extends AnyFunSuite {
       "SELECT count(*) AS n, sum(CASE WHEN name = 'FRONT' THEN 1 ELSE 0 END) AS f " +
         "FROM dml_front_t").head()
     assert(reread.getLong(0) == 31L && reread.getLong(1) == 1L)
-    spark.catalog.dropTempView("dml_front_t")
-    spark.sql("DROP TABLE dml_front_t")
+    // a SECOND DML on the same name must still resolve the TABLE's
+    // location (the shadow view must not hijack resolution)
+    Seq((31L, "AGAIN", 2.0)).toDF("id", "name", "amt")
+      .createOrReplaceTempView("front_src2")
+    graft.sql.SqlEngine.executeSql(spark,
+      """MERGE INTO dml_front_t t USING front_src2 s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(graft.sql.SqlEngine.executeSql(spark,
+      "SELECT count(*) AS n FROM dml_front_t WHERE name = 'AGAIN'")
+      .head().getLong(0) == 1L)
+    // front-door DROP removes BOTH the catalog table and the shadow
+    graft.sql.SqlEngine.executeSql(spark, "DROP TABLE dml_front_t")
+    intercept[Exception](
+      spark.sql("SELECT * FROM dml_front_t").collect())
   }
 
   test("fast-path MERGE forms also enforce the cardinality rule") {

@@ -397,7 +397,9 @@ class TrinoCompatSpec extends AnyFunSuite {
     // encoding of a raw TIME column is still gated, so surface it as
     // text, which is also what the reference's non-arrow path returns)
     val df = SqlEngine.readSqlQuery(spark, "SELECT time '13:24:11' as col")
-    assert(df.schema.head.dataType.typeName.startsWith("time"))
+    // exact TIME type, not the "time"-prefixed typeName of TIMESTAMP
+    assert(df.schema.head.dataType.typeName.matches("time(\\(\\d+\\))?"),
+      df.schema.head.dataType.typeName)
     assert(one("SELECT CAST(time '13:24:11' AS VARCHAR) AS col")
       .getString(0) == "13:24:11")
   }
