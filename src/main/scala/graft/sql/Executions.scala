@@ -33,28 +33,36 @@ object Executions {
   private val states = new ConcurrentHashMap[String, State]()
   private val errors = new ConcurrentHashMap[String, Throwable]()
   private val sqls = new ConcurrentHashMap[String, String]()
+  private val results = new ConcurrentHashMap[String, DataFrame]()
   private implicit val ec: ExecutionContext =
     ExecutionContext.fromExecutor(
       java.util.concurrent.Executors.newCachedThreadPool { r =>
         val t = new Thread(r, "graft-query-exec"); t.setDaemon(true); t
       })
-  /** Submit a query asynchronously; rows are materialized inside the
-    * future so cancellation interrupts real work. */
+  /** Submit a statement asynchronously; rows are materialized inside
+    * the future so cancellation interrupts real work. Routes through
+    * [[SqlEngine.executeSql]] (r11): Athena's `start_query_execution`
+    * accepts ANY statement — SELECT, table DML, CTAS/UNLOAD, DDL — and
+    * that is exactly how the reference issues its generated MERGE /
+    * MSCK / ALTER statements (`athena/_executions.py:34`,
+    * `_write_iceberg.py:200-215`). */
   def startQueryExecution(spark: SparkSession, sql: String,
-      params: Map[String, Any] = Map.empty): QueryExecution = {
+      params: Map[String, Any] = Map.empty,
+      tables: Map[String, String] = Map.empty): QueryExecution = {
     val id = UUID.randomUUID().toString
     states.put(id, Running)
     sqls.put(id, sql)
     val fut = Future {
       spark.sparkContext.setJobGroup(id, sql, interruptOnCancel = true)
       try {
-        val df = SqlEngine.readSqlQuery(spark, sql, params)
+        val df = SqlEngine.executeSql(spark, sql, params, tables)
         // Execute within the job group WITHOUT materializing rows on the
         // driver: walk the executed RDD and discard partitions executor-
         // side. The caller gets the lazy DataFrame back (re-running it is
         // planned work, not a driver-memory copy of the result set).
         df.queryExecution.toRdd.foreach(_ => ())
         states.put(id, Succeeded)
+        results.put(id, df)
         df
       } catch {
         case e: Throwable =>
@@ -63,6 +71,30 @@ object Executions {
       } finally spark.sparkContext.clearJobGroup()
     }
     QueryExecution(id, sql, fut, spark)
+  }
+
+  /** `athena.get_query_results(query_execution_id)` — the result frame
+    * of a FINISHED execution, looked up by id (the reference re-reads
+    * the execution's output location; here the lazy plan re-runs —
+    * planned work, no driver-side result copy). Raises on an unknown
+    * id or an unfinished/failed execution, as the service does. */
+  def getQueryResults(id: String): DataFrame =
+    stateOf(id) match {
+      case Succeeded => results.get(id)
+      case Running => throw new IllegalStateException(
+        s"query $id is still running")
+      case s => throw new IllegalStateException(
+        s"query $id did not succeed: $s" +
+          Option(errors.get(id)).map(e => s" (${e.getMessage})").getOrElse(""))
+    }
+
+  /** `athena.batch_get_query_execution` — known ids resolve to their
+    * execution records; unknown ids come back in the UNPROCESSED list,
+    * exactly the reference's split return. */
+  def batchGetQueryExecution(ids: Seq[String])
+      : (Seq[Map[String, String]], Seq[String]) = {
+    val (known, unknown) = ids.partition(sqls.containsKey)
+    (known.map(getQueryExecution), unknown)
   }
 
   /** Block until the execution finishes; returns the DataFrame on

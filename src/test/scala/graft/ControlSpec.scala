@@ -32,6 +32,35 @@ class ControlSpec extends AnyFunSuite {
     assert(q.error.isDefined)
   }
 
+  test("get_query_results by id; batch split; async DML statement") {
+    val spark0 = spark
+    import spark0.implicits._
+    val q = Executions.startQueryExecution(spark,
+      "SELECT 21 * 2 AS v")
+    Executions.waitQuery(q, 60.seconds)
+    // the reference's get_query_results(query_execution_id) — results
+    // of a FINISHED execution resolve by id (test_athena.py:2018-2031)
+    assert(Executions.getQueryResults(q.id).head().getInt(0) == 42)
+    intercept[IllegalStateException](
+      Executions.getQueryResults("no-such-execution"))
+    // batch_get_query_execution splits known / unprocessed
+    val (proc, unproc) =
+      Executions.batchGetQueryExecution(Seq(q.id, "aaa", "bbb"))
+    assert(proc.map(_("QueryExecutionId")) == Seq(q.id))
+    assert(unproc == Seq("aaa", "bbb"))
+    // start_query_execution accepts ANY statement — the route the
+    // reference uses for its generated DML (athena/_executions.py:34)
+    val dir = java.nio.file.Files.createTempDirectory("graft-asyncdml")
+      .toString + "/t"
+    graft.io.IcebergWriter.write(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name"), dir)
+    val dml = Executions.startQueryExecution(spark,
+      "DELETE FROM t WHERE id = 1", tables = Map("t" -> dir))
+    Executions.waitQuery(dml, 60.seconds)
+    assert(dml.state == Executions.Succeeded)
+    assert(graft.io.IcebergReader.read(spark, dir).count() == 1)
+  }
+
   test("salted join equals unsalted join") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
     val ord = Tables.orders(spark, sf).select("o_orderkey", "o_orderstatus")
