@@ -85,6 +85,7 @@ object SparkEntry {
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
+    "curate_ppl_bucket"   -> ((s, d) => Curation.perplexityBuckets(s, d)),
     "curate_pipeline"     -> ((s: SparkSession, d: String) =>
       Curation.curatePipeline(s, d)),
     "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
@@ -273,6 +274,7 @@ object SparkEntry {
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "curate_dsir_weights" -> Curation.dsirWeightsOracle,
+    "curate_ppl_bucket"   -> Curation.perplexityBucketsOracle,
     "curate_pipeline"     -> Curation.curatePipelineOracle,
     "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,

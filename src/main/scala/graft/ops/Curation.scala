@@ -384,6 +384,126 @@ object Curation {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------- //
+  // CCNet-style perplexity bucketing                                 //
+  // ---------------------------------------------------------------- //
+
+  /** CCNet's language-model quality gate (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359): score every document's perplexity under an LM
+    * trained on a trusted target corpus, then split the pool into
+    * head / middle / tail buckets — head feeds pretraining, tail is
+    * dropped. The LM here is a Laplace-smoothed bigram over whitespace
+    * tokens (a deliberately simple, fully-differential stand-in for
+    * CCNet's 5-gram KenLM; the pipeline shape — train counts, score
+    * every doc, threshold on mean token log-prob — is the real one),
+    * trained on the `lang = 'en'` slice with a `<s>` start sentinel.
+    *
+    * Exactness recipe (the [[dsirWeights]] / Postings-bm25 pattern):
+    * the per-bigram-type log-probs are the ONLY float computation,
+    * rounded to 6 decimals and cast to exact decimal; every per-doc
+    * contribution, sum, and threshold comparison after that is decimal
+    * arithmetic — order-independent under partial aggregation, and the
+    * head/tail cutoffs compare `lp_sum >= cutoff * n_tokens` as exact
+    * cross-multiplied decimals, so no division or `exp` ever runs.
+    *
+    * Scale shape (100 TB): two linear scans (train counts, doc
+    * scoring), all aggregations hash-partitioned with map-side
+    * partials; the bigram weight table is joined by SHUFFLE equi-join
+    * on (prev, cur) — at real-corpus vocabulary it is many GB and must
+    * NOT be broadcast or collected (KenLM holds it in RAM per node;
+    * the join is the distributed form of that lookup). Only the 1-row
+    * vocabulary size broadcasts. No quadratic stage, no driver data.
+    */
+  def perplexityBuckets(s: SparkSession, dir: String,
+      headAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.390000"),
+      tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
+      : DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("a"))
+      .select(col("doc_id"), col("lang"),
+        size(col("a")).cast("bigint").as("n"),
+        expr("concat(array('<s>'), a)").as("b"))
+    // one scored event per token: (prev, cur) with the sentinel first
+    val events = base.filter(col("n") >= 1)
+      .select(col("doc_id"), col("lang"), col("n"),
+        explode(expr(
+          """transform(sequence(1, cast(n as int)),
+            |  i -> array(element_at(b, i), element_at(b, i + 1)))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        element_at(col("g"), 1).as("p"), element_at(col("g"), 2).as("c"))
+    val train = events.filter(col("lang") === "en")
+    val tr = train.groupBy("p", "c").agg(count(lit(1)).as("cbg"))
+    val pr = train.groupBy("p").agg(count(lit(1)).as("cpr"))
+    val v = train.agg((countDistinct(col("c")) + 1).as("vsz"))
+    // log-prob per bigram TYPE occurring anywhere in the scored pool:
+    // ln((c(p,c)+1) / (c(p)+V)) — Laplace; unseen prev backs off to 1/V
+    val w = events.select("p", "c").distinct()
+      .crossJoin(broadcast(v))
+      .join(tr, Seq("p", "c"), "left")
+      .join(pr, Seq("p"), "left")
+      .select(col("p"), col("c"),
+        round(log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("cpr"), lit(0L)) + col("vsz")).cast("double")), 6)
+          .cast("decimal(12,6)").as("w"))
+    val lp = events.groupBy("doc_id", "p", "c").agg(count(lit(1)).as("k"))
+      .join(w, Seq("p", "c"))
+      .groupBy("doc_id")
+      .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
+        .cast("decimal(30,6)").as("lps"))
+    base.join(lp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+        col("lps").cast("double").as("lp_sum"),
+        when(col("n") === 0, lit("tail"))
+          .when(col("lps") >= lit(headAvgLp).cast("decimal(12,6)") * col("n"),
+            "head")
+          .when(col("lps") >= lit(tailAvgLp).cast("decimal(12,6)") * col("n"),
+            "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
+  def perplexityBucketsOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, lang, cast(len(a) as bigint) AS n,
+      |         list_prepend('<s>', a) AS b FROM tk),
+      |e AS (
+      |  SELECT doc_id, lang, n, g[1] AS p, g[2] AS c
+      |  FROM (SELECT doc_id, lang, n,
+      |          unnest(list_transform(generate_series(1, cast(n as int)),
+      |            i -> [b[i], b[i + 1]])) AS g
+      |        FROM base WHERE n >= 1)),
+      |tr AS (SELECT p, c, count(*) AS cbg FROM e WHERE lang = 'en'
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT p, count(*) AS cpr FROM e WHERE lang = 'en'
+      |       GROUP BY 1),
+      |v  AS (SELECT count(DISTINCT c) + 1 AS vsz FROM e WHERE lang = 'en'),
+      |ty AS (SELECT DISTINCT p, c FROM e),
+      |w  AS (SELECT ty.p, ty.c,
+      |         cast(round(ln((coalesce(cbg, 0) + 1)::DOUBLE /
+      |                       (coalesce(cpr, 0) + vsz)::DOUBLE), 6)
+      |              as decimal(12,6)) AS w
+      |       FROM ty CROSS JOIN v
+      |       LEFT JOIN tr ON ty.p = tr.p AND ty.c = tr.c
+      |       LEFT JOIN pr ON ty.p = pr.p),
+      |pd AS (SELECT doc_id, p, c, count(*) AS k FROM e GROUP BY 1, 2, 3),
+      |lp AS (SELECT pd.doc_id,
+      |         cast(sum(cast(pd.k * w.w as decimal(30,6)))
+      |              as decimal(30,6)) AS lps
+      |       FROM pd JOIN w ON pd.p = w.p AND pd.c = w.c GROUP BY 1)
+      |SELECT b.doc_id, b.lang, b.n AS n_tokens,
+      |  cast(lps as double) AS lp_sum,
+      |  CASE WHEN b.n = 0 THEN 'tail'
+      |       WHEN lps >= cast(-3.390000 as decimal(12,6)) * b.n THEN 'head'
+      |       WHEN lps >= cast(-3.430000 as decimal(12,6)) * b.n THEN 'middle'
+      |       ELSE 'tail' END AS ppl_bucket
+      |FROM base b LEFT JOIN lp ON b.doc_id = lp.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // End-to-end curation pipeline                                     //
   // ---------------------------------------------------------------- //
 

@@ -61,8 +61,10 @@ object Executions {
         // side. The caller gets the lazy DataFrame back (re-running it is
         // planned work, not a driver-memory copy of the result set).
         df.queryExecution.toRdd.foreach(_ => ())
-        states.put(id, Succeeded)
+        // result frame first: a concurrent getQueryResults that sees
+        // Succeeded must find the frame already registered
         results.put(id, df)
+        states.put(id, Succeeded)
         df
       } catch {
         case e: Throwable =>

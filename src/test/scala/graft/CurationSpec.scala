@@ -36,6 +36,35 @@ class CurationSpec extends AnyFunSuite {
     } finally rep.unpersist()
   }
 
+  test("ppl buckets: no doc lost, en heads the head bucket, thresholds order") {
+    val out = Curation.perplexityBuckets(spark, sf).cache()
+    try {
+      val docs = Tables.documents(spark, sf).count()
+      assert(out.count() == docs) // left join: every doc gets a bucket
+      assert(out.filter(col("ppl_bucket").isNull).count() == 0)
+      // the LM is trained on the en slice, so en must dominate head and
+      // be the MINORITY of tail (the CCNet separation the filter exists
+      // to produce)
+      val headEn = out.filter(col("ppl_bucket") === "head")
+      assert(headEn.filter(col("lang") === "en").count() * 2 >
+        headEn.count())
+      val tail = out.filter(col("ppl_bucket") === "tail")
+      assert(tail.filter(col("lang") === "en").count() * 2 <
+        tail.count())
+      // bucket boundaries respect the mean-logprob ordering: every head
+      // doc's avg lp strictly above every tail doc's
+      val minHead = headEn.agg(min(col("lp_sum") / col("n_tokens")))
+        .head().getDouble(0)
+      val maxTail = tail.agg(max(col("lp_sum") / col("n_tokens")))
+        .head().getDouble(0)
+      assert(minHead > maxTail)
+      // deterministic: a re-run bucketizes identically
+      val again = Curation.perplexityBuckets(spark, sf)
+        .select("doc_id", "ppl_bucket")
+      assert(out.select("doc_id", "ppl_bucket").except(again).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("pii scrub: patterns removed, counts match, non-matching text intact") {
     val out = Curation.piiScrub(spark, sf).cache()
     try {
