@@ -99,6 +99,7 @@ object SparkEntry {
     "dedup_cc_keep"       -> (Dedup.ccDedup _),
     "dedup_exact_segments" -> ((s: SparkSession, d: String) =>
       Dedup.exactSegmentDedup(s, d)),
+    "dedup_substring"     -> ((s, d) => Dedup.substrDedup(s, d)),
     "dedup_cc_best"       -> (Dedup.ccBestKeep _),
     // time-series (Timestream-shaped)
     "ts_asof_join"        -> (AsOf.clickToPurchase _),
@@ -289,6 +290,7 @@ object SparkEntry {
     // CC transitive closure vs DuckDB's recursive label propagation
     "dedup_cc_keep"       -> Dedup.ccDedupOracle,
     "dedup_exact_segments" -> Dedup.exactSegmentDedupOracle,
+    "dedup_substring"     -> Dedup.substrDedupOracle,
     "dedup_cc_best"       -> Dedup.ccBestKeepOracle,
     "ts_asof_join"        -> AsOf.clickToPurchaseOracle,
     "ts_tumbling_window"  -> TimeSeries.tumblingOracle,

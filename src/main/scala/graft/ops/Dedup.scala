@@ -668,4 +668,109 @@ object Dedup {
     s"""WITH ${segmentSqlCtes("documents")}
        |SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
        |FROM kept GROUP BY doc_id""".stripMargin
+
+  /** EXACT SUBSTRING dedup at ANY alignment — the sliding-window form
+    * of Lee et al. 2021 (arXiv:2107.06499 §4.1 "ExactSubstr"): a token
+    * whose position is covered by ANY `k`-token window that appears
+    * verbatim in at least `minDocs` distinct documents is removed, and
+    * each document is reassembled from its surviving tokens in order.
+    * Unlike [[exactSegmentDedup]]'s fixed non-overlapping grid, the
+    * windows here slide one token at a time, so a duplicated passage is
+    * cut wherever it starts — this is exactly the coverage set of the
+    * paper's suffix-array algorithm for duplicated substrings of length
+    * >= k (any such substring is a union of duplicated k-windows),
+    * computed with data-parallel joins instead of a global suffix
+    * array.
+    *
+    * Scale shape — linear, no pair joins: the window scan is O(n·k)
+    * hashing map-side (a production run swaps the md5 slice hash for a
+    * rolling hash to make it O(n); md5 here keeps the DuckDB oracle
+    * bit-exact), the window-frequency aggregation gets map-side partial
+    * combine, the duplicated-window set joins BACK by shuffle equi-join
+    * on the hash (never collected or broadcast — terabytes of
+    * duplicated text work unchanged), the position-coverage explode is
+    * k× the DUP-window mass only, and the reassembly is one per-doc
+    * aggregation. */
+  def substrDedup(s: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("bigint").as("n"))
+    // sliding k-token windows, keyed by the md5 of their joined text
+    // (CASE guard: Spark's sequence(1, 0) is a DESCENDING range)
+    val wins = base
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(toks) >= $k
+           |  THEN transform(sequence(1, size(toks) - $k + 1),
+           |         i -> md5(array_join(slice(toks, i, $k), ' ')))
+           |  ELSE array() END""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val covered = wins.join(dup, Seq("h"))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(i, i + $k - 1)")).as("p"))
+      .distinct()
+    val toks = base
+      .select(col("doc_id"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("p"),
+        col("col").as("tok"))
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("p"), col("tok"))))
+        .as("ps"), count(lit(1)).as("nk"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ps, x -> x.tok), ' ')").as("text"),
+        col("nk"))
+    base.select(col("doc_id"), col("n"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("text"),
+        (col("n") - coalesce(col("nk"), lit(0L))).as("n_removed"))
+  }
+
+  def substrDedupOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, toks, cast(len(toks) as bigint) AS n FROM tk),
+      |w AS (
+      |  SELECT doc_id, s.i AS i, s.h AS h FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, cast(len(toks) as int) - 7),
+      |        i -> struct_pack(i := i,
+      |          h := md5(array_to_string(toks[i:(i + 7)], ' '))))) AS s
+      |    FROM base WHERE len(toks) >= 8) z),
+      |dup AS (
+      |  SELECT h FROM w GROUP BY h
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, p FROM (
+      |    SELECT doc_id, unnest(list_transform(range(8), d -> i + d)) AS p
+      |    FROM w WHERE h IN (SELECT h FROM dup)) z),
+      |tp AS (
+      |  SELECT doc_id, s.p AS p, s.t AS t FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(
+      |        generate_series(1, cast(len(toks) as int)),
+      |        i -> struct_pack(p := cast(i as bigint), t := toks[i]))) AS s
+      |    FROM base WHERE len(toks) >= 1) z),
+      |kept AS (
+      |  SELECT tp.* FROM tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov
+      |                    WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p)),
+      |ka AS (
+      |  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text,
+      |    count(*) AS nk
+      |  FROM kept GROUP BY doc_id)
+      |SELECT b.doc_id, coalesce(ka.text, '') AS text,
+      |  b.n - coalesce(ka.nk, 0) AS n_removed
+      |FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id""".stripMargin
 }

@@ -34,4 +34,28 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(got(4L) == s"${seg("e")} tail only")   // short tail segment kept
     assert(got.size == 3)
   }
+
+  test("substr dedup: unaligned duplicated passage cut at any offset") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-subdd").toString
+    val P = (1 to 10).map(i => s"p$i").mkString(" ") // 10-token passage
+    // the passage sits at DIFFERENT offsets (3, 1, 0) — the grid-aligned
+    // segment pass would miss it; the sliding-window pass must cut it
+    val rows = Seq(
+      (1L, s"a1 a2 a3 $P b1 b2", "en", "s", 0L),
+      (2L, s"c1 $P d1 d2 d3", "en", "s", 0L),
+      (3L, P, "en", "s", 0L),
+      (4L, "short doc here", "en", "s", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.substrDedup(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) == (("a1 a2 a3 b1 b2", 10L))) // passage cut, rest in order
+    assert(got(2L) == (("c1 d1 d2 d3", 10L)))
+    assert(got(3L) == (("", 10L)))               // fully-duplicated doc empties
+    assert(got(4L) == (("short doc here", 0L)))  // < k tokens: untouched
+    assert(got.size == 4)                        // every doc present in output
+  }
 }
