@@ -682,15 +682,29 @@ object Dedup {
     * computed with data-parallel joins instead of a global suffix
     * array.
     *
-    * Scale shape — linear, no pair joins: the window scan is O(n·k)
+    * Scale shape — linear, no pair joins, and every shuffle row is
+    * WINDOW-level (never position-level): the window scan is O(n·k)
     * hashing map-side (a production run swaps the md5 slice hash for a
     * rolling hash to make it O(n); md5 here keeps the DuckDB oracle
     * bit-exact), the window-frequency aggregation gets map-side partial
     * combine, the duplicated-window set joins BACK by shuffle equi-join
     * on the hash (never collected or broadcast — terabytes of
-    * duplicated text work unchanged), the position-coverage explode is
-    * k× the DUP-window mass only, and the reassembly is one per-doc
-    * aggregation. */
+    * duplicated text work unchanged), and the duplicated-window START
+    * positions aggregate per doc so the position-coverage test and the
+    * reassembly are both map-side array ops against the original token
+    * array. The rejected formulation — explode every covered position
+    * and anti-join tokens on (doc, pos) — shuffles k× the dup-window
+    * mass in POSITION rows then re-aggregates the whole corpus text;
+    * measured 276 s vs 149 s at 100× data on the dup-saturated ScaleUp
+    * corpus (isolated forced runs, identical output checksums).
+    *
+    * `wins` feeds two branches (the frequency aggregate and the
+    * join-back), so it is persisted for the duration of the action —
+    * the measured A/B at 100× (149 s MEMORY_AND_DISK / 160 s DISK_ONLY
+    * / 183 s recompute) says re-hashing every window costs more than
+    * spilling the narrow (doc_id, i, h) rows, the opposite verdict
+    * from the exploded-TEXT cache that [[segmentDedupPass]] rejects.
+    * Harnesses release the blocks via [[releaseCaches]]. */
   def substrDedup(s: SparkSession, dir: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     val base = Tables.documents(s, dir)
@@ -707,30 +721,28 @@ object Dedup {
            |         i -> md5(array_join(slice(toks, i, $k), ' ')))
            |  ELSE array() END""".stripMargin)))
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(wins)
     val dup = wins.groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    val covered = wins.join(dup, Seq("h"))
-      .select(col("doc_id"),
-        explode(expr(s"sequence(i, i + $k - 1)")).as("p"))
-      .distinct()
-    val toks = base
-      .select(col("doc_id"), posexplode(col("toks")))
-      .select(col("doc_id"), (col("pos") + 1).cast("bigint").as("p"),
-        col("col").as("tok"))
-    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    // start positions of this doc's duplicated windows — one bounded
+    // array per doc (at most n-k+1 ints), the only state reassembly
+    // needs: position p is removed iff some start s covers it
+    // (s <= p <= s+k-1)
+    val starts = wins.join(dup, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("p"), col("tok"))))
-        .as("ps"), count(lit(1)).as("nk"))
+      .agg(collect_set(col("i")).as("ss"))
+    base.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n"), expr(
+        s"""filter(toks, (t, p0) -> NOT exists(
+           |  coalesce(ss, array()),
+           |  s -> s <= p0 + 1 AND p0 + 1 <= s + $k - 1))""".stripMargin)
+        .as("keep"))
       .select(col("doc_id"),
-        expr("array_join(transform(ps, x -> x.tok), ' ')").as("text"),
-        col("nk"))
-    base.select(col("doc_id"), col("n"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text"), lit("")).as("text"),
-        (col("n") - coalesce(col("nk"), lit(0L))).as("n_removed"))
+        expr("array_join(keep, ' ')").as("text"),
+        (col("n") - size(col("keep"))).as("n_removed"))
   }
 
   def substrDedupOracle: String =
