@@ -9,8 +9,18 @@ import graft.io.DatasetWriter
   *
   * Timing discipline: a warmup action first (absorbs JVM/codegen/session
   * init so per-query numbers measure the plan, not the bootstrap), then
-  * each query timed over a full materialization (`count()` — forces every
-  * operator; results are small aggregates so collection cost is noise).
+  * each query timed over a full materialization of the query's OWN plan
+  * (`queryExecution.toRdd.count()` — every output column is produced,
+  * nothing is collected). A bare `df.count()` is NOT full
+  * materialization: Catalyst prunes columns nobody reads above the
+  * count, which deletes per-row projections (text scores, regex
+  * extracts, reassembled text), cardinality-preserving window
+  * operators, and even whole left joins against aggregated (distinct-
+  * key) right sides — a map-shaped operator "benches" as a parquet
+  * row-count. Measured sweep (r11): 20 of 137 entries collapsed to a
+  * bare scan under count(); toRdd leaves aggregate-shaped entries
+  * unchanged (the plan below the final agg is identical) and makes the
+  * map-shaped ones pay their real cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -139,7 +149,7 @@ object Bench {
         // samples use min-of-two, and the flag compares against the BEST
         // sample so one inflated mid-sweep read can only flag, not mask
         if (i > 0 && i % probeEvery == 0) probe(minOfTwo = false)
-        val t = time(fn(spark, sfDir).count())
+        val t = time(fn(spark, sfDir).queryExecution.toRdd.count())
         // free any per-query persisted state (dedup signature tables)
         // so one query's blocks never tax the queries after it
         ops.Dedup.releaseCaches()
