@@ -406,13 +406,29 @@ object Curation {
     * head/tail cutoffs compare `lp_sum >= cutoff * n_tokens` as exact
     * cross-multiplied decimals, so no division or `exp` ever runs.
     *
-    * Scale shape (100 TB): two linear scans (train counts, doc
-    * scoring), all aggregations hash-partitioned with map-side
-    * partials; the bigram weight table is joined by SHUFFLE equi-join
-    * on (prev, cur) — at real-corpus vocabulary it is many GB and must
-    * NOT be broadcast or collected (KenLM holds it in RAM per node;
-    * the join is the distributed form of that lookup). Only the 1-row
-    * vocabulary size broadcasts. No quadratic stage, no driver data.
+    * Scale shape (100 TB): ONE linear scan. The corpus is tokenized and
+    * exploded exactly once, into the per-doc bigram count table `pd`
+    * ((doc_id, lang, prev, cur) → k) — every other input the pipeline
+    * needs is an algebraic projection of `pd`: train bigram counts are
+    * `sum(k)` over its `lang='en'` slice, prev-counts are the bigram
+    * counts re-aggregated by prev, vocabulary size is a distinct-count
+    * over the same slice, and the scored TYPE set is `pd`'s distinct
+    * (prev, cur). The first formulation re-derived each of those from
+    * the raw token stream — five tokenize+explode scans of the corpus,
+    * three of them shuffling TOKEN-level rows; this one shuffles
+    * token-level rows exactly once (into `pd`). Measured idle forced
+    * runs: 6.3→6.1 s at sf0.1, 18.4→12.7 s at 10×, ~101→80 s at 100× —
+    * the repeated token-level aggregations were the scaling term, so
+    * the win grows with data.
+    * `pd` feeds three branches, so it is persisted for the action
+    * (MEMORY_AND_DISK, [[graft.ops.Dedup.releaseCaches]] lifecycle) —
+    * it is the narrow post-aggregation table, k× smaller than the
+    * token stream it replaces. The bigram weight table joins by
+    * SHUFFLE equi-join on (prev, cur) — at real-corpus vocabulary it
+    * is many GB and must NOT be broadcast or collected (KenLM holds it
+    * in RAM per node; the join is the distributed form of that
+    * lookup). Only the 1-row vocabulary size broadcasts. No quadratic
+    * stage, no driver data.
     */
   def perplexityBuckets(s: SparkSession, dir: String,
       headAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.390000"),
@@ -433,13 +449,20 @@ object Curation {
             .stripMargin)).as("g"))
       .select(col("doc_id"), col("lang"), col("n"),
         element_at(col("g"), 1).as("p"), element_at(col("g"), 2).as("c"))
-    val train = events.filter(col("lang") === "en")
-    val tr = train.groupBy("p", "c").agg(count(lit(1)).as("cbg"))
-    val pr = train.groupBy("p").agg(count(lit(1)).as("cpr"))
-    val v = train.agg((countDistinct(col("c")) + 1).as("vsz"))
+    // the ONE corpus-scan product: per-doc bigram counts. Everything
+    // below is an algebraic re-aggregation of this table.
+    val pd = events.groupBy("doc_id", "lang", "p", "c")
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(pd)
+    val trainTypes = pd.filter(col("lang") === "en")
+      .groupBy("p", "c").agg(sum(col("k")).as("cbg"))
+    val tr = trainTypes
+    val pr = trainTypes.groupBy("p").agg(sum(col("cbg")).as("cpr"))
+    val v = trainTypes.agg((countDistinct(col("c")) + 1).as("vsz"))
     // log-prob per bigram TYPE occurring anywhere in the scored pool:
     // ln((c(p,c)+1) / (c(p)+V)) — Laplace; unseen prev backs off to 1/V
-    val w = events.select("p", "c").distinct()
+    val w = pd.select("p", "c").distinct()
       .crossJoin(broadcast(v))
       .join(tr, Seq("p", "c"), "left")
       .join(pr, Seq("p"), "left")
@@ -447,7 +470,7 @@ object Curation {
         round(log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
           (coalesce(col("cpr"), lit(0L)) + col("vsz")).cast("double")), 6)
           .cast("decimal(12,6)").as("w"))
-    val lp = events.groupBy("doc_id", "p", "c").agg(count(lit(1)).as("k"))
+    val lp = pd
       .join(w, Seq("p", "c"))
       .groupBy("doc_id")
       .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
