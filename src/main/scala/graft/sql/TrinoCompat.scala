@@ -2,16 +2,22 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  Abs, Add, And, Ascii, AssertTrue, Base64, Cast, Coalesce, Concat,
-  CreateNamedStruct, DateFormatClass, DayOfYear, Divide, EqualTo,
-  Expression, Floor, GetJsonObject, GreaterThan, Hex, If, IsNaN, IsNull,
-  Length, Levenshtein, Literal, Multiply, Not, NullIf, ParseToTimestamp,
-  ParseUrl, Rand, RegExpExtract, SecondsToTimestamp, Sha2, StringInstr,
-  StructsToJson, Substring, Subtract, TryEval, UnBase64, Unhex,
-  UnixMicros, WeekDay, WeekOfYear}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{First, HyperLogLogPlusPlus}
+  Abs, Add, And, ArrayExists, ArrayForAll, Ascii, AssertTrue, Base64,
+  BitwiseAnd, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce, Concat,
+  CreateNamedStruct, CreateStruct, DateFormatClass, DayOfYear, Divide,
+  EqualTo, Expression, Exp, Floor, FromUTCTimestamp, GetJsonObject,
+  GreaterThan, GreaterThanOrEqual, Hex, If, IsNaN,
+  IsNull, LambdaFunction, LastDay, Length, Levenshtein, Literal, Log,
+  MapFromEntries, Multiply, Not, NullIf, ParseToTimestamp, ParseUrl,
+  Pmod, Rand, RegExpExtract, RegExpReplace, Reverse,
+  SecondsToTimestamp, Sha2, StringInstr, StringLocate, StructsToJson,
+  Substring, Subtract, TryEval, UnBase64, Unhex, UnixMicros, WeekDay,
+  WeekOfYear, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  Average, CollectList, First, HyperLogLogPlusPlus, Sum}
 import org.apache.spark.sql.types.{
-  BinaryType, DoubleType, IntegerType, LongType, StringType, TimestampType}
+  BinaryType, DateType, DoubleType, IntegerType, LongType, StringType,
+  TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Trino/Presto dialect compatibility for `readSqlQuery` — the
@@ -285,6 +291,89 @@ object TrinoCompat {
     fn("st_geomfromtext") { case Seq(t) => t }
     fn("st_linefromtext") { case Seq(t) => t }
     fn("st_polygon") { case Seq(t) => t }
+
+    // ---- round-11 second batch: the next tier of Trino names an ----------
+    // ---- Athena user types (trino.io docs for each; no UDFs) -------------
+
+    // array predicates — Trino names for Spark's exists/forall
+    fn("any_match") { case Seq(a, f: LambdaFunction) => ArrayExists(a, f) }
+    fn("all_match") { case Seq(a, f: LambdaFunction) => ArrayForAll(a, f) }
+    // none_match negates INSIDE the lambda (forall of the negation):
+    // the analyzer requires the lambda's parent to be the higher-order
+    // function itself, so Not(any_match(..)) is rejected at the root
+    fn("none_match") {
+      case Seq(a, f: LambdaFunction) =>
+        ArrayForAll(a, f.copy(function = Not(f.function)))
+    }
+
+    // map_agg(k, v): collect (k, v) structs, build the map at the end.
+    // The inner CollectList carries its own AggregateExpression wrapper
+    // because the registry's auto-wrap only fires when the ROOT of the
+    // built tree is an aggregate (the `arbitrary` → First case).
+    fn("map_agg") { case Seq(k, v) =>
+      MapFromEntries(CollectList(CreateStruct(Seq(k, v)))
+        .toAggregateExpression())
+    }
+    // checksum: order-INSENSITIVE aggregate fingerprint (sum commutes);
+    // Trino returns varbinary, we return the i64 — equality comparison,
+    // the only use, carries over
+    fn("checksum") { case Seq(c) => Sum(new XxHash64(Seq(c))) }
+    fn("geometric_mean") { case Seq(c) =>
+      Exp(Average(Log(Cast(c, DoubleType))).toAggregateExpression())
+    }
+
+    // ---- ISO-8601 / time ---------------------------------------------------
+    fn("from_iso8601_timestamp") { case Seq(s) => Cast(s, TimestampType) }
+    fn("from_iso8601_date") { case Seq(s) => Cast(s, DateType) }
+    fn("to_iso8601") { case Seq(c) => graft.expr.ToIso8601(c) }
+    // at_timezone re-renders an instant in another zone; with the
+    // engine fixed at UTC the instant-preserving rebase IS Spark's
+    // from_utc_timestamp
+    fn("at_timezone") { case Seq(t, z) =>
+      FromUTCTimestamp(Cast(t, TimestampType), z)
+    }
+    fn("last_day_of_month") { case Seq(c) => LastDay(c) }
+    // micros-of-second / 1000; the pmod is non-negative so the int
+    // cast's truncation IS floor division
+    fn("millisecond") { case Seq(c) =>
+      Cast(Divide(Cast(new Pmod(UnixMicros(Cast(c, TimestampType)),
+        Literal(1000000L)), DoubleType), Literal(1000.0)), IntegerType)
+    }
+
+    // ---- strings / numbers -------------------------------------------------
+    // strrpos: last 1-based occurrence via the reversed-locate identity
+    // (0 when absent, Trino's convention)
+    fn("strrpos") { case Seq(s, sub) =>
+      val r = new StringLocate(Reverse(sub), Reverse(s))
+      Cast(If(EqualTo(r, Literal(0)),
+        Literal(0),
+        Subtract(Add(Subtract(Length(s), r), Literal(2)), Length(sub))),
+        LongType)
+    }
+    // truncate(x): round toward zero (Trino's 1-arg double form)
+    fn("truncate") { case Seq(x) =>
+      val d = Cast(x, DoubleType)
+      Cast(If(GreaterThanOrEqual(d, Literal(0.0)), Floor(d), Ceil(d)),
+        DoubleType)
+    }
+    // Trino's 2-arg regexp_replace DELETES matches; 3-arg passes through
+    // to the builtin semantics (identical in both dialects)
+    fn("regexp_replace") {
+      case Seq(s, p) => RegExpReplace(s, p, Literal(""))
+      case Seq(s, p, r) => RegExpReplace(s, p, r)
+      case other => throw new IllegalArgumentException(
+        s"regexp_replace expects 2 or 3 arguments, got ${other.size}")
+    }
+    // scalar bitwise trio (Spark only has the aggregate bit_and/bit_or)
+    fn("bitwise_and") { case Seq(a, b) =>
+      BitwiseAnd(Cast(a, LongType), Cast(b, LongType))
+    }
+    fn("bitwise_or") { case Seq(a, b) =>
+      BitwiseOr(Cast(a, LongType), Cast(b, LongType))
+    }
+    fn("bitwise_xor") { case Seq(a, b) =>
+      BitwiseXor(Cast(a, LongType), Cast(b, LongType))
+    }
   }
 
   /** JSON text of ANY value: round-trip through `to_json` of a 1-field

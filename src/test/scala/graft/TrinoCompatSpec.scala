@@ -522,4 +522,96 @@ class TrinoCompatSpec extends AnyFunSuite {
       == new java.math.BigDecimal("33.33"))
     assert(r.getMap[String, String](1)("date") == "2022-08-22")
   }
+
+  // ---- round-11 second batch ------------------------------------------------
+
+  test("any_match / all_match / none_match (Trino array predicates)") {
+    val r = one(
+      """SELECT any_match(ARRAY [1, 5, 9], x -> x > 7) AS a,
+        |       all_match(ARRAY [1, 5, 9], x -> x > 0) AS b,
+        |       none_match(ARRAY [1, 5, 9], x -> x > 100) AS c,
+        |       any_match(ARRAY [1, 5, 9], x -> x > 100) AS d""".stripMargin)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2)
+      && !r.getBoolean(3))
+  }
+
+  test("split_part and reduce carry Trino semantics through the front door") {
+    // both are Spark builtins with matching semantics — pinned here so a
+    // regression (or a Spark rename) is caught at the shim's gate
+    val r = one(
+      """SELECT split_part('a/b/c', '/', 2) AS p,
+        |       reduce(ARRAY [5, 20, 50], 0, (s, x) -> s + x, s -> s) AS t"""
+        .stripMargin)
+    assert(r.getString(0) == "b")
+    assert(r.getInt(1) == 75)
+  }
+
+  test("map_agg builds a map across rows") {
+    val m = one(
+      """SELECT map_agg(k, v) AS m FROM (
+        |  SELECT CAST(id AS VARCHAR) AS k, id * 10 AS v FROM range(4)) t"""
+        .stripMargin).getMap[String, Long](0)
+    assert(m == Map("0" -> 0L, "1" -> 10L, "2" -> 20L, "3" -> 30L))
+  }
+
+  test("checksum is order-insensitive; geometric_mean matches the closed form") {
+    val a = one("SELECT checksum(x) AS c FROM (SELECT explode(array(1, 2, 3)) AS x) t")
+    val b = one("SELECT checksum(x) AS c FROM (SELECT explode(array(3, 1, 2)) AS x) t")
+    assert(a.getLong(0) == b.getLong(0))
+    val g = one(
+      "SELECT geometric_mean(x) AS g FROM (SELECT explode(array(2.0, 8.0)) AS x) t")
+    assert(math.abs(g.getDouble(0) - 4.0) < 1e-9)
+  }
+
+  test("ISO-8601 family: from_iso8601_timestamp/date, to_iso8601 by type") {
+    val r = one(
+      """SELECT from_iso8601_timestamp('2020-05-10T01:02:03') AS ts,
+        |       from_iso8601_date('2020-05-10') AS d,
+        |       to_iso8601(TIMESTAMP '2020-05-10 01:02:03.456') AS si,
+        |       to_iso8601(DATE '2020-05-10') AS sd""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2020-05-10 01:02:03.0")
+    assert(r.getDate(1).toString == "2020-05-10")
+    assert(r.getString(2) == "2020-05-10T01:02:03.456")
+    assert(r.getString(3) == "2020-05-10")
+  }
+
+  test("at_timezone rebases the UTC instant; millisecond/last_day_of_month") {
+    val r = one(
+      """SELECT at_timezone(TIMESTAMP '2020-01-01 12:00:00',
+        |                   'America/Los_Angeles') AS t,
+        |       millisecond(TIMESTAMP '2020-01-01 00:00:00.789') AS ms,
+        |       last_day_of_month(DATE '2020-02-05') AS ld""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2020-01-01 04:00:00.0")
+    assert(r.getInt(1) == 789)
+    assert(r.getDate(2).toString == "2020-02-29")
+  }
+
+  test("strrpos finds the LAST occurrence, 0 when absent") {
+    val r = one(
+      """SELECT strrpos('ab_cd_ef', '_') AS a,
+        |       strrpos('ab_cd_ef', 'cd') AS b,
+        |       strrpos('ab_cd_ef', 'zz') AS c,
+        |       strpos('ab_cd_ef', '_') AS d""".stripMargin)
+    assert(r.getLong(0) == 6L)
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getInt(3) == 3)
+  }
+
+  test("truncate rounds toward zero; bitwise trio") {
+    val r = one(
+      """SELECT truncate(17.8) AS a, truncate(-17.8) AS b,
+        |       bitwise_and(12, 10) AS x, bitwise_or(12, 10) AS y,
+        |       bitwise_xor(12, 10) AS z""".stripMargin)
+    assert(r.getDouble(0) == 17.0 && r.getDouble(1) == -17.0)
+    assert(r.getLong(2) == 8L && r.getLong(3) == 14L && r.getLong(4) == 6L)
+  }
+
+  test("2-arg regexp_replace deletes matches; 3-arg keeps builtin semantics") {
+    val r = one(
+      """SELECT regexp_replace('1a2b3c', '[a-z]') AS del,
+        |       regexp_replace('1a2b3c', '[a-z]', '_') AS rep""".stripMargin)
+    assert(r.getString(0) == "123")
+    assert(r.getString(1) == "1_2_3_")
+  }
 }
