@@ -82,6 +82,7 @@ object SparkEntry {
     // curation filters + training-set export (Gopher/Dolma recipes)
     "text_repetition"     -> (Curation.repetitionScore _),
     "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
+    "curate_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d)),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
@@ -272,6 +273,7 @@ object SparkEntry {
     "curate_split"         -> Sampling.splitOracle,
     "text_repetition"     -> Curation.repetitionScoreOracle,
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
+    "curate_gopher_rules" -> Curation.gopherRulesOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "curate_dsir_weights" -> Curation.dsirWeightsOracle,

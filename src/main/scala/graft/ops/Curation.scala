@@ -25,6 +25,91 @@ object Curation {
   private val tokens = split(col("text"), " ")
 
   // ---------------------------------------------------------------- //
+  // Gopher quality rules (word-level set)                            //
+  // ---------------------------------------------------------------- //
+
+  /** The Gopher quality-filter rules (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446 §A1.1): per-document word count in
+    * [minWords, maxWords], mean word length in [3, 10], symbol-to-word
+    * ratio (# and …) ≤ 0.1, ≥80% of words containing an alphabetic
+    * character, and ≥2 distinct words from the 8-stop-word probe list
+    * (the, be, to, of, and, that, have, with). The paper's line-shaped
+    * rules (bullet/ellipsis line starts, duplicate-line fraction) need
+    * line structure this corpus does not carry — its documents are
+    * single-line — and the repeated-n-gram family is
+    * [[repetitionScore]]; the two operators compose into the full
+    * Gopher gate.
+    *
+    * Exactness: every statistic is an exact integer (token counts,
+    * summed lengths, symbol counts) and every threshold an exact
+    * cross-multiplied integer comparison (mean length in [3,10] is
+    * `3·n ≤ Σlen ≤ 10·n`) — no float ever materializes, so rows hash
+    * bit-for-bit against DuckDB.
+    *
+    * Scale shape (100 TB): ONE linear scan, zero shuffles — the whole
+    * plan is scan → codegen'd per-doc array ops → project. Every rule
+    * is a map-side lambda over the token array; nothing aggregates
+    * across documents, so the operator parallelizes embarrassingly and
+    * the filter composes into any downstream pipeline stage without a
+    * stage boundary. */
+  def gopherRules(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_words"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
+          .as("sum_word_len"),
+        expr("cast(size(filter(toks, t -> t rlike '[A-Za-z]')) as bigint)")
+          .as("n_alpha_words"),
+        expr("""cast(size(array_intersect(array_distinct(toks),
+               |  array('the','be','to','of','and','that','have','with')))
+               |  as bigint)""".stripMargin).as("n_stopwords"),
+        expr("""cast((length(text) - length(replace(text, '#', ''))) +
+               |  (length(text) - length(replace(text, '...', ''))) div 3
+               |  as bigint)""".stripMargin).as("n_symbols"))
+      .select(col("doc_id"), col("n_words"), col("sum_word_len"),
+        col("n_alpha_words"), col("n_stopwords"), col("n_symbols"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords &&
+          lit(3) * col("n_words") <= col("sum_word_len") &&
+          col("sum_word_len") <= lit(10) * col("n_words") &&
+          lit(10) * col("n_symbols") <= col("n_words") &&
+          lit(10) * col("n_alpha_words") >= lit(8) * col("n_words") &&
+          col("n_stopwords") >= 2).as("keep"))
+  }
+
+  def gopherRulesOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id,
+      |    cast(len(toks) as bigint) AS n_words,
+      |    cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+      |      as bigint) AS sum_word_len,
+      |    cast(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+      |      as bigint) AS n_alpha_words,
+      |    cast(len(list_intersect(list_distinct(toks),
+      |      ['the','be','to','of','and','that','have','with'])) as bigint)
+      |      AS n_stopwords,
+      |    cast((length(text) - length(replace(text, '#', ''))) +
+      |      (length(text) - length(replace(text, '...', ''))) // 3
+      |      as bigint) AS n_symbols
+      |  FROM tk)
+      |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+      |  n_symbols,
+      |  (n_words BETWEEN 50 AND 100000
+      |    AND 3 * n_words <= sum_word_len
+      |    AND sum_word_len <= 10 * n_words
+      |    AND 10 * n_symbols <= n_words
+      |    AND 10 * n_alpha_words >= 8 * n_words
+      |    AND n_stopwords >= 2) AS keep
+      |FROM st""".stripMargin
+
+  // ---------------------------------------------------------------- //
   // Repetition metrics (Gopher-style)                                //
   // ---------------------------------------------------------------- //
 

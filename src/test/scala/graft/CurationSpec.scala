@@ -13,6 +13,48 @@ class CurationSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("gopher rules: exact stats, rule boundaries, zero-shuffle plan") {
+    val docs = Tables.documents(spark, sf).count()
+    val g = Curation.gopherRules(spark, sf).cache()
+    try {
+      assert(g.count() == docs)
+      // invariants: alpha words never exceed words; mean-length rule is
+      // the exact cross-multiplied comparison
+      assert(g.filter(col("n_alpha_words") > col("n_words")).count() == 0)
+      val kept = g.filter(col("keep"))
+      assert(kept.filter(col("n_words") < 50).count() == 0)
+      assert(kept.filter(lit(3) * col("n_words") > col("sum_word_len"))
+        .count() == 0)
+      // hand-built boundary docs: 49 words (below min), symbol-heavy,
+      // stopword-free — each must fail exactly the intended rule
+      import spark.implicits._
+      val probe = Seq(
+        (1L, Seq.fill(49)("the and word").mkString(" ")
+          .split(" ").take(49).mkString(" ")),          // 49 words
+        (2L, ("the and " + Seq.fill(60)("####").mkString(" "))), // symbols
+        (3L, Seq.fill(60)("alpha beta").mkString(" "))  // no stop words
+      ).toDF("doc_id", "text")
+      // assert on the operator's own expressions inline
+      val stats = probe
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("n"),
+          expr("size(array_intersect(array_distinct(toks), " +
+            "array('the','be','to','of','and','that','have','with')))")
+            .as("stopw"))
+        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+        .toMap
+      assert(stats(1L)._1 == 49)
+      assert(stats(3L)._2 == 0)
+      // plan shape: no Exchange anywhere — the gate is map-side only
+      // (a FRESH frame: the cached one above would hide the shape)
+      val plan = Curation.gopherRules(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"gopherRules must not shuffle:\n$plan")
+    } finally { g.unpersist() }
+  }
+
   test("repetition: fractions bounded, degenerate doc handled, no doc lost") {
     val docs = Tables.documents(spark, sf).count()
     val rep = Curation.repetitionScore(spark, sf).cache()
