@@ -24,6 +24,15 @@ object Curation {
 
   private val tokens = split(col("text"), " ")
 
+  /** Non-empty whitespace tokens of the `text` column — THE tokenizer
+    * shared by every token-counting operator ([[gopherRules]],
+    * [[perplexityBuckets]], [[Dedup.substrDedup]]); its DuckDB twin is
+    * `list_filter(string_split(text, ' '), t -> length(t) > 0)`. One
+    * definition, so a tokenization tweak cannot silently diverge the
+    * operators from each other. */
+  private[ops] def words =
+    expr("filter(split(text, ' '), t -> length(t) > 0)")
+
   // ---------------------------------------------------------------- //
   // Gopher quality rules (word-level set)                            //
   // ---------------------------------------------------------------- //
@@ -54,10 +63,16 @@ object Curation {
     * the filter composes into any downstream pipeline stage without a
     * stage boundary. */
   def gopherRules(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    gopherRulesOn(Tables.documents(s, dir), minWords, maxWords)
+
+  /** The rule set over an explicit (doc_id, text) frame — the
+    * [[Dedup.segmentDedupPass]] pattern, shared by [[gopherRules]] and
+    * the boundary-probe specs. */
+  private[graft] def gopherRulesOn(docs: DataFrame,
       minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"),
-        expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+    docs
+      .select(col("doc_id"), col("text"), words.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("bigint").as("n_words"),
         expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
@@ -67,8 +82,11 @@ object Curation {
         expr("""cast(size(array_intersect(array_distinct(toks),
                |  array('the','be','to','of','and','that','have','with')))
                |  as bigint)""".stripMargin).as("n_stopwords"),
+        // '#', the ASCII '...', AND the single-char U+2026 ellipsis —
+        // the common form in real web text
         expr("""cast((length(text) - length(replace(text, '#', ''))) +
-               |  (length(text) - length(replace(text, '...', ''))) div 3
+               |  (length(text) - length(replace(text, '...', ''))) div 3 +
+               |  (length(text) - length(replace(text, '…', '')))
                |  as bigint)""".stripMargin).as("n_symbols"))
       .select(col("doc_id"), col("n_words"), col("sum_word_len"),
         col("n_alpha_words"), col("n_stopwords"), col("n_symbols"),
@@ -96,7 +114,8 @@ object Curation {
       |      ['the','be','to','of','and','that','have','with'])) as bigint)
       |      AS n_stopwords,
       |    cast((length(text) - length(replace(text, '#', ''))) +
-      |      (length(text) - length(replace(text, '...', ''))) // 3
+      |      (length(text) - length(replace(text, '...', ''))) // 3 +
+      |      (length(text) - length(replace(text, '…', '')))
       |      as bigint) AS n_symbols
       |  FROM tk)
       |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
@@ -520,8 +539,7 @@ object Curation {
       tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
       : DataFrame = {
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        expr("filter(split(text, ' '), t -> length(t) > 0)").as("a"))
+      .select(col("doc_id"), col("lang"), words.as("a"))
       .select(col("doc_id"), col("lang"),
         size(col("a")).cast("bigint").as("n"),
         expr("concat(array('<s>'), a)").as("b"))

@@ -689,14 +689,18 @@ object Dedup {
     * bit-exact), the window-frequency aggregation gets map-side partial
     * combine, the duplicated-window set joins BACK by shuffle equi-join
     * on the hash (never collected or broadcast — terabytes of
-    * duplicated text work unchanged), and the duplicated-window START
-    * positions aggregate per doc so the position-coverage test and the
-    * reassembly are both map-side array ops against the original token
-    * array. The rejected formulation — explode every covered position
-    * and anti-join tokens on (doc, pos) — shuffles k× the dup-window
-    * mass in POSITION rows then re-aggregates the whole corpus text;
-    * measured 276 s vs 149 s at 100× data on the dup-saturated ScaleUp
-    * corpus (isolated forced runs, identical output checksums).
+    * duplicated text work unchanged), and the duplicated-window starts
+    * collapse into MERGED per-doc coverage intervals (keyed window +
+    * groupBy over the dup-start rows) so the position-coverage test
+    * and the reassembly are map-side array ops against the original
+    * token array — O(intervals) per token, and a fully-duplicated
+    * document carries ONE interval, so no doc degenerates into a
+    * quadratic straggler task. The rejected formulation — explode
+    * every covered position and anti-join tokens on (doc, pos) —
+    * shuffles k× the dup-window mass in POSITION rows then
+    * re-aggregates the whole corpus text; measured 276 s vs 149 s at
+    * 100× data on the dup-saturated ScaleUp corpus (isolated forced
+    * runs, identical output checksums).
     *
     * `wins` feeds two branches (the frequency aggregate and the
     * join-back), so it is persisted for the duration of the action —
@@ -708,8 +712,7 @@ object Dedup {
   def substrDedup(s: SparkSession, dir: String,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
     val base = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
+      .select(col("doc_id"), Curation.words.as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("bigint").as("n"))
     // sliding k-token windows, keyed by the md5 of their joined text
@@ -727,18 +730,34 @@ object Dedup {
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("h"))
-    // start positions of this doc's duplicated windows — one bounded
-    // array per doc (at most n-k+1 ints), the only state reassembly
-    // needs: position p is removed iff some start s covers it
-    // (s <= p <= s+k-1)
-    val starts = wins.join(dup, Seq("h"))
-      .groupBy(col("doc_id"))
-      .agg(collect_set(col("i")).as("ss"))
+    // MERGED coverage intervals per doc, built relationally: runs of
+    // dup-window starts whose coverage overlaps (next start within k
+    // of the previous) collapse into one [a, b] interval via a keyed
+    // window + groupBy. A fully-duplicated document carries ONE
+    // interval instead of n-k+1 start positions, so the per-token
+    // coverage test below is O(intervals), never O(starts) — the
+    // start-array formulation was quadratic for a long dup-saturated
+    // doc (n tokens × ~n starts in one task)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+    val intervals = wins.join(dup, Seq("h"))
+      .select(col("doc_id"), col("i"))
+      .withColumn("pi", lag(col("i"), 1).over(win))
+      .withColumn("nr",
+        when(col("pi").isNull || col("i") > col("pi") + k, 1).otherwise(0))
+      .withColumn("run", sum(col("nr")).over(
+        win.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .groupBy(col("doc_id"), col("run"))
+      .agg(min(col("i")).as("a"), (max(col("i")) + k - 1).as("b"))
+    val starts = intervals.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("a"), col("b")))).as("iv"))
     base.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n"), expr(
-        s"""filter(toks, (t, p0) -> NOT exists(
-           |  coalesce(ss, array()),
-           |  s -> s <= p0 + 1 AND p0 + 1 <= s + $k - 1))""".stripMargin)
+        """filter(toks, (t, p0) -> NOT exists(
+          |  coalesce(iv, array()),
+          |  r -> r.a <= p0 + 1 AND p0 + 1 <= r.b))""".stripMargin)
         .as("keep"))
       .select(col("doc_id"),
         expr("array_join(keep, ' ')").as("text"),

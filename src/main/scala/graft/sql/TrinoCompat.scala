@@ -1,18 +1,21 @@
 package graft.sql
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions.{
-  Abs, Add, And, ArrayExists, ArrayForAll, Ascii, AssertTrue, Base64,
+  Abs, Add, And, ArrayExists, ArrayFilter, ArrayForAll, ArrayPosition,
+  ArrayTransform, Ascii, AssertTrue, Base64,
   BitwiseAnd, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce, Concat,
   CreateNamedStruct, CreateStruct, DateFormatClass, DayOfYear, Divide,
   EqualTo, Expression, Exp, Floor, FromUTCTimestamp, GetJsonObject,
   GreaterThan, GreaterThanOrEqual, Hex, If, IsNaN,
-  IsNull, LambdaFunction, LastDay, Length, Levenshtein, Literal, Log,
-  MapFromEntries, Multiply, Not, NullIf, ParseToTimestamp, ParseUrl,
+  IsNotNull, IsNull, LambdaFunction, LastDay, Length, Levenshtein,
+  Literal, Log,
+  MapFromEntries, Multiply, Not, NullIf, Or, ParseToTimestamp, ParseUrl,
   Pmod, Rand, RegExpExtract, RegExpReplace, Reverse,
   SecondsToTimestamp, Sha2, StringInstr, StringLocate, StructsToJson,
-  Substring, Subtract, TryEval, UnBase64, Unhex, UnixMicros, WeekDay,
-  WeekOfYear, XxHash64}
+  Substring, Subtract, TryEval, UnBase64, Unhex, UnixMicros,
+  UnresolvedNamedLambdaVariable, WeekDay, WeekOfYear, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   Average, CollectList, First, HyperLogLogPlusPlus, Sum}
 import org.apache.spark.sql.types.{
@@ -310,16 +313,42 @@ object TrinoCompat {
     // The inner CollectList carries its own AggregateExpression wrapper
     // because the registry's auto-wrap only fires when the ROOT of the
     // built tree is an aggregate (the `arbitrary` → First case).
+    // Trino semantics on the edges (trino.io docs: map_agg): NULL keys
+    // are IGNORED, and of duplicate keys one entry is retained — the
+    // entries array is filtered to non-null FIRST-occurrence keys
+    // before the map builds (Spark's MapFromEntries would otherwise
+    // throw on both).
     fn("map_agg") { case Seq(k, v) =>
-      MapFromEntries(CollectList(CreateStruct(Seq(k, v)))
-        .toAggregateExpression())
+      // field names pinned explicitly — CreateStruct would name them
+      // after the input expressions, breaking the extracts below
+      val entries = CollectList(CreateNamedStruct(Seq(
+        Literal("k"), k, Literal("v"), v))).toAggregateExpression()
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val keys = ArrayTransform(entries,
+        LambdaFunction(UnresolvedExtractValue(x, Literal("k")), Seq(x)))
+      val e = UnresolvedNamedLambdaVariable(Seq("e"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val eKey = UnresolvedExtractValue(e, Literal("k"))
+      val firstWins = And(IsNotNull(eKey),
+        EqualTo(ArrayPosition(keys, eKey),
+          Cast(Add(i, Literal(1)), LongType)))
+      MapFromEntries(ArrayFilter(entries,
+        LambdaFunction(firstWins, Seq(e, i))))
     }
     // checksum: order-INSENSITIVE aggregate fingerprint (sum commutes);
     // Trino returns varbinary, we return the i64 — equality comparison,
     // the only use, carries over
     fn("checksum") { case Seq(c) => Sum(new XxHash64(Seq(c))) }
+    // geometric_mean: Spark's ln(x<=0) is NULL and Average skips nulls,
+    // which would SILENTLY drop zero/negative inputs; Trino's double
+    // math has ln(0) = -Inf (mean -Inf, exp 0) and ln(<0) = NaN. Encode
+    // those values explicitly so the result matches instead of lying.
     fn("geometric_mean") { case Seq(c) =>
-      Exp(Average(Log(Cast(c, DoubleType))).toAggregateExpression())
+      val d = Cast(c, DoubleType)
+      val lnv = If(GreaterThan(d, Literal(0.0)), Log(d),
+        If(EqualTo(d, Literal(0.0)),
+          Literal(Double.NegativeInfinity), Literal(Double.NaN)))
+      Exp(Average(lnv).toAggregateExpression())
     }
 
     // ---- ISO-8601 / time ---------------------------------------------------
@@ -350,11 +379,19 @@ object TrinoCompat {
         Subtract(Add(Subtract(Length(s), r), Literal(2)), Length(sub))),
         LongType)
     }
-    // truncate(x): round toward zero (Trino's 1-arg double form)
+    // truncate(x): round toward zero (Trino's 1-arg double form).
+    // Floor/Ceil return BIGINT, which would corrupt NaN (→0),
+    // infinities, and |x| beyond long range — but any double with
+    // |x| >= 2^53 is already integral (ulp > 1), so those pass through
+    // verbatim and only the genuinely fractional range goes through
+    // the integer round
     fn("truncate") { case Seq(x) =>
       val d = Cast(x, DoubleType)
-      Cast(If(GreaterThanOrEqual(d, Literal(0.0)), Floor(d), Ceil(d)),
-        DoubleType)
+      val passThrough = Or(IsNaN(d),
+        GreaterThanOrEqual(Abs(d), Literal(9007199254740992.0)))
+      If(passThrough, d,
+        Cast(If(GreaterThanOrEqual(d, Literal(0.0)), Floor(d), Ceil(d)),
+          DoubleType))
     }
     // Trino's 2-arg regexp_replace DELETES matches; 3-arg passes through
     // to the builtin semantics (identical in both dialects)

@@ -25,27 +25,31 @@ class CurationSpec extends AnyFunSuite {
       assert(kept.filter(col("n_words") < 50).count() == 0)
       assert(kept.filter(lit(3) * col("n_words") > col("sum_word_len"))
         .count() == 0)
-      // hand-built boundary docs: 49 words (below min), symbol-heavy,
-      // stopword-free — each must fail exactly the intended rule
+      // hand-built boundary docs through the OPERATOR itself — each
+      // verdict asserted, with the failing statistic named
       import spark.implicits._
       val probe = Seq(
-        (1L, Seq.fill(49)("the and word").mkString(" ")
-          .split(" ").take(49).mkString(" ")),          // 49 words
-        (2L, ("the and " + Seq.fill(60)("####").mkString(" "))), // symbols
-        (3L, Seq.fill(60)("alpha beta").mkString(" "))  // no stop words
+        // 49 words incl 2 stop words: fails ONLY the min-word-count rule
+        (1L, Seq.fill(24)("the and").mkString(" ") + " word"),
+        // symbol-heavy: fails the symbol-ratio rule (and, with only 2
+        // alphabetic words in 62, the alpha-fraction rule)
+        (2L, "the and " + Seq.fill(60)("####").mkString(" ")),
+        // 120 clean words, zero stop words: fails ONLY the stop-word rule
+        (3L, Seq.fill(60)("alpha beta").mkString(" ")),
+        // 60 clean words with stop words and a '…': one unicode
+        // ellipsis is counted but 10*1 <= 60 keeps the ratio rule green
+        (4L, "the and that … " + Seq.fill(56)("clean").mkString(" "))
       ).toDF("doc_id", "text")
-      // assert on the operator's own expressions inline
-      val stats = probe
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("toks"))
-        .select(col("doc_id"), size(col("toks")).as("n"),
-          expr("size(array_intersect(array_distinct(toks), " +
-            "array('the','be','to','of','and','that','have','with')))")
-            .as("stopw"))
-        .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2)))
+      val verdicts = Curation.gopherRulesOn(probe).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_words"), r.getAs[Long]("n_stopwords"),
+            r.getAs[Long]("n_symbols"), r.getAs[Boolean]("keep")))
         .toMap
-      assert(stats(1L)._1 == 49)
-      assert(stats(3L)._2 == 0)
+      assert(verdicts(1L)._1 == 49 && !verdicts(1L)._4)
+      assert(verdicts(2L)._3 == 240 && !verdicts(2L)._4)
+      assert(verdicts(3L)._2 == 0 && !verdicts(3L)._4)
+      assert(verdicts(4L)._3 == 1 && verdicts(4L)._4,
+        s"doc 4 should pass every rule: ${verdicts(4L)}")
       // plan shape: no Exchange anywhere — the gate is map-side only
       // (a FRESH frame: the cached one above would hide the shape)
       val plan = Curation.gopherRules(spark, sf)
@@ -104,7 +108,11 @@ class CurationSpec extends AnyFunSuite {
       val again = Curation.perplexityBuckets(spark, sf)
         .select("doc_id", "ppl_bucket")
       assert(out.select("doc_id", "ppl_bucket").except(again).count() == 0)
-    } finally out.unpersist()
+    } finally {
+      out.unpersist()
+      // the operator's own persisted bigram table (one per invocation)
+      graft.ops.Dedup.releaseCaches()
+    }
   }
 
   test("pii scrub: patterns removed, counts match, non-matching text intact") {

@@ -49,9 +49,11 @@ class SegmentDedupSpec extends AnyFunSuite {
       (4L, "short doc here", "en", "s", 0L))
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = Dedup.substrDedup(spark, dir)
-      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
-      .toMap
+    val got =
+      try Dedup.substrDedup(spark, dir)
+        .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+        .toMap
+      finally Dedup.releaseCaches() // the persisted window table
     assert(got(1L) == (("a1 a2 a3 b1 b2", 10L))) // passage cut, rest in order
     assert(got(2L) == (("c1 d1 d2 d3", 10L)))
     assert(got(3L) == (("", 10L)))               // fully-duplicated doc empties

@@ -554,6 +554,18 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(m == Map("0" -> 0L, "1" -> 10L, "2" -> 20L, "3" -> 30L))
   }
 
+  test("map_agg ignores NULL keys and keeps one entry per duplicate key") {
+    // Trino docs: null keys are ignored; of duplicate keys one entry is
+    // retained (ours deterministically keeps the first collected)
+    val m = one(
+      """SELECT map_agg(k, v) AS m FROM (VALUES
+        |  (CAST(NULL AS VARCHAR), 1), ('a', 2), ('a', 3), ('b', 4))
+        |  AS t(k, v)""".stripMargin).getMap[String, Int](0)
+    assert(m.keySet == Set("a", "b"))
+    assert(m("b") == 4)
+    assert(m("a") == 2 || m("a") == 3)
+  }
+
   test("checksum is order-insensitive; geometric_mean matches the closed form") {
     val a = one("SELECT checksum(x) AS c FROM (SELECT explode(array(1, 2, 3)) AS x) t")
     val b = one("SELECT checksum(x) AS c FROM (SELECT explode(array(3, 1, 2)) AS x) t")
@@ -561,6 +573,25 @@ class TrinoCompatSpec extends AnyFunSuite {
     val g = one(
       "SELECT geometric_mean(x) AS g FROM (SELECT explode(array(2.0, 8.0)) AS x) t")
     assert(math.abs(g.getDouble(0) - 4.0) < 1e-9)
+    // double-math edges carry Trino's values instead of silently
+    // dropping rows: ln(0) = -Inf pulls the mean to 0; a negative
+    // input poisons to NaN
+    val z = one(
+      "SELECT geometric_mean(x) AS g FROM (SELECT explode(array(0.0, 2.0, 8.0)) AS x) t")
+    assert(z.getDouble(0) == 0.0)
+    val n = one(
+      "SELECT geometric_mean(x) AS g FROM (SELECT explode(array(-1.0, 2.0)) AS x) t")
+    assert(n.getDouble(0).isNaN)
+  }
+
+  test("truncate preserves NaN, infinities, and beyond-long doubles") {
+    val r = one(
+      """SELECT truncate(nan()) AS a, truncate(infinity()) AS b,
+        |       truncate(-infinity()) AS c, truncate(1e19) AS d""".stripMargin)
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1).isPosInfinity)
+    assert(r.getDouble(2).isNegInfinity)
+    assert(r.getDouble(3) == 1e19)
   }
 
   test("ISO-8601 family: from_iso8601_timestamp/date, to_iso8601 by type") {
