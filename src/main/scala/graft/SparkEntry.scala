@@ -82,13 +82,20 @@ object SparkEntry {
     // curation filters + training-set export (Gopher/Dolma recipes)
     "text_repetition"     -> (Curation.repetitionScore _),
     "curate_pii_scrub"    -> ((s, d) => Curation.piiScrub(s, d)),
-    "curate_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d)),
+    // stop-word probe = the corpus's own function words (the paper
+    // list matches zero docs of the synthetic corpus — see
+    // Curation.CorpusStopWords); same list on the oracle side
+    "curate_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d,
+      stopWords = Curation.CorpusStopWords)),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
     "curate_ppl_bucket"   -> ((s, d) => Curation.perplexityBuckets(s, d)),
     "curate_pipeline"     -> ((s: SparkSession, d: String) =>
       Curation.curatePipeline(s, d)),
+    "curate_pipeline_v2"  -> ((s: SparkSession, d: String) =>
+      Curation.curatePipelineModern(s, d,
+        stopWords = Curation.CorpusStopWords)),
     "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
     // dedup / similarity
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -273,12 +280,15 @@ object SparkEntry {
     "curate_split"         -> Sampling.splitOracle,
     "text_repetition"     -> Curation.repetitionScoreOracle,
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
-    "curate_gopher_rules" -> Curation.gopherRulesOracle,
+    "curate_gopher_rules" ->
+      Curation.gopherRulesOracle(Curation.CorpusStopWords),
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "curate_dsir_weights" -> Curation.dsirWeightsOracle,
     "curate_ppl_bucket"   -> Curation.perplexityBucketsOracle,
     "curate_pipeline"     -> Curation.curatePipelineOracle,
+    "curate_pipeline_v2"  ->
+      Curation.curatePipelineModernOracle(Curation.CorpusStopWords),
     "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,

@@ -63,70 +63,118 @@ object Curation {
     * the filter composes into any downstream pipeline stage without a
     * stage boundary. */
   def gopherRules(s: SparkSession, dir: String,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
-    gopherRulesOn(Tables.documents(s, dir), minWords, maxWords)
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = GopherStopWords): DataFrame =
+    gopherRulesOn(Tables.documents(s, dir), minWords, maxWords, stopWords)
+
+  /** Rae et al. 2021 §A1.1's stop-word probe list — ENGLISH-specific
+    * by construction (the paper's own caveat). A corpus in another
+    * language, or a synthetic one, must pass its own probe list or the
+    * rule degenerates to keep-nothing. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The function words the synthetic test corpus actually carries —
+    * the probe list the oracled entries use (measured: the paper list
+    * matches ZERO of its documents; this one splits the corpus
+    * 317/183 at sf0.01). */
+  val CorpusStopWords: Seq[String] = Seq("the", "a")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString(", ")
+
+  /** The per-doc statistic columns the rules read, appended to the
+    * input frame (ONE definition of each formula, shared by the stats
+    * view and the filtering gate). */
+  private def gopherStats(docs: DataFrame,
+      stopWords: Seq[String]): DataFrame =
+    docs
+      .withColumn("toks", words)
+      .withColumn("n_words", size(col("toks")).cast("bigint"))
+      .withColumn("sum_word_len",
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))"))
+      .withColumn("n_alpha_words",
+        expr("cast(size(filter(toks, t -> t rlike '[A-Za-z]')) as bigint)"))
+      .withColumn("n_stopwords",
+        expr(s"""cast(size(array_intersect(array_distinct(toks),
+                |  array(${sqlList(stopWords)})))
+                |  as bigint)""".stripMargin))
+      // '#', the ASCII '...', AND the single-char U+2026 ellipsis —
+      // the common form in real web text
+      .withColumn("n_symbols",
+        expr("""cast((length(text) - length(replace(text, '#', ''))) +
+               |  (length(text) - length(replace(text, '...', ''))) div 3 +
+               |  (length(text) - length(replace(text, '…', '')))
+               |  as bigint)""".stripMargin))
+
+  private def gopherKeep(minWords: Int, maxWords: Int) =
+    col("n_words") >= minWords && col("n_words") <= maxWords &&
+      lit(3) * col("n_words") <= col("sum_word_len") &&
+      col("sum_word_len") <= lit(10) * col("n_words") &&
+      lit(10) * col("n_symbols") <= col("n_words") &&
+      lit(10) * col("n_alpha_words") >= lit(8) * col("n_words") &&
+      col("n_stopwords") >= 2
 
   /** The rule set over an explicit (doc_id, text) frame — the
     * [[Dedup.segmentDedupPass]] pattern, shared by [[gopherRules]] and
     * the boundary-probe specs. */
   private[graft] def gopherRulesOn(docs: DataFrame,
-      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
-    docs
-      .select(col("doc_id"), col("text"), words.as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("bigint").as("n_words"),
-        expr("aggregate(toks, 0L, (a, t) -> a + length(t))")
-          .as("sum_word_len"),
-        expr("cast(size(filter(toks, t -> t rlike '[A-Za-z]')) as bigint)")
-          .as("n_alpha_words"),
-        expr("""cast(size(array_intersect(array_distinct(toks),
-               |  array('the','be','to','of','and','that','have','with')))
-               |  as bigint)""".stripMargin).as("n_stopwords"),
-        // '#', the ASCII '...', AND the single-char U+2026 ellipsis —
-        // the common form in real web text
-        expr("""cast((length(text) - length(replace(text, '#', ''))) +
-               |  (length(text) - length(replace(text, '...', ''))) div 3 +
-               |  (length(text) - length(replace(text, '…', '')))
-               |  as bigint)""".stripMargin).as("n_symbols"))
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = GopherStopWords): DataFrame =
+    gopherStats(docs, stopWords)
       .select(col("doc_id"), col("n_words"), col("sum_word_len"),
         col("n_alpha_words"), col("n_stopwords"), col("n_symbols"),
-        (col("n_words") >= minWords && col("n_words") <= maxWords &&
-          lit(3) * col("n_words") <= col("sum_word_len") &&
-          col("sum_word_len") <= lit(10) * col("n_words") &&
-          lit(10) * col("n_symbols") <= col("n_words") &&
-          lit(10) * col("n_alpha_words") >= lit(8) * col("n_words") &&
-          col("n_stopwords") >= 2).as("keep"))
+        gopherKeep(minWords, maxWords).as("keep"))
+
+  /** The same rules as a FILTER: input rows that pass, original
+    * columns untouched — the map-side gate
+    * [[curatePipelineModern]] fuses into its scan. */
+  private[graft] def gopherGate(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    val orig = docs.columns.map(col).toSeq
+    gopherStats(docs, stopWords).filter(gopherKeep(minWords, maxWords))
+      .select(orig: _*)
   }
 
-  def gopherRulesOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id, text,
-      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-      |  FROM documents),
-      |st AS (
-      |  SELECT doc_id,
-      |    cast(len(toks) as bigint) AS n_words,
-      |    cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
-      |      as bigint) AS sum_word_len,
-      |    cast(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-      |      as bigint) AS n_alpha_words,
-      |    cast(len(list_intersect(list_distinct(toks),
-      |      ['the','be','to','of','and','that','have','with'])) as bigint)
-      |      AS n_stopwords,
-      |    cast((length(text) - length(replace(text, '#', ''))) +
-      |      (length(text) - length(replace(text, '...', ''))) // 3 +
-      |      (length(text) - length(replace(text, '…', '')))
-      |      as bigint) AS n_symbols
-      |  FROM tk)
-      |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
-      |  n_symbols,
-      |  (n_words BETWEEN 50 AND 100000
-      |    AND 3 * n_words <= sum_word_len
-      |    AND sum_word_len <= 10 * n_words
-      |    AND 10 * n_symbols <= n_words
-      |    AND 10 * n_alpha_words >= 8 * n_words
-      |    AND n_stopwords >= 2) AS keep
-      |FROM st""".stripMargin
+  /** DuckDB CTE chain of the rule statistics, rooted at `src`, CTE
+    * names prefixed with `px`; `${px}gst` carries the stats + `keep`. */
+  private[graft] def gopherSqlCtes(src: String, px: String = "",
+      stopWords: Seq[String] = GopherStopWords): String =
+    s"""${px}gtk AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+       |  FROM $src),
+       |${px}gst AS (
+       |  SELECT doc_id,
+       |    cast(len(toks) as bigint) AS n_words,
+       |    cast(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+       |      as bigint) AS sum_word_len,
+       |    cast(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+       |      as bigint) AS n_alpha_words,
+       |    cast(len(list_intersect(list_distinct(toks),
+       |      [${sqlList(stopWords)}])) as bigint)
+       |      AS n_stopwords,
+       |    cast((length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '...', ''))) // 3 +
+       |      (length(text) - length(replace(text, '…', '')))
+       |      as bigint) AS n_symbols
+       |  FROM ${px}gtk),
+       |${px}gkeep AS (
+       |  SELECT *,
+       |    (n_words BETWEEN 50 AND 100000
+       |      AND 3 * n_words <= sum_word_len
+       |      AND sum_word_len <= 10 * n_words
+       |      AND 10 * n_symbols <= n_words
+       |      AND 10 * n_alpha_words >= 8 * n_words
+       |      AND n_stopwords >= 2) AS keep
+       |  FROM ${px}gst)""".stripMargin
+
+  def gopherRulesOracle(stopWords: Seq[String]): String =
+    s"""WITH ${gopherSqlCtes("documents", "", stopWords)}
+       |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
+       |  n_symbols, keep
+       |FROM gkeep""".stripMargin
 
   // ---------------------------------------------------------------- //
   // Repetition metrics (Gopher-style)                                //
@@ -537,8 +585,17 @@ object Curation {
   def perplexityBuckets(s: SparkSession, dir: String,
       headAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.390000"),
       tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
+      : DataFrame =
+    perplexityBucketsOn(Tables.documents(s, dir), headAvgLp, tailAvgLp)
+
+  /** The LM train+score pass over an explicit (doc_id, lang, text)
+    * frame — shared by [[perplexityBuckets]] and
+    * [[curatePipelineModern]]'s selection stage. */
+  private[graft] def perplexityBucketsOn(docs: DataFrame,
+      headAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.390000"),
+      tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
       : DataFrame = {
-    val base = Tables.documents(s, dir)
+    val base = docs
       .select(col("doc_id"), col("lang"), words.as("a"))
       .select(col("doc_id"), col("lang"),
         size(col("a")).cast("bigint").as("n"),
@@ -589,45 +646,60 @@ object Curation {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  /** DuckDB CTE chain of the bigram-LM bucketing, rooted at `src`, CTE
+    * names prefixed with `px`; `${px}pout` is the final
+    * (doc_id, lang, n_tokens, lp_sum, ppl_bucket) relation. */
+  private[graft] def pplSqlCtes(src: String, px: String = ""): String =
+    s"""${px}ptk AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
+       |  FROM $src),
+       |${px}pbase AS (
+       |  SELECT doc_id, lang, cast(len(a) as bigint) AS n,
+       |         list_prepend('<s>', a) AS b FROM ${px}ptk),
+       |${px}pe AS (
+       |  SELECT doc_id, lang, n, g[1] AS p, g[2] AS c
+       |  FROM (SELECT doc_id, lang, n,
+       |          unnest(list_transform(generate_series(1, cast(n as int)),
+       |            i -> [b[i], b[i + 1]])) AS g
+       |        FROM ${px}pbase WHERE n >= 1)),
+       |${px}ptr AS (SELECT p, c, count(*) AS cbg FROM ${px}pe
+       |             WHERE lang = 'en' GROUP BY 1, 2),
+       |${px}ppr AS (SELECT p, count(*) AS cpr FROM ${px}pe
+       |             WHERE lang = 'en' GROUP BY 1),
+       |${px}pv  AS (SELECT count(DISTINCT c) + 1 AS vsz FROM ${px}pe
+       |             WHERE lang = 'en'),
+       |${px}pty AS (SELECT DISTINCT p, c FROM ${px}pe),
+       |${px}pw  AS (SELECT ty.p, ty.c,
+       |         cast(round(ln((coalesce(cbg, 0) + 1)::DOUBLE /
+       |                       (coalesce(cpr, 0) + vsz)::DOUBLE), 6)
+       |              as decimal(12,6)) AS w
+       |       FROM ${px}pty ty CROSS JOIN ${px}pv
+       |       LEFT JOIN ${px}ptr tr ON ty.p = tr.p AND ty.c = tr.c
+       |       LEFT JOIN ${px}ppr pr ON ty.p = pr.p),
+       |${px}ppd AS (SELECT doc_id, p, c, count(*) AS k FROM ${px}pe
+       |             GROUP BY 1, 2, 3),
+       |${px}plp AS (SELECT pd.doc_id,
+       |         cast(sum(cast(pd.k * w.w as decimal(30,6)))
+       |              as decimal(30,6)) AS lps
+       |       FROM ${px}ppd pd JOIN ${px}pw w
+       |         ON pd.p = w.p AND pd.c = w.c GROUP BY 1),
+       |${px}pout AS (
+       |  SELECT b.doc_id, b.lang, b.n AS n_tokens,
+       |    cast(lps as double) AS lp_sum,
+       |    CASE WHEN b.n = 0 THEN 'tail'
+       |         WHEN lps >= cast(-3.390000 as decimal(12,6)) * b.n
+       |           THEN 'head'
+       |         WHEN lps >= cast(-3.430000 as decimal(12,6)) * b.n
+       |           THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM ${px}pbase b LEFT JOIN ${px}plp lp ON b.doc_id = lp.doc_id)"""
+      .stripMargin
+
   def perplexityBucketsOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id, lang,
-      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
-      |  FROM documents),
-      |base AS (
-      |  SELECT doc_id, lang, cast(len(a) as bigint) AS n,
-      |         list_prepend('<s>', a) AS b FROM tk),
-      |e AS (
-      |  SELECT doc_id, lang, n, g[1] AS p, g[2] AS c
-      |  FROM (SELECT doc_id, lang, n,
-      |          unnest(list_transform(generate_series(1, cast(n as int)),
-      |            i -> [b[i], b[i + 1]])) AS g
-      |        FROM base WHERE n >= 1)),
-      |tr AS (SELECT p, c, count(*) AS cbg FROM e WHERE lang = 'en'
-      |       GROUP BY 1, 2),
-      |pr AS (SELECT p, count(*) AS cpr FROM e WHERE lang = 'en'
-      |       GROUP BY 1),
-      |v  AS (SELECT count(DISTINCT c) + 1 AS vsz FROM e WHERE lang = 'en'),
-      |ty AS (SELECT DISTINCT p, c FROM e),
-      |w  AS (SELECT ty.p, ty.c,
-      |         cast(round(ln((coalesce(cbg, 0) + 1)::DOUBLE /
-      |                       (coalesce(cpr, 0) + vsz)::DOUBLE), 6)
-      |              as decimal(12,6)) AS w
-      |       FROM ty CROSS JOIN v
-      |       LEFT JOIN tr ON ty.p = tr.p AND ty.c = tr.c
-      |       LEFT JOIN pr ON ty.p = pr.p),
-      |pd AS (SELECT doc_id, p, c, count(*) AS k FROM e GROUP BY 1, 2, 3),
-      |lp AS (SELECT pd.doc_id,
-      |         cast(sum(cast(pd.k * w.w as decimal(30,6)))
-      |              as decimal(30,6)) AS lps
-      |       FROM pd JOIN w ON pd.p = w.p AND pd.c = w.c GROUP BY 1)
-      |SELECT b.doc_id, b.lang, b.n AS n_tokens,
-      |  cast(lps as double) AS lp_sum,
-      |  CASE WHEN b.n = 0 THEN 'tail'
-      |       WHEN lps >= cast(-3.390000 as decimal(12,6)) * b.n THEN 'head'
-      |       WHEN lps >= cast(-3.430000 as decimal(12,6)) * b.n THEN 'middle'
-      |       ELSE 'tail' END AS ppl_bucket
-      |FROM base b LEFT JOIN lp ON b.doc_id = lp.doc_id""".stripMargin
+    s"""WITH ${pplSqlCtes("documents")}
+       |SELECT doc_id, lang, n_tokens, lp_sum, ppl_bucket FROM pout"""
+      .stripMargin
 
   // ---------------------------------------------------------------- //
   // End-to-end curation pipeline                                     //
@@ -720,4 +792,61 @@ object Curation {
        |  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text
        |  FROM kept GROUP BY doc_id) f""".stripMargin
   }
+
+  /** The MODERN pretraining-curation recipe (the FineWeb/CCNet/Lee
+    * et al. ordering), composed from this round's operators as ONE
+    * declarative plan:
+    *
+    *   1. Gopher word-level quality gate ([[gopherGate]]) — a pure
+    *      map-side filter that FUSES into the scan (no stage boundary,
+    *      no join: the rules are per-doc lambdas);
+    *   2. CCNet perplexity selection ([[perplexityBucketsOn]] over the
+    *      gated survivors, `ppl_bucket != 'tail'`) — the bigram LM
+    *      trains on the gated `lang='en'` slice, one token-level
+    *      shuffle, doc-id semi-join back;
+    *   3. exact-substring dedup ([[Dedup.substrDedupPass]]) over what
+    *      remains — window-level shuffles only.
+    *
+    * Stage order matters and is the published one: quality gates run
+    * BEFORE dedup so boilerplate-heavy spam never pollutes the
+    * window-frequency table, and the LM trains on quality-gated text.
+    * Every stage's arithmetic is the hash-exact form its standalone
+    * oracle proves, so the whole pipeline differentially gates against
+    * DuckDB as one query (`curate_pipeline_v2`).
+    *
+    * Scale shape (100 TB): stage 1 is free (fused into the scan);
+    * stage 2 adds the documented single token-level shuffle plus a
+    * doc-level semi-join; stage 3 is the substring pass's window-level
+    * traffic. The gated frame feeds stages 2 and 3 — both recomputes
+    * are scan + codegen'd filter, the shape the measured
+    * cache-vs-recompute A/Bs say to stream, not cache. */
+  def curatePipelineModern(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      k: Int = 8, minDocs: Int = 2,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gated = gopherGate(docs, minWords, maxWords, stopWords)
+    val keep = perplexityBucketsOn(gated)
+      .filter(col("ppl_bucket") =!= "tail")
+      .select(col("doc_id"))
+    val survivors = gated.join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    Dedup.substrDedupPass(survivors, k, minDocs)
+  }
+
+  def curatePipelineModernOracle(stopWords: Seq[String]): String =
+    s"""WITH ${gopherSqlCtes("documents", "g", stopWords)},
+       |gated AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN ggkeep USING (doc_id)
+       |  WHERE ggkeep.keep),
+       |${pplSqlCtes("gated", "p")},
+       |keepdocs AS (
+       |  SELECT doc_id FROM ppout WHERE ppl_bucket <> 'tail'),
+       |surv AS (
+       |  SELECT g.doc_id, g.text FROM gated g
+       |  JOIN keepdocs USING (doc_id)),
+       |${Dedup.substrSqlCtes("surv", "s")}
+       |SELECT doc_id, text, n_removed FROM sres""".stripMargin
 }

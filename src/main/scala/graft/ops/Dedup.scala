@@ -710,8 +710,15 @@ object Dedup {
     * from the exploded-TEXT cache that [[segmentDedupPass]] rejects.
     * Harnesses release the blocks via [[releaseCaches]]. */
   def substrDedup(s: SparkSession, dir: String,
+      k: Int = 8, minDocs: Int = 2): DataFrame =
+    substrDedupPass(Tables.documents(s, dir), k, minDocs)
+
+  /** The sliding-window pass over an explicit (doc_id, text) frame —
+    * shared by [[substrDedup]] and
+    * [[graft.ops.Curation.curatePipelineModern]]'s final stage. */
+  private[graft] def substrDedupPass(docs: DataFrame,
       k: Int = 8, minDocs: Int = 2): DataFrame = {
-    val base = Tables.documents(s, dir)
+    val base = docs
       .select(col("doc_id"), Curation.words.as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("bigint").as("n"))
@@ -764,44 +771,55 @@ object Dedup {
         (col("n") - size(col("keep"))).as("n_removed"))
   }
 
+  /** The DuckDB CTE chain of the substring pass, rooted at relation
+    * `src`, every CTE name prefixed with `px` so the chain nests inside
+    * a larger oracle without collisions; `${px}res` is the final
+    * (doc_id, text, n_removed) relation. */
+  private[graft] def substrSqlCtes(src: String, px: String = ""): String =
+    s"""${px}tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+       |  FROM $src),
+       |${px}base AS (
+       |  SELECT doc_id, toks, cast(len(toks) as bigint) AS n FROM ${px}tk),
+       |${px}w AS (
+       |  SELECT doc_id, s.i AS i, s.h AS h FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        generate_series(1, cast(len(toks) as int) - 7),
+       |        i -> struct_pack(i := i,
+       |          h := md5(array_to_string(toks[i:(i + 7)], ' '))))) AS s
+       |    FROM ${px}base WHERE len(toks) >= 8) z),
+       |${px}dup AS (
+       |  SELECT h FROM ${px}w GROUP BY h
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |${px}cov AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT doc_id, unnest(list_transform(range(8), d -> i + d)) AS p
+       |    FROM ${px}w WHERE h IN (SELECT h FROM ${px}dup)) z),
+       |${px}tp AS (
+       |  SELECT doc_id, s.p AS p, s.t AS t FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        generate_series(1, cast(len(toks) as int)),
+       |        i -> struct_pack(p := cast(i as bigint), t := toks[i]))) AS s
+       |    FROM ${px}base WHERE len(toks) >= 1) z),
+       |${px}kept AS (
+       |  SELECT ${px}tp.* FROM ${px}tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${px}cov
+       |                    WHERE ${px}cov.doc_id = ${px}tp.doc_id
+       |                      AND ${px}cov.p = ${px}tp.p)),
+       |${px}ka AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text,
+       |    count(*) AS nk
+       |  FROM ${px}kept GROUP BY doc_id),
+       |${px}res AS (
+       |  SELECT b.doc_id, coalesce(ka.text, '') AS text,
+       |    b.n - coalesce(ka.nk, 0) AS n_removed
+       |  FROM ${px}base b LEFT JOIN ${px}ka ka ON b.doc_id = ka.doc_id)"""
+      .stripMargin
+
   def substrDedupOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-      |  FROM documents),
-      |base AS (
-      |  SELECT doc_id, toks, cast(len(toks) as bigint) AS n FROM tk),
-      |w AS (
-      |  SELECT doc_id, s.i AS i, s.h AS h FROM (
-      |    SELECT doc_id,
-      |      unnest(list_transform(
-      |        generate_series(1, cast(len(toks) as int) - 7),
-      |        i -> struct_pack(i := i,
-      |          h := md5(array_to_string(toks[i:(i + 7)], ' '))))) AS s
-      |    FROM base WHERE len(toks) >= 8) z),
-      |dup AS (
-      |  SELECT h FROM w GROUP BY h
-      |  HAVING count(DISTINCT doc_id) >= 2),
-      |cov AS (
-      |  SELECT DISTINCT doc_id, p FROM (
-      |    SELECT doc_id, unnest(list_transform(range(8), d -> i + d)) AS p
-      |    FROM w WHERE h IN (SELECT h FROM dup)) z),
-      |tp AS (
-      |  SELECT doc_id, s.p AS p, s.t AS t FROM (
-      |    SELECT doc_id,
-      |      unnest(list_transform(
-      |        generate_series(1, cast(len(toks) as int)),
-      |        i -> struct_pack(p := cast(i as bigint), t := toks[i]))) AS s
-      |    FROM base WHERE len(toks) >= 1) z),
-      |kept AS (
-      |  SELECT tp.* FROM tp
-      |  WHERE NOT EXISTS (SELECT 1 FROM cov
-      |                    WHERE cov.doc_id = tp.doc_id AND cov.p = tp.p)),
-      |ka AS (
-      |  SELECT doc_id, string_agg(t, ' ' ORDER BY p) AS text,
-      |    count(*) AS nk
-      |  FROM kept GROUP BY doc_id)
-      |SELECT b.doc_id, coalesce(ka.text, '') AS text,
-      |  b.n - coalesce(ka.nk, 0) AS n_removed
-      |FROM base b LEFT JOIN ka ON b.doc_id = ka.doc_id""".stripMargin
+    s"""WITH ${substrSqlCtes("documents")}
+       |SELECT doc_id, text, n_removed FROM res""".stripMargin
 }
