@@ -3,17 +3,18 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions.{
-  Abs, Add, And, ArrayExists, ArrayFilter, ArrayForAll, ArrayPosition,
-  ArrayTransform, Ascii, AssertTrue, Base64,
+  Abs, Add, And, ArrayDistinct, ArrayExists, ArrayFilter, ArrayForAll,
+  ArrayPosition, ArrayTransform, Ascii, AssertTrue, Base64,
   BitwiseAnd, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce, Concat,
   CreateNamedStruct, CreateStruct, DateFormatClass, DayOfYear, Divide,
   EqualTo, Expression, Exp, Floor, FromUTCTimestamp, GetJsonObject,
-  GreaterThan, GreaterThanOrEqual, Hex, If, IsNaN,
+  Greatest, GreaterThan, GreaterThanOrEqual, Hex, If, IsNaN,
   IsNotNull, IsNull, LambdaFunction, LastDay, Length, Levenshtein,
   Literal, Log,
   MapFromEntries, Multiply, Not, NullIf, Or, ParseToTimestamp, ParseUrl,
   Pmod, Rand, RegExpExtract, RegExpReplace, Reverse,
-  SecondsToTimestamp, Sha2, StringInstr, StringLocate, StructsToJson,
+  SecondsToTimestamp, Sequence, Sha2, Size, Slice, StringInstr,
+  StringLocate, StructsToJson,
   Substring, Subtract, TryEval, UnBase64, Unhex, UnixMicros,
   UnresolvedNamedLambdaVariable, WeekDay, WeekOfYear, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
@@ -334,6 +335,39 @@ object TrinoCompat {
           Cast(Add(i, Literal(1)), LongType)))
       MapFromEntries(ArrayFilter(entries,
         LambdaFunction(firstWins, Seq(e, i))))
+    }
+    // multimap_agg(k, v): map from each distinct non-null key to the
+    // ARRAY of its values. Built from the same collected entries as
+    // map_agg: distinct non-null keys, then per key the filtered
+    // value list (nested lambdas with outer capture — Spark resolves
+    // them; the duplicated `entries` aggregate dedups in the planner).
+    fn("multimap_agg") { case Seq(k, v) =>
+      val entries = CollectList(CreateNamedStruct(Seq(
+        Literal("k"), k, Literal("v"), v))).toAggregateExpression()
+      def nv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val (x, kx, kk, e, e2) = (nv("x"), nv("kx"), nv("kk"), nv("e"), nv("e2"))
+      val keys = ArrayDistinct(ArrayFilter(
+        ArrayTransform(entries,
+          LambdaFunction(UnresolvedExtractValue(x, Literal("k")), Seq(x))),
+        LambdaFunction(IsNotNull(kx), Seq(kx))))
+      val valuesOf = ArrayTransform(
+        ArrayFilter(entries, LambdaFunction(
+          EqualTo(UnresolvedExtractValue(e, Literal("k")), kk), Seq(e))),
+        LambdaFunction(UnresolvedExtractValue(e2, Literal("v")), Seq(e2)))
+      MapFromEntries(ArrayTransform(keys, LambdaFunction(
+        CreateNamedStruct(Seq(Literal("k"), kk, Literal("v"), valuesOf)),
+        Seq(kk))))
+    }
+    // ngrams(array, n): sliding n-long subarrays; when the array is
+    // shorter than n Trino returns ONE ngram holding the whole array
+    // (slice past the end truncates, greatest(…,1) keeps one window)
+    fn("ngrams") { case Seq(arr, n) =>
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val stop = Greatest(Seq(
+        Subtract(Add(new Size(arr), Literal(1)), Cast(n, IntegerType)),
+        Literal(1)))
+      ArrayTransform(new Sequence(Literal(1), stop),
+        LambdaFunction(Slice(arr, i, Cast(n, IntegerType)), Seq(i)))
     }
     // checksum: order-INSENSITIVE aggregate fingerprint (sum commutes);
     // Trino returns varbinary, we return the i64 — equality comparison,

@@ -566,6 +566,27 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(m("a") == 2 || m("a") == 3)
   }
 
+  test("multimap_agg groups values per key, ignoring NULL keys") {
+    val m = one(
+      """SELECT multimap_agg(k, v) AS m FROM (VALUES
+        |  ('a', 1), ('b', 2), ('a', 3), (CAST(NULL AS VARCHAR), 9))
+        |  AS t(k, v)""".stripMargin)
+      .getMap[String, scala.collection.Seq[Int]](0)
+    assert(m.keySet == Set("a", "b"))
+    assert(m("a").toSeq.sorted == Seq(1, 3))
+    assert(m("b").toSeq == Seq(2))
+  }
+
+  test("ngrams slides n-long windows; short arrays yield one whole-array gram") {
+    val r = one(
+      """SELECT ngrams(ARRAY [1, 2, 3, 4], 2) AS a,
+        |       ngrams(ARRAY ['x', 'y'], 3) AS b""".stripMargin)
+    assert(r.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) ==
+      Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    assert(r.getSeq[scala.collection.Seq[String]](1).map(_.toSeq) ==
+      Seq(Seq("x", "y")))
+  }
+
   test("checksum is order-insensitive; geometric_mean matches the closed form") {
     val a = one("SELECT checksum(x) AS c FROM (SELECT explode(array(1, 2, 3)) AS x) t")
     val b = one("SELECT checksum(x) AS c FROM (SELECT explode(array(3, 1, 2)) AS x) t")
