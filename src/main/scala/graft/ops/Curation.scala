@@ -80,8 +80,14 @@ object Curation {
     * 317/183 at sf0.01). */
   val CorpusStopWords: Seq[String] = Seq("the", "a")
 
-  private def sqlList(ws: Seq[String]): String =
+  private def sqlList(ws: Seq[String]): String = {
+    // interpolated into BOTH Spark expr() and DuckDB SQL, whose escape
+    // conventions differ — reject quotes loudly instead of silently
+    // producing different (or broken) queries per engine
+    require(ws.nonEmpty && ws.forall(w => !w.contains("'") && w.nonEmpty),
+      s"stop words must be non-empty and quote-free, got $ws")
     ws.map(w => s"'$w'").mkString(", ")
+  }
 
   /** The per-doc statistic columns the rules read, appended to the
     * input frame (ONE definition of each formula, shared by the stats
@@ -132,6 +138,14 @@ object Curation {
   private[graft] def gopherGate(docs: DataFrame,
       minWords: Int = 50, maxWords: Int = 100000,
       stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    // withColumn REPLACES same-named input columns — an input already
+    // carrying a stat name would silently get the gate's recomputed
+    // value back instead of its own data
+    val statNames = Set("toks", "n_words", "sum_word_len",
+      "n_alpha_words", "n_stopwords", "n_symbols")
+    val clash = docs.columns.filter(statNames)
+    require(clash.isEmpty,
+      s"gopherGate input must not carry stat columns: ${clash.mkString(", ")}")
     val orig = docs.columns.map(col).toSeq
     gopherStats(docs, stopWords).filter(gopherKeep(minWords, maxWords))
       .select(orig: _*)
@@ -140,7 +154,8 @@ object Curation {
   /** DuckDB CTE chain of the rule statistics, rooted at `src`, CTE
     * names prefixed with `px`; `${px}gst` carries the stats + `keep`. */
   private[graft] def gopherSqlCtes(src: String, px: String = "",
-      stopWords: Seq[String] = GopherStopWords): String =
+      stopWords: Seq[String] = GopherStopWords,
+      minWords: Int = 50, maxWords: Int = 100000): String =
     s"""${px}gtk AS (
        |  SELECT doc_id, text,
        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
@@ -162,7 +177,7 @@ object Curation {
        |  FROM ${px}gtk),
        |${px}gkeep AS (
        |  SELECT *,
-       |    (n_words BETWEEN 50 AND 100000
+       |    (n_words BETWEEN $minWords AND $maxWords
        |      AND 3 * n_words <= sum_word_len
        |      AND sum_word_len <= 10 * n_words
        |      AND 10 * n_symbols <= n_words
@@ -170,8 +185,9 @@ object Curation {
        |      AND n_stopwords >= 2) AS keep
        |  FROM ${px}gst)""".stripMargin
 
-  def gopherRulesOracle(stopWords: Seq[String]): String =
-    s"""WITH ${gopherSqlCtes("documents", "", stopWords)}
+  def gopherRulesOracle(stopWords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000): String =
+    s"""WITH ${gopherSqlCtes("documents", "", stopWords, minWords, maxWords)}
        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stopwords,
        |  n_symbols, keep
        |FROM gkeep""".stripMargin
@@ -649,7 +665,9 @@ object Curation {
   /** DuckDB CTE chain of the bigram-LM bucketing, rooted at `src`, CTE
     * names prefixed with `px`; `${px}pout` is the final
     * (doc_id, lang, n_tokens, lp_sum, ppl_bucket) relation. */
-  private[graft] def pplSqlCtes(src: String, px: String = ""): String =
+  private[graft] def pplSqlCtes(src: String, px: String = "",
+      headAvgLp: String = "-3.390000",
+      tailAvgLp: String = "-3.430000"): String =
     s"""${px}ptk AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
@@ -688,9 +706,9 @@ object Curation {
        |  SELECT b.doc_id, b.lang, b.n AS n_tokens,
        |    cast(lps as double) AS lp_sum,
        |    CASE WHEN b.n = 0 THEN 'tail'
-       |         WHEN lps >= cast(-3.390000 as decimal(12,6)) * b.n
+       |         WHEN lps >= cast($headAvgLp as decimal(12,6)) * b.n
        |           THEN 'head'
-       |         WHEN lps >= cast(-3.430000 as decimal(12,6)) * b.n
+       |         WHEN lps >= cast($tailAvgLp as decimal(12,6)) * b.n
        |           THEN 'middle'
        |         ELSE 'tail' END AS ppl_bucket
        |  FROM ${px}pbase b LEFT JOIN ${px}plp lp ON b.doc_id = lp.doc_id)"""
@@ -835,8 +853,14 @@ object Curation {
     Dedup.substrDedupPass(survivors, k, minDocs)
   }
 
-  def curatePipelineModernOracle(stopWords: Seq[String]): String =
-    s"""WITH ${gopherSqlCtes("documents", "g", stopWords)},
+  /** The pipeline oracle takes the SAME knobs as
+    * [[curatePipelineModern]] — the CTE generators interpolate them, so
+    * a non-default Spark-side call cannot silently diverge from the SQL
+    * it is gated against. */
+  def curatePipelineModernOracle(stopWords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000,
+      k: Int = 8, minDocs: Int = 2): String =
+    s"""WITH ${gopherSqlCtes("documents", "g", stopWords, minWords, maxWords)},
        |gated AS (
        |  SELECT d.doc_id, d.lang, d.text
        |  FROM documents d JOIN ggkeep USING (doc_id)
@@ -847,6 +871,6 @@ object Curation {
        |surv AS (
        |  SELECT g.doc_id, g.text FROM gated g
        |  JOIN keepdocs USING (doc_id)),
-       |${Dedup.substrSqlCtes("surv", "s")}
+       |${Dedup.substrSqlCtes("surv", "s", k, minDocs)}
        |SELECT doc_id, text, n_removed FROM sres""".stripMargin
 }

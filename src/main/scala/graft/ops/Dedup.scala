@@ -775,7 +775,8 @@ object Dedup {
     * `src`, every CTE name prefixed with `px` so the chain nests inside
     * a larger oracle without collisions; `${px}res` is the final
     * (doc_id, text, n_removed) relation. */
-  private[graft] def substrSqlCtes(src: String, px: String = ""): String =
+  private[graft] def substrSqlCtes(src: String, px: String = "",
+      k: Int = 8, minDocs: Int = 2): String =
     s"""${px}tk AS (
        |  SELECT doc_id,
        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
@@ -786,16 +787,16 @@ object Dedup {
        |  SELECT doc_id, s.i AS i, s.h AS h FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(
-       |        generate_series(1, cast(len(toks) as int) - 7),
+       |        generate_series(1, cast(len(toks) as int) - ${k - 1}),
        |        i -> struct_pack(i := i,
-       |          h := md5(array_to_string(toks[i:(i + 7)], ' '))))) AS s
-       |    FROM ${px}base WHERE len(toks) >= 8) z),
+       |          h := md5(array_to_string(toks[i:(i + ${k - 1})], ' '))))) AS s
+       |    FROM ${px}base WHERE len(toks) >= $k) z),
        |${px}dup AS (
        |  SELECT h FROM ${px}w GROUP BY h
-       |  HAVING count(DISTINCT doc_id) >= 2),
+       |  HAVING count(DISTINCT doc_id) >= $minDocs),
        |${px}cov AS (
        |  SELECT DISTINCT doc_id, p FROM (
-       |    SELECT doc_id, unnest(list_transform(range(8), d -> i + d)) AS p
+       |    SELECT doc_id, unnest(list_transform(range($k), d -> i + d)) AS p
        |    FROM ${px}w WHERE h IN (SELECT h FROM ${px}dup)) z),
        |${px}tp AS (
        |  SELECT doc_id, s.p AS p, s.t AS t FROM (

@@ -341,6 +341,10 @@ object TrinoCompat {
     // map_agg: distinct non-null keys, then per key the filtered
     // value list (nested lambdas with outer capture — Spark resolves
     // them; the duplicated `entries` aggregate dedups in the planner).
+    // Cost bound, stated honestly: the per-key re-filter makes each
+    // GROUP O(distinct_keys × group_rows) — the dialect-compat shape
+    // for modest groups, not a corpus-scale operator (those live in
+    // ops/ with partial-aggregable plans).
     fn("multimap_agg") { case Seq(k, v) =>
       val entries = CollectList(CreateNamedStruct(Seq(
         Literal("k"), k, Literal("v"), v))).toAggregateExpression()
@@ -360,14 +364,21 @@ object TrinoCompat {
     }
     // ngrams(array, n): sliding n-long subarrays; when the array is
     // shorter than n Trino returns ONE ngram holding the whole array
-    // (slice past the end truncates, greatest(…,1) keeps one window)
+    // (slice past the end truncates, greatest(…,1) keeps one window).
+    // Trino edges carried over: NULL input → NULL (not [NULL]), and
+    // n <= 0 FAILS the query (the random(n) AssertTrue pattern — the
+    // guard's null-on-success folds into the sequence start)
     fn("ngrams") { case Seq(arr, n) =>
       val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val nInt = Cast(n, IntegerType)
+      val guard = Coalesce(Seq(
+        Cast(new AssertTrue(GreaterThan(nInt, Literal(0))), IntegerType),
+        Literal(0)))
       val stop = Greatest(Seq(
-        Subtract(Add(new Size(arr), Literal(1)), Cast(n, IntegerType)),
-        Literal(1)))
-      ArrayTransform(new Sequence(Literal(1), stop),
-        LambdaFunction(Slice(arr, i, Cast(n, IntegerType)), Seq(i)))
+        Subtract(Add(new Size(arr), Literal(1)), nInt), Literal(1)))
+      If(Or(IsNull(arr), IsNull(nInt)), Literal(null),
+        ArrayTransform(new Sequence(Add(Literal(1), guard), stop),
+          LambdaFunction(Slice(arr, i, nInt), Seq(i))))
     }
     // checksum: order-INSENSITIVE aggregate fingerprint (sum commutes);
     // Trino returns varbinary, we return the i64 — equality comparison,

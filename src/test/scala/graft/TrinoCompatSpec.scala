@@ -580,11 +580,15 @@ class TrinoCompatSpec extends AnyFunSuite {
   test("ngrams slides n-long windows; short arrays yield one whole-array gram") {
     val r = one(
       """SELECT ngrams(ARRAY [1, 2, 3, 4], 2) AS a,
-        |       ngrams(ARRAY ['x', 'y'], 3) AS b""".stripMargin)
+        |       ngrams(ARRAY ['x', 'y'], 3) AS b,
+        |       ngrams(CAST(NULL AS ARRAY<INT>), 2) AS c""".stripMargin)
     assert(r.getSeq[scala.collection.Seq[Int]](0).map(_.toSeq) ==
       Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
     assert(r.getSeq[scala.collection.Seq[String]](1).map(_.toSeq) ==
       Seq(Seq("x", "y")))
+    assert(r.isNullAt(2)) // Trino: NULL input -> NULL, never [NULL]
+    // n <= 0 fails the query, as in Trino
+    intercept[Exception] { rows("SELECT ngrams(ARRAY [1, 2], 0) AS x") }
   }
 
   test("checksum is order-insensitive; geometric_mean matches the closed form") {
