@@ -37,6 +37,31 @@ class TransformWithStateSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation ingest: gate + in-watermark dedup + exactly-once Delta") {
+    val spark0 = spark
+    import spark0.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-scur").toString
+    val table = s"$base/t"; val ckpt = s"$base/ck"
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val good = ("the a " + Seq.fill(58)("clean").mkString(" "))
+    val junk = "too short"
+    val docs = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    // batch 1: one passing doc, one junk doc; batch 2 re-delivers the
+    // passing doc (same doc_id, inside the watermark) + a new one
+    docs.addData((1L, "en", good, ts(0)), (2L, "en", junk, ts(1)))
+    docs.addData((1L, "en", good, ts(2)), (3L, "en", good, ts(3)))
+    val q = graft.streaming.EventStream.curationIngest(
+      docs.toDF().toDF("doc_id", "lang", "text", "ts"),
+      table, ckpt, appId = "scur-test",
+      stopWords = graft.ops.Curation.CorpusStopWords)
+    q.awaitTermination()
+    val got = graft.io.DeltaLogReader.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    // junk gated out; the re-delivered doc 1 deduped; 1 and 3 land once
+    assert(got == Seq(1L, 3L), s"curated table rows: $got")
+  }
+
   test("running totals accumulate per key across micro-batches") {
     val spark0 = spark
     import spark0.implicits._
