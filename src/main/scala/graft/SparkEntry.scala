@@ -191,6 +191,7 @@ object SparkEntry {
     "trino_read_sql"      -> (graft.sql.TrinoQueries.readSql _),
     "trino_unnest_ord"    -> (graft.sql.TrinoQueries.unnestOrdinality _),
     "trino_cast_json"     -> (graft.sql.TrinoQueries.castJson _),
+    "trino_fn_tier2"      -> (graft.sql.TrinoQueries.fnTier2 _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
@@ -372,6 +373,7 @@ object SparkEntry {
     "trino_read_sql"      -> graft.sql.TrinoQueries.readSqlOracle,
     "trino_unnest_ord"    -> graft.sql.TrinoQueries.unnestOrdinalityOracle,
     "trino_cast_json"     -> graft.sql.TrinoQueries.castJsonOracle,
+    "trino_fn_tier2"      -> graft.sql.TrinoQueries.fnTier2Oracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal

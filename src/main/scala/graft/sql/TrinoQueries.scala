@@ -75,6 +75,50 @@ object TrinoQueries {
       |FROM orders
       |WHERE o_orderkey % 50 = 0""".stripMargin
 
+  /** The round-11 SECOND-tier functions in one statement, each with a
+    * genuine DuckDB-dialect twin on the oracle side: `split_part`,
+    * `strrpos`, double-preserving `truncate`, the scalar bitwise trio,
+    * `any_match` over the token array, `to_iso8601` on a date column
+    * derivative, `last_day_of_month`. Pure map-side expression work
+    * over one scan — the shim's output is codegen'd Catalyst. */
+  def fnTier2(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    SqlEngine.readSqlQuery(s,
+      """SELECT doc_id,
+        |       split_part(text, ' ', 3) AS w3,
+        |       strrpos(text, 'a') AS ra,
+        |       truncate(n_chars / 7.0) AS t7,
+        |       bitwise_and(doc_id, 255) AS b_and,
+        |       bitwise_or(doc_id, 4096) AS b_or,
+        |       bitwise_xor(doc_id, 129) AS b_xor,
+        |       any_match(split(text, ' '), w -> w = 'the') AS has_the,
+        |       to_iso8601(from_iso8601_date('2024-02-' ||
+        |         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'))) AS iso_d,
+        |       last_day_of_month(from_iso8601_date('2024-02-' ||
+        |         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'))) AS ld
+        |FROM documents
+        |WHERE doc_id % 3 = 0""".stripMargin)
+  }
+
+  def fnTier2Oracle: String =
+    """SELECT doc_id,
+      |       split_part(text, ' ', 3) AS w3,
+      |       CAST(CASE WHEN strpos(reverse(text), 'a') = 0 THEN 0
+      |            ELSE length(text) - strpos(reverse(text), 'a') + 1
+      |            END AS BIGINT) AS ra,
+      |       trunc(n_chars / 7.0) AS t7,
+      |       doc_id & 255 AS b_and,
+      |       doc_id | 4096 AS b_or,
+      |       xor(doc_id, 129) AS b_xor,
+      |       list_contains(string_split(text, ' '), 'the') AS has_the,
+      |       '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+      |         AS iso_d,
+      |       last_day(CAST('2024-02-' ||
+      |         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE))
+      |         AS ld
+      |FROM documents
+      |WHERE doc_id % 3 = 0""".stripMargin
+
   def unnestOrdinalityOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
       |           FROM documents WHERE doc_id < 50)
