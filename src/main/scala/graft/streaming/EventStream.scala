@@ -255,26 +255,6 @@ object EventStream {
     * at-least-once; the watermark turns it into exactly-once at the
     * table (PROTOCOL.md "Transaction Identifiers" — what
     * [[graft.io.DeltaLogWriter.write]]'s txn parameter implements). */
-  /** STREAMING curation ingestion — the round's curation gates are
-    * stateless codegen'd maps, so they compose directly into
-    * Structured Streaming: Gopher word-level quality gate (a map-side
-    * filter, ZERO state) → doc_id dedup within the watermark (state
-    * bounded by the delay window) → exactly-once Delta append (one
-    * SetTransaction action per micro-batch; replays are idempotent at
-    * the table). Input: a streaming (doc_id, lang, text, ts) frame.
-    * The 100 TB/day shape: per-record cost is the gate's token
-    * lambdas, dedup state holds only in-watermark doc ids, and no
-    * stage ever holds the corpus. */
-  def curationIngest(docs: DataFrame, path: String, checkpoint: String,
-      appId: String, delay: String = "30 minutes",
-      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords)
-      : StreamingQuery = {
-    val gated = graft.ops.Curation.gopherGate(docs, stopWords = stopWords)
-    val deduped = gated.withWatermark("ts", delay)
-      .dropDuplicatesWithinWatermark(Seq("doc_id"))
-    runToDeltaExactlyOnce(deduped, path, checkpoint, appId)
-  }
-
   def runToDeltaExactlyOnce(agg: DataFrame, path: String,
       checkpoint: String, appId: String): StreamingQuery =
     agg.writeStream
@@ -286,6 +266,26 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** STREAMING curation ingestion — the round's curation gates are
+    * stateless codegen'd maps, so they compose directly into
+    * Structured Streaming: Gopher word-level quality gate (a map-side
+    * filter, ZERO state) → doc_id [[dedupWithinWatermark]] (state
+    * bounded by the delay window) → [[runToDeltaExactlyOnce]] (one
+    * SetTransaction action per micro-batch; replays are idempotent at
+    * the table). Input: a streaming (doc_id, lang, text, ts) frame.
+    * The 100 TB/day shape: per-record cost is the gate's token
+    * lambdas, dedup state holds only in-watermark doc ids, and no
+    * stage ever holds the corpus. */
+  def curationIngest(docs: DataFrame, path: String, checkpoint: String,
+      appId: String, delay: String = "30 minutes",
+      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords)
+      : StreamingQuery = {
+    val gated = graft.ops.Curation.gopherGate(docs, stopWords = stopWords)
+    runToDeltaExactlyOnce(
+      dedupWithinWatermark(gated, Seq("doc_id"), delay),
+      path, checkpoint, appId)
+  }
 
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run

@@ -47,18 +47,22 @@ class TransformWithStateSpec extends AnyFunSuite {
     val good = ("the a " + Seq.fill(58)("clean").mkString(" "))
     val junk = "too short"
     val docs = MemoryStream[(Long, String, String, java.sql.Timestamp)]
-    // batch 1: one passing doc, one junk doc; batch 2 re-delivers the
-    // passing doc (same doc_id, inside the watermark) + a new one
-    docs.addData((1L, "en", good, ts(0)), (2L, "en", junk, ts(1)))
-    docs.addData((1L, "en", good, ts(2)), (3L, "en", good, ts(3)))
-    val q = graft.streaming.EventStream.curationIngest(
+    def ingest() = graft.streaming.EventStream.curationIngest(
       docs.toDF().toDF("doc_id", "lang", "text", "ts"),
       table, ckpt, appId = "scur-test",
       stopWords = graft.ops.Curation.CorpusStopWords)
-    q.awaitTermination()
+    // RUN 1: one passing doc, one junk doc (AvailableNow drains it)
+    docs.addData((1L, "en", good, ts(0)), (2L, "en", junk, ts(1)))
+    ingest().awaitTermination()
+    // RUN 2, SAME checkpoint + appId: re-delivers doc 1 inside the
+    // watermark (dedup state must survive the restart) plus a new doc
+    // — this crosses a real micro-batch/run boundary, not one batch
+    docs.addData((1L, "en", good, ts(2)), (3L, "en", good, ts(3)))
+    ingest().awaitTermination()
     val got = graft.io.DeltaLogReader.read(spark, table)
       .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
-    // junk gated out; the re-delivered doc 1 deduped; 1 and 3 land once
+    // junk gated out; the re-delivered doc 1 deduped ACROSS runs via
+    // restored state; 1 and 3 land exactly once
     assert(got == Seq(1L, 3L), s"curated table rows: $got")
   }
 
