@@ -98,6 +98,7 @@ object SparkEntry {
         stopWords = Curation.CorpusStopWords)),
     "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
     // dedup / similarity
+    "dedup_exact_docs"    -> (Dedup.exactDocDedup _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
@@ -291,6 +292,7 @@ object SparkEntry {
     "curate_pipeline_v2"  ->
       Curation.curatePipelineModernOracle(Curation.CorpusStopWords),
     "curate_pack_chunks"  -> Curation.packChunksOracle,
+    "dedup_exact_docs"    -> Dedup.exactDocDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

@@ -45,6 +45,28 @@ object Dedup {
     * signatures). */
   private[graft] def registerCache(df: DataFrame): Unit = liveCaches.add(df)
 
+  /** EXACT full-document dedup — the stage every pipeline runs FIRST
+    * (identical crawls are the bulk of web duplication; removing them
+    * before any fuzzy stage keeps the minhash/LSH tables small). One
+    * hash-partitioned aggregation on the content hash: keep the
+    * minimum doc_id per identical-text group, count the copies. md5
+    * here keeps the DuckDB oracle bit-exact (a production run uses
+    * xxhash64 — 4× cheaper, same plan). Scale shape: ONE map-side
+    * hash + ONE partial-aggregable groupBy — the cheapest possible
+    * dedup; no joins, no per-pair work, linear to any corpus size. */
+  def exactDocDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_doc_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("h"), col("keep_doc_id"), col("n_copies"))
+
+  def exactDocDedupOracle: String =
+    """SELECT md5(text) AS h, min(doc_id) AS keep_doc_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
   /** Distinct character 3-gram shingles per document. */
   private def shingles = array_distinct(
     expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))"))

@@ -35,6 +35,22 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(got.size == 3)
   }
 
+  test("exact doc dedup: identical texts collapse to min doc_id with counts") {
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-exdd").toString
+    Seq(
+      (5L, "same text here", "en", "s", 0L),
+      (2L, "same text here", "en", "s", 0L),
+      (9L, "same text here", "en", "s", 0L),
+      (3L, "different text", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.exactDocDedup(spark, dir)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got == Map(2L -> 3L, 3L -> 1L)) // min id kept, copies counted
+  }
+
   test("substr dedup: unaligned duplicated passage cut at any offset") {
     val spark0 = spark
     import spark0.implicits._
