@@ -196,6 +196,7 @@ object SparkEntry {
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
+    "dq_events_ruleset"   -> (DataQuality.eventsRuleset _),
     // multimodal plumbing (decode stage stubbed — no codecs in container);
     // the synthetic corpus is deterministic arithmetic over the id, so
     // the aggregate is fully oracled in DuckDB via range(1000)
@@ -378,6 +379,7 @@ object SparkEntry {
     "trino_fn_tier2"      -> graft.sql.TrinoQueries.fnTier2Oracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
+    "dq_events_ruleset"   -> DataQuality.eventsRulesetOracle,
     "mm_decode_features"  -> graft.multimodal.Multimodal
       .decodeFeaturesOracle(1000),
     "mm_real_decode"      -> graft.multimodal.Multimodal

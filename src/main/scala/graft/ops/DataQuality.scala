@@ -51,6 +51,72 @@ object DataQuality {
       Rule(s"matches_$c",
         avg(when(col(c).rlike(regex), 1.0).otherwise(0.0)),
         _ >= 1.0)
+
+    /** Comparator → pass predicate over a double metric (the DQDL
+      * comparison operators Glue's grammar admits). */
+    private[DataQuality] def cmp(op: String, bound: Double)
+        : Column => Column = op match {
+      case ">" => _ > bound
+      case ">=" => _ >= bound
+      case "<" => _ < bound
+      case "<=" => _ <= bound
+      case "=" => _ === bound
+      case other =>
+        throw new IllegalArgumentException(s"unsupported comparator: $other")
+    }
+
+    // ---- round-12 rule types (`data_quality/_create.py:27-37` renders
+    // ---- arbitrary DQDL; Glue's grammar carries all of these) -------------
+
+    /** `Mean "c" > x` — decimal(20,10)-summed mean (order-independent,
+      * so the DuckDB oracle is bit-exact; the VectorIndex centroid
+      * trick). */
+    def meanRule(c: String, op: String, bound: Double): Rule =
+      Rule(s"mean_$c",
+        sum(col(c).cast("decimal(20,10)")).cast("double") /
+          count(col(c)).cast("double"),
+        cmp(op, bound))
+
+    /** `StandardDeviation "c" < x` — POPULATION stddev from two exact
+      * decimal sums (Σx at 10 dp, Σx² from 6-dp squares: (12,6)×(12,6)
+      * = decimal(24,12) stays uncapped in both engines), final
+      * arithmetic in double — deterministic under any row order. */
+    def stddevRule(c: String, op: String, bound: Double): Rule = {
+      val n = count(col(c)).cast("double")
+      val s = sum(col(c).cast("decimal(20,10)")).cast("double")
+      val v6 = col(c).cast("decimal(12,6)")
+      val sq = sum(v6 * v6).cast("double")
+      Rule(s"stddev_$c",
+        sqrt(greatest(lit(0.0), sq / n - (s / n) * (s / n))),
+        cmp(op, bound))
+    }
+
+    /** `Sum "c" > x` — exact decimal sum cast to double. */
+    def sumRule(c: String, op: String, bound: Double): Rule =
+      Rule(s"sum_$c",
+        sum(col(c).cast("decimal(20,10)")).cast("double"),
+        cmp(op, bound))
+
+    /** `ColumnLength "c" <= n` — per-value check like ColumnValues:
+      * metric is the conforming fraction (nulls fail), passes at 1.0. */
+    def columnLength(c: String, op: String, bound: Int): Rule = {
+      val len = length(col(c))
+      val ok = op match {
+        case ">" => len > bound
+        case ">=" => len >= bound
+        case "<" => len < bound
+        case "<=" => len <= bound
+        case "=" => len === bound
+        case other =>
+          throw new IllegalArgumentException(s"unsupported comparator: $other")
+      }
+      Rule(s"length_$c", avg(when(ok, 1.0).otherwise(0.0)), _ >= 1.0)
+    }
+
+    /** `DistinctValuesCount "c" > n` — exact distinct count. */
+    def distinctValuesCount(c: String, op: String, bound: Double): Rule =
+      Rule(s"distinct_count_$c",
+        countDistinct(col(c)).cast("double"), cmp(op, bound))
   }
 
   /** Evaluate a ruleset in one aggregate pass; explode to one row per
@@ -106,8 +172,10 @@ object DataQuality {
     * renders `Rules = [ RowCount > 100, Completeness "c" > 0.9, … ]`)
     * into compiled rules. Supported: RowCount, Completeness, Uniqueness,
     * IsComplete, ColumnValues min/max comparisons, `ColumnValues … in
-    * [...]` set rules, and `ColumnValues … matches "regex"` — the rule
-    * shapes the DQDL grammar the reference renders actually carries.
+    * [...]` set rules, `ColumnValues … matches "regex"`, and (round 12,
+    * the rest of the rule types Glue's DQDL grammar carries that are
+    * single-pass aggregates) Mean, StandardDeviation, Sum,
+    * ColumnLength, DistinctValuesCount with the full comparator set.
     */
   def parseRuleset(dqdl: String): Seq[Rule] = {
     val body = dqdl.replaceAll("(?s).*Rules\\s*=\\s*\\[", "")
@@ -120,11 +188,22 @@ object DataQuality {
       val ValuesP = """ColumnValues\s*"([^"]+)"\s*(<=|>=)\s*([0-9.-]+)""".r
       val InSetP = """(?s)ColumnValues\s*"([^"]+)"\s+in\s+\[(.*)\]""".r
       val MatchesP = """ColumnValues\s*"([^"]+)"\s+matches\s+"(.*)"""".r
+      val AggP = ("""(Mean|StandardDeviation|Sum|DistinctValuesCount)""" +
+        """\s*"([^"]+)"\s*(<=|>=|<|>|=)\s*(-?[0-9.eE]+)""").r
+      val LengthP =
+        """ColumnLength\s*"([^"]+)"\s*(<=|>=|<|>|=)\s*([0-9]+)""".r
       r match {
         case RowCountP(_, v) => Rules.rowCount(v.toDouble.toLong)
         case ColRuleP("Completeness", c, _, v) => Rules.completeness(c, v.toDouble)
         case ColRuleP("Uniqueness", c, _, v) => Rules.uniqueness(c, v.toDouble)
         case IsCompleteP(c) => Rules.isComplete(c)
+        case AggP("Mean", c, op, v) => Rules.meanRule(c, op, v.toDouble)
+        case AggP("StandardDeviation", c, op, v) =>
+          Rules.stddevRule(c, op, v.toDouble)
+        case AggP("Sum", c, op, v) => Rules.sumRule(c, op, v.toDouble)
+        case AggP("DistinctValuesCount", c, op, v) =>
+          Rules.distinctValuesCount(c, op, v.toDouble)
+        case LengthP(c, op, v) => Rules.columnLength(c, op, v.toInt)
         case InSetP(c, vals) => Rules.valuesInSet(c,
           vals.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
         case MatchesP(c, re) => Rules.valuesMatch(c, re)
@@ -248,6 +327,52 @@ object DataQuality {
       |  matches_o_orderpriority >= 1.0 FROM m
       |UNION ALL SELECT 'min_o_totalprice', min_o_totalprice,
       |  min_o_totalprice >= 0.0 FROM m""".stripMargin
+
+  /** Third oracled ruleset (round 12) — exercises the widened DQDL
+    * dialect (Mean / StandardDeviation / Sum / ColumnLength /
+    * DistinctValuesCount), parsed from DQDL text, over `events`. All
+    * metrics are exact-decimal formulations so the DuckDB twin is
+    * bit-exact under any row order. */
+  def eventsRuleset(s: SparkSession, dir: String): DataFrame =
+    evaluate(Tables.events(s, dir), parseRuleset(
+      """Rules = [
+        |  Mean "value" > 0,
+        |  StandardDeviation "value" < 1000000,
+        |  Sum "value" > 100,
+        |  ColumnLength "event_type" <= 32,
+        |  DistinctValuesCount "event_type" < 1000,
+        |  DistinctValuesCount "user_id" > 10
+        |]""".stripMargin))
+
+  def eventsRulesetOracle: String =
+    """WITH b AS (
+      |  SELECT cast(count("value") as double) AS n,
+      |    cast(sum(cast("value" AS DECIMAL(20,10))) as double) AS s,
+      |    cast(sum(cast("value" AS DECIMAL(12,6)) *
+      |             cast("value" AS DECIMAL(12,6))) as double) AS sq,
+      |    avg(CASE WHEN length(event_type) <= 32 THEN 1.0 ELSE 0.0 END)
+      |      AS len_ok,
+      |    cast(count(DISTINCT event_type) as double) AS nd_et,
+      |    cast(count(DISTINCT user_id) as double) AS nd_uid
+      |  FROM events),
+      |m AS (
+      |  SELECT s / n AS mean_value,
+      |    sqrt(greatest(0.0, sq / n - (s / n) * (s / n))) AS stddev_value,
+      |    s AS sum_value, len_ok AS length_event_type,
+      |    nd_et AS distinct_count_event_type,
+      |    nd_uid AS distinct_count_user_id
+      |  FROM b)
+      |SELECT 'mean_value' AS rule, mean_value AS metric,
+      |  mean_value > 0.0 AS passed FROM m
+      |UNION ALL SELECT 'stddev_value', stddev_value,
+      |  stddev_value < 1000000.0 FROM m
+      |UNION ALL SELECT 'sum_value', sum_value, sum_value > 100.0 FROM m
+      |UNION ALL SELECT 'length_event_type', length_event_type,
+      |  length_event_type >= 1.0 FROM m
+      |UNION ALL SELECT 'distinct_count_event_type',
+      |  distinct_count_event_type, distinct_count_event_type < 1000.0 FROM m
+      |UNION ALL SELECT 'distinct_count_user_id', distinct_count_user_id,
+      |  distinct_count_user_id > 10.0 FROM m""".stripMargin
 
   def lineitemRulesetOracle: String =
     """WITH m AS (

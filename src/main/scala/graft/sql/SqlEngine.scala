@@ -132,6 +132,16 @@ object SqlEngine {
 
   /** `read_sql_query(sql, params=…, use_cache=…)` → Catalyst.
     *
+    * DIALECT: the entry point is Athena (= Trino/Presto) SQL, like the
+    * reference's (`athena/_read.py:951-1308`) — [[TrinoCompat.rewrite]]
+    * runs on every input. Most Spark SQL passes through unchanged, but
+    * Trino semantics win where the dialects conflict: array subscripts
+    * `a[i]` are 1-based (`a[1]` is the FIRST element; `a[0]` fails),
+    * `from_unixtime` returns a timestamp, 2-arg `regexp_replace`
+    * deletes matches, and `md5`/`sha1`/`md5_hex`-free digests return
+    * VARBINARY. Callers who need Spark-dialect subscripts should use
+    * `spark.sql` directly.
+    *
     * Parameter dispatch mirrors `athena/_utils.py:385-401`: scalar
     * params bind SERVER-SIDE through Spark's named-parameter API (no
     * string splicing, no injection channel, `:name` inside string
@@ -321,12 +331,14 @@ object SqlEngine {
       "`" + name.substring(1, name.length - 1) + "`"
     else name
 
-  /** table name → storage location. The TABLE metadata of the session
-    * catalog is consulted FIRST (immune to a temp view shadowing the
-    * name — the post-DML shadow view would otherwise break every later
-    * statement on the same table: DESCRIBE FORMATTED of a view has no
-    * Location row); then the explicit `tables` map callers pass; then
-    * DESCRIBE FORMATTED as a last resort. */
+  /** table name → storage location. The explicit `tables` map callers
+    * pass wins FIRST (the caller-override contract `executeSql`
+    * documents); then the session catalog's TABLE metadata — which is
+    * immune to a temp view shadowing the name, because the post-DML
+    * shadow view would otherwise break every later statement on the
+    * same table (a view's metadata has no location); then
+    * `Catalog.getTableLocation` (DESCRIBE FORMATTED) as a last
+    * resort. */
   private def tableResolver(spark: SparkSession,
       tables: Map[String, String]): String => Option[String] = name =>
     tables.get(name).orElse(tables.get(name.toLowerCase)).orElse {

@@ -7,13 +7,13 @@ import org.apache.spark.sql.catalyst.expressions.{
   ArrayPosition, ArrayTransform, Ascii, AssertTrue, Base64,
   BitwiseAnd, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce, Concat,
   CreateNamedStruct, CreateStruct, DateFormatClass, DayOfYear, Divide,
-  EqualTo, Expression, Exp, Floor, FromUTCTimestamp, GetJsonObject,
+  EqualTo, Expression, Exp, Floor, FromUTCTimestamp,
   Greatest, GreaterThan, GreaterThanOrEqual, Hex, If, IsNaN,
   IsNotNull, IsNull, LambdaFunction, LastDay, Length, Levenshtein,
-  Literal, Log,
+  Literal, Log, Md5,
   MapFromEntries, Multiply, Not, NullIf, Or, ParseToTimestamp, ParseUrl,
   Pmod, Rand, RegExpExtract, RegExpReplace, Reverse,
-  SecondsToTimestamp, Sequence, Sha2, Size, Slice, StringInstr,
+  SecondsToTimestamp, Sequence, Sha1, Sha2, Size, Slice, StringInstr,
   StringLocate, StructsToJson,
   Substring, Subtract, TryEval, UnBase64, Unhex, UnixMicros,
   UnresolvedNamedLambdaVariable, WeekDay, WeekOfYear, XxHash64}
@@ -81,13 +81,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * `st_geometryfromtext`/`st_linefromtext`/`st_polygon`, and the JSON
   * trio `graft_cast_json`/`json_parse`/`json_format`.
   *
-  * Known divergences (documented, loud where possible): `json_extract`
-  * returns the extracted JSON text but — like Spark's
-  * `get_json_object` it maps to — unquotes top-level string scalars
-  * (Trino keeps the quotes; `json_extract_scalar` matches Trino
-  * exactly). `md5`/`sha1` keep Spark's hex-string semantics — the
-  * repo's own oracled SQL depends on them, and shadowing them would
-  * change unrelated queries.
+  * The round-11 divergence list is CLOSED (round 12): `json_extract`
+  * now returns Trino-exact JSON text (quotes kept on string scalars)
+  * and `json_extract_scalar` is NULL on containers — both via
+  * [[graft.expr.TrinoJsonExtract]] — and `md5`/`sha1` return VARBINARY
+  * through a rewrite rename to `graft_trino_md5`/`graft_trino_sha1`
+  * (shim-only: the bare names stay Spark builtins for native SQL, so
+  * the repo's own MinHash/oracle queries are untouched). `to_utf8`/
+  * `from_utf8` bridge varchar↔varbinary as in Trino.
   */
 object TrinoCompat {
 
@@ -96,10 +97,25 @@ object TrinoCompat {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
-  /** Idempotent; called by [[SqlEngine.readSqlQuery]] per query. */
+  /** Idempotent; called by [[SqlEngine.readSqlQuery]] per query.
+    *
+    * The marker must become visible only AFTER every function is
+    * registered: `Executions.startQueryExecution` runs statements on a
+    * thread pool, so two concurrent first queries on a fresh session
+    * would otherwise race — the loser sees the marker mid-registration
+    * and parses with Trino-only names unresolved (or worse, shadowed
+    * builtins still at Spark semantics, silently wrong results).
+    * `computeIfAbsent` on the synchronized map runs [[doRegister]]
+    * under the map's mutex, serializing first-touch per JVM; after the
+    * first call the cheap `containsKey` fast path takes over.
+    */
   def ensureRegistered(spark: SparkSession): Unit = {
     if (registered.containsKey(spark)) return
-    registered.put(spark, java.lang.Boolean.TRUE)
+    registered.computeIfAbsent(spark,
+      (s: SparkSession) => { doRegister(s); java.lang.Boolean.TRUE })
+  }
+
+  private def doRegister(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
@@ -109,6 +125,8 @@ object TrinoCompat {
       case Seq(c, Literal(rsd: Double, _)) => HyperLogLogPlusPlus(c, rsd)
       case Seq(c, Literal(rsd: java.math.BigDecimal, _)) =>
         HyperLogLogPlusPlus(c, rsd.doubleValue)
+      case Seq(_, e) => throw new IllegalArgumentException(
+        s"approx_distinct: max_standard_error must be a literal, got $e")
       case other => throw new IllegalArgumentException(
         s"approx_distinct expects (col[, max_standard_error]), got ${other.size} args")
     }
@@ -132,13 +150,18 @@ object TrinoCompat {
       case other => throw new IllegalArgumentException(
         s"arbitrary expects 1 argument, got ${other.size}")
     }
+    // Trino-exact JSON path extraction (round 12): json_extract keeps
+    // the quotes on string scalars (it returns JSON text), and
+    // json_extract_scalar returns NULL for containers — both cases
+    // where Spark's get_json_object silently differs. See
+    // [[graft.expr.TrinoJsonExtract]].
     fn("json_extract_scalar") {
-      case Seq(j, p) => GetJsonObject(j, p)
+      case Seq(j, p) => graft.expr.TrinoJsonExtract(j, p, scalarMode = true)
       case other => throw new IllegalArgumentException(
         s"json_extract_scalar expects (json, path), got ${other.size} args")
     }
     fn("json_extract") {
-      case Seq(j, p) => GetJsonObject(j, p)
+      case Seq(j, p) => graft.expr.TrinoJsonExtract(j, p, scalarMode = false)
       case other => throw new IllegalArgumentException(
         s"json_extract expects (json, path), got ${other.size} args")
     }
@@ -251,6 +274,21 @@ object TrinoCompat {
     fn("sha256") { case Seq(c) =>
       Unhex(Sha2(Cast(c, BinaryType), Literal(256)))
     }
+    // md5/sha1 likewise return VARBINARY in Trino, but the bare names
+    // are Spark builtins the repo's own SQL (MinHash et al.) depends
+    // on — so the REWRITE renames them to these graft-namespaced
+    // Trino-exact forms inside the shim only (readSqlQuery callers see
+    // Trino bytes; native spark.sql keeps Spark's hex strings).
+    fn("graft_trino_md5") { case Seq(c) =>
+      Unhex(Md5(Cast(c, BinaryType)))
+    }
+    fn("graft_trino_sha1") { case Seq(c) =>
+      Unhex(Sha1(Cast(c, BinaryType)))
+    }
+    // Trino's varchar↔varbinary bridges (its digests take varbinary
+    // only; Athena queries wrap string inputs in to_utf8)
+    fn("to_utf8") { case Seq(c) => Cast(c, BinaryType) }
+    fn("from_utf8") { case Seq(c) => Cast(c, StringType) }
     // Trino contains(array, elem); Spark's contains is string-only —
     // TrinoContains dispatches on the resolved argument type so both
     // dialects work through the one name.
@@ -570,6 +608,10 @@ object TrinoCompat {
     s = bracketsPass(s)
     s = renameCall(s, "ROW", "struct")
     s = renameCall(s, "TRY", "try")
+    // Trino digests return varbinary; the bare names stay Spark
+    // builtins outside the shim (see graft_trino_md5 registration)
+    s = renameCall(s, "md5", "graft_trino_md5")
+    s = renameCall(s, "sha1", "graft_trino_sha1")
     s = bareVarchar(s)
     s
   }

@@ -89,4 +89,46 @@ class JdbcDqdlSpec extends AnyFunSuite {
       Seq(("F", "3-MEDIUM", "x")).toDF("status", "prio", "v"), rules).collect()
     assert(ok.forall(_.getAs[Boolean]("passed")))
   }
+
+  test("DQDL round-12 rule types: Mean/StandardDeviation/Sum/ColumnLength/DistinctValuesCount") {
+    val spark0 = spark
+    import spark0.implicits._
+    // values 2, 4, 6: mean 4, population stddev sqrt(8/3), sum 12
+    val df = Seq((2.0, "aa"), (4.0, "bbb"), (6.0, "aa"))
+      .toDF("x", "tag")
+    val rules = DataQuality.parseRuleset(
+      """Rules = [
+        |  Mean "x" > 3.5,
+        |  StandardDeviation "x" < 2,
+        |  Sum "x" = 12,
+        |  ColumnLength "tag" <= 3,
+        |  DistinctValuesCount "tag" = 2
+        |]""".stripMargin)
+    assert(rules.length == 5)
+    val res = DataQuality.evaluate(df, rules)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2))))
+      .toMap
+    assert(res("mean_x") == ((4.0, true)))
+    val stddev = res("stddev_x")
+    assert(math.abs(stddev._1 - math.sqrt(8.0 / 3)) < 1e-9 && stddev._2)
+    assert(res("sum_x") == ((12.0, true)))
+    assert(res("length_tag") == ((1.0, true)))
+    assert(res("distinct_count_tag")._2)
+    // comparator edges: = fails off the exact value; < is strict
+    val strict = DataQuality.evaluate(df, DataQuality.parseRuleset(
+      """Rules = [ Mean "x" = 4, Mean "x" < 4 ]""")
+      .zipWithIndex.map { case (r, i) => r.copy(name = s"${r.name}_$i") })
+      .collect().map(r => r.getString(0) -> r.getBoolean(2)).toMap
+    assert(strict("mean_x_0") && !strict("mean_x_1"))
+    // ColumnLength = on mixed lengths is the conforming fraction
+    val frac = DataQuality.evaluate(df, DataQuality.parseRuleset(
+      """Rules = [ ColumnLength "tag" = 2 ]""")).collect().head
+    assert(math.abs(frac.getDouble(1) - 2.0 / 3) < 1e-9 && !frac.getBoolean(2))
+    // nulls fail ColumnLength (DQDL default NullBehavior)
+    val withNull = DataQuality.evaluate(
+      Seq(Some("aa"), None).map(Tuple1(_)).toDF("tag"),
+      DataQuality.parseRuleset("""Rules = [ ColumnLength "tag" <= 3 ]"""))
+      .collect()
+    assert(withNull.head.getDouble(1) == 0.5 && !withNull.head.getBoolean(2))
+  }
 }

@@ -670,4 +670,58 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(r.getString(0) == "123")
     assert(r.getString(1) == "1_2_3_")
   }
+
+  // ---- round-12: the r11 divergence list, closed --------------------------
+
+  test("md5/sha1 return VARBINARY with Trino's bytes (classic vectors)") {
+    val r = one(
+      "SELECT to_hex(md5(to_utf8('abc'))) AS m, " +
+        "to_hex(md5(to_utf8(''))) AS me, " +
+        "to_hex(sha1(to_utf8('abc'))) AS s1, " +
+        "CAST(from_utf8(to_utf8('round')) AS STRING) AS rt")
+    assert(r.getString(0) == "900150983CD24FB0D6963F7D28E17F72")
+    assert(r.getString(1) == "D41D8CD98F00B204E9800998ECF8427E")
+    assert(r.getString(2) == "A9993E364706816ABA3E25717850C26C9CD0D89D")
+    assert(r.getString(3) == "round")
+    // the Athena-user shape: compare digests for equality
+    assert(one(
+      "SELECT md5(to_utf8('x')) = md5(to_utf8('x')) AS eq").getBoolean(0))
+    // the rename is shim-only: native spark.sql keeps hex-string md5
+    assert(spark.sql("SELECT md5('abc') AS m").head().getString(0) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("json_extract keeps quotes on string scalars (Trino JSON text)") {
+    val r = one(
+      """SELECT json_extract('{"a": "x"}', '$.a') AS s,
+        |       json_extract('{"a": {"b": 1}}', '$.a') AS o,
+        |       json_extract('{"a": [1, 2]}', '$.a[1]') AS e,
+        |       json_extract('{"a": "q\\"z"}', '$.a') AS esc,
+        |       json_extract('{"a": 7}', '$.missing') AS miss
+        |""".stripMargin)
+    assert(r.getString(0) == "\"x\"")       // quotes KEPT
+    assert(r.getString(1) == "{\"b\":1}")   // container as JSON text
+    assert(r.getString(2) == "2")           // JSON path subscripts 0-based
+    assert(r.getString(3) == "\"q\\\"z\"")  // escaping intact
+    assert(r.isNullAt(4))                   // missing path → NULL
+  }
+
+  test("json_extract_scalar is NULL on containers and JSON null") {
+    val r = one(
+      """SELECT json_extract_scalar('{"a": {"b": 7}}', '$.a') AS cont,
+        |       json_extract_scalar('{"a": [1]}', '$.a') AS arr,
+        |       json_extract_scalar('{"a": null}', '$.a') AS jn,
+        |       json_extract_scalar('{"a": "x"}', '$.a') AS s,
+        |       json_extract_scalar('{"a": true}', '$.a') AS b,
+        |       json_extract_scalar('not json', '$.a') AS bad
+        |""".stripMargin)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getString(3) == "x")   // string scalar UNQUOTED
+    assert(r.getString(4) == "true")
+    assert(r.isNullAt(5))           // malformed input → NULL (Athena)
+    // bracket-quoted path steps
+    assert(one(
+      """SELECT json_extract_scalar('{"k v": 3}', '$["k v"]') AS v""")
+      .getString(0) == "3")
+  }
 }
