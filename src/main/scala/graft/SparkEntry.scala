@@ -182,6 +182,7 @@ object SparkEntry {
     "graph_triangles"     -> (Graph.triangles _),
     // search (OpenSearch-shaped)
     "search_match_query"  -> (Search.matchQuery _),
+    "search_dsl"          -> (Search.dslQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
     "search_bm25"         -> (Postings.searchBm25Query _),
     // log analytics (CloudWatch Logs Insights dialect)
@@ -367,6 +368,7 @@ object SparkEntry {
     "graph_gremlin"       -> Gremlin.supplierInEuropeOracle,
     "graph_gremlin_order" -> Gremlin.asiaNationsWithSuppliersOracle,
     "search_match_query"  -> Search.matchQueryOracle,
+    "search_dsl"          -> Search.dslQueryOracle,
     // the postings pipeline reproduces the scan-based match exactly on a
     // whitespace-token corpus — same oracle text gates both plans
     "search_postings_query" -> Search.matchQueryOracle,

@@ -379,8 +379,13 @@ object Curation {
   def tokenShards(s: SparkSession, dir: String,
                   budget: Long = shardBudget,
                   prefixLen: Int = 2): DataFrame = {
-    require(prefixLen >= 1 && prefixLen <= 8,
-      s"prefixLen must be in [1, 8], got $prefixLen")
+    // cap 4: the bucket-total collect below is 16^prefixLen rows, and
+    // the "driver-side metadata" claim only holds while that stays
+    // metadata-sized — 65 536 rows at 4; 16^8 would be a 4.3-billion-row
+    // driver pull. 65 536 contiguous buckets already suffice at 100 TB
+    // (≈1.6 GB/bucket per PB of tokens).
+    require(prefixLen >= 1 && prefixLen <= 4,
+      s"prefixLen must be in [1, 4], got $prefixLen")
     val base = Tables.documents(s, dir).select(
       col("doc_id"),
       size(tokens).cast("bigint").as("n_tokens"),

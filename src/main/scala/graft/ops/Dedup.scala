@@ -537,10 +537,47 @@ object Dedup {
         coalesce(col("component"), col("rep")).as("component"))
   }
 
+  /** Label-propagation steps for the oracle's transitive closure —
+    * UNROLLED, not recursive: the old `WITH RECURSIVE walk` enumerated
+    * every (node, reachable-label) pair, which explodes combinatorially
+    * on dup-dense components (the sf0.1 DuckDB timeout that kept the CC
+    * pair out of the 10× gate). Each step is linear work instead:
+    *
+    *   l_k(v) = min( l_{k-1}(v),                    — keep
+    *                 min_{u ∈ N(v)} l_{k-1}(u),     — neighbor min
+    *                 l_{k-1}(l_{k-1}(v)) )          — pointer jump
+    *
+    * The pointer-jump term makes distance-to-root shrink geometrically
+    * (≥ halving per step once propagation reaches the root's frontier),
+    * so `steps` = 10 converges for any component of diameter ≥ 512 —
+    * orders beyond the dup-cluster diameters in the corpus (the Spark
+    * side's large-star/small-star observably converges in 4-5 rounds).
+    * Verified at both gate scales: a non-converged chain would
+    * hash-mismatch the Spark labels and fail the gate loudly. */
+  private def ccLabelCtes(steps: Int): String =
+    (1 to steps).map { i =>
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs at
+      // every reference, so 10 chained steps each referencing und and
+      // l_{k-1} 3× would otherwise expand into an exponential tree of
+      // parquet scans (observed as "Too many open files" at sf0.01)
+      s""",
+         |l$i AS MATERIALIZED (
+         |  SELECT t.node, min(t.lab) AS lab FROM (
+         |    SELECT node, lab FROM l${i - 1}
+         |    UNION ALL
+         |    SELECT e.u, p.lab FROM l${i - 1} p JOIN und e ON p.node = e.v
+         |    UNION ALL
+         |    SELECT a.node, b.lab
+         |    FROM l${i - 1} a JOIN l${i - 1} b ON a.lab = b.node
+         |  ) t GROUP BY t.node)""".stripMargin
+    }.mkString
+
+  private val ccSteps = 10
+
   /** The signature → banding → candidate → edge → transitive-closure
     * CTE chain shared by [[ccDedupOracle]] and [[ccBestKeepOracle]]. */
   private def ccWalkCtes: String =
-    s"""WITH RECURSIVE sig AS (
+    s"""WITH sig AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, ${K - 1}),
        |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
@@ -561,18 +598,16 @@ object Dedup {
        |               JOIN sig s2 ON s2.doc_id = p.d2
        |  WHERE len(list_filter(generate_series(1, $K),
        |        i -> s1.sig[i] = s2.sig[i])) >= 8),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT d1 AS u, d2 AS v FROM edges
        |  UNION SELECT d2, d1 FROM edges),
-       |walk(node, lab) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT und.u, walk.lab FROM walk JOIN und ON walk.node = und.v)""".stripMargin
+       |l0 AS MATERIALIZED (
+       |  SELECT doc_id AS node, doc_id AS lab FROM documents)""".stripMargin +
+      ccLabelCtes(ccSteps)
 
   def ccDedupOracle: String =
     s"""$ccWalkCtes
-       |SELECT node AS doc_id, min(lab) AS component
-       |FROM walk GROUP BY node""".stripMargin
+       |SELECT node AS doc_id, lab AS component FROM l$ccSteps""".stripMargin
 
   /** QUALITY-AWARE representative selection over the fuzzy-dup
     * components: per connected component keep the HIGHEST-quality
@@ -596,8 +631,7 @@ object Dedup {
   def ccBestKeepOracle: String = {
     s"""$ccWalkCtes,
        |comp AS (
-       |  SELECT node AS doc_id, min(lab) AS component
-       |  FROM walk GROUP BY node),
+       |  SELECT node AS doc_id, lab AS component FROM l$ccSteps),
        |q AS (
        |  SELECT doc_id,
        |    ${Text.qualitySql} AS quality

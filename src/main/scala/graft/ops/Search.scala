@@ -44,16 +44,26 @@ object Search {
   }
 
   /** OpenSearch query-DSL compiler (`opensearch/_read.py:65-155` accepts
-    * `search_body={"query": {...}}`): the match/term/range/bool subset
-    * translated to Catalyst predicates. `match` on a text field means
-    * "any of the analyzed terms occurs as a token" (the minimal analyzer:
-    * whitespace tokens, case-insensitive).
+    * `search_body={"query": {...}}` and passes ARBITRARY DSL through):
+    * the match / match_phrase / term / range / exists / prefix /
+    * wildcard / bool subset translated to Catalyst predicates. `match`
+    * on a text field means "any of the analyzed terms occurs as a
+    * token" (the minimal analyzer: whitespace tokens,
+    * case-insensitive); `match_phrase` requires the analyzed terms
+    * ADJACENT and in order. `prefix`/`wildcard`/`term` are
+    * keyword-style (not analyzed, case-sensitive), as in OpenSearch.
     *
     * Query model: nested Maps — `Map("bool" -> Map("must" -> Seq(...),
-    * "must_not" -> Seq(...), "should" -> Seq(...)))`,
+    * "must_not" -> Seq(...), "should" -> Seq(...),
+    * "minimum_should_match" -> n))`,
     * `Map("match" -> Map(field -> text))`,
+    * `Map("match_phrase" -> Map(field -> text))`,
     * `Map("term" -> Map(field -> value))`,
-    * `Map("range" -> Map(field -> Map("gte" -> v, "lt" -> v)))`.
+    * `Map("range" -> Map(field -> Map("gte" -> v, "lt" -> v)))`,
+    * `Map("exists" -> Map("field" -> name))`,
+    * `Map("prefix" -> Map(field -> value))`,
+    * `Map("wildcard" -> Map(field -> pattern))` (`*` any run, `?` any
+    * one char, anchored both ends — the OpenSearch contract).
     */
   def compileQueryDsl(q: Map[String, Any]): Column = {
     require(q.size == 1, s"query node must have one key, got ${q.keys}")
@@ -66,6 +76,16 @@ object Search {
         text.toLowerCase.split("\\s+").toSeq.map { term =>
           array_contains(split(lower(col(field)), " "), lit(term))
         }.reduce(_ || _)
+      case "match_phrase" =>
+        // token ADJACENCY: re-join the analyzed tokens with single
+        // spaces and look for the phrase at token boundaries — the
+        // sentinel spaces make boundary checks exact at both ends.
+        // Pure codegen'd string ops; no position arithmetic needed.
+        val (field, text) = body.asInstanceOf[Map[String, String]].head
+        val phrase = text.toLowerCase.split("\\s+").mkString(" ")
+        concat(lit(" "),
+          array_join(split(lower(col(field)), "\\s+"), " "), lit(" "))
+          .contains(s" $phrase ")
       case "term" =>
         val (field, value) = body.asInstanceOf[Map[String, Any]].head
         col(field) === lit(value)
@@ -78,22 +98,84 @@ object Search {
           case ("lt", v) => col(field) < lit(v)
           case (op, _) => throw new IllegalArgumentException(s"range op $op")
         }.reduce(_ && _)
+      case "exists" =>
+        val field = body.asInstanceOf[Map[String, String]]("field")
+        col(field).isNotNull
+      case "prefix" =>
+        val (field, value) = body.asInstanceOf[Map[String, String]].head
+        col(field).startsWith(value)
+      case "wildcard" =>
+        val (field, pattern) = body.asInstanceOf[Map[String, String]].head
+        col(field).rlike(wildcardToRegex(pattern))
       case "bool" =>
-        val clauses = body.asInstanceOf[Map[String, Seq[Map[String, Any]]]]
-        val must = clauses.getOrElse("must", Nil).map(compileQueryDsl)
-        val mustNot = clauses.getOrElse("must_not", Nil).map(compileQueryDsl)
-        val should = clauses.getOrElse("should", Nil).map(compileQueryDsl)
-        (must ++ mustNot.map(!_) ++
-          (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil))
+        val clauses = body.asInstanceOf[Map[String, Any]]
+        def seqOf(k: String): Seq[Map[String, Any]] =
+          clauses.get(k).map(_.asInstanceOf[Seq[Map[String, Any]]])
+            .getOrElse(Nil)
+        val must = seqOf("must").map(compileQueryDsl)
+        val mustNot = seqOf("must_not").map(compileQueryDsl)
+        val should = seqOf("should").map(compileQueryDsl)
+        // minimum_should_match: at least n of the should clauses hold
+        // (integer form; OpenSearch's default in a filter context with
+        // no must is 1, which the plain OR below already encodes)
+        val shouldPred =
+          if (should.isEmpty) None
+          else clauses.get("minimum_should_match") match {
+            case Some(n: Int) =>
+              Some(should.map(p => when(p, 1).otherwise(0))
+                .reduce(_ + _) >= n)
+            case Some(other) => throw new IllegalArgumentException(
+              s"minimum_should_match must be an Int, got $other")
+            case None => Some(should.reduce(_ || _))
+          }
+        (must ++ mustNot.map(!_) ++ shouldPred.toSeq)
           .reduceOption(_ && _).getOrElse(lit(true))
       case other =>
         throw new IllegalArgumentException(s"unsupported query kind: $other")
     }
   }
 
+  /** OpenSearch wildcard pattern → anchored Java regex: `*` matches any
+    * run (including empty), `?` any single character, every other
+    * character itself (regex metacharacters quoted). */
+  private[ops] def wildcardToRegex(pattern: String): String = {
+    val sb = new StringBuilder("^")
+    pattern.foreach {
+      case '*' => sb ++= ".*"
+      case '?' => sb ++= "."
+      case c => sb ++= java.util.regex.Pattern.quote(c.toString)
+    }
+    sb.append('$').toString
+  }
+
   /** `opensearch.search(search_body=…)`: DSL → filtered DataFrame. */
   def search(docs: DataFrame, queryDsl: Map[String, Any]): DataFrame =
     docs.filter(compileQueryDsl(queryDsl))
+
+  /** Oracled DSL query (round 12): a bool routing the widened compiler
+    * — match_phrase adjacency in must, a term must_not, and a
+    * prefix/wildcard/match should trio under minimum_should_match=2.
+    * One scan, all predicates codegen'd into the filter. */
+  def dslQuery(s: SparkSession, dir: String): DataFrame =
+    search(Tables.documents(s, dir), Map("bool" -> Map(
+      "must" -> Seq(Map("match_phrase" -> Map("text" -> "the data"))),
+      "must_not" -> Seq(Map("term" -> Map("lang" -> "de"))),
+      "should" -> Seq(
+        Map("prefix" -> Map("text" -> "spark")),
+        Map("wildcard" -> Map("lang" -> "e?")),
+        Map("match" -> Map("text" -> "window"))),
+      "minimum_should_match" -> 2)))
+      .select(col("doc_id"), col("lang"))
+
+  def dslQueryOracle: String =
+    """SELECT doc_id, lang FROM documents
+      |WHERE contains(' ' || regexp_replace(lower(text), '\s+', ' ', 'g')
+      |        || ' ', ' the data ')
+      |  AND NOT (lang = 'de')
+      |  AND ((CASE WHEN text LIKE 'spark%' THEN 1 ELSE 0 END)
+      |     + (CASE WHEN regexp_matches(lang, '^e.$') THEN 1 ELSE 0 END)
+      |     + (CASE WHEN list_contains(string_split(lower(text), ' '),
+      |              'window') THEN 1 ELSE 0 END)) >= 2""".stripMargin
 
   /** Bulk document indexing with id-key upsert — `opensearch.index_df`
     * (`opensearch/_write.py:432-488`, `id_keys` semantics): documents

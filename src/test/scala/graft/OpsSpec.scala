@@ -163,6 +163,52 @@ class OpsSpec extends AnyFunSuite {
       ops.Search.compileQueryDsl(Map("fuzzy" -> Map("x" -> "y"))))
   }
 
+  test("search DSL round-12 kinds: match_phrase/exists/prefix/wildcard/minimum_should_match") {
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Seq(
+      (1L, "the data engine runs", Some("en")),
+      (2L, "data the engine runs", Some("en")),    // phrase out of order
+      (3L, "THE DATA loud case", Some("es")),      // analyzer lowercases
+      (4L, "prefix the dataset here", Some("fr")), // 'dataset' ≠ 'data' token
+      (5L, "no match at all", None))
+      .toDF("doc_id", "text", "lang")
+    def ids(q: Map[String, Any]): Set[Long] =
+      ops.Search.search(docs, q).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    // match_phrase: adjacency + order + case-insensitive analysis
+    assert(ids(Map("match_phrase" -> Map("text" -> "the data"))) ==
+      Set(1L, 3L))
+    assert(ids(Map("match_phrase" -> Map("text" -> "The  Data"))) ==
+      Set(1L, 3L), "analyzer collapses whitespace and case")
+    // single-term phrase degrades to token membership, not substring
+    assert(ids(Map("match_phrase" -> Map("text" -> "data"))) ==
+      Set(1L, 2L, 3L))
+    // exists / prefix / wildcard (keyword-style: case-sensitive)
+    assert(ids(Map("exists" -> Map("field" -> "lang"))) ==
+      Set(1L, 2L, 3L, 4L))
+    assert(ids(Map("prefix" -> Map("text" -> "prefix"))) == Set(4L))
+    assert(ids(Map("prefix" -> Map("text" -> "THE"))) == Set(3L))
+    assert(ids(Map("wildcard" -> Map("lang" -> "e?"))) == Set(1L, 2L, 3L))
+    assert(ids(Map("wildcard" -> Map("text" -> "*engine*"))) == Set(1L, 2L))
+    // regex metacharacters in a wildcard are literal
+    assert(ids(Map("wildcard" -> Map("text" -> "*.*"))) == Set.empty[Long])
+    // minimum_should_match counts satisfied should clauses:
+    // doc1 satisfies all three, doc2 two, doc3 one, docs 4-5 none
+    val should = Seq(
+      Map("match" -> Map("text" -> "engine")),
+      Map("match_phrase" -> Map("text" -> "the data")),
+      Map("term" -> Map("lang" -> "en")))
+    assert(ids(Map("bool" -> Map("should" -> should,
+      "minimum_should_match" -> 2))) == Set(1L, 2L))
+    assert(ids(Map("bool" -> Map("should" -> should,
+      "minimum_should_match" -> 1))) == Set(1L, 2L, 3L))
+    // ...and composes with must
+    assert(ids(Map("bool" -> Map(
+      "must" -> Seq(Map("exists" -> Map("field" -> "lang"))),
+      "should" -> should, "minimum_should_match" -> 3))) == Set(1L))
+  }
+
   test("data-quality ruleset evaluates every rule in one pass") {
     val res = DataQuality.lineitemRuleset(spark, sf).collect()
     assert(res.length == 5)

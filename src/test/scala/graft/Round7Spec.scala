@@ -64,6 +64,12 @@ class Round7Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curation.tokenShards(spark, sf, budget, prefixLen = 0)
     }
+    // the bucket-total collect is 16^prefixLen rows: 5+ would leave
+    // "driver-side metadata" unbounded (16^8 ≈ 4.3e9 rows), so the
+    // guard caps at 4 (65 536 buckets — enough for 100 TB)
+    intercept[IllegalArgumentException] {
+      Curation.tokenShards(spark, sf, budget, prefixLen = 5)
+    }
   }
 
   test("delta timestamp resolution reads O(commits) lines, not O(log bytes)") {
