@@ -202,6 +202,42 @@ object Bench {
       }
     }
 
+    // streaming curation ingest (the r11 operator, benched r12): the
+    // corpus as a file stream drained by AvailableNow in 4 micro-
+    // batches (8 source files, 2 per trigger) — Gopher gate →
+    // watermark dedup → exactly-once Delta append. The timer covers
+    // the whole run: state-store maintenance, the per-batch
+    // SetTransaction commits, and the gate's token lambdas.
+    if (wanted("stream_ingest")) {
+      import org.apache.spark.sql.functions.{expr => sExpr}
+      val srcDir = Files.createTempDirectory("graft-bench-stream-src").toString
+      Tables.documents(spark, sfDir)
+        .withColumn("ts", sExpr(
+          "timestamp_micros(1700000000000000 + doc_id * 1000000)"))
+        .select("doc_id", "lang", "text", "ts")
+        .repartition(8).write.mode("overwrite").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      val tableDir = Files.createTempDirectory("graft-bench-stream-tbl")
+        .toString + "/t"
+      val ckpt = Files.createTempDirectory("graft-bench-stream-ck").toString
+      fixed += "stream_ingest" -> time {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 2).parquet(srcDir)
+        val q = streaming.EventStream.curationIngest(stream, tableDir, ckpt,
+          appId = "bench-ingest",
+          stopWords = ops.Curation.CorpusStopWords)
+        q.awaitTermination()
+        // state-store size observable (stderr, outside the JSON
+        // contract): dedup state rows are bounded by the watermark
+        // delay, not the corpus — BASELINE.md records the curve
+        Option(q.lastProgress).foreach { p =>
+          p.stateOperators.foreach(so => System.err.println(
+            s"[stream_ingest] state rows=${so.numRowsTotal} " +
+              s"mem=${so.memoryUsedBytes}B"))
+        }
+      }
+    }
+
     // postings index BUILD as its own entry (the ingest-time cost; the
     // probe cost is `search_postings_query` in the sweep above)
     if (wanted("search_postings_build") || wanted("search_postings_probe")) {

@@ -87,6 +87,7 @@ object SparkEntry {
     // Curation.CorpusStopWords); same list on the oracle side
     "curate_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d,
       stopWords = Curation.CorpusStopWords)),
+    "curate_gopher_lines" -> (Curation.gopherLineRules _),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
@@ -286,6 +287,7 @@ object SparkEntry {
     "curate_pii_scrub"    -> Curation.piiScrubOracle,
     "curate_gopher_rules" ->
       Curation.gopherRulesOracle(Curation.CorpusStopWords),
+    "curate_gopher_lines" -> Curation.gopherLineRulesOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "curate_dsir_weights" -> Curation.dsirWeightsOracle,

@@ -193,8 +193,94 @@ object Curation {
        |FROM gkeep""".stripMargin
 
   // ---------------------------------------------------------------- //
-  // Repetition metrics (Gopher-style)                                //
+  // Gopher LINE rules (round 12)                                     //
   // ---------------------------------------------------------------- //
+
+  /** Rae et al. 2021 §A1.1's LINE-shaped rules — the two the word-level
+    * gate above couldn't carry because the corpus has no line structure:
+    * drop a document when more than 90% of its lines start with a
+    * bullet, or more than 30% end with an ellipsis. Zero shuffles, like
+    * [[gopherRules]]: every statistic is a codegen'd array op over the
+    * per-doc `lines` array, thresholds cross-multiplied integers.
+    *
+    * Input: (doc_id, lines ARRAY<STRING>). Bullets are `- ` or `• `
+    * prefixes; ellipses `...` or `…` suffixes (the forms the paper and
+    * real web text carry). */
+  private[graft] def gopherLineRulesOn(docLines: DataFrame): DataFrame =
+    docLines
+      .withColumn("n_lines", size(col("lines")).cast("bigint"))
+      .withColumn("n_bullet",
+        expr("""cast(size(filter(lines, l ->
+               |  startswith(l, '- ') or startswith(l, '• '))) as bigint)"""
+          .stripMargin))
+      .withColumn("n_ellipsis",
+        expr("""cast(size(filter(lines, l ->
+               |  endswith(l, '...') or endswith(l, '…'))) as bigint)"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_lines"), col("n_bullet"),
+        col("n_ellipsis"),
+        (lit(10) * col("n_bullet") <= lit(9) * col("n_lines") &&
+          lit(10) * col("n_ellipsis") <= lit(3) * col("n_lines"))
+          .as("keep"))
+
+  /** Oracled entry: the corpus is a word stream with no newlines, so a
+    * LINE-STRUCTURED corpus is DERIVED deterministically on both
+    * engines — 8-token lines, ~25% given a `- ` bullet prefix and ~25%
+    * a `...` suffix by md5-prefix draws keyed on (doc_id, line index).
+    * The derivation is part of the oracle contract (identical SQL-level
+    * formula in [[gopherLineRulesOracle]]); the rules then run on real
+    * line structure. */
+  def gopherLineRules(s: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.documents(s, dir)
+      .withColumn("toks", words)
+      .withColumn("lines", expr(
+        """case when size(toks) = 0 then array()
+          |else transform(
+          |  sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1), i ->
+          |  concat(
+          |    case when substring(md5(concat('bl:',
+          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+          |      < '4' then '- ' else '' end,
+          |    array_join(slice(toks, i * 8 + 1, 8), ' '),
+          |    case when substring(md5(concat('el:',
+          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+          |      < '4' then '...' else '' end))
+          |end""".stripMargin))
+    gopherLineRulesOn(lined.select(col("doc_id"), col("lines")))
+  }
+
+  def gopherLineRulesOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) = 0 THEN []
+      |    ELSE list_transform(
+      |      range(0, cast(ceil(len(toks) / 8.0) as int)), i ->
+      |      concat(
+      |        CASE WHEN substring(md5('bl:' || cast(doc_id as varchar)
+      |            || ':' || cast(i as varchar)), 1, 1) < '4'
+      |          THEN '- ' ELSE '' END,
+      |        array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '),
+      |        CASE WHEN substring(md5('el:' || cast(doc_id as varchar)
+      |            || ':' || cast(i as varchar)), 1, 1) < '4'
+      |          THEN '...' ELSE '' END))
+      |    END AS lines
+      |  FROM tk),
+      |st AS (
+      |  SELECT doc_id,
+      |    cast(len(lines) as bigint) AS n_lines,
+      |    cast(len(list_filter(lines, l ->
+      |      l LIKE '- %' OR l LIKE '• %')) as bigint) AS n_bullet,
+      |    cast(len(list_filter(lines, l ->
+      |      l LIKE '%...' OR l LIKE '%…')) as bigint) AS n_ellipsis
+      |  FROM ln)
+      |SELECT doc_id, n_lines, n_bullet, n_ellipsis,
+      |  (10 * n_bullet <= 9 * n_lines AND 10 * n_ellipsis <= 3 * n_lines)
+      |    AS keep
+      |FROM st""".stripMargin
 
   /** Per-document bigram repetition: the fraction of bigram occurrences
     * taken by the single most frequent bigram (`top_2gram_frac`) and the

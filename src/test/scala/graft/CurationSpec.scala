@@ -59,6 +59,46 @@ class CurationSpec extends AnyFunSuite {
     } finally { g.unpersist() }
   }
 
+  test("gopher line rules: exact counts, rule boundaries, zero-shuffle plan") {
+    import spark.implicits._
+    // hand-built line arrays through the core operator
+    val probe = Seq(
+      // 10 lines, 9 bullets: 10*9 <= 9*10 — AT the bullet boundary, kept
+      (1L, Seq.fill(9)("- bulleted line") ++ Seq("prose line")),
+      // 10 lines, all bullets: over the 90% bound
+      (2L, Seq.fill(10)("- bulleted line")),
+      // 10 lines, 3 ellipses: AT the 30% bound (ASCII and unicode), kept
+      (3L, Seq("tail...", "tail…", "tail...") ++ Seq.fill(7)("clean")),
+      // 10 lines, 4 ellipses: over
+      (4L, Seq.fill(4)("trailing...") ++ Seq.fill(6)("clean")),
+      // '• ' bullets count too; '-x' without the space does not
+      (5L, Seq("• dotted", "-not a bullet", "clean")),
+      // empty doc: 0 lines keeps (0 <= 0 on both rules)
+      (6L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val v = Curation.gopherLineRulesOn(probe).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_bullet"),
+          r.getAs[Long]("n_ellipsis"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(v(1L) == ((10L, 9L, 0L, true)))
+    assert(v(2L) == ((10L, 10L, 0L, false)))
+    assert(v(3L) == ((10L, 0L, 3L, true)))
+    assert(v(4L) == ((10L, 0L, 4L, false)))
+    assert(v(5L) == ((3L, 1L, 0L, true)))
+    assert(v(6L) == ((0L, 0L, 0L, true)))
+    // the oracled derivation: every doc labeled, derivation is
+    // deterministic, and the plan has no Exchange (map-side only)
+    val g = Curation.gopherLineRules(spark, sf)
+    assert(g.count() == Tables.documents(spark, sf).count())
+    val again = Curation.gopherLineRules(spark, sf)
+    assert(g.except(again).count() == 0 && again.except(g).count() == 0)
+    val plan = Curation.gopherLineRules(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"gopherLineRules must not shuffle:\n$plan")
+  }
+
   test("repetition: fractions bounded, degenerate doc handled, no doc lost") {
     val docs = Tables.documents(spark, sf).count()
     val rep = Curation.repetitionScore(spark, sf).cache()
