@@ -882,6 +882,8 @@ object TrinoCompat {
     * The expression side of the cast is recursed for nested casts; the
     * later passes (brackets, ROW→struct, bareVarchar) then apply inside
     * both the expression and the emitted STRUCT<> field types. */
+  private val VarcharN = """(?i)^VARCHAR\s*\(\s*(\d+)\s*\)$""".r
+
   private def castTargets(sql: String): String = {
     val out = new StringBuilder
     var i = 0
@@ -907,7 +909,15 @@ object TrinoCompat {
                 if (tpe.trim.equalsIgnoreCase("JSON"))
                   out ++= (if (k == "TRY_CAST") s"try(graft_cast_json($e))"
                            else s"graft_cast_json($e)")
-                else out ++= s"$k($e AS ${trinoType(tpe)})"
+                else tpe.trim match {
+                  // Trino CAST to VARCHAR(n) TRUNCATES; Spark's varchar
+                  // cast keeps the full string — close the divergence
+                  // with an explicit substring (r12)
+                  case VarcharN(n) =>
+                    val inner = s"substring(CAST($e AS STRING), 1, $n)"
+                    out ++= (if (k == "TRY_CAST") s"try($inner)" else inner)
+                  case _ => out ++= s"$k($e AS ${trinoType(tpe)})"
+                }
                 i = close + 1
               case None =>
                 out ++= sql.substring(i, i + k.length)

@@ -141,10 +141,14 @@ class TrinoCompatSpec extends AnyFunSuite {
       """SELECT json_extract_scalar('{"a": {"b": 7}}', '$.a.b') AS v""")
       .getString(0) == "7")
     assert(one("SELECT CAST(5 AS VARCHAR) AS v").getString(0) == "5")
-    // VARCHAR(n) is untouched by the rewrite (Spark's varchar cast does
-    // not truncate — a documented divergence from Trino's CAST)
-    assert(one("SELECT CAST('abcdef' AS VARCHAR(3)) AS v").getString(0)
-      .startsWith("abc"))
+    // CAST to VARCHAR(n) truncates, Trino-exact (closed r12: the shim
+    // rewrites it to an explicit substring — Spark's own varchar cast
+    // keeps the full string)
+    assert(one("SELECT CAST('abcdef' AS VARCHAR(3)) AS v")
+      .getString(0) == "abc")
+    assert(one("SELECT TRY_CAST('abcdef' AS VARCHAR(4)) AS v")
+      .getString(0) == "abcd")
+    assert(one("SELECT CAST('ab' AS VARCHAR(5)) AS v").getString(0) == "ab")
   }
 
   // ---- UNNEST --------------------------------------------------------------
