@@ -88,6 +88,7 @@ object SparkEntry {
     "curate_gopher_rules" -> ((s, d) => Curation.gopherRules(s, d,
       stopWords = Curation.CorpusStopWords)),
     "curate_gopher_lines" -> (Curation.gopherLineRules _),
+    "curate_c4_rules"     -> (Curation.c4Rules _),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
@@ -100,6 +101,7 @@ object SparkEntry {
     "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
     // dedup / similarity
     "dedup_exact_docs"    -> (Dedup.exactDocDedup _),
+    "dedup_incremental"   -> (Dedup.incrementalDedup _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
@@ -288,6 +290,7 @@ object SparkEntry {
     "curate_gopher_rules" ->
       Curation.gopherRulesOracle(Curation.CorpusStopWords),
     "curate_gopher_lines" -> Curation.gopherLineRulesOracle,
+    "curate_c4_rules"     -> Curation.c4RulesOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "curate_dsir_weights" -> Curation.dsirWeightsOracle,
@@ -297,6 +300,7 @@ object SparkEntry {
       Curation.curatePipelineModernOracle(Curation.CorpusStopWords),
     "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_exact_docs"    -> Dedup.exactDocDedupOracle,
+    "dedup_incremental"   -> Dedup.incrementalDedupOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

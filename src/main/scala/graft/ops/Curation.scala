@@ -282,6 +282,113 @@ object Curation {
       |    AS keep
       |FROM st""".stripMargin
 
+  // ---- C4 heuristic cleaning (Raffel et al. 2020, §2.2) — round 12 ----
+
+  /** The C4 line/page rules over a line-structured corpus
+    * (doc_id, lines ARRAY<STRING>):
+    *  - a line is RETAINED iff it ends in a terminal punctuation mark
+    *    (`.` `!` `?` `"`), has ≥ 5 words, and does not mention
+    *    "javascript" (case-insensitive);
+    *  - the PAGE is kept iff ≥ 3 lines were retained, no line contains
+    *    the phrase "lorem ipsum", and no line contains a curly brace.
+    * (The paper's bad-word page filter is the same any-line containment
+    * shape as the lorem-ipsum rule; its list is an input in production
+    * and is represented here by the two phrase rules.)
+    * Zero shuffles: every statistic is a per-row array fold. */
+  private[graft] def c4RulesOn(docLines: DataFrame): DataFrame =
+    docLines
+      .withColumn("n_lines", size(col("lines")).cast("bigint"))
+      .withColumn("n_kept",
+        expr("""cast(size(filter(lines, l ->
+               |  (endswith(l, '.') or endswith(l, '!') or
+               |   endswith(l, '?') or endswith(l, '"')) and
+               |  size(filter(split(l, ' '), w -> length(w) > 0)) >= 5 and
+               |  not contains(lower(l), 'javascript'))) as bigint)"""
+          .stripMargin))
+      .withColumn("has_lorem",
+        expr("exists(lines, l -> contains(lower(l), 'lorem ipsum'))"))
+      .withColumn("has_brace",
+        expr("exists(lines, l -> contains(l, '{') or contains(l, '}'))"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("has_lorem"), col("has_brace"),
+        (col("n_kept") >= 3 && !col("has_lorem") && !col("has_brace"))
+          .as("keep"))
+
+  /** Oracled entry: like [[gopherLineRules]], the corpus is a word
+    * stream, so the line structure is DERIVED deterministically on both
+    * engines — 8-token lines with independent md5-prefix draws keyed on
+    * (doc_id, line index): ~50% get a terminal `.`, ~12.5% an appended
+    * "javascript" token, ~6% a "lorem ipsum" prefix, ~6% an appended
+    * `{`. The draws make every C4 rule live on synthetic text; the
+    * derivation is part of the oracle contract. */
+  def c4Rules(s: SparkSession, dir: String): DataFrame = {
+    val lined = Tables.documents(s, dir)
+      .withColumn("toks", words)
+      .withColumn("lines", expr(
+        """case when size(toks) = 0 then array()
+          |else transform(
+          |  sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1), i ->
+          |  concat(
+          |    case when substring(md5(concat('c4li:',
+          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+          |      = '0' then 'lorem ipsum ' else '' end,
+          |    array_join(slice(toks, i * 8 + 1, 8), ' '),
+          |    case when substring(md5(concat('c4js:',
+          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+          |      < '2' then ' javascript' else '' end,
+          |    case when substring(md5(concat('c4br:',
+          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+          |      = '0' then ' {' else '' end,
+          |    case when substring(md5(concat('c4pd:',
+          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+          |      < '8' then '.' else '' end))
+          |end""".stripMargin))
+    c4RulesOn(lined.select(col("doc_id"), col("lines")))
+  }
+
+  def c4RulesOracle: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |ln AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) = 0 THEN []
+      |    ELSE list_transform(
+      |      range(0, cast(ceil(len(toks) / 8.0) as int)), i ->
+      |      concat(
+      |        CASE WHEN substring(md5('c4li:' || cast(doc_id as varchar)
+      |            || ':' || cast(i as varchar)), 1, 1) = '0'
+      |          THEN 'lorem ipsum ' ELSE '' END,
+      |        array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '),
+      |        CASE WHEN substring(md5('c4js:' || cast(doc_id as varchar)
+      |            || ':' || cast(i as varchar)), 1, 1) < '2'
+      |          THEN ' javascript' ELSE '' END,
+      |        CASE WHEN substring(md5('c4br:' || cast(doc_id as varchar)
+      |            || ':' || cast(i as varchar)), 1, 1) = '0'
+      |          THEN ' {' ELSE '' END,
+      |        CASE WHEN substring(md5('c4pd:' || cast(doc_id as varchar)
+      |            || ':' || cast(i as varchar)), 1, 1) < '8'
+      |          THEN '.' ELSE '' END))
+      |    END AS lines
+      |  FROM tk),
+      |st AS (
+      |  SELECT doc_id,
+      |    cast(len(lines) as bigint) AS n_lines,
+      |    cast(len(list_filter(lines, l ->
+      |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+      |      AND len(list_filter(string_split(l, ' '),
+      |            w -> length(w) > 0)) >= 5
+      |      AND NOT contains(lower(l), 'javascript'))) as bigint) AS n_kept,
+      |    len(list_filter(lines, l ->
+      |      contains(lower(l), 'lorem ipsum'))) > 0 AS has_lorem,
+      |    len(list_filter(lines, l ->
+      |      contains(l, '{') OR contains(l, '}'))) > 0 AS has_brace
+      |  FROM ln)
+      |SELECT doc_id, n_lines, n_kept, has_lorem, has_brace,
+      |  (n_kept >= 3 AND NOT has_lorem AND NOT has_brace) AS keep
+      |FROM st""".stripMargin
+
   /** Per-document bigram repetition: the fraction of bigram occurrences
     * taken by the single most frequent bigram (`top_2gram_frac`) and the
     * fraction that are repeats of an already-seen bigram

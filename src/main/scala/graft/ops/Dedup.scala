@@ -235,6 +235,178 @@ object Dedup {
        |  FROM documents) t
        |GROUP BY 1""".stripMargin
 
+  // ---- Incremental dedup against a persisted corpus index (round 12) ----
+
+  /** LSH band-key array over a signature column named `sig`. */
+  private def bandKeysExpr = expr(
+    s"""transform(sequence(0, ${BANDS - 1}),
+       |  b -> md5(concat_ws('|', slice(sig, b * $ROWS + 1, $ROWS))))""".stripMargin)
+
+  /** Persist a dedup index for a corpus: one row per (document, band)
+    * carrying the content hash, the full MinHash signature, and the
+    * band key, laid out `partitionBy(band)` so each band is its own
+    * directory tree. This is the operational shape 100 TB dedup
+    * actually runs in — the corpus is indexed ONCE, and each daily
+    * increment probes the index; nothing ever re-shuffles the historic
+    * corpus. The index is ~BANDS× the signature table (not the text):
+    * text never enters the index, so index size is O(docs × K hashes).
+    */
+  def buildDedupIndex(docs: DataFrame, indexPath: String): Unit =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        array_distinct(split(col("text"), " ")).as("__toks"))
+      .select(col("doc_id"), col("h"), minhashSig.as("sig"))
+      .select(col("doc_id"), col("h"), col("sig"), posexplode(bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .write.mode("overwrite").partitionBy("band").parquet(indexPath)
+
+  /** Probe a NEW batch of documents against a [[buildDedupIndex]] index.
+    * Verdict per batch document:
+    *  - `exact`  — an indexed document has the same content hash
+    *               (match = min such corpus doc_id);
+    *  - `near`   — shares an LSH band with an indexed document and the
+    *               signature agreement ≥ `minEst` (match = the corpus
+    *               doc with the highest agreement, ties to the smaller
+    *               doc_id);
+    *  - `novel`  — neither.
+    *
+    * Scale shape: the batch (a daily increment — small relative to the
+    * corpus by definition) is BROADCAST on both probe joins, so the
+    * index side streams its parquet scan with zero shuffle: probe cost
+    * is one pass over the index regardless of history size, and the
+    * per-band layout keeps each scan task's collision set local. The
+    * only shuffled rows are the matched candidates (output-sized). */
+  def incrementalProbe(spark: SparkSession, batch: DataFrame,
+      indexPath: String, minEst: Double = 0.5): DataFrame = {
+    graft.expr.ArrayMatchCount.register(spark)
+    val idx = spark.read.parquet(indexPath)
+    val bsig = batch
+      .select(col("doc_id").as("b_id"), md5(col("text")).as("bh"),
+        array_distinct(split(col("text"), " ")).as("__toks"))
+      .select(col("b_id"), col("bh"), minhashSig.as("bsig"))
+    // exact: stream the index once, broadcast the batch's content hashes
+    val exact = idx
+      .join(broadcast(bsig.select(col("bh")).distinct()), col("h") === col("bh"))
+      .groupBy(col("bh")).agg(min(col("doc_id")).as("exact_match"))
+    // near: broadcast the batch's banded keys; one candidate row per
+    // (batch doc, corpus doc, band) collision, deduped per pair below
+    val bbandKeys = bsig
+      .withColumnRenamed("bsig", "sig")
+      .select(col("b_id"), col("sig").as("bsig"), posexplode(bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val est = (call_function("array_match_count", col("bsig"), col("sig"))
+      .cast("double") / lit(K.toDouble))
+    val best = idx
+      .join(broadcast(bbandKeys), Seq("band", "bkey"))
+      .groupBy(col("b_id"), col("doc_id"))
+      .agg(max(est).as("est"))
+      .groupBy(col("b_id"))
+      .agg(max(struct(col("est"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("b_id").as("n_id"), (-col("m.nid")).as("near_match"),
+        col("m.est").as("near_est"))
+    bsig
+      .join(exact, Seq("bh"), "left")
+      .join(best, col("b_id") === col("n_id"), "left")
+      .select(col("b_id").as("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_est") >= minEst, lit("near"))
+          .otherwise(lit("novel")).as("verdict"),
+        when(col("exact_match").isNotNull, col("exact_match"))
+          .when(col("near_est") >= minEst, col("near_match"))
+          .as("match_doc_id"),
+        when(col("exact_match").isNull && col("near_est") >= minEst,
+          col("near_est")).as("est_jaccard"))
+  }
+
+  /** Oracled entry: split `documents` deterministically into a 90%
+    * corpus (indexed to a temp dir through the REAL persisted-parquet
+    * path) and a composed probe batch exercising every verdict:
+    *  - held-out docs (`doc_id % 10 = 7`) — the corpus is dup-dense, so
+    *    these mostly land `near`;
+    *  - REPLAYED corpus pages (`doc_id % 25 = 3`, re-keyed +1e6, text
+    *    unchanged) — the re-crawled-identical-page case → `exact`;
+    *  - MUTATED pages (`doc_id % 10 = 4`, re-keyed +2e6, every token
+    *    salted with the source doc_id) — disjoint vocabulary → `novel`.
+    * The DuckDB twin computes the identical split/derivation/hashes/
+    * banding/argmax in SQL — the parquet round-trip must be
+    * value-transparent for the row to stay green. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr")
+      .toString + "/idx"
+    buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 7), tmp)
+    val batch = docs.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") % 25 === 3)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 4)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat_ws(" ", expr(
+            """transform(split(text, ' '),
+              |  t -> concat(t, '_', cast(doc_id as string)))""".stripMargin))
+            .as("text")))
+    incrementalProbe(s, batch, tmp)
+  }
+
+  def incrementalDedupOracle: String =
+    s"""WITH batchd AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(list_transform(string_split(text, ' '),
+       |      t -> concat(t, '_', cast(doc_id as varchar))), ' ')
+       |  FROM documents WHERE doc_id % 10 = 4),
+       |csig AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |bsig AS (
+       |  SELECT doc_id, md5(text) AS h,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM batchd),
+       |ex AS (
+       |  SELECT b.doc_id AS b_id, min(c.doc_id) AS exact_match
+       |  FROM bsig b JOIN csig c ON b.h = c.h GROUP BY 1),
+       |cband AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+       |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+       |  FROM csig, range(0, $BANDS) AS u(b)),
+       |bband AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+       |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+       |  FROM bsig, range(0, $BANDS) AS u(b)),
+       |cand AS (
+       |  SELECT bb.doc_id AS b_id, cb.doc_id AS c_id,
+       |    max(cast(len(list_filter(generate_series(1, $K),
+       |        i -> bb.sig[i] = cb.sig[i])) as double) / ${K}.0) AS est
+       |  FROM bband bb JOIN cband cb
+       |    ON bb.band = cb.band AND bb.bkey = cb.bkey
+       |  GROUP BY 1, 2),
+       |best AS (
+       |  SELECT b_id, c_id, est FROM (
+       |    SELECT b_id, c_id, est, row_number() OVER (
+       |      PARTITION BY b_id ORDER BY est DESC, c_id ASC) AS rn
+       |    FROM cand) z WHERE rn = 1)
+       |SELECT b.doc_id,
+       |  CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+       |       WHEN best.est >= 0.5 THEN 'near'
+       |       ELSE 'novel' END AS verdict,
+       |  CASE WHEN ex.exact_match IS NOT NULL THEN ex.exact_match
+       |       WHEN best.est >= 0.5 THEN best.c_id END AS match_doc_id,
+       |  CASE WHEN ex.exact_match IS NULL AND best.est >= 0.5
+       |       THEN best.est END AS est_jaccard
+       |FROM bsig b
+       |LEFT JOIN ex ON ex.b_id = b.doc_id
+       |LEFT JOIN best ON best.b_id = b.doc_id""".stripMargin
+
   /** Production MinHash: same pipeline with xxhash64 (codegen'd long
     * hashing, no string churn), 32 components in 4 bands of 8. No SQL
     * oracle (hash family is Spark-specific); spec-tested instead.
