@@ -242,23 +242,36 @@ object Dedup {
     s"""transform(sequence(0, ${BANDS - 1}),
        |  b -> md5(concat_ws('|', slice(sig, b * $ROWS + 1, $ROWS))))""".stripMargin)
 
-  /** Persist a dedup index for a corpus: one row per (document, band)
-    * carrying the content hash, the full MinHash signature, and the
-    * band key, laid out `partitionBy(band)` so each band is its own
-    * directory tree. This is the operational shape 100 TB dedup
-    * actually runs in — the corpus is indexed ONCE, and each daily
-    * increment probes the index; nothing ever re-shuffles the historic
-    * corpus. The index is ~BANDS× the signature table (not the text):
-    * text never enters the index, so index size is O(docs × K hashes).
-    */
-  def buildDedupIndex(docs: DataFrame, indexPath: String): Unit =
-    docs
+  /** Persist a dedup index for a corpus, in two sub-tables:
+    *  - `hashes`: one row per DISTINCT content hash with the minimum
+    *    doc_id carrying it;
+    *  - `bands` (`partitionBy(band)`): one row per distinct
+    *    (band, bandKey, signature) with the minimum doc_id in that
+    *    signature group.
+    * This is the operational shape 100 TB dedup actually runs in — the
+    * corpus is indexed ONCE, and each daily increment probes the index;
+    * nothing ever re-shuffles the historic corpus. The build-time
+    * signature-group reduction is LOSSLESS for probe semantics (exact =
+    * min doc_id per hash; near = argmax agreement with min-doc_id
+    * tie-break, and agreement is a function of the signature alone, so
+    * each group's min doc_id is exactly its tie-break winner) and is
+    * what keeps probes flat on dup-dense corpora: bucket occupancy is
+    * the number of DISTINCT signatures, which duplication does not
+    * grow. Text never enters the index — its size is O(distinct sigs). */
+  def buildDedupIndex(docs: DataFrame, indexPath: String): Unit = {
+    val sig = docs
       .select(col("doc_id"), md5(col("text")).as("h"),
         array_distinct(split(col("text"), " ")).as("__toks"))
       .select(col("doc_id"), col("h"), minhashSig.as("sig"))
-      .select(col("doc_id"), col("h"), col("sig"), posexplode(bandKeysExpr))
+    sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .write.mode("overwrite").parquet(s"$indexPath/hashes")
+    sig.select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .write.mode("overwrite").partitionBy("band").parquet(indexPath)
+      .groupBy(col("band"), col("bkey"), col("sig"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$indexPath/bands")
+  }
 
   /** Probe a NEW batch of documents against a [[buildDedupIndex]] index.
     * Verdict per batch document:
@@ -279,24 +292,26 @@ object Dedup {
   def incrementalProbe(spark: SparkSession, batch: DataFrame,
       indexPath: String, minEst: Double = 0.5): DataFrame = {
     graft.expr.ArrayMatchCount.register(spark)
-    val idx = spark.read.parquet(indexPath)
+    val hashes = spark.read.parquet(s"$indexPath/hashes")
+    val bands = spark.read.parquet(s"$indexPath/bands")
     val bsig = batch
       .select(col("doc_id").as("b_id"), md5(col("text")).as("bh"),
         array_distinct(split(col("text"), " ")).as("__toks"))
       .select(col("b_id"), col("bh"), minhashSig.as("bsig"))
-    // exact: stream the index once, broadcast the batch's content hashes
-    val exact = idx
+    // exact: stream the hash table once, broadcast the batch's hashes
+    // (hash rows are unique post-build, so the join needs no re-agg)
+    val exact = hashes
       .join(broadcast(bsig.select(col("bh")).distinct()), col("h") === col("bh"))
-      .groupBy(col("bh")).agg(min(col("doc_id")).as("exact_match"))
+      .select(col("bh"), col("doc_id").as("exact_match"))
     // near: broadcast the batch's banded keys; one candidate row per
-    // (batch doc, corpus doc, band) collision, deduped per pair below
+    // (batch doc, signature group, band) collision, deduped per pair
     val bbandKeys = bsig
       .withColumnRenamed("bsig", "sig")
       .select(col("b_id"), col("sig").as("bsig"), posexplode(bandKeysExpr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val est = (call_function("array_match_count", col("bsig"), col("sig"))
       .cast("double") / lit(K.toDouble))
-    val best = idx
+    val best = bands
       .join(broadcast(bbandKeys), Seq("band", "bkey"))
       .groupBy(col("b_id"), col("doc_id"))
       .agg(max(est).as("est"))

@@ -58,17 +58,31 @@ class IncrementalDedupSpec extends AnyFunSuite {
       out.head.getLong(2) == 20L)
   }
 
-  test("index layout: one directory per band, no text column") {
+  test("index layout: band dirs, sig-group reduction, no text column") {
     import spark.implicits._
     val idx = tmpDir("graft-incr-layout") + "/idx"
+    // docs 1/2 are byte-identical; doc 4 shares doc 3's token SET
+    // (identical signature, different text) — the bands table must
+    // carry ONE row per signature group per band with the min doc_id
     Dedup.buildDedupIndex(
-      Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text"), idx)
-    val bands = new java.io.File(idx).listFiles()
+      Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "e f g h"),
+          (4L, "h g f e")).toDF("doc_id", "text"), idx)
+    val bands = new java.io.File(s"$idx/bands").listFiles()
       .filter(_.getName.startsWith("band=")).map(_.getName).sorted
     assert(bands.toSeq == Seq("band=0", "band=1", "band=2"))
-    val readBack = spark.read.parquet(idx)
-    assert(!readBack.columns.contains("text"))
-    assert(readBack.columns.toSet == Set("doc_id", "h", "sig", "bkey", "band"))
+    val bandsDf = spark.read.parquet(s"$idx/bands")
+    assert(!bandsDf.columns.contains("text"))
+    assert(bandsDf.columns.toSet == Set("doc_id", "sig", "bkey", "band"))
+    // 2 signature groups ({1,2} and {3,4}) × 3 bands, min ids kept
+    assert(bandsDf.count() == 6)
+    assert(bandsDf.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // hashes: one row per distinct content hash, min doc_id
+    val hashesDf = spark.read.parquet(s"$idx/hashes")
+    assert(hashesDf.columns.toSet == Set("h", "doc_id"))
+    assert(hashesDf.count() == 3)
+    assert(hashesDf.collect().map(_.getAs[Long]("doc_id")).toSet ==
+      Set(1L, 3L, 4L))
   }
 
   test("probe plan: batch side broadcast on both joins, index streamed") {

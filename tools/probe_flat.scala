@@ -1,0 +1,36 @@
+// Isolated A/B for the incremental-dedup scale claim: a FIXED-size
+// batch (sf0.1's doc_id % 10 = 7 slice, ~500 docs) probed against
+// corpus indexes built at 1x / 10x / 100x. If the per-band
+// signature-group reduction does its job, probe wall time tracks the
+// number of DISTINCT signatures (which dup-dense replication does not
+// grow), not corpus size.
+//
+// Run (idle machine, no concurrent Spark jobs - bench contention rule):
+//   spark-shell --master local[32] --driver-memory 16g \
+//     --conf spark.sql.shuffle.partitions=32 \
+//     --conf spark.ui.enabled=false \
+//     --driver-class-path target/scala-2.13/classes \
+//     -i tools/probe_flat.scala > /tmp/probe_flat.log 2>&1
+// Results recorded in BASELINE.md ("Incremental dedup" row).
+import org.apache.spark.sql.functions._
+
+def timeIt[T](label: String)(f: => T): T = {
+  val s = System.nanoTime; val r = f
+  println(f"[probe_flat] $label ${(System.nanoTime - s) / 1e9}%.2f s"); r
+}
+
+val batch = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+  .filter(col("doc_id") % 10 === 7)
+
+for ((dir, tag) <- Seq(("/root/testdata/sf0.1", "1x"),
+    ("/tmp/sf1", "10x"), ("/tmp/sf10", "100x"))) {
+  val corpus = graft.Tables.documents(spark, dir)
+    .filter(col("doc_id") % 10 =!= 7)
+  val idx = java.nio.file.Files.createTempDirectory("pf").toString + "/idx"
+  timeIt(s"build $tag")(graft.ops.Dedup.buildDedupIndex(corpus, idx))
+  val out = graft.ops.Dedup.incrementalProbe(spark, batch, idx)
+  timeIt(s"probe $tag")(out.queryExecution.toRdd.count())
+  println(s"[probe_flat] index rows $tag: " +
+    spark.read.parquet(s"$idx/bands").count())
+}
+System.exit(0)
