@@ -197,6 +197,8 @@ object SparkEntry {
     "trino_unnest_ord"    -> (graft.sql.TrinoQueries.unnestOrdinality _),
     "trino_cast_json"     -> (graft.sql.TrinoQueries.castJson _),
     "trino_fn_tier2"      -> (graft.sql.TrinoQueries.fnTier2 _),
+    "trino_fn_tier3"      -> (graft.sql.TrinoQueries.fnTier3 _),
+    "trino_fn_tier3_agg"  -> (graft.sql.TrinoQueries.fnTier3Agg _),
     // data quality (DQDL-shaped)
     "dq_lineitem_ruleset" -> (DataQuality.lineitemRuleset _),
     "dq_orders_ruleset"   -> (DataQuality.ordersRuleset _),
@@ -385,6 +387,8 @@ object SparkEntry {
     "trino_unnest_ord"    -> graft.sql.TrinoQueries.unnestOrdinalityOracle,
     "trino_cast_json"     -> graft.sql.TrinoQueries.castJsonOracle,
     "trino_fn_tier2"      -> graft.sql.TrinoQueries.fnTier2Oracle,
+    "trino_fn_tier3"      -> graft.sql.TrinoQueries.fnTier3Oracle,
+    "trino_fn_tier3_agg"  -> graft.sql.TrinoQueries.fnTier3AggOracle,
     "dq_lineitem_ruleset" -> DataQuality.lineitemRulesetOracle,
     "dq_orders_ruleset"   -> DataQuality.ordersRulesetOracle,
     "dq_events_ruleset"   -> DataQuality.eventsRulesetOracle,

@@ -1,0 +1,355 @@
+package graft.expr
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{
+  CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime statics for the round-12 Trino tier-3 expressions (all
+  * codegen'd via static-method calls — the [[TrinoJsonImpl]] pattern).
+  * Semantics per trino.io function docs; the reference ships these
+  * names to Athena verbatim (`athena/_read.py:951`). */
+object TrinoFnsImpl {
+  private def mapper = TrinoJsonImpl.sharedMapper
+
+  /** Unicode normalization (Trino `normalize(s[, form])`, NFC default). */
+  def normalize(s: UTF8String, form: UTF8String): UTF8String = {
+    val f = java.text.Normalizer.Form.valueOf(form.toString.toUpperCase)
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, f))
+  }
+
+  /** Trino `hamming_distance`: differing code-point count; inputs must
+    * have the same code-point length (Trino fails the query). */
+  def hammingDistance(a: UTF8String, b: UTF8String): Long = {
+    val x = a.toString; val y = b.toString
+    val nx = x.codePointCount(0, x.length)
+    val ny = y.codePointCount(0, y.length)
+    if (nx != ny) throw new IllegalArgumentException(
+      "hamming_distance: the input strings must have the same length")
+    var i = 0; var j = 0; var d = 0L
+    while (i < x.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) d += 1
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    d
+  }
+
+  /** Trino `bit_count(x, bits)`: set bits of x in `bits`-wide two's
+    * complement; x must fit in `bits` bits (Trino fails the query). */
+  def bitCount(x: Long, bits: Int): Long = {
+    if (bits < 2 || bits > 64) throw new IllegalArgumentException(
+      s"bit_count: bits must be between 2 and 64, got $bits")
+    if (bits < 64) {
+      val min = -(1L << (bits - 1)); val max = (1L << (bits - 1)) - 1
+      if (x < min || x > max) throw new IllegalArgumentException(
+        s"bit_count: $x is out of range for a $bits-bit signed integer")
+    }
+    val masked = if (bits == 64) x else x & ((1L << bits) - 1)
+    java.lang.Long.bitCount(masked).toLong
+  }
+
+  /** Trino `json_array_get(json, index)`: element at a zero-based
+    * (negative = from the end) index as JSON text; NULL when the input
+    * is not an array, the index is out of bounds, or the element is
+    * JSON null. */
+  def jsonArrayGet(json: UTF8String, idx: Long): UTF8String = {
+    val root = parse(json)
+    if (root == null || !root.isArray) return null
+    val n = root.size()
+    val i = if (idx < 0) n + idx else idx
+    if (i < 0 || i >= n) return null
+    val node = root.get(i.toInt)
+    if (node == null || node.isNull) null
+    else UTF8String.fromString(mapper.writeValueAsString(node))
+  }
+
+  /** Trino `json_size(json, path)`: object field count / array length
+    * at the path; 0 for scalars; NULL for missing path or bad input. */
+  def jsonSize(json: UTF8String, path: UTF8String): java.lang.Long = {
+    val text = TrinoJsonImpl.extract(json, path, scalarMode = false)
+    if (text == null) return null
+    val node = parse(text)
+    if (node == null) return null
+    if (node.isContainerNode) java.lang.Long.valueOf(node.size().toLong)
+    else java.lang.Long.valueOf(0L)
+  }
+
+  /** Trino `is_json_scalar(json)`: true for a JSON number, string,
+    * true, false or null; false for arrays/objects. Malformed input
+    * returns NULL (the shim's varchar-input policy, matching
+    * json_extract). */
+  def isJsonScalar(json: UTF8String): java.lang.Boolean = {
+    val node = parse(json)
+    if (node == null) return null
+    java.lang.Boolean.valueOf(!node.isContainerNode)
+  }
+
+  /** Trino `json_array_contains(json, value)` for boolean / numeric /
+    * string probes; NULL on malformed or non-array input. */
+  def jsonArrayContains(json: UTF8String, value: Any): java.lang.Boolean = {
+    val root = parse(json)
+    if (root == null || !root.isArray) return null
+    val it = root.elements()
+    while (it.hasNext) {
+      val e = it.next()
+      val hit = value match {
+        case b: java.lang.Boolean => e.isBoolean && e.booleanValue() == b
+        case s: UTF8String => e.isTextual && e.textValue() == s.toString
+        case n @ (_: java.lang.Byte | _: java.lang.Short |
+                  _: java.lang.Integer | _: java.lang.Long) =>
+          e.isNumber && !e.isFloatingPointNumber &&
+            e.longValue() == n.asInstanceOf[Number].longValue()
+        case f @ (_: java.lang.Float | _: java.lang.Double) =>
+          e.isNumber && e.doubleValue() == f.asInstanceOf[Number].doubleValue()
+        case d: Decimal => e.isNumber &&
+          e.decimalValue().compareTo(d.toJavaBigDecimal) == 0
+        case _ => false
+      }
+      if (hit) return java.lang.Boolean.TRUE
+    }
+    java.lang.Boolean.FALSE
+  }
+
+  private def parse(json: UTF8String): JsonNode =
+    try mapper.readTree(json.toString)
+    catch { case _: Exception => null }
+
+  /** Trino type-name rendering for `typeof`. Documented approximation:
+    * varchar/char render WITHOUT a length (Spark's StringType carries
+    * none), and timestamps render at Trino's default precision 3. */
+  def typeName(dt: DataType): String = dt match {
+    case ByteType => "tinyint"
+    case ShortType => "smallint"
+    case IntegerType => "integer"
+    case LongType => "bigint"
+    case FloatType => "real"
+    case DoubleType => "double"
+    case BooleanType => "boolean"
+    case DateType => "date"
+    case StringType => "varchar"
+    case BinaryType => "varbinary"
+    case TimestampType => "timestamp(3) with time zone"
+    case TimestampNTZType => "timestamp(3)"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case CharType(n) => s"char($n)"
+    case VarcharType(n) => s"varchar($n)"
+    case ArrayType(e, _) => s"array(${typeName(e)})"
+    case MapType(k, v, _) => s"map(${typeName(k)}, ${typeName(v)})"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name} ${typeName(f.dataType)}")
+        .mkString("row(", ", ", ")")
+    case NullType => "unknown"
+    case CalendarIntervalType => "interval"
+    case other => other.simpleString
+  }
+}
+
+/** Trino `typeof(x)`: the TYPE of the argument as a varchar — a
+  * metadata function, constant per plan, so it is foldable and the
+  * optimizer collapses it to a literal before any codegen (the
+  * fallback eval below only runs during that fold). */
+case class TrinoTypeOf(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def prettyName: String = "typeof"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    UTF8String.fromString(TrinoFnsImpl.typeName(child.dataType))
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class TrinoNormalize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"normalize expects (string[, form]), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize"
+  override def nullSafeEval(s: Any, f: Any): Any =
+    TrinoFnsImpl.normalize(s.asInstanceOf[UTF8String],
+      f.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (s, f) => s"$impl.normalize($s, $f)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class TrinoHammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "hamming_distance expects (string, string)")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hamming_distance"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TrinoFnsImpl.hammingDistance(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$impl.hammingDistance($a, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class TrinoBitCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bit_count expects (bigint, int bits), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bit_count"
+  override def nullSafeEval(x: Any, bits: Any): Any =
+    TrinoFnsImpl.bitCount(x.asInstanceOf[Long], bits.asInstanceOf[Int])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (x, b) => s"$impl.bitCount($x, $b)")
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class TrinoJsonArrayGet(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "json_array_get expects (json varchar, bigint index)")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_array_get"
+  override def nullSafeEval(j: Any, i: Any): Any =
+    TrinoFnsImpl.jsonArrayGet(j.asInstanceOf[UTF8String],
+      i.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, (j, i) => {
+      s"""${ev.value} = $impl.jsonArrayGet($j, $i);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class TrinoJsonSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "json_size expects (json varchar, path varchar)")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_size"
+  override def nullSafeEval(j: Any, p: Any): Any = {
+    val r = TrinoFnsImpl.jsonSize(j.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String])
+    if (r == null) null else r.longValue()
+  }
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    val tmp = ctx.freshName("graftJsonSize")
+    nullSafeCodeGen(ctx, ev, (j, p) => {
+      s"""java.lang.Long $tmp = $impl.jsonSize($j, $p);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();"""
+        .stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+case class TrinoIsJsonScalar(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "is_json_scalar expects a json varchar")
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "is_json_scalar"
+  override def nullSafeEval(j: Any): Any = {
+    val r = TrinoFnsImpl.isJsonScalar(j.asInstanceOf[UTF8String])
+    if (r == null) null else r.booleanValue()
+  }
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    val tmp = ctx.freshName("graftIjs")
+    nullSafeCodeGen(ctx, ev, j => {
+      s"""java.lang.Boolean $tmp = $impl.isJsonScalar($j);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? false : $tmp.booleanValue();"""
+        .stripMargin
+    })
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+case class TrinoJsonArrayContains(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = left.dataType == StringType && (right.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "json_array_contains expects (json varchar, boolean|bigint|double|varchar)")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "json_array_contains"
+  override def nullSafeEval(j: Any, v: Any): Any = {
+    val boxed: Any = v match {
+      case b: Boolean => java.lang.Boolean.valueOf(b)
+      case l: Long => java.lang.Long.valueOf(l)
+      case d: Double => java.lang.Double.valueOf(d)
+      case other => other
+    }
+    val r = TrinoFnsImpl.jsonArrayContains(j.asInstanceOf[UTF8String], boxed)
+    if (r == null) null else r.booleanValue()
+  }
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    val tmp = ctx.freshName("graftJac")
+    nullSafeCodeGen(ctx, ev, (j, v) => {
+      s"""java.lang.Boolean $tmp =
+         |  $impl.jsonArrayContains($j, (Object) $v);
+         |${ev.isNull} = $tmp == null;
+         |${ev.value} = ${ev.isNull} ? false : $tmp.booleanValue();"""
+        .stripMargin
+    })
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}

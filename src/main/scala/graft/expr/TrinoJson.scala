@@ -37,6 +37,10 @@ import org.apache.spark.unsafe.types.UTF8String
 object TrinoJsonImpl {
   private val mapper = new ObjectMapper()
 
+  /** Shared with the [[TrinoFnsImpl]] JSON helpers (same parse +
+    * canonical-render configuration). */
+  private[expr] def sharedMapper: ObjectMapper = mapper
+
   /** Parsed path step: Left(field) or Right(arrayIndex). */
   private type Step = Either[String, Int]
 

@@ -3,25 +3,34 @@ package graft.sql
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions.{
-  Abs, Add, And, ArrayDistinct, ArrayExists, ArrayFilter, ArrayForAll,
-  ArrayPosition, ArrayTransform, Ascii, AssertTrue, Base64,
-  BitwiseAnd, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce, Concat,
-  CreateNamedStruct, CreateStruct, DateFormatClass, DayOfYear, Divide,
-  EqualTo, Expression, Exp, Floor, FromUTCTimestamp,
+  Abs, Add, And, ArrayAggregate, ArrayDistinct, ArrayExists, ArrayFilter,
+  ArrayForAll,
+  ArrayPosition, ArrayTransform, ArraysZip, Ascii, AssertTrue, Base64,
+  BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce,
+  Concat, Conv,
+  CreateNamedStruct, CreateStruct, DateAdd, DateFormatClass, DayOfYear,
+  Divide, EndsWith,
+  EqualTo, Expression, Exp, Floor, FormatString, FromUTCTimestamp,
   Greatest, GreaterThan, GreaterThanOrEqual, Hex, If, IsNaN,
-  IsNotNull, IsNull, LambdaFunction, LastDay, Length, Levenshtein,
-  Literal, Log, Md5,
+  IsNotNull, IsNull, LambdaFunction, LastDay, Length, LessThan,
+  Levenshtein,
+  Literal, Log, Lower, MapValues, MapZipWith, Md5,
   MapFromEntries, Multiply, Not, NullIf, Or, ParseToTimestamp, ParseUrl,
-  Pmod, Rand, RegExpExtract, RegExpReplace, Reverse,
-  SecondsToTimestamp, Sequence, Sha1, Sha2, Size, Slice, StringInstr,
-  StringLocate, StructsToJson,
-  Substring, Subtract, TryEval, UnBase64, Unhex, UnixMicros,
-  UnresolvedNamedLambdaVariable, WeekDay, WeekOfYear, XxHash64}
+  Pmod, Rand, RegExpCount, RegExpExtract, RegExpInStr, RegExpReplace,
+  Remainder,
+  Reverse,
+  SecondsToTimestamp, Sequence, Sha1, Sha2, Size, Slice, Sqrt,
+  StartsWith, StringInstr,
+  StringLocate, StringSplit, StructsToJson,
+  Substring, Subtract, ToUTCTimestamp, TryEval, UnaryMinus, UnBase64,
+  Unhex, UnixMicros,
+  UnresolvedNamedLambdaVariable, WeekDay, WeekOfYear, XxHash64, Year}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  Average, CollectList, First, HyperLogLogPlusPlus, Sum}
+  Average, BitAndAgg, BitOrAgg, CollectList, Count, First,
+  HyperLogLogPlusPlus, Sum}
 import org.apache.spark.sql.types.{
-  BinaryType, DateType, DoubleType, IntegerType, LongType, StringType,
-  TimestampType}
+  BinaryType, DateType, Decimal, DecimalType, DoubleType, IntegerType,
+  LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Trino/Presto dialect compatibility for `readSqlQuery` — the
@@ -89,6 +98,44 @@ import org.apache.spark.unsafe.types.UTF8String
   * (shim-only: the bare names stay Spark builtins for native SQL, so
   * the repo's own MinHash/oracle queries are untouched). `to_utf8`/
   * `from_utf8` bridge varchar↔varbinary as in Trino.
+  *
+  * ROUND-12 TIER 3 (probe-driven — a 119-statement replay of common
+  * Athena constructs; every addition below either failed or silently
+  * diverged before):
+  *  - RAW STRING LITERALS: Trino strings have no backslash escapes;
+  *    Spark's parser processes them, so `'\d+'` silently reached the
+  *    engine as `'d+'` — every regexp call degraded. The rewrite now
+  *    doubles backslashes inside single-quoted literals so the decoded
+  *    value is byte-identical to Trino's (`rawStrings`).
+  *  - TYPED LITERALS: `BIGINT '1'`, `DOUBLE '1.5'`, `REAL`/`TINYINT`/
+  *    `SMALLINT`/`INTEGER`/`BOOLEAN`/`VARBINARY`/`CHAR`/`JSON 'x'` →
+  *    `CAST('x' AS t)` (Spark's parser only accepts a fixed typed-
+  *    literal set).
+  *  - Capture-group defaults: Trino `regexp_extract[_all]` default to
+  *    group 0 (the full match); Spark defaults to 1 — silently the
+  *    wrong slice when groups exist. `regexp_count` returns BIGINT.
+  *  - `typeof` renders TRINO type names ([[graft.expr.TrinoTypeOf]]:
+  *    integer/varchar/timestamp(3) with time zone/array(...)/row(...);
+  *    documented approximation: varchar is unparameterized).
+  *  - Trino-exact `kurtosis` (the SAMPLE excess estimator — Spark's
+  *    builtin is the population form; 1,2,3,4 → −1.2 vs −1.36),
+  *    `histogram` (map value→count, the map_agg collected-entries
+  *    shape), sparse-map `cosine_similarity`, `zip` (field0… names),
+  *    `normalize`, `hamming_distance`, 2-arg `bit_count`,
+  *    `json_array_get`/`json_size`/`is_json_scalar`/
+  *    `json_array_contains` ([[graft.expr.TrinoFnsImpl]]),
+  *    decimal `truncate(x, n)`, signed `from_base`/`to_base`,
+  *    `format`, `regexp_split`, `regexp_position`, `starts_with`/
+  *    `ends_with`, `bitwise_not`, `bitwise_and_agg`/`bitwise_or_agg`,
+  *    `with_timezone`, `year_of_week`/`yow`, `parse_datetime` (JDK
+  *    formatter letters — the Joda common subset; exotic letters fail
+  *    loudly), `current_timezone`.
+  *
+  * KNOWN-ABSENT (loud UNRESOLVED_ROUTINE, never silent): `word_stem`
+  * (needs a Snowball stemmer — an approximation would silently
+  * diverge), `numeric_histogram`, `approx_most_frequent` (sketch
+  * types with Trino-specific state), `combinations`, `format_number`,
+  * `human_readable_seconds`, `bar`.
   */
 object TrinoCompat {
 
@@ -468,13 +515,217 @@ object TrinoCompat {
     // |x| >= 2^53 is already integral (ulp > 1), so those pass through
     // verbatim and only the genuinely fractional range goes through
     // the integer round
-    fn("truncate") { case Seq(x) =>
-      val d = Cast(x, DoubleType)
-      val passThrough = Or(IsNaN(d),
-        GreaterThanOrEqual(Abs(d), Literal(9007199254740992.0)))
-      If(passThrough, d,
-        Cast(If(GreaterThanOrEqual(d, Literal(0.0)), Floor(d), Ceil(d)),
-          DoubleType))
+    fn("truncate") {
+      case Seq(x) =>
+        val d = Cast(x, DoubleType)
+        val passThrough = Or(IsNaN(d),
+          GreaterThanOrEqual(Abs(d), Literal(9007199254740992.0)))
+        If(passThrough, d,
+          Cast(If(GreaterThanOrEqual(d, Literal(0.0)), Floor(d), Ceil(d)),
+            DoubleType))
+      // truncate(decimal, n): toward zero at n decimal places — the
+      // remainder subtraction is exact because the step literal is an
+      // exact decimal (never a double 10^-n)
+      case Seq(x, Literal(n: Int, IntegerType)) =>
+        val step = java.math.BigDecimal.ONE.movePointLeft(n)
+        val scale = math.max(n, 0)
+        val stepLit = Literal(Decimal(step),
+          DecimalType(math.max(math.max(step.precision, scale), 1), scale))
+        Subtract(x, Remainder(x, stepLit))
+      case Seq(_, e) => throw new IllegalArgumentException(
+        s"truncate: the decimal-place count must be an integer literal, got $e")
+    }
+
+    // ---- round-12 tier 3 (probe-driven: every name below failed or
+    // silently diverged when replayed through the shim) -------------------
+    // typeof: Trino type names, not Spark's (integer/varchar/
+    // timestamp(3) with time zone/array(...)/row(...)); shadows the
+    // Spark builtin of the same name
+    fn("typeof") { case Seq(c) => graft.expr.TrinoTypeOf(c) }
+    fn("normalize") {
+      case Seq(s) => graft.expr.TrinoNormalize(s, Literal("NFC"))
+      case Seq(s, f) => graft.expr.TrinoNormalize(s, f)
+    }
+    fn("hamming_distance") { case Seq(a, b) =>
+      graft.expr.TrinoHammingDistance(a, b)
+    }
+    fn("bit_count") {
+      case Seq(x, bits) =>
+        graft.expr.TrinoBitCount(Cast(x, LongType), Cast(bits, IntegerType))
+      // 1-arg form: Spark's builtin — the registration is session-wide,
+      // and the engine's own simhash hamming (`Dedup.scala`) calls it
+      case Seq(x) =>
+        new org.apache.spark.sql.catalyst.expressions.BitwiseCount(x)
+    }
+    fn("json_array_get") { case Seq(j, i) =>
+      graft.expr.TrinoJsonArrayGet(j, Cast(i, LongType))
+    }
+    fn("json_size") { case Seq(j, p) => graft.expr.TrinoJsonSize(j, p) }
+    fn("is_json_scalar") { case Seq(j) => graft.expr.TrinoIsJsonScalar(j) }
+    fn("json_array_contains") { case Seq(j, v) =>
+      graft.expr.TrinoJsonArrayContains(j, v)
+    }
+    // Trino's default capture group is 0 (the full match); Spark's is
+    // 1, which either errors on group-less patterns or silently
+    // returns the wrong slice on patterns that do have groups. Trino
+    // also returns NULL when the pattern does not match (Spark: '') —
+    // the RLike gate restores that; a genuine empty-string MATCH still
+    // returns '' because the gate tests the pattern, not the result
+    fn("regexp_extract") {
+      case Seq(s, p) =>
+        If(new org.apache.spark.sql.catalyst.expressions.RLike(s, p),
+          RegExpExtract(s, p, Literal(0)), Literal(null, StringType))
+      case Seq(s, p, g) =>
+        If(new org.apache.spark.sql.catalyst.expressions.RLike(s, p),
+          RegExpExtract(s, p, g), Literal(null, StringType))
+    }
+    fn("regexp_extract_all") {
+      case Seq(s, p) =>
+        new org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(
+          s, p, Literal(0))
+      case Seq(s, p, g) =>
+        new org.apache.spark.sql.catalyst.expressions.RegExpExtractAll(
+          s, p, g)
+    }
+    // Trino regexp_count returns BIGINT (Spark's builtin: int)
+    fn("regexp_count") { case Seq(s, p) =>
+      Cast(RegExpCount(s, p), LongType)
+    }
+    // Trino format() IS Java String.format — Spark's format_string
+    fn("format") { case args if args.size >= 2 => FormatString(args: _*) }
+    fn("regexp_split") { case Seq(s, p) =>
+      StringSplit(s, p, Literal(-1))
+    }
+    // 1-based first-match position, -1 when absent (Spark: 0)
+    fn("regexp_position") { case Seq(s, p) =>
+      val pos = RegExpInStr(s, p, Literal(0))
+      Cast(If(EqualTo(pos, Literal(0)), Literal(-1), pos), LongType)
+    }
+    fn("starts_with") { case Seq(s, p) => StartsWith(s, p) }
+    fn("ends_with") { case Seq(s, p) => EndsWith(s, p) }
+    fn("bitwise_not") { case Seq(x) => BitwiseNot(x) }
+    fn("bitwise_and_agg") { case Seq(x) => BitAndAgg(x) }
+    fn("bitwise_or_agg") { case Seq(x) => BitOrAgg(x) }
+    // from_base/to_base via conv(), sign handled explicitly: Spark's
+    // conv treats negatives as unsigned 64-bit, Trino keeps the sign
+    fn("from_base") { case Seq(s, b) =>
+      val neg = StartsWith(s, Literal("-"))
+      val body = If(neg, Substring(s, Literal(2), Literal(Int.MaxValue)), s)
+      val mag = Cast(Conv(body, Cast(b, IntegerType), Literal(10)), LongType)
+      If(neg, UnaryMinus(mag), mag)
+    }
+    fn("to_base") { case Seq(x, b) =>
+      val neg = LessThan(x, Literal(0))
+      val mag = Lower(Conv(Cast(Abs(x), StringType), Literal(10),
+        Cast(b, IntegerType)))
+      If(neg, Concat(Seq(Literal("-"), mag)), mag)
+    }
+    // zip: Trino names the row fields field0..fieldN
+    fn("zip") { case args if args.size >= 2 =>
+      ArraysZip(args, args.indices.map(i => Literal(s"field$i")))
+    }
+    // with_timezone: interpret the naive timestamp IN the given zone;
+    // the resulting instant is Spark's to_utc_timestamp (engine
+    // session fixed at UTC)
+    fn("with_timezone") { case Seq(t, z) =>
+      ToUTCTimestamp(Cast(t, TimestampType), z)
+    }
+    // ISO week-year = the year of that week's Thursday
+    fn("year_of_week") { case Seq(c) =>
+      Cast(Year(DateAdd(Cast(c, DateType),
+        Subtract(Literal(3), WeekDay(Cast(c, DateType))))), LongType)
+    }
+    fn("yow") { case Seq(c) =>
+      Cast(Year(DateAdd(Cast(c, DateType),
+        Subtract(Literal(3), WeekDay(Cast(c, DateType))))), LongType)
+    }
+    // parse_datetime(string, format): Trino documents Joda patterns;
+    // the JDK DateTimeFormatter letters agree on the whole common
+    // subset (y M d H h m s S E a z). Divergent exotic letters (Joda
+    // 'Y' week-year) fail loudly in Spark's formatter rather than
+    // silently shifting
+    fn("parse_datetime") { case Seq(s, f) => new ParseToTimestamp(s, f) }
+    // current_timezone: the session zone id, Trino-rendered (the
+    // engine pins sessions to UTC; java's canonical alias is Etc/UTC)
+    fn("current_timezone") { case Seq() => Literal("UTC") }
+    // histogram(x): map value -> count. Same collected-entries shape
+    // (and the same honestly-stated O(distinct × group) group cost) as
+    // map_agg/multimap_agg above — dialect compat, not a corpus-scale
+    // operator
+    fn("histogram") { case Seq(x) =>
+      val entries = CollectList(x).toAggregateExpression() // skips nulls
+      def nv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      val (kk, e) = (nv("hk"), nv("he"))
+      val countOf = Cast(new Size(ArrayFilter(entries,
+        LambdaFunction(EqualTo(e, kk), Seq(e)))), LongType)
+      MapFromEntries(ArrayTransform(ArrayDistinct(entries),
+        LambdaFunction(
+          CreateNamedStruct(Seq(Literal("k"), kk, Literal("v"), countOf)),
+          Seq(kk))))
+    }
+    // cosine_similarity(map, map): sparse-vector cosine over the key
+    // union; absent keys contribute 0 to the dot product
+    fn("cosine_similarity") { case Seq(a, b) =>
+      def nv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+      def sumArr(arr: Expression, px: String) = {
+        val (acc, v, fin) = (nv(px + "a"), nv(px + "v"), nv(px + "f"))
+        ArrayAggregate(arr, Literal(0.0),
+          LambdaFunction(Add(acc, Cast(v, DoubleType)), Seq(acc, v)),
+          LambdaFunction(fin, Seq(fin)))
+      }
+      def norm(m: Expression, px: String) = {
+        val v = nv(px + "n")
+        Sqrt(sumArr(ArrayTransform(MapValues(m),
+          LambdaFunction(Multiply(Cast(v, DoubleType), Cast(v, DoubleType)),
+            Seq(v))), px + "s"))
+      }
+      val (k, x, y) = (nv("csk"), nv("csx"), nv("csy"))
+      val prod = MapZipWith(a, b, LambdaFunction(
+        Multiply(Coalesce(Seq(Cast(x, DoubleType), Literal(0.0))),
+          Coalesce(Seq(Cast(y, DoubleType), Literal(0.0)))),
+        Seq(k, x, y)))
+      // zero-norm input: Java's 0/0 is NaN in Trino; guard explicitly
+      // (the engine session runs ANSI, where a bare ÷0 would throw)
+      val denom = Multiply(norm(a, "csl"), norm(b, "csr"))
+      If(EqualTo(denom, Literal(0.0)), Literal(Double.NaN),
+        Divide(sumArr(MapValues(prod), "csd"), denom))
+    }
+    // kurtosis: Trino computes the SAMPLE excess kurtosis (the
+    // bias-corrected estimator); Spark's builtin is the population
+    // form (n·m4/m2² − 3) — numerically different on every input
+    // (e.g. 1,2,3,4 → −1.2 vs Spark's −1.36). skewness needs no
+    // shadow: both engines use √n·M3/M2^1.5. NULL for n ≤ 3 (the
+    // (n−2)(n−3) factors divide by zero → Spark null division)
+    fn("kurtosis") { case Seq(c) =>
+      val d = Cast(c, DoubleType)
+      val n = Cast(Count(Seq(d)).toAggregateExpression(), DoubleType)
+      val s1 = Sum(d).toAggregateExpression()
+      val s2 = Sum(Multiply(d, d)).toAggregateExpression()
+      val s3 = Sum(Multiply(Multiply(d, d), d)).toAggregateExpression()
+      val s4 = Sum(Multiply(Multiply(d, d),
+        Multiply(d, d))).toAggregateExpression()
+      val mean = Divide(s1, n)
+      val mean2 = Multiply(mean, mean)
+      val m2 = Subtract(s2, Multiply(n, mean2))
+      val m4 = Add(
+        Subtract(s4, Multiply(Literal(4.0), Multiply(mean, s3))),
+        Subtract(Multiply(Literal(6.0), Multiply(mean2, s2)),
+          Multiply(Literal(3.0), Multiply(n, Multiply(mean2, mean2)))))
+      val n1 = Subtract(n, Literal(1.0))
+      val n2 = Subtract(n, Literal(2.0))
+      val n3 = Subtract(n, Literal(3.0))
+      val sVar = Divide(m2, n1)
+      val term1 = Multiply(
+        Divide(Multiply(n, Add(n, Literal(1.0))),
+          Multiply(n1, Multiply(n2, n3))),
+        Divide(m4, Multiply(sVar, sVar)))
+      val term2 = Divide(Multiply(Literal(3.0), Multiply(n1, n1)),
+        Multiply(n2, n3))
+      // ANSI guards: n ≤ 3 → NULL (the estimator is undefined);
+      // zero variance → NaN (Java's 0/0, Trino's behavior)
+      If(LessThan(n, Literal(4.0)), Literal(null, DoubleType),
+        If(EqualTo(m2, Literal(0.0)), Literal(Double.NaN),
+          Subtract(term1, term2)))
     }
     // Trino's 2-arg regexp_replace DELETES matches; 3-arg passes through
     // to the builtin semantics (identical in both dialects)
@@ -600,7 +851,11 @@ object TrinoCompat {
   /** The full Trino→Spark text rewrite, applied before parsing. */
   def rewrite(sql0: String): String = {
     val sql = stripComments(sql0)
-    var s = decimalLiterals(sql)
+    // FIRST, on the original text: only user-authored literals are
+    // raw-escaped; literals the later passes synthesize are authored
+    // for Spark and carry no backslashes
+    var s = rawStrings(sql)
+    s = decimalLiterals(s)
     s = dateFnUnits(s)
     s = rewriteUnnest(s)
     s = mapConstructors(s)
@@ -617,6 +872,42 @@ object TrinoCompat {
   }
 
   // ---- lexical machinery ---------------------------------------------------
+
+  /** Trino string literals are RAW — `''` is the only escape; a
+    * backslash is an ordinary character. Spark's parser (default
+    * `escapedStringLiterals=false`) processes backslash escapes, so a
+    * Trino regex like `'\d+'` would silently reach the engine as
+    * `'d+'` — wrong results, no error, in every regexp_* call. Double
+    * each backslash inside single-quoted literals so the string VALUE
+    * Spark decodes is byte-identical to what Trino would see.
+    * Double-quoted segments are Trino identifiers and pass through
+    * untouched. (round 12) */
+  private def rawStrings(sql: String): String = {
+    if (sql.indexOf('\\') < 0) return sql
+    val out = new StringBuilder(sql.length + 8)
+    var i = 0
+    var inSingle = false
+    var inDouble = false
+    while (i < sql.length) {
+      val c = sql(i)
+      if (inSingle) {
+        if (c == '\\') out ++= "\\\\"
+        else {
+          out += c
+          if (c == '\'') inSingle = false // '' re-enters on the next char
+        }
+      } else if (inDouble) {
+        out += c
+        if (c == '"') inDouble = false
+      } else {
+        out += c
+        if (c == '\'') inSingle = true
+        else if (c == '"') inDouble = true
+      }
+      i += 1
+    }
+    out.toString
+  }
 
   private def isWordChar(c: Char) = c.isLetterOrDigit || c == '_'
 
@@ -751,10 +1042,36 @@ object TrinoCompat {
           out ++= s"CAST('$text' AS DECIMAL($precision,$scale))"
           i = close + 1
         } else { out ++= sql.substring(i, i + 7); i += 7 }
-      } else { out += c; i += 1 }
+      } else {
+        // other Trino typed literals Spark's parser rejects:
+        // TYPE 'text' → CAST('text' AS sparkType) (round 12)
+        val typed = TypedLiteralTypes.find(t => wordAt(sql, i, t._1))
+        typed match {
+          case Some((name, sparkType)) =>
+            val j = skipWs(sql, i + name.length)
+            if (j < sql.length && sql(j) == '\'') {
+              val close = sql.indexOf('\'', j + 1)
+              require(close > j,
+                s"unterminated $name literal in: ${sql.take(120)}")
+              out ++= s"CAST('${sql.substring(j + 1, close)}' AS $sparkType)"
+              i = close + 1
+            } else { out ++= sql.substring(i, i + name.length); i += name.length }
+          case None => out += c; i += 1
+        }
+      }
     }
     out.toString
   }
+
+  /** Trino typed-literal names Spark's parser lacks, with the Spark
+    * cast target. (DECIMAL is handled above with computed precision;
+    * DATE/TIMESTAMP/TIME/INTERVAL/X parse natively.) */
+  private val TypedLiteralTypes: Seq[(String, String)] = Seq(
+    "TINYINT" -> "TINYINT", "SMALLINT" -> "SMALLINT",
+    "INTEGER" -> "INT", "BIGINT" -> "BIGINT",
+    "REAL" -> "FLOAT", "DOUBLE" -> "DOUBLE",
+    "BOOLEAN" -> "BOOLEAN", "VARBINARY" -> "BINARY",
+    "CHAR" -> "STRING", "JSON" -> "STRING")
 
   // ---- ARRAY [..] constructors and [..] subscripts -------------------------
 

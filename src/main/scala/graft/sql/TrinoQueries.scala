@@ -119,6 +119,93 @@ object TrinoQueries {
       |FROM documents
       |WHERE doc_id % 3 = 0""".stripMargin
 
+  /** The round-12 THIRD-tier functions in one statement — every name
+    * here either failed to resolve or silently diverged before the
+    * tier-3 batch (raw string literals carrying a real `\w` regex,
+    * group-0 `regexp_extract`, bigint `regexp_count`, `starts_with`,
+    * ISO `year_of_week`, decimal `truncate(x, n)`, `hamming_distance`,
+    * lowercase signed `to_base`, `json_array_get` with a negative
+    * index, `is_json_scalar`, printf `format`). DuckDB twins express
+    * the same semantics in DuckDB's own dialect (len ∘
+    * regexp_extract_all, isoyear, exact decimal remainder, hamming,
+    * lower ∘ to_base, printf). Map-side over one scan. */
+  def fnTier3(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents")
+    SqlEngine.readSqlQuery(s,
+      """SELECT doc_id AS id,
+        |       regexp_count(text, '\w+') AS wc,
+        |       regexp_extract(text, '[a-z]+') AS fm,
+        |       regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS g2,
+        |       starts_with(text, 'a') AS sw,
+        |       year_of_week(from_iso8601_date('2023-01-' ||
+        |         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0'))) AS yw,
+        |       CAST(truncate(CAST(n_chars AS DECIMAL(10,2)) * DECIMAL '0.07',
+        |                     1) * 10 AS BIGINT) AS tp,
+        |       hamming_distance(
+        |         substr(lower(to_hex(md5(to_utf8(text)))), 1, 8),
+        |         substr(lower(to_hex(md5(to_utf8(reverse(text))))), 1, 8))
+        |         AS hd,
+        |       to_base(doc_id + 10, 16) AS tb,
+        |       json_array_get(
+        |         '[' || CAST(doc_id AS VARCHAR) || ',' ||
+        |         CAST(n_chars AS VARCHAR) || ']', -1) AS jg,
+        |       is_json_scalar(CAST(doc_id AS VARCHAR)) AS ijs,
+        |       format('%s:%d', substr(text, 1, 3), doc_id) AS fmt
+        |FROM documents
+        |WHERE doc_id % 3 = 1""".stripMargin)
+  }
+
+  def fnTier3Oracle: String =
+    """SELECT doc_id AS id,
+      |       len(regexp_extract_all(text, '\w+')) AS wc,
+      |       NULLIF(regexp_extract(text, '[a-z]+'), '') AS fm,
+      |       NULLIF(regexp_extract(text, '([a-z]+) ([a-z]+)', 2), '') AS g2,
+      |       text LIKE 'a%' AS sw,
+      |       isoyear(CAST('2023-01-' ||
+      |         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE))
+      |         AS yw,
+      |       CAST(floor(CAST(n_chars AS DECIMAL(10,2))
+      |                  * CAST(0.07 AS DECIMAL(3,2)) * 10) AS BIGINT) AS tp,
+      |       CAST(hamming(substr(md5(text), 1, 8),
+      |                    substr(md5(reverse(text)), 1, 8)) AS BIGINT) AS hd,
+      |       lower(to_base(doc_id + 10, 16)) AS tb,
+      |       CAST(n_chars AS VARCHAR) AS jg,
+      |       true AS ijs,
+      |       printf('%s:%d', substr(text, 1, 3), doc_id) AS fmt
+      |FROM documents
+      |WHERE doc_id % 3 = 1""".stripMargin
+
+  /** Tier-3 aggregates: Trino-exact `kurtosis` (the SAMPLE excess
+    * estimator DuckDB also implements — Spark's population builtin
+    * would mismatch every group), `histogram` probed by key,
+    * `bitwise_or_agg`. l_quantity is integer-valued, so all four
+    * power sums are exact in double and the 6-decimal rounding
+    * (the DSIR recipe) absorbs the engines' different summation
+    * orders. */
+  def fnTier3Agg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    SqlEngine.readSqlQuery(s,
+      """SELECT l_returnflag AS flag,
+        |       round(kurtosis(l_quantity), 6) AS kurt,
+        |       CAST(cardinality(histogram(l_linestatus)) AS BIGINT) AS nls,
+        |       histogram(l_linestatus)['O'] AS n_open,
+        |       bitwise_or_agg(l_linenumber) AS bor
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin)
+  }
+
+  def fnTier3AggOracle: String =
+    """SELECT l_returnflag AS flag,
+      |       round(kurtosis(l_quantity), 6) AS kurt,
+      |       count(DISTINCT l_linestatus) AS nls,
+      |       CASE WHEN count(*) FILTER (WHERE l_linestatus = 'O') = 0
+      |            THEN NULL
+      |            ELSE count(*) FILTER (WHERE l_linestatus = 'O')
+      |       END AS n_open,
+      |       bit_or(l_linenumber) AS bor
+      |FROM lineitem
+      |GROUP BY 1""".stripMargin
+
   def unnestOrdinalityOracle: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
       |           FROM documents WHERE doc_id < 50)

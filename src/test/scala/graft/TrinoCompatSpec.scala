@@ -700,7 +700,7 @@ class TrinoCompatSpec extends AnyFunSuite {
       """SELECT json_extract('{"a": "x"}', '$.a') AS s,
         |       json_extract('{"a": {"b": 1}}', '$.a') AS o,
         |       json_extract('{"a": [1, 2]}', '$.a[1]') AS e,
-        |       json_extract('{"a": "q\\"z"}', '$.a') AS esc,
+        |       json_extract('{"a": "q\"z"}', '$.a') AS esc,
         |       json_extract('{"a": 7}', '$.missing') AS miss
         |""".stripMargin)
     assert(r.getString(0) == "\"x\"")       // quotes KEPT
@@ -727,5 +727,165 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(one(
       """SELECT json_extract_scalar('{"k v": 3}', '$["k v"]') AS v""")
       .getString(0) == "3")
+  }
+
+  // ---- round-12 tier 3: raw strings + probe-driven function batch ---------
+
+  test("string literals are RAW: backslashes survive to the engine") {
+    // Trino '\d' is backslash-d; without the rawStrings pass Spark's
+    // parser eats the backslash and every regexp call silently degrades
+    val r = one(
+      """SELECT regexp_count('a1b2', '\d') AS c,
+        |       regexp_like('x7', '\d') AS l,
+        |       regexp_extract_all('1a 22b', '\d+') AS xs,
+        |       length('\\') AS bs,
+        |       regexp_replace('a1b2', '\d') AS del""".stripMargin)
+    assert(r.getLong(0) == 2L)
+    assert(r.getBoolean(1))
+    assert(r.getSeq[String](2) == Seq("1", "22"))
+    assert(r.getInt(3) == 2)        // two backslashes stay two characters
+    assert(r.getString(4) == "ab")
+  }
+
+  test("regexp_extract defaults to group 0 (the full match), Trino-style") {
+    val r = one(
+      """SELECT regexp_extract('ab123', '([a-z]+)(\d+)') AS full,
+        |       regexp_extract('ab123', '([a-z]+)(\d+)', 2) AS g2,
+        |       regexp_position('a1b2', '\d') AS pos,
+        |       regexp_position('abc', '\d') AS nopos,
+        |       regexp_split('a1b2c', '\d') AS parts""".stripMargin)
+    assert(r.getString(0) == "ab123")
+    assert(r.getString(1) == "123")
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == -1L)
+    assert(r.getSeq[String](4) == Seq("a", "b", "c"))
+    // Trino returns NULL when the pattern does not match (Spark: '')
+    assert(one("SELECT regexp_extract('abc', '\\d+') AS v").isNullAt(0))
+    // a genuine empty-string MATCH still returns ''
+    assert(one("SELECT regexp_extract('abc', 'z*') AS v").getString(0) == "")
+    // regexp_count returns BIGINT like Trino
+    assert(one("SELECT regexp_count('aXbXc', 'X') AS v").getLong(0) == 2L)
+  }
+
+  test("typeof renders Trino type names (the reference's type probe)") {
+    // tests/unit/test_athena.py: SELECT current_timestamp AS value,
+    //                            typeof(current_timestamp) AS type
+    val r = one(
+      "SELECT typeof(current_timestamp) AS ts, typeof(1) AS i, " +
+        "typeof(BIGINT '1') AS bi, typeof('x') AS s, " +
+        "typeof(1.5e0) AS d, typeof(DECIMAL '1.5') AS dec, " +
+        "typeof(ARRAY[1]) AS arr, " +
+        "typeof(CAST(ROW(1, 'a') AS ROW(id BIGINT, v VARCHAR))) AS row_t, " +
+        "typeof(MAP(ARRAY['k'], ARRAY[1])) AS m, typeof(DATE '2024-01-01') AS dt")
+    assert(r.getString(0) == "timestamp(3) with time zone")
+    assert(r.getString(1) == "integer")
+    assert(r.getString(2) == "bigint")
+    assert(r.getString(3) == "varchar")
+    assert(r.getString(4) == "double")
+    assert(r.getString(5) == "decimal(2,1)")
+    assert(r.getString(6) == "array(integer)")
+    assert(r.getString(7) == "row(id bigint, v varchar)")
+    assert(r.getString(8) == "map(varchar, integer)")
+    assert(r.getString(9) == "date")
+  }
+
+  test("histogram / cosine_similarity / Trino-exact kurtosis") {
+    val h = one(
+      "SELECT histogram(x) AS h FROM (VALUES 'a', 'b', 'a', 'a') t(x)")
+      .getMap[String, Long](0)
+    assert(h == Map("a" -> 3L, "b" -> 1L))
+    val cs = one(
+      "SELECT cosine_similarity(MAP(ARRAY['a','b'], ARRAY[1.0,2.0]), " +
+        "MAP(ARRAY['a','b'], ARRAY[2.0,1.0])) AS v").getDouble(0)
+    assert(math.abs(cs - 0.8) < 1e-12)
+    // disjoint keys: dot 0
+    assert(one(
+      "SELECT cosine_similarity(MAP(ARRAY['a'], ARRAY[1.0]), " +
+        "MAP(ARRAY['b'], ARRAY[1.0])) AS v").getDouble(0) == 0.0)
+    // Trino's kurtosis is the SAMPLE excess estimator: 1,2,3,4 → -1.2
+    // (Spark's population builtin says -1.36)
+    val k = one(
+      "SELECT kurtosis(x) AS v FROM (VALUES 1.0e0,2.0e0,3.0e0,4.0e0) t(x)")
+      .getDouble(0)
+    assert(math.abs(k - (-1.2)) < 1e-9)
+    // n = 3: the (n-3) factor divides by zero → NULL, not a crash
+    assert(one(
+      "SELECT kurtosis(x) AS v FROM (VALUES 1.0e0,2.0e0,3.0e0) t(x)")
+      .isNullAt(0))
+  }
+
+  test("truncate(decimal, n), from_base/to_base signs, zip field names") {
+    val r = one(
+      "SELECT truncate(3.789, 2) AS t2, truncate(-3.789, 2) AS tn, " +
+        "from_base('ff', 16) AS fb, from_base('-ff', 16) AS fbn, " +
+        "to_base(255, 16) AS tb, to_base(-255, 16) AS tbn")
+    assert(r.getDecimal(0).compareTo(new java.math.BigDecimal("3.78")) == 0)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("-3.78")) == 0)
+    assert(r.getLong(2) == 255L && r.getLong(3) == -255L)
+    assert(r.getString(4) == "ff" && r.getString(5) == "-ff")
+    val z = one("SELECT zip(ARRAY[1, 2], ARRAY['a', 'b']) AS z")
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(z.map(x => (x.getAs[Int]("field0"), x.getAs[String]("field1")))
+      == Seq((1, "a"), (2, "b")))
+  }
+
+  test("json_array_get / json_size / is_json_scalar / json_array_contains") {
+    val r = one(
+      """SELECT json_array_get('["a", "b", "c"]', 1) AS g,
+        |       json_array_get('["a", "b", "c"]', -1) AS gn,
+        |       json_array_get('["a"]', 5) AS oob,
+        |       json_size('{"a": {"b": 1, "c": 2}}', '$.a') AS so,
+        |       json_size('{"a": [1, 2, 3]}', '$.a') AS sa,
+        |       json_size('{"a": 7}', '$.a') AS ss,
+        |       is_json_scalar('1') AS s1,
+        |       is_json_scalar('[1, 2]') AS s2,
+        |       json_array_contains('[1, 2, 3]', 2) AS c1,
+        |       json_array_contains('["foo"]', 'foo') AS c2,
+        |       json_array_contains('[true]', false) AS c3""".stripMargin)
+    assert(r.getString(0) == "\"b\"")   // JSON text, quotes kept
+    assert(r.getString(1) == "\"c\"")   // negative index from the end
+    assert(r.isNullAt(2))
+    assert(r.getLong(3) == 2L && r.getLong(4) == 3L && r.getLong(5) == 0L)
+    assert(r.getBoolean(6) && !r.getBoolean(7))
+    assert(r.getBoolean(8) && r.getBoolean(9) && !r.getBoolean(10))
+  }
+
+  test("hamming_distance / bit_count guards fail the query like Trino") {
+    assert(one("SELECT hamming_distance('abcd', 'abcx') AS v")
+      .getLong(0) == 1L)
+    intercept[Exception] {
+      one("SELECT hamming_distance('ab', 'abc') AS v")
+    }
+    assert(one("SELECT bit_count(7, 8) AS v").getLong(0) == 3L)
+    assert(one("SELECT bit_count(-8, 8) AS v").getLong(0) == 5L)
+    intercept[Exception] { one("SELECT bit_count(500, 8) AS v") }
+    // registrations are session-wide: Spark's own 1-arg bit_count must
+    // keep working for the engine's native SQL (simhash hamming uses it)
+    assert(one("SELECT bit_count(7) AS v").getInt(0) == 3)
+    assert(spark.sql("SELECT bit_count(7 ^ 1) AS v").head().getInt(0) == 2)
+  }
+
+  test("year_of_week / with_timezone / parse_datetime / format / misc") {
+    // 2005-01-02 was a Sunday: ISO week 53 of 2004
+    assert(one("SELECT year_of_week(DATE '2005-01-02') AS v")
+      .getLong(0) == 2004L)
+    assert(one("SELECT yow(DATE '2024-01-01') AS v").getLong(0) == 2024L)
+    // with_timezone: 10:00 New York = 14:00 UTC (instant preserved)
+    assert(one(
+      "SELECT CAST(with_timezone(TIMESTAMP '2024-05-15 10:00:00', " +
+        "'America/New_York') AS VARCHAR) AS v")
+      .getString(0).startsWith("2024-05-15 14:00:00"))
+    assert(one(
+      "SELECT CAST(parse_datetime('2024/05/15', 'yyyy/MM/dd') AS DATE) AS v")
+      .getDate(0).toString == "2024-05-15")
+    assert(one("SELECT format('%s-%03d', 'a', 7) AS v")
+      .getString(0) == "a-007")
+    assert(one("SELECT current_timezone() AS v").getString(0) == "UTC")
+    assert(one("SELECT starts_with('abc', 'ab') AS s, " +
+      "ends_with('abc', 'bc') AS e").getBoolean(0))
+    assert(one("SELECT bitwise_not(5) AS v").getInt(0) == -6)
+    assert(one("SELECT bitwise_and_agg(x) AS a, bitwise_or_agg(x) AS o " +
+      "FROM (VALUES 7, 3) t(x)").getInt(0) == 3)
+    assert(one("SELECT normalize('á') AS v").getString(0) == "á")
   }
 }
