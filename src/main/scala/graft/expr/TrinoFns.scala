@@ -117,8 +117,11 @@ object TrinoFnsImpl {
   }
 
   private def parse(json: UTF8String): JsonNode =
-    try mapper.readTree(json.toString)
-    catch { case _: Exception => null }
+    try {
+      val n = mapper.readTree(json.toString)
+      // Jackson 2.10+: empty/whitespace input parses to MissingNode
+      if (n == null || n.isMissingNode) null else n
+    } catch { case _: Exception => null }
 
   /** Trino type-name rendering for `typeof`. Documented approximation:
     * varchar/char render WITHOUT a length (Spark's StringType carries

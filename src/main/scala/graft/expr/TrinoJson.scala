@@ -35,7 +35,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * stays inside WholeStageCodegen like the rest of the shim.
   */
 object TrinoJsonImpl {
-  private val mapper = new ObjectMapper()
+  // strict parse: '1 garbage' must be malformed (Jackson's default
+  // readTree stops at the first complete token), and the malformed-
+  // input-returns-NULL policy below must actually fire for it
+  private val mapper = new ObjectMapper().enable(
+    com.fasterxml.jackson.databind.DeserializationFeature
+      .FAIL_ON_TRAILING_TOKENS)
 
   /** Shared with the [[TrinoFnsImpl]] JSON helpers (same parse +
     * canonical-render configuration). */
@@ -44,17 +49,20 @@ object TrinoJsonImpl {
   /** Parsed path step: Left(field) or Right(arrayIndex). */
   private type Step = Either[String, Int]
 
-  // paths are overwhelmingly literal; memoize the last few parses
+  // paths are overwhelmingly literal; memoize the last few parses.
+  // THREAD-LOCAL, not a synchronized map: this sits on the per-row
+  // codegen path, and an access-ordered LRU behind a global mutex
+  // (get() mutates order) would serialize every executor thread
   private val pathCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, Array[Step]](16, 0.75f, true) {
+    ThreadLocal.withInitial[java.util.LinkedHashMap[String, Array[Step]]](
+      () => new java.util.LinkedHashMap[String, Array[Step]](16, 0.75f, true) {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, Array[Step]]): Boolean =
           size() > 64
       })
 
   private def parsePath(path: String): Array[Step] = {
-    val cached = pathCache.get(path)
+    val cached = pathCache.get().get(path)
     if (cached != null) return cached
     val steps = scala.collection.mutable.ArrayBuffer.empty[Step]
     val s = path.trim
@@ -93,7 +101,7 @@ object TrinoJsonImpl {
       }
     }
     val arr = steps.toArray
-    pathCache.put(path, arr)
+    pathCache.get().put(path, arr)
     arr
   }
 
@@ -105,7 +113,9 @@ object TrinoJsonImpl {
     val root: JsonNode =
       try mapper.readTree(json.toString)
       catch { case _: Exception => return null }
-    if (root == null) return null
+    // Jackson 2.10+: readTree("") / whitespace returns MissingNode,
+    // not null — empty input is malformed, not a JSON value
+    if (root == null || root.isMissingNode) return null
     var node: JsonNode = root
     var i = 0
     while (i < steps.length) {

@@ -230,45 +230,85 @@ object Curation {
     * The derivation is part of the oracle contract (identical SQL-level
     * formula in [[gopherLineRulesOracle]]); the rules then run on real
     * line structure. */
-  def gopherLineRules(s: SparkSession, dir: String): DataFrame = {
-    val lined = Tables.documents(s, dir)
-      .withColumn("toks", words)
-      .withColumn("lines", expr(
-        """case when size(toks) = 0 then array()
-          |else transform(
-          |  sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1), i ->
-          |  concat(
-          |    case when substring(md5(concat('bl:',
-          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
-          |      < '4' then '- ' else '' end,
-          |    array_join(slice(toks, i * 8 + 1, 8), ' '),
-          |    case when substring(md5(concat('el:',
-          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
-          |      < '4' then '...' else '' end))
-          |end""".stripMargin))
-    gopherLineRulesOn(lined.select(col("doc_id"), col("lines")))
+  /** A deterministic per-line decoration draw for the DERIVED
+    * line-structured corpus: when the first md5 hex char of
+    * `salt:doc_id:lineIndex` is `< bound`, `text` is glued to the line
+    * (before it when `isPrefix`, after otherwise, in declaration
+    * order). ONE definition renders both the Spark expression and the
+    * DuckDB CTE below, so a derivation tweak (line width, draw scheme)
+    * cannot silently diverge an operator from its oracle — the same
+    * reason `words` is shared. */
+  private final case class LineDraw(salt: String, bound: String,
+      text: String, isPrefix: Boolean)
+
+  private val GopherLineDraws = Seq(
+    LineDraw("bl", "4", "- ", isPrefix = true),
+    LineDraw("el", "4", "...", isPrefix = false))
+
+  private val C4LineDraws = Seq(
+    LineDraw("c4li", "1", "lorem ipsum ", isPrefix = true),
+    LineDraw("c4js", "2", " javascript", isPrefix = false),
+    LineDraw("c4br", "1", " {", isPrefix = false),
+    LineDraw("c4pd", "8", ".", isPrefix = false))
+
+  /** Spark side of the 8-token line derivation (over columns
+    * `doc_id`, `toks`). */
+  private def derivedLinesExpr(draws: Seq[LineDraw]): String = {
+    def piece(d: LineDraw) =
+      s"""case when substring(md5(concat('${d.salt}:',
+         |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
+         |      < '${d.bound}' then '${d.text}' else '' end""".stripMargin
+    val parts = draws.filter(_.isPrefix).map(piece) ++
+      Seq("array_join(slice(toks, i * 8 + 1, 8), ' ')") ++
+      draws.filterNot(_.isPrefix).map(piece)
+    s"""case when size(toks) = 0 then array()
+       |else transform(
+       |  sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1), i ->
+       |  concat(
+       |    ${parts.mkString(",\n    ")}))
+       |end""".stripMargin
   }
 
+  /** DuckDB twin of [[derivedLinesExpr]]: `tk` + `ln` CTE bodies
+    * producing (doc_id, lines). */
+  private def derivedLinesSqlCtes(draws: Seq[LineDraw]): String = {
+    // single-line pieces: this value is interpolated into callers'
+    // stripMargin strings, so a line starting with the second '|' of a
+    // '||' would be margin-stripped twice and lose the operator
+    def piece(d: LineDraw) =
+      s"CASE WHEN substring(md5('${d.salt}:' || cast(doc_id as varchar)" +
+        s" || ':' || cast(i as varchar)), 1, 1) < '${d.bound}'" +
+        s" THEN '${d.text}' ELSE '' END"
+    val parts = draws.filter(_.isPrefix).map(piece) ++
+      Seq("array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')") ++
+      draws.filterNot(_.isPrefix).map(piece)
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |ln AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) = 0 THEN []
+       |    ELSE list_transform(
+       |      range(0, cast(ceil(len(toks) / 8.0) as int)), i ->
+       |      concat(
+       |        ${parts.mkString(",\n        ")}))
+       |    END AS lines
+       |  FROM tk)""".stripMargin
+  }
+
+  private def derivedLines(s: SparkSession, dir: String,
+      draws: Seq[LineDraw]): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", words)
+      .withColumn("lines", expr(derivedLinesExpr(draws)))
+      .select(col("doc_id"), col("lines"))
+
+  def gopherLineRules(s: SparkSession, dir: String): DataFrame =
+    gopherLineRulesOn(derivedLines(s, dir, GopherLineDraws))
+
   def gopherLineRulesOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-      |  FROM documents),
-      |ln AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) = 0 THEN []
-      |    ELSE list_transform(
-      |      range(0, cast(ceil(len(toks) / 8.0) as int)), i ->
-      |      concat(
-      |        CASE WHEN substring(md5('bl:' || cast(doc_id as varchar)
-      |            || ':' || cast(i as varchar)), 1, 1) < '4'
-      |          THEN '- ' ELSE '' END,
-      |        array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '),
-      |        CASE WHEN substring(md5('el:' || cast(doc_id as varchar)
-      |            || ':' || cast(i as varchar)), 1, 1) < '4'
-      |          THEN '...' ELSE '' END))
-      |    END AS lines
-      |  FROM tk),
+    s"""WITH ${derivedLinesSqlCtes(GopherLineDraws)},
       |st AS (
       |  SELECT doc_id,
       |    cast(len(lines) as bigint) AS n_lines,
@@ -316,62 +356,17 @@ object Curation {
 
   /** Oracled entry: like [[gopherLineRules]], the corpus is a word
     * stream, so the line structure is DERIVED deterministically on both
-    * engines — 8-token lines with independent md5-prefix draws keyed on
-    * (doc_id, line index): ~50% get a terminal `.`, ~12.5% an appended
-    * "javascript" token, ~6% a "lorem ipsum" prefix, ~6% an appended
-    * `{`. The draws make every C4 rule live on synthetic text; the
-    * derivation is part of the oracle contract. */
-  def c4Rules(s: SparkSession, dir: String): DataFrame = {
-    val lined = Tables.documents(s, dir)
-      .withColumn("toks", words)
-      .withColumn("lines", expr(
-        """case when size(toks) = 0 then array()
-          |else transform(
-          |  sequence(0, cast(ceil(size(toks) / 8.0) as int) - 1), i ->
-          |  concat(
-          |    case when substring(md5(concat('c4li:',
-          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
-          |      = '0' then 'lorem ipsum ' else '' end,
-          |    array_join(slice(toks, i * 8 + 1, 8), ' '),
-          |    case when substring(md5(concat('c4js:',
-          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
-          |      < '2' then ' javascript' else '' end,
-          |    case when substring(md5(concat('c4br:',
-          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
-          |      = '0' then ' {' else '' end,
-          |    case when substring(md5(concat('c4pd:',
-          |        cast(doc_id as string), ':', cast(i as string))), 1, 1)
-          |      < '8' then '.' else '' end))
-          |end""".stripMargin))
-    c4RulesOn(lined.select(col("doc_id"), col("lines")))
-  }
+    * engines via the shared [[derivedLines]] builder — 8-token lines
+    * with independent md5-prefix draws keyed on (doc_id, line index):
+    * ~50% get a terminal `.`, ~12.5% an appended "javascript" token,
+    * ~6% a "lorem ipsum" prefix, ~6% an appended `{`
+    * ([[C4LineDraws]]). The draws make every C4 rule live on synthetic
+    * text; the derivation is part of the oracle contract. */
+  def c4Rules(s: SparkSession, dir: String): DataFrame =
+    c4RulesOn(derivedLines(s, dir, C4LineDraws))
 
   def c4RulesOracle: String =
-    """WITH tk AS (
-      |  SELECT doc_id,
-      |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-      |  FROM documents),
-      |ln AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(toks) = 0 THEN []
-      |    ELSE list_transform(
-      |      range(0, cast(ceil(len(toks) / 8.0) as int)), i ->
-      |      concat(
-      |        CASE WHEN substring(md5('c4li:' || cast(doc_id as varchar)
-      |            || ':' || cast(i as varchar)), 1, 1) = '0'
-      |          THEN 'lorem ipsum ' ELSE '' END,
-      |        array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' '),
-      |        CASE WHEN substring(md5('c4js:' || cast(doc_id as varchar)
-      |            || ':' || cast(i as varchar)), 1, 1) < '2'
-      |          THEN ' javascript' ELSE '' END,
-      |        CASE WHEN substring(md5('c4br:' || cast(doc_id as varchar)
-      |            || ':' || cast(i as varchar)), 1, 1) = '0'
-      |          THEN ' {' ELSE '' END,
-      |        CASE WHEN substring(md5('c4pd:' || cast(doc_id as varchar)
-      |            || ':' || cast(i as varchar)), 1, 1) < '8'
-      |          THEN '.' ELSE '' END))
-      |    END AS lines
-      |  FROM tk),
+    s"""WITH ${derivedLinesSqlCtes(C4LineDraws)},
       |st AS (
       |  SELECT doc_id,
       |    cast(len(lines) as bigint) AS n_lines,

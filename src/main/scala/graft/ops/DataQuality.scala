@@ -80,14 +80,18 @@ object DataQuality {
     /** `StandardDeviation "c" < x` — POPULATION stddev from two exact
       * decimal sums (Σx at 10 dp, Σx² from 6-dp squares: (12,6)×(12,6)
       * = decimal(24,12) stays uncapped in both engines), final
-      * arithmetic in double — deterministic under any row order. */
+      * arithmetic in double. The metric is rounded to 6 dp (the DSIR
+      * recipe): the exact decimal sums are equal on both engines, but
+      * DuckDB's wide-decimal→double conversion is not always correctly
+      * rounded, so the unrounded sqrt can differ by one ulp at larger
+      * scales (seen at sf0.1, never sf0.01). */
     def stddevRule(c: String, op: String, bound: Double): Rule = {
       val n = count(col(c)).cast("double")
       val s = sum(col(c).cast("decimal(20,10)")).cast("double")
       val v6 = col(c).cast("decimal(12,6)")
       val sq = sum(v6 * v6).cast("double")
       Rule(s"stddev_$c",
-        sqrt(greatest(lit(0.0), sq / n - (s / n) * (s / n))),
+        round(sqrt(greatest(lit(0.0), sq / n - (s / n) * (s / n))), 6),
         cmp(op, bound))
     }
 
@@ -357,7 +361,8 @@ object DataQuality {
       |  FROM events),
       |m AS (
       |  SELECT s / n AS mean_value,
-      |    sqrt(greatest(0.0, sq / n - (s / n) * (s / n))) AS stddev_value,
+      |    round(sqrt(greatest(0.0, sq / n - (s / n) * (s / n))), 6)
+      |      AS stddev_value,
       |    s AS sum_value, len_ok AS length_event_type,
       |    nd_et AS distinct_count_event_type,
       |    nd_uid AS distinct_count_user_id

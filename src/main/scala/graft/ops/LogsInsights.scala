@@ -87,9 +87,18 @@ object LogsInsights {
     }
     else if (lower.startsWith("parse")) stage match {
       case ParseRe(c, regex, names) =>
+        // direct Catalyst expression, NOT functions.regexp_extract: the
+        // DSL function resolves by NAME through the session registry in
+        // Spark 4, so the Trino shim's session-wide regexp_extract
+        // (NULL on no match) would silently change parse semantics for
+        // any session that ran a dialect query first
         names.split(",").map(_.trim).zipWithIndex.foldLeft(df) {
           case (d, (n, i)) =>
-            d.withColumn(n, regexp_extract(resolve(c), regex, i + 1))
+            d.withColumn(n, org.apache.spark.sql.GraftBridge.column(
+              org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+                org.apache.spark.sql.GraftBridge.expr(resolve(c)),
+                org.apache.spark.sql.catalyst.expressions.Literal(regex),
+                org.apache.spark.sql.catalyst.expressions.Literal(i + 1))))
         }
       case _ => throw new IllegalArgumentException(s"bad parse: $stage")
     }

@@ -137,8 +137,14 @@ object Relational2 {
   def q24RegexStrings(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        regexp_extract(col("source"), "src([0-9]+)", 1).cast("int")
-          .as("src_num"),
+        // registry-immune (see LogsInsights.parse): the shim shadows
+        // regexp_extract session-wide with NULL-on-no-match semantics
+        org.apache.spark.sql.GraftBridge.column(
+          org.apache.spark.sql.catalyst.expressions.RegExpExtract(
+            org.apache.spark.sql.GraftBridge.expr(col("source")),
+            org.apache.spark.sql.catalyst.expressions.Literal("src([0-9]+)"),
+            org.apache.spark.sql.catalyst.expressions.Literal(1)))
+          .cast("int").as("src_num"),
         substring_index(col("text"), " ", 3).as("first3"),
         lpad(col("lang"), 4, "_").as("lang_pad"),
         reverse(col("lang")).as("lang_rev"),

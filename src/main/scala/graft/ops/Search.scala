@@ -116,8 +116,11 @@ object Search {
         val mustNot = seqOf("must_not").map(compileQueryDsl)
         val should = seqOf("should").map(compileQueryDsl)
         // minimum_should_match: at least n of the should clauses hold
-        // (integer form; OpenSearch's default in a filter context with
-        // no must is 1, which the plain OR below already encodes)
+        // (integer form). OpenSearch's DEFAULT depends on context: with
+        // no must/filter present it is 1 (the plain OR); when must or
+        // filter IS present the default is 0 — should clauses only
+        // affect scoring, never filtering — so they compile to no
+        // predicate at all unless an explicit bound is given.
         val shouldPred =
           if (should.isEmpty) None
           else clauses.get("minimum_should_match") match {
@@ -126,9 +129,14 @@ object Search {
                 .reduce(_ + _) >= n)
             case Some(other) => throw new IllegalArgumentException(
               s"minimum_should_match must be an Int, got $other")
+            case None if must.nonEmpty => None
             case None => Some(should.reduce(_ || _))
           }
-        (must ++ mustNot.map(!_) ++ shouldPred.toSeq)
+        // must_not is "the clause does NOT match": a NULL evaluation
+        // (missing field) is a non-match, so the document is KEPT —
+        // `!pred` alone would propagate the NULL and drop it
+        (must ++ mustNot.map(p => !coalesce(p, lit(false))) ++
+          shouldPred.toSeq)
           .reduceOption(_ && _).getOrElse(lit(true))
       case other =>
         throw new IllegalArgumentException(s"unsupported query kind: $other")
@@ -171,7 +179,7 @@ object Search {
     """SELECT doc_id, lang FROM documents
       |WHERE contains(' ' || regexp_replace(lower(text), '\s+', ' ', 'g')
       |        || ' ', ' the data ')
-      |  AND NOT (lang = 'de')
+      |  AND NOT coalesce(lang = 'de', false)
       |  AND ((CASE WHEN text LIKE 'spark%' THEN 1 ELSE 0 END)
       |     + (CASE WHEN regexp_matches(lang, '^e.$') THEN 1 ELSE 0 END)
       |     + (CASE WHEN list_contains(string_split(lower(text), ' '),

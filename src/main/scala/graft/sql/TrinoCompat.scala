@@ -592,7 +592,11 @@ object TrinoCompat {
       Cast(RegExpCount(s, p), LongType)
     }
     // Trino format() IS Java String.format — Spark's format_string
-    fn("format") { case args if args.size >= 2 => FormatString(args: _*) }
+    fn("format") {
+      case args if args.nonEmpty => FormatString(args: _*)
+      case _ => throw new IllegalArgumentException(
+        "format expects (format[, args...]), got 0 args")
+    }
     fn("regexp_split") { case Seq(s, p) =>
       StringSplit(s, p, Literal(-1))
     }
@@ -621,8 +625,11 @@ object TrinoCompat {
       If(neg, Concat(Seq(Literal("-"), mag)), mag)
     }
     // zip: Trino names the row fields field0..fieldN
-    fn("zip") { case args if args.size >= 2 =>
-      ArraysZip(args, args.indices.map(i => Literal(s"field$i")))
+    fn("zip") {
+      case args if args.size >= 2 =>
+        ArraysZip(args, args.indices.map(i => Literal(s"field$i")))
+      case other => throw new IllegalArgumentException(
+        s"zip expects at least 2 arrays, got ${other.size}")
     }
     // with_timezone: interpret the naive timestamp IN the given zone;
     // the resulting instant is Spark's to_utc_timestamp (engine
@@ -1030,7 +1037,7 @@ object TrinoCompat {
       else if (wordAt(sql, i, "DECIMAL")) {
         val j = skipWs(sql, i + 7)
         if (j < sql.length && sql(j) == '\'') {
-          val close = sql.indexOf('\'', j + 1)
+          val close = literalEnd(sql, j) - 1
           require(close > j, s"unterminated DECIMAL literal in: ${sql.take(120)}")
           val text = sql.substring(j + 1, close)
           val digits = text.replaceAll("[^0-9]", "")
@@ -1050,7 +1057,9 @@ object TrinoCompat {
           case Some((name, sparkType)) =>
             val j = skipWs(sql, i + name.length)
             if (j < sql.length && sql(j) == '\'') {
-              val close = sql.indexOf('\'', j + 1)
+              // honor the '' escape: the copied text keeps it verbatim
+              // (the emitted CAST literal uses the same escaping)
+              val close = literalEnd(sql, j) - 1
               require(close > j,
                 s"unterminated $name literal in: ${sql.take(120)}")
               out ++= s"CAST('${sql.substring(j + 1, close)}' AS $sparkType)"
@@ -1063,6 +1072,20 @@ object TrinoCompat {
     out.toString
   }
 
+  /** Index just past the closing quote of the single-quoted literal
+    * opening at `open`, honoring the SQL `''` escape; -1 when
+    * unterminated. */
+  private def literalEnd(sql: String, open: Int): Int = {
+    var i = open + 1
+    while (i < sql.length) {
+      if (sql(i) == '\'') {
+        if (i + 1 < sql.length && sql(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    -1
+  }
+
   /** Trino typed-literal names Spark's parser lacks, with the Spark
     * cast target. (DECIMAL is handled above with computed precision;
     * DATE/TIMESTAMP/TIME/INTERVAL/X parse natively.) */
@@ -1071,7 +1094,9 @@ object TrinoCompat {
     "INTEGER" -> "INT", "BIGINT" -> "BIGINT",
     "REAL" -> "FLOAT", "DOUBLE" -> "DOUBLE",
     "BOOLEAN" -> "BOOLEAN", "VARBINARY" -> "BINARY",
-    "CHAR" -> "STRING", "JSON" -> "STRING")
+    // VARCHAR here (before bareVarchar runs): `VARCHAR 'x'` would
+    // otherwise be rewritten to `STRING 'x'`, which Spark rejects
+    "VARCHAR" -> "STRING", "CHAR" -> "STRING", "JSON" -> "STRING")
 
   // ---- ARRAY [..] constructors and [..] subscripts -------------------------
 

@@ -188,7 +188,7 @@ object TrinoQueries {
       """SELECT l_returnflag AS flag,
         |       round(kurtosis(l_quantity), 6) AS kurt,
         |       CAST(cardinality(histogram(l_linestatus)) AS BIGINT) AS nls,
-        |       histogram(l_linestatus)['O'] AS n_open,
+        |       TRY(histogram(l_linestatus)['O']) AS n_open,
         |       bitwise_or_agg(l_linenumber) AS bor
         |FROM lineitem
         |GROUP BY 1""".stripMargin)

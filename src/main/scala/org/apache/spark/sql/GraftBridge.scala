@@ -16,4 +16,12 @@ object GraftBridge {
 
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Wrap a Catalyst expression as a Column WITHOUT the name-based
+    * function resolution `functions.*` goes through in Spark 4 —
+    * native operators use this for builtins the Trino shim shadows
+    * session-wide (e.g. regexp_extract), so their semantics cannot
+    * depend on whether a dialect query ran first on the session. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -207,6 +207,18 @@ class OpsSpec extends AnyFunSuite {
     assert(ids(Map("bool" -> Map(
       "must" -> Seq(Map("exists" -> Map("field" -> "lang"))),
       "should" -> should, "minimum_should_match" -> 3))) == Set(1L))
+    // OpenSearch default: with must present and NO explicit
+    // minimum_should_match, should is scoring-only (msm = 0) — the
+    // should clause must not filter anything
+    assert(ids(Map("bool" -> Map(
+      "must" -> Seq(Map("exists" -> Map("field" -> "lang"))),
+      "should" -> Seq(Map("match" -> Map("text" -> "engine")))))) ==
+      Set(1L, 2L, 3L, 4L))
+    // must_not against a missing/null field is a non-match: the doc is
+    // KEPT (doc 5 has lang = None; three-valued NOT would drop it)
+    assert(ids(Map("bool" -> Map(
+      "must_not" -> Seq(Map("term" -> Map("lang" -> "de")))))) ==
+      Set(1L, 2L, 3L, 4L, 5L))
   }
 
   test("data-quality ruleset evaluates every rule in one pass") {
