@@ -89,6 +89,7 @@ object SparkEntry {
       stopWords = Curation.CorpusStopWords)),
     "curate_gopher_lines" -> (Curation.gopherLineRules _),
     "curate_c4_rules"     -> (Curation.c4Rules _),
+    "curate_gopher_rep"   -> (Curation.gopherRepetition _),
     "curate_token_shards" -> ((s, d) => Curation.tokenShards(s, d)),
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
@@ -293,6 +294,7 @@ object SparkEntry {
       Curation.gopherRulesOracle(Curation.CorpusStopWords),
     "curate_gopher_lines" -> Curation.gopherLineRulesOracle,
     "curate_c4_rules"     -> Curation.c4RulesOracle,
+    "curate_gopher_rep"   -> Curation.gopherRepetitionOracle,
     "curate_token_shards" -> Curation.tokenShardsOracle,
     "curate_mix_uniform"  -> Curation.mixToUniformOracle,
     "curate_dsir_weights" -> Curation.dsirWeightsOracle,

@@ -435,6 +435,206 @@ object Curation {
       |  GROUP BY doc_id, n_tokens, gram) pc
       |GROUP BY doc_id, n_tokens""".stripMargin
 
+  /** The COMPLETE Gopher repetition table (Rae et al. 2021, Table A1) —
+    * round 12, paper-exact character fractions:
+    *  - `top_{2,3,4}gram_char_frac`: the fraction of the document's
+    *    token characters contained in occurrences of the single most
+    *    frequent n-gram (count ties broken by the longer gram —
+    *    deterministic on both engines via struct-max);
+    *  - `dup_{5..10}gram_char_frac`: the fraction of token characters
+    *    covered by n-grams occurring more than once in the document,
+    *    each character counted ONCE (the paper's "taking care not to
+    *    count characters multiple times") — covered token POSITIONS
+    *    are deduplicated before summing their character lengths;
+    *  - `keep`: all nine paper thresholds (0.20/0.18/0.16 tops,
+    *    0.15→0.10 dups) as cross-multiplied exact-integer comparisons.
+    *
+    * Scale shape: ONE corpus scan explodes every (n, window) pair for
+    * n ∈ 2..10; ONE window-level hash aggregation counts occurrences
+    * per (doc, n, gram) with map-side partials; everything downstream
+    * (top argmax, duplicated-coverage positions, the per-doc rollup)
+    * re-aggregates that table or the position-length table — no
+    * second pass over text, no per-pair work, and a pathological
+    * document costs only its own gram groups. The fractions are
+    * int/int divisions of exact numerators and denominators, so the
+    * doubles are bit-equal cross-engine. */
+  /** The synthetic corpus carries no WITHIN-document n-gram repeats, so
+    * the oracled entry derives them deterministically (the line-corpus
+    * pattern): ~25% of docs (md5 draw on doc_id) get a fixed 10-token
+    * phrase appended TWICE — every n ≤ 10 window inside the phrase then
+    * occurs twice, making all six dup rules live; the other 75% keep
+    * exercising the zero-dup path. The derivation is part of the
+    * oracle contract. */
+  private val RepPhrase: String = {
+    val p = (0 to 9).map(i => s"p$i").mkString(" ")
+    s" $p $p"
+  }
+
+  def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionOn(Tables.documents(s, dir)
+      .withColumn("text", expr(
+        s"""concat(text, case when substring(md5(concat('rep:',
+           |    cast(doc_id as string))), 1, 1) < '4'
+           |  then '$RepPhrase' else '' end)""".stripMargin)))
+
+  /** The operator proper, over (doc_id, text). */
+  private[graft] def gopherRepetitionOn(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("toks", words)
+      .select(col("doc_id"), col("toks"),
+        expr("cast(aggregate(toks, 0, (a, t) -> a + length(t)) as bigint)")
+          .as("den"))
+    // ONE window-level aggregation (on the RAW gram string) feeds both
+    // the top and dup paths — the identical subplan lets Spark reuse
+    // the exchange, so the 9-n explode runs exactly once. FOUR
+    // formulations measured at sf0.1 / sf1 (this one: 11.6 / 89 s):
+    //  - join-back dup keys without position arrays: 25.9 / 239 s —
+    //    three consumers with different filters get NO exchange reuse,
+    //    each redid the explode;
+    //  - join-back + DISK_ONLY persist of the window table:
+    //    17.8 / 165 s — writing 9n×tokens rows costs more than the
+    //    recompute it saves;
+    //  - md5-keyed windows (narrow shuffle rows) with the shared agg:
+    //    17.3 / 140 s — hashing every window costs more than shuffling
+    //    the gram string.
+    // The per-gram `ps` position array is bounded by one gram's
+    // occurrences within ONE document — per-doc skew, never
+    // corpus-sized.
+    val grams = base.select(col("doc_id"),
+        explode(expr(
+          """flatten(transform(sequence(2, 10), n ->
+            |  case when size(toks) < n then
+            |    cast(array() as array<struct<n: int, i: int, g: string>>)
+            |  else transform(sequence(1, size(toks) - n + 1), i ->
+            |    named_struct('n', n, 'i', i,
+            |      'g', concat_ws(' ', slice(toks, i, n))))
+            |  end))""".stripMargin)).as("w"))
+      .select(col("doc_id"), col("w.n").as("n"), col("w.i").as("i"),
+        col("w.g").as("g"))
+    val counts = grams
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"), collect_list(col("i")).as("ps"))
+      .withColumn("glen",
+        (length(col("g")) - (col("n") - lit(1))).cast("long"))
+    val tops = counts.filter(col("n") <= 4)
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(struct(col("cnt"), col("glen"))).as("m"))
+      .select(col("doc_id"), col("n"),
+        (col("m.cnt") * col("m.glen")).as("num"))
+    val lens = base
+      .select(col("doc_id"),
+        posexplode(expr("transform(toks, t -> length(t))")))
+      .select(col("doc_id"), (col("pos") + 1).as("p"),
+        col("col").cast("long").as("tlen"))
+    val cover = counts.filter(col("n") >= 5 && col("cnt") >= 2)
+      .select(col("doc_id"), col("n"), explode(col("ps")).as("i"))
+      .select(col("doc_id"), col("n"),
+        explode(expr("sequence(i, i + n - 1)")).as("p"))
+      .distinct()
+    val dups = cover.join(lens, Seq("doc_id", "p"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("tlen")).as("num"))
+    val nums = tops.unionByName(dups)
+    val aggCols = (2 to 10).map(n =>
+      sum(when(col("n") === n, col("num"))).as(s"num_$n"))
+    val perDoc = nums.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val joined = base.select(col("doc_id"), col("den"))
+      .join(perDoc, Seq("doc_id"), "left")
+    def frac(n: Int) =
+      when(col("den") === 0, lit(0.0))
+        .otherwise(coalesce(col(s"num_$n"), lit(0L)).cast("double") /
+          col("den").cast("double"))
+    def ok(n: Int) =
+      coalesce(col(s"num_$n"), lit(0L)) * 100 <=
+        lit(GopherRepThresholds(n)) * col("den")
+    val outCols = Seq(col("doc_id")) ++
+      (2 to 4).map(n => frac(n).as(s"top_${n}gram_char_frac")) ++
+      (5 to 10).map(n => frac(n).as(s"dup_${n}gram_char_frac")) ++
+      Seq((2 to 10).map(ok).reduce(_ && _).as("keep"))
+    joined.select(outCols: _*)
+  }
+
+  /** Paper thresholds × 100 (Rae et al. 2021, Table A1), indexed by n. */
+  private val GopherRepThresholds: Map[Int, Int] = Map(
+    2 -> 20, 3 -> 18, 4 -> 16,
+    5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+
+  def gopherRepetitionOracle: String = {
+    val fracs = ((2 to 4).map(n => n -> s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => n -> s"dup_${n}gram_char_frac")).map {
+      case (n, name) =>
+        s"""CASE WHEN den = 0 THEN 0.0
+           |    ELSE cast(coalesce(num_$n, 0) as double) / cast(den as double)
+           |  END AS $name""".stripMargin
+    }
+    val keep = (2 to 10)
+      .map(n => s"coalesce(num_$n, 0) * 100 <= ${GopherRepThresholds(n)} * den")
+      .mkString("(", "\n    AND ", ") AS keep")
+    val sums = (2 to 10)
+      .map(n => s"sum(CASE WHEN n = $n THEN num END) AS num_$n")
+      .mkString(",\n    ")
+    s"""WITH derived AS (
+       |  SELECT doc_id,
+       |    concat(text, CASE WHEN substring(md5('rep:' ||
+       |        cast(doc_id as varchar)), 1, 1) < '4'
+       |      THEN '$RepPhrase' ELSE '' END) AS text
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks,
+       |    cast(coalesce(list_sum(list_transform(
+       |      list_filter(string_split(text, ' '), t -> length(t) > 0),
+       |      t -> length(t))), 0) as bigint) AS den
+       |  FROM derived),
+       |grams AS (
+       |  SELECT doc_id, s.n AS n, s.i AS i, s.g AS g FROM (
+       |    SELECT doc_id,
+       |      unnest(flatten(list_transform(range(2, 11), n ->
+       |        CASE WHEN len(toks) < n THEN []
+       |        ELSE list_transform(range(1, cast(len(toks) as int) - n + 2),
+       |          i -> {'n': n, 'i': i,
+       |                'g': array_to_string(toks[i : i + n - 1], ' ')})
+       |        END))) AS s
+       |    FROM base) z),
+       |counts AS (
+       |  SELECT doc_id, n, g, count(*) AS cnt, list(i) AS ps,
+       |    cast(length(g) - (n - 1) as bigint) AS glen
+       |  FROM grams GROUP BY doc_id, n, g),
+       |tops AS (
+       |  SELECT doc_id, n, max({'c': cnt, 'l': glen}) AS m
+       |  FROM counts WHERE n <= 4 GROUP BY doc_id, n),
+       |lens AS (
+       |  SELECT doc_id, s.p AS p, s.l AS l FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(
+       |        generate_series(1, cast(len(toks) as int)),
+       |        i -> {'p': i, 'l': cast(length(toks[i]) as bigint)})) AS s
+       |    FROM base WHERE len(toks) >= 1) z),
+       |cover AS (
+       |  SELECT DISTINCT doc_id, n, p FROM (
+       |    SELECT doc_id, n,
+       |      unnest(flatten(list_transform(ps,
+       |        i -> list_transform(range(0, n), d -> i + d)))) AS p
+       |    FROM counts WHERE n >= 5 AND cnt >= 2) z),
+       |dups AS (
+       |  SELECT c.doc_id, c.n, cast(sum(l.l) as bigint) AS num
+       |  FROM cover c JOIN lens l ON c.doc_id = l.doc_id AND c.p = l.p
+       |  GROUP BY 1, 2),
+       |nums AS (
+       |  SELECT doc_id, n, cast(m.c * m.l as bigint) AS num FROM tops
+       |  UNION ALL SELECT doc_id, n, num FROM dups),
+       |perdoc AS (
+       |  SELECT doc_id,
+       |    $sums
+       |  FROM nums GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  ${fracs.mkString(",\n  ")},
+       |  $keep
+       |FROM (SELECT doc_id, den FROM base) b
+       |LEFT JOIN perdoc USING (doc_id)""".stripMargin
+  }
+
   // ---------------------------------------------------------------- //
   // PII scrubbing                                                    //
   // ---------------------------------------------------------------- //

@@ -294,6 +294,11 @@ object Dedup {
     graft.expr.ArrayMatchCount.register(spark)
     val hashes = spark.read.parquet(s"$indexPath/hashes")
     val bands = spark.read.parquet(s"$indexPath/bands")
+    // bsig feeds three plan branches; a DISK_ONLY persist was measured
+    // and REJECTED (A/B at 10×: 21.2–24.4 s persisted vs 22.9 s
+    // recomputed — inside run noise; the columnar cache build of the
+    // text-derived signatures costs what the recompute costs, the
+    // same outcome as the segment-dedup text-cache A/B)
     val bsig = batch
       .select(col("doc_id").as("b_id"), md5(col("text")).as("bh"),
         array_distinct(split(col("text"), " ")).as("__toks"))

@@ -122,6 +122,43 @@ class CurationSpec extends AnyFunSuite {
     } finally rep.unpersist()
   }
 
+  test("gopher repetition table: exact char fractions on hand-built docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // "ab cd ab cd ab": top 2-gram "ab cd" occurs 2x of 4 bigrams;
+      // chars: den = 10; top2 num = 2 * 4 = 8; no 5-grams possible
+      (1L, "ab cd ab cd ab"),
+      // the 5-token phrase repeated: every 5-gram window in the overlap
+      // is duplicated; covered positions are counted ONCE — the whole
+      // doc is covered, dup5 = 1.0
+      (2L, "q w e r t q w e r t"),
+      // no repetition at all, long enough that no single n-gram's
+      // share trips a top-n threshold: dup fractions 0, keep true
+      (3L, (1 to 60).map(i => s"w$i").mkString(" ")),
+      // empty doc: den 0, fractions 0.0, keep true (vacuous)
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRepetitionOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(math.abs(d1.getAs[Double]("top_2gram_char_frac") - 0.8) < 1e-12)
+    assert(d1.getAs[Double]("dup_5gram_char_frac") == 0.0)
+    assert(!d1.getAs[Boolean]("keep")) // 0.8 > 0.20 threshold
+    val d2 = out(2L)
+    // all 10 single-char tokens covered once => 10/10
+    assert(d2.getAs[Double]("dup_5gram_char_frac") == 1.0)
+    // no 6..10-gram repeats ("q w e r t q" occurs once)
+    assert(d2.getAs[Double]("dup_6gram_char_frac") == 0.0)
+    assert(!d2.getAs[Boolean]("keep"))
+    val d3 = out(3L)
+    assert((5 to 10).forall(n =>
+      d3.getAs[Double](s"dup_${n}gram_char_frac") == 0.0))
+    assert(d3.getAs[Boolean]("keep"))
+    val d4 = out(4L)
+    assert(d4.getAs[Double]("top_2gram_char_frac") == 0.0)
+    assert(d4.getAs[Boolean]("keep"))
+  }
+
   test("ppl buckets: no doc lost, en heads the head bucket, thresholds order") {
     val out = Curation.perplexityBuckets(spark, sf).cache()
     try {
