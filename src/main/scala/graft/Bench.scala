@@ -81,7 +81,8 @@ object Bench {
       val b = new Array[Byte](1 << 20)
       val rnd = new java.util.Random(7); rnd.nextBytes(b); b
     }
-    val ioProbeDir = Files.createTempDirectory("graft-bench-ioprobe")
+    val ioProbeDir = java.nio.file.Paths.get(
+      graft.session.Scratch.dir("graft-bench-ioprobe"))
     def ioProbeOnce(): Double = {
       val f = ioProbeDir.resolve(s"probe-${System.nanoTime()}.bin")
       val t0 = System.nanoTime()
@@ -160,7 +161,7 @@ object Bench {
 
     // headline dataset write: lineitem partitioned by returnflag
     if (wanted("w1_partitioned_write")) {
-      val writeDir = Files.createTempDirectory("graft-bench-write").toString
+      val writeDir = graft.session.Scratch.dir("graft-bench-write").toString
       fixed += "w1_partitioned_write" -> time {
         DatasetWriter.toParquet(Tables.lineitem(spark, sfDir), writeDir,
           mode = DatasetWriter.Overwrite, partitionCols = Seq("l_returnflag"))
@@ -172,7 +173,7 @@ object Bench {
       val src = orders.sample(0.01, seed = 7).localCheckpoint(true)
       // headline DML: staged-atomic upsert of 1% of orders into a copy
       if (wanted("w2_upsert")) {
-        val upsertDir = Files.createTempDirectory("graft-bench-upsert").toString
+        val upsertDir = graft.session.Scratch.dir("graft-bench-upsert").toString
         DatasetWriter.toParquet(orders, upsertDir,
           mode = DatasetWriter.Overwrite)
         fixed += "w2_upsert" -> time {
@@ -181,7 +182,7 @@ object Bench {
       }
       // headline txn-log MERGE: snapshot-isolated upsert of 1% of orders
       if (wanted("w3_txn_merge")) {
-        val txnDir = Files.createTempDirectory("graft-bench-txn").toString + "/t"
+        val txnDir = graft.session.Scratch.dir("graft-bench-txn").toString + "/t"
         table.TxnLog.create(orders, txnDir)
         fixed += "w3_txn_merge" -> time {
           table.TxnLog.merge(spark, txnDir, src, keys = Seq("o_orderkey"))
@@ -192,7 +193,7 @@ object Bench {
     // persisted-ANN probe: index built outside the timer (once per
     // corpus), the timed part is what a query pays
     if (wanted("vec_indexed_probe")) {
-      val idxDir = Files.createTempDirectory("graft-bench-idx").toString
+      val idxDir = graft.session.Scratch.dir("graft-bench-idx").toString
       val emb = Tables.embeddings(spark, sfDir)
       ops.VectorIndex.putLsh(emb, idxDir)
       val qvec = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
@@ -210,16 +211,16 @@ object Bench {
     // SetTransaction commits, and the gate's token lambdas.
     if (wanted("stream_ingest")) {
       import org.apache.spark.sql.functions.{expr => sExpr}
-      val srcDir = Files.createTempDirectory("graft-bench-stream-src").toString
+      val srcDir = graft.session.Scratch.dir("graft-bench-stream-src").toString
       Tables.documents(spark, sfDir)
         .withColumn("ts", sExpr(
           "timestamp_micros(1700000000000000 + doc_id * 1000000)"))
         .select("doc_id", "lang", "text", "ts")
         .repartition(8).write.mode("overwrite").parquet(srcDir)
       val schema = spark.read.parquet(srcDir).schema
-      val tableDir = Files.createTempDirectory("graft-bench-stream-tbl")
+      val tableDir = graft.session.Scratch.dir("graft-bench-stream-tbl")
         .toString + "/t"
-      val ckpt = Files.createTempDirectory("graft-bench-stream-ck").toString
+      val ckpt = graft.session.Scratch.dir("graft-bench-stream-ck").toString
       fixed += "stream_ingest" -> time {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", 2).parquet(srcDir)
@@ -241,7 +242,7 @@ object Bench {
     // postings index BUILD as its own entry (the ingest-time cost; the
     // probe cost is `search_postings_query` in the sweep above)
     if (wanted("search_postings_build") || wanted("search_postings_probe")) {
-      val postDir = Files.createTempDirectory("graft-bench-postings")
+      val postDir = graft.session.Scratch.dir("graft-bench-postings")
         .toString + "/idx"
       val postingsBuildTime = time {
         ops.Postings.build(Tables.documents(spark, sfDir), postDir,

@@ -24,7 +24,7 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dir = java.nio.file.Files.createTempDirectory("graft-scale").toString
+    val dir = graft.session.Scratch.dir("graft-scale")
     val docs = Tables.documents(spark, sfDir)
     val nDocs = docs.count()
     // replicate with distinct ids and a replica-tag token so exact

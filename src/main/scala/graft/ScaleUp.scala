@@ -16,7 +16,7 @@ object ScaleUp {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(2).headOption.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-sfup").toString)
+      graft.session.Scratch.dir("graft-sfup"))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -68,37 +68,42 @@ object DataQuality {
     // ---- round-12 rule types (`data_quality/_create.py:27-37` renders
     // ---- arbitrary DQDL; Glue's grammar carries all of these) -------------
 
-    /** `Mean "c" > x` — decimal(20,10)-summed mean (order-independent,
+    /** `Mean "c" > x` — decimal(28,10)-summed mean (order-independent,
       * so the DuckDB oracle is bit-exact; the VectorIndex centroid
-      * trick). */
+      * trick). Exact-decimal domain: |v| < 10^18; beyond that the
+      * ANSI cast overflows loudly rather than silently degrading. */
     def meanRule(c: String, op: String, bound: Double): Rule =
       Rule(s"mean_$c",
-        sum(col(c).cast("decimal(20,10)")).cast("double") /
+        sum(col(c).cast("decimal(28,10)")).cast("double") /
           count(col(c)).cast("double"),
         cmp(op, bound))
 
     /** `StandardDeviation "c" < x` — POPULATION stddev from two exact
-      * decimal sums (Σx at 10 dp, Σx² from 6-dp squares: (12,6)×(12,6)
-      * = decimal(24,12) stays uncapped in both engines), final
-      * arithmetic in double. The metric is rounded to 6 dp (the DSIR
+      * decimal sums (Σx at 10 dp, Σx² from 6-dp squares: (18,6)×(18,6)
+      * = decimal(37,12), still under the 38-digit cap in both engines),
+      * final arithmetic in double. Exact-decimal domain: |v| < 10^12
+      * (the squared term); larger values overflow the ANSI cast loudly
+      * — a column of values past 10^12 needs a double-based rule, not
+      * a silent wrong answer. The metric is rounded to 6 dp (the DSIR
       * recipe): the exact decimal sums are equal on both engines, but
       * DuckDB's wide-decimal→double conversion is not always correctly
       * rounded, so the unrounded sqrt can differ by one ulp at larger
       * scales (seen at sf0.1, never sf0.01). */
     def stddevRule(c: String, op: String, bound: Double): Rule = {
       val n = count(col(c)).cast("double")
-      val s = sum(col(c).cast("decimal(20,10)")).cast("double")
-      val v6 = col(c).cast("decimal(12,6)")
+      val s = sum(col(c).cast("decimal(28,10)")).cast("double")
+      val v6 = col(c).cast("decimal(18,6)")
       val sq = sum(v6 * v6).cast("double")
       Rule(s"stddev_$c",
         round(sqrt(greatest(lit(0.0), sq / n - (s / n) * (s / n))), 6),
         cmp(op, bound))
     }
 
-    /** `Sum "c" > x` — exact decimal sum cast to double. */
+    /** `Sum "c" > x` — exact decimal sum cast to double
+      * (domain |v| < 10^18, like [[meanRule]]). */
     def sumRule(c: String, op: String, bound: Double): Rule =
       Rule(s"sum_$c",
-        sum(col(c).cast("decimal(20,10)")).cast("double"),
+        sum(col(c).cast("decimal(28,10)")).cast("double"),
         cmp(op, bound))
 
     /** `ColumnLength "c" <= n` — per-value check like ColumnValues:
@@ -180,6 +185,10 @@ object DataQuality {
     * the rest of the rule types Glue's DQDL grammar carries that are
     * single-pass aggregates) Mean, StandardDeviation, Sum,
     * ColumnLength, DistinctValuesCount with the full comparator set.
+    * Mean/Sum/StandardDeviation use exact-decimal sums for
+    * order-independent metrics: their domain is |v| < 10^18
+    * (10^12 for StandardDeviation's squared term); values beyond
+    * that overflow the ANSI cast loudly.
     */
   def parseRuleset(dqdl: String): Seq[Rule] = {
     val body = dqdl.replaceAll("(?s).*Rules\\s*=\\s*\\[", "")
@@ -351,9 +360,9 @@ object DataQuality {
   def eventsRulesetOracle: String =
     """WITH b AS (
       |  SELECT cast(count("value") as double) AS n,
-      |    cast(sum(cast("value" AS DECIMAL(20,10))) as double) AS s,
-      |    cast(sum(cast("value" AS DECIMAL(12,6)) *
-      |             cast("value" AS DECIMAL(12,6))) as double) AS sq,
+      |    cast(sum(cast("value" AS DECIMAL(28,10))) as double) AS s,
+      |    cast(sum(cast("value" AS DECIMAL(18,6)) *
+      |             cast("value" AS DECIMAL(18,6))) as double) AS sq,
       |    avg(CASE WHEN length(event_type) <= 32 THEN 1.0 ELSE 0.0 END)
       |      AS len_ok,
       |    cast(count(DISTINCT event_type) as double) AS nd_et,

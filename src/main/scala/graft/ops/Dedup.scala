@@ -352,8 +352,7 @@ object Dedup {
     * value-transparent for the row to stay green. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-incr")
-      .toString + "/idx"
+    val tmp = graft.session.Scratch.dir("graft-incr") + "/idx"
     buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 7), tmp)
     val batch = docs.filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), col("text"))
@@ -741,8 +740,9 @@ object Dedup {
     *
     * The pointer-jump term makes distance-to-root shrink geometrically
     * (≥ halving per step once propagation reaches the root's frontier),
-    * so `steps` = 10 converges for any component of diameter ≥ 512 —
-    * orders beyond the dup-cluster diameters in the corpus (the Spark
+    * so `steps` = 10 converges for any component of diameter ≤ 512
+    * (≤ 2^(steps−1)); size `steps` up from that bound for a wider
+    * corpus — 512 is orders beyond the dup-cluster diameters here (the Spark
     * side's large-star/small-star observably converges in 4-5 rounds).
     * Verified at both gate scales: a non-converged chain would
     * hash-mismatch the Spark labels and fail the gate loudly. */

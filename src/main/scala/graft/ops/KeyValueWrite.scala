@@ -175,8 +175,7 @@ object KeyValueWrite {
     * the raw table — any divergence in the merge (lost update, stale row,
     * dropped insert) hash-mismatches. */
   def upsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-kv-roundtrip").toString
+    val tmp = graft.session.Scratch.dir("graft-kv-roundtrip")
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))

@@ -155,8 +155,7 @@ object Postings {
 
   def indexFor(s: SparkSession, dir: String): String =
     indexCache.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-postings").toString + "/idx"
+      val tmp = graft.session.Scratch.dir("graft-postings") + "/idx"
       build(graft.Tables.documents(s, dir), tmp, nBuckets = 16)
       tmp
     })

@@ -47,7 +47,7 @@ object TableRoundtrips {
 
   /** Real `_delta_log` commit + partition-granular MERGE + protocol read. */
   def deltaMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-delta-rt").toString
+    val root = graft.session.Scratch.dir("graft-delta-rt")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => DeltaLogWriter.write(base, tmp,
@@ -59,7 +59,7 @@ object TableRoundtrips {
 
   /** Real Iceberg metadata commit + partition-granular MERGE + spec read. */
   def icebergMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-rt").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-rt")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => IcebergWriter.write(base, tmp,
@@ -72,7 +72,7 @@ object TableRoundtrips {
   /** In-repo snapshot log (TxnLog) commit + snapshot-isolated MERGE +
     * versioned read — the same gate over the third transaction layer. */
   def txnMergeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-txn-rt").toString
+    val root = graft.session.Scratch.dir("graft-txn-rt")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => graft.table.TxnLog.create(base, tmp,
@@ -96,7 +96,7 @@ object TableRoundtrips {
     * survivor set relationally, so a mis-decoded bitmap, an off-by-one
     * row index, or a dropped DV hash-mismatches. */
   def deltaDvDeleteRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-delta-dv").toString
+    val root = graft.session.Scratch.dir("graft-delta-dv")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
@@ -117,7 +117,7 @@ object TableRoundtrips {
     * final state must equal the plain DV-delete state — compaction that
     * loses or resurrects a row hash-mismatches. */
   def deltaOptimizeRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-delta-opt").toString
+    val root = graft.session.Scratch.dir("graft-delta-opt")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
@@ -133,7 +133,7 @@ object TableRoundtrips {
     * a key slice, rewrite_data_files (deletes materialized, gates
     * lifted), read — must equal the plain upsert state. */
   def icebergRewriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-rw").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-rw")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => IcebergWriter.write(base, tmp,
@@ -150,8 +150,7 @@ object TableRoundtrips {
     * ordering preserved through the entries' explicit sequence numbers,
     * zero data files touched ([[IcebergWriter.rewriteManifests]]). */
   def icebergRwManifestsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft-iceberg-rwm").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-rwm")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => IcebergWriter.write(base, tmp,
@@ -169,7 +168,7 @@ object TableRoundtrips {
     * with the oracle's calendar (`athena/_write_iceberg.py:269-281` is
     * the reference call shape). */
   def icebergDayRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-day").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-day")
     val tmp = root + "/t"
     val base = Tables.orders(s, dir)
       .filter(col("o_orderdate").between("1995-03-01", "1995-03-10"))
@@ -197,7 +196,7 @@ object TableRoundtrips {
     * (missing rows) or wrongly kept without the residual filter (extra
     * rows) hash-mismatches. */
   def deltaPrunedReadRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-delta-pr").toString
+    val root = graft.session.Scratch.dir("graft-delta-pr")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 200L)
@@ -220,7 +219,7 @@ object TableRoundtrips {
     * through the same day arithmetic the writer used), before any
     * parquet footer is opened. */
   def icebergPrunedReadRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-pr").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-pr")
     val tmp = root + "/t"
     val base = Tables.orders(s, dir)
       .filter(col("o_orderdate").between("1995-03-01", "1995-03-10"))
@@ -243,7 +242,7 @@ object TableRoundtrips {
     * the imported one, and BOTH must survive the rename — a dropped
     * mapping null-projects the imported rows and hash-mismatches. */
   def icebergAddFilesRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-af").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-af")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir).filter(col("c_custkey") <= 30L)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
@@ -277,7 +276,7 @@ object TableRoundtrips {
     * the later append, or a wrong sequence field hash-mismatches. The
     * follow-up APPEND proves delete manifests survive manifest carry. */
   def icebergPosDeleteRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-pd").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-pd")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
@@ -297,7 +296,7 @@ object TableRoundtrips {
     * their keys from the older files (no data-file rewrite); the spec
     * reader applies the deletes with sequence ordering. */
   def icebergEqUpsertRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-eq").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-eq")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => IcebergWriter.write(base, tmp,
@@ -321,7 +320,7 @@ object TableRoundtrips {
     * Zero data-file rewrite throughout; the read applies the DVs as a
     * position anti-join decoded on executors. */
   def icebergV3DvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-dv").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-dv")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
@@ -348,7 +347,7 @@ object TableRoundtrips {
     * base, a re-assigned carried file, or a lost next-row-id advance
     * all hash-mismatch. */
   def icebergLineageRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-rl").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-rl")
     val tmp = root + "/t"
     val b1 = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 80L)
@@ -372,7 +371,7 @@ object TableRoundtrips {
     * clone-only append; a DV lost in the clone, a path that fails to
     * resolve, or cross-contamination with the source hash-mismatches. */
   def deltaCloneRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-clone-rt").toString
+    val root = graft.session.Scratch.dir("graft-clone-rt")
     val (src, dst) = (root + "/src", root + "/clone")
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
@@ -400,7 +399,7 @@ object TableRoundtrips {
     * must see exactly the Delta state, through registered (not copied)
     * files, across two refreshes. */
   def uniformMirrorRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-uniform").toString
+    val root = graft.session.Scratch.dir("graft-uniform")
     val (d, m) = (root + "/d", root + "/m")
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 40L)
@@ -433,7 +432,7 @@ object TableRoundtrips {
     * merge inserts through the partition-granular path. The oracle
     * replays all three relationally. */
   def sqlDmlRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-sqldml").toString
+    val root = graft.session.Scratch.dir("graft-sqldml")
     val tmp = root + "/t"
     val base = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 60L)
@@ -500,7 +499,7 @@ object TableRoundtrips {
     * rewrite), later rows their explicit values. The oracle computes
     * the same split relationally. */
   def icebergDefaultsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-dflt").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-dflt")
     val tmp = root + "/t"
     val b1 = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 50L)
@@ -532,7 +531,7 @@ object TableRoundtrips {
     * oracle ranks independently and filters; a shifted or re-assigned
     * id hash-mismatches. */
   def deltaRowIdsRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-delta-rt").toString
+    val root = graft.session.Scratch.dir("graft-delta-rt")
     val tmp = root + "/t"
     val b1 = Tables.customer(s, dir)
       .filter(col("c_custkey") <= 100L)
@@ -586,7 +585,7 @@ object TableRoundtrips {
     * relationally, so a wrong preimage, a lost insert, or a replayed
     * already-deleted row hash-mismatches. */
   def deltaCdfRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-delta-cdf").toString
+    val root = graft.session.Scratch.dir("graft-delta-cdf")
     val tmp = root + "/t"
     seedAndMerge(s, dir)(
       base => {
@@ -611,7 +610,7 @@ object TableRoundtrips {
     * a scan that leaks seed rows (provenance bug), double-counts after
     * compaction, or drops an append hash-mismatches. */
   def icebergIncrementalRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-inc").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-inc")
     val tmp = root + "/t"
     def slice(lo: Long, hi: Long) = Tables.customer(s, dir)
       .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)
@@ -638,7 +637,7 @@ object TableRoundtrips {
     * slices — a dropped staged commit, a partial publish, or a staged
     * row leaking early all hash-mismatch. */
   def icebergWapRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-iceberg-wap").toString
+    val root = graft.session.Scratch.dir("graft-iceberg-wap")
     val tmp = root + "/t"
     def slice(lo: Long, hi: Long) = Tables.customer(s, dir)
       .filter(col("c_custkey") >= lo && col("c_custkey") <= hi)

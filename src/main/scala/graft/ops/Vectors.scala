@@ -315,8 +315,7 @@ object Vectors {
   def pqSearch(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
     val idx = pqIndexCache.computeIfAbsent(dir, _ => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-pq-idx").toString + "/idx"
+      val tmp = graft.session.Scratch.dir("graft-pq-idx") + "/idx"
       VectorIndex.putPq(emb, tmp,
         codebook = Some(VectorIndex.trainPqExact(emb)))
       tmp

@@ -27,7 +27,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   UnresolvedNamedLambdaVariable, WeekDay, WeekOfYear, XxHash64, Year}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   Average, BitAndAgg, BitOrAgg, CollectList, Count, First,
-  HyperLogLogPlusPlus, Sum}
+  HyperLogLogPlusPlus, Kurtosis, Sum}
 import org.apache.spark.sql.types.{
   BinaryType, DateType, Decimal, DecimalType, DoubleType, IntegerType,
   LongType, StringType, TimestampType}
@@ -162,10 +162,14 @@ object TrinoCompat {
       (s: SparkSession) => { doRegister(s); java.lang.Boolean.TRUE })
   }
 
-  private def doRegister(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
+  /** Every shim function as data: Trino name → expression builder.
+    * Collected once so registration and the rewrite agree on one name
+    * list (see [[shadowedBuiltins]]). */
+  private lazy val shimBuilders
+      : Seq[(String, Seq[Expression] => Expression)] = {
+    val out = Seq.newBuilder[(String, Seq[Expression] => Expression)]
     def fn(name: String)(builder: Seq[Expression] => Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
+      out += name -> builder
 
     fn("approx_distinct") {
       case Seq(c) => HyperLogLogPlusPlus(c, relativeSD = 0.023)
@@ -323,13 +327,14 @@ object TrinoCompat {
     }
     // md5/sha1 likewise return VARBINARY in Trino, but the bare names
     // are Spark builtins the repo's own SQL (MinHash et al.) depends
-    // on — so the REWRITE renames them to these graft-namespaced
-    // Trino-exact forms inside the shim only (readSqlQuery callers see
-    // Trino bytes; native spark.sql keeps Spark's hex strings).
-    fn("graft_trino_md5") { case Seq(c) =>
+    // on — they land in [[shadowedBuiltins]], registering as
+    // graft_trino_md5/graft_trino_sha1 with the rewrite renaming
+    // dialect calls to match (readSqlQuery callers see Trino bytes;
+    // native spark.sql keeps Spark's hex strings).
+    fn("md5") { case Seq(c) =>
       Unhex(Md5(Cast(c, BinaryType)))
     }
-    fn("graft_trino_sha1") { case Seq(c) =>
+    fn("sha1") { case Seq(c) =>
       Unhex(Sha1(Cast(c, BinaryType)))
     }
     // Trino's varchar↔varbinary bridges (its digests take varbinary
@@ -699,40 +704,28 @@ object TrinoCompat {
     }
     // kurtosis: Trino computes the SAMPLE excess kurtosis (the
     // bias-corrected estimator); Spark's builtin is the population
-    // form (n·m4/m2² − 3) — numerically different on every input
+    // form g2 = n·m4/m2² − 3 — numerically different on every input
     // (e.g. 1,2,3,4 → −1.2 vs Spark's −1.36). skewness needs no
-    // shadow: both engines use √n·M3/M2^1.5. NULL for n ≤ 3 (the
-    // (n−2)(n−3) factors divide by zero → Spark null division)
+    // shadow: both engines use √n·M3/M2^1.5. Derived from the builtin
+    // via the algebraic identity G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3))
+    // — Spark's Kurtosis uses stable streaming central moments, so
+    // this stays accurate when |mean| ≫ stddev (epoch timestamps,
+    // ids), where the raw-power-sum formulation cancels
+    // catastrophically in double. NULL for n ≤ 3 (the (n−2)(n−3)
+    // factors make the estimator undefined); zero variance → NaN
+    // (the builtin's 0/0, matching Trino)
     fn("kurtosis") { case Seq(c) =>
       val d = Cast(c, DoubleType)
       val n = Cast(Count(Seq(d)).toAggregateExpression(), DoubleType)
-      val s1 = Sum(d).toAggregateExpression()
-      val s2 = Sum(Multiply(d, d)).toAggregateExpression()
-      val s3 = Sum(Multiply(Multiply(d, d), d)).toAggregateExpression()
-      val s4 = Sum(Multiply(Multiply(d, d),
-        Multiply(d, d))).toAggregateExpression()
-      val mean = Divide(s1, n)
-      val mean2 = Multiply(mean, mean)
-      val m2 = Subtract(s2, Multiply(n, mean2))
-      val m4 = Add(
-        Subtract(s4, Multiply(Literal(4.0), Multiply(mean, s3))),
-        Subtract(Multiply(Literal(6.0), Multiply(mean2, s2)),
-          Multiply(Literal(3.0), Multiply(n, Multiply(mean2, mean2)))))
+      val g2 = Kurtosis(d).toAggregateExpression()
       val n1 = Subtract(n, Literal(1.0))
       val n2 = Subtract(n, Literal(2.0))
       val n3 = Subtract(n, Literal(3.0))
-      val sVar = Divide(m2, n1)
-      val term1 = Multiply(
-        Divide(Multiply(n, Add(n, Literal(1.0))),
-          Multiply(n1, Multiply(n2, n3))),
-        Divide(m4, Multiply(sVar, sVar)))
-      val term2 = Divide(Multiply(Literal(3.0), Multiply(n1, n1)),
+      val sample = Divide(
+        Multiply(Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)),
+          n1),
         Multiply(n2, n3))
-      // ANSI guards: n ≤ 3 → NULL (the estimator is undefined);
-      // zero variance → NaN (Java's 0/0, Trino's behavior)
-      If(LessThan(n, Literal(4.0)), Literal(null, DoubleType),
-        If(EqualTo(m2, Literal(0.0)), Literal(Double.NaN),
-          Subtract(term1, term2)))
+      If(LessThan(n, Literal(4.0)), Literal(null, DoubleType), sample)
     }
     // Trino's 2-arg regexp_replace DELETES matches; 3-arg passes through
     // to the builtin semantics (identical in both dialects)
@@ -751,6 +744,36 @@ object TrinoCompat {
     }
     fn("bitwise_xor") { case Seq(a, b) =>
       BitwiseXor(Cast(a, LongType), Cast(b, LongType))
+    }
+    out.result()
+  }
+
+  /** Shim names that collide with a Spark BUILTIN function name
+    * (computed against Spark's own builtin registry, so a future
+    * Spark release that claims one of these names flips it into this
+    * set automatically). These are NEVER registered under the bare
+    * name: [[doRegister]] registers them as `graft_trino_<name>` and
+    * [[rewrite]] renames dialect-text calls to match — generalizing
+    * the round-12 md5/sha1 pattern to the whole class. Running a
+    * dialect query therefore cannot change what any native
+    * `functions.*` / `spark.sql` call resolves to: the
+    * registry-shadowing hazard is closed structurally, not
+    * per-call-site (previously `regexp_extract` in LogsInsights and
+    * 1-arg `bit_count` in simhash were silently flipped once any
+    * dialect query had run on the session). */
+  private[graft] lazy val shadowedBuiltins: Seq[String] =
+    shimBuilders.map(_._1).filter(n =>
+      org.apache.spark.sql.catalyst.analysis.FunctionRegistry.builtin
+        .functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
+
+  private lazy val shadowedSet: Set[String] = shadowedBuiltins.toSet
+
+  private def doRegister(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    shimBuilders.foreach { case (name, builder) =>
+      val target = if (shadowedSet(name)) s"graft_trino_$name" else name
+      reg.createOrReplaceTempFunction(target, builder, "built-in")
     }
   }
 
@@ -870,10 +893,10 @@ object TrinoCompat {
     s = bracketsPass(s)
     s = renameCall(s, "ROW", "struct")
     s = renameCall(s, "TRY", "try")
-    // Trino digests return varbinary; the bare names stay Spark
-    // builtins outside the shim (see graft_trino_md5 registration)
-    s = renameCall(s, "md5", "graft_trino_md5")
-    s = renameCall(s, "sha1", "graft_trino_sha1")
+    // Every shim name colliding with a Spark builtin resolves through
+    // a graft-namespaced registration; the bare names stay Spark
+    // builtins in the session registry (see [[shadowedBuiltins]])
+    for (n <- shadowedBuiltins) s = renameCall(s, n, s"graft_trino_$n")
     s = bareVarchar(s)
     s
   }

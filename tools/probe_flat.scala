@@ -26,7 +26,7 @@ for ((dir, tag) <- Seq(("/root/testdata/sf0.1", "1x"),
     ("/tmp/sf1", "10x"), ("/tmp/sf10", "100x"))) {
   val corpus = graft.Tables.documents(spark, dir)
     .filter(col("doc_id") % 10 =!= 7)
-  val idx = java.nio.file.Files.createTempDirectory("pf").toString + "/idx"
+  val idx = graft.session.Scratch.dir("pf") + "/idx"
   timeIt(s"build $tag")(graft.ops.Dedup.buildDedupIndex(corpus, idx))
   val out = graft.ops.Dedup.incrementalProbe(spark, batch, idx)
   timeIt(s"probe $tag")(out.queryExecution.toRdd.count())
