@@ -103,6 +103,7 @@ object SparkEntry {
     // dedup / similarity
     "dedup_exact_docs"    -> (Dedup.exactDocDedup _),
     "dedup_incremental"   -> (Dedup.incrementalDedup _),
+    "dedup_daily_loop"    -> (Dedup.dailyDedupLoop _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
@@ -305,6 +306,7 @@ object SparkEntry {
     "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_exact_docs"    -> Dedup.exactDocDedupOracle,
     "dedup_incremental"   -> Dedup.incrementalDedupOracle,
+    "dedup_daily_loop"    -> Dedup.dailyDedupLoopOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,

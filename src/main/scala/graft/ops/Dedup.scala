@@ -258,20 +258,68 @@ object Dedup {
     * what keeps probes flat on dup-dense corpora: bucket occupancy is
     * the number of DISTINCT signatures, which duplication does not
     * grow. Text never enters the index — its size is O(distinct sigs). */
-  def buildDedupIndex(docs: DataFrame, indexPath: String): Unit = {
-    val sig = docs
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        array_distinct(split(col("text"), " ")).as("__toks"))
-      .select(col("doc_id"), col("h"), minhashSig.as("sig"))
+  def buildDedupIndex(docs: DataFrame, indexPath: String): Unit =
+    writeIndexTables(sigOf(docs), indexPath, "overwrite")
+
+  /** (doc_id, content hash, MinHash signature) for a document set —
+    * the derivation [[buildDedupIndex]], [[updateDedupIndex]] and the
+    * probe batch all share. */
+  private def sigOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), md5(col("text")).as("h"),
+      array_distinct(split(col("text"), " ")).as("__toks"))
+    .select(col("doc_id"), col("h"), minhashSig.as("sig"))
+
+  private def writeIndexTables(sig: DataFrame, indexPath: String,
+      mode: String): Unit = {
     sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .write.mode("overwrite").parquet(s"$indexPath/hashes")
+      .write.mode(mode).parquet(s"$indexPath/hashes")
     sig.select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       .groupBy(col("band"), col("bkey"), col("sig"))
       .agg(min(col("doc_id")).as("doc_id"))
-      .write.mode("overwrite").partitionBy("band")
+      .write.mode(mode).partitionBy("band")
       .parquet(s"$indexPath/bands")
   }
+
+  /** Append a probed batch's ADMITTED (verdict `novel`) documents into
+    * a persisted [[buildDedupIndex]] index — the write-back step of
+    * the daily loop, closing the round-12 gap of a full corpus
+    * re-index per day.
+    *
+    * Cost follows the BATCH, never the index: no existence scan is
+    * needed because a novel doc's keys are provably disjoint from the
+    * index — an identical content hash would have made the verdict
+    * `exact`, and an identical (band, bandKey, signature) group
+    * requires an identical FULL signature (the signature is part of
+    * the group key), which scores agreement 1.0 ≥ any sane `minEst` →
+    * `near`. The only work is a batch-local group dedup (two admitted
+    * docs may share a hash or signature group; a full rebuild keeps
+    * the min doc_id per group, and so does this), then a blind
+    * partitioned append. With day-over-day increasing doc_ids (the
+    * ingest contract), the updated index is ROW-IDENTICAL to a fresh
+    * rebuild over corpus ∪ admitted — spec'd (DailyDedupLoopSpec) and
+    * oracled (`dedup_daily_loop`).
+    *
+    * PRECONDITION (the composed loop's earlier stages): `admitted`
+    * must be within-batch exact-deduped ([[dedupBatch]]) and carry
+    * only [[incrementalProbe]]-`novel` docs from THIS index. Feeding
+    * `near`/`exact` docs would append duplicate group keys the probe
+    * does not expect.
+    */
+  def updateDedupIndex(spark: SparkSession, admitted: DataFrame,
+      indexPath: String): Unit =
+    writeIndexTables(sigOf(admitted), indexPath, "append")
+
+  /** Within-batch exact dedup — stage 1 of the daily loop (the
+    * batch-local [[exactDocDedup]]): keep the minimum-doc_id row per
+    * identical text. [[incrementalProbe]] compares batch-vs-index
+    * only, so identical NEW docs arriving in one batch must collapse
+    * here or both land `novel`. */
+  def dedupBatch(batch: DataFrame): DataFrame =
+    batch
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.text").as("text"))
 
   /** Probe a NEW batch of documents against a [[buildDedupIndex]] index.
     * Verdict per batch document:
@@ -425,6 +473,135 @@ object Dedup {
        |FROM bsig b
        |LEFT JOIN ex ON ex.b_id = b.doc_id
        |LEFT JOIN best ON best.b_id = b.doc_id""".stripMargin
+
+  /** Oracled entry for the COMPOSED daily loop — the operational shape
+    * the round-12 verdict asked for (build → probe day 1 → admit novel
+    * → [[updateDedupIndex]] → probe day 2), exercising every stage
+    * contract:
+    *  - day-1 batch = half the held-out docs (near/novel mix) plus
+    *    replayed corpus pages (+1e6, → `exact`), first collapsed by
+    *    [[dedupBatch]] (within-batch identical texts);
+    *  - novel docs are written back through the REAL persisted append
+    *    path;
+    *  - day-2 batch = the other half of the held-out docs (their near
+    *    matches may now be DAY-1 ADMITTED docs — the update is visible
+    *    to fuzzy matching) plus replays of the admitted docs (+3e6 —
+    *    must come back `exact` against the day-1 append).
+    * The DuckDB twin recomputes both days from the raw table, with
+    * day-2 verdicts against corpus ∪ day-1-novel — i.e. the oracle IS
+    * the full-rebuild equivalence the update claims. Day-1 results are
+    * frozen via localCheckpoint before the append: the probe reads the
+    * index lazily, and day 1 must not observe day 1's own write-back. */
+  def dailyDedupLoop(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val idx = graft.session.Scratch.dir("graft-daily") + "/idx"
+    buildDedupIndex(docs.filter(col("doc_id") % 10 =!= 7), idx)
+    val b1 = dedupBatch(
+      docs.filter(col("doc_id") % 20 === 7)
+        .select(col("doc_id"), col("text"))
+        .unionAll(docs.filter(col("doc_id") % 25 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+    val out1 = incrementalProbe(s, b1, idx).localCheckpoint()
+    val admitted = b1.join(
+      out1.filter(col("verdict") === "novel").select(col("doc_id")),
+      Seq("doc_id"))
+    updateDedupIndex(s, admitted, idx)
+    val b2 = dedupBatch(
+      docs.filter(col("doc_id") % 20 === 17)
+        .select(col("doc_id"), col("text"))
+        .unionAll(admitted.select((col("doc_id") + 3000000L).as("doc_id"),
+          col("text"))))
+    val out2 = incrementalProbe(s, b2, idx)
+    out1.withColumn("day", lit(1)).unionAll(out2.withColumn("day", lit(2)))
+      .select(col("day"), col("doc_id"), col("verdict"),
+        col("match_doc_id"), col("est_jaccard"))
+  }
+
+  def dailyDedupLoopOracle: String = {
+    // one verdict block per day, instantiated over (bsigN, csigN) —
+    // the same hash/band/argmax math as incrementalDedupOracle
+    def day(n: Int): String =
+      s"""ex$n AS (
+         |  SELECT b.doc_id AS b_id, min(c.doc_id) AS exact_match
+         |  FROM bsig$n b JOIN csig$n c ON b.h = c.h GROUP BY 1),
+         |cband$n AS (
+         |  SELECT doc_id, sig, b AS band,
+         |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+         |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+         |  FROM csig$n, range(0, $BANDS) AS u(b)),
+         |bband$n AS (
+         |  SELECT doc_id, sig, b AS band,
+         |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+         |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+         |  FROM bsig$n, range(0, $BANDS) AS u(b)),
+         |cand$n AS (
+         |  SELECT bb.doc_id AS b_id, cb.doc_id AS c_id,
+         |    max(cast(len(list_filter(generate_series(1, $K),
+         |        i -> bb.sig[i] = cb.sig[i])) as double) / ${K}.0) AS est
+         |  FROM bband$n bb JOIN cband$n cb
+         |    ON bb.band = cb.band AND bb.bkey = cb.bkey
+         |  GROUP BY 1, 2),
+         |best$n AS (
+         |  SELECT b_id, c_id, est FROM (
+         |    SELECT b_id, c_id, est, row_number() OVER (
+         |      PARTITION BY b_id ORDER BY est DESC, c_id ASC) AS rn
+         |    FROM cand$n) z WHERE rn = 1),
+         |out$n AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN ex.exact_match IS NOT NULL THEN 'exact'
+         |         WHEN best.est >= 0.5 THEN 'near'
+         |         ELSE 'novel' END AS verdict,
+         |    CASE WHEN ex.exact_match IS NOT NULL THEN ex.exact_match
+         |         WHEN best.est >= 0.5 THEN best.c_id END AS match_doc_id,
+         |    CASE WHEN ex.exact_match IS NULL AND best.est >= 0.5
+         |         THEN best.est END AS est_jaccard
+         |  FROM bsig$n b
+         |  LEFT JOIN ex$n ex ON ex.b_id = b.doc_id
+         |  LEFT JOIN best$n best ON best.b_id = b.doc_id)""".stripMargin
+    val sigList = s"""list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t)))))"""
+      .stripMargin
+    s"""WITH b1raw AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 7
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 25 = 3),
+       |b1 AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM b1raw GROUP BY md5(text)),
+       |csig1 AS MATERIALIZED (
+       |  SELECT doc_id, md5(text) AS h,
+       |    $sigList AS sig
+       |  FROM documents WHERE doc_id % 10 <> 7),
+       |bsig1 AS MATERIALIZED (
+       |  SELECT doc_id, text, md5(text) AS h,
+       |    $sigList AS sig
+       |  FROM b1),
+       |${day(1)},
+       |adm AS MATERIALIZED (
+       |  SELECT b.doc_id, b.text, b.h, b.sig
+       |  FROM bsig1 b JOIN out1 o
+       |    ON o.doc_id = b.doc_id AND o.verdict = 'novel'),
+       |csig2 AS (
+       |  SELECT doc_id, h, sig FROM csig1
+       |  UNION ALL SELECT doc_id, h, sig FROM adm),
+       |b2raw AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 17
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, text FROM adm),
+       |b2 AS (
+       |  SELECT min(doc_id) AS doc_id, min(text) AS text
+       |  FROM b2raw GROUP BY md5(text)),
+       |bsig2 AS MATERIALIZED (
+       |  SELECT doc_id, md5(text) AS h,
+       |    $sigList AS sig
+       |  FROM b2),
+       |${day(2)}
+       |SELECT 1 AS day, doc_id, verdict, match_doc_id, est_jaccard FROM out1
+       |UNION ALL
+       |SELECT 2 AS day, doc_id, verdict, match_doc_id, est_jaccard FROM out2"""
+      .stripMargin
+  }
 
   /** Production MinHash: same pipeline with xxhash64 (codegen'd long
     * hashing, no string churn), 32 components in 4 bands of 8. No SQL

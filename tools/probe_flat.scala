@@ -28,8 +28,15 @@ for ((dir, tag) <- Seq(("/root/testdata/sf0.1", "1x"),
     .filter(col("doc_id") % 10 =!= 7)
   val idx = graft.session.Scratch.dir("pf") + "/idx"
   timeIt(s"build $tag")(graft.ops.Dedup.buildDedupIndex(corpus, idx))
-  val out = graft.ops.Dedup.incrementalProbe(spark, batch, idx)
-  timeIt(s"probe $tag")(out.queryExecution.toRdd.count())
+  val out = timeIt(s"probe $tag")(
+    graft.ops.Dedup.incrementalProbe(spark, batch, idx).localCheckpoint())
+  println(s"[probe_flat] verdicts $tag: " + out.count())
+  // daily-loop write-back: admit the batch's novel docs. If update cost
+  // follows the BATCH (fixed here), this is flat across index scales.
+  val admitted = batch.join(
+    out.filter(col("verdict") === "novel").select("doc_id"), Seq("doc_id"))
+  timeIt(s"update $tag")(
+    graft.ops.Dedup.updateDedupIndex(spark, admitted, idx))
   println(s"[probe_flat] index rows $tag: " +
     spark.read.parquet(s"$idx/bands").count())
 }
