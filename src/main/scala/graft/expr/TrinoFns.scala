@@ -123,6 +123,94 @@ object TrinoFnsImpl {
       if (n == null || n.isMissingNode) null else n
     } catch { case _: Exception => null }
 
+  /** Trino `format_number(x)`: three-significant-digit rendering with
+    * a thousands unit suffix (K/M/B/T/Q) — `123456` → `123K`,
+    * `1000000` → `1M`. Divide by 1000 until |v| < 1000, then format
+    * with `#.##`/`#.#`/`#` by magnitude (HALF_EVEN, the DecimalFormat
+    * default), US symbols pinned so the output is locale-independent. */
+  def formatNumber(value0: Double): UTF8String = {
+    val units = Array("", "K", "M", "B", "T", "Q")
+    var value = value0
+    var i = 0
+    while (math.abs(value) >= 1000 && i < units.length - 1) {
+      value /= 1000; i += 1
+    }
+    val pattern =
+      if (math.abs(value) < 10) "#.##"
+      else if (math.abs(value) < 100) "#.#"
+      else "#"
+    val fmt = new java.text.DecimalFormat(pattern,
+      java.text.DecimalFormatSymbols.getInstance(java.util.Locale.US))
+    UTF8String.fromString(fmt.format(value) + units(i))
+  }
+
+  /** Trino `human_readable_seconds(x)`: weeks/days/hours/minutes/
+    * seconds with pluralization, zero units skipped, input rounded to
+    * the nearest second of its ABSOLUTE value (Trino drops the sign) —
+    * `96` → `1 minute, 36 seconds`, `0` → `0 seconds`. NaN/Infinity
+    * fail the query, as in Trino. */
+  def humanReadableSeconds(input: Double): UTF8String = {
+    if (java.lang.Double.isNaN(input) || java.lang.Double.isInfinite(input))
+      throw new IllegalArgumentException(
+        s"human_readable_seconds: invalid argument found: $input")
+    var s = math.round(math.abs(input))
+    val parts = Seq.newBuilder[String]
+    def take(unitSeconds: Long, name: String): Unit = {
+      val n = s / unitSeconds; s %= unitSeconds
+      if (n == 1) parts += s"1 $name"
+      else if (n > 1) parts += s"$n ${name}s"
+    }
+    take(604800L, "week"); take(86400L, "day"); take(3600L, "hour")
+    take(60L, "minute"); take(1L, "second")
+    val all = parts.result()
+    UTF8String.fromString(
+      if (all.isEmpty) "0 seconds" else all.mkString(", "))
+  }
+
+  /** Trino `combinations(array, n)`: the n-element subsets of the
+    * input, lexicographic by element index — `(['a','b','c'], 2)` →
+    * `[['a','b'],['a','c'],['b','c']]`; `n = 0` → `[[]]`; `n >` the
+    * array length → `[]`. Trino's guards: 0 ≤ n ≤ 5 and at most
+    * 100,000 subsets, both failing the query. */
+  def combinations(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int, elemType: DataType)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    if (n < 0) throw new IllegalArgumentException(
+      s"combinations: size must not be negative: $n")
+    if (n > 5) throw new IllegalArgumentException(
+      s"combinations: size must not exceed 5: $n")
+    val elems = arr.toObjectArray(elemType)
+    val len = elems.length
+    if (n > len) return new GenericArrayData(Array.empty[Any])
+    // C(len, n) with n ≤ 5 — overflow-free at any realistic length
+    var total = 1L
+    var k = 0
+    while (k < n && total <= 100000L) {
+      total = total * (len - k) / (k + 1); k += 1
+    }
+    if (total > 100000L) throw new IllegalArgumentException(
+      s"combinations: the number of subsets exceeds the maximum of 100000")
+    if (n == 0)
+      return new GenericArrayData(
+        Array[Any](new GenericArrayData(Array.empty[Any])))
+    val out = Array.newBuilder[Any]
+    val idx = Array.range(0, n)
+    var done = false
+    while (!done) {
+      out += new GenericArrayData(idx.map(elems))
+      var i = n - 1
+      while (i >= 0 && idx(i) == len - n + i) i -= 1
+      if (i < 0) done = true
+      else {
+        idx(i) += 1
+        var j = i + 1
+        while (j < n) { idx(j) = idx(j - 1) + 1; j += 1 }
+      }
+    }
+    new GenericArrayData(out.result())
+  }
+
   /** Trino type-name rendering for `typeof`. Documented approximation:
     * varchar/char render WITHOUT a length (Spark's StringType carries
     * none), and timestamps render at Trino's default precision 3. */
@@ -156,7 +244,11 @@ object TrinoFnsImpl {
 /** Trino `typeof(x)`: the TYPE of the argument as a varchar — a
   * metadata function, constant per plan, so it is foldable and the
   * optimizer collapses it to a literal before any codegen (the
-  * fallback eval below only runs during that fold). */
+  * fallback eval below only runs during that fold). A string LITERAL
+  * child renders Trino's length-parameterized type (`typeof('foo')` →
+  * `varchar(3)` — Trino types literals exactly, round 13); any other
+  * string expression stays bare `varchar` (Spark's StringType carries
+  * no length). */
 case class TrinoTypeOf(child: Expression) extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = StringType
@@ -164,7 +256,13 @@ case class TrinoTypeOf(child: Expression) extends UnaryExpression
   override def foldable: Boolean = true
   override def prettyName: String = "typeof"
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    UTF8String.fromString(TrinoFnsImpl.typeName(child.dataType))
+    child match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: UTF8String, dt) if dt == StringType =>
+        UTF8String.fromString(s"varchar(${s.numChars})")
+      case _ =>
+        UTF8String.fromString(TrinoFnsImpl.typeName(child.dataType))
+    }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -352,6 +450,84 @@ case class TrinoJsonArrayContains(left: Expression, right: Expression)
          |${ev.value} = ${ev.isNull} ? false : $tmp.booleanValue();"""
         .stripMargin
     })
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** Trino `format_number(x)` — see [[TrinoFnsImpl.formatNumber]]. Spark
+  * claims the bare name (comma-grouping `format_number(x, d)`), so the
+  * shim's registration is auto-namespaced by the shadowed-builtin
+  * machinery. */
+case class TrinoFormatNumber(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"format_number expects a numeric argument, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "format_number"
+  override def nullSafeEval(x: Any): Any =
+    TrinoFnsImpl.formatNumber(x.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, x => s"$impl.formatNumber($x)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Trino `human_readable_seconds(x)` — see
+  * [[TrinoFnsImpl.humanReadableSeconds]]. */
+case class TrinoHumanReadableSeconds(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"human_readable_seconds expects a numeric argument, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "human_readable_seconds"
+  override def nullSafeEval(x: Any): Any =
+    TrinoFnsImpl.humanReadableSeconds(x.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, x => s"$impl.humanReadableSeconds($x)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Trino `combinations(array, n)` — see [[TrinoFnsImpl.combinations]]. */
+case class TrinoCombinations(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: ArrayType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"combinations expects (array, integer n), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+  private def elementType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = {
+    val at = left.dataType.asInstanceOf[ArrayType]
+    ArrayType(at, containsNull = false)
+  }
+  override def prettyName: String = "combinations"
+  override def nullSafeEval(a: Any, n: Any): Any =
+    TrinoFnsImpl.combinations(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      n.asInstanceOf[Int], elementType)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = TrinoFnsImpl.getClass.getName.stripSuffix("$")
+    val dtRef = ctx.addReferenceObj("graftCombElemType", elementType)
+    defineCodeGen(ctx, ev,
+      (a, n) => s"$impl.combinations($a, $n, (org.apache.spark.sql.types." +
+        s"DataType) $dtRef)")
   }
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)

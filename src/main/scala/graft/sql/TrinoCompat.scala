@@ -131,11 +131,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *    formatter letters — the Joda common subset; exotic letters fail
   *    loudly), `current_timezone`.
   *
+  * ROUND 13: `combinations`, `format_number` (Trino's K/M/B/T/Q unit
+  * rendering — auto-namespaced, Spark owns the bare name),
+  * `human_readable_seconds` — the three approximation-free names from
+  * the probe's absent list, all codegen'd Catalyst expressions
+  * ([[graft.expr.TrinoFnsImpl]]); and `typeof` now renders
+  * length-parameterized `varchar(n)` for string LITERALS (Trino types
+  * literals exactly; non-literal strings stay bare `varchar` — Spark
+  * carries no length).
+  *
   * KNOWN-ABSENT (loud UNRESOLVED_ROUTINE, never silent): `word_stem`
   * (needs a Snowball stemmer — an approximation would silently
   * diverge), `numeric_histogram`, `approx_most_frequent` (sketch
-  * types with Trino-specific state), `combinations`, `format_number`,
-  * `human_readable_seconds`, `bar`.
+  * types with Trino-specific state), `bar`.
   */
 object TrinoCompat {
 
@@ -601,6 +609,19 @@ object TrinoCompat {
       case args if args.nonEmpty => FormatString(args: _*)
       case _ => throw new IllegalArgumentException(
         "format expects (format[, args...]), got 0 args")
+    }
+    // round-13 additions (previously loud-absent): the three
+    // approximation-free stragglers from the 119-statement probe.
+    // format_number collides with Spark's comma-grouping builtin and
+    // is auto-namespaced like md5 (see shadowedBuiltins).
+    fn("format_number") { case Seq(x) =>
+      graft.expr.TrinoFormatNumber(Cast(x, DoubleType))
+    }
+    fn("human_readable_seconds") { case Seq(x) =>
+      graft.expr.TrinoHumanReadableSeconds(Cast(x, DoubleType))
+    }
+    fn("combinations") { case Seq(a, n) =>
+      graft.expr.TrinoCombinations(a, Cast(n, IntegerType))
     }
     fn("regexp_split") { case Seq(s, p) =>
       StringSplit(s, p, Literal(-1))

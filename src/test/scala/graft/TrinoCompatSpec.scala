@@ -780,13 +780,80 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(r.getString(0) == "timestamp(3) with time zone")
     assert(r.getString(1) == "integer")
     assert(r.getString(2) == "bigint")
-    assert(r.getString(3) == "varchar")
+    // a string LITERAL types with its exact length (Trino semantics,
+    // round 13); non-literal strings below stay bare varchar
+    assert(r.getString(3) == "varchar(1)")
     assert(r.getString(4) == "double")
     assert(r.getString(5) == "decimal(2,1)")
     assert(r.getString(6) == "array(integer)")
     assert(r.getString(7) == "row(id bigint, v varchar)")
     assert(r.getString(8) == "map(varchar, integer)")
     assert(r.getString(9) == "date")
+  }
+
+  // ---- round-13: the three approximation-free ex-absent functions ---------
+
+  test("format_number renders K/M/B/T/Q unit suffixes (Trino docs vectors)") {
+    val r = one(
+      "SELECT format_number(123456) AS a, format_number(1000000) AS b, " +
+        "format_number(123) AS c, format_number(12345) AS d, " +
+        "format_number(1234567) AS e, format_number(-5700) AS f, " +
+        "format_number(0) AS z, format_number(2.5e12) AS t")
+    assert(r.getString(0) == "123K") // trino docs example
+    assert(r.getString(1) == "1M")   // trino docs example
+    assert(r.getString(2) == "123")
+    assert(r.getString(3) == "12.3K")
+    assert(r.getString(4) == "1.23M")
+    assert(r.getString(5) == "-5.7K")
+    assert(r.getString(6) == "0")
+    assert(r.getString(7) == "2.5T")
+    // native Spark format_number (comma grouping) is untouched — the
+    // shim name is shadow-namespaced, not bare
+    assert(spark.sql("SELECT format_number(1234567.891, 2) AS v")
+      .head().getString(0) == "1,234,567.89")
+  }
+
+  test("human_readable_seconds composes pluralized units (docs vectors)") {
+    val r = one(
+      "SELECT human_readable_seconds(96) AS a, " +
+        "human_readable_seconds(3762) AS b, " +
+        "human_readable_seconds(56363463) AS c, " +
+        "human_readable_seconds(0) AS z, " +
+        "human_readable_seconds(-1) AS neg, " +
+        "human_readable_seconds(61.499) AS rnd")
+    assert(r.getString(0) == "1 minute, 36 seconds")          // docs
+    assert(r.getString(1) == "1 hour, 2 minutes, 42 seconds") // docs
+    assert(r.getString(2) ==
+      "93 weeks, 1 day, 8 hours, 31 minutes, 3 seconds")      // docs
+    assert(r.getString(3) == "0 seconds")
+    assert(r.getString(4) == "1 second") // Trino takes |x|
+    assert(r.getString(5) == "1 minute, 1 second") // rounds to nearest
+    // NaN / Infinity fail the query loudly
+    assertThrows[Exception](one(
+      "SELECT human_readable_seconds(infinity()) AS v"))
+  }
+
+  test("combinations enumerates n-subsets lexicographically by index") {
+    val r = rows(
+      """SELECT c FROM (SELECT combinations(ARRAY ['foo', 'bar', 'baz'], 2)
+        |  AS cs) t CROSS JOIN UNNEST(cs) AS u (c)""".stripMargin)
+      .map(_.getSeq[String](0).toList)
+    assert(r == Seq(List("foo", "bar"), List("foo", "baz"),
+      List("bar", "baz"))) // trino docs example
+    // n = 0 → [[]]; n > length → []
+    val z = one("SELECT combinations(ARRAY[1, 2], 0) AS c")
+      .getSeq[scala.collection.Seq[Int]](0)
+    assert(z.size == 1 && z.head.isEmpty)
+    assert(one("SELECT combinations(ARRAY[1, 2], 3) AS c")
+      .getSeq[Any](0).isEmpty)
+    // integer subsets, order check
+    val n = one("SELECT combinations(ARRAY[1, 2, 3, 4], 3) AS c")
+      .getSeq[scala.collection.Seq[Int]](0).map(_.toList)
+    assert(n == Seq(List(1, 2, 3), List(1, 2, 4), List(1, 3, 4),
+      List(2, 3, 4)))
+    // guards fail the query: n > 5
+    assertThrows[Exception](one(
+      "SELECT combinations(ARRAY[1, 2, 3, 4, 5, 6], 6) AS c"))
   }
 
   test("histogram / cosine_similarity / Trino-exact kurtosis") {
