@@ -228,9 +228,18 @@ object Bench {
           appId = "bench-ingest",
           stopWords = ops.Curation.CorpusStopWords)
         q.awaitTermination()
-        // state-store size observable (stderr, outside the JSON
-        // contract): dedup state rows are bounded by the watermark
-        // delay, not the corpus — BASELINE.md records the curve
+        // observables (stderr, outside the JSON contract): per-batch
+        // throughput plus dedup state rows — state is bounded by the
+        // watermark delay, not the corpus; BASELINE.md records both
+        q.recentProgress.filter(_.numInputRows > 0).foreach { p =>
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(0L)
+          val rps =
+            if (ms > 0) p.numInputRows * 1000.0 / ms else Double.NaN
+          System.err.println(
+            f"[stream_ingest] batch=${p.batchId} rows=${p.numInputRows} " +
+              f"rowsPerSec=$rps%.0f")
+        }
         Option(q.lastProgress).foreach { p =>
           p.stateOperators.foreach(so => System.err.println(
             s"[stream_ingest] state rows=${so.numRowsTotal} " +

@@ -261,7 +261,17 @@ object EventStream {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.io.DeltaLogWriter.write(batch, path, txn = Some((appId, id)))
+        val c = graft.io.DeltaLogWriter.write(batch, path,
+          txn = Some((appId, id)))
+        // An idempotently SKIPPED replay returns without executing the
+        // batch — but stateful upstream operators (the watermark dedup)
+        // must still commit their state stores for this batch id, or
+        // Spark 4.1's per-batch commit validation fails the restarted
+        // query (STATE_STORE_COMMIT_VALIDATION_FAILED — caught by
+        // StreamIngestFailureSpec's kill-between-commits scenario).
+        // numFiles == 0 means skipped or empty; forcing an empty batch
+        // is free, so force rather than distinguish.
+        if (c.numFiles == 0) batch.queryExecution.toRdd.count()
         ()
       }
       .trigger(Trigger.AvailableNow())
