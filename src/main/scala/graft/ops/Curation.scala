@@ -471,14 +471,34 @@ object Curation {
   }
 
   def gopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetitionDerived(s, dir, prefixDerivation = false)
+
+  /** The entry with the formulation flag exposed — tools/gopher_ab.scala
+    * times both on the same derived corpus. */
+  private[graft] def gopherRepetitionDerived(s: SparkSession, dir: String,
+      prefixDerivation: Boolean): DataFrame =
     gopherRepetitionOn(Tables.documents(s, dir)
       .withColumn("text", expr(
         s"""concat(text, case when substring(md5(concat('rep:',
            |    cast(doc_id as string))), 1, 1) < '4'
-           |  then '$RepPhrase' else '' end)""".stripMargin)))
+           |  then '$RepPhrase' else '' end)""".stripMargin)),
+      prefixDerivation)
 
-  /** The operator proper, over (doc_id, text). */
-  private[graft] def gopherRepetitionOn(docs: DataFrame): DataFrame = {
+  /** The operator proper, over (doc_id, text).
+    *
+    * `prefixDerivation` selects the round-13 A/B alternative: explode
+    * ONE up-to-10-token window per position (~len rows instead of the
+    * 9-way ~9·len explode), aggregate windows first, then derive each
+    * n-gram as a length-n PREFIX of the aggregated window groups. Row
+    * and byte counts through the FIRST shuffle drop ~9× / ~5×, at the
+    * price of a SECOND shuffle over 9 × |distinct windows| — a win
+    * when windows repeat (dup-dense corpora), a loss when they are
+    * mostly unique (the second shuffle then carries what the single
+    * shuffle carried, plus the window pass). Both paths produce the
+    * identical `counts` table (spec-pinned); the default stays the
+    * measured winner on this corpus — see the A/B block below. */
+  private[graft] def gopherRepetitionOn(docs: DataFrame,
+      prefixDerivation: Boolean = false): DataFrame = {
     val base = docs
       .withColumn("toks", words)
       .select(col("doc_id"), col("toks"),
@@ -500,20 +520,51 @@ object Curation {
     // The per-gram `ps` position array is bounded by one gram's
     // occurrences within ONE document — per-doc skew, never
     // corpus-sized.
-    val grams = base.select(col("doc_id"),
-        explode(expr(
-          """flatten(transform(sequence(2, 10), n ->
-            |  case when size(toks) < n then
-            |    cast(array() as array<struct<n: int, i: int, g: string>>)
-            |  else transform(sequence(1, size(toks) - n + 1), i ->
-            |    named_struct('n', n, 'i', i,
-            |      'g', concat_ws(' ', slice(toks, i, n))))
-            |  end))""".stripMargin)).as("w"))
-      .select(col("doc_id"), col("w.n").as("n"), col("w.i").as("i"),
-        col("w.g").as("g"))
-    val counts = grams
-      .groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("cnt"), collect_list(col("i")).as("ps"))
+    val counts0 =
+      if (!prefixDerivation) {
+        val grams = base.select(col("doc_id"),
+            explode(expr(
+              """flatten(transform(sequence(2, 10), n ->
+                |  case when size(toks) < n then
+                |    cast(array() as array<struct<n: int, i: int, g: string>>)
+                |  else transform(sequence(1, size(toks) - n + 1), i ->
+                |    named_struct('n', n, 'i', i,
+                |      'g', concat_ws(' ', slice(toks, i, n))))
+                |  end))""".stripMargin)).as("w"))
+          .select(col("doc_id"), col("w.n").as("n"), col("w.i").as("i"),
+            col("w.g").as("g"))
+        grams
+          .groupBy(col("doc_id"), col("n"), col("g"))
+          .agg(count(lit(1)).as("cnt"), collect_list(col("i")).as("ps"))
+      } else {
+        // round-13 A/B: single-window explode + prefix re-aggregation.
+        // A window at position i carries min(10, len-i+1) tokens, so
+        // its length-n prefixes for n ≤ that are exactly the n-grams
+        // starting at i — per-position windows of length 1 carry no
+        // n ≥ 2 gram and are skipped.
+        val wins = base.select(col("doc_id"),
+            posexplode(expr(
+              """CASE WHEN size(toks) < 2
+                |  THEN cast(array() as array<string>)
+                |  ELSE transform(sequence(1, size(toks) - 1),
+                |         i -> concat_ws(' ', slice(toks, i, 10))) END"""
+                .stripMargin)))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
+        val wgroups = wins
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).as("wcnt"), collect_list(col("i")).as("wps"))
+          .withColumn("wtoks", split(col("w"), " "))
+        wgroups.select(col("doc_id"), col("wcnt"), col("wps"),
+            explode(expr(
+              """transform(sequence(2, size(wtoks)), n ->
+                |  named_struct('n', n,
+                |    'g', concat_ws(' ', slice(wtoks, 1, n))))"""
+                .stripMargin)).as("x"))
+          .groupBy(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+          .agg(sum(col("wcnt")).as("cnt"),
+            flatten(collect_list(col("wps"))).as("ps"))
+      }
+    val counts = counts0
       .withColumn("glen",
         (length(col("g")) - (col("n") - lit(1))).cast("long"))
     val tops = counts.filter(col("n") <= 4)

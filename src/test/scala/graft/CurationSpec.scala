@@ -267,4 +267,22 @@ class CurationSpec extends AnyFunSuite {
       assert(out.except(again).count() == 0 && again.except(out).count() == 0)
     } finally out.unpersist()
   }
+
+  test("gopherRepetition: prefix-window derivation equals the 9-way explode") {
+    import spark.implicits._
+    // raw corpus plus hand-made repetitive and degenerate docs - the
+    // prefix path must agree on dup-heavy, short, and empty shapes
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .unionAll(Seq(
+        (900001L, "a b c a b c a b c a b c"),
+        (900002L, "x y"),
+        (900003L, "solo"),
+        (900004L, "p q r s t u v w x y p q r s t u v w x y"))
+        .toDF("doc_id", "text"))
+    val a = Curation.gopherRepetitionOn(docs)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Curation.gopherRepetitionOn(docs, prefixDerivation = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
