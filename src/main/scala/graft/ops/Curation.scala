@@ -471,11 +471,12 @@ object Curation {
   }
 
   def gopherRepetition(s: SparkSession, dir: String): DataFrame =
-    gopherRepetitionDerived(s, dir, prefixDerivation = false)
+    gopherRepetitionDerived(s, dir, prefixDerivation = true)
 
   /** The entry with the formulation flag exposed — tools/gopher_ab.scala
-    * times both on the same derived corpus. */
-  private[graft] def gopherRepetitionDerived(s: SparkSession, dir: String,
+    * times both on the same derived corpus (public: spark-shell cannot
+    * see package-private members). */
+  def gopherRepetitionDerived(s: SparkSession, dir: String,
       prefixDerivation: Boolean): DataFrame =
     gopherRepetitionOn(Tables.documents(s, dir)
       .withColumn("text", expr(
@@ -486,19 +487,22 @@ object Curation {
 
   /** The operator proper, over (doc_id, text).
     *
-    * `prefixDerivation` selects the round-13 A/B alternative: explode
-    * ONE up-to-10-token window per position (~len rows instead of the
-    * 9-way ~9·len explode), aggregate windows first, then derive each
-    * n-gram as a length-n PREFIX of the aggregated window groups. Row
-    * and byte counts through the FIRST shuffle drop ~9× / ~5×, at the
-    * price of a SECOND shuffle over 9 × |distinct windows| — a win
-    * when windows repeat (dup-dense corpora), a loss when they are
-    * mostly unique (the second shuffle then carries what the single
-    * shuffle carried, plus the window pass). Both paths produce the
-    * identical `counts` table (spec-pinned); the default stays the
-    * measured winner on this corpus — see the A/B block below. */
+    * `prefixDerivation` selects between the round-12 9-way explode and
+    * the round-13 DEFAULT: explode ONE up-to-10-token window per
+    * position (~len rows instead of ~9·len), aggregate windows first,
+    * then derive each n-gram as a length-n PREFIX of the aggregated
+    * window groups. Row and byte counts through the FIRST shuffle drop
+    * ~9× / ~5×, at the price of a SECOND shuffle over
+    * 9 × |distinct windows|. Measured (tools/gopher_ab.scala, idle,
+    * min of 2 rounds each): sf0.1 5.8 s vs 9.9 s, sf1 42.5 s vs
+    * 97.4 s — the prefix path wins ~1.7–2.3×, because the second
+    * shuffle carries one count+positions row per distinct window
+    * instead of re-shuffling every occurrence, and the corpus's
+    * duplication (both natural and the rep-phrase derivation) shrinks
+    * the distinct set. Both paths produce the identical `counts`
+    * table (spec-pinned on dup-heavy/short/empty docs). */
   private[graft] def gopherRepetitionOn(docs: DataFrame,
-      prefixDerivation: Boolean = false): DataFrame = {
+      prefixDerivation: Boolean = true): DataFrame = {
     val base = docs
       .withColumn("toks", words)
       .select(col("doc_id"), col("toks"),

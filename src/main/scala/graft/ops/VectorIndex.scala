@@ -270,7 +270,7 @@ object VectorIndex {
 
   /** Build the PQ index (Jégou et al. 2011; see [[graft.expr.PqCodec]]):
     * per-subspace codebooks trained driver-side on a BOUNDED
-    * deterministic sample (the `sampleN` lowest vec_ids — m×ksub×dsub
+    * deterministic sample (hash-spread across vec_ids — m×ksub×dsub
     * floats of state, milliseconds, paid once at build), then ONE
     * codegen'd distributed pass packs every vector into an 8-byte code.
     * The persisted codes table drops the raw embeddings entirely —
@@ -306,7 +306,15 @@ object VectorIndex {
     * are order-dependent). */
   private def trainPqFloat(emb: DataFrame, m: Int, ksub: Int, dsub: Int,
       iters: Int, sampleN: Int): Array[Float] = {
-    val sample: Array[Array[Float]] = emb.orderBy(col("vec_id"))
+    // deterministic SPREAD sample (hash order, ids tie-break): the
+    // round-12 "sampleN lowest vec_ids" was a biased slice — on a
+    // growing corpus the lowest ids are the oldest data, and the
+    // codebook drifts out of distribution (measured in
+    // tools/ann_recall.scala: ADC recall fell 0.26 → 0.06 at 100×
+    // when the added data never entered the sample). Hash order keeps
+    // the build reproducible while sampling uniformly across ids.
+    val sample: Array[Array[Float]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(sampleN).select(col("embedding")).collect()
       .map(_.getAs[Seq[Float]](0).toArray)
     require(sample.nonEmpty, "empty embedding table")

@@ -81,6 +81,10 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
   graft.ops.VectorIndex.putLsh(emb, s"$root/lsh")
   graft.ops.VectorIndex.putIvf(emb, s"$root/ivf")
   graft.ops.VectorIndex.putPq(emb, s"$root/pq")
+  // the code-length knob: 16 subspaces (16B codes) - PQ recall at a
+  // growing corpus is bounded by quantization noise vs neighbor
+  // margin, so code length must grow with the corpus
+  graft.ops.VectorIndex.putPq(emb, s"$root/pq16", m = 16)
   // metric-matched truths: cosine for LSH/IVF/reranked PQ, L2 for the
   // raw ADC path (searchPq's contract is euclidean)
   graft.expr.EuclideanDistance.register(spark)
@@ -112,6 +116,11 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
         graft.ops.VectorIndex.searchPq(spark, s"$root/pq", q, k = 12)),
       ("pq_rerank50", truthCos, (q: Array[Float]) =>
         graft.ops.VectorIndex.searchPq(spark, s"$root/pq", q, k = 12,
+          rerank = 50, emb = Some(emb))),
+      ("pq16_l2", truthL2, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchPq(spark, s"$root/pq16", q, k = 12)),
+      ("pq16_rerank50", truthCos, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchPq(spark, s"$root/pq16", q, k = 12,
           rerank = 50, emb = Some(emb))))
   for ((name, truth, search) <- methods) {
     var hit = 0; var n = 0; var wall = 0.0
