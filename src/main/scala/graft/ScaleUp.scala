@@ -15,8 +15,11 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val src = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    // NOT Scratch.dir: the whole point is a dataset that OUTLIVES this
+    // JVM (the next spark-shell sweep reads it); Scratch's shutdown
+    // hook would delete it at exit
     val out = args.drop(2).headOption.getOrElse(
-      graft.session.Scratch.dir("graft-sfup"))
+      java.nio.file.Files.createTempDirectory("graft-sfup").toString)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",

@@ -306,8 +306,7 @@ object Dedup {
     * `near`/`exact` docs would append duplicate group keys the probe
     * does not expect.
     */
-  def updateDedupIndex(spark: SparkSession, admitted: DataFrame,
-      indexPath: String): Unit =
+  def updateDedupIndex(admitted: DataFrame, indexPath: String): Unit =
     writeIndexTables(sigOf(admitted), indexPath, "append")
 
   /** Within-batch exact dedup — stage 1 of the daily loop (the
@@ -502,10 +501,13 @@ object Dedup {
         .unionAll(docs.filter(col("doc_id") % 25 === 3)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
     val out1 = incrementalProbe(s, b1, idx).localCheckpoint()
+    // admitted feeds BOTH index sub-table writes and the day-2 batch -
+    // checkpoint it once instead of recomputing the batch dedup + join
+    // three times
     val admitted = b1.join(
       out1.filter(col("verdict") === "novel").select(col("doc_id")),
-      Seq("doc_id"))
-    updateDedupIndex(s, admitted, idx)
+      Seq("doc_id")).localCheckpoint()
+    updateDedupIndex(admitted, idx)
     val b2 = dedupBatch(
       docs.filter(col("doc_id") % 20 === 17)
         .select(col("doc_id"), col("text"))

@@ -20,9 +20,17 @@ object Scratch {
   private lazy val hook: Unit = Runtime.getRuntime.addShutdownHook(
     new Thread(() => {
       dirs.forEach { p =>
-        if (Files.exists(p))
-          Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-            .forEach(f => Files.deleteIfExists(f))
+        // per-directory isolation: one undeletable dir (a file still
+        // held open by a lingering executor thread at shutdown) must
+        // not abort cleanup of the rest
+        try {
+          if (Files.exists(p)) {
+            val walk = Files.walk(p)
+            try walk.sorted(Comparator.reverseOrder[Path]())
+              .forEach(f => Files.deleteIfExists(f))
+            finally walk.close()
+          }
+        } catch { case _: Exception => () }
       }
     }, "graft-scratch-cleanup"))
 

@@ -734,7 +734,8 @@ object TrinoCompat {
     // ids), where the raw-power-sum formulation cancels
     // catastrophically in double. NULL for n ≤ 3 (the (n−2)(n−3)
     // factors make the estimator undefined); zero variance → NaN
-    // (the builtin's 0/0, matching Trino)
+    // (Trino's 0/0 — Spark 4's builtin returns NULL there
+    // (nullOnDivideByZero), so a NULL g2 with n ≥ 4 is re-mapped)
     fn("kurtosis") { case Seq(c) =>
       val d = Cast(c, DoubleType)
       val n = Cast(Count(Seq(d)).toAggregateExpression(), DoubleType)
@@ -746,7 +747,8 @@ object TrinoCompat {
         Multiply(Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0)),
           n1),
         Multiply(n2, n3))
-      If(LessThan(n, Literal(4.0)), Literal(null, DoubleType), sample)
+      If(LessThan(n, Literal(4.0)), Literal(null, DoubleType),
+        If(IsNull(g2), Literal(Double.NaN), sample))
     }
     // Trino's 2-arg regexp_replace DELETES matches; 3-arg passes through
     // to the builtin semantics (identical in both dialects)

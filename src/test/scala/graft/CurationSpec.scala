@@ -279,7 +279,7 @@ class CurationSpec extends AnyFunSuite {
         (900003L, "solo"),
         (900004L, "p q r s t u v w x y p q r s t u v w x y"))
         .toDF("doc_id", "text"))
-    val a = Curation.gopherRepetitionOn(docs)
+    val a = Curation.gopherRepetitionOn(docs, prefixDerivation = false)
       .collect().map(_.toString).sorted.toSeq
     val b = Curation.gopherRepetitionOn(docs, prefixDerivation = true)
       .collect().map(_.toString).sorted.toSeq

@@ -33,7 +33,7 @@ class DailyDedupLoopSpec extends AnyFunSuite {
       out1.filter(col("verdict") === "novel").select(col("doc_id")),
       Seq("doc_id")).localCheckpoint()
     assert(admitted.count() > 0, "need novel docs for the update to bite")
-    Dedup.updateDedupIndex(spark, admitted, updated)
+    Dedup.updateDedupIndex(admitted, updated)
 
     val rebuilt = graft.session.Scratch.dir("ddl-rb") + "/idx"
     Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text"))
@@ -67,7 +67,7 @@ class DailyDedupLoopSpec extends AnyFunSuite {
     val admitted = b1.join(
       out1.filter(col("verdict") === "novel").select(col("doc_id")),
       Seq("doc_id")).localCheckpoint()
-    Dedup.updateDedupIndex(spark, admitted, idx)
+    Dedup.updateDedupIndex(admitted, idx)
     val replay = admitted
       .select((col("doc_id") + 7000000L).as("doc_id"), col("text"))
     val out2 = Dedup.incrementalProbe(spark, replay, idx)

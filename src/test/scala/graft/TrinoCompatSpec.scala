@@ -869,6 +869,11 @@ class TrinoCompatSpec extends AnyFunSuite {
     assert(one(
       "SELECT cosine_similarity(MAP(ARRAY['a'], ARRAY[1.0]), " +
         "MAP(ARRAY['b'], ARRAY[1.0])) AS v").getDouble(0) == 0.0)
+    // zero variance → NaN (Trino's 0/0; Spark 4's builtin returns NULL
+    // there, which the shim re-maps — caught by round-13 review)
+    assert(one(
+      "SELECT kurtosis(x) AS v FROM (VALUES 5.0e0,5.0e0,5.0e0,5.0e0) t(x)")
+      .getDouble(0).isNaN)
     // Trino's kurtosis is the SAMPLE excess estimator: 1,2,3,4 → -1.2
     // (Spark's population builtin says -1.36)
     val k = one(

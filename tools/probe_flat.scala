@@ -36,7 +36,7 @@ for ((dir, tag) <- Seq(("/root/testdata/sf0.1", "1x"),
   val admitted = batch.join(
     out.filter(col("verdict") === "novel").select("doc_id"), Seq("doc_id"))
   timeIt(s"update $tag")(
-    graft.ops.Dedup.updateDedupIndex(spark, admitted, idx))
+    graft.ops.Dedup.updateDedupIndex(admitted, idx))
   println(s"[probe_flat] index rows $tag: " +
     spark.read.parquet(s"$idx/bands").count())
 }
