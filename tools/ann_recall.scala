@@ -79,6 +79,10 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
   println(s"[ann_recall] scale=$tag corpus=${emb.count()}")
   val root = graft.session.Scratch.dir("annrec")
   graft.ops.VectorIndex.putLsh(emb, s"$root/lsh")
+  // the OR-amplification knob: 4 independent 8-bit bands - a
+  // candidate needs to collide in ANY band, trading scan width for
+  // recall (the same knob the MinHash text family uses)
+  graft.ops.VectorIndex.putLsh(emb, s"$root/lsh4", nBands = 4)
   graft.ops.VectorIndex.putIvf(emb, s"$root/ivf")
   graft.ops.VectorIndex.putPq(emb, s"$root/pq")
   // the code-length knob: 16 subspaces (16B codes) - PQ recall at a
@@ -107,6 +111,11 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
       ("lsh_probe32", truthCos, (q: Array[Float]) =>
         graft.ops.VectorIndex.searchLsh(spark, s"$root/lsh", q, k = 12,
           nProbe = 32)),
+      ("lsh_bands4", truthCos, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchLsh(spark, s"$root/lsh4", q, k = 12)),
+      ("lsh_bands4_probe8", truthCos, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchLsh(spark, s"$root/lsh4", q, k = 12,
+          nProbe = 8)),
       ("ivf", truthCos, (q: Array[Float]) =>
         graft.ops.VectorIndex.searchIvf(spark, s"$root/ivf", q, k = 12)),
       ("ivf_probe6", truthCos, (q: Array[Float]) =>
