@@ -509,9 +509,13 @@ object Curation {
         expr("cast(aggregate(toks, 0, (a, t) -> a + length(t)) as bigint)")
           .as("den"))
     // ONE window-level aggregation (on the RAW gram string) feeds both
-    // the top and dup paths — the identical subplan lets Spark reuse
-    // the exchange, so the 9-n explode runs exactly once. FOUR
-    // formulations measured at sf0.1 / sf1 (this one: 11.6 / 89 s):
+    // the top and dup paths. (Round-13 correction: Spark does NOT
+    // reuse the exchange here — the branch filters push through the
+    // aggregation and break subplan identity, so each branch computes
+    // the gram table; the shared-agg formulation still won its A/Bs
+    // on shuffle WIDTH, and a persist of the shared table was
+    // re-measured and rejected — see the counts note below.) SIX
+    // formulations now measured at sf0.1 / sf1 (explode9: 11.6 / 89 s):
     //  - join-back dup keys without position arrays: 25.9 / 239 s —
     //    three consumers with different filters get NO exchange reuse,
     //    each redid the explode;
@@ -568,6 +572,17 @@ object Curation {
           .agg(sum(col("wcnt")).as("cnt"),
             flatten(collect_list(col("wps"))).as("ps"))
       }
+    // counts feeds BOTH the top (n ≤ 4) and dup-coverage (n ≥ 5)
+    // paths; the grouping-key filters push through the aggregation, so
+    // the subplans are not identical and NO exchange reuse happens
+    // (verified: zero ReusedExchange in either formulation's physical
+    // plan — the round-12 scaladoc's reuse claim was wrong) and the
+    // gram aggregation runs once per branch. A DISK_ONLY persist of
+    // counts was A/B'd (round 13) and REJECTED: cold-cache sf0.1
+    // 7.5 s vs 5.8–6.1 s recomputed, sf1 51.3 s vs 42.5–61.8 s — the
+    // columnar cache write of gram strings + position arrays costs
+    // what the second computation costs (the same outcome as every
+    // text-cache A/B in this repo; see the segment-dedup note).
     val counts = counts0
       .withColumn("glen",
         (length(col("g")) - (col("n") - lit(1))).cast("long"))
