@@ -309,6 +309,49 @@ object Dedup {
   def updateDedupIndex(admitted: DataFrame, indexPath: String): Unit =
     writeIndexTables(sigOf(admitted), indexPath, "append")
 
+  /** Periodic maintenance for an index that has accumulated
+    * [[updateDedupIndex]] appends: every daily append adds one file
+    * per band partition (plus one to `hashes`), and at daily cadence
+    * the FILE count — not the row count — becomes the probe's
+    * scan-planning cost (365 appends = ~1100 band files for three
+    * bands). Rewrites each sub-table coalesced (~128 MB targets for
+    * `hashes`; one file per band via a band-keyed repartition), then
+    * publishes by directory rename — content is row-identical by
+    * construction (group keys are unique under the update invariant,
+    * so this is pure layout). Linear in the INDEX (not the corpus),
+    * run at maintenance cadence; the swap is not atomic for a
+    * concurrently running probe — schedule it like any table
+    * OPTIMIZE. */
+  def compactDedupIndex(spark: SparkSession, indexPath: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(indexPath).getFileSystem(conf)
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new Path(s"$indexPath/$sub")
+      val tmp = new Path(s"$indexPath/.${sub}_compact")
+      val old = new Path(s"$indexPath/.${sub}_old")
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compact: cannot stage $live")
+      require(fs.rename(tmp, live), s"compact: cannot publish $tmp")
+      fs.delete(old, true)
+    }
+    swap("hashes") { out =>
+      val bytes = fs.getContentSummary(new Path(s"$indexPath/hashes"))
+        .getLength
+      val files = math.max(1, (bytes / (128L << 20)).toInt +
+        (if (bytes % (128L << 20) > 0) 1 else 0))
+      spark.read.parquet(s"$indexPath/hashes")
+        .repartition(files).write.parquet(out)
+    }
+    swap("bands") { out =>
+      spark.read.parquet(s"$indexPath/bands")
+        .repartition(col("band"))
+        .write.partitionBy("band").parquet(out)
+    }
+  }
+
   /** Within-batch exact dedup — stage 1 of the daily loop (the
     * batch-local [[exactDocDedup]]): keep the minimum-doc_id row per
     * identical text. [[incrementalProbe]] compares batch-vs-index

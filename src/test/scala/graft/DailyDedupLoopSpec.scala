@@ -87,4 +87,47 @@ class DailyDedupLoopSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((3L, "alpha beta"), (7L, "gamma")))
   }
+
+  test("compactDedupIndex: fewer files, identical content and probes") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    val idx = graft.session.Scratch.dir("ddl-compact") + "/idx"
+    Dedup.buildDedupIndex(corpus, idx)
+    // three daily appends of guaranteed-novel synthetic batches
+    // (disjoint salted vocab per day), each through the real loop
+    for (day <- 1 to 3) {
+      val batch = Dedup.dedupBatch(
+        docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + day * 10000000L).as("doc_id"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), t -> concat(t, '_d$day'))"))
+              .as("text")))
+      val admitted = batch.join(
+        Dedup.incrementalProbe(spark, batch, idx)
+          .filter(col("verdict") === "novel").select(col("doc_id")),
+        Seq("doc_id"))
+      Dedup.updateDedupIndex(admitted, idx)
+    }
+    def partFiles(sub: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/$sub"))
+        .iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    def snap(sub: String): Set[String] =
+      spark.read.parquet(s"$idx/$sub").collect().map(_.toString).toSet
+    val probeBatch = docs.filter(col("doc_id") % 20 === 7)
+      .select(col("doc_id"), col("text"))
+    val beforeFiles = (partFiles("hashes"), partFiles("bands"))
+    val beforeContent = (snap("hashes"), snap("bands"))
+    val beforeProbe = asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+    Dedup.compactDedupIndex(spark, idx)
+    assert(partFiles("hashes") < beforeFiles._1,
+      s"hashes files ${partFiles("hashes")} !< ${beforeFiles._1}")
+    assert(partFiles("bands") < beforeFiles._2,
+      s"bands files ${partFiles("bands")} !< ${beforeFiles._2}")
+    assert(snap("hashes") == beforeContent._1)
+    assert(snap("bands") == beforeContent._2)
+    assert(asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+      == beforeProbe)
+  }
 }
