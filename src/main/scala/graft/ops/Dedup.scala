@@ -563,6 +563,10 @@ object Dedup {
       out1.filter(col("verdict") === "novel").select(col("doc_id")),
       Seq("doc_id")).localCheckpoint()
     updateDedupIndex(admitted, idx)
+    // maintenance compaction runs ON the oracled path: it must be
+    // invisible to the day-2 probe (layout-only), so the DuckDB twin —
+    // which never sees the index files — gates that invariant too
+    compactDedupIndex(s, idx)
     val b2 = dedupBatch(
       docs.filter(col("doc_id") % 20 === 17)
         .select(col("doc_id"), col("text"))
