@@ -77,6 +77,7 @@ object SparkEntry {
     "text_bpe_tokens"     -> (Text.bpeTokenCount _),
     // training-pipeline curation: decontamination + stratified sampling
     "curate_decontaminate" -> (Decontaminate.contamination _),
+    "curate_decontam_fuzzy" -> (Decontaminate.contaminationFuzzy _),
     "curate_strat_sample"  -> (Sampling.stratifiedSample _),
     "curate_split"         -> (Sampling.split _),
     // curation filters + training-set export (Gopher/Dolma recipes)
@@ -106,6 +107,7 @@ object SparkEntry {
     "dedup_daily_loop"    -> (Dedup.dailyDedupLoop _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
+    "dedup_lsh_capped"    -> ((s: org.apache.spark.sql.SparkSession, d: String) => Dedup.minhashLshCapped(s, d)),
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
     "dedup_minhash_fast"  -> (Dedup.minhashFastVerified _),
     "dedup_simhash"       -> (Dedup.simhashVerified _),
@@ -287,6 +289,7 @@ object SparkEntry {
     "text_lang_id"        -> Text.languageIdOracle,
     "text_bpe_tokens"     -> Text.bpeTokenCountOracle,
     "curate_decontaminate" -> Decontaminate.contaminationOracle,
+    "curate_decontam_fuzzy" -> Decontaminate.contaminationFuzzyOracle,
     "curate_strat_sample"  -> Sampling.stratifiedSampleOracle,
     "curate_split"         -> Sampling.splitOracle,
     "text_repetition"     -> Curation.repetitionScoreOracle,
@@ -309,6 +312,7 @@ object SparkEntry {
     "dedup_daily_loop"    -> Dedup.dailyDedupLoopOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
+    "dedup_lsh_capped"    -> Dedup.minhashLshCappedOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,
     // provable-recall gates for the Spark-specific hash families: the
     // xxhash64 candidate sets restricted to identical-token-set pairs

@@ -532,3 +532,28 @@ case class TrinoCombinations(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
+
+/** Trino `word_stem(word)` — the Snowball English (Porter2) stemmer
+  * Trino runs via `org.tartarus.snowball.ext.EnglishStemmer`; the full
+  * algorithm lives in [[Porter2]] (implemented from the published
+  * Snowball definition). Codegen'd via a static call, like every other
+  * tier-3 expression. */
+case class TrinoWordStem(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_stem expects a varchar argument, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "word_stem"
+  override def nullSafeEval(w: Any): Any =
+    Porter2.stem(w.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val impl = Porter2.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, w =>
+      s"$impl.stem((org.apache.spark.unsafe.types.UTF8String) $w)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

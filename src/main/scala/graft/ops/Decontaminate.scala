@@ -61,6 +61,96 @@ object Decontaminate {
       docs.filter(col("source") === "src0"), n = OracleN)
   }
 
+  // ---- Fuzzy (MinHash) decontamination -----------------------------------
+
+  /** NEAR-duplicate contamination: exact n-gram collision misses an
+    * eval item that was lightly paraphrased or reformatted into the
+    * crawl (the common leak mode — whitespace, punctuation, or a few
+    * token edits). This check flags corpus documents whose MinHash
+    * signature agrees with ANY benchmark document's on at least
+    * `minAgree` of the [[Dedup.K]] components — the SAME md5 signature
+    * family and LSH banding as the dedup operators, so a pipeline's
+    * dedup and decontamination thresholds are directly comparable.
+    *
+    * Scale shape (identical to [[check]]): the benchmark side is an
+    * eval suite — thousands of docs — so its banded signatures are
+    * BROADCAST; candidate generation is a map-side join on
+    * (band, bkey); the only shuffle is the candidate-level groupBy,
+    * which is bounded by true near-collisions, never corpus-sized.
+    * The corpus is scanned once, linearly.
+    *
+    * Output, one row per flagged corpus doc (all ties deterministic):
+    * `n_bench_hits` distinct benchmark docs at ≥ minAgree, `best_agree`
+    * the max agreement, `bench_id` the smallest benchmark doc achieving
+    * it. */
+  def checkFuzzy(s: SparkSession, corpus: DataFrame, benchmark: DataFrame,
+      minAgree: Int = 8): DataFrame = {
+    require(minAgree >= 1 && minAgree <= Dedup.K,
+      s"minAgree must be in [1, ${Dedup.K}], got $minAgree")
+    graft.expr.ArrayMatchCount.register(s)
+    def banded(df: DataFrame, idName: String, sigName: String) =
+      Dedup.withToks(df)
+        .select(col("doc_id").as(idName), Dedup.minhashSig.as("sig"))
+        .withColumn(sigName, col("sig"))
+        .select(col(idName), col(sigName), posexplode(Dedup.bandKeysExpr))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = banded(corpus, "doc_id", "csig")
+      .join(broadcast(banded(benchmark, "bench_id", "bsig")),
+        Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_id"),
+        call_function("array_match_count", col("csig"), col("bsig"))
+          .as("agree"))
+      .where(col("agree") >= minAgree)
+      .distinct() // a pair can collide in several bands
+    cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("agree")).as("best_agree"),
+        max(struct(col("agree"), (-col("bench_id")).as("nb")))
+          .getField("nb").as("neg_bench"))
+      .select(col("doc_id"), col("n_bench_hits"),
+        col("best_agree").cast("long").as("best_agree"),
+        (-col("neg_bench")).as("bench_id"))
+  }
+
+  /** Oracle-gated instance, mirroring [[contamination]]: src0 is the
+    * benchmark, the rest of the corpus is screened. */
+  val OracleMinAgree = 8
+
+  def contaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    checkFuzzy(s, docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), minAgree = OracleMinAgree)
+  }
+
+  def contaminationFuzzyOracle: String =
+    s"""WITH sig AS (
+       |  SELECT doc_id, source,
+       |    list_transform(generate_series(0, ${Dedup.K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, source, sig, b AS band,
+       |    md5(concat_ws('|', sig[b * ${Dedup.ROWS} + 1],
+       |                       sig[b * ${Dedup.ROWS} + 2],
+       |                       sig[b * ${Dedup.ROWS} + 3],
+       |                       sig[b * ${Dedup.ROWS} + 4])) AS bkey
+       |  FROM sig, range(0, ${Dedup.BANDS}) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT c.doc_id, b.doc_id AS bench_id,
+       |    len(list_filter(generate_series(1, ${Dedup.K}),
+       |        i -> c.sig[i] = b.sig[i])) AS agree
+       |  FROM (SELECT * FROM banded WHERE source <> 'src0') c
+       |  JOIN (SELECT * FROM banded WHERE source = 'src0') b
+       |    ON c.band = b.band AND c.bkey = b.bkey
+       |  WHERE len(list_filter(generate_series(1, ${Dedup.K}),
+       |        i -> c.sig[i] = b.sig[i])) >= $OracleMinAgree)
+       |SELECT doc_id, count(*) AS n_bench_hits,
+       |       CAST(max(agree) AS BIGINT) AS best_agree,
+       |       CAST(first(bench_id ORDER BY agree DESC, bench_id) AS BIGINT)
+       |         AS bench_id
+       |FROM cand GROUP BY 1""".stripMargin
+
   def contaminationOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),

@@ -139,9 +139,9 @@ object Dedup {
 
   /** MinHash components / LSH geometry for the oracle variant:
     * 12 components in 3 bands of 4 rows. */
-  private val K = 12
-  private val BANDS = 3
-  private val ROWS = K / BANDS
+  private[ops] val K = 12
+  private[ops] val BANDS = 3
+  private[ops] val ROWS = K / BANDS
 
   /** MinHash signature as an array of K per-seed minima. The hash family
     * is md5(seed || ':' || token) compared lexicographically — engine-
@@ -150,18 +150,21 @@ object Dedup {
     * xxhash64. Tokenization is hoisted into its own column first —
     * inlining `array_distinct(split(…))` inside the outer lambda would
     * re-tokenize the document once per signature component (K×). */
-  private def minhashSig = expr(
+  private[ops] def minhashSig = expr(
     s"""transform(sequence(0, ${K - 1}),
        |  i -> array_min(transform(__toks,
        |                 t -> md5(concat(cast(i as string), ':', t)))))""".stripMargin)
 
-  private def withToks(df: DataFrame): DataFrame =
+  private[ops] def withToks(df: DataFrame): DataFrame =
     df.withColumn("__toks", array_distinct(split(col("text"), " ")))
 
   /** Candidate pairs sharing at least one band, deduped, then one
-    * signature comparison per pair. */
+    * signature comparison per pair. With `maxBucket` set, buckets whose
+    * membership exceeds the cap are EXCLUDED from enumeration (the skew
+    * guard — see [[minhashLshCapped]]). */
   private def lshPairs(sig0: DataFrame, bandKeys: org.apache.spark.sql.Column,
-      estimate: org.apache.spark.sql.Column): DataFrame = {
+      estimate: org.apache.spark.sql.Column,
+      maxBucket: Option[Int] = None): DataFrame = {
     // signatures feed four plan branches (two join sides + two lookup
     // sides); materialize once instead of recomputing the hash family per
     // branch. DISK_ONLY, not localCheckpoint: the signature table is a
@@ -170,8 +173,18 @@ object Dedup {
     // recomputes its slice instead of failing the job
     val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     liveCaches.add(sig)
-    val banded = sig.select(col("doc_id"), posexplode(bandKeys))
+    val banded0 = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    // skew guard: the per-bucket count is a window over the SAME
+    // (band, bkey) hash partitioning the candidate join shuffles on
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bkey"))
+        banded0.withColumn("__bsz", count(lit(1)).over(w))
+          .where(col("__bsz") <= cap).drop("__bsz")
+      case None => banded0
+    }
     val a = banded.as("a"); val b = banded.as("b")
     val pairs = a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -220,6 +233,78 @@ object Dedup {
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
 
+  /** Pair enumeration with a SKEW GUARD: LSH buckets whose membership
+    * exceeds `maxBucket` are excluded from candidate generation, and
+    * [[lshBucketOverflow]] reports them LOUDLY instead of silently
+    * enumerating (or silently dropping) their pairs.
+    *
+    * Why this exists at 100 TB: candidate-join cost is Σ mᵢ² over
+    * bucket sizes mᵢ. One boilerplate bucket (empty pages, cookie
+    * banners, licence headers) of 10⁶ members is 10¹² pairs — a single
+    * straggler task that no amount of executors parallelizes, because
+    * it is one join key. Production dedup pipelines cap the bucket and
+    * surface the overflow for a different treatment (the cluster-keep
+    * path [[minhashDedupKeep]] handles a mega-cluster in one groupBy
+    * row, and [[ccDedup]] folds it into one component): the cap turns
+    * the worst case from quadratic-in-the-hottest-key into
+    * cap²·buckets, while the report keeps the omission observable —
+    * nothing is dropped without an audit row. Spark's AQE skew-join
+    * splitting does NOT help here: it rebalances partition bytes, but a
+    * self-join on one hot key still materializes m² output rows.
+    *
+    * The guard's bucket count is a window over the same (band, bkey)
+    * partitioning the join shuffles on, so it adds no extra exchange
+    * pattern beyond the one the join already pays. */
+  def minhashLshCapped(s: SparkSession, dir: String,
+      maxBucket: Int = 16): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    graft.expr.ArrayMatchCount.register(s)
+    val sig = withToks(Tables.documents(s, dir))
+      .select(col("doc_id"), minhashSig.as("sig"))
+    val est = (call_function("array_match_count", col("sig1"), col("sig2"))
+      .cast("double") / lit(K.toDouble))
+    lshPairs(sig, bandKeysExpr, est, Some(maxBucket))
+  }
+
+  def minhashLshCappedOracle: String = minhashLshCappedOracle(16)
+
+  private[graft] def minhashLshCappedOracle(cap: Int): String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+       |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+       |  FROM sig, range(0, $BANDS) AS u(b)),
+       |kept AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $cap)
+       |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |  cast(len(list_filter(generate_series(1, $K),
+       |       i -> a.sig[i] = b.sig[i])) as double) / ${K}.0 AS est_jaccard
+       |FROM kept a JOIN kept b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+
+  /** The audit side of the skew guard: one row per (band, bkey) bucket
+    * the cap excluded, with its membership count — the mega-clusters a
+    * pipeline routes to cluster-level treatment instead of pair
+    * enumeration. */
+  def lshBucketOverflow(s: SparkSession, dir: String,
+      maxBucket: Int = 16): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    withToks(Tables.documents(s, dir))
+      .select(col("doc_id"), minhashSig.as("sig"))
+      .select(col("doc_id"), posexplode(bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
+  }
+
   /** Linear-cost MinHash dedup: cluster by the FULL signature and keep
     * one representative per cluster. This — not pair enumeration — is
     * the operator a dup-dense 100 TB corpus needs: the 10× ScaleProbe
@@ -250,7 +335,7 @@ object Dedup {
   // ---- Incremental dedup against a persisted corpus index (round 12) ----
 
   /** LSH band-key array over a signature column named `sig`. */
-  private def bandKeysExpr = expr(
+  private[ops] def bandKeysExpr = expr(
     s"""transform(sequence(0, ${BANDS - 1}),
        |  b -> md5(concat_ws('|', slice(sig, b * $ROWS + 1, $ROWS))))""".stripMargin)
 

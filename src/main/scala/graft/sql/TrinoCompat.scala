@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
 import org.apache.spark.sql.catalyst.expressions.{
   Abs, Add, And, ArrayAggregate, ArrayDistinct, ArrayExists, ArrayFilter,
   ArrayForAll,
-  ArrayPosition, ArrayTransform, ArraysZip, Ascii, AssertTrue, Base64,
+  ArrayPosition, ArraySort, ArrayTransform, ArraysZip, Ascii, AssertTrue,
+  Base64, CaseWhen,
   BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor, Cast, Ceil, Coalesce,
   Concat, Conv,
   CreateNamedStruct, CreateStruct, DateAdd, DateFormatClass, DayOfYear,
@@ -140,10 +141,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * literals exactly; non-literal strings stay bare `varchar` — Spark
   * carries no length).
   *
-  * KNOWN-ABSENT (loud UNRESOLVED_ROUTINE, never silent): `word_stem`
-  * (needs a Snowball stemmer — an approximation would silently
-  * diverge), `numeric_histogram`, `approx_most_frequent` (sketch
-  * types with Trino-specific state), `bar`.
+  * ROUND 13 (cont.): `word_stem` — a from-the-spec Snowball English
+  * (Porter2) implementation ([[graft.expr.Porter2]]), the exact
+  * algorithm Trino's default `EnglishStemmer` runs; non-English
+  * language codes fail loudly (implemented would mean approximate).
+  * `approx_most_frequent(b, x, cap)` — composed EXACTLY from the
+  * histogram aggregate: the true top-b values by count (ties broken by
+  * key order). Trino's Space-Saving sketch returns the same top set
+  * whenever its capacity suffices (its counts are exact until
+  * eviction); where the sketch would err, the exact answer is the
+  * defensible Spark-side semantics (a groupBy-count is linear and
+  * partial-aggregable at any scale — there is nothing to approximate).
+  *
+  * KNOWN-ABSENT (loud UNRESOLVED_ROUTINE, never silent):
+  * `numeric_histogram` (Ben-Haim/Tom-Tov bins depend on input order —
+  * no deterministic distributed equivalent), `bar` (ANSI-escape
+  * rendering with Trino-private color interpolation).
   */
 object TrinoCompat {
 
@@ -169,6 +182,13 @@ object TrinoCompat {
     registered.computeIfAbsent(spark,
       (s: SparkSession) => { doRegister(s); java.lang.Boolean.TRUE })
   }
+
+  /** Trino's supported `word_stem` language codes (its Snowball set) —
+    * only 'en' is implemented; the rest fail loudly by name so a typo
+    * is distinguishable from an unimplemented language. */
+  private val TrinoWordStemLangs = Set(
+    "ca", "da", "de", "en", "es", "eu", "fi", "fr", "ga", "hu", "hy",
+    "it", "lt", "nl", "no", "pt", "ro", "ru", "sv", "tr")
 
   /** Every shim function as data: Trino name → expression builder.
     * Collected once so registration and the rewrite agree on one name
@@ -622,6 +642,75 @@ object TrinoCompat {
     }
     fn("combinations") { case Seq(a, n) =>
       graft.expr.TrinoCombinations(a, Cast(n, IntegerType))
+    }
+    // word_stem: Snowball English (Porter2) — the algorithm Trino's
+    // default EnglishStemmer runs (graft.expr.Porter2, from the
+    // published spec). Other language codes fail loudly: shipping an
+    // approximation under a Trino name would silently diverge.
+    fn("word_stem") {
+      case Seq(w) => graft.expr.TrinoWordStem(w)
+      case Seq(w, Literal(lang: UTF8String, StringType)) =>
+        lang.toString match {
+          case "en" => graft.expr.TrinoWordStem(w)
+          case l if TrinoWordStemLangs.contains(l) =>
+            throw new IllegalArgumentException(
+              s"word_stem: language '$l' is not implemented (only 'en' — " +
+                "the Snowball English/Porter2 stemmer)")
+          case l => throw new IllegalArgumentException(
+            s"Unknown stemmer language: $l")
+        }
+      case other => throw new IllegalArgumentException(
+        s"word_stem expects (word[, language]), got ${other.size} args")
+    }
+    // approx_most_frequent(buckets, value, capacity): the EXACT top-
+    // `buckets` values by count (ties broken by ascending key), built
+    // from the same collected-entries shape as histogram. Trino's
+    // Space-Saving sketch yields identical output whenever its capacity
+    // suffices (counts are exact until eviction); where the sketch
+    // would err, the exact answer is the strictly-better result — a
+    // distributed groupBy-count is linear, so there is nothing to
+    // approximate Spark-side. `capacity` is validated and ignored.
+    fn("approx_most_frequent") {
+      case Seq(bLit @ Literal(_, _), x, capLit @ Literal(_, _)) =>
+        val b = bLit.value match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case v => throw new IllegalArgumentException(
+            s"approx_most_frequent: buckets must be an integer literal, got $v")
+        }
+        val cap = capLit.value match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case v => throw new IllegalArgumentException(
+            s"approx_most_frequent: capacity must be an integer literal, got $v")
+        }
+        if (b <= 0) throw new IllegalArgumentException(
+          s"approx_most_frequent: buckets must be positive, got $b")
+        if (cap <= 0) throw new IllegalArgumentException(
+          s"approx_most_frequent: capacity must be positive, got $cap")
+        val entries = CollectList(x).toAggregateExpression() // skips nulls
+        def nv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
+        val (kk, e) = (nv("amk"), nv("ame"))
+        val countOf = Cast(new Size(ArrayFilter(entries,
+          LambdaFunction(EqualTo(e, kk), Seq(e)))), LongType)
+        val structs = ArrayTransform(ArrayDistinct(entries),
+          LambdaFunction(
+            CreateNamedStruct(Seq(Literal("k"), kk, Literal("v"), countOf)),
+            Seq(kk)))
+        val (lv, rv) = (nv("aml"), nv("amr"))
+        def fld(ex: Expression, n: String) =
+          UnresolvedExtractValue(ex, Literal(n))
+        val cmp = CaseWhen(Seq(
+          (GreaterThan(fld(lv, "v"), fld(rv, "v")), Literal(-1)),
+          (LessThan(fld(lv, "v"), fld(rv, "v")), Literal(1)),
+          (LessThan(fld(lv, "k"), fld(rv, "k")), Literal(-1)),
+          (GreaterThan(fld(lv, "k"), fld(rv, "k")), Literal(1))),
+          Literal(0))
+        val sorted = new ArraySort(structs, LambdaFunction(cmp, Seq(lv, rv)))
+        MapFromEntries(Slice(sorted, Literal(1), Literal(b)))
+      case other => throw new IllegalArgumentException(
+        "approx_most_frequent expects (buckets, value, capacity) with " +
+          s"literal buckets/capacity, got ${other.size} args")
     }
     fn("regexp_split") { case Seq(s, p) =>
       StringSplit(s, p, Literal(-1))

@@ -189,21 +189,35 @@ object TrinoQueries {
         |       round(kurtosis(l_quantity), 6) AS kurt,
         |       CAST(cardinality(histogram(l_linestatus)) AS BIGINT) AS nls,
         |       TRY(histogram(l_linestatus)['O']) AS n_open,
-        |       bitwise_or_agg(l_linenumber) AS bor
+        |       bitwise_or_agg(l_linenumber) AS bor,
+        |       array_join(map_keys(approx_most_frequent(2, l_linestatus, 100)), ',') AS top_ls,
+        |       array_join(map_values(approx_most_frequent(2, l_linestatus, 100)), ',') AS top_ls_n
         |FROM lineitem
         |GROUP BY 1""".stripMargin)
   }
 
   def fnTier3AggOracle: String =
-    """SELECT l_returnflag AS flag,
+    """WITH lc AS (
+      |  SELECT l_returnflag AS f, l_linestatus AS ls, count(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |top2 AS (
+      |  SELECT f, ls, cnt FROM lc
+      |  QUALIFY row_number() OVER (PARTITION BY f ORDER BY cnt DESC, ls) <= 2),
+      |amf AS (
+      |  SELECT f, string_agg(ls, ',' ORDER BY cnt DESC, ls) AS top_ls,
+      |         string_agg(cnt, ',' ORDER BY cnt DESC, ls) AS top_ls_n
+      |  FROM top2 GROUP BY f)
+      |SELECT l_returnflag AS flag,
       |       round(kurtosis(l_quantity), 6) AS kurt,
       |       count(DISTINCT l_linestatus) AS nls,
       |       CASE WHEN count(*) FILTER (WHERE l_linestatus = 'O') = 0
       |            THEN NULL
       |            ELSE count(*) FILTER (WHERE l_linestatus = 'O')
       |       END AS n_open,
-      |       bit_or(l_linenumber) AS bor
-      |FROM lineitem
+      |       bit_or(l_linenumber) AS bor,
+      |       any_value(amf.top_ls) AS top_ls,
+      |       any_value(amf.top_ls_n) AS top_ls_n
+      |FROM lineitem JOIN amf ON amf.f = l_returnflag
       |GROUP BY 1""".stripMargin
 
   def unnestOrdinalityOracle: String =

@@ -856,6 +856,33 @@ class TrinoCompatSpec extends AnyFunSuite {
       "SELECT combinations(ARRAY[1, 2, 3, 4, 5, 6], 6) AS c"))
   }
 
+  test("approx_most_frequent: exact top-buckets by count, key tiebreak") {
+    // docs-shaped: top 3 of a value stream; counts are exact and the
+    // map is ordered count-desc (ties by ascending key)
+    val m = one(
+      "SELECT approx_most_frequent(3, x, 15) AS m FROM (VALUES " +
+        "'A','B','A','C','A','B','D') t(x)").getMap[String, Long](0)
+    assert(m == Map("A" -> 3L, "B" -> 2L, "C" -> 1L))
+    // the count-desc, key-asc ordering is observable via map_keys
+    val keys = one(
+      "SELECT map_keys(approx_most_frequent(3, x, 15)) AS k FROM (VALUES " +
+        "'A','B','A','C','A','B','D') t(x)").getSeq[String](0)
+    assert(keys == Seq("A", "B", "C"))
+    // buckets >= distinct: the whole exact histogram comes back
+    val all = one(
+      "SELECT approx_most_frequent(10, x, 100) AS m FROM (VALUES " +
+        "1, 2, 2, 3) t(x)").getMap[Int, Long](0)
+    assert(all == Map(1 -> 1L, 2 -> 2L, 3 -> 1L))
+    // bigint values work (docs example shape)
+    val top2 = one(
+      "SELECT approx_most_frequent(2, x, 15) AS m FROM (VALUES " +
+        "CAST(9 AS BIGINT), 9, 9, 7, 7, 5) t(x)").getMap[Long, Long](0)
+    assert(top2 == Map(9L -> 3L, 7L -> 2L))
+    // guards fail loudly: non-literal or non-positive buckets
+    assertThrows[Exception](one(
+      "SELECT approx_most_frequent(0, x, 15) AS m FROM (VALUES 1) t(x)"))
+  }
+
   test("histogram / cosine_similarity / Trino-exact kurtosis") {
     val h = one(
       "SELECT histogram(x) AS h FROM (VALUES 'a', 'b', 'a', 'a') t(x)")
