@@ -88,24 +88,40 @@ object Decontaminate {
     require(minAgree >= 1 && minAgree <= Dedup.K,
       s"minAgree must be in [1, ${Dedup.K}], got $minAgree")
     graft.expr.ArrayMatchCount.register(s)
-    def banded(df: DataFrame, idName: String, sigName: String) =
-      Dedup.withToks(df)
-        .select(col("doc_id").as(idName), Dedup.minhashSig.as("sig"))
-        .withColumn(sigName, col("sig"))
-        .select(col(idName), col(sigName), posexplode(Dedup.bandKeysExpr))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val cand = banded(corpus, "doc_id", "csig")
-      .join(broadcast(banded(benchmark, "bench_id", "bsig")),
-        Seq("band", "bkey"))
-      .select(col("doc_id"), col("bench_id"),
+    // The benchmark side collapses to ONE representative per full
+    // signature (the ccDedup trick): agreement is a function of the
+    // signatures alone, so bench docs sharing a signature contribute
+    // identical candidate rows — keeping group size `bn` and min-id
+    // `bench_rep` recovers the doc-level report exactly (hits = Σ bn
+    // over matched groups; min bench id at best agreement = min rep,
+    // reps being group minima) while candidate volume stops scaling
+    // with benchmark dup density. A/B at 10× replicated data: 253 s
+    // per-doc vs 57 s grouped, value-identical (BASELINE.md round 13).
+    val bgroups = Dedup.withToks(benchmark)
+      .select(col("doc_id"), Dedup.minhashSig.as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("bench_rep"), count(lit(1)).as("bn"))
+    val bbanded = bgroups
+      .withColumn("bsig", col("sig"))
+      .select(col("bench_rep"), col("bn"), col("bsig"),
+        posexplode(Dedup.bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cbanded = Dedup.withToks(corpus)
+      .select(col("doc_id"), Dedup.minhashSig.as("sig"))
+      .withColumn("csig", col("sig"))
+      .select(col("doc_id"), col("csig"), posexplode(Dedup.bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val cand = cbanded
+      .join(broadcast(bbanded), Seq("band", "bkey"))
+      .select(col("doc_id"), col("bench_rep"), col("bn"),
         call_function("array_match_count", col("csig"), col("bsig"))
           .as("agree"))
       .where(col("agree") >= minAgree)
       .distinct() // a pair can collide in several bands
     cand.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bench_hits"),
+      .agg(sum(col("bn")).as("n_bench_hits"),
         max(col("agree")).as("best_agree"),
-        max(struct(col("agree"), (-col("bench_id")).as("nb")))
+        max(struct(col("agree"), (-col("bench_rep")).as("nb")))
           .getField("nb").as("neg_bench"))
       .select(col("doc_id"), col("n_bench_hits"),
         col("best_agree").cast("long").as("best_agree"),
