@@ -416,6 +416,59 @@ object Dedup {
   def updateDedupIndex(admitted: DataFrame, indexPath: String): Unit =
     writeIndexTables(sigOf(admitted), indexPath, "append")
 
+  // ---- Streaming index layer (micro-batch cadence daily loop) -----------
+
+  /** Write one micro-batch's admitted docs as a REPLAY-IDEMPOTENT
+    * stream-index layer: each batch owns the directory pair
+    * `hashes/batch_id=<id>` / `bands/batch_id=<id>` and a replay
+    * OVERWRITES it with the identical rows (admitted is deterministic
+    * given the probe exclusion — see [[streamIndexFrames]]), so a
+    * crash at any point between the index write and the table commit
+    * re-converges on restart. Lives in its own root (not the base
+    * index) so the base layout keeps its partition scheme. */
+  private[graft] def writeStreamIndexBatch(admitted: DataFrame,
+      streamPath: String, batchId: Long): Unit = {
+    val sig = sigOf(admitted)
+    sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .write.mode("overwrite")
+      .parquet(s"$streamPath/hashes/batch_id=$batchId")
+    sig.select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .groupBy(col("band"), col("bkey"), col("sig"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .write.mode("overwrite").partitionBy("band")
+      .parquet(s"$streamPath/bands/batch_id=$batchId")
+  }
+
+  /** The stream layer's (hashes, bands) frames RESTRICTED to batches
+    * BEFORE `beforeBatch` — the probe-time exclusion that makes the
+    * micro-batch loop deterministic under replay: a crashed attempt
+    * may have written its own `batch_id=<id>` layer already, and
+    * probing against it would flip this batch's own docs to `exact`.
+    * Partition pruning makes the exclusion a planning-time cut, not a
+    * scan. Empty frames when the layer doesn't exist yet. */
+  private[graft] def streamIndexFrames(spark: SparkSession,
+      streamPath: String, beforeBatch: Long): (DataFrame, DataFrame) = {
+    // the schema is EXPLICIT, never inferred: a batch that admitted
+    // zero docs leaves an empty batch_id=<id> directory (no part
+    // files), and inference over it throws UNABLE_TO_INFER_SCHEMA —
+    // caught by the bench's first dup-dense run
+    def layer(sub: String, schema: String): DataFrame = {
+      val ddl = org.apache.spark.sql.types.StructType.fromDDL(schema)
+      val p = new org.apache.hadoop.fs.Path(s"$streamPath/$sub")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        spark.read.schema(ddl).parquet(p.toString)
+          .where(col("batch_id") < beforeBatch).drop("batch_id")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(ddl.dropRight(1)))
+    }
+    (layer("hashes", "h STRING, doc_id BIGINT, batch_id BIGINT"),
+      layer("bands", "bkey STRING, sig ARRAY<STRING>, doc_id BIGINT, " +
+        "band INT, batch_id BIGINT"))
+  }
+
   /** Periodic maintenance for an index that has accumulated
     * [[updateDedupIndex]] appends: every daily append adds one file
     * per band partition (plus one to `hashes`), and at daily cadence
@@ -487,10 +540,18 @@ object Dedup {
     * per-band layout keeps each scan task's collision set local. The
     * only shuffled rows are the matched candidates (output-sized). */
   def incrementalProbe(spark: SparkSession, batch: DataFrame,
-      indexPath: String, minEst: Double = 0.5): DataFrame = {
+      indexPath: String, minEst: Double = 0.5): DataFrame =
+    probeFrames(spark, batch,
+      spark.read.parquet(s"$indexPath/hashes"),
+      spark.read.parquet(s"$indexPath/bands"), minEst)
+
+  /** [[incrementalProbe]] against explicit index frames — the streaming
+    * ingest unions the base index with its per-batch stream layer
+    * before probing ([[streamIndexFrames]]); semantics identical. */
+  private[graft] def probeFrames(spark: SparkSession, batch: DataFrame,
+      hashes: DataFrame, bands: DataFrame,
+      minEst: Double): DataFrame = {
     graft.expr.ArrayMatchCount.register(spark)
-    val hashes = spark.read.parquet(s"$indexPath/hashes")
-    val bands = spark.read.parquet(s"$indexPath/bands")
     // bsig feeds three plan branches; a DISK_ONLY persist was measured
     // and REJECTED (A/B at 10×: 21.2–24.4 s persisted vs 22.9 s
     // recomputed — inside run noise; the columnar cache build of the

@@ -297,6 +297,66 @@ object EventStream {
       path, checkpoint, appId)
   }
 
+  /** STREAMING incremental fuzzy dedup — the round-13 daily loop at
+    * micro-batch cadence. Per micro-batch:
+    * [[graft.ops.Dedup.dedupBatch]] (within-batch exact) →
+    * [[graft.ops.Dedup.probeFrames]] against base index ∪ stream
+    * layer (batch BROADCAST on both joins, the index never shuffles) →
+    * admit `novel` → [[graft.ops.Dedup.writeStreamIndexBatch]]
+    * (replay-idempotent per-batch overwrite) → Delta append with
+    * SetTransaction (exactly-once at the table).
+    *
+    * Crash-safety is the pair of invariants, not luck:
+    *  1. the probe EXCLUDES stream-layer partitions `batch_id >=
+    *     current` (a crashed attempt may have written its own layer);
+    *     with that cut, admitted docs are a deterministic function of
+    *     replayed input, so
+    *  2. the index write is an idempotent overwrite of THIS batch's
+    *     partition, and the table commit is SetTransaction-skipped —
+    *     any crash point between the two re-converges on restart.
+    * Probed-but-rejected docs never land anywhere; admitted docs land
+    * exactly once in both the table and the index.
+    *
+    * Ingest contract (same as the batch daily loop,
+    * [[graft.ops.Dedup.updateDedupIndex]]): doc_ids increase across
+    * batches relative to the indexed corpus — that is what makes the
+    * accumulated index row-identical to a fresh rebuild over
+    * corpus ∪ admitted (min-doc_id group representatives never move),
+    * which StreamDedupIndexSpec asserts. */
+  def ingestDedupIncremental(docs: DataFrame, path: String,
+      checkpoint: String, appId: String, indexPath: String,
+      streamIndexPath: String, minEst: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        import graft.ops.Dedup
+        val deduped = Dedup.dedupBatch(batch.select("doc_id", "text"))
+        val (sh, sb) = Dedup.streamIndexFrames(spark, streamIndexPath, id)
+        val hashes = spark.read.parquet(s"$indexPath/hashes")
+          .unionByName(sh)
+        val bands = spark.read.parquet(s"$indexPath/bands")
+          .unionByName(sb)
+        val verdicts = Dedup.probeFrames(spark, deduped, hashes, bands,
+          minEst)
+        // both sinks consume `admitted`; pin one evaluation
+        val admitted = deduped.join(
+          verdicts.where(col("verdict") === "novel").select("doc_id"),
+          "doc_id").localCheckpoint()
+        try {
+          Dedup.writeStreamIndexBatch(admitted, streamIndexPath, id)
+          val c = graft.io.DeltaLogWriter.write(admitted, path,
+            txn = Some((appId, id)))
+          // replayed-and-skipped batches still force upstream state
+          // commits (see runToDeltaExactlyOnce)
+          if (c.numFiles == 0) batch.queryExecution.toRdd.count()
+        } finally admitted.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run
     * commits as ONE table version): batches stage into per-batch data

@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.DeltaLogReader
+import graft.ops.Dedup
+import graft.streaming.EventStream
+
+/** [[EventStream.ingestDedupIncremental]] — the daily dedup loop at
+  * micro-batch cadence: per batch, within-batch exact dedup → probe
+  * against base index ∪ stream layer → admit novel → replay-idempotent
+  * per-batch index write → SetTransaction Delta append.
+  *
+  * Three gates: (1) verdict semantics across batches (a doc admitted in
+  * batch N blocks its duplicate in batch N+1 — the stream layer is
+  * live); (2) the final base∪stream index is ROW-IDENTICAL to a fresh
+  * rebuild over corpus ∪ admitted; (3) the two crash windows
+  * re-converge — commit-marker loss (table committed, checkpoint not)
+  * and the operator-specific one: index layer written, table commit
+  * never happened (the probe's batch_id exclusion makes the replay
+  * deterministic). */
+class StreamDedupIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val corpusText1 = "alpha beta gamma delta epsilon zeta eta theta"
+  private val corpusText2 = "one two three four five six seven eight"
+  private val novel1 = "brand new vocabulary first batch document xx yy"
+  private val novel2 = "second wave tokens entirely fresh content aa bb"
+
+  private def ingest(srcDir: String, table: String, ckpt: String,
+      idx: String, sidx: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    EventStream.ingestDedupIncremental(stream, table, ckpt,
+      appId = "sdi-spec", indexPath = idx, streamIndexPath = sidx)
+      .awaitTermination()
+  }
+
+  private def tableIds(table: String): Set[Long] =
+    DeltaLogReader.read(spark, table)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+  test("cross-batch dedup via the live stream layer; index " +
+    "row-identical to a fresh rebuild; crash windows re-converge") {
+    import spark.implicits._
+    val root = graft.session.Scratch.dir("sdi")
+    val (srcDir, table, ckpt, idx, sidx) =
+      (s"$root/src", s"$root/t", s"$root/ck", s"$root/idx", s"$root/sidx")
+
+    val corpus = Seq((1L, corpusText1), (2L, corpusText2))
+      .toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, idx)
+
+    // batch 0: an exact corpus dup (100), a novel doc (101), and a
+    // WITHIN-batch dup of it (102 — dedupBatch keeps min id 101)
+    val fileA = Seq((100L, corpusText1), (101L, novel1), (102L, novel1))
+      .toDF("doc_id", "text")
+    fileA.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    ingest(srcDir, table, ckpt, idx, sidx, schema)
+    assert(tableIds(table) == Set(101L))
+
+    // batch 1: a CROSS-batch dup of the batch-0 admit (200 — must be
+    // blocked by the stream layer, not the base index), a new novel
+    // (201), and a token-PERMUTED corpus doc (202: same distinct-token
+    // set -> identical signature -> agreement 1.0 -> near, dropped)
+    val near = corpusText2.split(" ").reverse.mkString(" ")
+    Seq((200L, novel1), (201L, novel2), (202L, near))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    ingest(srcDir, table, ckpt, idx, sidx, schema)
+    assert(tableIds(table) == Set(101L, 201L))
+
+    // ---- index row-identity to a fresh rebuild ------------------------
+    val rebuilt = s"$root/rebuilt"
+    Dedup.buildDedupIndex(
+      corpus.unionByName(Seq((101L, novel1), (201L, novel2))
+        .toDF("doc_id", "text")), rebuilt)
+    def hashRows(paths: String*) = paths
+      .flatMap(p => spark.read.parquet(p).select("h", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))).sorted
+    def bandRows(paths: String*) = paths
+      .flatMap(p => spark.read.parquet(p)
+        .select(col("band"), col("bkey"), concat_ws("|", col("sig")),
+          col("doc_id"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3)))).sorted
+    assert(hashRows(s"$idx/hashes", s"$sidx/hashes")
+      == hashRows(s"$rebuilt/hashes"))
+    assert(bandRows(s"$idx/bands", s"$sidx/bands")
+      == bandRows(s"$rebuilt/bands"))
+
+    // ---- crash window 1: commit marker lost (table committed) ---------
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().map(_.getName)
+      .filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commits, last.toString).delete())
+    new java.io.File(commits, s".$last.crc").delete()
+    ingest(srcDir, table, ckpt, idx, sidx, schema)
+    assert(tableIds(table) == Set(101L, 201L),
+      "replayed batch duplicated table rows")
+    assert(hashRows(s"$idx/hashes", s"$sidx/hashes")
+      == hashRows(s"$rebuilt/hashes"),
+      "replayed batch duplicated index rows")
+
+    // ---- crash window 2: index layer written, table commit lost -------
+    // Reproduce the on-disk state: batch 2 would admit a new novel doc;
+    // a crashed attempt already wrote its stream-index layer but never
+    // reached the Delta commit. The probe's batch_id exclusion must
+    // keep the replay's verdicts identical, re-overwrite the layer, and
+    // land the doc exactly once.
+    val novel3 = "third novel body of text with its own words cc dd"
+    val batch2 = Seq((300L, novel3)).toDF("doc_id", "text")
+    Dedup.writeStreamIndexBatch(batch2, sidx, batchId = 2L)
+    batch2.coalesce(1).write.mode("append").parquet(srcDir)
+    ingest(srcDir, table, ckpt, idx, sidx, schema)
+    assert(tableIds(table) == Set(101L, 201L, 300L),
+      "pre-written index layer must not block its own batch's admit")
+    val rebuilt2 = s"$root/rebuilt2"
+    Dedup.buildDedupIndex(
+      corpus.unionByName(
+        Seq((101L, novel1), (201L, novel2), (300L, novel3))
+          .toDF("doc_id", "text")), rebuilt2)
+    assert(hashRows(s"$idx/hashes", s"$sidx/hashes")
+      == hashRows(s"$rebuilt2/hashes"))
+    assert(bandRows(s"$idx/bands", s"$sidx/bands")
+      == bandRows(s"$rebuilt2/bands"))
+  }
+}
