@@ -512,6 +512,63 @@ object Dedup {
     }
   }
 
+  /** Fold a streaming ingest's accumulated per-batch index layers
+    * ([[writeStreamIndexBatch]]) with `batch_id < uptoBatch` into the
+    * BASE index — the maintenance closure of the micro-batch loop:
+    * without it the stream layer grows one directory pair per batch
+    * forever, and the probe's union pays the file-listing cost.
+    *
+    * RE-RUN IDEMPOTENT under any crash: the rewrite reads
+    * base ∪ layers and dedups on the group keys (min doc_id — a no-op
+    * on the disjoint-keys invariant, an exact dedup when a previous
+    * fold crashed between publish and layer delete), publishes by the
+    * same staged directory swap as [[compactDedupIndex]], then deletes
+    * the folded layers. A crash at any point re-converges on re-run.
+    * Like compaction, NOT safe under a concurrently running
+    * probe/ingest — schedule it like any table OPTIMIZE, between
+    * micro-batch runs. Linear in the index. */
+  def foldStreamIndex(spark: SparkSession, indexPath: String,
+      streamPath: String, uptoBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(indexPath).getFileSystem(conf)
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new Path(s"$indexPath/$sub")
+      val tmp = new Path(s"$indexPath/.${sub}_fold")
+      val old = new Path(s"$indexPath/.${sub}_old")
+      fs.delete(tmp, true)
+      write(tmp.toString)
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"fold: cannot stage $live")
+      require(fs.rename(tmp, live), s"fold: cannot publish $tmp")
+      fs.delete(old, true)
+    }
+    val (sh, sb) = streamIndexFrames(spark, streamPath, uptoBatch)
+    swap("hashes") { out =>
+      spark.read.parquet(s"$indexPath/hashes").unionByName(sh)
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .write.parquet(out)
+    }
+    swap("bands") { out =>
+      spark.read.parquet(s"$indexPath/bands").unionByName(sb)
+        .groupBy(col("band"), col("bkey"), col("sig"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .repartition(col("band"))
+        .write.partitionBy("band").parquet(out)
+    }
+    // folded layers go last: a crash before this point re-folds the
+    // same rows and the group-key dedup absorbs them
+    Seq("hashes", "bands").foreach { sub =>
+      val p = new Path(s"$streamPath/$sub")
+      if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("batch_id=") &&
+          n.stripPrefix("batch_id=").toLong < uptoBatch)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Within-batch exact dedup — stage 1 of the daily loop (the
     * batch-local [[exactDocDedup]]): keep the minimum-doc_id row per
     * identical text. [[incrementalProbe]] compares batch-vs-index

@@ -126,5 +126,37 @@ class StreamDedupIndexSpec extends AnyFunSuite {
       == hashRows(s"$rebuilt2/hashes"))
     assert(bandRows(s"$idx/bands", s"$sidx/bands")
       == bandRows(s"$rebuilt2/bands"))
+
+    // ---- maintenance: fold the stream layers into the base index ------
+    Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = 3L)
+    assert(hashRows(s"$idx/hashes") == hashRows(s"$rebuilt2/hashes"),
+      "folded base index must equal the fresh rebuild")
+    assert(bandRows(s"$idx/bands") == bandRows(s"$rebuilt2/bands"))
+    def layerDirs(sub: String): Set[String] = {
+      val d = new java.io.File(s"$sidx/$sub")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    }
+    assert(layerDirs("hashes").isEmpty && layerDirs("bands").isEmpty,
+      "folded layers must be deleted")
+
+    // crash window: a previous fold published the rewrite but died
+    // before deleting a layer — re-folding the leftover rows must be
+    // absorbed by the group-key dedup, not duplicated
+    Dedup.writeStreamIndexBatch(batch2, sidx, batchId = 2L)
+    Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = 3L)
+    assert(hashRows(s"$idx/hashes") == hashRows(s"$rebuilt2/hashes"),
+      "re-fold of a leftover layer duplicated index rows")
+    assert(bandRows(s"$idx/bands") == bandRows(s"$rebuilt2/bands"))
+
+    // the stream keeps working against the folded base: a dup of a
+    // folded admit is blocked, a new novel doc is admitted
+    val novel4 = "fourth stream document unique tokens ee ff gg hh"
+    Seq((400L, novel3), (401L, novel4)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    ingest(srcDir, table, ckpt, idx, sidx, schema)
+    assert(tableIds(table) == Set(101L, 201L, 300L, 401L),
+      "post-fold probe must see folded docs in the base index")
   }
 }
