@@ -357,6 +357,24 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** The COMPOSED streaming curation pipeline — what a production
+    * ingest actually runs: Gopher word-level quality gate (stateless
+    * codegen'd map, junk never reaches the probe) →
+    * [[ingestDedupIncremental]] (within-batch exact dedup → index
+    * probe → admit novel, exactly-once at the table, replay-idempotent
+    * at the index). Composition is free: the gate is a filter on the
+    * same micro-batch frame, so it adds zero state and zero shuffles
+    * to the dedup loop's plan. */
+  def curationIngestDeduped(docs: DataFrame, path: String,
+      checkpoint: String, appId: String, indexPath: String,
+      streamIndexPath: String, minEst: Double = 0.5,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords)
+      : StreamingQuery =
+    ingestDedupIncremental(
+      graft.ops.Curation.gopherGate(docs, minWords, maxWords, stopWords),
+      path, checkpoint, appId, indexPath, streamIndexPath, minEst)
+
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run
     * commits as ONE table version): batches stage into per-batch data

@@ -159,4 +159,30 @@ class StreamDedupIndexSpec extends AnyFunSuite {
     assert(tableIds(table) == Set(101L, 201L, 300L, 401L),
       "post-fold probe must see folded docs in the base index")
   }
+
+  test("composed pipeline: quality gate ahead of the dedup loop — " +
+    "junk never reaches the probe, dups never reach the table") {
+    import spark.implicits._
+    val root = graft.session.Scratch.dir("sdi-composed")
+    val (srcDir, table, ckpt, idx, sidx) =
+      (s"$root/src", s"$root/t", s"$root/ck", s"$root/idx", s"$root/sidx")
+    Dedup.buildDedupIndex(
+      Seq((1L, corpusText1)).toDF("doc_id", "text"), idx)
+    Seq(
+      (500L, "x1 y2 z3"),   // fails the gate (mean word length < 3)
+      (501L, corpusText1),  // passes the gate, exact dup -> probe drops
+      (502L, novel1)        // passes the gate, novel -> admitted
+    ).toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    EventStream.curationIngestDeduped(
+      spark.readStream.schema(schema).parquet(srcDir),
+      table, ckpt, appId = "sdi-composed", indexPath = idx,
+      streamIndexPath = sidx, minWords = 3,
+      stopWords = Seq("alpha", "beta", "brand", "new"))
+      .awaitTermination()
+    // a gate failure would surface here: 500 is novel, so only the
+    // gate keeps it out of the table; 501 only the probe keeps out
+    assert(tableIds(table) == Set(502L))
+  }
 }
