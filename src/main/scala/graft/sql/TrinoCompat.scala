@@ -45,6 +45,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  1. REGISTERED FUNCTIONS (Catalyst expressions, no UDFs):
   *     - `approx_distinct(x[, e])` → HyperLogLogPlusPlus (Trino's
   *       default max standard error 0.023);
+  *     - DOCUMENTED APPROXIMATION-CLASS DIVERGENCE: `approx_percentile`
+  *       is not shimmed — it resolves to Spark's builtin (a
+  *       Greenwald-Khanna-family sketch), while Trino runs a
+  *       qdigest/tdigest, so the two engines return different
+  *       approximate values for the same data. Both are within their
+  *       documented error models and Trino itself promises no
+  *       determinism for it; making the name loud would break common
+  *       queries for no exactness gain (and Spark's answer is, if
+  *       anything, the better-bounded one — callers needing exact
+  *       values can use Spark's `percentile`, which Trino lacks);
   *     - string-unit `date_diff('day', a, b)` / `date_add('day', n, t)`
   *       (Trino argument order) → TimestampDiff / TimestampAdd, with
   *       2-arg calls delegating to Spark's own DateDiff / DateAdd so
