@@ -29,9 +29,14 @@ import graft.Tables
   *     streamed index pass) → admit `novel` → [[updateDedupIndex]]
   *     (batch-cost append, row-identical to a full rebuild);
   *  3. at maintenance cadence: [[compactDedupIndex]] (layout-only
-  *     file-count control, linear in the index).
+  *     file-count control, linear in the index) and
+  *     [[vacuumDedupIndex]] (snapshot GC) — both SAFE under live
+  *     probes since round 14: the index sub-tables are
+  *     [[graft.table.TxnLog]] snapshot tables, so probes pin a
+  *     version and maintenance publishes the next one.
   * Measured flat across 100× index growth: probe 2.4/1.2/2.0 s,
-  * update 1.1/0.6/0.6 s (BASELINE.md round-13 tables).
+  * update 1.1/0.6/0.6 s (BASELINE.md round-13 tables; re-measured
+  * through the versioned reads round 14).
   */
 object Dedup {
 
@@ -364,9 +369,20 @@ object Dedup {
     * each group's min doc_id is exactly its tie-break winner) and is
     * what keeps probes flat on dup-dense corpora: bucket occupancy is
     * the number of DISTINCT signatures, which duplication does not
-    * grow. Text never enters the index — its size is O(distinct sigs). */
+    * grow. Text never enters the index — its size is O(distinct sigs).
+    *
+    * Each sub-table is a [[graft.table.TxnLog]] snapshot table
+    * (round 14): a probe resolves the current manifest ONCE at plan
+    * time and reads an immutable set of data directories, so
+    * maintenance ([[compactDedupIndex]], [[foldStreamIndex]]) running
+    * concurrently publishes a NEW version without ever moving the files
+    * a running probe holds — the probe-during-OPTIMIZE hazard of the
+    * round-13 directory-rename scheme is gone structurally. Old
+    * versions stay readable until [[vacuumDedupIndex]] reclaims them;
+    * schedule vacuum with a retention covering the longest-running
+    * probe, exactly like any table-format VACUUM. */
   def buildDedupIndex(docs: DataFrame, indexPath: String): Unit =
-    writeIndexTables(sigOf(docs), indexPath, "overwrite")
+    writeIndexTables(sigOf(docs), indexPath, overwrite = true)
 
   /** (doc_id, content hash, MinHash signature) for a document set —
     * the derivation [[buildDedupIndex]], [[updateDedupIndex]] and the
@@ -377,15 +393,47 @@ object Dedup {
     .select(col("doc_id"), col("h"), minhashSig.as("sig"))
 
   private def writeIndexTables(sig: DataFrame, indexPath: String,
-      mode: String): Unit = {
-    sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      .write.mode(mode).parquet(s"$indexPath/hashes")
-    sig.select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
+      overwrite: Boolean): Unit = {
+    import graft.table.TxnLog
+    val hashes = sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+    val bands = sig
+      .select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
       .groupBy(col("band"), col("bkey"), col("sig"))
       .agg(min(col("doc_id")).as("doc_id"))
-      .write.mode(mode).partitionBy("band")
-      .parquet(s"$indexPath/bands")
+    if (overwrite) {
+      TxnLog.overwrite(hashes, s"$indexPath/hashes")
+      TxnLog.overwrite(bands, s"$indexPath/bands", Seq("band"))
+    } else {
+      TxnLog.append(hashes, s"$indexPath/hashes")
+      TxnLog.append(bands, s"$indexPath/bands", Seq("band"))
+    }
+  }
+
+  /** The index's (hashes, bands) frames at the CURRENT snapshot of each
+    * sub-table — the one read path every probe and spec goes through.
+    * Directory resolution happens HERE (manifest parse), so the
+    * returned frames are pinned: maintenance publishing a new version
+    * after this call does not move the files these plans read. */
+  def readDedupIndex(spark: SparkSession,
+      indexPath: String): (DataFrame, DataFrame) = {
+    import graft.table.TxnLog
+    (TxnLog.read(spark, s"$indexPath/hashes"),
+      TxnLog.read(spark, s"$indexPath/bands"))
+  }
+
+  /** Reclaim index versions older than the newest `keepVersions` of
+    * each sub-table (data dirs + manifests) — the GC step of the
+    * snapshot model. Retention is the concurrency contract: a probe
+    * pinned at an old version keeps reading it until vacuum drops it,
+    * so keep ≥ 2 versions when probes and maintenance overlap (the
+    * default), and schedule vacuum with a horizon covering the
+    * longest-running probe. Returns directories removed. */
+  def vacuumDedupIndex(spark: SparkSession, indexPath: String,
+      keepVersions: Int = 2): Int = {
+    import graft.table.TxnLog
+    TxnLog.vacuum(spark, s"$indexPath/hashes", keepVersions) +
+      TxnLog.vacuum(spark, s"$indexPath/bands", keepVersions)
   }
 
   /** Append a probed batch's ADMITTED (verdict `novel`) documents into
@@ -414,7 +462,7 @@ object Dedup {
     * does not expect.
     */
   def updateDedupIndex(admitted: DataFrame, indexPath: String): Unit =
-    writeIndexTables(sigOf(admitted), indexPath, "append")
+    writeIndexTables(sigOf(admitted), indexPath, overwrite = false)
 
   // ---- Streaming index layer (micro-batch cadence daily loop) -----------
 
@@ -469,47 +517,87 @@ object Dedup {
         "band INT, batch_id BIGINT"))
   }
 
+  /** Test hook: invoked between a maintenance rewrite's snapshot pin
+    * and its publish attempt — lets specs interleave a concurrent
+    * [[updateDedupIndex]] to drive the CommitConflict retry path
+    * deterministically (the lost-update gate). */
+  private[graft] var maintenanceBarrier: () => Unit = () => ()
+
+  /** Test hook: invoked by [[foldStreamIndex]] between the two
+    * sub-table rewrites — the kill-DURING-fold injection point. */
+  private[graft] var foldBarrier: () => Unit = () => ()
+
+  /** Rewrite one index sub-table through the TxnLog's optimistic
+    * maintenance commit: pin the current snapshot, compute the
+    * replacement FROM that pinned version, publish with
+    * `expectedVersion` — a concurrent daily append landing in between
+    * raises CommitConflict and the rewrite re-reads and retries, so
+    * the append is never silently dropped (the losing attempt's data
+    * files are unreferenced and reclaimed by [[vacuumDedupIndex]]). */
+  private def rewriteIndexSub(spark: SparkSession, table: String,
+      partCols: Seq[String])(
+      transform: (DataFrame, graft.table.TxnLog.Snapshot) => DataFrame)
+      : Unit = {
+    import graft.table.TxnLog
+    val MaxAttempts = 6
+    var attempts = 0
+    while (attempts < MaxAttempts) {
+      val snap = TxnLog.currentSnapshot(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no index sub-table at $table"))
+      val out = transform(
+        TxnLog.read(spark, table, asOfVersion = Some(snap.version)), snap)
+      maintenanceBarrier()
+      try {
+        TxnLog.rewrite(out, table, partCols,
+          expectedVersion = snap.version)
+        return
+      } catch {
+        case _: TxnLog.CommitConflict => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"index rewrite at $table lost the commit race $MaxAttempts times")
+  }
+
+  /** Total bytes of the data directories a snapshot references
+    * (metadata-scale: one content summary per directory). */
+  private def snapshotBytes(spark: SparkSession, table: String,
+      snap: graft.table.TxnLog.Snapshot): Long = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(table)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val q = fs.makeQualified(root)
+    snap.dataDirs
+      .map(d => fs.getContentSummary(new Path(q, d)).getLength).sum
+  }
+
   /** Periodic maintenance for an index that has accumulated
     * [[updateDedupIndex]] appends: every daily append adds one file
     * per band partition (plus one to `hashes`), and at daily cadence
     * the FILE count — not the row count — becomes the probe's
     * scan-planning cost (365 appends = ~1100 band files for three
     * bands). Rewrites each sub-table coalesced (~128 MB targets for
-    * `hashes`; one file per band via a band-keyed repartition), then
-    * publishes by directory rename — content is row-identical by
-    * construction (group keys are unique under the update invariant,
-    * so this is pure layout). Linear in the INDEX (not the corpus),
-    * run at maintenance cadence; the swap is not atomic for a
-    * concurrently running probe — schedule it like any table
-    * OPTIMIZE. */
+    * `hashes`; one file per band via a band-keyed repartition) —
+    * content is row-identical by construction (group keys are unique
+    * under the update invariant, so this is pure layout). Linear in
+    * the INDEX (not the corpus), run at maintenance cadence.
+    *
+    * SAFE under a concurrently running probe (round 14): the rewrite
+    * publishes a new TxnLog version; a probe pinned at the old version
+    * keeps its files until [[vacuumDedupIndex]] drops them. A
+    * concurrent [[updateDedupIndex]] is never lost: the publish
+    * carries the pinned version as `expectedVersion`, so an interposed
+    * append conflicts the commit and the rewrite retries against the
+    * post-append snapshot (spec'd in DedupIndexSnapshotSpec). */
   def compactDedupIndex(spark: SparkSession, indexPath: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(indexPath).getFileSystem(conf)
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new Path(s"$indexPath/$sub")
-      val tmp = new Path(s"$indexPath/.${sub}_compact")
-      val old = new Path(s"$indexPath/.${sub}_old")
-      fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(old, true)
-      require(fs.rename(live, old), s"compact: cannot stage $live")
-      require(fs.rename(tmp, live), s"compact: cannot publish $tmp")
-      fs.delete(old, true)
+    rewriteIndexSub(spark, s"$indexPath/hashes", Nil) { (df, snap) =>
+      val bytes = snapshotBytes(spark, s"$indexPath/hashes", snap)
+      val target = 128L << 20
+      val files = math.max(1L, (bytes + target - 1) / target).toInt
+      df.repartition(files)
     }
-    swap("hashes") { out =>
-      val bytes = fs.getContentSummary(new Path(s"$indexPath/hashes"))
-        .getLength
-      val files = math.max(1, (bytes / (128L << 20)).toInt +
-        (if (bytes % (128L << 20) > 0) 1 else 0))
-      spark.read.parquet(s"$indexPath/hashes")
-        .repartition(files).write.parquet(out)
-    }
-    swap("bands") { out =>
-      spark.read.parquet(s"$indexPath/bands")
-        .repartition(col("band"))
-        .write.partitionBy("band").parquet(out)
-    }
+    rewriteIndexSub(spark, s"$indexPath/bands", Seq("band"))((df, _) =>
+      df.repartition(col("band")))
   }
 
   /** Fold a streaming ingest's accumulated per-batch index layers
@@ -521,50 +609,44 @@ object Dedup {
     * RE-RUN IDEMPOTENT under any crash: the rewrite reads
     * base ∪ layers and dedups on the group keys (min doc_id — a no-op
     * on the disjoint-keys invariant, an exact dedup when a previous
-    * fold crashed between publish and layer delete), publishes by the
-    * same staged directory swap as [[compactDedupIndex]], then deletes
-    * the folded layers. A crash at any point re-converges on re-run.
-    * Like compaction, NOT safe under a concurrently running
-    * probe/ingest — schedule it like any table OPTIMIZE, between
-    * micro-batch runs. Linear in the index. */
+    * fold crashed between publish and layer delete), publishes as a
+    * new TxnLog version (same optimistic commit as
+    * [[compactDedupIndex]]), then deletes the folded layers. A crash
+    * at any point re-converges on re-run (kill-during-fold spec'd in
+    * StreamDedupIndexSpec via [[foldBarrier]]). SAFE under a
+    * concurrently running probe — the probe's pinned version outlives
+    * the fold until [[vacuumDedupIndex]]; a concurrent base-index
+    * append conflicts the publish and the fold retries. Linear in the
+    * index. */
   def foldStreamIndex(spark: SparkSession, indexPath: String,
       streamPath: String, uptoBatch: Long): Unit = {
     import org.apache.hadoop.fs.Path
-    val conf = spark.sessionState.newHadoopConf()
-    val fs = new Path(indexPath).getFileSystem(conf)
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new Path(s"$indexPath/$sub")
-      val tmp = new Path(s"$indexPath/.${sub}_fold")
-      val old = new Path(s"$indexPath/.${sub}_old")
-      fs.delete(tmp, true)
-      write(tmp.toString)
-      fs.delete(old, true)
-      require(fs.rename(live, old), s"fold: cannot stage $live")
-      require(fs.rename(tmp, live), s"fold: cannot publish $tmp")
-      fs.delete(old, true)
-    }
+    val fs = new Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     val (sh, sb) = streamIndexFrames(spark, streamPath, uptoBatch)
-    swap("hashes") { out =>
-      spark.read.parquet(s"$indexPath/hashes").unionByName(sh)
-        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-        .write.parquet(out)
-    }
-    swap("bands") { out =>
-      spark.read.parquet(s"$indexPath/bands").unionByName(sb)
+    rewriteIndexSub(spark, s"$indexPath/hashes", Nil)((df, _) =>
+      df.unionByName(sh)
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id")))
+    foldBarrier()
+    rewriteIndexSub(spark, s"$indexPath/bands", Seq("band"))((df, _) =>
+      df.unionByName(sb)
         .groupBy(col("band"), col("bkey"), col("sig"))
         .agg(min(col("doc_id")).as("doc_id"))
-        .repartition(col("band"))
-        .write.partitionBy("band").parquet(out)
-    }
+        .repartition(col("band")))
     // folded layers go last: a crash before this point re-folds the
-    // same rows and the group-key dedup absorbs them
+    // same rows and the group-key dedup absorbs them. Non-layer names
+    // (stray staging/temp dirs) are skipped, not thrown on — a
+    // maintenance abort AFTER the rewrites published would strand the
+    // layers as permanently re-folded noise.
     Seq("hashes", "bands").foreach { sub =>
       val p = new Path(s"$streamPath/$sub")
       if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("batch_id=") &&
-          n.stripPrefix("batch_id=").toLong < uptoBatch)
-          fs.delete(st.getPath, true)
+        val id = st.getPath.getName match {
+          case n if n.startsWith("batch_id=") =>
+            scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          case _ => None
+        }
+        if (id.exists(_ < uptoBatch)) fs.delete(st.getPath, true)
       }
     }
   }
@@ -597,10 +679,10 @@ object Dedup {
     * per-band layout keeps each scan task's collision set local. The
     * only shuffled rows are the matched candidates (output-sized). */
   def incrementalProbe(spark: SparkSession, batch: DataFrame,
-      indexPath: String, minEst: Double = 0.5): DataFrame =
-    probeFrames(spark, batch,
-      spark.read.parquet(s"$indexPath/hashes"),
-      spark.read.parquet(s"$indexPath/bands"), minEst)
+      indexPath: String, minEst: Double = 0.5): DataFrame = {
+    val (hashes, bands) = readDedupIndex(spark, indexPath)
+    probeFrames(spark, batch, hashes, bands, minEst)
+  }
 
   /** [[incrementalProbe]] against explicit index frames — the streaming
     * ingest unions the base index with its per-batch stream layer
@@ -776,10 +858,14 @@ object Dedup {
       out1.filter(col("verdict") === "novel").select(col("doc_id")),
       Seq("doc_id")).localCheckpoint()
     updateDedupIndex(admitted, idx)
-    // maintenance compaction runs ON the oracled path: it must be
-    // invisible to the day-2 probe (layout-only), so the DuckDB twin —
-    // which never sees the index files — gates that invariant too
+    // maintenance compaction + vacuum run ON the oracled path: both
+    // must be invisible to the day-2 probe (layout/GC-only), so the
+    // DuckDB twin — which never sees the index files — gates that
+    // invariant too. keepVersions=1 is safe here because no probe is
+    // in flight; the concurrent-probe retention contract is spec'd in
+    // DedupIndexSnapshotSpec
     compactDedupIndex(s, idx)
+    vacuumDedupIndex(s, idx, keepVersions = 1)
     val b2 = dedupBatch(
       docs.filter(col("doc_id") % 20 === 17)
         .select(col("doc_id"), col("text"))

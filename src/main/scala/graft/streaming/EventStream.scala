@@ -322,22 +322,37 @@ object EventStream {
     * batches relative to the indexed corpus — that is what makes the
     * accumulated index row-identical to a fresh rebuild over
     * corpus ∪ admitted (min-doc_id group representatives never move),
-    * which StreamDedupIndexSpec asserts. */
+    * which StreamDedupIndexSpec asserts.
+    *
+    * `foldEvery` > 0 schedules [[graft.ops.Dedup.foldStreamIndex]]
+    * INSIDE the loop's lifecycle: at the start of every Nth batch the
+    * accumulated stream layers `batch_id < current` fold into the base
+    * index — the maintenance that otherwise depended on caller
+    * discipline between runs. The batch boundary is the one point
+    * where the fold's inputs are quiescent by construction, and the
+    * fold is re-run idempotent, so a crash DURING it just replays the
+    * batch and re-folds (kill-during-fold spec'd in
+    * StreamDedupIndexSpec). Probe semantics are unchanged: the folded
+    * rows move from the stream-layer union into the base index, which
+    * the probe reads either way. */
   def ingestDedupIncremental(docs: DataFrame, path: String,
       checkpoint: String, appId: String, indexPath: String,
-      streamIndexPath: String, minEst: Double = 0.5): StreamingQuery =
+      streamIndexPath: String, minEst: Double = 0.5,
+      foldEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import graft.ops.Dedup
+        if (foldEvery > 0 && id > 0 && id % foldEvery == 0)
+          Dedup.foldStreamIndex(spark, indexPath, streamIndexPath,
+            uptoBatch = id)
         val deduped = Dedup.dedupBatch(batch.select("doc_id", "text"))
         val (sh, sb) = Dedup.streamIndexFrames(spark, streamIndexPath, id)
-        val hashes = spark.read.parquet(s"$indexPath/hashes")
-          .unionByName(sh)
-        val bands = spark.read.parquet(s"$indexPath/bands")
-          .unionByName(sb)
+        val (bh, bb) = Dedup.readDedupIndex(spark, indexPath)
+        val hashes = bh.unionByName(sh)
+        val bands = bb.unionByName(sb)
         val verdicts = Dedup.probeFrames(spark, deduped, hashes, bands,
           minEst)
         // both sinks consume `admitted`; pin one evaluation
@@ -369,11 +384,12 @@ object EventStream {
       checkpoint: String, appId: String, indexPath: String,
       streamIndexPath: String, minEst: Double = 0.5,
       minWords: Int = 50, maxWords: Int = 100000,
-      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords)
-      : StreamingQuery =
+      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords,
+      foldEvery: Int = 0): StreamingQuery =
     ingestDedupIncremental(
       graft.ops.Curation.gopherGate(docs, minWords, maxWords, stopWords),
-      path, checkpoint, appId, indexPath, streamIndexPath, minEst)
+      path, checkpoint, appId, indexPath, streamIndexPath, minEst,
+      foldEvery)
 
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run

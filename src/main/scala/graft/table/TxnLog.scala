@@ -107,6 +107,19 @@ object TxnLog {
       partitionBy: Seq[String] = Nil): Snapshot =
     commitData(df, path, "overwrite", partitionBy, base = Some(Nil))
 
+  /** Replace the table contents as a new snapshot ONLY IF the table is
+    * still at `expectedVersion` — the optimistic maintenance commit
+    * (compaction, index fold): the replacement was computed from a
+    * pinned snapshot, so a concurrent append landing in between must
+    * raise [[CommitConflict]] (caller re-reads and retries) instead of
+    * being silently dropped from the successor. The losing attempt's
+    * data files are unreferenced by any manifest and reclaimed by
+    * [[vacuum]]. */
+  def rewrite(df: DataFrame, path: String, partitionBy: Seq[String],
+      expectedVersion: Int): Snapshot =
+    commitData(df, path, "rewrite", partitionBy, base = Some(Nil),
+      expectedParent = Some(expectedVersion))
+
   /** MERGE (upsert by key) as a single snapshot: rows of the current
     * snapshot not matched by `source` keys, plus `source`, with snapshot
     * isolation (the read and the commit see one consistent version; a

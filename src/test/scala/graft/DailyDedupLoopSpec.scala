@@ -39,10 +39,11 @@ class DailyDedupLoopSpec extends AnyFunSuite {
     Dedup.buildDedupIndex(corpus.select(col("doc_id"), col("text"))
       .unionAll(admitted), rebuilt)
 
-    for (t <- Seq("hashes", "bands")) {
-      val u = asSet(spark.read.parquet(s"$updated/$t")
-        .select(spark.read.parquet(s"$rebuilt/$t").columns.map(col): _*))
-      val r = asSet(spark.read.parquet(s"$rebuilt/$t"))
+    val (uh, ub) = Dedup.readDedupIndex(spark, updated)
+    val (rh, rb) = Dedup.readDedupIndex(spark, rebuilt)
+    for ((t, u0, r0) <- Seq(("hashes", uh, rh), ("bands", ub, rb))) {
+      val u = asSet(u0.select(r0.columns.map(col): _*))
+      val r = asSet(r0)
       assert(u == r, s"$t diverge: updated-only=${(u -- r).take(3)} " +
         s"rebuilt-only=${(r -- u).take(3)}")
     }
@@ -113,20 +114,29 @@ class DailyDedupLoopSpec extends AnyFunSuite {
         .iterator().asScala
         .count(_.getFileName.toString.endsWith(".parquet"))
     }
-    def snap(sub: String): Set[String] =
-      spark.read.parquet(s"$idx/$sub").collect().map(_.toString).toSet
+    def snap(sub: String): Set[String] = {
+      val (h, b) = Dedup.readDedupIndex(spark, idx)
+      (if (sub == "hashes") h else b).collect().map(_.toString).toSet
+    }
     val probeBatch = docs.filter(col("doc_id") % 20 === 7)
       .select(col("doc_id"), col("text"))
     val beforeFiles = (partFiles("hashes"), partFiles("bands"))
     val beforeContent = (snap("hashes"), snap("bands"))
     val beforeProbe = asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
     Dedup.compactDedupIndex(spark, idx)
+    assert(snap("hashes") == beforeContent._1)
+    assert(snap("bands") == beforeContent._2)
+    assert(asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+      == beforeProbe)
+    // the compacted layout becomes the LIVE file count once vacuum
+    // reclaims the superseded snapshots (the snapshot model keeps the
+    // old files for in-flight probes until then)
+    Dedup.vacuumDedupIndex(spark, idx, keepVersions = 1)
     assert(partFiles("hashes") < beforeFiles._1,
       s"hashes files ${partFiles("hashes")} !< ${beforeFiles._1}")
     assert(partFiles("bands") < beforeFiles._2,
       s"bands files ${partFiles("bands")} !< ${beforeFiles._2}")
     assert(snap("hashes") == beforeContent._1)
-    assert(snap("bands") == beforeContent._2)
     assert(asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
       == beforeProbe)
   }

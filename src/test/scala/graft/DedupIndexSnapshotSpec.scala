@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Dedup
+import graft.table.TxnLog
+
+/** Round-14: the persisted dedup index sits behind the TxnLog snapshot
+  * layer, closing the round-13 verdict's #1 operational seam — a probe
+  * running concurrently with `compactDedupIndex`/`foldStreamIndex` no
+  * longer races a directory rename. The contracts under test:
+  *  - a probe PINS a snapshot at plan time: maintenance publishing a
+  *    new version mid-probe changes nothing the probe reads;
+  *  - maintenance is OPTIMISTIC: a concurrent [[Dedup.updateDedupIndex]]
+  *    append conflicts the rewrite's publish and the rewrite retries —
+  *    the append is never silently dropped (the lost-update gate);
+  *  - [[Dedup.vacuumDedupIndex]] is the only step that removes files,
+  *    with an explicit keepVersions retention. */
+class DedupIndexSnapshotSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def docs = Tables.documents(spark, sf)
+  private def corpus = docs.filter(col("doc_id") % 10 =!= 7)
+  private def probeBatch = docs.filter(col("doc_id") % 20 === 7)
+    .select(col("doc_id"), col("text"))
+
+  private def asSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def appendsFor(idx: String, days: Int): Unit =
+    for (day <- 1 to days) {
+      val batch = Dedup.dedupBatch(
+        docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") + day * 10000000L).as("doc_id"),
+            concat_ws(" ", expr(
+              s"transform(split(text, ' '), t -> concat(t, '_x$day'))"))
+              .as("text")))
+      val admitted = batch.join(
+        Dedup.incrementalProbe(spark, batch, idx)
+          .filter(col("verdict") === "novel").select(col("doc_id")),
+        Seq("doc_id"))
+      Dedup.updateDedupIndex(admitted, idx)
+    }
+
+  test("probe pinned BEFORE compaction reads its snapshot after " +
+    "compaction publishes; vacuum then reclaims the old version") {
+    val idx = graft.session.Scratch.dir("snap-compact") + "/idx"
+    Dedup.buildDedupIndex(corpus, idx)
+    appendsFor(idx, 2)
+    val baseline = asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+
+    // pin: directory resolution happens at plan time, inside this call
+    val pinned = Dedup.incrementalProbe(spark, probeBatch, idx)
+    val vBefore = TxnLog.currentSnapshot(spark, s"$idx/hashes").get.version
+    Dedup.compactDedupIndex(spark, idx)
+    assert(TxnLog.currentSnapshot(spark, s"$idx/hashes").get.version
+      > vBefore, "compaction must publish a new version")
+    // the probe executes AFTER the new version landed — under the old
+    // rename scheme its resolved directories no longer exist
+    assert(asSet(pinned) == baseline)
+    // a fresh probe through the new version agrees
+    assert(asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+      == baseline)
+
+    // vacuum with retention 1 drops the superseded versions' files;
+    // the current version keeps serving
+    val removed = Dedup.vacuumDedupIndex(spark, idx, keepVersions = 1)
+    assert(removed > 0, "vacuum must reclaim superseded data dirs")
+    assert(asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+      == baseline)
+  }
+
+  test("probe pinned BEFORE a stream-layer fold survives the fold") {
+    import spark.implicits._
+    val root = graft.session.Scratch.dir("snap-fold")
+    val (idx, sidx) = (s"$root/idx", s"$root/sidx")
+    Dedup.buildDedupIndex(corpus, idx)
+    Seq.tabulate(2) { b =>
+      Dedup.writeStreamIndexBatch(
+        Seq((9000000L + b, s"stream layer doc $b unique tokens q$b w$b"))
+          .toDF("doc_id", "text"), sidx, batchId = b.toLong)
+    }
+    val baseline = asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+    val pinned = Dedup.incrementalProbe(spark, probeBatch, idx)
+    Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = 2L)
+    assert(asSet(pinned) == baseline,
+      "pre-fold probe must keep reading its pinned snapshot")
+    // post-fold probes see the folded docs as exact matches
+    val replays = Seq(
+      (9100000L, "stream layer doc 0 unique tokens q0 w0"),
+      (9100001L, "stream layer doc 1 unique tokens q1 w1"))
+      .toDF("doc_id", "text")
+    val verdicts = Dedup.incrementalProbe(spark, replays, idx)
+      .collect().map(r => r.getString(1)).toSeq
+    assert(verdicts == Seq("exact", "exact"))
+  }
+
+  test("truly concurrent: a probe thread loops while maintenance " +
+    "compacts repeatedly; every probe result is green") {
+    val idx = graft.session.Scratch.dir("snap-conc") + "/idx"
+    Dedup.buildDedupIndex(corpus, idx)
+    appendsFor(idx, 1)
+    val baseline = asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() =>
+      try {
+        while (!stop.get()) {
+          val got = asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+          if (got != baseline)
+            failures.add(s"probe diverged: ${(got diff baseline).take(2)}")
+        }
+      } catch {
+        case e: Throwable => failures.add(s"probe threw: $e")
+      })
+    prober.start()
+    try {
+      // each compaction publishes a new version; no vacuum runs, so
+      // every version a probe may have pinned stays readable
+      for (_ <- 1 to 3) Dedup.compactDedupIndex(spark, idx)
+    } finally {
+      stop.set(true)
+      prober.join(120000)
+    }
+    assert(failures.isEmpty, failures.toArray.mkString("; "))
+    assert(asSet(Dedup.incrementalProbe(spark, probeBatch, idx))
+      == baseline)
+  }
+
+  test("lost-update gate: an update landing between compaction's " +
+    "snapshot pin and its publish conflicts and is retried in") {
+    import spark.implicits._
+    val idx = graft.session.Scratch.dir("snap-race") + "/idx"
+    Dedup.buildDedupIndex(corpus, idx)
+    val novel = Seq((8000000L, "race window document tokens zz yy xx"))
+      .toDF("doc_id", "text")
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Dedup.maintenanceBarrier = () =>
+      if (fired.compareAndSet(false, true))
+        Dedup.updateDedupIndex(novel, idx)
+    try Dedup.compactDedupIndex(spark, idx)
+    finally Dedup.maintenanceBarrier = () => ()
+    assert(fired.get(), "the barrier hook must have fired")
+    // the interposed append must have survived the compaction rewrite:
+    // a replay of the raced-in doc comes back exact
+    val verdict = Dedup.incrementalProbe(spark,
+        Seq((8100000L, "race window document tokens zz yy xx"))
+          .toDF("doc_id", "text"), idx)
+      .collect().head
+    assert(verdict.getString(1) == "exact" && verdict.getLong(2) == 8000000L,
+      s"raced-in update was lost by the compaction rewrite: $verdict")
+  }
+}

@@ -67,10 +67,14 @@ class IncrementalDedupSpec extends AnyFunSuite {
     Dedup.buildDedupIndex(
       Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "e f g h"),
           (4L, "h g f e")).toDF("doc_id", "text"), idx)
-    val bands = new java.io.File(s"$idx/bands").listFiles()
-      .filter(_.getName.startsWith("band=")).map(_.getName).sorted
-    assert(bands.toSeq == Seq("band=0", "band=1", "band=2"))
-    val bandsDf = spark.read.parquet(s"$idx/bands")
+    // the bands sub-table is a TxnLog snapshot table partitioned by
+    // band: the manifest names one partition-level dir per band
+    val snap = graft.table.TxnLog
+      .currentSnapshot(spark, s"$idx/bands").get
+    assert(snap.partitionCols == Seq("band"))
+    val bandDirs = snap.dataDirs.map(_.split("/").last).sorted
+    assert(bandDirs == Seq("__pt_band=0", "__pt_band=1", "__pt_band=2"))
+    val (hashesDf, bandsDf) = Dedup.readDedupIndex(spark, idx)
     assert(!bandsDf.columns.contains("text"))
     assert(bandsDf.columns.toSet == Set("doc_id", "sig", "bkey", "band"))
     // 2 signature groups ({1,2} and {3,4}) × 3 bands, min ids kept
@@ -78,7 +82,6 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(bandsDf.select("doc_id").distinct().collect()
       .map(_.getLong(0)).toSet == Set(1L, 3L))
     // hashes: one row per distinct content hash, min doc_id
-    val hashesDf = spark.read.parquet(s"$idx/hashes")
     assert(hashesDf.columns.toSet == Set("h", "doc_id"))
     assert(hashesDf.count() == 3)
     assert(hashesDf.collect().map(_.getAs[Long]("doc_id")).toSet ==

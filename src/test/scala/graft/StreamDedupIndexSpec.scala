@@ -29,10 +29,12 @@ class StreamDedupIndexSpec extends AnyFunSuite {
 
   private def ingest(srcDir: String, table: String, ckpt: String,
       idx: String, sidx: String,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      foldEvery: Int = 0): Unit = {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     EventStream.ingestDedupIncremental(stream, table, ckpt,
-      appId = "sdi-spec", indexPath = idx, streamIndexPath = sidx)
+      appId = "sdi-spec", indexPath = idx, streamIndexPath = sidx,
+      foldEvery = foldEvery)
       .awaitTermination()
   }
 
@@ -76,20 +78,24 @@ class StreamDedupIndexSpec extends AnyFunSuite {
     Dedup.buildDedupIndex(
       corpus.unionByName(Seq((101L, novel1), (201L, novel2))
         .toDF("doc_id", "text")), rebuilt)
-    def hashRows(paths: String*) = paths
-      .flatMap(p => spark.read.parquet(p).select("h", "doc_id")
+    // frame-level helpers: the base index reads go through the TxnLog
+    // snapshot reader; the stream layers stay raw per-batch parquet
+    def hashRows(dfs: org.apache.spark.sql.DataFrame*) = dfs
+      .flatMap(_.select("h", "doc_id")
         .collect().map(r => (r.getString(0), r.getLong(1)))).sorted
-    def bandRows(paths: String*) = paths
-      .flatMap(p => spark.read.parquet(p)
-        .select(col("band"), col("bkey"), concat_ws("|", col("sig")),
-          col("doc_id"))
+    def bandRows(dfs: org.apache.spark.sql.DataFrame*) = dfs
+      .flatMap(_.select(col("band"), col("bkey"),
+          concat_ws("|", col("sig")), col("doc_id"))
         .collect()
         .map(r => (r.getInt(0), r.getString(1), r.getString(2),
           r.getLong(3)))).sorted
-    assert(hashRows(s"$idx/hashes", s"$sidx/hashes")
-      == hashRows(s"$rebuilt/hashes"))
-    assert(bandRows(s"$idx/bands", s"$sidx/bands")
-      == bandRows(s"$rebuilt/bands"))
+    def idxH = Dedup.readDedupIndex(spark, idx)._1
+    def idxB = Dedup.readDedupIndex(spark, idx)._2
+    def layer(p: String) = spark.read.parquet(p)
+    assert(hashRows(idxH, layer(s"$sidx/hashes"))
+      == hashRows(Dedup.readDedupIndex(spark, rebuilt)._1))
+    assert(bandRows(idxB, layer(s"$sidx/bands"))
+      == bandRows(Dedup.readDedupIndex(spark, rebuilt)._2))
 
     // ---- crash window 1: commit marker lost (table committed) ---------
     val commits = new java.io.File(s"$ckpt/commits")
@@ -100,8 +106,8 @@ class StreamDedupIndexSpec extends AnyFunSuite {
     ingest(srcDir, table, ckpt, idx, sidx, schema)
     assert(tableIds(table) == Set(101L, 201L),
       "replayed batch duplicated table rows")
-    assert(hashRows(s"$idx/hashes", s"$sidx/hashes")
-      == hashRows(s"$rebuilt/hashes"),
+    assert(hashRows(idxH, layer(s"$sidx/hashes"))
+      == hashRows(Dedup.readDedupIndex(spark, rebuilt)._1),
       "replayed batch duplicated index rows")
 
     // ---- crash window 2: index layer written, table commit lost -------
@@ -122,16 +128,18 @@ class StreamDedupIndexSpec extends AnyFunSuite {
       corpus.unionByName(
         Seq((101L, novel1), (201L, novel2), (300L, novel3))
           .toDF("doc_id", "text")), rebuilt2)
-    assert(hashRows(s"$idx/hashes", s"$sidx/hashes")
-      == hashRows(s"$rebuilt2/hashes"))
-    assert(bandRows(s"$idx/bands", s"$sidx/bands")
-      == bandRows(s"$rebuilt2/bands"))
+    assert(hashRows(idxH, layer(s"$sidx/hashes"))
+      == hashRows(Dedup.readDedupIndex(spark, rebuilt2)._1))
+    assert(bandRows(idxB, layer(s"$sidx/bands"))
+      == bandRows(Dedup.readDedupIndex(spark, rebuilt2)._2))
 
     // ---- maintenance: fold the stream layers into the base index ------
     Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = 3L)
-    assert(hashRows(s"$idx/hashes") == hashRows(s"$rebuilt2/hashes"),
+    assert(hashRows(idxH)
+      == hashRows(Dedup.readDedupIndex(spark, rebuilt2)._1),
       "folded base index must equal the fresh rebuild")
-    assert(bandRows(s"$idx/bands") == bandRows(s"$rebuilt2/bands"))
+    assert(bandRows(idxB)
+      == bandRows(Dedup.readDedupIndex(spark, rebuilt2)._2))
     def layerDirs(sub: String): Set[String] = {
       val d = new java.io.File(s"$sidx/$sub")
       if (!d.exists()) Set.empty
@@ -146,9 +154,11 @@ class StreamDedupIndexSpec extends AnyFunSuite {
     // absorbed by the group-key dedup, not duplicated
     Dedup.writeStreamIndexBatch(batch2, sidx, batchId = 2L)
     Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = 3L)
-    assert(hashRows(s"$idx/hashes") == hashRows(s"$rebuilt2/hashes"),
+    assert(hashRows(idxH)
+      == hashRows(Dedup.readDedupIndex(spark, rebuilt2)._1),
       "re-fold of a leftover layer duplicated index rows")
-    assert(bandRows(s"$idx/bands") == bandRows(s"$rebuilt2/bands"))
+    assert(bandRows(idxB)
+      == bandRows(Dedup.readDedupIndex(spark, rebuilt2)._2))
 
     // the stream keeps working against the folded base: a dup of a
     // folded admit is blocked, a new novel doc is admitted
@@ -158,6 +168,70 @@ class StreamDedupIndexSpec extends AnyFunSuite {
     ingest(srcDir, table, ckpt, idx, sidx, schema)
     assert(tableIds(table) == Set(101L, 201L, 300L, 401L),
       "post-fold probe must see folded docs in the base index")
+  }
+
+  test("scheduled fold inside the loop: every-N-batches maintenance, " +
+    "kill DURING the fold re-converges on replay") {
+    import spark.implicits._
+    val root = graft.session.Scratch.dir("sdi-fold")
+    val (srcDir, table, ckpt, idx, sidx) =
+      (s"$root/src", s"$root/t", s"$root/ck", s"$root/idx", s"$root/sidx")
+    Dedup.buildDedupIndex(
+      Seq((1L, corpusText1)).toDF("doc_id", "text"), idx)
+
+    def layerDirs(sub: String): Set[String] = {
+      val d = new java.io.File(s"$sidx/$sub")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    }
+    // batches 0 and 1 admit one novel doc each; foldEvery=2 means no
+    // fold yet (ids 0, 1), both live in the stream layer
+    Seq((100L, novel1)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    ingest(srcDir, table, ckpt, idx, sidx, schema, foldEvery = 2)
+    Seq((101L, novel2)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    ingest(srcDir, table, ckpt, idx, sidx, schema, foldEvery = 2)
+    assert(layerDirs("hashes") == Set("batch_id=0", "batch_id=1"))
+
+    // batch 2 crosses the fold boundary — but the fold is KILLED
+    // between the two sub-table rewrites (hashes folded, bands not,
+    // layers not deleted): the query fails, and the replay must
+    // re-converge through the idempotent re-fold
+    val novel3 = "third novel body of text with its own words cc dd"
+    Seq((200L, novel1), (201L, novel3)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Dedup.foldBarrier =
+      () => throw new RuntimeException("injected fold crash")
+    try {
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        ingest(srcDir, table, ckpt, idx, sidx, schema, foldEvery = 2)
+      }
+    } finally Dedup.foldBarrier = () => ()
+    assert(layerDirs("hashes") == Set("batch_id=0", "batch_id=1"),
+      "crashed fold must not have deleted layers")
+
+    // replay: fold completes (batches 0,1 into base), then batch 2
+    // probes — 200 is a cross-batch dup of the FOLDED batch-0 admit
+    // (now only in the base index), 201 is novel
+    ingest(srcDir, table, ckpt, idx, sidx, schema, foldEvery = 2)
+    assert(tableIds(table) == Set(100L, 101L, 201L))
+    assert(layerDirs("hashes") == Set("batch_id=2") &&
+      layerDirs("bands") == Set("batch_id=2"),
+      "folded layers deleted, current batch's layer kept")
+    // base ∪ remaining layer must equal a fresh rebuild over all admits
+    val rebuilt = s"$root/rebuilt"
+    Dedup.buildDedupIndex(
+      Seq((1L, corpusText1), (100L, novel1), (101L, novel2),
+        (201L, novel3)).toDF("doc_id", "text"), rebuilt)
+    def hrows(dfs: org.apache.spark.sql.DataFrame*) = dfs
+      .flatMap(_.select("h", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1)))).sorted
+    assert(hrows(Dedup.readDedupIndex(spark, idx)._1,
+        spark.read.parquet(s"$sidx/hashes"))
+      == hrows(Dedup.readDedupIndex(spark, rebuilt)._1))
   }
 
   test("composed pipeline: quality gate ahead of the dedup loop — " +

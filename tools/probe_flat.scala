@@ -38,6 +38,6 @@ for ((dir, tag) <- Seq(("/root/testdata/sf0.1", "1x"),
   timeIt(s"update $tag")(
     graft.ops.Dedup.updateDedupIndex(admitted, idx))
   println(s"[probe_flat] index rows $tag: " +
-    spark.read.parquet(s"$idx/bands").count())
+    graft.ops.Dedup.readDedupIndex(spark, idx)._2.count())
 }
 System.exit(0)
