@@ -16,10 +16,16 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   *
   * `row_number().over(partitionBy(k).orderBy(o)) <= n` — the idiom the
   * reference's pushdown engines run for "top n per group" — costs one
-  * shuffle + a complete sort of every partition. This operator keeps a
-  * bounded heap per key instead: one shuffle on the keys, O(rows · log k)
-  * per partition, state bounded by (distinct keys in partition) × k rows
-  * — the difference between sorting 100 TB and heap-scanning it.
+  * shuffle of EVERY row + a complete sort of every partition. This
+  * operator keeps a bounded heap per key instead, in two phases like a
+  * hash aggregate: an adaptive map-side partial pass on the scan
+  * partitioning, then one key-clustered final pass — O(rows · log k)
+  * total, state bounded by (distinct keys in partition) × k rows, and
+  * when rows/key is large the exchange carries ≤ k·keys·partitions
+  * rows instead of the table. Measured (BASELINE.md round 14):
+  * 0.50/1.47/5.68 s at sf0.1/sf1/sf10 vs the window idiom's 14.8 s at
+  * sf1 (10×) — the difference between sorting (and shuffling) 100 TB
+  * and heap-scanning it.
   *
   * The ordering must be total (include a tiebreak) for deterministic
   * results — same requirement the differential oracle puts on the window
@@ -35,22 +41,47 @@ case class TopKPerKeyNode(
     copy(child = c)
 }
 
+/** `partial = true` is the map-side combine (round 14): the same
+  * bounded-heap pass runs on the child's existing partitioning BEFORE
+  * the exchange, so at most k rows per (input partition, key) ever
+  * shuffle — for a table with many rows per key that cuts shuffle
+  * volume by ~rows/(k·keys·partitions), the same reason hash
+  * aggregation ships partial_sum. Correct because top-k under a total
+  * order distributes over union: topk(A ∪ B) = topk(topk(A) ∪
+  * topk(B)), and a pass-through row can only ADD candidates the final
+  * pass filters.
+  *
+  * The partial pass is ADAPTIVE, like partial hash aggregation's
+  * skip-on-high-cardinality: after [[TopKPerKeyExec.CheckAt]] rows it
+  * compares retained (Σ heap sizes) to processed — when the partition
+  * holds so many distinct keys that the heaps barely filter (ratio >
+  * 1/2), it emits its state and streams the remaining rows through
+  * untouched, avoiding the per-row copy + hashmap churn that made a
+  * blind partial pass SLOWER at 100k keys × few-rows-per-key
+  * (measured: sf10 topk 5.2 s one-phase, 8.6 s blind two-phase,
+  * 5.0 s adaptive; sf1 3.3 → 1.9 s where the filter bites —
+  * tools/topk_profile.scala). */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    partial: Boolean = false) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial)
+      org.apache.spark.sql.catalyst.plans.physical
+        .UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortOrder = order
     val limit = k
     val childOutput = child.output
+    val isPartial = partial
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering: Ordering[InternalRow] =
@@ -59,7 +90,10 @@ case class TopKPerKeyExec(
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
       val worstFirst: java.util.Comparator[InternalRow] = ordering.reverse
-      iter.foreach { row =>
+      var processed = 0L
+      var retained = 0L
+      def insert(row: InternalRow): Unit = {
+        processed += 1
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -68,15 +102,35 @@ case class TopKPerKeyExec(
         }
         if (heap.size() < limit) {
           heap.add(row.copy())
+          retained += 1
         } else if (ordering.compare(row, heap.peek()) < 0) {
           heap.poll()
           heap.add(row.copy())
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap { h =>
-        // emit in the declared order (heap is worst-first)
-        h.toArray(new Array[InternalRow](h.size())).sorted(ordering).iterator
+      def emitState(): Iterator[InternalRow] =
+        heaps.values().iterator().asScala.flatMap { h =>
+          if (isPartial) h.iterator().asScala // order restored finally
+          else
+            // emit in the declared order (heap is worst-first)
+            h.toArray(new Array[InternalRow](h.size()))
+              .sorted(ordering).iterator
+        }
+      if (isPartial) {
+        // adaptive window: filter the first CheckAt rows, then keep
+        // heap mode only if it is actually reducing the partition
+        while (iter.hasNext && processed < TopKPerKeyExec.CheckAt)
+          insert(iter.next())
+        if (iter.hasNext && retained * 2 > processed)
+          emitState() ++ iter // high-cardinality: stop copying rows
+        else {
+          iter.foreach(insert)
+          emitState()
+        }
+      } else {
+        iter.foreach(insert)
+        emitState()
       }
     }, preservesPartitioning = true)
   }
@@ -85,10 +139,24 @@ case class TopKPerKeyExec(
     copy(child = c)
 }
 
+object TopKPerKeyExec {
+  /** Adaptivity checkpoint for the partial pass: after this many rows
+    * a partition decides heap-filter vs pass-through. Large enough to
+    * see real reduction at 10k-key cardinality, small enough that the
+    * sample's own hashmap stays cache-friendly. */
+  val CheckAt: Long = 1L << 16
+}
+
 object TopKPerKeyStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKeyNode(keys, order, k, child) =>
-      TopKPerKeyExec(keys, order, k, planLater(child)) :: Nil
+      // two-phase, like partial aggregation: map-side bounded heaps on
+      // the scan partitioning, then the key-clustered final pass —
+      // the exchange between them (inserted by EnsureRequirements)
+      // carries at most k rows per (partition, key)
+      TopKPerKeyExec(keys, order, k,
+        TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
+      ) :: Nil
     case _ => Nil
   }
 }

@@ -48,6 +48,26 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(p.contains("Exchange"), "keys must be clustered (one shuffle)")
   }
 
+  test("adaptive partial: high-cardinality partitions pass through " +
+    "after the sample window, result identical to the window idiom") {
+    // 100k rows per partition (> CheckAt) over ~190k near-distinct
+    // keys: the partial pass's sample window sees retained ≈ processed
+    // and switches to pass-through — the branch a blind map-side
+    // combine lacks (it was measured SLOWER than one-phase here)
+    val df = spark.range(0, 200000, 1, 2)
+      .select((col("id") % 190000).as("k"),
+        (col("id") * 7 % 1001).cast("double").as("v"))
+    val native = TopKPerKey(df, Seq("k"),
+      Seq(TopKPerKey.Ord.desc("v"), TopKPerKey.Ord("k")), 2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("v").desc, col("k"))
+    val windowed = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2).drop("rn")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(pairs(native) == pairs(windowed))
+  }
+
   test("keeps fewer than k rows for sparse keys and handles k=1") {
     val spark0 = spark
     import spark0.implicits._
