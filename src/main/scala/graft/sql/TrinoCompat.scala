@@ -163,10 +163,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * defensible Spark-side semantics (a groupBy-count is linear and
   * partial-aggregable at any scale — there is nothing to approximate).
   *
-  * KNOWN-ABSENT (loud UNRESOLVED_ROUTINE, never silent):
-  * `numeric_histogram` (Ben-Haim/Tom-Tov bins depend on input order —
-  * no deterministic distributed equivalent), `bar` (ANSI-escape
-  * rendering with Trino-private color interpolation).
+  * ROUND 14 — the absent list is CLOSED (119/119 probe statements):
+  *  - `numeric_histogram` with a documented divergence-class decision
+  *    (the `approx_percentile` precedent): Trino's Ben-Haim/Tom-Tov
+  *    bins depend on input order (Trino itself is non-deterministic
+  *    here); the shim applies the same centroid-merge rule
+  *    deterministically to the exact sorted multiset — same
+  *    approximation class, stable results, exact when distinct values
+  *    ≤ buckets ([[graft.expr.TrinoFnsImpl.numericHistogram]]).
+  *  - `bar(x, width)` per the public ColorFunctions rendering
+  *    (256-color-cube escapes, red→green interpolation, U+2588 fill,
+  *    reset + space padding); the 4-arg form takes Trino-private
+  *    COLOR values and stays loud.
+  *  - `approx_most_frequent` recomposed as a single O(n log n)
+  *    sort+run-length expression (was O(n·d) per-distinct recounts —
+  *    the round-13 ADVICE defect).
   */
 object TrinoCompat {
 
@@ -669,17 +680,22 @@ object TrinoCompat {
           case l => throw new IllegalArgumentException(
             s"Unknown stemmer language: $l")
         }
+      case Seq(_, e) => throw new IllegalArgumentException(
+        s"word_stem: the language must be a string literal, got $e")
       case other => throw new IllegalArgumentException(
         s"word_stem expects (word[, language]), got ${other.size} args")
     }
     // approx_most_frequent(buckets, value, capacity): the EXACT top-
-    // `buckets` values by count (ties broken by ascending key), built
-    // from the same collected-entries shape as histogram. Trino's
+    // `buckets` values by count (ties broken by ascending key). Trino's
     // Space-Saving sketch yields identical output whenever its capacity
     // suffices (counts are exact until eviction); where the sketch
     // would err, the exact answer is the strictly-better result — a
     // distributed groupBy-count is linear, so there is nothing to
     // approximate Spark-side. `capacity` is validated and ignored.
+    // Counting runs in the TrinoApproxMostFrequent expression — one
+    // sort + run-length pass, O(n log n) per group (the round-13
+    // composition recounted the array per distinct value, O(n·d) —
+    // the ADVICE defect, worst exactly when this function matters).
     fn("approx_most_frequent") {
       case Seq(bLit @ Literal(_, _), x, capLit @ Literal(_, _)) =>
         val b = bLit.value match {
@@ -698,29 +714,42 @@ object TrinoCompat {
           s"approx_most_frequent: buckets must be positive, got $b")
         if (cap <= 0) throw new IllegalArgumentException(
           s"approx_most_frequent: capacity must be positive, got $cap")
-        val entries = CollectList(x).toAggregateExpression() // skips nulls
-        def nv(n: String) = UnresolvedNamedLambdaVariable(Seq(n))
-        val (kk, e) = (nv("amk"), nv("ame"))
-        val countOf = Cast(new Size(ArrayFilter(entries,
-          LambdaFunction(EqualTo(e, kk), Seq(e)))), LongType)
-        val structs = ArrayTransform(ArrayDistinct(entries),
-          LambdaFunction(
-            CreateNamedStruct(Seq(Literal("k"), kk, Literal("v"), countOf)),
-            Seq(kk)))
-        val (lv, rv) = (nv("aml"), nv("amr"))
-        def fld(ex: Expression, n: String) =
-          UnresolvedExtractValue(ex, Literal(n))
-        val cmp = CaseWhen(Seq(
-          (GreaterThan(fld(lv, "v"), fld(rv, "v")), Literal(-1)),
-          (LessThan(fld(lv, "v"), fld(rv, "v")), Literal(1)),
-          (LessThan(fld(lv, "k"), fld(rv, "k")), Literal(-1)),
-          (GreaterThan(fld(lv, "k"), fld(rv, "k")), Literal(1))),
-          Literal(0))
-        val sorted = new ArraySort(structs, LambdaFunction(cmp, Seq(lv, rv)))
-        MapFromEntries(Slice(sorted, Literal(1), Literal(b)))
+        graft.expr.TrinoApproxMostFrequent(
+          CollectList(x).toAggregateExpression(), // skips nulls
+          Literal(b))
       case other => throw new IllegalArgumentException(
         "approx_most_frequent expects (buckets, value, capacity) with " +
           s"literal buckets/capacity, got ${other.size} args")
+    }
+    // bar(x, width): the red→green default rendering, implemented per
+    // the public ColorFunctions behavior (graft.expr.TrinoFnsImpl.bar
+    // documents the escapes). The 4-arg form takes COLOR-typed values
+    // (a Trino-private type with no Spark equivalent) — loud.
+    fn("bar") {
+      case Seq(x, w) =>
+        graft.expr.TrinoBar(Cast(x, DoubleType), Cast(w, LongType))
+      case other => throw new IllegalArgumentException(
+        "bar: only bar(x, width) is supported — the 4-arg form takes " +
+          s"COLOR values (no Spark equivalent), got ${other.size} args")
+    }
+    // numeric_histogram(buckets, value[, weight]): DETERMINISTIC
+    // Ben-Haim/Tom-Tov — Trino's own bin merges are input-order-
+    // dependent, so this shim applies the same centroid-merge rule to
+    // the exact sorted multiset instead (the approx_percentile
+    // divergence-class precedent; graft.expr.TrinoFnsImpl
+    // .numericHistogram documents the decision).
+    fn("numeric_histogram") {
+      case args if args.size == 2 || args.size == 3 =>
+        val b = args.head
+        val x = args(1)
+        val w = if (args.size == 3) args(2) else Literal(1.0)
+        val entries = CollectList(CreateNamedStruct(Seq(
+          Literal("v"), Cast(x, DoubleType),
+          Literal("w"), Cast(w, DoubleType)))).toAggregateExpression()
+        graft.expr.TrinoNumericHistogram(entries, Cast(b, IntegerType))
+      case other => throw new IllegalArgumentException(
+        "numeric_histogram expects (buckets, value[, weight]), got " +
+          s"${other.size} args")
     }
     fn("regexp_split") { case Seq(s, p) =>
       StringSplit(s, p, Literal(-1))

@@ -883,6 +883,63 @@ class TrinoCompatSpec extends AnyFunSuite {
       "SELECT approx_most_frequent(0, x, 15) AS m FROM (VALUES 1) t(x)"))
   }
 
+  // ---- round-14: the absent list closes (bar, numeric_histogram) ----------
+
+  test("bar renders 256-color cells, reset, and space padding") {
+    val esc = "\u001b"
+    val b = one("SELECT bar(0.75, 8) AS b").getString(0)
+    // 6 filled cells (⌊0.75·8⌋), each escape-prefixed; first cell is
+    // pure red = cube index 196; reset; padded to width with spaces
+    assert(b.count(_ == '█') == 6, b)
+    assert(b.startsWith(s"$esc[38;5;196m█"), b.replace(esc, "<ESC>"))
+    assert(b.contains(s"$esc[0m"))
+    assert(b.endsWith(s"$esc[0m  "), b.replace(esc, "<ESC>"))
+    // clamping: x ≥ 1 fills everything, x ≤ 0 fills nothing
+    val full = one("SELECT bar(1.5, 4) AS b").getString(0)
+    assert(full.count(_ == '█') == 4 && full.endsWith(s"$esc[0m"))
+    val empty = one("SELECT bar(-0.2, 4) AS b").getString(0)
+    assert(empty.count(_ == '█') == 0 && empty.endsWith("    "))
+    // the last filled cell of a full bar is pure green = cube index 46
+    assert(full.contains(s"$esc[38;5;46m█"), full.replace(esc, "<ESC>"))
+    // width guard fails the query loudly
+    assertThrows[Exception](one("SELECT bar(0.5, 0) AS b"))
+  }
+
+  test("numeric_histogram: exact when distinct <= buckets, " +
+    "deterministic closest-pair merges otherwise, weights preserved") {
+    // exact case: identity map value → total weight
+    val exact = one(
+      "SELECT numeric_histogram(4, x) AS h FROM (VALUES " +
+        "1.0e0, 1.0e0, 2.0e0, 3.0e0) t(x)").getMap[Double, Double](0)
+    assert(exact == Map(1.0 -> 2.0, 2.0 -> 1.0, 3.0 -> 1.0))
+    // merge case: (1, 2) is the closest pair → centroid 1.5 weight 2
+    val merged = one(
+      "SELECT numeric_histogram(2, x) AS h FROM (VALUES " +
+        "1.0e0, 2.0e0, 10.0e0) t(x)").getMap[Double, Double](0)
+    assert(merged == Map(1.5 -> 2.0, 10.0 -> 1.0))
+    // deterministic tie-break: equal gaps merge the LEFTMOST pair
+    val tied = one(
+      "SELECT numeric_histogram(2, x) AS h FROM (VALUES " +
+        "1.0e0, 2.0e0, 3.0e0) t(x)").getMap[Double, Double](0)
+    assert(tied == Map(1.5 -> 2.0, 3.0 -> 1.0))
+    // weighted form: centroid is the weighted mean, weight the sum
+    val weighted = one(
+      "SELECT numeric_histogram(1, x, w) AS h FROM (VALUES " +
+        "(1.0e0, 3.0e0), (5.0e0, 1.0e0)) t(x, w)")
+      .getMap[Double, Double](0)
+    assert(weighted == Map(2.0 -> 4.0))
+    // bin weights always sum to the exact row count
+    val sums = one(
+      "SELECT numeric_histogram(3, x) AS h FROM (VALUES " +
+        "1.0e0, 2.0e0, 4.0e0, 8.0e0, 16.0e0, 17.0e0) t(x)")
+      .getMap[Double, Double](0)
+    assert(sums.values.sum == 6.0)
+    assert(sums.size == 3)
+    // buckets guard fails the query loudly
+    assertThrows[Exception](one(
+      "SELECT numeric_histogram(0, x) AS h FROM (VALUES 1.0e0) t(x)"))
+  }
+
   test("histogram / cosine_similarity / Trino-exact kurtosis") {
     val h = one(
       "SELECT histogram(x) AS h FROM (VALUES 'a', 'b', 'a', 'a') t(x)")
