@@ -282,6 +282,16 @@ object VectorIndex {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     require(ksub <= 16, "ksub must be <= 16 (4-bit packed codes)")
+    // measured recall floor (BASELINE.md round-13 protocol, AnnRecallSpec
+    // gate): 8-byte codes scored recall@10 ≤ 0.46 even WITH rerank=50
+    // and degrade further as the corpus grows; 16 subspaces roughly
+    // double it at every scale. Below the floor the caller gets a loud
+    // pointer at the knob, not a silently bad index.
+    if (m < 16)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"putPq(m = $m): code budgets below 16 subspaces measured " +
+          "recall@10 <= 0.46 on the reference protocol (BASELINE.md); " +
+          "raise m (and pair searchPq with rerank) for top-k use")
     val dsub = dim / m
     val cents = codebook.getOrElse(
       trainPqFloat(emb, m, ksub, dsub, iters, sampleN))
