@@ -108,6 +108,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash_lsh"   -> (Dedup.minhashLsh _),
     "dedup_lsh_capped"    -> ((s: org.apache.spark.sql.SparkSession, d: String) => Dedup.minhashLshCapped(s, d)),
+    "dedup_lsh_routed"    -> ((s: org.apache.spark.sql.SparkSession, d: String) => Dedup.minhashDedupRouted(s, d)),
     "dedup_minhash_keep"  -> (Dedup.minhashDedupKeep _),
     "dedup_minhash_fast"  -> (Dedup.minhashFastVerified _),
     "dedup_simhash"       -> (Dedup.simhashVerified _),
@@ -313,6 +314,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_minhash_lsh"   -> Dedup.minhashLshOracle,
     "dedup_lsh_capped"    -> Dedup.minhashLshCappedOracle,
+    "dedup_lsh_routed"    -> Dedup.minhashDedupRoutedOracle,
     "dedup_minhash_keep"  -> Dedup.minhashDedupKeepOracle,
     // provable-recall gates for the Spark-specific hash families: the
     // xxhash64 candidate sets restricted to identical-token-set pairs

@@ -320,6 +320,136 @@ object Dedup {
       .where(col("n_members") > maxBucket)
   }
 
+  /** The COMPOSED skew-guarded dedup (round 14, verdict #5): the
+    * routing [[minhashLshCapped]]'s scaladoc used to delegate to the
+    * caller is now the operator itself — ONE unified keep/drop report
+    * where every document is handled by exactly one route:
+    *
+    *  - docs appearing in ANY over-cap LSH bucket (boilerplate-class:
+    *    empty pages, licence headers) take the CLUSTER route — a
+    *    linear full-signature groupBy keeps the min doc_id per
+    *    identical signature ([[minhashDedupKeep]]'s treatment),
+    *    because pair-enumerating a mega-bucket is quadratic in ONE
+    *    join key that no executor count parallelizes;
+    *  - every other doc takes the PAIR route — under-cap bucket
+    *    enumeration, est ≥ `minEst` against a smaller doc_id drops it
+    *    (keeper = the smallest such partner), the keep-first rule.
+    *
+    * Output: (doc_id, keep, keeper, route). The routes are DISJOINT by
+    * construction (over-cap membership removes a doc from enumeration
+    * entirely, not just its over-cap banded rows), which is what makes
+    * the report's semantics — and the DuckDB twin — unambiguous.
+    *
+    * Scale shape: the over-cap bucket list is metadata-sized and
+    * broadcasts; cluster-route cost is one linear groupBy over the
+    * mega-bucket membership; pair-route cost is bounded by
+    * cap²·buckets. Where uncapped enumeration was 385 s at sf1, the
+    * composed operator keeps the capped path's ~linear floor
+    * (BASELINE.md round-14 triple). */
+  def minhashDedupRouted(s: SparkSession, dir: String,
+      maxBucket: Int = 16, minEst: Double = 0.5): DataFrame = {
+    require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
+    graft.expr.ArrayMatchCount.register(s)
+    val sig0 = withToks(Tables.documents(s, dir))
+      .select(col("doc_id"), minhashSig.as("sig"))
+    // the signature table feeds the banded rows, both pair-join sides,
+    // and both route reports — same persist rationale as lshPairs
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    liveCaches.add(sig)
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(bandKeysExpr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val over = banded.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > maxBucket)
+      .select(col("band"), col("bkey"))
+    // mega-bucket membership (may be corpus-scale on boilerplate-heavy
+    // data — never broadcast; the joins below hash on doc_id)
+    val clusterDocs = banded.join(broadcast(over), Seq("band", "bkey"))
+      .select(col("doc_id")).distinct()
+    val csig = sig.join(clusterDocs, Seq("doc_id"))
+      .withColumn("skey", md5(concat_ws("|", col("sig"))))
+    val ckeep = csig.groupBy(col("skey")).agg(min(col("doc_id")).as("__k"))
+    val clusterReport = csig.join(ckeep, Seq("skey"))
+      .select(col("doc_id"),
+        (col("doc_id") === col("__k")).as("keep"),
+        when(col("doc_id") =!= col("__k"), col("__k")).as("keeper"),
+        lit("cluster").as("route"))
+    val pbanded = banded
+      .join(broadcast(over), Seq("band", "bkey"), "left_anti")
+      .join(clusterDocs, Seq("doc_id"), "left_anti")
+    val a = pbanded.as("a"); val b = pbanded.as("b")
+    val est = (call_function("array_match_count",
+      col("a.sig"), col("b.sig")).cast("double") / lit(K.toDouble))
+    val dropped = a.join(b,
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(est >= minEst)
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("a.doc_id")).as("__k"))
+    val pairReport = sig.join(clusterDocs, Seq("doc_id"), "left_anti")
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("__k").isNull.as("keep"),
+        col("__k").as("keeper"),
+        lit("pairs").as("route"))
+    clusterReport.unionByName(pairReport)
+  }
+
+  def minhashDedupRoutedOracle: String = minhashDedupRoutedOracle(16, 0.5)
+
+  private[graft] def minhashDedupRoutedOracle(cap: Int,
+      minEst: Double): String =
+    s"""WITH sig AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, ${K - 1}),
+       |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
+       |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
+       |  FROM documents),
+       |banded AS (
+       |  SELECT doc_id, sig, b AS band,
+       |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
+       |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
+       |  FROM sig, range(0, $BANDS) AS u(b)),
+       |over_b AS (
+       |  SELECT band, bkey FROM banded GROUP BY 1, 2
+       |  HAVING count(*) > $cap),
+       |cdocs AS (
+       |  SELECT DISTINCT doc_id FROM banded b
+       |  WHERE EXISTS (SELECT 1 FROM over_b o
+       |                WHERE o.band = b.band AND o.bkey = b.bkey)),
+       |csig AS (
+       |  SELECT s.doc_id, md5(array_to_string(s.sig, '|')) AS skey
+       |  FROM sig s JOIN cdocs c ON s.doc_id = c.doc_id),
+       |ckeep AS (SELECT skey, min(doc_id) AS k FROM csig GROUP BY 1),
+       |cluster_report AS (
+       |  SELECT c.doc_id, c.doc_id = k.k AS keep,
+       |    CASE WHEN c.doc_id <> k.k THEN k.k END AS keeper,
+       |    'cluster' AS route
+       |  FROM csig c JOIN ckeep k ON c.skey = k.skey),
+       |pbanded AS (
+       |  SELECT * FROM banded b
+       |  WHERE NOT EXISTS (SELECT 1 FROM over_b o
+       |                    WHERE o.band = b.band AND o.bkey = b.bkey)
+       |    AND NOT EXISTS (SELECT 1 FROM cdocs c
+       |                    WHERE c.doc_id = b.doc_id)),
+       |dropped AS (
+       |  SELECT d2 AS doc_id, min(d1) AS k FROM (
+       |    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |      cast(len(list_filter(generate_series(1, $K),
+       |           i -> a.sig[i] = b.sig[i])) as double) / ${K}.0 AS est
+       |    FROM pbanded a JOIN pbanded b
+       |      ON a.band = b.band AND a.bkey = b.bkey
+       |        AND a.doc_id < b.doc_id) p
+       |  WHERE est >= $minEst GROUP BY 1),
+       |pair_report AS (
+       |  SELECT s.doc_id, d.k IS NULL AS keep, d.k AS keeper,
+       |    'pairs' AS route
+       |  FROM sig s LEFT JOIN dropped d ON s.doc_id = d.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM cdocs c
+       |                    WHERE c.doc_id = s.doc_id))
+       |SELECT * FROM cluster_report
+       |UNION ALL SELECT * FROM pair_report""".stripMargin
+
   /** Linear-cost MinHash dedup: cluster by the FULL signature and keep
     * one representative per cluster. This — not pair enumeration — is
     * the operator a dup-dense 100 TB corpus needs: the 10× ScaleProbe
