@@ -499,7 +499,11 @@ object Curation {
     * shuffle carries one count+positions row per distinct window
     * instead of re-shuffling every occurrence, and the corpus's
     * duplication (both natural and the rep-phrase derivation) shrinks
-    * the distinct set. Both paths produce the identical `counts`
+    * the distinct set. At sf10 the win WIDENS to 3.8× (602.5 s vs
+    * 2308.6 s, round 14): distinct windows grow sublinearly on a
+    * dup-dense corpus while occurrences grow linearly, so the second
+    * shuffle shrinks relative to explode9's with scale — the 100×
+    * question answered on data (BASELINE.md). Both paths produce the identical `counts`
     * table (spec-pinned on dup-heavy/short/empty docs). */
   private[graft] def gopherRepetitionOn(docs: DataFrame,
       prefixDerivation: Boolean = true): DataFrame = {
