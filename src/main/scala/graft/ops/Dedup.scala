@@ -753,6 +753,22 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val fs = new Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    // nothing below the fold line on either sub-table → no-op. This is
+    // what makes a scheduled in-loop fold (ingestDedupIncremental's
+    // foldEvery) cheap on replays and idle boundaries: without it every
+    // crossing pays a full index rewrite even when the layers were
+    // already folded. Safe because the leftover-layer crash window
+    // (publish done, delete not) always HAS a layer below the line.
+    val hasLayers = Seq("hashes", "bands").exists { sub =>
+      val p = new Path(s"$streamPath/$sub")
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong)
+            .toOption.exists(_ < uptoBatch)
+      }
+    }
+    if (!hasLayers) return
     val (sh, sb) = streamIndexFrames(spark, streamPath, uptoBatch)
     rewriteIndexSub(spark, s"$indexPath/hashes", Nil)((df, _) =>
       df.unionByName(sh)

@@ -345,9 +345,18 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
         import graft.ops.Dedup
-        if (foldEvery > 0 && id > 0 && id % foldEvery == 0)
+        if (foldEvery > 0 && id > 0 && id % foldEvery == 0) {
           Dedup.foldStreamIndex(spark, indexPath, streamIndexPath,
             uptoBatch = id)
+          // reclaim the versions each fold supersedes, or a long-running
+          // stream accumulates old index files forever. keepVersions=2:
+          // the loop itself pins nothing across batches (sequential
+          // micro-batches), so 2 keeps one version of headroom for any
+          // external ad-hoc probe pinned at the pre-fold snapshot.
+          // Crash anywhere here is safe: fold is re-run idempotent and
+          // vacuum completes on its next scheduled pass.
+          Dedup.vacuumDedupIndex(spark, indexPath, keepVersions = 2)
+        }
         val deduped = Dedup.dedupBatch(batch.select("doc_id", "text"))
         val (sh, sb) = Dedup.streamIndexFrames(spark, streamIndexPath, id)
         val (bh, bb) = Dedup.readDedupIndex(spark, indexPath)

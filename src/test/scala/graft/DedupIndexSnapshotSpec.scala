@@ -128,6 +128,42 @@ class DedupIndexSnapshotSpec extends AnyFunSuite {
       == baseline)
   }
 
+  test("repeated fold + vacuum keeps the on-disk version count " +
+    "bounded; a fold with nothing below the line is a no-op") {
+    import spark.implicits._
+    val root = graft.session.Scratch.dir("snap-gc")
+    val (idx, sidx) = (s"$root/idx", s"$root/sidx")
+    Dedup.buildDedupIndex(
+      Seq((1L, "base corpus doc alpha beta gamma delta"))
+        .toDF("doc_id", "text"), idx)
+    def commitDirs(sub: String): Int = {
+      val d = new java.io.File(s"$idx/$sub/files")
+      if (!d.exists()) 0 else d.listFiles().count(_.isDirectory)
+    }
+    for (b <- 0 until 4) {
+      Dedup.writeStreamIndexBatch(
+        Seq((100L + b, s"novel stream doc $b tokens q$b w$b e$b"))
+          .toDF("doc_id", "text"), sidx, batchId = b.toLong)
+      Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = b + 1L)
+      Dedup.vacuumDedupIndex(spark, idx, keepVersions = 2)
+      // keep=2 retains at most the live + one superseded version
+      assert(commitDirs("hashes") <= 2 && commitDirs("bands") <= 2,
+        s"fold $b left ${commitDirs("hashes")}/${commitDirs("bands")} " +
+          "commit dirs — vacuum is not reclaiming superseded versions")
+    }
+    // all four folded docs are exact-visible through the vacuumed index
+    val replays = Seq.tabulate(4)(b =>
+      (900L + b, s"novel stream doc $b tokens q$b w$b e$b"))
+      .toDF("doc_id", "text")
+    assert(Dedup.incrementalProbe(spark, replays, idx)
+      .filter(col("verdict") =!= "exact").count() == 0)
+    // no layers below the line → the fold is a no-op (no new version)
+    val v = TxnLog.currentSnapshot(spark, s"$idx/hashes").get.version
+    Dedup.foldStreamIndex(spark, idx, sidx, uptoBatch = 4L)
+    assert(TxnLog.currentSnapshot(spark, s"$idx/hashes").get.version == v,
+      "an empty fold must not rewrite the index")
+  }
+
   test("lost-update gate: an update landing between compaction's " +
     "snapshot pin and its publish conflicts and is retried in") {
     import spark.implicits._
