@@ -63,7 +63,7 @@ object ScaleProbe {
     val idxDir = s"$dir/lsh_index"
     time("lsh_index_build") {
       ops.VectorIndex.putLsh(Tables.embeddings(spark, dir), idxDir)
-      spark.read.parquet(idxDir).count()
+      spark.read.parquet(ops.VectorIndex.indexRoot(spark, idxDir)).count()
     }
     val qvec = Tables.embeddings(spark, dir)
       .filter(col("vec_id") === 0L).head()

@@ -27,6 +27,57 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  // ---- snapshotted index trees (round 14) -----------------------------
+
+  /** Every index family (LSH / IVF / PQ) builds MULTIPLE sub-tables
+    * that must be read as a consistent unit — PQ's `codes` are only
+    * meaningful under the `pq_meta` codebook that produced them, IVF's
+    * assignments under their `centroids`. Round-13 rebuilds overwrote
+    * the live directories in place, so a search running concurrently
+    * with a nightly re-index could read the NEW codebook against the
+    * OLD codes — silently wrong distances, worse than the
+    * file-not-found race. Round 14 versions the WHOLE index tree
+    * through [[graft.table.TxnLog]]: a rebuild stages a fresh
+    * self-contained tree under `files/idx-<uuid>/` and publishes it as
+    * ONE manifest (atomic whole-index swap), a search resolves the
+    * current manifest ONCE and reads every sub-table from inside that
+    * immutable tree, and [[vacuumIndex]] reclaims superseded trees
+    * with a probe-covering retention — the same snapshot contract the
+    * dedup index got, strengthened to multi-sub-table atomicity by
+    * the single-dir manifest. */
+  private def publishIndexTree(spark: SparkSession, indexPath: String)(
+      build: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = s"files/idx-${java.util.UUID.randomUUID()}"
+    build(fs.makeQualified(new Path(root, dir)).toString)
+    graft.table.TxnLog.commitStagedDirs(spark, indexPath, Seq(dir),
+      op = "rebuild", replace = true)
+  }
+
+  /** The CURRENT snapshot's tree root — directory resolution happens
+    * here, once per search, so the returned path stays consistent
+    * under a concurrent rebuild. Paths without a TxnLog (pre-round-14
+    * indexes) resolve to themselves. */
+  private[graft] def indexRoot(spark: SparkSession,
+      indexPath: String): String =
+    graft.table.TxnLog.currentSnapshot(spark, indexPath) match {
+      case Some(s) =>
+        import org.apache.hadoop.fs.Path
+        val root = new Path(indexPath)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.makeQualified(new Path(root, s.dataDirs.head)).toString
+      case None => indexPath
+    }
+
+  /** Reclaim index trees superseded by rebuilds. Retention is the
+    * concurrency contract (see [[graft.ops.Dedup.vacuumDedupIndex]]):
+    * keep ≥ 2 versions when searches can overlap a rebuild. */
+  def vacuumIndex(spark: SparkSession, indexPath: String,
+      keepVersions: Int = 2): Int =
+    graft.table.TxnLog.vacuum(spark, indexPath, keepVersions)
+
   // ---- LSH ----------------------------------------------------------------
 
   /** Defaults preserve the round-2 index shape (8 bits, one band). At
@@ -73,11 +124,13 @@ object VectorIndex {
     val spark = emb.sparkSession
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val meta = LshMeta(nBits, nBands, dim)
-    graft.io.DatasetWriter.toParquet(
-      withBandBuckets(emb, meta).repartition(col("band"), col("bucket")),
-      indexPath, mode = graft.io.DatasetWriter.Overwrite,
-      partitionCols = Seq("band", "bucket"))
-    writeMeta(spark, indexPath, meta)
+    publishIndexTree(spark, indexPath) { t =>
+      graft.io.DatasetWriter.toParquet(
+        withBandBuckets(emb, meta).repartition(col("band"), col("bucket")),
+        t, mode = graft.io.DatasetWriter.Overwrite,
+        partitionCols = Seq("band", "bucket"))
+      writeMeta(spark, t, meta)
+    }
   }
 
   private def writeMeta(spark: SparkSession, indexPath: String,
@@ -92,7 +145,8 @@ object VectorIndex {
   }
 
   private[graft] def readMeta(spark: SparkSession, indexPath: String): LshMeta = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexPath/_lsh_meta")
+    val p = new org.apache.hadoop.fs.Path(
+      s"${indexRoot(spark, indexPath)}/_lsh_meta")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return LshMeta(DefaultBits, 1, 64)
     val in = fs.open(p)
@@ -145,14 +199,17 @@ object VectorIndex {
       k: Int = 10,
       nProbe: Int = 4): DataFrame = {
     graft.expr.CosineSimilarity.register(spark)
-    val meta = readMeta(spark, indexPath)
+    // ONE tree resolution per search: meta and data come from the same
+    // immutable snapshot even if a rebuild publishes mid-query
+    val t = indexRoot(spark, indexPath)
+    val meta = readMeta(spark, t)
     val sigs = querySignatures(query, meta)
     val perBand = sigs.zipWithIndex.map { case (sig, b) =>
       col("band") === lit(b) &&
         col("bucket").isin(probeBuckets(sig, nProbe, meta.nBits): _*)
     }
     val qLit = typedLit(query.toSeq)
-    spark.read.option("basePath", indexPath).parquet(indexPath)
+    spark.read.option("basePath", t).parquet(t)
       .filter(perBand.reduce(_ || _))
       .dropDuplicates("vec_id")
       .withColumn("cosine",
@@ -225,11 +282,13 @@ object VectorIndex {
     val centroids = kmeans(emb, k, iters)
     val cdf = spark.createDataFrame(centroids.toSeq
       .map { case (c, v) => (c, v.toSeq) }).toDF("cell", "centroid")
-    graft.io.DatasetWriter.toParquet(
-      assignCells(emb, cdf).repartition(col("cell")), s"$indexPath/data",
-      mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("cell"))
-    graft.io.DatasetWriter.toParquet(cdf, s"$indexPath/centroids",
-      mode = graft.io.DatasetWriter.Overwrite)
+    publishIndexTree(spark, indexPath) { t =>
+      graft.io.DatasetWriter.toParquet(
+        assignCells(emb, cdf).repartition(col("cell")), s"$t/data",
+        mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("cell"))
+      graft.io.DatasetWriter.toParquet(cdf, s"$t/centroids",
+        mode = graft.io.DatasetWriter.Overwrite)
+    }
   }
 
   /** Top-k by cosine over the `nprobe` nearest cells of the persisted
@@ -242,7 +301,10 @@ object VectorIndex {
       k: Int = 10,
       nprobe: Int = 3): DataFrame = {
     graft.expr.CosineSimilarity.register(spark)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
+    // one tree resolution: centroids and assignments stay consistent
+    // under a concurrent rebuild
+    val t = indexRoot(spark, indexPath)
+    val cents = spark.read.parquet(s"$t/centroids")
       .collect()
       .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Float]]("centroid").toArray)
     def cosine(a: Array[Float], b: Array[Float]): Double = {
@@ -256,8 +318,8 @@ object VectorIndex {
     val probed = cents.sortBy { case (c, v) => (-cosine(v, query), c) }
       .take(nprobe).map(_._1)
     val qLit = typedLit(query.toSeq)
-    spark.read.option("basePath", s"$indexPath/data")
-      .parquet(s"$indexPath/data")
+    spark.read.option("basePath", s"$t/data")
+      .parquet(s"$t/data")
       .filter(col("cell").isin(probed.toSeq: _*))
       .withColumn("cosine",
         call_function("cosine_sim", col("embedding"), qLit))
@@ -302,13 +364,18 @@ object VectorIndex {
       .withColumn("code", call_function("pq_encode", col("embedding"),
         typedLit(cents.toSeq), lit(m), lit(ksub), lit(dsub)))
       .drop("embedding")
-    graft.io.DatasetWriter.toParquet(coded, s"$indexPath/codes",
-      mode = graft.io.DatasetWriter.Overwrite)
-    val metaDf = spark.createDataFrame(
-      Seq((m, ksub, dsub, dim, cents.toSeq)))
-      .toDF("m", "ksub", "dsub", "dim", "cents")
-    graft.io.DatasetWriter.toParquet(metaDf, s"$indexPath/pq_meta",
-      mode = graft.io.DatasetWriter.Overwrite)
+    // codes are meaningless under any codebook but their own: the tree
+    // snapshot publishes both sub-tables in ONE commit, so a search
+    // can never pair a new codebook with old codes (or vice versa)
+    publishIndexTree(spark, indexPath) { t =>
+      graft.io.DatasetWriter.toParquet(coded, s"$t/codes",
+        mode = graft.io.DatasetWriter.Overwrite)
+      val metaDf = spark.createDataFrame(
+        Seq((m, ksub, dsub, dim, cents.toSeq)))
+        .toDF("m", "ksub", "dsub", "dim", "cents")
+      graft.io.DatasetWriter.toParquet(metaDf, s"$t/pq_meta",
+        mode = graft.io.DatasetWriter.Overwrite)
+    }
   }
 
   /** Driver-side float Lloyd's over a bounded sample — the default
@@ -440,7 +507,11 @@ object VectorIndex {
       query: Array[Float], k: Int = 10, rerank: Int = 0,
       emb: Option[DataFrame] = None,
       excludeId: Option[Long] = None): DataFrame = {
-    val mr = spark.read.parquet(s"$indexPath/pq_meta").head
+    // one tree resolution: the distance table derives from the SAME
+    // codebook snapshot the codes scan reads — a rebuild publishing
+    // mid-query cannot mix generations
+    val t = indexRoot(spark, indexPath)
+    val mr = spark.read.parquet(s"$t/pq_meta").head
     val (m, ksub, dsub) = (mr.getAs[Int]("m"), mr.getAs[Int]("ksub"),
       mr.getAs[Int]("dsub"))
     val cents = mr.getAs[Seq[Float]]("cents").toArray
@@ -455,7 +526,7 @@ object VectorIndex {
       table(j * ksub + c) = d
     }
     graft.expr.PqCodec.register(spark)
-    val codes0 = spark.read.parquet(s"$indexPath/codes")
+    val codes0 = spark.read.parquet(s"$t/codes")
     val codes = excludeId.fold(codes0)(id => codes0.filter(col("vec_id") =!= id))
     val scored = codes
       .withColumn("adist", call_function("pq_adc", col("code"),

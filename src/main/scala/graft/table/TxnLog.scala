@@ -229,13 +229,17 @@ object TxnLog {
   /** Publish already-written data dirs (paths relative to the table
     * root) as ONE snapshot — the single-transaction streaming commit
     * path: micro-batches stage dirs, this makes them all visible
-    * atomically. */
+    * atomically. `replace = true` makes the new snapshot EXACTLY the
+    * staged dirs (an atomic whole-table swap — the index-rebuild path)
+    * instead of appending them to the current snapshot. */
   def commitStagedDirs(
       spark: SparkSession,
       path: String,
       dirs: Seq[String],
-      op: String = "append"): Snapshot =
-    publish(spark, path, op, dirs, Nil, base = None, expectedParent = None)
+      op: String = "append",
+      replace: Boolean = false): Snapshot =
+    publish(spark, path, op, dirs, Nil,
+      base = if (replace) Some(Nil) else None, expectedParent = None)
 
   /** Optimistic manifest publication loop. */
   private def publish(

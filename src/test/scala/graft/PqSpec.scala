@@ -46,7 +46,9 @@ class PqSpec extends AnyFunSuite {
     val idx = Files.createTempDirectory("graft-pq2").toString
     VectorIndex.putPq(emb, idx)
     // codes table carries NO embeddings — 8 bytes of code per vector
-    val codes = spark.read.parquet(s"$idx/codes")
+    // (read under the round-14 snapshot tree root)
+    val codes = spark.read.parquet(
+      s"${VectorIndex.indexRoot(spark, idx)}/codes")
     assert(!codes.columns.contains("embedding"))
     graft.expr.CosineSimilarity.register(spark)
     val exact = emb

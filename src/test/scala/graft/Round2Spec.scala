@@ -172,7 +172,9 @@ class Round2Spec extends AnyFunSuite {
       ops.VectorIndex.queryLshBucket(spark, query), 4).toSet
     assert(res.map(_.getAs[Number]("bucket").longValue()).forall(probes))
     // file pruning: probed directories are a strict minority of the index
-    val idx = spark.read.option("basePath", dir).parquet(dir)
+    // (the snapshot root resolves the current rebuilt tree, round 14)
+    val root = ops.VectorIndex.indexRoot(spark, dir)
+    val idx = spark.read.option("basePath", root).parquet(root)
     val total = idx.select(input_file_name()).distinct().count()
     val touched = idx
       .filter(col("bucket").isin(probes.toSeq.map(_.toInt): _*))
@@ -194,11 +196,13 @@ class Round2Spec extends AnyFunSuite {
     assert(res.length == 10)
     assert(res.head.getAs[Long]("vec_id") == 0L, "query vector is top hit")
     assert(res.map(_.getAs[Number]("cell").intValue()).distinct.length <= 3)
-    // file pruning on the data directory
-    val data = spark.read.option("basePath", s"$dir/data").parquet(s"$dir/data")
+    // file pruning on the data directory (under the snapshot tree root)
+    val root = ops.VectorIndex.indexRoot(spark, dir)
+    val data = spark.read.option("basePath", s"$root/data")
+      .parquet(s"$root/data")
     val cells = res.map(_.getAs[Number]("cell").intValue()).distinct.toSeq
     val total = data.select(input_file_name()).distinct().count()
-    assert(spark.read.parquet(s"$dir/centroids").count() == 8)
+    assert(spark.read.parquet(s"$root/centroids").count() == 8)
     val touched = data.filter(col("cell").isin(cells: _*))
       .select(input_file_name()).distinct().count()
     assert(touched < total, "probe must not scan every cell")

@@ -261,7 +261,8 @@ class Round3Spec extends AnyFunSuite {
       col("band") === lit(b) &&
         col("bucket").isin(ops.VectorIndex.probeBuckets(sig, 6, 12): _*)
     }
-    val idx = spark.read.option("basePath", dw).parquet(dw)
+    val dwRoot = ops.VectorIndex.indexRoot(spark, dw)
+    val idx = spark.read.option("basePath", dwRoot).parquet(dwRoot)
     val touched = idx.filter(perBand.reduce(_ || _))
       .select(input_file_name()).distinct().count()
     val total = idx.select(input_file_name()).distinct().count()
