@@ -66,24 +66,32 @@ object Postings {
       .groupBy((col("token") +: keyCols): _*)
       .agg(count(lit(1)).cast("int").as("tf"))
       .withColumn("tok_bucket", bucketCol(col("token"), nBuckets))
-    postings
-      .repartition(col("tok_bucket"))
-      .write.partitionBy("tok_bucket").mode("overwrite").parquet(indexPath)
-    // doc-length norms (Lucene stores these per doc at index time): the
-    // BM25 length normalization needs |d| and corpus totals, which a
-    // term-bucket probe cannot derive — one extra doc-level aggregate at
-    // build, one tiny sidecar table, exact-integer corpus stats in meta
-    val doclens = docs
-      .select(col(idCol),
-        size(filter(split(lower(col(textCol)), " "),
-          t => t =!= "")).cast("long").as("dlen"))
-    doclens.write.mode("overwrite").parquet(s"$indexPath/_doclens")
-    val stats = spark.read.parquet(s"$indexPath/_doclens")
-      .agg(count(lit(1)), sum(col("dlen"))).head
-    writeMeta(spark, indexPath, Meta(nBuckets, textCol, idCol, carryCols,
-      stats.getLong(0), stats.getLong(1)))
-    spark.read.option("basePath", indexPath)
-      .parquet(indexPath).count()
+    // postings, doc-length norms, and the meta sidecar are only correct
+    // as a UNIT (a rebuild changing nBuckets re-routes every term; the
+    // corpus stats normalize BM25) — the whole tree publishes as one
+    // snapshot, so a query concurrent with a rebuild reads one
+    // generation (round 14, the VectorIndex treatment)
+    graft.table.SnapshotTree.publish(spark, indexPath) { t =>
+      postings
+        .repartition(col("tok_bucket"))
+        .write.partitionBy("tok_bucket").mode("overwrite").parquet(t)
+      // doc-length norms (Lucene stores these per doc at index time):
+      // the BM25 length normalization needs |d| and corpus totals,
+      // which a term-bucket probe cannot derive — one extra doc-level
+      // aggregate at build, one tiny sidecar table, exact-integer
+      // corpus stats in meta
+      val doclens = docs
+        .select(col(idCol),
+          size(filter(split(lower(col(textCol)), " "),
+            t => t =!= "")).cast("long").as("dlen"))
+      doclens.write.mode("overwrite").parquet(s"$t/_doclens")
+      val stats = spark.read.parquet(s"$t/_doclens")
+        .agg(count(lit(1)), sum(col("dlen"))).head
+      writeMeta(spark, t, Meta(nBuckets, textCol, idCol, carryCols,
+        stats.getLong(0), stats.getLong(1)))
+    }
+    val t = graft.table.SnapshotTree.root(spark, indexPath)
+    spark.read.option("basePath", t).parquet(t).count()
   }
 
   /** Weighted multi-term match over the postings: reads ONLY the term
@@ -95,11 +103,14 @@ object Postings {
       indexPath: String,
       weights: Seq[(String, Int)],
       k: Int = 20): DataFrame = {
-    val meta = readMeta(spark, indexPath)
+    // one tree resolution: routing (meta.nBuckets) and the bucket dirs
+    // come from the same snapshot even if a rebuild publishes mid-query
+    val t = graft.table.SnapshotTree.root(spark, indexPath)
+    val meta = readMeta(spark, t)
     val terms = weights.map(_._1)
     val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
     val keyCols = (meta.idCol +: meta.carryCols).map(col)
-    val scored = spark.read.option("basePath", indexPath).parquet(indexPath)
+    val scored = spark.read.option("basePath", t).parquet(t)
       .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
         col("token").isin(terms.map(s => s: Any): _*))
       .groupBy(keyCols: _*)
@@ -176,11 +187,14 @@ object Postings {
   def bm25Query(spark: SparkSession, indexPath: String,
       terms: Seq[String], k: Int = 20, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    val meta = readMeta(spark, indexPath)
+    // one tree resolution: meta stats, postings, and _doclens norms are
+    // one generation under a concurrent rebuild
+    val t = graft.table.SnapshotTree.root(spark, indexPath)
+    val meta = readMeta(spark, t)
     require(meta.nDocs > 0,
       s"index at $indexPath predates doc-length norms; rebuild it")
     val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
-    val post = spark.read.option("basePath", indexPath).parquet(indexPath)
+    val post = spark.read.option("basePath", t).parquet(t)
       .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
         col("token").isin(terms.map(s => s: Any): _*))
     val dfMap: Map[String, Long] = post.groupBy(col("token"))
@@ -193,7 +207,7 @@ object Postings {
         terms.tail.map(t =>
           sum(when(col("token") === t, col("tf")).otherwise(0))
             .cast("int").as(s"tf_$t")): _*)
-    val dlens = spark.read.parquet(s"$indexPath/_doclens")
+    val dlens = spark.read.parquet(s"$t/_doclens")
     val avgdl = meta.sumDlen.toDouble / meta.nDocs.toDouble
     val scored = byDoc.join(dlens, Seq(meta.idCol))
     val contributions = terms.map { t =>

@@ -46,15 +46,8 @@ object VectorIndex {
     * dedup index got, strengthened to multi-sub-table atomicity by
     * the single-dir manifest. */
   private def publishIndexTree(spark: SparkSession, indexPath: String)(
-      build: String => Unit): Unit = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(indexPath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val dir = s"files/idx-${java.util.UUID.randomUUID()}"
-    build(fs.makeQualified(new Path(root, dir)).toString)
-    graft.table.TxnLog.commitStagedDirs(spark, indexPath, Seq(dir),
-      op = "rebuild", replace = true)
-  }
+      build: String => Unit): Unit =
+    graft.table.SnapshotTree.publish(spark, indexPath)(build)
 
   /** The CURRENT snapshot's tree root — directory resolution happens
     * here, once per search, so the returned path stays consistent
@@ -62,21 +55,14 @@ object VectorIndex {
     * indexes) resolve to themselves. */
   private[graft] def indexRoot(spark: SparkSession,
       indexPath: String): String =
-    graft.table.TxnLog.currentSnapshot(spark, indexPath) match {
-      case Some(s) =>
-        import org.apache.hadoop.fs.Path
-        val root = new Path(indexPath)
-        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.makeQualified(new Path(root, s.dataDirs.head)).toString
-      case None => indexPath
-    }
+    graft.table.SnapshotTree.root(spark, indexPath)
 
   /** Reclaim index trees superseded by rebuilds. Retention is the
     * concurrency contract (see [[graft.ops.Dedup.vacuumDedupIndex]]):
     * keep ≥ 2 versions when searches can overlap a rebuild. */
   def vacuumIndex(spark: SparkSession, indexPath: String,
       keepVersions: Int = 2): Int =
-    graft.table.TxnLog.vacuum(spark, indexPath, keepVersions)
+    graft.table.SnapshotTree.vacuum(spark, indexPath, keepVersions)
 
   // ---- LSH ----------------------------------------------------------------
 

@@ -363,13 +363,14 @@ class Round3Spec extends AnyFunSuite {
     // only those partitions' files are opened
     val buckets =
       Seq("spark", "join", "stream").map(ops.Postings.bucketOf(_, 16)).distinct
-    val probe = spark.read.option("basePath", idx).parquet(idx)
+    val root = graft.table.SnapshotTree.root(spark, idx)
+    val probe = spark.read.option("basePath", root).parquet(root)
       .filter(col("tok_bucket").isin(buckets.map(Int.box): _*))
     val opened = probe.select(input_file_name()).distinct().as[String].collect()
     assert(opened.nonEmpty &&
       opened.forall(f => buckets.exists(b => f.contains(s"tok_bucket=$b"))),
       s"probe must only open term-bucket files: $opened")
-    val allDirs = spark.read.option("basePath", idx).parquet(idx)
+    val allDirs = spark.read.option("basePath", root).parquet(root)
       .select(input_file_name()).distinct().count()
     assert(allDirs > opened.size, "index must hold more buckets than probed")
   }
