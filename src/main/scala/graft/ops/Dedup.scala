@@ -180,23 +180,27 @@ object Dedup {
     liveCaches.add(sig)
     val banded0 = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    // skew guard: the OVER-cap bucket list is metadata-sized by nature
+    // skew guard: the OVER-cap bucket list is usually metadata-sized
     // (it is exactly the audit report — mega-buckets are few), so the
     // guard is a map-side-combined aggregation to that small list,
-    // broadcast back as an ANTI-join: banded rows never shuffle for the
-    // guard at all. Three formulations measured at sf1 (10×, idle):
-    // per-side window 34.2 s, DISK_ONLY-persisted window 15.9 s,
-    // broadcast anti-join 16.9 s. The anti-join ties the persisted
+    // joined back as an ANTI-join. Three formulations measured at sf1
+    // (10×, idle): per-side window 34.2 s, DISK_ONLY-persisted window
+    // 15.9 s, anti-join 16.9 s. The anti-join ties the persisted
     // window on wall clock but wins the 100 TB shape: no 3×-corpus
     // temp table on executor disk, and its aggregation shuffles one
     // map-side-combined partial row per bucket per partition instead
-    // of every banded row.
+    // of every banded row. No explicit broadcast hint: the over-cap
+    // list is bounded only by distinct-buckets/cap, i.e. corpus-
+    // proportional on pathological corpora where EVERY bucket
+    // overflows — AQE sees the aggregated size at runtime and picks
+    // broadcast when it actually fits (the common case) without the
+    // hint's unconditional driver-side collect.
     val banded = maxBucket match {
       case Some(cap) =>
         val over = banded0.groupBy(col("band"), col("bkey"))
           .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > cap)
           .select(col("band"), col("bkey"))
-        banded0.join(broadcast(over), Seq("band", "bkey"), "left_anti")
+        banded0.join(over, Seq("band", "bkey"), "left_anti")
       case None => banded0
     }
     val a = banded.as("a"); val b = banded.as("b")
@@ -340,8 +344,10 @@ object Dedup {
     * entirely, not just its over-cap banded rows), which is what makes
     * the report's semantics — and the DuckDB twin — unambiguous.
     *
-    * Scale shape: the over-cap bucket list is metadata-sized and
-    * broadcasts; cluster-route cost is one linear groupBy over the
+    * Scale shape: the over-cap bucket list is metadata-sized on real
+    * corpora (AQE broadcasts it at runtime; no unconditional hint, so
+    * a pathological all-overflow corpus degrades to a shuffle join
+    * instead of a driver OOM); cluster-route cost is one linear groupBy over the
     * mega-bucket membership; pair-route cost is bounded by
     * cap²·buckets. Where uncapped enumeration was 385 s at sf1, the
     * composed operator keeps the capped path's ~linear floor
@@ -363,8 +369,11 @@ object Dedup {
       .agg(count(lit(1)).as("__bsz")).where(col("__bsz") > maxBucket)
       .select(col("band"), col("bkey"))
     // mega-bucket membership (may be corpus-scale on boilerplate-heavy
-    // data — never broadcast; the joins below hash on doc_id)
-    val clusterDocs = banded.join(broadcast(over), Seq("band", "bkey"))
+    // data — never broadcast; the joins below hash on doc_id). `over`
+    // itself carries no hint either: its size is corpus-proportional in
+    // the worst case (every bucket overflowing), so AQE decides
+    // broadcast-vs-shuffle from the aggregated runtime size.
+    val clusterDocs = banded.join(over, Seq("band", "bkey"))
       .select(col("doc_id")).distinct()
     val csig = sig.join(clusterDocs, Seq("doc_id"))
       .withColumn("skey", md5(concat_ws("|", col("sig"))))
@@ -375,7 +384,7 @@ object Dedup {
         when(col("doc_id") =!= col("__k"), col("__k")).as("keeper"),
         lit("cluster").as("route"))
     val pbanded = banded
-      .join(broadcast(over), Seq("band", "bkey"), "left_anti")
+      .join(over, Seq("band", "bkey"), "left_anti")
       .join(clusterDocs, Seq("doc_id"), "left_anti")
     val a = pbanded.as("a"); val b = pbanded.as("b")
     val est = (call_function("array_match_count",

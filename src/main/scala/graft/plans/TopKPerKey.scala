@@ -52,15 +52,18 @@ case class TopKPerKeyNode(
   * pass filters.
   *
   * The partial pass is ADAPTIVE, like partial hash aggregation's
-  * skip-on-high-cardinality: after [[TopKPerKeyExec.CheckAt]] rows it
-  * compares retained (Σ heap sizes) to processed — when the partition
-  * holds so many distinct keys that the heaps barely filter (ratio >
-  * 1/2), it emits its state and streams the remaining rows through
-  * untouched, avoiding the per-row copy + hashmap churn that made a
-  * blind partial pass SLOWER at 100k keys × few-rows-per-key
-  * (measured: sf10 topk 5.2 s one-phase, 8.6 s blind two-phase,
-  * 5.0 s adaptive; sf1 3.3 → 1.9 s where the filter bites —
-  * tools/topk_profile.scala). */
+  * skip-on-high-cardinality: every [[TopKPerKeyExec.CheckAt]] rows it
+  * compares the WINDOW's newly-retained rows to the window's row count
+  * — when the current stretch of the partition holds so many distinct
+  * keys that the heaps barely filter (ratio > 1/2), it emits its state
+  * and streams the remaining rows through untouched, avoiding the
+  * per-row copy + hashmap churn that made a blind partial pass SLOWER
+  * at 100k keys × few-rows-per-key (measured: sf10 topk 5.2 s
+  * one-phase, 8.6 s blind two-phase, 5.0 s adaptive; sf1 3.3 → 1.9 s
+  * where the filter bites — tools/topk_profile.scala). The check is
+  * per-window, not one-shot, so key-CLUSTERED input (sorted files)
+  * whose first window sees few keys still bails once the key stream
+  * moves to the high-cardinality stretch (r14 ADVICE). */
 case class TopKPerKeyExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
@@ -118,16 +121,24 @@ case class TopKPerKeyExec(
               .sorted(ordering).iterator
         }
       if (isPartial) {
-        // adaptive window: filter the first CheckAt rows, then keep
-        // heap mode only if it is actually reducing the partition
-        while (iter.hasNext && processed < TopKPerKeyExec.CheckAt)
-          insert(iter.next())
-        if (iter.hasNext && retained * 2 > processed)
-          emitState() ++ iter // high-cardinality: stop copying rows
-        else {
-          iter.foreach(insert)
-          emitState()
+        // adaptive windows: judge heap-filter vs pass-through on EACH
+        // CheckAt-row window's own reduction, not once on the first —
+        // a one-shot decision locks heap mode on key-clustered input
+        // (sorted files) whose early window sees few keys, then pays
+        // the per-row copy + hashmap churn for the rest of a
+        // high-cardinality partition once the key stream moves on.
+        // The window-local ratio (newly retained rows / window rows)
+        // reacts to the clustered shape within one window.
+        var bail = false
+        while (iter.hasNext && !bail) {
+          val startP = processed; val startR = retained
+          while (iter.hasNext &&
+              processed - startP < TopKPerKeyExec.CheckAt)
+            insert(iter.next())
+          bail = (retained - startR) * 2 > (processed - startP)
         }
+        if (iter.hasNext) emitState() ++ iter // stop copying rows
+        else emitState()
       } else {
         iter.foreach(insert)
         emitState()

@@ -334,11 +334,20 @@ object EventStream {
     * batch and re-folds (kill-during-fold spec'd in
     * StreamDedupIndexSpec). Probe semantics are unchanged: the folded
     * rows move from the stream-layer union into the base index, which
-    * the probe reads either way. */
+    * the probe reads either way.
+    *
+    * `vacuumKeep` is the fold's retention: the loop itself pins
+    * nothing across batches (sequential micro-batches), so the default
+    * 2 keeps one version of headroom for an external ad-hoc probe
+    * pinned at the pre-fold snapshot. Deployments whose external
+    * probes can span MORE than one fold boundary (long analytical
+    * reads against the live index — see the Dedup scaladoc's retention
+    * note) must raise it to cover the longest probe's fold-boundary
+    * span. */
   def ingestDedupIncremental(docs: DataFrame, path: String,
       checkpoint: String, appId: String, indexPath: String,
       streamIndexPath: String, minEst: Double = 0.5,
-      foldEvery: Int = 0): StreamingQuery =
+      foldEvery: Int = 0, vacuumKeep: Int = 2): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -349,13 +358,12 @@ object EventStream {
           Dedup.foldStreamIndex(spark, indexPath, streamIndexPath,
             uptoBatch = id)
           // reclaim the versions each fold supersedes, or a long-running
-          // stream accumulates old index files forever. keepVersions=2:
-          // the loop itself pins nothing across batches (sequential
-          // micro-batches), so 2 keeps one version of headroom for any
-          // external ad-hoc probe pinned at the pre-fold snapshot.
-          // Crash anywhere here is safe: fold is re-run idempotent and
-          // vacuum completes on its next scheduled pass.
-          Dedup.vacuumDedupIndex(spark, indexPath, keepVersions = 2)
+          // stream accumulates old index files forever (retention is
+          // the caller's vacuumKeep — see scaladoc). Crash anywhere
+          // here is safe: fold is re-run idempotent and vacuum
+          // completes on its next scheduled pass.
+          Dedup.vacuumDedupIndex(spark, indexPath,
+            keepVersions = vacuumKeep)
         }
         val deduped = Dedup.dedupBatch(batch.select("doc_id", "text"))
         val (sh, sb) = Dedup.streamIndexFrames(spark, streamIndexPath, id)
@@ -394,11 +402,11 @@ object EventStream {
       streamIndexPath: String, minEst: Double = 0.5,
       minWords: Int = 50, maxWords: Int = 100000,
       stopWords: Seq[String] = graft.ops.Curation.GopherStopWords,
-      foldEvery: Int = 0): StreamingQuery =
+      foldEvery: Int = 0, vacuumKeep: Int = 2): StreamingQuery =
     ingestDedupIncremental(
       graft.ops.Curation.gopherGate(docs, minWords, maxWords, stopWords),
       path, checkpoint, appId, indexPath, streamIndexPath, minEst,
-      foldEvery)
+      foldEvery, vacuumKeep)
 
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run

@@ -261,6 +261,25 @@ object TxnLog {
       // (atomic publication), an in-flight write logState has already
       // waited out, or a dead torn leftover that is safe to skip.
       val (current, claimed) = logState(fs, root)
+      // Legacy-layout guard: starting a FRESH log in a directory that
+      // already holds data (raw parquet written before this path was a
+      // TxnLog table — e.g. a pre-round-14 dedup index) would publish a
+      // v1 that silently shadows every pre-existing row for all TxnLog
+      // readers. Read paths fall back loudly or resolve the raw layout;
+      // the write path must not orphan it quietly. All legitimate
+      // layouts keep data under `files/` only, so any other root entry
+      // means "this is not (yet) a TxnLog table" — fail and point at
+      // the migration step (create() from a full read of the old data).
+      if (current.isEmpty && claimed == 0 && fs.exists(root)) {
+        val foreign = fs.listStatus(root).map(_.getPath.getName)
+          .filterNot(n => n == LogDir || n == "files")
+        require(foreign.isEmpty,
+          s"$path holds pre-existing data (${foreign.take(3).mkString(", ")}" +
+            s"${if (foreign.length > 3) ", ..." else ""}) but no $LogDir: " +
+            "refusing to start a log that would shadow it. Migrate first: " +
+            "read the legacy layout and TxnLog.create(df, <new path>) " +
+            "(or clear the directory if the old data is disposable).")
+      }
       expectedParent.foreach { p =>
         if (current.map(_.version).getOrElse(0) != p)
           throw new CommitConflict(
