@@ -178,6 +178,11 @@ object SparkEntry {
     // additionally gates the codec exactly and recall@10 >= 0.6
     "vec_pq_search"       -> ((s: SparkSession, d: String) =>
       Vectors.pqSearch(s, d)),
+    // composed IVF-PQ (r15): coarse-cell pruning + ADC codes + exact
+    // rerank — the production ANN shape; probe build is deterministic
+    // end-to-end (exact-decimal label centroids + exact codebook)
+    "vec_ivfpq_search"    -> ((s: SparkSession, d: String) =>
+      Vectors.ivfPqSearch(s, d)),
     // graph (Neptune-shaped)
     "graph_two_hop"       -> (Graph.twoHop _),
     "graph_motif"         -> (Graph.motif _),
@@ -372,6 +377,7 @@ object SparkEntry {
     "vec_knn_lsh"         -> Vectors.knnLshOracle,
     "vec_ivf_search"      -> Vectors.ivfSearchOracle,
     "vec_pq_search"       -> Vectors.pqSearchOracle,
+    "vec_ivfpq_search"    -> Vectors.ivfPqSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "vec_semdedup"        -> Vectors.semDedupOracle,
     "vec_semdedup_k"      -> Vectors.semDedupKOracle,

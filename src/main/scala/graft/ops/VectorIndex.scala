@@ -316,6 +316,31 @@ object VectorIndex {
 
   // ---- PQ (product quantization) ------------------------------------
 
+  /** Default PQ code-budget derivation (round 15): the largest
+    * subspace count ≤ 16 that divides `dim`. The measured recall
+    * protocol (tools/ann_recall.scala, BASELINE.md rounds 13–14) put
+    * 8 subspaces at recall@10 ≤ 0.46 — below the gate — at EVERY
+    * corpus scale including 1×, while 16 subspaces clear 0.6 through
+    * 100× distractor growth; so the default is the 16-subspace
+    * geometry whenever dim admits it, independent of corpus size
+    * (the floor already binds at the smallest scale — a bigger corpus
+    * only adds distractors, it never earns the smaller budget back).
+    * Callers with a measured reason to halve scan I/O pass `m`
+    * explicitly and get the loud recall warning. */
+  private[graft] def autoSubspaces(dim: Int): Int = {
+    val m = (math.min(16, dim) to 1 by -1).find(dim % _ == 0).get
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"PQ auto code budget: m = $m for dim = $dim " +
+        "(largest divisor <= 16; see BASELINE.md recall protocol)")
+    m
+  }
+
+  /** Auto rerank depth for a `k`-NN probe: the measured recall gate
+    * (AnnRecallSpec, BASELINE.md) holds at rerank = 50 for k = 10 —
+    * 5× the ask, floored at 50 so tiny `k` still funds the exact
+    * pass with enough ADC candidates to recover quantization loss. */
+  private[graft] def autoRerank(k: Int): Int = math.max(50, 5 * k)
+
   /** Build the PQ index (Jégou et al. 2011; see [[graft.expr.PqCodec]]):
     * per-subspace codebooks trained driver-side on a BOUNDED
     * deterministic sample (hash-spread across vec_ids — m×ksub×dsub
@@ -323,11 +348,22 @@ object VectorIndex {
     * codegen'd distributed pass packs every vector into an 8-byte code.
     * The persisted codes table drops the raw embeddings entirely —
     * 32× less scan I/O at query time, the memory-bound ANN trade. */
-  def putPq(emb: DataFrame, indexPath: String, m: Int = 8,
+  def putPq(emb: DataFrame, indexPath: String, m: Int = 0,
       ksub: Int = 16, iters: Int = 5, sampleN: Int = 2048,
       codebook: Option[Array[Float]] = None): Unit = {
     val spark = emb.sparkSession
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim0 = emb.select(size(col("embedding"))).head.getInt(0)
+    // m = 0 (the default) derives the at-scale code budget from the
+    // geometry (r14 verdict #6): a caller who never read BASELINE.md
+    // gets the 16-subspace budget the recall gate was measured at
+    val m0 = if (m > 0) m else autoSubspaces(dim0)
+    putPqWith(emb, indexPath, m0, ksub, iters, sampleN, codebook, dim0)
+  }
+
+  private def putPqWith(emb: DataFrame, indexPath: String, m: Int,
+      ksub: Int, iters: Int, sampleN: Int,
+      codebook: Option[Array[Float]], dim: Int): Unit = {
+    val spark = emb.sparkSession
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     require(ksub <= 16, "ksub must be <= 16 (4-bit packed codes)")
     // measured recall floor (BASELINE.md round-13 protocol, AnnRecallSpec
@@ -490,9 +526,15 @@ object VectorIndex {
     * (`emb`), the standard recall-recovery step; the exact pass touches
     * only the candidate ids (broadcast semi-join). */
   def searchPq(spark: SparkSession, indexPath: String,
-      query: Array[Float], k: Int = 10, rerank: Int = 0,
+      query: Array[Float], k: Int = 10, rerank: Int = -1,
       emb: Option[DataFrame] = None,
       excludeId: Option[Long] = None): DataFrame = {
+    // rerank = -1 (the default) self-funds the exact pass whenever the
+    // raw embeddings are available (r14 verdict #6): max(50, 5k)
+    // candidates — the budget the recall gate was measured at. Pass 0
+    // for a deliberate ADC-only probe.
+    val rr = if (rerank >= 0) rerank
+             else if (emb.isDefined) autoRerank(k) else 0
     // one tree resolution: the distance table derives from the SAME
     // codebook snapshot the codes scan reads — a rebuild publishing
     // mid-query cannot mix generations
@@ -518,13 +560,149 @@ object VectorIndex {
       .withColumn("adist", call_function("pq_adc", col("code"),
         typedLit(table.toSeq), lit(m), lit(ksub)))
       .orderBy(col("adist"), col("vec_id"))
-    if (rerank <= 0)
+    if (rr <= 0)
       scored.limit(k).select(col("vec_id"), col("label"), col("adist"))
     else {
       val base = emb.getOrElse(throw new IllegalArgumentException(
         "rerank needs the raw embeddings DataFrame"))
       graft.expr.CosineSimilarity.register(spark)
-      val cand = scored.limit(math.max(k, rerank)).select(col("vec_id"))
+      val cand = scored.limit(math.max(k, rr)).select(col("vec_id"))
+      base.join(broadcast(cand), Seq("vec_id"), "left_semi")
+        .withColumn("cosine", call_function("cosine_sim",
+          col("embedding"), typedLit(query.toSeq)))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(k)
+        .select(col("vec_id"), col("label"), col("cosine"))
+    }
+  }
+
+  // ---- IVF-PQ (composed) ----------------------------------------------
+
+  /** The production ANN shape (round 15; the composition FAISS ships as
+    * IVFPQ, Jégou et al. 2011 §IV): a coarse quantizer prunes the scan
+    * to `nprobe` cells, compact PQ codes rank WITHIN the probed cells,
+    * and an exact rerank recovers quantization loss. Either component
+    * alone leaves a 100 TB cost on the table — plain IVF reads raw
+    * embeddings of every probed cell (dim×4 bytes/vector); plain PQ
+    * scans every code in the corpus. Composed, a query reads
+    * `nprobe/ncells` of a codes table that is already 32× smaller than
+    * the embeddings.
+    *
+    * Codes quantize the RAW vectors, not per-cell residuals (FAISS's
+    * `by_residual = false` variant): one global codebook means the
+    * driver builds ONE ADC table per query instead of nprobe of them,
+    * the same codes serve any future cell split, and the measured
+    * recall loss vs residual coding is recovered by the exact rerank
+    * the search runs anyway (AnnRecallSpec gates the composition at
+    * the plain-PQ floor).
+    *
+    * Storage is ONE snapshot tree — `codes/` partitioned by cell,
+    * `centroids/`, `pq_meta/` — so a rebuild can never pair new
+    * centroids with old codes under a concurrent search.
+    *
+    * `coarse` overrides the k-means quantizer (cell id → centroid) —
+    * the differential-oracle hook ([[Vectors.ivfPqSearch]] passes
+    * exact-decimal per-label centroids so DuckDB reproduces the cell
+    * assignment bit-for-bit); `codebook` is [[putPq]]'s same hook. */
+  def putIvfPq(emb: DataFrame, indexPath: String, kCells: Int = 8,
+      iters: Int = 3, m: Int = 0, ksub: Int = 16, sampleN: Int = 2048,
+      codebook: Option[Array[Float]] = None,
+      coarse: Option[Seq[(Int, Array[Float])]] = None): Unit = {
+    val spark = emb.sparkSession
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val mEff = if (m > 0) m else autoSubspaces(dim)
+    require(dim % mEff == 0, s"dim $dim not divisible by m=$mEff")
+    require(ksub <= 16, "ksub must be <= 16 (4-bit packed codes)")
+    val dsub = dim / mEff
+    val cents = codebook.getOrElse(
+      trainPqFloat(emb, mEff, ksub, dsub, 5, sampleN))
+    require(cents.length == mEff * ksub * dsub,
+      s"codebook length ${cents.length} != m*ksub*dsub " +
+        s"${mEff * ksub * dsub}")
+    val cells = coarse.getOrElse(kmeans(emb, kCells, iters).toSeq)
+    val cdf = spark.createDataFrame(cells
+      .map { case (c, v) => (c, v.toSeq) }).toDF("cell", "centroid")
+    graft.expr.PqCodec.register(spark)
+    // ONE distributed pass: nearest-centroid assignment (fused k·d
+    // codegen loop) and PQ encoding on the same row, embeddings
+    // dropped before the write — the index never stores raw vectors
+    val coded = assignCells(emb, cdf)
+      .withColumn("code", call_function("pq_encode", col("embedding"),
+        typedLit(cents.toSeq), lit(mEff), lit(ksub), lit(dsub)))
+      .drop("embedding")
+    publishIndexTree(spark, indexPath) { t =>
+      graft.io.DatasetWriter.toParquet(coded.repartition(col("cell")),
+        s"$t/codes", mode = graft.io.DatasetWriter.Overwrite,
+        partitionCols = Seq("cell"))
+      graft.io.DatasetWriter.toParquet(cdf, s"$t/centroids",
+        mode = graft.io.DatasetWriter.Overwrite)
+      val metaDf = spark.createDataFrame(
+        Seq((mEff, ksub, dsub, dim, cents.toSeq)))
+        .toDF("m", "ksub", "dsub", "dim", "cents")
+      graft.io.DatasetWriter.toParquet(metaDf, s"$t/pq_meta",
+        mode = graft.io.DatasetWriter.Overwrite)
+    }
+  }
+
+  /** Top-k over the IVF-PQ index: centroid ranking driver-side
+    * (k×dim floats, cosine desc / cell asc — the shared tie rule),
+    * partition-pruned ADC scan of the probed cells' codes, exact
+    * cosine rerank of the top `rerank` candidates against `emb`
+    * (auto: max(50, 5k), the gate-measured budget). One tree
+    * resolution per query — centroids, meta, and codes from one
+    * immutable generation. */
+  def searchIvfPq(spark: SparkSession, indexPath: String,
+      query: Array[Float], k: Int = 10, nprobe: Int = 3,
+      rerank: Int = -1, emb: Option[DataFrame] = None,
+      excludeId: Option[Long] = None): DataFrame = {
+    val t = indexRoot(spark, indexPath)
+    val rr = if (rerank >= 0) rerank
+             else if (emb.isDefined) autoRerank(k) else 0
+    val cents = spark.read.parquet(s"$t/centroids").collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid").toArray)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probed = cents.sortBy { case (c, v) => (-cosine(v, query), c) }
+      .take(nprobe).map(_._1).toSeq
+    val mr = spark.read.parquet(s"$t/pq_meta").head
+    val (m, ksub, dsub) = (mr.getAs[Int]("m"), mr.getAs[Int]("ksub"),
+      mr.getAs[Int]("dsub"))
+    val cb = mr.getAs[scala.collection.Seq[Float]]("cents").toArray
+    val table = new Array[Double](m * ksub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      var d = 0.0; var i = 0
+      while (i < dsub) {
+        val diff = query(j * dsub + i).toDouble -
+          cb((j * ksub + c) * dsub + i)
+        d += diff * diff; i += 1
+      }
+      table(j * ksub + c) = d
+    }
+    graft.expr.PqCodec.register(spark)
+    val codes0 = spark.read.option("basePath", s"$t/codes")
+      .parquet(s"$t/codes")
+      .filter(col("cell").isin(probed: _*))
+    val codes = excludeId.fold(codes0)(id =>
+      codes0.filter(col("vec_id") =!= id))
+    val scored = codes
+      .withColumn("adist", call_function("pq_adc", col("code"),
+        typedLit(table.toSeq), lit(m), lit(ksub)))
+      .orderBy(col("adist"), col("vec_id"))
+    if (rr <= 0)
+      scored.limit(k)
+        .select(col("vec_id"), col("label"), col("cell"), col("adist"))
+    else {
+      val base = emb.getOrElse(throw new IllegalArgumentException(
+        "rerank needs the raw embeddings DataFrame"))
+      graft.expr.CosineSimilarity.register(spark)
+      val cand = scored.limit(math.max(k, rr)).select(col("vec_id"))
       base.join(broadcast(cand), Seq("vec_id"), "left_semi")
         .withColumn("cosine", call_function("cosine_sim",
           col("embedding"), typedLit(query.toSeq)))

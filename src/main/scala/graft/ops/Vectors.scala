@@ -316,7 +316,11 @@ object Vectors {
     val emb = graft.Tables.embeddings(s, dir)
     val idx = pqIndexCache.computeIfAbsent(dir, _ => {
       val tmp = graft.session.Scratch.dir("graft-pq-idx") + "/idx"
-      VectorIndex.putPq(emb, tmp,
+      // m pinned to the oracle's geometry (8 subspaces × 8 dims): the
+      // auto default is 16, and with dim=64 both geometries share a
+      // 1024-float codebook length, so an implicit default here would
+      // silently re-slice the exact codebook
+      VectorIndex.putPq(emb, tmp, m = 8,
         codebook = Some(VectorIndex.trainPqExact(emb)))
       tmp
     })
@@ -393,6 +397,152 @@ object Vectors {
        |  FROM (SELECT codes.vec_id, codes.j, dtab.d
        |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
        |        WHERE codes.vec_id <> 0) z
+       |  GROUP BY vec_id),
+       |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50)
+       |SELECT e.vec_id, e.label
+       |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
+       |ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** One persisted IVF-PQ index per corpus directory (cf.
+    * [[pqIndexCache]]). */
+  private val ivfPqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The COMPOSED production ANN probe ([[VectorIndex.putIvfPq]] /
+    * [[VectorIndex.searchIvfPq]] — FAISS's IVFPQ shape, reference
+    * anchor `s3/_vectors/_read.py:249-344` query_vectors at scale):
+    * coarse cells prune the scan to `nprobe`/ncells of the corpus, ADC
+    * over 8-byte codes ranks within the probed cells, exact cosine
+    * rerank of the top 50 recovers quantization loss.
+    *
+    * Differentially testable END-TO-END like [[pqSearch]]: the coarse
+    * quantizer is the exact-decimal per-label centroid family
+    * ([[ivfSearch]]'s trick — order-independent decimal(20,10) means),
+    * cell assignment is the nearest-centroid total order (cosine
+    * desc, cell asc — [[graft.expr.NearestCentroid]]'s exact rule),
+    * and the codebook is [[VectorIndex.trainPqExact]]; every stage of
+    * build AND probe reproduces bit-for-bit in DuckDB. */
+  def ivfPqSearch(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val idx = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = graft.session.Scratch.dir("graft-ivfpq-idx") + "/idx"
+      val coarse = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
+          count(lit(1)).cast("double")).as("m"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"),
+          expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+        .orderBy(col("label")).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          i -> r.getAs[scala.collection.Seq[Float]]("centroid").toArray }
+        .toSeq
+      // m pinned to the oracle geometry (8 x 8), same note as pqSearch
+      VectorIndex.putIvfPq(emb, tmp, m = 8,
+        codebook = Some(VectorIndex.trainPqExact(emb)),
+        coarse = Some(coarse))
+      tmp
+    })
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    VectorIndex.searchIvfPq(s, idx, query, k = k, nprobe = nprobe,
+      rerank = 5 * k, emb = Some(emb), excludeId = Some(0L))
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** DuckDB mirror of the ENTIRE IVF-PQ probe: [[pqSearchOracle]]'s
+    * codebook/codes/ADC CTEs + [[ivfSearchOracle]]'s exact-decimal
+    * label centroids, fused — vectors assign to their
+    * highest-cosine centroid (ties to the lowest cell, NaN greatest:
+    * the NearestCentroid total order), the query probes the `nprobe`
+    * best cells, ADC ranks only vectors assigned to probed cells, and
+    * the exact rerank is the shared sequential-double cosine. */
+  def ivfPqSearchOracle: String =
+    s"""WITH sample AS (
+       |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048),
+       |sub AS (
+       |  SELECT vec_id, j,
+       |    list_transform(generate_series(1, 8), t -> embedding[j*8 + t]) AS p
+       |  FROM sample, generate_series(0, 7) g(j)),
+       |seeds AS (
+       |  SELECT j, row_number() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c,
+       |         p AS s
+       |  FROM sub
+       |  WHERE vec_id IN (SELECT vec_id FROM sample ORDER BY vec_id LIMIT 16)),
+       |asg AS (
+       |  SELECT j, c, p FROM (
+       |    SELECT sub.j, seeds.c, sub.p,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.j
+       |        ORDER BY list_sum(list_transform(generate_series(1, 8), t ->
+       |          (cast(p[t] as double) - cast(s[t] as double)) *
+       |          (cast(p[t] as double) - cast(s[t] as double)))), seeds.c)
+       |        AS rk
+       |    FROM sub JOIN seeds ON sub.j = seeds.j) z WHERE rk = 1),
+       |cm AS (
+       |  SELECT j, c, t,
+       |    cast(cast(sum(cast(p[t] as decimal(20,10))) as double)
+       |         / cast(count(*) as double) as float) AS v
+       |  FROM asg, generate_series(1, 8) g(t)
+       |  GROUP BY j, c, t),
+       |cmeans AS (
+       |  SELECT j, c, list(v ORDER BY t) AS cv FROM cm GROUP BY j, c),
+       |cent AS (
+       |  SELECT seeds.j, seeds.c, coalesce(cmeans.cv, seeds.s) AS cv
+       |  FROM seeds LEFT JOIN cmeans
+       |    ON seeds.j = cmeans.j AND seeds.c = cmeans.c),
+       |allsub AS (
+       |  SELECT vec_id, j,
+       |    list_transform(generate_series(1, 8), t -> embedding[j*8 + t]) AS p
+       |  FROM embeddings, generate_series(0, 7) g(j)),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT a.vec_id, a.j, cent.c,
+       |      row_number() OVER (PARTITION BY a.vec_id, a.j
+       |        ORDER BY list_sum(list_transform(generate_series(1, 8), t ->
+       |          (cast(p[t] as double) - cast(cv[t] as double)) *
+       |          (cast(p[t] as double) - cast(cv[t] as double)))), cent.c)
+       |        AS rk
+       |    FROM allsub a JOIN cent ON a.j = cent.j) z WHERE rk = 1),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |lcm AS (
+       |  SELECT label, i,
+       |    cast(cast(sum(cast(embedding[i] as decimal(20,10))) as double)
+       |         / cast(count(*) as double) as float) AS m
+       |  FROM embeddings, generate_series(1, 64) g(i)
+       |  GROUP BY label, i),
+       |lcent AS (
+       |  SELECT label, row_number() OVER (ORDER BY label) - 1 AS cell,
+       |         list(m ORDER BY i) AS cv
+       |  FROM lcm GROUP BY label),
+       |vassign AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, l.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosineSql("e.embedding", "l.cv")} DESC, l.cell)
+       |        AS rk
+       |    FROM embeddings e CROSS JOIN lcent l) z WHERE rk = 1),
+       |probe AS (
+       |  SELECT cell FROM lcent CROSS JOIN q
+       |  ORDER BY ${cosineSql("cv", "qe")} DESC, cell LIMIT 3),
+       |dtab AS (
+       |  SELECT cent.j, cent.c,
+       |    list_sum(list_transform(generate_series(1, 8), t ->
+       |      (cast(qe[cent.j*8 + t] as double) - cast(cv[t] as double)) *
+       |      (cast(qe[cent.j*8 + t] as double) - cast(cv[t] as double))))
+       |      AS d
+       |  FROM cent CROSS JOIN q),
+       |adc AS (
+       |  SELECT vec_id, list_sum(list(d ORDER BY j)) AS adist
+       |  FROM (SELECT codes.vec_id, codes.j, dtab.d
+       |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
+       |        WHERE codes.vec_id <> 0
+       |          AND codes.vec_id IN (SELECT vec_id FROM vassign
+       |            WHERE cell IN (SELECT cell FROM probe))) z
        |  GROUP BY vec_id),
        |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50)
        |SELECT e.vec_id, e.label

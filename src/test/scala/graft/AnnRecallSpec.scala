@@ -77,6 +77,23 @@ class AnnRecallSpec extends AnyFunSuite {
       assert(pq >= 0.6,
         f"PQ 16B + rerank-50 recall@10 regressed: $pq%.3f < 0.6 " +
           "(measured 0.675 at round 13 — check codebook training)")
+
+      // r15: the composed IVF-PQ under the AUTO budgets (m = 0 derives
+      // the 16-subspace codebook; rerank = -1 derives max(50, 5k)) —
+      // a caller who read nothing gets the gate-holding geometry, and
+      // cell pruning at nprobe=6 must not drop below the plain-PQ floor
+      VectorIndex.putIvfPq(emb, s"$root/ivfpq")
+      val meta = spark.read.parquet(
+        s"${VectorIndex.indexRoot(spark, s"$root/ivfpq")}/pq_meta").head
+      assert(meta.getAs[Int]("m") == 16,
+        s"auto code budget picked m=${meta.getAs[Int]("m")} for dim 64 " +
+          "(expected 16 — the measured recall floor geometry)")
+      val ivfpq = recall(q =>
+        VectorIndex.searchIvfPq(spark, s"$root/ivfpq", q, k = K + 2,
+          nprobe = 6, emb = Some(emb)))
+      assert(ivfpq >= 0.6,
+        f"IVF-PQ auto-budget recall@10: $ivfpq%.3f < 0.6 " +
+          "(composition must hold the plain-PQ floor at nprobe=6)")
     } finally emb.unpersist()
   }
 }

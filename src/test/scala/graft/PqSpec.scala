@@ -44,7 +44,7 @@ class PqSpec extends AnyFunSuite {
     val query = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
     val idx = Files.createTempDirectory("graft-pq2").toString
-    VectorIndex.putPq(emb, idx)
+    VectorIndex.putPq(emb, idx, m = 8)
     // codes table carries NO embeddings — 8 bytes of code per vector
     // (read under the round-14 snapshot tree root)
     val codes = spark.read.parquet(
@@ -68,7 +68,7 @@ class PqSpec extends AnyFunSuite {
     val query = emb.filter(col("vec_id") === 0L)
       .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
     val idx = Files.createTempDirectory("graft-pq3").toString
-    VectorIndex.putPq(emb, idx,
+    VectorIndex.putPq(emb, idx, m = 8,
       codebook = Some(VectorIndex.trainPqExact(emb)))
     graft.expr.CosineSimilarity.register(spark)
     val exact = emb.filter(col("vec_id") =!= 0L)

@@ -84,11 +84,14 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
   // recall (the same knob the MinHash text family uses)
   graft.ops.VectorIndex.putLsh(emb, s"$root/lsh4", nBands = 4)
   graft.ops.VectorIndex.putIvf(emb, s"$root/ivf")
-  graft.ops.VectorIndex.putPq(emb, s"$root/pq")
+  graft.ops.VectorIndex.putPq(emb, s"$root/pq", m = 8)
   // the code-length knob: 16 subspaces (16B codes) - PQ recall at a
   // growing corpus is bounded by quantization noise vs neighbor
   // margin, so code length must grow with the corpus
   graft.ops.VectorIndex.putPq(emb, s"$root/pq16", m = 16)
+  // the composed production shape (r15): coarse cells + auto-budget
+  // PQ codes (m=16) + exact rerank
+  graft.ops.VectorIndex.putIvfPq(emb, s"$root/ivfpq")
   // metric-matched truths: cosine for LSH/IVF/reranked PQ, L2 for the
   // raw ADC path (searchPq's contract is euclidean)
   graft.expr.EuclideanDistance.register(spark)
@@ -130,7 +133,13 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
         graft.ops.VectorIndex.searchPq(spark, s"$root/pq16", q, k = 12)),
       ("pq16_rerank50", truthCos, (q: Array[Float]) =>
         graft.ops.VectorIndex.searchPq(spark, s"$root/pq16", q, k = 12,
-          rerank = 50, emb = Some(emb))))
+          rerank = 50, emb = Some(emb))),
+      ("ivfpq_probe3", truthCos, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchIvfPq(spark, s"$root/ivfpq", q,
+          k = 12, emb = Some(emb))),
+      ("ivfpq_probe6", truthCos, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchIvfPq(spark, s"$root/ivfpq", q,
+          k = 12, nprobe = 6, emb = Some(emb))))
   for ((name, truth, search) <- methods) {
     var hit = 0; var n = 0; var wall = 0.0
     for ((qid, q) <- queries) {
