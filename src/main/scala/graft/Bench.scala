@@ -49,6 +49,12 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_ONLY").forall(o =>
           o.contains("search_postings_query") || o.contains("search_bm25")))
       try ops.Postings.indexFor(spark, sfDir) catch { case _: Throwable => }
+    // same ingest-time rationale for the incremental index fixture: the
+    // swept `search_bm25_incr` entry times the layered probe, not the
+    // build+append it runs on
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("search_bm25_incr")))
+      try ops.Postings.incrIndexFor(spark, sfDir)
+      catch { case _: Throwable => }
 
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime()
@@ -320,6 +326,29 @@ object Bench {
         fixed += "search_postings_probe" -> time {
           ops.Postings.matchQuery(spark, postDir,
             Seq("spark" -> 3, "join" -> 2, "stream" -> 1)).count()
+        }
+    }
+
+    // incremental postings maintenance (r15): the fixed-batch update —
+    // a batch-sized tree build + one atomic manifest append against an
+    // existing index (never a corpus rewrite) — and the periodic fold
+    // that consolidates the layers. The at-scale claim is the update
+    // staying flat while the INDEX grows 100× (tools/postings_flat).
+    if (wanted("search_postings_update") || wanted("search_postings_fold")) {
+      import org.apache.spark.sql.functions.col
+      val upDir = graft.session.Scratch.dir("graft-bench-postupd")
+        .toString + "/idx"
+      val docs = Tables.documents(spark, sfDir)
+      ops.Postings.build(docs.filter(col("doc_id") % 10 =!= 7), upDir,
+        nBuckets = 16)
+      if (wanted("search_postings_update"))
+        fixed += "search_postings_update" -> time {
+          ops.Postings.appendBatch(
+            docs.filter(col("doc_id") % 10 === 7), upDir, batchId = 1L)
+        }
+      if (wanted("search_postings_fold"))
+        fixed += "search_postings_fold" -> time {
+          ops.Postings.fold(spark, upDir)
         }
     }
 

@@ -198,6 +198,10 @@ object SparkEntry {
     "search_dsl"          -> (Search.dslQuery _),
     "search_postings_query" -> (Postings.searchPostingsQuery _),
     "search_bm25"         -> (Postings.searchBm25Query _),
+    // incremental postings maintenance (r15): base tree + appended
+    // batch layer answer BM25 identically to a one-shot rebuild —
+    // same oracle SQL, different index lifecycle
+    "search_bm25_incr"    -> (Postings.searchBm25IncrementalQuery _),
     // log analytics (CloudWatch Logs Insights dialect)
     "logs_error_volume"   -> (LogsInsights.errorVolumeQuery _),
     "logs_last_event"     -> (LogsInsights.lastEventQuery _),
@@ -397,6 +401,7 @@ object SparkEntry {
     // whitespace-token corpus — same oracle text gates both plans
     "search_postings_query" -> Search.matchQueryOracle,
     "search_bm25"         -> Postings.searchBm25Oracle,
+    "search_bm25_incr"    -> Postings.searchBm25Oracle,
     "logs_error_volume"   -> LogsInsights.errorVolumeOracle,
     "logs_last_event"     -> LogsInsights.lastEventOracle,
     "trino_read_sql"      -> graft.sql.TrinoQueries.readSqlOracle,

@@ -28,7 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object Postings {
 
   final case class Meta(nBuckets: Int, textCol: String, idCol: String,
-      carryCols: Seq[String], nDocs: Long = 0L, sumDlen: Long = 0L)
+      carryCols: Seq[String], nDocs: Long = 0L, sumDlen: Long = 0L,
+      foldedUpto: Long = 0L)
 
   private val MetaFile = "_postings_meta"
 
@@ -58,40 +59,183 @@ object Postings {
       idCol: String = "doc_id",
       carryCols: Seq[String] = Seq("lang")): Long = {
     val spark = docs.sparkSession
-    val keyCols = (idCol +: carryCols).map(col)
-    val postings = docs
-      .select((col(textCol) +: keyCols): _*)
-      .withColumn("token", explode(split(lower(col(textCol)), " ")))
-      .filter(col("token") =!= "")
-      .groupBy((col("token") +: keyCols): _*)
-      .agg(count(lit(1)).cast("int").as("tf"))
-      .withColumn("tok_bucket", bucketCol(col("token"), nBuckets))
     // postings, doc-length norms, and the meta sidecar are only correct
     // as a UNIT (a rebuild changing nBuckets re-routes every term; the
     // corpus stats normalize BM25) — the whole tree publishes as one
     // snapshot, so a query concurrent with a rebuild reads one
     // generation (round 14, the VectorIndex treatment)
     graft.table.SnapshotTree.publish(spark, indexPath) { t =>
-      postings
-        .repartition(col("tok_bucket"))
-        .write.partitionBy("tok_bucket").mode("overwrite").parquet(t)
-      // doc-length norms (Lucene stores these per doc at index time):
-      // the BM25 length normalization needs |d| and corpus totals,
-      // which a term-bucket probe cannot derive — one extra doc-level
-      // aggregate at build, one tiny sidecar table, exact-integer
-      // corpus stats in meta
-      val doclens = docs
-        .select(col(idCol),
-          size(filter(split(lower(col(textCol)), " "),
-            t => t =!= "")).cast("long").as("dlen"))
-      doclens.write.mode("overwrite").parquet(s"$t/_doclens")
-      val stats = spark.read.parquet(s"$t/_doclens")
-        .agg(count(lit(1)), sum(col("dlen"))).head
-      writeMeta(spark, t, Meta(nBuckets, textCol, idCol, carryCols,
-        stats.getLong(0), stats.getLong(1)))
+      writeTree(docs, t,
+        Meta(nBuckets, textCol, idCol, carryCols))
     }
     val t = graft.table.SnapshotTree.root(spark, indexPath)
     spark.read.option("basePath", t).parquet(t).count()
+  }
+
+  /** One self-contained postings tree (postings partitioned by
+    * tok_bucket + `_doclens` norms + meta with EXACT integer corpus
+    * stats) under `t` — the unit [[build]] publishes whole and the
+    * incremental loop appends as layers. */
+  private def writeTree(docs: DataFrame, t: String, meta: Meta): Unit = {
+    val spark = docs.sparkSession
+    val keyCols = (meta.idCol +: meta.carryCols).map(col)
+    val postings = docs
+      .select((col(meta.textCol) +: keyCols): _*)
+      .withColumn("token", explode(split(lower(col(meta.textCol)), " ")))
+      .filter(col("token") =!= "")
+      .groupBy((col("token") +: keyCols): _*)
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("tok_bucket", bucketCol(col("token"), meta.nBuckets))
+    postings
+      .repartition(col("tok_bucket"))
+      .write.partitionBy("tok_bucket").mode("overwrite").parquet(t)
+    // doc-length norms (Lucene stores these per doc at index time):
+    // the BM25 length normalization needs |d| and corpus totals,
+    // which a term-bucket probe cannot derive — one extra doc-level
+    // aggregate at build, one tiny sidecar table, exact-integer
+    // corpus stats in meta
+    val doclens = docs
+      .select(col(meta.idCol),
+        size(filter(split(lower(col(meta.textCol)), " "),
+          tk => tk =!= "")).cast("long").as("dlen"))
+    doclens.write.mode("overwrite").parquet(s"$t/_doclens")
+    val stats = spark.read.parquet(s"$t/_doclens")
+      .agg(count(lit(1)), sum(col("dlen"))).head
+    writeMeta(spark, t, meta.copy(nDocs = stats.getLong(0),
+      sumDlen = if (stats.isNullAt(1)) 0L else stats.getLong(1)))
+  }
+
+  // ---- incremental maintenance (round 15) -----------------------------
+
+  /** Append one ingest batch as a LAYER tree — the postings index's
+    * daily/streaming loop (mirrors the dedup index's
+    * [[Dedup.updateDedupIndex]] / [[Dedup.writeStreamIndexBatch]]
+    * pattern): instead of rebuilding the whole tree per corpus change
+    * (O(corpus)), each batch pays ONE batch-sized tree build and an
+    * atomic manifest append; queries union the layers with exactly-
+    * merged document frequencies and corpus stats ([[layerInfo]] —
+    * integer sums, so an incremental index answers bit-identically to
+    * a one-shot rebuild), and [[fold]] periodically consolidates.
+    *
+    * Replay-idempotent under the streaming ingest contract (batch ids
+    * monotone, only the latest batch can replay after a crash): an id
+    * already in the current manifest is skipped; an id below the base
+    * layer's `foldedUpto` watermark was consolidated by a fold and is
+    * skipped; a crash between the tree write and the manifest publish
+    * leaves an invisible dir the replay overwrites. Returns false on
+    * a skipped replay. Layer routing (nBuckets) and analyzed columns
+    * inherit the base geometry — uniform by construction. */
+  def appendBatch(docs: DataFrame, indexPath: String,
+      batchId: Long): Boolean = {
+    val spark = docs.sparkSession
+    val snap = graft.table.TxnLog.currentSnapshot(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no postings index at $indexPath; build() it first"))
+    val dirName = s"files/batch-$batchId"
+    if (snap.dataDirs.contains(dirName)) return false // replayed, published
+    val r = new Path(indexPath)
+    val fs = r.getFileSystem(spark.sessionState.newHadoopConf())
+    val baseMeta = readMeta(spark,
+      fs.makeQualified(new Path(r, snap.dataDirs.head)).toString)
+    if (batchId < baseMeta.foldedUpto) return false // replayed, folded
+    writeTree(docs, fs.makeQualified(new Path(r, dirName)).toString,
+      Meta(baseMeta.nBuckets, baseMeta.textCol, baseMeta.idCol,
+        baseMeta.carryCols))
+    graft.table.TxnLog.commitStagedDirs(spark, indexPath, Seq(dirName),
+      op = "batch-append")
+    true
+  }
+
+  /** Test hook: invoked by [[fold]] after the merged tree is staged,
+    * before its manifest publishes — the window where a concurrent
+    * [[appendBatch]] forces the optimistic-commit retry. */
+  private[graft] var foldBarrier: () => Unit = () => ()
+
+  /** Fold the accumulated layers into ONE consolidated tree — the
+    * maintenance closure of the incremental loop (the dedup index's
+    * [[Dedup.foldStreamIndex]], for postings): layer postings rows are
+    * disjoint by the ingest contract (docs are layer-partitioned), so
+    * the merge is a union + one repartition to one file per term
+    * bucket, doclens union, corpus stats summed exactly; the
+    * `foldedUpto` watermark advances past every folded batch id so a
+    * late replay of a folded batch is detected and skipped.
+    *
+    * Published OPTIMISTICALLY at the pinned version: a concurrent
+    * [[appendBatch]] landing mid-fold conflicts the manifest swap and
+    * the fold re-resolves (bounded retries), never dropping the new
+    * layer. A probe pinned before the fold keeps reading its own
+    * generation until vacuum (`keepVersions` >= 2 when probes can
+    * overlap). A crash anywhere re-converges: the staged merge dir is
+    * invisible until its manifest, and a re-run folds the same layers.
+    * Returns the number of layers folded (0 = nothing to do). */
+  def fold(spark: SparkSession, indexPath: String,
+      keepVersions: Int = 2): Int = {
+    var attempts = 0
+    while (attempts < 5) {
+      val snap = graft.table.TxnLog.currentSnapshot(spark, indexPath)
+        .getOrElse(return 0)
+      if (snap.dataDirs.size <= 1) return 0
+      val r = new Path(indexPath)
+      val fs = r.getFileSystem(spark.sessionState.newHadoopConf())
+      val roots = snap.dataDirs.map(d =>
+        fs.makeQualified(new Path(r, d)).toString)
+      val metas = roots.map(readMeta(spark, _))
+      require(metas.map(m =>
+          (m.nBuckets, m.textCol, m.idCol, m.carryCols)).distinct.size == 1,
+        s"postings layers at $indexPath disagree on geometry")
+      val base = metas.head
+      val maxBatch = snap.dataDirs.flatMap { d =>
+        val n = d.stripPrefix("files/")
+        if (n.startsWith("batch-"))
+          scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+        else None
+      }.foldLeft(-1L)(math.max)
+      val merged = Meta(base.nBuckets, base.textCol, base.idCol,
+        base.carryCols, metas.map(_.nDocs).sum, metas.map(_.sumDlen).sum,
+        math.max(base.foldedUpto, maxBatch + 1))
+      val dirName = s"files/fold-${java.util.UUID.randomUUID()}"
+      val t = fs.makeQualified(new Path(r, dirName)).toString
+      roots.map(rt => spark.read.option("basePath", rt).parquet(rt))
+        .reduce(_.unionByName(_))
+        .repartition(col("tok_bucket"))
+        .write.partitionBy("tok_bucket").mode("overwrite").parquet(t)
+      roots.map(rt => spark.read.parquet(s"$rt/_doclens"))
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$t/_doclens")
+      writeMeta(spark, t, merged)
+      foldBarrier()
+      try {
+        graft.table.TxnLog.commitStagedDirs(spark, indexPath,
+          Seq(dirName), op = "fold", replace = true,
+          expectedVersion = Some(snap.version))
+        graft.table.TxnLog.vacuum(spark, indexPath, keepVersions)
+        return roots.size
+      } catch {
+        case _: graft.table.TxnLog.CommitConflict =>
+          // a batch landed mid-fold; the staged merge dir is
+          // unreferenced (vacuum reclaims it) — re-resolve and retry
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"fold at $indexPath lost the publish race 5 times; " +
+        "pause the ingest loop and re-run")
+  }
+
+  /** All layer roots of the current snapshot plus their merged meta:
+    * geometry must be uniform, corpus stats sum exactly (integers), so
+    * BM25 over an incremental index derives the identical avgdl/IDF a
+    * one-shot rebuild would. ONE resolution per query — every layer
+    * read under it is one consistent generation. */
+  private def layerInfo(spark: SparkSession,
+      indexPath: String): (Seq[String], Meta) = {
+    val roots = graft.table.SnapshotTree.roots(spark, indexPath)
+    val metas = roots.map(readMeta(spark, _))
+    require(metas.map(m =>
+        (m.nBuckets, m.textCol, m.idCol, m.carryCols)).distinct.size == 1,
+      s"postings layers at $indexPath disagree on geometry")
+    (roots, metas.head.copy(nDocs = metas.map(_.nDocs).sum,
+      sumDlen = metas.map(_.sumDlen).sum))
   }
 
   /** Weighted multi-term match over the postings: reads ONLY the term
@@ -103,16 +247,20 @@ object Postings {
       indexPath: String,
       weights: Seq[(String, Int)],
       k: Int = 20): DataFrame = {
-    // one tree resolution: routing (meta.nBuckets) and the bucket dirs
-    // come from the same snapshot even if a rebuild publishes mid-query
-    val t = graft.table.SnapshotTree.root(spark, indexPath)
-    val meta = readMeta(spark, t)
+    // one snapshot resolution: routing (meta.nBuckets) and every
+    // layer's bucket dirs come from the same generation even if a
+    // rebuild/fold publishes mid-query. Each layer scans its OWN term
+    // buckets (pruning per branch), then the branches union — a doc
+    // lives in exactly one layer, so the per-doc aggregate is exact.
+    val (roots, meta) = layerInfo(spark, indexPath)
     val terms = weights.map(_._1)
     val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
     val keyCols = (meta.idCol +: meta.carryCols).map(col)
-    val scored = spark.read.option("basePath", t).parquet(t)
-      .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
-        col("token").isin(terms.map(s => s: Any): _*))
+    val scored = roots.map(t =>
+        spark.read.option("basePath", t).parquet(t)
+          .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
+            col("token").isin(terms.map(s => s: Any): _*)))
+      .reduce(_.unionByName(_))
       .groupBy(keyCols: _*)
       .agg(
         sum(when(col("token") === terms.head, col("tf")).otherwise(0))
@@ -138,7 +286,8 @@ object Postings {
     try out.write(
       (Seq(s"nBuckets=${meta.nBuckets}", s"textCol=${meta.textCol}",
         s"idCol=${meta.idCol}", s"carryCols=${meta.carryCols.mkString(",")}",
-        s"nDocs=${meta.nDocs}", s"sumDlen=${meta.sumDlen}")
+        s"nDocs=${meta.nDocs}", s"sumDlen=${meta.sumDlen}",
+        s"foldedUpto=${meta.foldedUpto}")
         .mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -153,7 +302,8 @@ object Postings {
       .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
     Meta(kv("nBuckets").toInt, kv("textCol"), kv("idCol"),
       kv("carryCols").split(",").toSeq.filter(_.nonEmpty),
-      kv.getOrElse("nDocs", "0").toLong, kv.getOrElse("sumDlen", "0").toLong)
+      kv.getOrElse("nDocs", "0").toLong, kv.getOrElse("sumDlen", "0").toLong,
+      kv.getOrElse("foldedUpto", "0").toLong)
   }
 
   /** One inverted index per corpus directory, built on first use and
@@ -187,16 +337,21 @@ object Postings {
   def bm25Query(spark: SparkSession, indexPath: String,
       terms: Seq[String], k: Int = 20, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    // one tree resolution: meta stats, postings, and _doclens norms are
-    // one generation under a concurrent rebuild
-    val t = graft.table.SnapshotTree.root(spark, indexPath)
-    val meta = readMeta(spark, t)
+    // one snapshot resolution: meta stats, every layer's postings, and
+    // _doclens norms are one generation under a concurrent rebuild or
+    // fold. An incremental (layered) index merges EXACTLY: per-term df
+    // counts (token, doc) rows across the layer union (docs are
+    // layer-disjoint) and the meta corpus stats are integer sums, so
+    // IDF/avgdl are bit-identical to a one-shot rebuild's.
+    val (roots, meta) = layerInfo(spark, indexPath)
     require(meta.nDocs > 0,
       s"index at $indexPath predates doc-length norms; rebuild it")
     val buckets = terms.map(bucketOf(_, meta.nBuckets)).distinct
-    val post = spark.read.option("basePath", t).parquet(t)
-      .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
-        col("token").isin(terms.map(s => s: Any): _*))
+    val post = roots.map(t =>
+        spark.read.option("basePath", t).parquet(t)
+          .filter(col("tok_bucket").isin(buckets.map(Int.box): _*) &&
+            col("token").isin(terms.map(s => s: Any): _*)))
+      .reduce(_.unionByName(_))
     val dfMap: Map[String, Long] = post.groupBy(col("token"))
       .agg(count(lit(1)).as("df")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -207,7 +362,8 @@ object Postings {
         terms.tail.map(t =>
           sum(when(col("token") === t, col("tf")).otherwise(0))
             .cast("int").as(s"tf_$t")): _*)
-    val dlens = spark.read.parquet(s"$t/_doclens")
+    val dlens = roots.map(t => spark.read.parquet(s"$t/_doclens"))
+      .reduce(_.unionByName(_))
     val avgdl = meta.sumDlen.toDouble / meta.nDocs.toDouble
     val scored = byDoc.join(dlens, Seq(meta.idCol))
     val contributions = terms.map { t =>
@@ -234,6 +390,31 @@ object Postings {
     val idx = indexFor(s, dir)
     bm25Query(s, idx, Seq("spark", "join", "stream"), k = 20)
   }
+
+  /** One INCREMENTAL per-corpus index: 90% of the corpus at build
+    * time, the held-out 10% appended as a batch layer (un-folded, so
+    * queries exercise the layer-union path). */
+  private val incrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def incrIndexFor(s: SparkSession, dir: String): String =
+    incrIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = graft.session.Scratch.dir("graft-postings-incr") + "/idx"
+      val docs = graft.Tables.documents(s, dir)
+      build(docs.filter(col("doc_id") % 10 =!= 7), tmp, nBuckets = 16)
+      appendBatch(docs.filter(col("doc_id") % 10 === 7), tmp, batchId = 1L)
+      tmp
+    })
+
+  /** Oracle-gated INCREMENTAL BM25 probe ([[appendBatch]]/[[fold]]):
+    * the query unions the base tree with the appended batch layer,
+    * document frequencies count across the union and corpus stats sum
+    * exactly — so the answer is value-identical to one-shot indexing
+    * of the full corpus, which is exactly what the DuckDB twin
+    * ([[searchBm25Oracle]], recomputed from the raw corpus) asserts. */
+  def searchBm25IncrementalQuery(s: SparkSession, dir: String): DataFrame =
+    bm25Query(s, incrIndexFor(s, dir), Seq("spark", "join", "stream"),
+      k = 20)
 
   /** The oracle recomputes BM25 from the raw corpus: identical analyzer
     * (single-space split, lowercase, drop empties), exact-integer tf /

@@ -44,6 +44,22 @@ object SnapshotTree {
       case None => indexPath
     }
 
+  /** ALL tree roots of the current snapshot, in commit order — the
+    * LAYERED index shape (round 15): incremental maintenance appends
+    * per-batch layer trees ([[TxnLog.commitStagedDirs]] append mode)
+    * between folds, and a query unions the layers. Single-tree
+    * indexes get a one-element list; paths without a TxnLog resolve
+    * to themselves. Like [[root]], ONE resolution per query pins one
+    * consistent generation across every layer. */
+  def roots(spark: SparkSession, indexPath: String): Seq[String] =
+    TxnLog.currentSnapshot(spark, indexPath) match {
+      case Some(s) =>
+        val r = new Path(indexPath)
+        val fs = r.getFileSystem(spark.sessionState.newHadoopConf())
+        s.dataDirs.map(d => fs.makeQualified(new Path(r, d)).toString)
+      case None => Seq(indexPath)
+    }
+
   /** Reclaim superseded trees; retention is the concurrency contract
     * (keep ≥ 2 when queries can overlap a rebuild). */
   def vacuum(spark: SparkSession, indexPath: String,

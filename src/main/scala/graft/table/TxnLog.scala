@@ -231,15 +231,21 @@ object TxnLog {
     * path: micro-batches stage dirs, this makes them all visible
     * atomically. `replace = true` makes the new snapshot EXACTLY the
     * staged dirs (an atomic whole-table swap — the index-rebuild path)
-    * instead of appending them to the current snapshot. */
+    * instead of appending them to the current snapshot.
+    * `expectedVersion` gates the publish like [[rewrite]]: a
+    * maintenance swap computed from a pinned snapshot raises
+    * [[CommitConflict]] if any commit landed in between (the caller
+    * re-reads and retries) instead of silently dropping it. */
   def commitStagedDirs(
       spark: SparkSession,
       path: String,
       dirs: Seq[String],
       op: String = "append",
-      replace: Boolean = false): Snapshot =
+      replace: Boolean = false,
+      expectedVersion: Option[Int] = None): Snapshot =
     publish(spark, path, op, dirs, Nil,
-      base = if (replace) Some(Nil) else None, expectedParent = None)
+      base = if (replace) Some(Nil) else None,
+      expectedParent = expectedVersion)
 
   /** Optimistic manifest publication loop. */
   private def publish(
