@@ -100,6 +100,12 @@ object SparkEntry {
     "curate_pipeline_v2"  -> ((s: SparkSession, d: String) =>
       Curation.curatePipelineModern(s, d,
         stopWords = Curation.CorpusStopWords)),
+    // v3 (r15): the production recipe — routed fuzzy dedup INSIDE the
+    // pipeline (gate → perplexity selection → routed LSH dedup →
+    // exact-substring), one declarative plan, one stitched oracle
+    "curate_pipeline_v3"  -> ((s: SparkSession, d: String) =>
+      Curation.curatePipelineV3(s, d,
+        stopWords = Curation.CorpusStopWords)),
     "curate_pack_chunks"  -> ((s, d) => Curation.packChunks(s, d)),
     // dedup / similarity
     "dedup_exact_docs"    -> (Dedup.exactDocDedup _),
@@ -316,6 +322,8 @@ object SparkEntry {
     "curate_pipeline"     -> Curation.curatePipelineOracle,
     "curate_pipeline_v2"  ->
       Curation.curatePipelineModernOracle(Curation.CorpusStopWords),
+    "curate_pipeline_v3"  ->
+      Curation.curatePipelineV3Oracle(Curation.CorpusStopWords),
     "curate_pack_chunks"  -> Curation.packChunksOracle,
     "dedup_exact_docs"    -> Dedup.exactDocDedupOracle,
     "dedup_incremental"   -> Dedup.incrementalDedupOracle,

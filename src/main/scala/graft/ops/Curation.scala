@@ -335,20 +335,34 @@ object Curation {
     * shape as the lorem-ipsum rule; its list is an input in production
     * and is represented here by the two phrase rules.)
     * Zero shuffles: every statistic is a per-row array fold. */
+  // the three C4 page statistics as expression strings over a `lines`
+  // column — shared by the oracled stats table ([[c4RulesOn]]) and the
+  // per-row streaming gate ([[c4PageKeepExpr]]), so the two cannot
+  // drift
+  private val C4KeptExpr =
+    """cast(size(filter(lines, l ->
+      |  (endswith(l, '.') or endswith(l, '!') or
+      |   endswith(l, '?') or endswith(l, '"')) and
+      |  size(filter(split(l, ' '), w -> length(w) > 0)) >= 5 and
+      |  not contains(lower(l), 'javascript'))) as bigint)""".stripMargin
+  private val C4LoremExpr =
+    "exists(lines, l -> contains(lower(l), 'lorem ipsum'))"
+  private val C4BraceExpr =
+    "exists(lines, l -> contains(l, '{') or contains(l, '}'))"
+
+  /** The C4 page verdict as ONE per-row expression over a `lines`
+    * column — the form that composes into a streaming micro-batch as a
+    * codegen'd filter (no join, no aggregation); same lambdas as the
+    * oracled [[c4RulesOn]] stats. */
+  private[graft] def c4PageKeepExpr: org.apache.spark.sql.Column =
+    expr(C4KeptExpr) >= 3 && !expr(C4LoremExpr) && !expr(C4BraceExpr)
+
   private[graft] def c4RulesOn(docLines: DataFrame): DataFrame =
     docLines
       .withColumn("n_lines", size(col("lines")).cast("bigint"))
-      .withColumn("n_kept",
-        expr("""cast(size(filter(lines, l ->
-               |  (endswith(l, '.') or endswith(l, '!') or
-               |   endswith(l, '?') or endswith(l, '"')) and
-               |  size(filter(split(l, ' '), w -> length(w) > 0)) >= 5 and
-               |  not contains(lower(l), 'javascript'))) as bigint)"""
-          .stripMargin))
-      .withColumn("has_lorem",
-        expr("exists(lines, l -> contains(lower(l), 'lorem ipsum'))"))
-      .withColumn("has_brace",
-        expr("exists(lines, l -> contains(l, '{') or contains(l, '}'))"))
+      .withColumn("n_kept", expr(C4KeptExpr))
+      .withColumn("has_lorem", expr(C4LoremExpr))
+      .withColumn("has_brace", expr(C4BraceExpr))
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         col("has_lorem"), col("has_brace"),
         (col("n_kept") >= 3 && !col("has_lorem") && !col("has_brace"))
@@ -1340,4 +1354,105 @@ object Curation {
        |  JOIN keepdocs USING (doc_id)),
        |${Dedup.substrSqlCtes("surv", "s", k, minDocs)}
        |SELECT doc_id, text, n_removed FROM sres""".stripMargin
+
+  /** The PRODUCTION pretraining recipe (round 15 — what RefinedWeb and
+    * Dolma actually run): fuzzy dedup INSIDE the pipeline, between
+    * selection and exact-substring cleanup, not beside it:
+    *
+    *   1. Gopher word-level quality gate ([[gopherGate]]) — fused into
+    *      the scan, zero stage boundary;
+    *   2. CCNet perplexity selection (`ppl_bucket != 'tail'`);
+    *   3. ROUTED fuzzy dedup ([[Dedup.minhashDedupRoutedOn]]) over the
+    *      selected survivors — over-cap LSH buckets (boilerplate mass)
+    *      take the linear cluster route, the rest pair-enumerate under
+    *      the cap; only `keep = true` docs continue;
+    *   4. exact-substring dedup ([[Dedup.substrDedupPass]]) removes
+    *      repeated segments WITHIN the fuzzy-unique survivors.
+    *
+    * Running the routed treatment on gated+selected text (not the raw
+    * corpus) is the point of the composition: the quality gate has
+    * already removed the junk mass that inflates LSH buckets, so the
+    * skew guard sees the corpus the pair-enumeration bound was sized
+    * for, and the substring pass's window-frequency table is built
+    * from fuzzy-unique docs only — each stage shrinks the next stage's
+    * shuffle mass. One declarative plan; every stage's arithmetic is
+    * its standalone oracle's, so the whole recipe gates against DuckDB
+    * as one query (`curate_pipeline_v3`). */
+  def curatePipelineV3(s: SparkSession, dir: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      cap: Int = 16, minEst: Double = 0.5,
+      k: Int = 8, minDocs: Int = 2,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val gated = gopherGate(docs, minWords, maxWords, stopWords)
+    val keep = perplexityBucketsOn(gated)
+      .filter(col("ppl_bucket") =!= "tail")
+      .select(col("doc_id"))
+    val selected = gated.join(keep, Seq("doc_id"))
+      .select(col("doc_id"), col("text"))
+    val fuzzyKeep = Dedup.minhashDedupRoutedOn(selected, cap, minEst)
+      .filter(col("keep")).select(col("doc_id"))
+    Dedup.substrDedupPass(selected.join(fuzzyKeep, Seq("doc_id")),
+      k, minDocs)
+  }
+
+  /** Stitched oracle for [[curatePipelineV3]] — the same CTE
+    * generators every stage's standalone oracle uses, chained on one
+    * relation, same knobs interpolation contract as
+    * [[curatePipelineModernOracle]]. */
+  def curatePipelineV3Oracle(stopWords: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000,
+      cap: Int = 16, minEst: Double = 0.5,
+      k: Int = 8, minDocs: Int = 2): String =
+    s"""WITH ${gopherSqlCtes("documents", "g", stopWords, minWords, maxWords)},
+       |gated AS (
+       |  SELECT d.doc_id, d.lang, d.text
+       |  FROM documents d JOIN ggkeep USING (doc_id)
+       |  WHERE ggkeep.keep),
+       |${pplSqlCtes("gated", "p")},
+       |keepdocs AS (
+       |  SELECT doc_id FROM ppout WHERE ppl_bucket <> 'tail'),
+       |sel AS (
+       |  SELECT g.doc_id, g.text FROM gated g
+       |  JOIN keepdocs USING (doc_id)),
+       |${Dedup.routedSqlCtes("sel", "r", cap, minEst)},
+       |surv AS (
+       |  SELECT s.doc_id, s.text FROM sel s
+       |  JOIN rrep r ON s.doc_id = r.doc_id AND r.keep),
+       |${Dedup.substrSqlCtes("surv", "s", k, minDocs)}
+       |SELECT doc_id, text, n_removed FROM sres""".stripMargin
+
+  /** The FULL stateless curation rule set as one batch transform
+    * (round 15) — every gate that needs no cross-document state:
+    *
+    *   1. Gopher word-level rules ([[gopherGate]]) — per-row filter;
+    *   2. C4 line/page rules ([[c4PageKeepExpr]] over `split(text,
+    *      '\n')`) — per-row filter, fused with (1) in one codegen'd
+    *      map;
+    *   3. Gopher repetition thresholds ([[gopherRepetitionOn]]'s
+    *      `keep`) — per-DOCUMENT n-gram aggregation (every grouping
+    *      key carries doc_id), joined back as a semi-join.
+    *
+    * Cheap gates run first so the n-gram tables are built only from
+    * docs that already passed the per-row rules. Nothing here holds
+    * state across inputs, which is what lets the same function run
+    * unchanged over a corpus AND inside a streaming micro-batch
+    * ([[graft.streaming.EventStream.curationIngestFull]]) — batch and
+    * stream results are identical by construction
+    * (StreamCurationFullSpec). */
+  def fullStatelessGate(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+    val wordGated = gopherGate(docs, minWords, maxWords, stopWords)
+    val orig = docs.columns.map(col).toSeq
+    val c4Gated = wordGated
+      .withColumn("lines", split(col("text"), "\n"))
+      .filter(c4PageKeepExpr)
+      .select(orig: _*)
+    val repKeep = gopherRepetitionOn(
+        c4Gated.select(col("doc_id"), col("text")))
+      .filter(col("keep")).select(col("doc_id"))
+    c4Gated.join(repKeep, Seq("doc_id"))
+  }
 }

@@ -353,10 +353,18 @@ object Dedup {
     * composed operator keeps the capped path's ~linear floor
     * (BASELINE.md round-14 triple). */
   def minhashDedupRouted(s: SparkSession, dir: String,
+      maxBucket: Int = 16, minEst: Double = 0.5): DataFrame =
+    minhashDedupRoutedOn(Tables.documents(s, dir), maxBucket, minEst)
+
+  /** [[minhashDedupRouted]] over an arbitrary (doc_id, text) frame —
+    * the composition hook: [[Curation.curatePipelineV3]] runs the
+    * routed treatment INSIDE the curation plan, on the quality-gated
+    * perplexity-selected survivors, instead of beside it. */
+  def minhashDedupRoutedOn(docs: DataFrame,
       maxBucket: Int = 16, minEst: Double = 0.5): DataFrame = {
     require(maxBucket >= 1, s"maxBucket must be >= 1, got $maxBucket")
-    graft.expr.ArrayMatchCount.register(s)
-    val sig0 = withToks(Tables.documents(s, dir))
+    graft.expr.ArrayMatchCount.register(docs.sparkSession)
+    val sig0 = withToks(docs)
       .select(col("doc_id"), minhashSig.as("sig"))
     // the signature table feeds the banded rows, both pair-join sides,
     // and both route reports — same persist rationale as lshPairs
@@ -408,56 +416,67 @@ object Dedup {
 
   private[graft] def minhashDedupRoutedOracle(cap: Int,
       minEst: Double): String =
-    s"""WITH sig AS (
+    s"""WITH ${routedSqlCtes("documents", "", cap, minEst)}
+       |SELECT doc_id, keep, keeper, route FROM rep""".stripMargin
+
+  /** The routed-dedup oracle as a CTE block over an arbitrary source
+    * relation `src` (prefix `px` keeps names collision-free inside a
+    * larger pipeline oracle — [[Curation.curatePipelineV3Oracle]]).
+    * Ends with `${px}rep(doc_id, keep, keeper, route)` — one row per
+    * source doc, routes disjoint. */
+  private[graft] def routedSqlCtes(src: String, px: String = "",
+      cap: Int = 16, minEst: Double = 0.5): String =
+    s"""${px}sig AS (
        |  SELECT doc_id,
        |    list_transform(generate_series(0, ${K - 1}),
        |      i -> list_min(list_transform(list_distinct(string_split(text, ' ')),
        |                    t -> md5(concat(cast(i as string), ':', t))))) AS sig
-       |  FROM documents),
-       |banded AS (
+       |  FROM $src),
+       |${px}banded AS (
        |  SELECT doc_id, sig, b AS band,
        |    md5(concat_ws('|', sig[b * $ROWS + 1], sig[b * $ROWS + 2],
        |                       sig[b * $ROWS + 3], sig[b * $ROWS + 4])) AS bkey
-       |  FROM sig, range(0, $BANDS) AS u(b)),
-       |over_b AS (
-       |  SELECT band, bkey FROM banded GROUP BY 1, 2
+       |  FROM ${px}sig, range(0, $BANDS) AS u(b)),
+       |${px}over_b AS (
+       |  SELECT band, bkey FROM ${px}banded GROUP BY 1, 2
        |  HAVING count(*) > $cap),
-       |cdocs AS (
-       |  SELECT DISTINCT doc_id FROM banded b
-       |  WHERE EXISTS (SELECT 1 FROM over_b o
+       |${px}cdocs AS (
+       |  SELECT DISTINCT doc_id FROM ${px}banded b
+       |  WHERE EXISTS (SELECT 1 FROM ${px}over_b o
        |                WHERE o.band = b.band AND o.bkey = b.bkey)),
-       |csig AS (
+       |${px}csig AS (
        |  SELECT s.doc_id, md5(array_to_string(s.sig, '|')) AS skey
-       |  FROM sig s JOIN cdocs c ON s.doc_id = c.doc_id),
-       |ckeep AS (SELECT skey, min(doc_id) AS k FROM csig GROUP BY 1),
-       |cluster_report AS (
+       |  FROM ${px}sig s JOIN ${px}cdocs c ON s.doc_id = c.doc_id),
+       |${px}ckeep AS (SELECT skey, min(doc_id) AS k FROM ${px}csig GROUP BY 1),
+       |${px}cluster_report AS (
        |  SELECT c.doc_id, c.doc_id = k.k AS keep,
        |    CASE WHEN c.doc_id <> k.k THEN k.k END AS keeper,
        |    'cluster' AS route
-       |  FROM csig c JOIN ckeep k ON c.skey = k.skey),
-       |pbanded AS (
-       |  SELECT * FROM banded b
-       |  WHERE NOT EXISTS (SELECT 1 FROM over_b o
+       |  FROM ${px}csig c JOIN ${px}ckeep k ON c.skey = k.skey),
+       |${px}pbanded AS (
+       |  SELECT * FROM ${px}banded b
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${px}over_b o
        |                    WHERE o.band = b.band AND o.bkey = b.bkey)
-       |    AND NOT EXISTS (SELECT 1 FROM cdocs c
+       |    AND NOT EXISTS (SELECT 1 FROM ${px}cdocs c
        |                    WHERE c.doc_id = b.doc_id)),
-       |dropped AS (
+       |${px}dropped AS (
        |  SELECT d2 AS doc_id, min(d1) AS k FROM (
        |    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
        |      cast(len(list_filter(generate_series(1, $K),
        |           i -> a.sig[i] = b.sig[i])) as double) / ${K}.0 AS est
-       |    FROM pbanded a JOIN pbanded b
+       |    FROM ${px}pbanded a JOIN ${px}pbanded b
        |      ON a.band = b.band AND a.bkey = b.bkey
        |        AND a.doc_id < b.doc_id) p
        |  WHERE est >= $minEst GROUP BY 1),
-       |pair_report AS (
+       |${px}pair_report AS (
        |  SELECT s.doc_id, d.k IS NULL AS keep, d.k AS keeper,
        |    'pairs' AS route
-       |  FROM sig s LEFT JOIN dropped d ON s.doc_id = d.doc_id
-       |  WHERE NOT EXISTS (SELECT 1 FROM cdocs c
-       |                    WHERE c.doc_id = s.doc_id))
-       |SELECT * FROM cluster_report
-       |UNION ALL SELECT * FROM pair_report""".stripMargin
+       |  FROM ${px}sig s LEFT JOIN ${px}dropped d ON s.doc_id = d.doc_id
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${px}cdocs c
+       |                    WHERE c.doc_id = s.doc_id)),
+       |${px}rep AS (
+       |  SELECT * FROM ${px}cluster_report
+       |  UNION ALL SELECT * FROM ${px}pair_report)""".stripMargin
 
   /** Linear-cost MinHash dedup: cluster by the FULL signature and keep
     * one representative per cluster. This — not pair enumeration — is

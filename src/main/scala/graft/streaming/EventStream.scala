@@ -347,7 +347,8 @@ object EventStream {
   def ingestDedupIncremental(docs: DataFrame, path: String,
       checkpoint: String, appId: String, indexPath: String,
       streamIndexPath: String, minEst: Double = 0.5,
-      foldEvery: Int = 0, vacuumKeep: Int = 2): StreamingQuery =
+      foldEvery: Int = 0, vacuumKeep: Int = 2,
+      batchGate: DataFrame => DataFrame = identity): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -365,7 +366,13 @@ object EventStream {
           Dedup.vacuumDedupIndex(spark, indexPath,
             keepVersions = vacuumKeep)
         }
-        val deduped = Dedup.dedupBatch(batch.select("doc_id", "text"))
+        // batchGate runs on the BATCH frame (micro-batch scope), so it
+        // may aggregate — the hook for per-document gates that need a
+        // groupBy (the repetition rules), impossible on the streaming
+        // frame itself. Determinism contract: gate output must be a
+        // pure function of the batch (replays re-gate identically).
+        val deduped = Dedup.dedupBatch(
+          batchGate(batch).select("doc_id", "text"))
         val (sh, sb) = Dedup.streamIndexFrames(spark, streamIndexPath, id)
         val (bh, bb) = Dedup.readDedupIndex(spark, indexPath)
         val hashes = bh.unionByName(sh)
@@ -407,6 +414,29 @@ object EventStream {
       graft.ops.Curation.gopherGate(docs, minWords, maxWords, stopWords),
       path, checkpoint, appId, indexPath, streamIndexPath, minEst,
       foldEvery, vacuumKeep)
+
+  /** The FULL composed streaming curation pipeline (round 15): EVERY
+    * stateless rule — Gopher word rules, C4 line/page rules, the
+    * Gopher repetition thresholds
+    * ([[graft.ops.Curation.fullStatelessGate]]) — ahead of the
+    * incremental dedup loop. The per-row rules would fuse into the
+    * streaming frame directly; the repetition rules are a per-DOCUMENT
+    * aggregation, so the whole gate runs as the loop's `batchGate`
+    * (micro-batch scope — batch frames may aggregate, and per-doc
+    * grouping keys mean zero cross-batch state). Batch and stream
+    * apply the SAME function, so gating is result-identical by
+    * construction (StreamCurationFullSpec pins it, across a fold
+    * boundary). */
+  def curationIngestFull(docs: DataFrame, path: String,
+      checkpoint: String, appId: String, indexPath: String,
+      streamIndexPath: String, minEst: Double = 0.5,
+      minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords,
+      foldEvery: Int = 0, vacuumKeep: Int = 2): StreamingQuery =
+    ingestDedupIncremental(docs, path, checkpoint, appId, indexPath,
+      streamIndexPath, minEst, foldEvery, vacuumKeep,
+      batchGate = b => graft.ops.Curation.fullStatelessGate(
+        b, minWords, maxWords, stopWords))
 
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run
