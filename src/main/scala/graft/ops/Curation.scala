@@ -1382,15 +1382,37 @@ object Curation {
       minWords: Int = 50, maxWords: Int = 100000,
       cap: Int = 16, minEst: Double = 0.5,
       k: Int = 8, minDocs: Int = 2,
-      stopWords: Seq[String] = GopherStopWords): DataFrame = {
+      stopWords: Seq[String] = GopherStopWords,
+      persistSelected: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     val gated = gopherGate(docs, minWords, maxWords, stopWords)
     val keep = perplexityBucketsOn(gated)
       .filter(col("ppl_bucket") =!= "tail")
       .select(col("doc_id"))
-    val selected = gated.join(keep, Seq("doc_id"))
+    val selected0 = gated.join(keep, Seq("doc_id"))
       .select(col("doc_id"), col("text"))
+    // `selected` feeds the routed signature table AND the
+    // fuzzy-survivor join — each recomputation re-runs the scan, the
+    // gate, and the perplexity chain (its token-level shuffle is the
+    // expensive part). The DEFAULT materializes it ONCE (DISK_ONLY,
+    // the lshPairs rationale: never pin block-manager memory, keep
+    // lineage for executor-loss recompute) under the
+    // [[Dedup.releaseCaches]] lifecycle. A/B'd idle, 2 rounds each
+    // (tools/v3_persist_ab.scala, best-of-2): sf0.1 streamed 15.6 s
+    // vs persisted 11.4 s (1.4×), sf1 38.5 s vs 19.0 s (2.0×, the
+    // win GROWING with scale) — unlike the plain text-cache A/Bs
+    // this repo has rejected, the avoided recompute here carries the
+    // perplexity shuffle, which costs more than writing the
+    // selected rows once. `persistSelected = false` keeps the
+    // fully-streamed plan for memoryless executions.
+    val selected =
+      if (persistSelected) {
+        val p = selected0.persist(
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        Dedup.registerCache(p)
+        p
+      } else selected0
     val fuzzyKeep = Dedup.minhashDedupRoutedOn(selected, cap, minEst)
       .filter(col("keep")).select(col("doc_id"))
     Dedup.substrDedupPass(selected.join(fuzzyKeep, Seq("doc_id")),
