@@ -178,12 +178,47 @@ object Bench {
     // contended sweeps because a steal burst inflates one batch, not
     // the median of all of them
     val batchP50 = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-batch durations accumulate through a StreamingQueryListener,
+    // not q.recentProgress: recentProgress is capped at
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    // sweep with more micro-batches would report the p50 of the most
+    // recent tail only. The listener sees every progress event.
+    val batchDur = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, scala.collection.mutable.ArrayBuffer[Long]]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.numInputRows > 0)
+            Option(p.durationMs.get("triggerExecution")).foreach { ms =>
+              val buf = batchDur.computeIfAbsent(p.runId,
+                _ => scala.collection.mutable.ArrayBuffer.empty[Long])
+              buf.synchronized { buf += ms.longValue }
+            }
+        }
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit = ()
+      })
     def recordBatchP50(name: String,
         q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-      val ms = q.recentProgress.filter(_.numInputRows > 0)
+      // listener delivery is async — the final progress events can
+      // trail awaitTermination. recentProgress (synchronously complete
+      // but tail-capped) is the fallback; take whichever source saw
+      // MORE batches, so the answer is never tail-capped AND never
+      // racy-empty.
+      val fromListener = Option(batchDur.get(q.runId))
+        .map(buf => buf.synchronized(buf.toSeq)).getOrElse(Nil)
+      val fromRecent = q.recentProgress.toSeq.filter(_.numInputRows > 0)
         .flatMap(p => Option(p.durationMs.get("triggerExecution"))
           .map(_.longValue))
-        .sorted
+      val ms = (if (fromListener.size >= fromRecent.size) fromListener
+                else fromRecent).sorted
       if (ms.nonEmpty) batchP50 += name -> ms(ms.length / 2) / 1000.0
     }
 
@@ -341,14 +376,18 @@ object Bench {
       val docs = Tables.documents(spark, sfDir)
       ops.Postings.build(docs.filter(col("doc_id") % 10 =!= 7), upDir,
         nBuckets = 16)
+      // the append runs UNCONDITIONALLY (timed only when its entry is
+      // wanted): a fold-only sweep must still fold a real batch layer,
+      // or the fold entry records a misleading ~0 s single-layer no-op
+      def appendHeldOut(): Unit = ops.Postings.appendBatch(
+        docs.filter(col("doc_id") % 10 === 7), upDir, batchId = 1L)
       if (wanted("search_postings_update"))
-        fixed += "search_postings_update" -> time {
-          ops.Postings.appendBatch(
-            docs.filter(col("doc_id") % 10 === 7), upDir, batchId = 1L)
-        }
+        fixed += "search_postings_update" -> time { appendHeldOut() }
+      else appendHeldOut()
       if (wanted("search_postings_fold"))
         fixed += "search_postings_fold" -> time {
-          ops.Postings.fold(spark, upDir)
+          val n = ops.Postings.fold(spark, upDir)
+          require(n > 0, "fold entry must consolidate real layers")
         }
     }
 

@@ -124,9 +124,19 @@ object Postings {
     * skipped; a crash between the tree write and the manifest publish
     * leaves an invisible dir the replay overwrites. Returns false on
     * a skipped replay. Layer routing (nBuckets) and analyzed columns
-    * inherit the base geometry — uniform by construction. */
+    * inherit the base geometry — uniform by construction.
+    *
+    * CONTRACT: batch doc ids must be DISJOINT from every already-
+    * indexed layer (the streaming-ingest invariant — each doc is
+    * ingested once). A violated contract double-counts the doc's df
+    * contribution (one per layer holding it) and duplicates its corpus
+    * stats, silently drifting BM25 from the one-shot rebuild this
+    * method promises to equal. `assertDisjoint = true` enforces it
+    * with an anti-join over the layers' doc-level `_doclens` tables
+    * (doc-scale, not postings-scale — cheap relative to the batch
+    * build; on where ingest ids aren't monotone by construction). */
   def appendBatch(docs: DataFrame, indexPath: String,
-      batchId: Long): Boolean = {
+      batchId: Long, assertDisjoint: Boolean = false): Boolean = {
     val spark = docs.sparkSession
     val snap = graft.table.TxnLog.currentSnapshot(spark, indexPath)
       .getOrElse(throw new IllegalStateException(
@@ -138,6 +148,19 @@ object Postings {
     val baseMeta = readMeta(spark,
       fs.makeQualified(new Path(r, snap.dataDirs.head)).toString)
     if (batchId < baseMeta.foldedUpto) return false // replayed, folded
+    if (assertDisjoint) {
+      val dup = snap.dataDirs
+        .map(d => spark.read.parquet(
+          s"${fs.makeQualified(new Path(r, d))}/_doclens")
+          .select(col(baseMeta.idCol)))
+        .reduce(_.unionByName(_))
+        .join(docs.select(col(baseMeta.idCol)).distinct(), baseMeta.idCol)
+        .limit(3).collect().map(_.get(0))
+      require(dup.isEmpty,
+        s"appendBatch batch $batchId re-ingests already-indexed docs " +
+          s"(e.g. ${dup.mkString(", ")}): layered df/corpus stats would " +
+          "double-count and BM25 would drift from a rebuild")
+    }
     writeTree(docs, fs.makeQualified(new Path(r, dirName)).toString,
       Meta(baseMeta.nBuckets, baseMeta.textCol, baseMeta.idCol,
         baseMeta.carryCols))
@@ -212,8 +235,11 @@ object Postings {
         return roots.size
       } catch {
         case _: graft.table.TxnLog.CommitConflict =>
-          // a batch landed mid-fold; the staged merge dir is
-          // unreferenced (vacuum reclaims it) — re-resolve and retry
+          // a batch landed mid-fold; the staged merge dir is never
+          // referenced by any manifest, so vacuum reclaims it once it
+          // ages past TxnLog.stagedGraceMs (the grace that ALSO keeps
+          // this fold's vacuum from deleting a concurrent append's
+          // staged-but-unpublished batch dir) — re-resolve and retry
           attempts += 1
       }
     }

@@ -550,12 +550,29 @@ object TxnLog {
 
   // ---- maintenance --------------------------------------------------------
 
+  /** Grace window (ms) protecting NEVER-referenced `files/<dir>` trees from
+    * [[vacuum]]: a dir that no manifest (live or expired) mentions is
+    * either an in-flight writer's staged tree — an [[commitStagedDirs]]
+    * append/fold that has written its data but not yet published its
+    * manifest — or a dead leftover of a crashed/conflicted commit.
+    * The two are indistinguishable by listing, so vacuum keeps such
+    * dirs until they age past this window (a staged tree publishes
+    * within its build time; a leftover only gets older). Without the
+    * grace, a vacuum racing a concurrent append deletes the append's
+    * staged data dir and the append then publishes a manifest pointing
+    * at missing files — a corrupted snapshot. Dirs referenced by
+    * EXPIRED manifests are not in-flight by construction and are
+    * reclaimed immediately. Test-overridable. */
+  private[graft] var stagedGraceMs: Long = 15 * 60 * 1000L
+
   /** Drop data directories referenced by no retained snapshot, the
     * manifests of expired snapshots, and any checkpoints (they may cover
     * expired versions; the next interval commit rebuilds one). Keeps the
     * newest `keepVersions`. A partitioned commit's `files/<uuid>` dir is
     * removed only when NO retained snapshot references any of its
-    * partition dirs. */
+    * partition dirs. Dirs never referenced by ANY manifest are kept
+    * while younger than [[stagedGraceMs]] — they may be a concurrent
+    * commit's staged-but-unpublished data (see the var's scaladoc). */
   def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1): Int = {
     val (fs, root) = fsFor(spark, path)
     val logDir = new Path(root, LogDir)
@@ -572,12 +589,22 @@ object TxnLog {
     // a referenced dir pins its commit-uuid root (first two segments)
     val referenced = keep.flatMap(_.dataDirs)
       .map(_.split("/").take(2).mkString("/")).toSet
+    // dirs referenced by ANY surviving manifest (incl. expired ones):
+    // reclaimable the moment they fall out of retention. Anything
+    // outside this set was never published — possibly an in-flight
+    // commit's staged tree — and gets the stagedGraceMs protection.
+    val everReferenced = snaps.flatMap(_.dataDirs)
+      .map(_.split("/").take(2).mkString("/")).toSet
+    val now = System.currentTimeMillis()
     val filesDir = new Path(root, "files")
     var removed = 0
     if (fs.exists(filesDir))
       fs.listStatus(filesDir).foreach { st =>
         val rel = s"files/${st.getPath.getName}"
-        if (!referenced.contains(rel)) { fs.delete(st.getPath, true); removed += 1 }
+        val reclaimable = !referenced.contains(rel) &&
+          (everReferenced.contains(rel) ||
+            now - st.getModificationTime > stagedGraceMs)
+        if (reclaimable) { fs.delete(st.getPath, true); removed += 1 }
       }
     val keepNames = keep.map(s => f"v${s.version}%08d.manifest").toSet
     fs.listStatus(logDir).foreach { st =>

@@ -114,6 +114,54 @@ class IncrementalPostingsSpec extends AnyFunSuite {
     assert(ops.Postings.appendBatch(docsDf(day2), idx, batchId = 2L))
   }
 
+  test("vacuum keeps a staged-but-unpublished batch dir within the " +
+    "grace window (the fold-vs-append race), reclaims it once stale") {
+    val idx = tmp()
+    ops.Postings.build(docsDf(day0), idx, nBuckets = 4)
+    ops.Postings.appendBatch(docsDf(day1), idx, batchId = 1L)
+    // simulate a concurrent append mid-flight: its tree is written but
+    // its manifest has NOT published yet (the window the ADVICE race
+    // hit — fold's post-commit vacuum must not delete it)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(idx, "files/batch-9")
+    fs.mkdirs(staged)
+    assert(ops.Postings.fold(spark, idx) == 2)
+    assert(fs.exists(staged),
+      "fold's vacuum deleted a concurrent append's staged data dir")
+    // the in-flight append now publishes against intact data
+    graft.table.TxnLog.commitStagedDirs(spark, idx, Seq("files/batch-9"),
+      op = "batch-append")
+    assert(graft.table.SnapshotTree.roots(spark, idx).exists(
+      _.endsWith("batch-9")))
+    // a dir never published and OLDER than the grace is a dead
+    // leftover — reclaimed
+    val dead = new org.apache.hadoop.fs.Path(idx, "files/fold-dead")
+    fs.mkdirs(dead)
+    val saved = graft.table.TxnLog.stagedGraceMs
+    graft.table.TxnLog.stagedGraceMs = 0L
+    try graft.table.TxnLog.vacuum(spark, idx, keepVersions = 2)
+    finally graft.table.TxnLog.stagedGraceMs = saved
+    assert(!fs.exists(dead), "stale never-referenced dirs must reclaim")
+  }
+
+  test("assertDisjoint rejects a batch re-ingesting indexed doc ids") {
+    val idx = tmp()
+    ops.Postings.build(docsDf(day0), idx, nBuckets = 4)
+    assert(ops.Postings.appendBatch(docsDf(day1), idx, batchId = 1L,
+      assertDisjoint = true))
+    // doc 2 is already in the base layer: df would double-count
+    val overlapping = docsDf(Seq(2L -> "spark again", 8L -> "fresh"))
+    val e = intercept[IllegalArgumentException] {
+      ops.Postings.appendBatch(overlapping, idx, batchId = 2L,
+        assertDisjoint = true)
+    }
+    assert(e.getMessage.contains("re-ingests"))
+    // disjoint batch passes the check
+    assert(ops.Postings.appendBatch(docsDf(day2), idx, batchId = 2L,
+      assertDisjoint = true))
+  }
+
   test("a batch landing DURING a fold conflicts the publish and " +
     "survives the retry") {
     val idx = tmp()
