@@ -189,6 +189,18 @@ object SparkEntry {
     // end-to-end (exact-decimal label centroids + exact codebook)
     "vec_ivfpq_search"    -> ((s: SparkSession, d: String) =>
       Vectors.ivfPqSearch(s, d)),
+    // incremental IVF-PQ (r16): 90% indexed at build, held-out 10%
+    // appended as a layer under the FROZEN base geometry; the probe
+    // unions layers inside the probed cells and must answer exactly
+    // what a rebuild under that geometry answers (the DuckDB twin
+    // recomputes base-trained geometry applied to the full corpus)
+    "vec_ivfpq_incr"      -> ((s: SparkSession, d: String) =>
+      Vectors.ivfPqIncrSearch(s, d)),
+    // metadata-filtered IVF-PQ (r16): the compiled filter document
+    // lands pre-ADC inside the probed-cell codes scan — top-k exact
+    // over the filtered population, reading less, never more
+    "vec_ivfpq_filtered"  -> ((s: SparkSession, d: String) =>
+      Vectors.ivfPqFilteredSearch(s, d)),
     // graph (Neptune-shaped)
     "graph_two_hop"       -> (Graph.twoHop _),
     "graph_motif"         -> (Graph.motif _),
@@ -390,6 +402,8 @@ object SparkEntry {
     "vec_ivf_search"      -> Vectors.ivfSearchOracle,
     "vec_pq_search"       -> Vectors.pqSearchOracle,
     "vec_ivfpq_search"    -> Vectors.ivfPqSearchOracle,
+    "vec_ivfpq_incr"      -> Vectors.ivfPqIncrSearchOracle,
+    "vec_ivfpq_filtered"  -> Vectors.ivfPqFilteredSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "vec_semdedup"        -> Vectors.semDedupOracle,
     "vec_semdedup_k"      -> Vectors.semDedupKOracle,

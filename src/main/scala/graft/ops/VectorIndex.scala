@@ -205,6 +205,104 @@ object VectorIndex {
       .select(col("vec_id"), col("label"), col("bucket"), col("cosine"))
   }
 
+  // ---- corpus-scaled geometry (round 16) ------------------------------
+
+  /** Coarse-cell count derived from corpus size — the knob the r15
+    * verdict flagged as frozen (`kCells = 8` at every scale while
+    * IVF-PQ recall declined 0.725→0.500 across 100× growth). The
+    * √n rule (FAISS's guideline for IVF cell counts; the repo's own
+    * SemDeDup k≈√n lesson) balances the two linear costs: per-query
+    * centroid ranking is O(kCells·dim) and per-probed-cell scan is
+    * O(n/kCells·dim), so √n minimizes their sum at a fixed probed
+    * fraction. Clamped to [8, 4096]: 8 keeps tiny corpora probeable,
+    * 4096 bounds the driver-side centroid table (4096×dim floats) and
+    * the partition-directory count. */
+  private[graft] def autoCells(n: Long): Int =
+    math.max(8, math.min(4096,
+      math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
+
+  /** Probe width under the auto geometry: hold the probed corpus
+    * FRACTION as cells multiply, not the absolute cell count — at
+    * fixed nprobe a √n-scaled index probes a vanishing fraction and
+    * recall collapses. The fraction is pinned at 1/3 by measurement
+    * (tools/ivfpq_autotune.scala on the sf0.1 gate corpus, whose
+    * cell structure is deliberately weak): recall tracks the probed
+    * fraction near-linearly there — 0.50 at 1/8, 0.65 at 1/4,
+    * 0.77 at 1/3 (rerank-matched) — and 1/3 is where the auto config
+    * clears the 0.6 recall gate with margin while scanning a third
+    * of a codes table that is already 32× smaller than the raw
+    * embeddings. Floor 4 keeps tiny indexes probing several cells. */
+  private[graft] def autoNprobe(kCells: Int): Int =
+    math.max(4, math.ceil(kCells / 3.0).toInt)
+
+  /** Rerank depth scaled with the PROBED candidate count: the exact
+    * pass is the cheap recall knob (a broadcast id semi-join), while
+    * the loss it repairs grows with the scanned-code pool — ADC
+    * quantization noise ranks distractors into a fixed 50-deep window
+    * and crowds out true neighbors as the corpus grows (the measured
+    * 0.725→0.500 IVF-PQ decline at 100×, and the measured
+    * 0.655→0.770 recovery at 1× when the window widened 60→240 at a
+    * fixed probe width). probedN/4 keeps the window proportional to
+    * the noise pool; capped at 2000, where the rerank join — not the
+    * ADC scan — would start to dominate the probe. probedN is free:
+    * the per-tree `_ann_meta` cellCounts sum over probed cells. */
+  private[graft] def autoRerankScaled(k: Int, probedN: Long): Int =
+    math.min(2000L, math.max(autoRerank(k).toLong, probedN / 4L)).toInt
+
+  /** Sample-trained coarse quantizer for the auto geometry — k-means
+    * over the full corpus is O(n·k·d) per Lloyd iteration, which at
+    * k=√n turns the build superlinear; FAISS trains its coarse
+    * quantizer on a bounded sample for the same reason. The sample is
+    * the deterministic hash-spread slice ([[trainPqFloat]]'s rationale
+    * — uniform across ids, reproducible), seeds are its first k
+    * distinct vectors in hash order, assignment is the cosine-desc /
+    * lowest-cell total order of [[graft.expr.NearestCentroid]], and
+    * means are per-dimension double averages cast to float. Driver
+    * cost is sample×k×dim per iteration — bounded, independent of
+    * corpus size; the one full-corpus pass is the final assignment in
+    * the caller. */
+  private[graft] def trainCoarseSampled(emb: DataFrame, k: Int,
+      iters: Int = 10, sampleN: Int = 0): Array[(Int, Array[Float])] = {
+    val n = math.max(sampleN, math.min(131072, math.max(8192, 32 * k)))
+    val sample: Array[Array[Float]] = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(n).select(col("embedding")).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).toArray)
+    require(sample.nonEmpty, "empty embedding table")
+    val distinct = sample.distinctBy(_.toSeq)
+    var cs: Array[Array[Float]] = Array.tabulate(k)(i =>
+      distinct(i % distinct.length).clone())
+    val dim = sample.head.length
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { p =>
+        var best = 0; var bestC = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val sim = cosine(p, cs(c))
+          if (sim > bestC) { bestC = sim; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < dim) { sums(best)(t) += p(t); t += 1 }
+      }
+      cs = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cs(c)
+        else Array.tabulate(dim)(t => (sums(c)(t) / counts(c)).toFloat))
+    }
+    Array.tabulate(k)(c => c -> cs(c))
+  }
+
   // ---- IVF ----------------------------------------------------------------
 
   /** Lloyd's k-means over the embedding column. Deterministic: seeds are
@@ -274,12 +372,17 @@ object VectorIndex {
         mode = graft.io.DatasetWriter.Overwrite, partitionCols = Seq("cell"))
       graft.io.DatasetWriter.toParquet(cdf, s"$t/centroids",
         mode = graft.io.DatasetWriter.Overwrite)
+      val counts = cellCountsOf(spark, s"$t/data")
+      writeAnnMeta(spark, t,
+        AnnMeta(counts.values.sum, counts.values.sum, 0L, counts))
     }
   }
 
   /** Top-k by cosine over the `nprobe` nearest cells of the persisted
     * index. Centroid ranking happens on the driver (k×dim floats); the
-    * data scan prunes to probed cell directories. */
+    * data scan prunes to probed cell directories — in EVERY layer of
+    * an incremental index ([[appendBatchIvf]]), each branch pruning
+    * independently before the union. */
   def searchIvf(
       spark: SparkSession,
       indexPath: String,
@@ -287,9 +390,10 @@ object VectorIndex {
       k: Int = 10,
       nprobe: Int = 3): DataFrame = {
     graft.expr.CosineSimilarity.register(spark)
-    // one tree resolution: centroids and assignments stay consistent
-    // under a concurrent rebuild
-    val t = indexRoot(spark, indexPath)
+    // one snapshot resolution: centroids and every layer's assignments
+    // stay consistent under a concurrent rebuild/append/fold
+    val roots = graft.table.SnapshotTree.roots(spark, indexPath)
+    val t = roots.head
     val cents = spark.read.parquet(s"$t/centroids")
       .collect()
       .map(r => r.getAs[Int]("cell") -> r.getAs[Seq[Float]]("centroid").toArray)
@@ -304,9 +408,10 @@ object VectorIndex {
     val probed = cents.sortBy { case (c, v) => (-cosine(v, query), c) }
       .take(nprobe).map(_._1)
     val qLit = typedLit(query.toSeq)
-    spark.read.option("basePath", s"$t/data")
-      .parquet(s"$t/data")
-      .filter(col("cell").isin(probed.toSeq: _*))
+    roots.map(rt => spark.read.option("basePath", s"$rt/data")
+        .parquet(s"$rt/data")
+        .filter(col("cell").isin(probed.toSeq: _*)))
+      .reduce(_.unionByName(_))
       .withColumn("cosine",
         call_function("cosine_sim", col("embedding"), qLit))
       .orderBy(col("cosine").desc, col("vec_id"))
@@ -603,8 +708,15 @@ object VectorIndex {
     * `coarse` overrides the k-means quantizer (cell id → centroid) —
     * the differential-oracle hook ([[Vectors.ivfPqSearch]] passes
     * exact-decimal per-label centroids so DuckDB reproduces the cell
-    * assignment bit-for-bit); `codebook` is [[putPq]]'s same hook. */
-  def putIvfPq(emb: DataFrame, indexPath: String, kCells: Int = 8,
+    * assignment bit-for-bit); `codebook` is [[putPq]]'s same hook.
+    *
+    * `kCells = 0` (the default, round 16) derives the geometry from
+    * the corpus: [[autoCells]] (√n cells) trained on a bounded sample
+    * ([[trainCoarseSampled]] — the at-scale build: Lloyd cost bounded
+    * by the sample, ONE full-corpus assignment pass). An explicit
+    * `kCells` keeps the exact distributed [[kmeans]] (k lowest-vec_id
+    * seeds — the differentially-testable small-k path). */
+  def putIvfPq(emb: DataFrame, indexPath: String, kCells: Int = 0,
       iters: Int = 3, m: Int = 0, ksub: Int = 16, sampleN: Int = 2048,
       codebook: Option[Array[Float]] = None,
       coarse: Option[Seq[(Int, Array[Float])]] = None): Unit = {
@@ -619,7 +731,13 @@ object VectorIndex {
     require(cents.length == mEff * ksub * dsub,
       s"codebook length ${cents.length} != m*ksub*dsub " +
         s"${mEff * ksub * dsub}")
-    val cells = coarse.getOrElse(kmeans(emb, kCells, iters).toSeq)
+    // corpus size, evaluated only when the auto geometry needs it
+    // (builtN in the meta comes from the cheaper cell-count readback)
+    lazy val corpusN = emb.count()
+    val cells = coarse.getOrElse {
+      if (kCells > 0) kmeans(emb, kCells, iters).toSeq
+      else trainCoarseSampled(emb, autoCells(corpusN)).toSeq
+    }
     val cdf = spark.createDataFrame(cells
       .map { case (c, v) => (c, v.toSeq) }).toDF("cell", "centroid")
     graft.expr.PqCodec.register(spark)
@@ -641,6 +759,9 @@ object VectorIndex {
         .toDF("m", "ksub", "dsub", "dim", "cents")
       graft.io.DatasetWriter.toParquet(metaDf, s"$t/pq_meta",
         mode = graft.io.DatasetWriter.Overwrite)
+      val counts = cellCountsOf(spark, s"$t/codes")
+      writeAnnMeta(spark, t,
+        AnnMeta(counts.values.sum, counts.values.sum, 0L, counts))
     }
   }
 
@@ -648,16 +769,31 @@ object VectorIndex {
     * (k×dim floats, cosine desc / cell asc — the shared tie rule),
     * partition-pruned ADC scan of the probed cells' codes, exact
     * cosine rerank of the top `rerank` candidates against `emb`
-    * (auto: max(50, 5k), the gate-measured budget). One tree
-    * resolution per query — centroids, meta, and codes from one
-    * immutable generation. */
+    * (auto: corpus-scaled, [[autoRerankScaled]]). One snapshot
+    * resolution per query — centroids, meta, and EVERY layer's codes
+    * from one immutable generation; an incremental index
+    * ([[appendBatchIvfPq]]) unions the probed cells across layers,
+    * each branch pruning to its own cell directories (docs live in
+    * exactly one layer, so the candidate set equals a folded index's).
+    *
+    * `nprobe = 0` (default) holds the auto probed fraction
+    * ([[autoNprobe]]); `filter` is the metadata-filter hook
+    * (`s3/_vectors/_read.py:276,333-334` composes KNN with a filter
+    * document — compile one with [[MetadataFilter.compile]]): the
+    * predicate lands INSIDE the probed-cell codes scan, so a filtered
+    * query reads fewer row groups, never more, and the ADC ranking
+    * already excludes non-matching vectors — the top-k is exact over
+    * the filtered population, not a post-filter of an unfiltered
+    * top-k (the reference's semantics). Filter columns must be
+    * metadata the codes table carries (e.g. `label`). */
   def searchIvfPq(spark: SparkSession, indexPath: String,
-      query: Array[Float], k: Int = 10, nprobe: Int = 3,
+      query: Array[Float], k: Int = 10, nprobe: Int = 0,
       rerank: Int = -1, emb: Option[DataFrame] = None,
-      excludeId: Option[Long] = None): DataFrame = {
-    val t = indexRoot(spark, indexPath)
-    val rr = if (rerank >= 0) rerank
-             else if (emb.isDefined) autoRerank(k) else 0
+      excludeId: Option[Long] = None,
+      filter: Option[Column] = None): DataFrame = {
+    val roots = graft.table.SnapshotTree.roots(spark, indexPath)
+    val t = roots.head
+    val metas = roots.map(readAnnMeta(spark, _))
     val cents = spark.read.parquet(s"$t/centroids").collect()
       .map(r => r.getAs[Int]("cell") ->
         r.getAs[scala.collection.Seq[Float]]("centroid").toArray)
@@ -669,8 +805,15 @@ object VectorIndex {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    val np = if (nprobe > 0) nprobe else autoNprobe(cents.length)
     val probed = cents.sortBy { case (c, v) => (-cosine(v, query), c) }
-      .take(nprobe).map(_._1).toSeq
+      .take(np).map(_._1).toSeq
+    // exact probed-candidate count from the metadata sidecars (zero
+    // I/O against the index) — the auto rerank window's noise pool
+    val probedN = metas.flatMap(_.cellCounts.toSeq)
+      .filter(e => probed.contains(e._1)).map(_._2).sum
+    val rr = if (rerank >= 0) rerank
+             else if (emb.isDefined) autoRerankScaled(k, probedN) else 0
     val mr = spark.read.parquet(s"$t/pq_meta").head
     val (m, ksub, dsub) = (mr.getAs[Int]("m"), mr.getAs[Int]("ksub"),
       mr.getAs[Int]("dsub"))
@@ -686,9 +829,11 @@ object VectorIndex {
       table(j * ksub + c) = d
     }
     graft.expr.PqCodec.register(spark)
-    val codes0 = spark.read.option("basePath", s"$t/codes")
-      .parquet(s"$t/codes")
-      .filter(col("cell").isin(probed: _*))
+    val codes1 = roots.map(rt =>
+        spark.read.option("basePath", s"$rt/codes").parquet(s"$rt/codes")
+          .filter(col("cell").isin(probed: _*)))
+      .reduce(_.unionByName(_))
+    val codes0 = filter.fold(codes1)(codes1.filter)
     val codes = excludeId.fold(codes0)(id =>
       codes0.filter(col("vec_id") =!= id))
     val scored = codes
@@ -710,5 +855,279 @@ object VectorIndex {
         .limit(k)
         .select(col("vec_id"), col("label"), col("cosine"))
     }
+  }
+
+  // ---- incremental maintenance (round 16) -----------------------------
+
+  /** Per-tree ANN sidecar: `nVectors` in THIS tree's codes/data,
+    * `builtN` = corpus size the GEOMETRY (centroids + codebook) was
+    * trained on (full trees only — the retrain trigger's denominator),
+    * `foldedUpto` = replay watermark (full trees only), `cellCounts` =
+    * per-cell vector counts (bounded by kCells ≤ 4096 — metadata
+    * scale, collected once per tree build so the skew trigger never
+    * re-scans the index). */
+  final case class AnnMeta(nVectors: Long, builtN: Long,
+      foldedUpto: Long, cellCounts: Map[Int, Long])
+
+  private val AnnMetaFile = "_ann_meta"
+
+  private def writeAnnMeta(spark: SparkSession, treeRoot: String,
+      meta: AnnMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(treeRoot, AnnMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    val cellsStr = meta.cellCounts.toSeq.sorted
+      .map { case (c, n) => s"$c:$n" }.mkString(",")
+    try out.write(
+      (s"nVectors=${meta.nVectors}\nbuiltN=${meta.builtN}\n" +
+        s"foldedUpto=${meta.foldedUpto}\ncells=$cellsStr\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private[graft] def readAnnMeta(spark: SparkSession,
+      treeRoot: String): AnnMeta = {
+    val p = new org.apache.hadoop.fs.Path(treeRoot, AnnMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return AnnMeta(0L, 0L, 0L, Map.empty)
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    val cells = kv.getOrElse("cells", "").split(",").toSeq
+      .filter(_.contains(":")).map { s =>
+        val Array(c, n) = s.split(":", 2); c.toInt -> n.toLong
+      }.toMap
+    AnnMeta(kv.getOrElse("nVectors", "0").toLong,
+      kv.getOrElse("builtN", "0").toLong,
+      kv.getOrElse("foldedUpto", "0").toLong, cells)
+  }
+
+  /** Per-cell counts of a written codes/data table — one aggregate
+    * over the compact index table (never the raw embeddings), kCells
+    * rows collected. */
+  private def cellCountsOf(spark: SparkSession,
+      path: String): Map[Int, Long] =
+    spark.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("n")).toMap
+
+  /** Test hook: fires after a fold's merged tree is staged, before its
+    * manifest publishes — the window where a concurrent append forces
+    * the optimistic-commit retry (cf. [[Postings.foldBarrier]]). */
+  private[graft] var annFoldBarrier: () => Unit = () => ()
+
+  /** Shared layer-append plumbing (the [[Postings.appendBatch]]
+    * contract, for index trees): replay-idempotent via manifest
+    * membership + the head tree's foldedUpto watermark; the staged
+    * layer is invisible until its one-manifest commit; TxnLog's
+    * staged-grace vacuum protection covers the append-vs-fold race. */
+  private def appendLayer(spark: SparkSession, indexPath: String,
+      batchId: Long)(buildLayer: (String, String) => Unit): Boolean = {
+    val snap = graft.table.TxnLog.currentSnapshot(spark, indexPath)
+      .getOrElse(throw new IllegalStateException(
+        s"no ANN index at $indexPath; put*() it first"))
+    val dirName = s"files/batch-$batchId"
+    if (snap.dataDirs.contains(dirName)) return false // replayed, published
+    val r = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = r.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(r, snap.dataDirs.head)).toString
+    if (batchId < readAnnMeta(spark, head).foldedUpto)
+      return false // replayed, folded
+    buildLayer(head,
+      fs.makeQualified(new org.apache.hadoop.fs.Path(r, dirName)).toString)
+    graft.table.TxnLog.commitStagedDirs(spark, indexPath, Seq(dirName),
+      op = "batch-append")
+    true
+  }
+
+  /** Shared fold plumbing: optimistic consolidation at the pinned
+    * version (a concurrent append conflicts the publish and the fold
+    * re-resolves — never dropping the new layer), merged AnnMeta with
+    * exact-integer counts, watermark past every folded batch id. */
+  private def foldLayers(spark: SparkSession, indexPath: String,
+      keepVersions: Int)(
+      merge: (Seq[String], String) => Unit): Int = {
+    var attempts = 0
+    while (attempts < 5) {
+      val snap = graft.table.TxnLog.currentSnapshot(spark, indexPath)
+        .getOrElse(return 0)
+      if (snap.dataDirs.size <= 1) return 0
+      val r = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = r.getFileSystem(spark.sessionState.newHadoopConf())
+      val roots = snap.dataDirs.map(d => fs.makeQualified(
+        new org.apache.hadoop.fs.Path(r, d)).toString)
+      val metas = roots.map(readAnnMeta(spark, _))
+      val maxBatch = snap.dataDirs.flatMap { d =>
+        val n = d.stripPrefix("files/")
+        if (n.startsWith("batch-"))
+          scala.util.Try(n.stripPrefix("batch-").toLong).toOption
+        else None
+      }.foldLeft(-1L)(math.max)
+      val dirName = s"files/fold-${java.util.UUID.randomUUID()}"
+      val t = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(r, dirName)).toString
+      merge(roots, t)
+      val mergedCells = metas.flatMap(_.cellCounts.toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      writeAnnMeta(spark, t, AnnMeta(metas.map(_.nVectors).sum,
+        metas.head.builtN,
+        math.max(metas.head.foldedUpto, maxBatch + 1), mergedCells))
+      annFoldBarrier()
+      try {
+        graft.table.TxnLog.commitStagedDirs(spark, indexPath,
+          Seq(dirName), op = "fold", replace = true,
+          expectedVersion = Some(snap.version))
+        graft.table.TxnLog.vacuum(spark, indexPath, keepVersions)
+        return roots.size
+      } catch {
+        case _: graft.table.TxnLog.CommitConflict => attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"fold at $indexPath lost the publish race 5 times; " +
+        "pause the ingest loop and re-run")
+  }
+
+  /** Append one ingest batch to a LIVE IVF-PQ index as a layer — the
+    * reference's append-shaped vector API
+    * (`s3/_vectors/_write.py:109-233` adds 500-vector chunks to an
+    * existing index; chunking at `45-47`) with the postings/dedup
+    * daily-loop mechanics: the batch assigns to the EXISTING coarse
+    * centroids and encodes with the EXISTING codebook (geometry is
+    * immutable between retrains — that is what makes a layered probe
+    * answer IDENTICALLY to a rebuild under the same geometry), pays
+    * one batch-sized tree build + one atomic manifest append, and
+    * never rewrites the corpus. [[searchIvfPq]] unions layers inside
+    * the probed cells; [[foldIvfPq]] consolidates on its own cadence.
+    *
+    * THE GEOMETRY CONTRACT, loudly: a layered index equals a rebuild
+    * only while the frozen geometry still fits the grown corpus.
+    * After the commit this method re-checks [[retrainDue]] and WARNs
+    * when the corpus has outgrown the geometry (growth ≥
+    * `growthFactor` × builtN) or a cell has skewed past `skewFactor`
+    * × the mean — the signal to schedule a full [[putIvfPq]] retrain
+    * (an atomic whole-tree swap; probes never see a mixed
+    * generation). */
+  def appendBatchIvfPq(batch: DataFrame, indexPath: String,
+      batchId: Long, growthFactor: Double = 4.0,
+      skewFactor: Double = 8.0): Boolean = {
+    val spark = batch.sparkSession
+    val published = appendLayer(spark, indexPath, batchId) { (head, t) =>
+      val cdf = spark.read.parquet(s"$head/centroids")
+      val mr = spark.read.parquet(s"$head/pq_meta").head
+      val (m, ksub, dsub) = (mr.getAs[Int]("m"), mr.getAs[Int]("ksub"),
+        mr.getAs[Int]("dsub"))
+      val cb = mr.getAs[scala.collection.Seq[Float]]("cents")
+      graft.expr.PqCodec.register(spark)
+      val coded = assignCells(batch, cdf)
+        .withColumn("code", call_function("pq_encode", col("embedding"),
+          typedLit(cb), lit(m), lit(ksub), lit(dsub)))
+        .drop("embedding")
+      graft.io.DatasetWriter.toParquet(coded.repartition(col("cell")),
+        s"$t/codes", mode = graft.io.DatasetWriter.Overwrite,
+        partitionCols = Seq("cell"))
+      val counts = cellCountsOf(spark, s"$t/codes")
+      writeAnnMeta(spark, t, AnnMeta(counts.values.sum, 0L, 0L, counts))
+    }
+    if (published)
+      retrainDue(spark, indexPath, growthFactor, skewFactor).foreach(msg =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ANN index $indexPath: $msg"))
+    published
+  }
+
+  /** Append one batch to a LIVE IVF index (raw-vector variant of
+    * [[appendBatchIvfPq]]): assign to the existing centroids, stage
+    * one cell-partitioned layer, one manifest append. Same geometry
+    * contract and retrain warning. */
+  def appendBatchIvf(batch: DataFrame, indexPath: String,
+      batchId: Long, growthFactor: Double = 4.0,
+      skewFactor: Double = 8.0): Boolean = {
+    val spark = batch.sparkSession
+    val published = appendLayer(spark, indexPath, batchId) { (head, t) =>
+      val cdf = spark.read.parquet(s"$head/centroids")
+      graft.io.DatasetWriter.toParquet(
+        assignCells(batch, cdf).repartition(col("cell")), s"$t/data",
+        mode = graft.io.DatasetWriter.Overwrite,
+        partitionCols = Seq("cell"))
+      val counts = cellCountsOf(spark, s"$t/data")
+      writeAnnMeta(spark, t, AnnMeta(counts.values.sum, 0L, 0L, counts))
+    }
+    if (published)
+      retrainDue(spark, indexPath, growthFactor, skewFactor).foreach(msg =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"ANN index $indexPath: $msg"))
+    published
+  }
+
+  /** Consolidate accumulated IVF-PQ layers into ONE tree: codes
+    * unioned and repartitioned to one file per cell, geometry
+    * (centroids + pq_meta) carried from the head tree unchanged —
+    * a fold NEVER retrains (that is [[putIvfPq]]'s atomic swap), so
+    * probes answer identically before and after. Optimistic publish
+    * with bounded retries; a probe pinned pre-fold keeps its
+    * generation until vacuum. */
+  def foldIvfPq(spark: SparkSession, indexPath: String,
+      keepVersions: Int = 2): Int =
+    foldLayers(spark, indexPath, keepVersions) { (roots, t) =>
+      roots.map(rt => spark.read.option("basePath", s"$rt/codes")
+          .parquet(s"$rt/codes"))
+        .reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$t/codes")
+      spark.read.parquet(s"${roots.head}/centroids")
+        .write.mode("overwrite").parquet(s"$t/centroids")
+      spark.read.parquet(s"${roots.head}/pq_meta")
+        .write.mode("overwrite").parquet(s"$t/pq_meta")
+    }
+
+  /** [[foldIvfPq]] for the raw-vector IVF tree. */
+  def foldIvf(spark: SparkSession, indexPath: String,
+      keepVersions: Int = 2): Int =
+    foldLayers(spark, indexPath, keepVersions) { (roots, t) =>
+      roots.map(rt => spark.read.option("basePath", s"$rt/data")
+          .parquet(s"$rt/data"))
+        .reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$t/data")
+      spark.read.parquet(s"${roots.head}/centroids")
+        .write.mode("overwrite").parquet(s"$t/centroids")
+    }
+
+  /** The LOUD retrain trigger: layered appends keep answering
+    * rebuild-identically under frozen geometry, but recall is only as
+    * good as how well that geometry still fits the corpus. Fires
+    * (returns a diagnostic) when the corpus has grown past
+    * `growthFactor` × the size the geometry was trained on, or when
+    * the largest cell holds more than `skewFactor` × the mean (drifted
+    * data concentrating in few cells — probes of those cells scan a
+    * corpus-scale fraction again). Pure metadata: reads the per-tree
+    * sidecars, never the index. */
+  def retrainDue(spark: SparkSession, indexPath: String,
+      growthFactor: Double = 4.0, skewFactor: Double = 8.0)
+      : Option[String] = {
+    val roots = graft.table.SnapshotTree.roots(spark, indexPath)
+    val metas = roots.map(readAnnMeta(spark, _))
+    val head = metas.head
+    val total = metas.map(_.nVectors).sum
+    val merged = metas.flatMap(_.cellCounts.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    if (head.builtN > 0 && total.toDouble >= growthFactor * head.builtN)
+      Some(f"corpus grew to $total vectors, ${total.toDouble /
+        head.builtN}%.1fx the ${head.builtN} the geometry was trained " +
+        "on - schedule a putIvfPq/putIvf retrain (atomic tree swap) " +
+        "to restore recall")
+    else if (merged.nonEmpty && {
+        val mean = total.toDouble / merged.size
+        merged.values.max > skewFactor * mean }) {
+      val (cell, cnt) = merged.maxBy(_._2)
+      Some(s"cell $cell holds $cnt of $total vectors (> " +
+        s"${skewFactor}x the mean) - ingest has drifted from the " +
+        "trained centroids; schedule a retrain")
+    } else None
   }
 }

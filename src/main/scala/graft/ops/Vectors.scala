@@ -423,29 +423,77 @@ object Vectors {
     * desc, cell asc — [[graft.expr.NearestCentroid]]'s exact rule),
     * and the codebook is [[VectorIndex.trainPqExact]]; every stage of
     * build AND probe reproduces bit-for-bit in DuckDB. */
-  def ivfPqSearch(s: SparkSession, dir: String, k: Int = 10,
-      nprobe: Int = 3): DataFrame = {
-    val emb = graft.Tables.embeddings(s, dir)
-    val idx = ivfPqIndexCache.computeIfAbsent(dir, _ => {
+  /** Exact-decimal per-label coarse quantizer over an explicit frame —
+    * the differential-oracle hook shared by the full, incremental, and
+    * filtered IVF-PQ entries (cell ids = label rank, order-independent
+    * decimal(20,10) means, so DuckDB reproduces every centroid). */
+  private def exactLabelCoarse(emb: DataFrame): Seq[(Int, Array[Float])] =
+    emb
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
+        count(lit(1)).cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"),
+        expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
+      .orderBy(col("label")).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        i -> r.getAs[scala.collection.Seq[Float]]("centroid").toArray }
+      .toSeq
+
+  private def ivfPqIndexFor(dir: String, emb: DataFrame): String =
+    ivfPqIndexCache.computeIfAbsent(dir, _ => {
       val tmp = graft.session.Scratch.dir("graft-ivfpq-idx") + "/idx"
-      val coarse = emb
-        .select(col("label"), posexplode(col("embedding")))
-        .groupBy(col("label"), col("pos"))
-        .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
-          count(lit(1)).cast("double")).as("m"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("label"),
-          expr("transform(pm, x -> cast(x.m as float))").as("centroid"))
-        .orderBy(col("label")).collect()
-        .zipWithIndex
-        .map { case (r, i) =>
-          i -> r.getAs[scala.collection.Seq[Float]]("centroid").toArray }
-        .toSeq
       // m pinned to the oracle geometry (8 x 8), same note as pqSearch
       VectorIndex.putIvfPq(emb, tmp, m = 8,
         codebook = Some(VectorIndex.trainPqExact(emb)),
-        coarse = Some(coarse))
+        coarse = Some(exactLabelCoarse(emb)))
+      tmp
+    })
+
+  def ivfPqSearch(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val idx = ivfPqIndexFor(dir, emb)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    VectorIndex.searchIvfPq(s, idx, query, k = k, nprobe = nprobe,
+      rerank = 5 * k, emb = Some(emb), excludeId = Some(0L))
+      .select(col("vec_id"), col("label"))
+  }
+
+  /** One INCREMENTAL per-corpus IVF-PQ index (the
+    * [[Postings.incrIndexFor]] fixture shape): 90% of the vectors
+    * indexed at build time, the held-out 10% appended as a batch layer
+    * under the FROZEN base geometry and left un-folded, so queries
+    * exercise the layer-union probe path. */
+  private val ivfPqIncrIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Oracle-gated INCREMENTAL IVF-PQ probe
+    * ([[VectorIndex.appendBatchIvfPq]] / [[VectorIndex.foldIvfPq]] —
+    * the reference's append-shaped vector ingest,
+    * `s3/_vectors/_write.py:109-233`): coarse centroids and codebook
+    * train on the BASE slice (exact-decimal — the production contract:
+    * geometry is frozen at build time, batches encode under it), the
+    * held-out batch appends as a layer, and the probe unions layers
+    * inside the probed cells. The DuckDB twin recomputes the whole
+    * thing from the raw corpus — base-trained geometry applied to
+    * every vector — which is exactly the "layered index answers
+    * identically to a rebuild under the same geometry" contract. */
+  def ivfPqIncrSearch(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    val idx = ivfPqIncrIndexCache.computeIfAbsent(dir, _ => {
+      val tmp = graft.session.Scratch.dir("graft-ivfpq-incr") + "/idx"
+      val base = emb.filter(col("vec_id") % 10 =!= 7)
+      VectorIndex.putIvfPq(base, tmp, m = 8,
+        codebook = Some(VectorIndex.trainPqExact(base)),
+        coarse = Some(exactLabelCoarse(base)))
+      VectorIndex.appendBatchIvfPq(emb.filter(col("vec_id") % 10 === 7),
+        tmp, batchId = 1L)
       tmp
     })
     val query = emb.filter(col("vec_id") === 0L)
@@ -455,16 +503,48 @@ object Vectors {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Oracle-gated METADATA-FILTERED IVF-PQ probe (the reference
+    * composes KNN with a filter document,
+    * `s3/_vectors/_read.py:276,333-334`): the compiled
+    * [[MetadataFilter]] predicate lands INSIDE the probed-cell codes
+    * scan — pre-ADC, so a filtered query reads fewer row groups and
+    * the top-k is exact over the filtered population (query vector 0
+    * is label 2; the filter asks for labels {1, 3}, so post-filtering
+    * an unfiltered top-k would return the wrong rows entirely). */
+  def ivfPqFilteredSearch(s: SparkSession, dir: String, k: Int = 10,
+      nprobe: Int = 3): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+    // same persisted index as ivfPqSearch — a filter is a query-time
+    // argument, never a rebuild
+    val idx = ivfPqIndexFor(dir, emb)
+    val query = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    val f = MetadataFilter.compile(
+      Map("label" -> Map("$in" -> Seq(1, 3))))
+    VectorIndex.searchIvfPq(s, idx, query, k = k, nprobe = nprobe,
+      rerank = 5 * k, emb = Some(emb), excludeId = Some(0L),
+      filter = Some(f))
+      .select(col("vec_id"), col("label"))
+  }
+
   /** DuckDB mirror of the ENTIRE IVF-PQ probe: [[pqSearchOracle]]'s
     * codebook/codes/ADC CTEs + [[ivfSearchOracle]]'s exact-decimal
     * label centroids, fused — vectors assign to their
     * highest-cosine centroid (ties to the lowest cell, NaN greatest:
     * the NearestCentroid total order), the query probes the `nprobe`
     * best cells, ADC ranks only vectors assigned to probed cells, and
-    * the exact rerank is the shared sequential-double cosine. */
-  def ivfPqSearchOracle: String =
+    * the exact rerank is the shared sequential-double cosine.
+    *
+    * Parameterized (round 16): `baseCond` restricts the TRAINING pool
+    * (codebook sample + label centroids) — the incremental twin trains
+    * geometry on the base slice and applies it to every vector,
+    * exactly what append-under-frozen-geometry does; `candCond` is an
+    * extra ADC candidate predicate — the metadata-filter twin's
+    * pre-ADC label cut. */
+  private def ivfPqOracleSql(baseCond: String, candCond: String): String =
     s"""WITH sample AS (
-       |  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 2048),
+       |  SELECT vec_id, embedding FROM embeddings WHERE $baseCond
+       |  ORDER BY vec_id LIMIT 2048),
        |sub AS (
        |  SELECT vec_id, j,
        |    list_transform(generate_series(1, 8), t -> embedding[j*8 + t]) AS p
@@ -514,6 +594,7 @@ object Vectors {
        |    cast(cast(sum(cast(embedding[i] as decimal(20,10))) as double)
        |         / cast(count(*) as double) as float) AS m
        |  FROM embeddings, generate_series(1, 64) g(i)
+       |  WHERE $baseCond
        |  GROUP BY label, i),
        |lcent AS (
        |  SELECT label, row_number() OVER (ORDER BY label) - 1 AS cell,
@@ -542,13 +623,28 @@ object Vectors {
        |        FROM codes JOIN dtab ON codes.j = dtab.j AND codes.c = dtab.c
        |        WHERE codes.vec_id <> 0
        |          AND codes.vec_id IN (SELECT vec_id FROM vassign
-       |            WHERE cell IN (SELECT cell FROM probe))) z
+       |            WHERE cell IN (SELECT cell FROM probe))
+       |          $candCond) z
        |  GROUP BY vec_id),
        |cand AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 50)
        |SELECT e.vec_id, e.label
        |FROM embeddings e JOIN cand ON e.vec_id = cand.vec_id CROSS JOIN q
        |ORDER BY ${cosineSql("e.embedding", "qe")} DESC, e.vec_id
        |LIMIT 10""".stripMargin
+
+  def ivfPqSearchOracle: String = ivfPqOracleSql("1 = 1", "")
+
+  /** Incremental twin: geometry (codebook sample + label centroids)
+    * from the base 90%, applied to the whole corpus — the rebuild a
+    * layered index must equal. */
+  def ivfPqIncrSearchOracle: String =
+    ivfPqOracleSql("vec_id % 10 <> 7", "")
+
+  /** Filtered twin: the metadata predicate cuts the ADC candidate
+    * pool (pre-ADC, pre-rerank) — top-k over the filtered population. */
+  def ivfPqFilteredSearchOracle: String =
+    ivfPqOracleSql("1 = 1",
+      "AND codes.vec_id IN (SELECT vec_id FROM embeddings WHERE label IN (1, 3))")
 
   private def cosineSql(a: String, b: String): String =
     s"""list_sum(list_transform(generate_series(1, 64),

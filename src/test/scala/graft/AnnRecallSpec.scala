@@ -78,10 +78,14 @@ class AnnRecallSpec extends AnyFunSuite {
         f"PQ 16B + rerank-50 recall@10 regressed: $pq%.3f < 0.6 " +
           "(measured 0.675 at round 13 — check codebook training)")
 
-      // r15: the composed IVF-PQ under the AUTO budgets (m = 0 derives
-      // the 16-subspace codebook; rerank = -1 derives max(50, 5k)) —
-      // a caller who read nothing gets the gate-holding geometry, and
-      // cell pruning at nprobe=6 must not drop below the plain-PQ floor
+      // r15/r16: the composed IVF-PQ under the FULL auto geometry —
+      // kCells = 0 derives sqrt-n cells (45 on this corpus), m = 0 the
+      // 16-subspace codebook, nprobe = 0 the 1/3 probed fraction,
+      // rerank = -1 the probed/4 window (tools/ivfpq_autotune.scala
+      // measured the fraction/window surface; this row pins the picked
+      // point). A caller who read nothing gets a geometry that holds
+      // the plain-PQ floor while scanning a third of a 32x-compressed
+      // codes table.
       VectorIndex.putIvfPq(emb, s"$root/ivfpq")
       val meta = spark.read.parquet(
         s"${VectorIndex.indexRoot(spark, s"$root/ivfpq")}/pq_meta").head
@@ -90,10 +94,10 @@ class AnnRecallSpec extends AnyFunSuite {
           "(expected 16 — the measured recall floor geometry)")
       val ivfpq = recall(q =>
         VectorIndex.searchIvfPq(spark, s"$root/ivfpq", q, k = K + 2,
-          nprobe = 6, emb = Some(emb)))
+          emb = Some(emb)))
       assert(ivfpq >= 0.6,
-        f"IVF-PQ auto-budget recall@10: $ivfpq%.3f < 0.6 " +
-          "(composition must hold the plain-PQ floor at nprobe=6)")
+        f"IVF-PQ full-auto recall@10: $ivfpq%.3f < 0.6 " +
+          "(auto geometry must hold the plain-PQ floor)")
     } finally emb.unpersist()
   }
 }

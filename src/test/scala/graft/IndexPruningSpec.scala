@@ -60,6 +60,59 @@ class IndexPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered IVF-PQ: the metadata predicate lands in the codes " +
+    "scan's pushed filters (pre-ADC), pruning intact") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val idx = graft.session.Scratch.dir("prune-ivfpq-f") + "/idx"
+    VectorIndex.putIvfPq(emb, idx, kCells = 8)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    val nprobe = 3
+    val f = graft.ops.MetadataFilter.compile(
+      Map("label" -> Map("$in" -> Seq(1, 3))))
+    val df = VectorIndex.searchIvfPq(spark, idx, q, k = 5,
+      nprobe = nprobe, rerank = 0, filter = Some(f))
+    val scans = scansOf(df)
+    val codes = scans.filter(
+      _.metadata.get("Location").exists(_.contains("codes")))
+    assert(codes.nonEmpty)
+    codes.foreach { s =>
+      assert(s.metadata.get("PartitionFilters").exists(_.contains("cell")),
+        s"filtered codes scan lost cell pruning: ${s.metadata}")
+      assert(s.metadata.get("PushedFilters").exists(_.contains("label")),
+        "the metadata filter must push into the codes scan " +
+          s"(pre-ADC), got: ${s.metadata.get("PushedFilters")}")
+      assert(s.metrics("numFiles").value == nprobe)
+    }
+  }
+
+  test("layered IVF-PQ: every layer's codes scan prunes to the " +
+    "probed cell directories") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val idx = graft.session.Scratch.dir("prune-ivfpq-l") + "/idx"
+    VectorIndex.putIvfPq(emb.filter(col("vec_id") % 10 =!= 7), idx,
+      kCells = 8)
+    VectorIndex.appendBatchIvfPq(emb.filter(col("vec_id") % 10 === 7),
+      idx, batchId = 1L)
+    val q = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head.getAs[Seq[Float]](0).toArray
+    val nprobe = 3
+    val df = VectorIndex.searchIvfPq(spark, idx, q, k = 5,
+      nprobe = nprobe, rerank = 0)
+    val scans = scansOf(df)
+    val codes = scans.filter(
+      _.metadata.get("Location").exists(_.contains("codes")))
+    assert(codes.size == 2,
+      s"expected one pruned codes scan per layer, got ${codes.size}")
+    codes.foreach { s =>
+      assert(s.metadata.get("PartitionFilters").exists(_.contains("cell")),
+        s"layer codes scan lost cell pruning: ${s.metadata}")
+      // one file per cell dir per layer => at most nprobe files each
+      // (a layer may hold vectors in fewer than nprobe of the cells)
+      assert(s.metrics("numFiles").value <= nprobe)
+    }
+  }
+
   test("layered postings: every layer's scan prunes to the query's " +
     "term buckets") {
     val spark0 = spark
