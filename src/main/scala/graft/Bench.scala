@@ -352,6 +352,45 @@ object Bench {
       }
     }
 
+    // the V3 streaming curation pipeline (r16): full stateless gate +
+    // pinned-model CCNet selection + incremental fuzzy dedup. Historic
+    // state (LM model + dedup index) builds on the 90% slice OUTSIDE
+    // the timer (ingest-time cost); the timed run streams the held-out
+    // 10% — per-batch cost reads only batch-sized token buckets of
+    // model and index, never the historic corpus.
+    if (wanted("stream_curate_v3")) {
+      import org.apache.spark.sql.functions.col
+      val root = graft.session.Scratch.dir("graft-bench-scv3").toString
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "lang", "text")
+      val hist = docs.filter(col("doc_id") % 10 =!= 7)
+      ops.Curation.trainPplModel(hist, s"$root/model")
+      ops.Dedup.buildDedupIndex(
+        hist.select("doc_id", "text"), s"$root/idx")
+      docs.filter(col("doc_id") % 10 === 7)
+        .repartition(4).write.mode("overwrite").parquet(s"$root/src")
+      val schema = spark.read.parquet(s"$root/src").schema
+      fixed += "stream_curate_v3" -> time {
+        val q = streaming.EventStream.curationIngestV3(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/src"),
+          s"$root/t", s"$root/ck", appId = "bench-scv3",
+          indexPath = s"$root/idx", streamIndexPath = s"$root/sidx",
+          pplModelPath = s"$root/model",
+          // the batch V3 recipe's gate (gopherGate with the corpus's
+          // own stop-word probe): this corpus is single-line
+          // unpunctuated text, so the full gate's C4 page rule would
+          // keep nothing (see curationIngestV3's gate note)
+          gate = Some((d: org.apache.spark.sql.DataFrame) =>
+            ops.Curation.gopherGate(d,
+              stopWords = ops.Curation.CorpusStopWords)))
+        q.awaitTermination()
+        val admitted = io.DeltaLogReader.read(spark, s"$root/t").count()
+        System.err.println(s"[stream_curate_v3] admitted=$admitted")
+        recordBatchP50("stream_curate_v3", q)
+      }
+    }
+
     // postings index BUILD as its own entry (the ingest-time cost; the
     // probe cost is `search_postings_query` in the sweep above)
     if (wanted("search_postings_build") || wanted("search_postings_probe")) {

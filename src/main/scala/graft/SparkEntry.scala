@@ -95,6 +95,12 @@ object SparkEntry {
     "curate_mix_uniform"  -> (Curation.mixToUniform _),
     "curate_dsir_weights" -> (Curation.dsirWeights _),
     "curate_ppl_bucket"   -> ((s, d) => Curation.perplexityBuckets(s, d)),
+    // pinned-model CCNet selection (r16): LM counts + tercile cutoffs
+    // trained once on the 90% historic slice (SnapshotTree-versioned
+    // model), every document scored under the FROZEN model — the
+    // stream-safe form of curate_ppl_bucket (per-doc pure given the
+    // model), oracled against a full DuckDB recomputation
+    "curate_ppl_pinned"   -> (Curation.curatePplPinned _),
     "curate_pipeline"     -> ((s: SparkSession, d: String) =>
       Curation.curatePipeline(s, d)),
     "curate_pipeline_v2"  -> ((s: SparkSession, d: String) =>
@@ -403,6 +409,7 @@ object SparkEntry {
     "vec_pq_search"       -> Vectors.pqSearchOracle,
     "vec_ivfpq_search"    -> Vectors.ivfPqSearchOracle,
     "vec_ivfpq_incr"      -> Vectors.ivfPqIncrSearchOracle,
+    "curate_ppl_pinned"   -> Curation.curatePplPinnedOracle,
     "vec_ivfpq_filtered"  -> Vectors.ivfPqFilteredSearchOracle,
     "vec_near_dup"        -> Vectors.embeddingNearDupOracle,
     "vec_semdedup"        -> Vectors.semDedupOracle,

@@ -134,8 +134,10 @@ object Curation {
 
   /** The same rules as a FILTER: input rows that pass, original
     * columns untouched — the map-side gate
-    * [[curatePipelineModern]] fuses into its scan. */
-  private[graft] def gopherGate(docs: DataFrame,
+    * [[curatePipelineModern]] fuses into its scan. Public (r16): the
+    * gate a caller plugs into streaming ingestion
+    * ([[graft.streaming.EventStream.curationIngestV3]]'s `gate`). */
+  def gopherGate(docs: DataFrame,
       minWords: Int = 50, maxWords: Int = 100000,
       stopWords: Seq[String] = GopherStopWords): DataFrame = {
     // withColumn REPLACES same-named input columns — an input already
@@ -1143,6 +1145,187 @@ object Curation {
           .otherwise("tail").as("ppl_bucket"))
   }
 
+  // ---------------------------------------------------------------- //
+  // Pinned-model CCNet selection (round 16)                          //
+  // ---------------------------------------------------------------- //
+
+  /** Tokenize + per-doc bigram counts of an explicit frame — the two
+    * frames every perplexity path starts from ([[perplexityBucketsOn]]
+    * trains and scores on the same corpus; the pinned path below
+    * trains once and scores batches). `base` = (doc_id, lang, n, b);
+    * `pd` = (doc_id, lang, p, c, k) — the ONE corpus-scan product. */
+  private def pplBaseAndCounts(docs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val base = docs
+      .select(col("doc_id"), col("lang"), words.as("a"))
+      .select(col("doc_id"), col("lang"),
+        size(col("a")).cast("bigint").as("n"),
+        expr("concat(array('<s>'), a)").as("b"))
+    val pd = base.filter(col("n") >= 1)
+      .select(col("doc_id"), col("lang"), col("n"),
+        explode(expr(
+          """transform(sequence(1, cast(n as int)),
+            |  i -> array(element_at(b, i), element_at(b, i + 1)))"""
+            .stripMargin)).as("g"))
+      .select(col("doc_id"), col("lang"), col("n"),
+        element_at(col("g"), 1).as("p"), element_at(col("g"), 2).as("c"))
+      .groupBy("doc_id", "lang", "p", "c")
+      .agg(count(lit(1)).as("k"))
+    (base, pd)
+  }
+
+  /** Bigram-weight formula shared by the in-line and pinned scorers:
+    * Laplace ln((cbg+1)/(cpr+vsz)) rounded to 6 decimals and cast to
+    * exact decimal — the ONLY float computation in the pipeline. */
+  private def pplWeightCol: org.apache.spark.sql.Column =
+    round(log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
+      (coalesce(col("cpr"), lit(0L)) + col("vsz")).cast("double")), 6)
+      .cast("decimal(12,6)")
+
+  /** Train and PIN the CCNet selection model (Wenzek et al. 2020 run a
+    * FIXED KenLM with fixed head/middle/tail cutoffs — the stateful
+    * half of the selection, frozen at train time so scoring becomes a
+    * pure per-document function). Persisted as ONE snapshot tree
+    * ([[graft.table.SnapshotTree]] — a re-pin is an atomic whole-model
+    * swap under concurrent scorers):
+    *
+    *  - `tr/` (p, c, cbg) and `pr/` (p, cpr): the bigram/prefix counts
+    *    of the training corpus's `lang = 'en'` slice, hash-partitioned
+    *    by `pb = xxhash64(p) mod nBuckets` — a batch scorer prunes to
+    *    ITS tokens' buckets, the postings-probe shape, so per-batch
+    *    I/O follows the batch, not the model;
+    *  - `_ppl_meta`: vocabulary size, bucket count, and the PINNED
+    *    head/tail cutoffs — the corpus TERCILES of the training pool's
+    *    per-doc mean token log-prob (order statistics at ceil(N/3) and
+    *    ceil(2N/3) of the rank-desc list, ties to the lower doc_id:
+    *    deterministic, DuckDB-reproducible), each a 6-decimal value.
+    *
+    * Scale shape: training is [[perplexityBucketsOn]]'s one
+    * token-level shuffle over the TRAINING corpus, paid once per pin;
+    * the tercile derivation adds one doc-level ranking. Re-pinning at
+    * fold cadence re-runs it on the grown historic corpus. */
+  def trainPplModel(docs: DataFrame, modelPath: String,
+      nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    val (base, pd0) = pplBaseAndCounts(docs)
+    val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(pd)
+    val trainTypes = pd.filter(col("lang") === "en")
+      .groupBy("p", "c").agg(sum(col("k")).as("cbg"))
+    val pr = trainTypes.groupBy("p").agg(sum(col("cbg")).as("cpr"))
+    val v = trainTypes.agg((countDistinct(col("c")) + 1).as("vsz"))
+    val vsz = v.head.getLong(0)
+    // score the TRAINING pool under its own weights to derive the
+    // tercile cutoffs (the same arithmetic scorePplPinned replays)
+    val w = pd.select("p", "c").distinct()
+      .crossJoin(broadcast(v))
+      .join(trainTypes, Seq("p", "c"), "left")
+      .join(pr, Seq("p"), "left")
+      .select(col("p"), col("c"), pplWeightCol.as("w"))
+    val lps = pd
+      .join(w, Seq("p", "c"))
+      .groupBy("doc_id")
+      .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
+        .cast("decimal(30,6)").as("lps"))
+    val avg6 = base.filter(col("n") >= 1).join(lps, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("lps").cast("double") / col("n").cast("double"), 6)
+          .cast("decimal(12,6)").as("avg6"))
+    // tercile order statistics: a doc-level rank — ONE reducer over N
+    // doc rows (corpus-stats scale, not token scale; a 100 TB pin
+    // could swap approx quantiles here at the cost of the exact
+    // DuckDB differential)
+    val ranked = avg6.withColumn("rk",
+      row_number().over(Window.orderBy(col("avg6").desc, col("doc_id"))))
+    val nDocs = avg6.count()
+    val k1 = math.ceil(nDocs / 3.0).toLong
+    val k2 = math.ceil(2.0 * nDocs / 3.0).toLong
+    val cuts = ranked.filter(col("rk").isin(k1, k2))
+      .select(col("rk"), col("avg6")).collect()
+      .map(r => r.getInt(0).toLong -> r.getDecimal(1).toPlainString).toMap
+    val headCut = cuts(k1)
+    val tailCut = cuts.getOrElse(k2, headCut)
+    graft.table.SnapshotTree.publish(spark, modelPath) { t =>
+      val pb = pmod(xxhash64(col("p")), lit(nBuckets.toLong)).cast("int")
+      trainTypes.withColumn("pb", pb).repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(s"$t/tr")
+      pr.withColumn("pb", pb).repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(s"$t/pr")
+      val p = new org.apache.hadoop.fs.Path(t, "_ppl_meta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      try out.write(
+        (s"vsz=$vsz\nnBuckets=$nBuckets\nheadCut=$headCut\n" +
+          s"tailCut=$tailCut\ntrainedDocs=$nDocs\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    pd.unpersist()
+  }
+
+  final case class PplModelMeta(vsz: Long, nBuckets: Int,
+      headCut: java.math.BigDecimal, tailCut: java.math.BigDecimal,
+      trainedDocs: Long)
+
+  def readPplModelMeta(spark: SparkSession, root: String): PplModelMeta = {
+    val p = new org.apache.hadoop.fs.Path(root, "_ppl_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val kv = text.linesIterator.filter(_.contains("="))
+      .map { l => val Array(a, b) = l.split("=", 2); a -> b }.toMap
+    PplModelMeta(kv("vsz").toLong, kv("nBuckets").toInt,
+      new java.math.BigDecimal(kv("headCut")),
+      new java.math.BigDecimal(kv("tailCut")), kv("trainedDocs").toLong)
+  }
+
+  /** Score documents under a PINNED model — the stream-safe CCNet
+    * selection: a pure per-document function of (text, model), so the
+    * same call gates a corpus batch or a micro-batch identically
+    * (StreamCurationV3Spec pins it across a re-pin boundary). ONE
+    * snapshot resolution per call; the model scan prunes to the
+    * batch's token buckets (collected driver-side — ≤ nBuckets ints),
+    * joins the batch counts by (p, c) with the BATCH side broadcast,
+    * and unseen bigrams back off to ln(1/(cpr+V)) exactly as training
+    * arithmetic does. Output shape = [[perplexityBucketsOn]]:
+    * (doc_id, lang, n_tokens, lp_sum, ppl_bucket) — buckets from the
+    * pinned tercile cutoffs, compared on the 6-decimal per-doc mean. */
+  def scorePplPinned(docs: DataFrame, modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val root = graft.table.SnapshotTree.root(spark, modelPath)
+    val meta = readPplModelMeta(spark, root)
+    val (base, pd0) = pplBaseAndCounts(docs)
+    val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(pd)
+    val pbOf = pmod(xxhash64(col("p")), lit(meta.nBuckets.toLong))
+      .cast("int")
+    val buckets = pd.select(pbOf.as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    def pruned(sub: String) =
+      spark.read.option("basePath", s"$root/$sub").parquet(s"$root/$sub")
+        .filter(col("pb").isin(buckets.map(Int.box): _*)).drop("pb")
+    val types = pd.select("p", "c").distinct()
+    val w = types
+      .join(pruned("tr"), Seq("p", "c"), "left")
+      .join(pruned("pr"), Seq("p"), "left")
+      .withColumn("vsz", lit(meta.vsz))
+      .select(col("p"), col("c"), pplWeightCol.as("w"))
+    val lp = pd
+      .join(w, Seq("p", "c"))
+      .groupBy("doc_id")
+      .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
+        .cast("decimal(30,6)").as("lps"))
+    val avg6 = round(col("lps").cast("double") / col("n").cast("double"), 6)
+      .cast("decimal(12,6)")
+    base.join(lp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+        col("lps").cast("double").as("lp_sum"),
+        when(col("n") === 0, lit("tail"))
+          .when(avg6 >= lit(meta.headCut).cast("decimal(12,6)"), "head")
+          .when(avg6 >= lit(meta.tailCut).cast("decimal(12,6)"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** DuckDB CTE chain of the bigram-LM bucketing, rooted at `src`, CTE
     * names prefixed with `px`; `${px}pout` is the final
     * (doc_id, lang, n_tokens, lp_sum, ppl_bucket) relation. */
@@ -1197,6 +1380,139 @@ object Curation {
 
   def perplexityBucketsOracle: String =
     s"""WITH ${pplSqlCtes("documents")}
+       |SELECT doc_id, lang, n_tokens, lp_sum, ppl_bucket FROM pout"""
+      .stripMargin
+
+  /** DuckDB CTE chain of the PINNED-model scorer: train the bigram LM
+    * and the tercile cutoffs on `trainSrc`, score `scoreSrc` under
+    * them — the recomputed twin of [[trainPplModel]] +
+    * [[scorePplPinned]]. Same arithmetic as [[pplSqlCtes]] (6-decimal
+    * weights, decimal sums); cutoffs are the rank-desc order
+    * statistics at ceil(N/3) / ceil(2N/3). `${px}pout` is the final
+    * (doc_id, lang, n_tokens, lp_sum, ppl_bucket) relation. */
+  private[graft] def pplPinnedSqlCtes(scoreSrc: String, trainSrc: String,
+      px: String = ""): String =
+    s"""${px}ttk AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
+       |  FROM $trainSrc),
+       |${px}tbase AS (
+       |  SELECT doc_id, lang, cast(len(a) as bigint) AS n,
+       |         list_prepend('<s>', a) AS b FROM ${px}ttk),
+       |${px}te AS (
+       |  SELECT doc_id, lang, n, g[1] AS p, g[2] AS c
+       |  FROM (SELECT doc_id, lang, n,
+       |          unnest(list_transform(generate_series(1, cast(n as int)),
+       |            i -> [b[i], b[i + 1]])) AS g
+       |        FROM ${px}tbase WHERE n >= 1)),
+       |${px}ttr AS (SELECT p, c, count(*) AS cbg FROM ${px}te
+       |             WHERE lang = 'en' GROUP BY 1, 2),
+       |${px}tpr AS (SELECT p, count(*) AS cpr FROM ${px}te
+       |             WHERE lang = 'en' GROUP BY 1),
+       |${px}tv  AS (SELECT count(DISTINCT c) + 1 AS vsz FROM ${px}te
+       |             WHERE lang = 'en'),
+       |${px}tty AS (SELECT DISTINCT p, c FROM ${px}te),
+       |${px}tw  AS (SELECT ty.p, ty.c,
+       |         cast(round(ln((coalesce(cbg, 0) + 1)::DOUBLE /
+       |                       (coalesce(cpr, 0) + vsz)::DOUBLE), 6)
+       |              as decimal(12,6)) AS w
+       |       FROM ${px}tty ty CROSS JOIN ${px}tv
+       |       LEFT JOIN ${px}ttr tr ON ty.p = tr.p AND ty.c = tr.c
+       |       LEFT JOIN ${px}tpr pr ON ty.p = pr.p),
+       |${px}tpd AS (SELECT doc_id, p, c, count(*) AS k FROM ${px}te
+       |             GROUP BY 1, 2, 3),
+       |${px}tlp AS (SELECT pd.doc_id,
+       |         cast(sum(cast(pd.k * w.w as decimal(30,6)))
+       |              as decimal(30,6)) AS lps
+       |       FROM ${px}tpd pd JOIN ${px}tw w
+       |         ON pd.p = w.p AND pd.c = w.c GROUP BY 1),
+       |${px}tavg AS (
+       |  SELECT b.doc_id,
+       |    cast(round(cast(lps as double) / cast(b.n as double), 6)
+       |         as decimal(12,6)) AS avg6
+       |  FROM ${px}tbase b JOIN ${px}tlp lp ON b.doc_id = lp.doc_id
+       |  WHERE b.n >= 1),
+       |${px}trk AS (
+       |  SELECT avg6, row_number() OVER (ORDER BY avg6 DESC, doc_id)
+       |    AS rk FROM ${px}tavg),
+       |${px}tcut AS (
+       |  SELECT
+       |    (SELECT avg6 FROM ${px}trk
+       |     WHERE rk = cast(ceil((SELECT count(*) FROM ${px}tavg) / 3.0)
+       |                     as bigint)) AS headcut,
+       |    (SELECT avg6 FROM ${px}trk
+       |     WHERE rk = cast(ceil(2.0 * (SELECT count(*) FROM ${px}tavg)
+       |                          / 3.0) as bigint)) AS tailcut),
+       |${px}stk AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a
+       |  FROM $scoreSrc),
+       |${px}sbase AS (
+       |  SELECT doc_id, lang, cast(len(a) as bigint) AS n,
+       |         list_prepend('<s>', a) AS b FROM ${px}stk),
+       |${px}se AS (
+       |  SELECT doc_id, lang, n, g[1] AS p, g[2] AS c
+       |  FROM (SELECT doc_id, lang, n,
+       |          unnest(list_transform(generate_series(1, cast(n as int)),
+       |            i -> [b[i], b[i + 1]])) AS g
+       |        FROM ${px}sbase WHERE n >= 1)),
+       |${px}spd AS (SELECT doc_id, p, c, count(*) AS k FROM ${px}se
+       |             GROUP BY 1, 2, 3),
+       |${px}sty AS (SELECT DISTINCT p, c FROM ${px}se),
+       |${px}sw  AS (SELECT ty.p, ty.c,
+       |         cast(round(ln((coalesce(cbg, 0) + 1)::DOUBLE /
+       |                       (coalesce(cpr, 0) + vsz)::DOUBLE), 6)
+       |              as decimal(12,6)) AS w
+       |       FROM ${px}sty ty CROSS JOIN ${px}tv
+       |       LEFT JOIN ${px}ttr tr ON ty.p = tr.p AND ty.c = tr.c
+       |       LEFT JOIN ${px}tpr pr ON ty.p = pr.p),
+       |${px}slp AS (SELECT pd.doc_id,
+       |         cast(sum(cast(pd.k * w.w as decimal(30,6)))
+       |              as decimal(30,6)) AS lps
+       |       FROM ${px}spd pd JOIN ${px}sw w
+       |         ON pd.p = w.p AND pd.c = w.c GROUP BY 1),
+       |${px}pout AS (
+       |  SELECT b.doc_id, b.lang, b.n AS n_tokens,
+       |    cast(lps as double) AS lp_sum,
+       |    CASE WHEN b.n = 0 THEN 'tail'
+       |         WHEN cast(round(cast(lps as double) / cast(b.n as double),
+       |                         6) as decimal(12,6)) >= headcut
+       |           THEN 'head'
+       |         WHEN cast(round(cast(lps as double) / cast(b.n as double),
+       |                         6) as decimal(12,6)) >= tailcut
+       |           THEN 'middle'
+       |         ELSE 'tail' END AS ppl_bucket
+       |  FROM ${px}sbase b LEFT JOIN ${px}slp lp ON b.doc_id = lp.doc_id
+       |  CROSS JOIN ${px}tcut)""".stripMargin
+
+  /** One pinned model per corpus dir (train slice: doc_id % 10 != 7),
+    * built once per JVM — the fixture the oracle probes against. */
+  private val pplModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def pplModelFor(s: SparkSession, dir: String): String =
+    pplModelCache.computeIfAbsent(dir, _ => {
+      val tmp = graft.session.Scratch.dir("graft-pplmodel") + "/m"
+      trainPplModel(Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"), col("lang"), col("text")), tmp)
+      tmp
+    })
+
+  /** Oracle-gated pinned-model selection: the model (LM counts +
+    * tercile cutoffs) trains on the 90% historic slice, then EVERY
+    * document scores under it — including the held-out 10% the model
+    * never saw, the streaming-batch situation. The DuckDB twin
+    * recomputes train + cutoffs + scoring from the raw corpus. */
+  def curatePplPinned(s: SparkSession, dir: String): DataFrame =
+    scorePplPinned(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")),
+      pplModelFor(s, dir))
+
+  def curatePplPinnedOracle: String =
+    s"""WITH ppltrain AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 10 <> 7),
+       |${pplPinnedSqlCtes("documents", "ppltrain")}
        |SELECT doc_id, lang, n_tokens, lp_sum, ppl_bucket FROM pout"""
       .stripMargin
 

@@ -348,7 +348,8 @@ object EventStream {
       checkpoint: String, appId: String, indexPath: String,
       streamIndexPath: String, minEst: Double = 0.5,
       foldEvery: Int = 0, vacuumKeep: Int = 2,
-      batchGate: DataFrame => DataFrame = identity): StreamingQuery =
+      batchGate: DataFrame => DataFrame = identity,
+      onFold: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -365,6 +366,12 @@ object EventStream {
           // completes on its next scheduled pass.
           Dedup.vacuumDedupIndex(spark, indexPath,
             keepVersions = vacuumKeep)
+          // fold-cadence maintenance hook (r16): re-pin stateful gate
+          // inputs (e.g. the CCNet model, curationIngestV3) at the one
+          // point where batches are quiescent by construction. Must be
+          // deterministic given (id, external state) — a crash during
+          // the hook replays the batch and re-runs it.
+          onFold(spark, id)
         }
         // batchGate runs on the BATCH frame (micro-batch scope), so it
         // may aggregate — the hook for per-document gates that need a
@@ -437,6 +444,66 @@ object EventStream {
       streamIndexPath, minEst, foldEvery, vacuumKeep,
       batchGate = b => graft.ops.Curation.fullStatelessGate(
         b, minWords, maxWords, stopWords))
+
+  /** The V3 streaming curation pipeline (round 16) — the batch
+    * [[graft.ops.Curation.curatePipelineV3]] recipe's streaming form,
+    * with its one STATEFUL stage made stream-safe by pinning: full
+    * stateless gate (Gopher word + C4 + repetition rules) → CCNet
+    * perplexity selection under a PINNED model
+    * ([[graft.ops.Curation.scorePplPinned]] — LM counts and tercile
+    * cutoffs frozen at [[graft.ops.Curation.trainPplModel]] time, so
+    * selection is a pure per-document function and batch==stream by
+    * construction) → incremental fuzzy dedup (probe → admit novel →
+    * layer append), exactly-once at the Delta table.
+    *
+    * CCNet itself runs a FIXED KenLM with fixed cutoffs — the pin IS
+    * the production semantics, not an approximation. The model may be
+    * RE-PINNED at fold cadence (`repin` — retrain from the grown
+    * historic corpus; published as one atomic SnapshotTree swap, so a
+    * concurrent batch scores one generation): batches before the fold
+    * boundary select under the old model, batches after under the
+    * new, which is what the batch-equivalence spec pins
+    * (StreamCurationV3Spec). Replay caveat (shared with the dedup
+    * index): admitted docs are a function of (batch, model version,
+    * index state) — a crashed batch replaying AFTER an unrelated
+    * re-pin may re-select differently; keep the repin cadence tied to
+    * foldEvery (quiescent boundaries) as here, where the replay
+    * re-runs the fold and re-pin first and converges.
+    *
+    * Per-batch cost at scale: the gate is batch-local; scoring reads
+    * only the batch's token buckets of the model ([[scorePplPinned]]'s
+    * pruned scan) with the BATCH side broadcast; the probe reads the
+    * index term buckets — nothing scans the historic corpus, so
+    * per-batch p50 stays flat as the historic index and model grow
+    * (tools/stream_v3_flat.scala). */
+  def curationIngestV3(docs: DataFrame, path: String,
+      checkpoint: String, appId: String, indexPath: String,
+      streamIndexPath: String, pplModelPath: String,
+      minEst: Double = 0.5, minWords: Int = 50, maxWords: Int = 100000,
+      stopWords: Seq[String] = graft.ops.Curation.GopherStopWords,
+      foldEvery: Int = 0, vacuumKeep: Int = 2,
+      repin: (SparkSession, Long) => Unit = (_, _) => (),
+      gate: Option[DataFrame => DataFrame] = None): StreamingQuery =
+    ingestDedupIncremental(docs, path, checkpoint, appId, indexPath,
+      streamIndexPath, minEst, foldEvery, vacuumKeep,
+      batchGate = { b =>
+        // default gate = the full stateless rule set. `gate` overrides
+        // it for corpora whose SHAPE rules out a rule class — the
+        // synthetic benchmark corpus is single-line unpunctuated text,
+        // so the C4 page rule (>= 3 terminal-punctuated lines) keeps
+        // nothing there and the bench mirrors the batch V3 recipe's
+        // gopherGate-only gate instead
+        val gated = gate.getOrElse((d: DataFrame) =>
+          graft.ops.Curation.fullStatelessGate(
+            d, minWords, maxWords, stopWords))(b)
+        val keep = graft.ops.Curation.scorePplPinned(
+            gated.select(col("doc_id"), col("lang"), col("text")),
+            pplModelPath)
+          .filter(col("ppl_bucket") =!= "tail")
+          .select(col("doc_id"))
+        gated.join(keep, Seq("doc_id"))
+      },
+      onFold = repin)
 
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
     * (`s3/_write_deltalake.py:139-226`: every micro-batch of the run

@@ -89,9 +89,14 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
   // growing corpus is bounded by quantization noise vs neighbor
   // margin, so code length must grow with the corpus
   graft.ops.VectorIndex.putPq(emb, s"$root/pq16", m = 16)
-  // the composed production shape (r15): coarse cells + auto-budget
-  // PQ codes (m=16) + exact rerank
-  graft.ops.VectorIndex.putIvfPq(emb, s"$root/ivfpq")
+  // the composed production shape (r15): FIXED 8-cell geometry +
+  // auto-budget PQ codes (m=16) + exact rerank - kept as the
+  // frozen-geometry contrast row for the r16 auto geometry below
+  graft.ops.VectorIndex.putIvfPq(emb, s"$root/ivfpq", kCells = 8)
+  // r16 auto geometry: sqrt-n cells (sample-trained), 1/3 probed
+  // fraction, probed/4 rerank window - the corpus-scaled defaults;
+  // the gate is the 100x row not sitting below the 1x point
+  graft.ops.VectorIndex.putIvfPq(emb, s"$root/ivfpqauto")
   // metric-matched truths: cosine for LSH/IVF/reranked PQ, L2 for the
   // raw ADC path (searchPq's contract is euclidean)
   graft.expr.EuclideanDistance.register(spark)
@@ -136,10 +141,13 @@ for ((factor, tag) <- Seq(1 -> "1x", 10 -> "10x", 100 -> "100x")) {
           rerank = 50, emb = Some(emb))),
       ("ivfpq_probe3", truthCos, (q: Array[Float]) =>
         graft.ops.VectorIndex.searchIvfPq(spark, s"$root/ivfpq", q,
-          k = 12, emb = Some(emb))),
+          k = 12, nprobe = 3, rerank = 60, emb = Some(emb))),
       ("ivfpq_probe6", truthCos, (q: Array[Float]) =>
         graft.ops.VectorIndex.searchIvfPq(spark, s"$root/ivfpq", q,
-          k = 12, nprobe = 6, emb = Some(emb))))
+          k = 12, nprobe = 6, rerank = 60, emb = Some(emb))),
+      ("ivfpq_auto", truthCos, (q: Array[Float]) =>
+        graft.ops.VectorIndex.searchIvfPq(spark, s"$root/ivfpqauto", q,
+          k = 12, emb = Some(emb))))
   for ((name, truth, search) <- methods) {
     var hit = 0; var n = 0; var wall = 0.0
     for ((qid, q) <- queries) {
