@@ -1114,23 +1114,8 @@ object Curation {
       .agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.registerCache(pd)
-    val trainTypes = pd.filter(col("lang") === "en")
-      .groupBy("p", "c").agg(sum(col("k")).as("cbg"))
-    val tr = trainTypes
-    val pr = trainTypes.groupBy("p").agg(sum(col("cbg")).as("cpr"))
-    val v = trainTypes.agg((countDistinct(col("c")) + 1).as("vsz"))
-    // log-prob per bigram TYPE occurring anywhere in the scored pool:
-    // ln((c(p,c)+1) / (c(p)+V)) — Laplace; unseen prev backs off to 1/V
-    val w = pd.select("p", "c").distinct()
-      .crossJoin(broadcast(v))
-      .join(tr, Seq("p", "c"), "left")
-      .join(pr, Seq("p"), "left")
-      .select(col("p"), col("c"),
-        round(log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
-          (coalesce(col("cpr"), lit(0L)) + col("vsz")).cast("double")), 6)
-          .cast("decimal(12,6)").as("w"))
     val lp = pd
-      .join(w, Seq("p", "c"))
+      .join(pplTypeWeights(pd), Seq("p", "c"))
       .groupBy("doc_id")
       .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
         .cast("decimal(30,6)").as("lps"))
@@ -1181,6 +1166,80 @@ object Curation {
     round(log((coalesce(col("cbg"), lit(0L)) + 1).cast("double") /
       (coalesce(col("cpr"), lit(0L)) + col("vsz")).cast("double")), 6)
       .cast("decimal(12,6)")
+
+  /** Bigram-TYPE weight table (p, c, w) from the per-doc count table
+    * `pd` — the in-line (train == score pool) form. One fused
+    * aggregation replaces the round-15 four-branch derivation
+    * (`pd.distinct` types + en-slice `tr` + `pr` + two equi-joins,
+    * which re-aggregated the persisted `pd` four times and shuffled
+    * type rows three more): a conditional sum produces every type's
+    * en-count in the SAME pass that enumerates the types (`cbg` null ⟺
+    * the type never occurs in the train slice — exactly the round-15
+    * left-join-miss), the prefix count is a window sum over the
+    * type table partitioned by `p` (null-skipping sum = the old
+    * en-only `pr` aggregate; no join back), and the vocabulary size is
+    * a 1-row broadcast as before. The type table persists
+    * MEMORY_AND_DISK for its two readers (the window chain + the
+    * vocabulary aggregate) — it is model-sized (bigram TYPES, the
+    * KenLM-table analogue), never corpus-sized, and the
+    * [[Dedup.releaseCaches]] lifecycle frees it with `pd`. Measured
+    * idle sf0.1 (tools/r16_time): curate_ppl_bucket 4.6 -> see
+    * OPTIMIZATION_r16.md; arithmetic unchanged (same
+    * [[pplWeightCol]] inputs), so every oracled consumer stays
+    * bit-identical. */
+  private def pplTypeWeights(pd: DataFrame): DataFrame = {
+    val tpc = pd.groupBy("p", "c")
+      .agg(sum(when(col("lang") === "en", col("k"))).as("cbg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(tpc)
+    val v = tpc.agg(
+      (countDistinct(when(col("cbg").isNotNull, col("c"))) + 1).as("vsz"))
+    tpc
+      .withColumn("cpr", sum(col("cbg")).over(Window.partitionBy("p")))
+      .crossJoin(broadcast(v))
+      .select(col("p"), col("c"), pplWeightCol.as("w"))
+  }
+
+  /** The doc_ids [[perplexityBucketsOn]] would keep under
+    * `ppl_bucket != 'tail'` — the selection stage of
+    * [[curatePipelineModern]] / [[curatePipelineV3]], derived from the
+    * per-doc bigram table ALONE. `not tail` ⟺ `n >= 1 AND
+    * lps >= tailAvgLp * n`, and both terms are projections of `pd`:
+    * every token contributes exactly one (p, c) event, so
+    * `sum(k) == n` per doc, and docs with `n == 0` have no `pd` rows
+    * at all (they are 'tail' and correctly absent). The round-15 form
+    * computed the full bucket frame and filtered it, which re-ran the
+    * upstream scan + quality gate a second time just to re-attach
+    * (lang, n) columns the filter then threw away. Same comparison
+    * expression (decimal(30,6) sum vs decimal(12,6) cutoff x bigint n),
+    * so the kept set is bit-identical — gated by the unchanged
+    * stitched pipeline oracles. */
+  private def pplSelectedDocIds(docs: DataFrame,
+      tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
+      : DataFrame = {
+    val (_, pd0) = pplBaseAndCounts(docs)
+    val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(pd)
+    // the kept set is one bigint per surviving doc — persisted so a
+    // caller that references the survivor frame twice
+    // (substrDedupPass's two base passes in curatePipelineModern) pays
+    // the weight join + doc aggregation once, not per reference, and
+    // so the selection join keeps in-memory size statistics (measured:
+    // an unpersisted keep costs v2 ~2 s of recompute; a
+    // lineage-truncated keep costs v2 ~3.5 s of join-strategy
+    // pessimism — the persist is the v2 sweet spot; v3 truncates on
+    // top, see curatePipelineV3)
+    val keep = pd.join(pplTypeWeights(pd), Seq("p", "c"))
+      .groupBy("doc_id")
+      .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
+        .cast("decimal(30,6)").as("lps"),
+        sum(col("k")).as("n"))
+      .filter(col("lps") >= lit(tailAvgLp).cast("decimal(12,6)") * col("n"))
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(keep)
+    keep
+  }
 
   /** Train and PIN the CCNet selection model (Wenzek et al. 2020 run a
     * FIXED KenLM with fixed head/middle/tail cutoffs — the stateful
@@ -1642,9 +1701,10 @@ object Curation {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     val gated = gopherGate(docs, minWords, maxWords, stopWords)
-    val keep = perplexityBucketsOn(gated)
-      .filter(col("ppl_bucket") =!= "tail")
-      .select(col("doc_id"))
+    // r16: the keep set derives from the bigram table alone
+    // ([[pplSelectedDocIds]]) — the round-15 form filtered the full
+    // bucket frame, whose final join re-ran the scan + gate once more
+    val keep = pplSelectedDocIds(gated)
     val survivors = gated.join(keep, Seq("doc_id"))
       .select(col("doc_id"), col("text"))
     Dedup.substrDedupPass(survivors, k, minDocs)
@@ -1702,10 +1762,29 @@ object Curation {
       persistSelected: Boolean = true): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("text"))
+    // r16: the keep set derives from the bigram table alone
+    // ([[pplSelectedDocIds]]), deleting the round-15 plan's third
+    // gate+scan pass (the bucket frame's final join back to `base`).
+    // The remaining two gate evaluations (the bigram build and the
+    // survivor join) stay STREAMED: a DISK_ONLY persist of `gated` was
+    // measured (this round, restricted idle sweeps) at 31.8 s vs
+    // 26.0 s streamed at sf0.1 — the columnar cache build of corpus
+    // TEXT costs more than one extra scan+gate, the same verdict as
+    // every text-cache A/B this repo has recorded.
+    // localCheckpoint on the METADATA-scale keep set (one bigint per
+    // survivor): `selected` is referenced through every downstream
+    // branch (the routed signature table, its cluster/pair routes,
+    // both substring base passes), and each reference re-expands the
+    // full perplexity lineage inside the plan tree — the round-15
+    // formatted plan was 1.7 MB / 1154 Exchange nodes, and the
+    // optimizer walks that tree per action (guide §3.3's "very large
+    // plans" case). Truncating at the narrowest frame cuts it out of
+    // every consumer while the corpus-scale frames (gated text,
+    // signatures, windows) keep lineage for executor-loss recompute.
+    // Measured idle sf0.1 restricted sweeps: 19–23 s persisted-only,
+    // 13.0 s truncated.
     val gated = gopherGate(docs, minWords, maxWords, stopWords)
-    val keep = perplexityBucketsOn(gated)
-      .filter(col("ppl_bucket") =!= "tail")
-      .select(col("doc_id"))
+    val keep = pplSelectedDocIds(gated).localCheckpoint()
     val selected0 = gated.join(keep, Seq("doc_id"))
       .select(col("doc_id"), col("text"))
     // `selected` feeds the routed signature table AND the
@@ -1729,8 +1808,14 @@ object Curation {
         Dedup.registerCache(p)
         p
       } else selected0
+    // same truncation as `keep` above: the fuzzy-survivor id set is
+    // metadata-scale, and substrDedupPass references its input frame
+    // twice — without the checkpoint each reference re-expands the
+    // whole routed-dedup subtree (banded rows, both routes) in the
+    // final plan
     val fuzzyKeep = Dedup.minhashDedupRoutedOn(selected, cap, minEst)
       .filter(col("keep")).select(col("doc_id"))
+      .localCheckpoint()
     Dedup.substrDedupPass(selected.join(fuzzyKeep, Seq("doc_id")),
       k, minDocs)
   }
