@@ -1269,17 +1269,30 @@ object Curation {
     val (base, pd0) = pplBaseAndCounts(docs)
     val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.registerCache(pd)
-    val trainTypes = pd.filter(col("lang") === "en")
-      .groupBy("p", "c").agg(sum(col("k")).as("cbg"))
+    // r16: the round-15 form re-aggregated pd into the en-slice type
+    // table once per consumer (vocabulary head, both model writes, the
+    // weight join's two sides) — five type-level aggregations plus two
+    // joins. One fused conditional aggregate ([[pplTypeWeights]]'s
+    // shape) persisted MEMORY_AND_DISK feeds them all: cbg null ⟺ the
+    // type never occurs in the train slice (the old left-join miss),
+    // the prefix count is a null-skipping window sum, and the written
+    // tr/pr relations are the non-null slice and its re-aggregation —
+    // row-identical to the round-15 artifacts, so scorePplPinned and
+    // the DuckDB twin are untouched.
+    val tpc = pd.groupBy("p", "c")
+      .agg(sum(when(col("lang") === "en", col("k"))).as("cbg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Dedup.registerCache(tpc)
+    val trainTypes = tpc.filter(col("cbg").isNotNull)
+      .select(col("p"), col("c"), col("cbg"))
     val pr = trainTypes.groupBy("p").agg(sum(col("cbg")).as("cpr"))
-    val v = trainTypes.agg((countDistinct(col("c")) + 1).as("vsz"))
-    val vsz = v.head.getLong(0)
+    val v = tpc.agg(
+      (countDistinct(when(col("cbg").isNotNull, col("c"))) + 1).as("vsz"))
     // score the TRAINING pool under its own weights to derive the
     // tercile cutoffs (the same arithmetic scorePplPinned replays)
-    val w = pd.select("p", "c").distinct()
+    val w = tpc
+      .withColumn("cpr", sum(col("cbg")).over(Window.partitionBy("p")))
       .crossJoin(broadcast(v))
-      .join(trainTypes, Seq("p", "c"), "left")
-      .join(pr, Seq("p"), "left")
       .select(col("p"), col("c"), pplWeightCol.as("w"))
     val lps = pd
       .join(w, Seq("p", "c"))
@@ -1293,23 +1306,51 @@ object Curation {
     // tercile order statistics: a doc-level rank — ONE reducer over N
     // doc rows (corpus-stats scale, not token scale; a 100 TB pin
     // could swap approx quantiles here at the cost of the exact
-    // DuckDB differential)
-    val ranked = avg6.withColumn("rk",
-      row_number().over(Window.orderBy(col("avg6").desc, col("doc_id"))))
-    val nDocs = avg6.count()
+    // DuckDB differential). r16: ONE action derives every scalar the
+    // meta file needs — the doc count rides the same single-partition
+    // window as the rank (so the tercile indices are expressions, not
+    // a prior count() job), and the vocabulary size crosses in as the
+    // 1-row broadcast — where the round-15 form ran three jobs
+    // (vocabulary head, doc count, rank filter), each re-running the
+    // weight join behind it.
+    val rankW = Window.orderBy(col("avg6").desc, col("doc_id"))
+    val metaRows = avg6
+      .withColumn("rk", row_number().over(rankW))
+      .withColumn("cnt", count(lit(1)).over(rankW.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      .filter(col("rk") === ceil(col("cnt") / 3.0) ||
+        col("rk") === ceil(col("cnt") * 2 / 3.0))
+      .crossJoin(broadcast(v))
+      .select(col("rk"), col("avg6"), col("cnt"), col("vsz"))
+      .collect()
+    require(metaRows.nonEmpty, "trainPplModel: empty training corpus")
+    val nDocs = metaRows.head.getLong(2)
+    val vsz = metaRows.head.getLong(3)
     val k1 = math.ceil(nDocs / 3.0).toLong
     val k2 = math.ceil(2.0 * nDocs / 3.0).toLong
-    val cuts = ranked.filter(col("rk").isin(k1, k2))
-      .select(col("rk"), col("avg6")).collect()
+    val cuts = metaRows
       .map(r => r.getInt(0).toLong -> r.getDecimal(1).toPlainString).toMap
     val headCut = cuts(k1)
     val tailCut = cuts.getOrElse(k2, headCut)
     graft.table.SnapshotTree.publish(spark, modelPath) { t =>
       val pb = pmod(xxhash64(col("p")), lit(nBuckets.toLong)).cast("int")
-      trainTypes.withColumn("pb", pb).repartition(col("pb"))
-        .write.partitionBy("pb").mode("overwrite").parquet(s"$t/tr")
-      pr.withColumn("pb", pb).repartition(col("pb"))
-        .write.partitionBy("pb").mode("overwrite").parquet(s"$t/pr")
+      // tr and pr are independent projections of the cached type
+      // table — write them as two concurrent driver-thread jobs
+      // (guide §2.6: overlap independent jobs) so the small pr write
+      // back-fills the tr write's task tail
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      try {
+        val ftr = scala.concurrent.Future(
+          trainTypes.withColumn("pb", pb).repartition(col("pb"))
+            .write.partitionBy("pb").mode("overwrite").parquet(s"$t/tr"))
+        val fpr = scala.concurrent.Future(
+          pr.withColumn("pb", pb).repartition(col("pb"))
+            .write.partitionBy("pb").mode("overwrite").parquet(s"$t/pr"))
+        scala.concurrent.Await.result(ftr.zip(fpr),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val p = new org.apache.hadoop.fs.Path(t, "_ppl_meta")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val out = fs.create(p, true)
@@ -1318,7 +1359,7 @@ object Curation {
           s"tailCut=$tailCut\ntrainedDocs=$nDocs\n").getBytes("UTF-8"))
       finally out.close()
     }
-    pd.unpersist()
+    pd.unpersist(); tpc.unpersist()
   }
 
   final case class PplModelMeta(vsz: Long, nBuckets: Int,

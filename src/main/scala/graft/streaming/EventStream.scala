@@ -349,6 +349,7 @@ object EventStream {
       streamIndexPath: String, minEst: Double = 0.5,
       foldEvery: Int = 0, vacuumKeep: Int = 2,
       batchGate: DataFrame => DataFrame = identity,
+      checkpointGated: Boolean = false,
       onFold: (SparkSession, Long) => Unit = (_, _) => ()): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -378,8 +379,21 @@ object EventStream {
         // groupBy (the repetition rules), impossible on the streaming
         // frame itself. Determinism contract: gate output must be a
         // pure function of the batch (replays re-gate identically).
-        val deduped = Dedup.dedupBatch(
+        // checkpointGated (r16): `deduped` feeds BOTH the probe and
+        // the admit join. When the gate is expensive (the V3
+        // pipeline's gate carries the whole pinned-CCNet scoring
+        // chain), localCheckpoint pins one evaluation per batch
+        // instead of one per reference — measured stream_curate_v3
+        // p50 5.4 -> 4.2 s/batch. For CHEAP gates it is a net LOSS
+        // (measured stream_dedup_ingest +1 s/batch: the extra
+        // materialization job + the checkpointed frame's pessimistic
+        // size statistics flipping the probe's broadcast decision), so
+        // the default stays streamed and only curationIngestV3 opts
+        // in.
+        val deduped0 = Dedup.dedupBatch(
           batchGate(batch).select("doc_id", "text"))
+        val deduped =
+          if (checkpointGated) deduped0.localCheckpoint() else deduped0
         val (sh, sb) = Dedup.streamIndexFrames(spark, streamIndexPath, id)
         val (bh, bb) = Dedup.readDedupIndex(spark, indexPath)
         val hashes = bh.unionByName(sh)
@@ -397,7 +411,10 @@ object EventStream {
           // replayed-and-skipped batches still force upstream state
           // commits (see runToDeltaExactlyOnce)
           if (c.numFiles == 0) batch.queryExecution.toRdd.count()
-        } finally admitted.unpersist()
+        } finally {
+          admitted.unpersist()
+          if (checkpointGated) deduped.unpersist()
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -503,6 +520,9 @@ object EventStream {
           .select(col("doc_id"))
         gated.join(keep, Seq("doc_id"))
       },
+      // the V3 gate carries the full scoring chain — evaluate it once
+      // per batch (see ingestDedupIncremental's checkpointGated note)
+      checkpointGated = true,
       onFold = repin)
 
   /** `to_deltalake_streaming`'s SINGLE-transaction semantics
