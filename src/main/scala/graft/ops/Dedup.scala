@@ -1332,27 +1332,36 @@ object Dedup {
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint()
 
-    // undirected neighborhoods as both directed copies
+    // CANONICAL-FORM invariant (r16): every edge frame in this loop
+    // carries (bigger, smaller) rows — the seed is (greatest, least),
+    // largeStar emits (v, m) with v > u ≥ m, and smallStar emits
+    // (v, m) / (u, m) with m the strict group minimum. Both stars
+    // exploit it: the undirected doubling is built only where the
+    // aggregation genuinely needs both directions, so largeStar's
+    // join probe shuffles |E| rows instead of filtering 2|E| (guide
+    // §2.3: shuffle fewer bytes), and smallStar skips the doubling
+    // entirely (its "strictly smaller neighbors of u" IS the
+    // canonical frame).
     def nbrs(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
 
     // large-star: every neighbor LARGER than u links to
-    // min(N(u) ∪ {u}) — emitted (bigger, smaller) by construction
+    // min(N(u) ∪ {u}) — emitted (bigger, smaller) by construction.
+    // The neighbors-larger-than-u set of a canonical frame is exactly
+    // its reversal.
     def largeStar(e: DataFrame): DataFrame = {
-      val n = nbrs(e)
-      val m = n.groupBy("u").agg(min(col("v")).as("mn"))
+      val m = nbrs(e).groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      n.join(m, "u").where(col("v") > col("u"))
+      e.select(col("v").as("u"), col("u").as("v")).join(m, "u")
         .select(col("v").as("u"), col("m").as("v"))
     }
 
     // small-star: u and its strictly-smaller neighbors all link to the
     // smallest of them (each undirected edge grouped once, under its
-    // larger endpoint)
+    // larger endpoint); a canonical frame IS that neighbor list
     def smallStar(e: DataFrame): DataFrame = {
-      val below = nbrs(e).where(col("v") < col("u"))
-      val m = below.groupBy("u").agg(min(col("v")).as("m"))
-      below.join(m, "u").where(col("v") =!= col("m"))
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(m, "u").where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(m.select(col("u"), col("m").as("v")))
     }
@@ -1373,7 +1382,8 @@ object Dedup {
 
     var fp = fingerprint(edges)
     var round = 0
-    var done = edges.isEmpty
+    // empty ⟺ the fingerprint's count is 0 — no separate isEmpty job
+    var done = fp._1 == 0L
     while (!done && round < maxRounds) {
       val next = smallStar(largeStar(edges)).distinct().localCheckpoint()
       val nfp = fingerprint(next)
