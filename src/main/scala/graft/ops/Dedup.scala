@@ -550,22 +550,31 @@ object Dedup {
       array_distinct(split(col("text"), " ")).as("__toks"))
     .select(col("doc_id"), col("h"), minhashSig.as("sig"))
 
-  private def writeIndexTables(sig: DataFrame, indexPath: String,
+  private def writeIndexTables(sig0: DataFrame, indexPath: String,
       overwrite: Boolean): Unit = {
     import graft.table.TxnLog
-    val hashes = sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-    val bands = sig
-      .select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-      .groupBy(col("band"), col("bkey"), col("sig"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    if (overwrite) {
-      TxnLog.overwrite(hashes, s"$indexPath/hashes")
-      TxnLog.overwrite(bands, s"$indexPath/bands", Seq("band"))
-    } else {
-      TxnLog.append(hashes, s"$indexPath/hashes")
-      TxnLog.append(bands, s"$indexPath/bands", Seq("band"))
-    }
+    // the signature table feeds BOTH sub-table writes — without the
+    // persist each write re-runs the 12-hash MinHash family over the
+    // corpus. Narrow rows (doc_id, h, sig) with the raw text already
+    // projected away, so this is the lshPairs persist case (accepted),
+    // not the rejected text-cache case; DISK_ONLY for the same
+    // never-pin-block-memory rationale.
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val hashes = sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val bands = sig
+        .select(col("doc_id"), col("sig"), posexplode(bandKeysExpr))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+        .groupBy(col("band"), col("bkey"), col("sig"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      if (overwrite) {
+        TxnLog.overwrite(hashes, s"$indexPath/hashes")
+        TxnLog.overwrite(bands, s"$indexPath/bands", Seq("band"))
+      } else {
+        TxnLog.append(hashes, s"$indexPath/hashes")
+        TxnLog.append(bands, s"$indexPath/bands", Seq("band"))
+      }
+    } finally sig.unpersist()
   }
 
   /** The index's (hashes, bands) frames at the CURRENT snapshot of each
@@ -634,6 +643,13 @@ object Dedup {
     * index) so the base layout keeps its partition scheme. */
   private[graft] def writeStreamIndexBatch(admitted: DataFrame,
       streamPath: String, batchId: Long): Unit = {
+    // the two writes each evaluate sigOf — deliberately NOT pinned: a
+    // per-batch localCheckpoint of the batch-scale signature rows was
+    // measured (r16 full sweep) at +0.9 s per micro-batch — the extra
+    // materialization job costs more than re-hashing a batch (the
+    // admitted frame above is already checkpointed, so the upstream is
+    // one cache read). The CORPUS-scale build path persists instead
+    // (writeIndexTables).
     val sig = sigOf(admitted)
     sig.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .write.mode("overwrite")

@@ -572,53 +572,69 @@ object VectorIndex {
     */
   def trainPqExact(emb: DataFrame, m: Int = 8, ksub: Int = 16,
       sampleN: Int = 2048): Array[Float] = {
-    import org.apache.spark.sql.expressions.Window
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val dsub = dim / m
+    // r16: ONE bounded collect (sampleN × dim floats — ~0.5 MB at the
+    // defaults, the same metadata class as the k-centroid collects)
+    // replaces the round-15 six-job DataFrame chain (window rank, two
+    // broadcast joins, three aggregations) whose every job was
+    // sample-sized anyway. The arithmetic below replays the old plan's
+    // EXPRESSIONS operation for operation — sequential-double squared
+    // L2 with ties to the lowest cell (PqImpl.encode's argmin), means
+    // as exact decimal(20,10) sums of the float-to-decimal HALF_UP
+    // casts divided as doubles and cast to float — so the trained
+    // codebook is bit-identical and every PQ oracle row stays green.
     val sample = emb.orderBy(col("vec_id")).limit(sampleN)
-      .select(col("vec_id"), col("embedding"))
-    val sub = sample
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("j"),
-        col("embedding"))
-      .select(col("vec_id"), col("j"),
-        expr(s"slice(embedding, j * $dsub + 1, $dsub)").as("p"))
-    val seedIds = sample.orderBy(col("vec_id")).limit(ksub)
-      .select(col("vec_id"))
-    val seeds = sub.join(broadcast(seedIds), "vec_id")
-      .withColumn("c",
-        row_number().over(Window.partitionBy("j").orderBy("vec_id")) - 1)
-      .select(col("j"), col("c"), col("p").as("s"))
-    // sequential-double squared L2, the byte-for-byte arithmetic of
-    // PqImpl.encode (float operands promoted to double, left fold)
-    val dist = expr(
-      """aggregate(zip_with(p, s, (x, y) ->
-        |  (cast(x as double) - cast(y as double)) *
-        |  (cast(x as double) - cast(y as double))),
-        |  cast(0.0 as double), (a, v) -> a + v)""".stripMargin)
-    val asg = sub.join(broadcast(seeds), "j")
-      .withColumn("d", dist)
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(col("d"), col("c"))).as("b"), first(col("p")).as("p"))
-      .select(col("j"), col("b.c").as("c"), col("p"))
-    val cmeans = asg
-      .select(col("j"), col("c"), posexplode(col("p")))
-      .groupBy(col("j"), col("c"), col("pos"))
-      .agg((sum(col("col").cast("decimal(20,10)")).cast("double") /
-        count(lit(1)).cast("double")).cast("float").as("v"))
-      .groupBy(col("j"), col("c"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
-      .select(col("j"), col("c"), expr("transform(pv, x -> x.v)").as("cv"))
-    // seed cells that attracted no sample member keep the seed itself
-    val rows = seeds.join(cmeans, Seq("j", "c"), "left")
-      .select(col("j"), col("c"), coalesce(col("cv"), col("s")).as("cv"))
-      .collect()
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray))
+    val seeds = sample.take(ksub).map(_._2)
+    val nSeeds = seeds.length
     val cents = Array.ofDim[Float](m * ksub * dsub)
-    rows.foreach { r =>
-      val j = r.getAs[Int]("j"); val c = r.getAs[Int]("c")
-      val cv = r.getAs[scala.collection.Seq[Float]]("cv")
-      var t = 0
-      while (t < dsub) { cents((j * ksub + c) * dsub + t) = cv(t); t += 1 }
+    for (j <- 0 until m) {
+      // assign every sample subvector to its nearest seed (one Lloyd
+      // step), accumulating exact decimal sums per (cell, component)
+      val sums = Array.fill(nSeeds, dsub)(java.math.BigDecimal.ZERO)
+      val cnts = new Array[Long](nSeeds)
+      sample.foreach { case (_, v) =>
+        var bestC = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < nSeeds) {
+          var d = 0.0; var t = 0
+          while (t < dsub) {
+            val x = v(j * dsub + t).toDouble -
+              seeds(c)(j * dsub + t).toDouble
+            d += x * x; t += 1
+          }
+          if (d < bestD) { bestD = d; bestC = c }
+          c += 1
+        }
+        cnts(bestC) += 1
+        var t = 0
+        while (t < dsub) {
+          // Spark's cast(float as decimal(20,10)): the float widened
+          // to double, taken at the double's CANONICAL decimal form
+          // (Decimal(double) goes through BigDecimal.valueOf), rounded
+          // HALF_UP at scale 10
+          sums(bestC)(t) = sums(bestC)(t).add(
+            java.math.BigDecimal.valueOf(v(j * dsub + t).toDouble)
+              .setScale(10, java.math.RoundingMode.HALF_UP))
+          t += 1
+        }
+      }
+      for (c <- 0 until ksub) {
+        var t = 0
+        while (t < dsub) {
+          // empty seed cells keep the seed itself
+          cents((j * ksub + c) * dsub + t) =
+            if (c >= nSeeds || cnts(c) == 0L) {
+              if (c < nSeeds) seeds(c)(j * dsub + t) else 0.0f
+            } else
+              (sums(c)(t).doubleValue / cnts(c).toDouble).toFloat
+          t += 1
+        }
+      }
     }
     cents
   }
