@@ -158,3 +158,113 @@ object SimHash64 {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
 }
+
+/** Native one-pass MD5-family MinHash signature (round 16) — the fused
+  * replacement for the ENGINE-PORTABLE higher-order formulation
+  * `transform(sequence(0,k-1), i -> array_min(transform(toks, t ->
+  * md5(concat(cast(i as string), ':', t)))))` that every oracled
+  * dedup operator shares with its DuckDB twin. Bit-identical by
+  * construction (spec-pinned beside the xxhash64 twin above):
+  * lowercase-hex MD5 strings compare lexicographically exactly as the
+  * 16 digest bytes compare unsigned, so the loop keeps k running
+  * 16-byte minima and hex-encodes only the k winners — the HOF form
+  * hex-encoded (and boxed into k intermediate arrays) every candidate
+  * hash of every token. One MessageDigest instance per call, seed
+  * prefixes ("<i>:") rendered once per operator. */
+object MinHashSigsMd5Impl {
+  def prefixes(k: Int): Array[Array[Byte]] =
+    Array.tabulate(k)(i => (i.toString + ":")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = HexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  def sigs(toks: ArrayData, prefixes: Array[Array[Byte]]): ArrayData = {
+    val k = prefixes.length
+    val n = toks.numElements()
+    val mins = new Array[Array[Byte]](k)
+    if (n > 0) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var j = 0
+      while (j < n) {
+        val t = toks.getUTF8String(j)
+        // a null token hashes to null and array_min skips it
+        if (t != null) {
+          val tb = t.getBytes
+          var i = 0
+          while (i < k) {
+            md.reset()
+            md.update(prefixes(i)); md.update(tb)
+            val d = md.digest()
+            if (mins(i) == null || unsignedLess(d, mins(i))) mins(i) = d
+            i += 1
+          }
+          j += 1
+        } else j += 1
+      }
+    }
+    new GenericArrayData(mins.map(d =>
+      if (d == null) null else hex(d)): Array[Any])
+  }
+}
+
+/** `minhash_sigs_md5(toks, k)` — see [[MinHashSigsMd5Impl]]. */
+case class MinHashSigsMd5(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0, s"minhash_sigs_md5 needs k > 0, got $k")
+
+  @transient private lazy val prefixArr = MinHashSigsMd5Impl.prefixes(k)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sigs_md5 expects array<string>, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(a: Any): Any =
+    MinHashSigsMd5Impl.sigs(a.asInstanceOf[ArrayData], prefixArr)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val impl = MinHashSigsMd5Impl.getClass.getName.stripSuffix("$")
+    val pRef = ctx.addReferenceObj("mhMd5Prefixes", prefixArr, "byte[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $impl.sigs($a, $pRef);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object MinHashSigsMd5 {
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sigs_md5", exprs => MinHashSigsMd5(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]), "built-in")
+}

@@ -154,11 +154,20 @@ object Dedup {
     * variant differentially testable. Production variant below swaps in
     * xxhash64. Tokenization is hoisted into its own column first —
     * inlining `array_distinct(split(…))` inside the outer lambda would
-    * re-tokenize the document once per signature component (K×). */
-  private[ops] def minhashSig = expr(
-    s"""transform(sequence(0, ${K - 1}),
-       |  i -> array_min(transform(__toks,
-       |                 t -> md5(concat(cast(i as string), ':', t)))))""".stripMargin)
+    * re-tokenize the document once per signature component (K×).
+    *
+    * r16: the NATIVE one-pass expression
+    * ([[graft.expr.MinHashSigsMd5]]) replaces the interpreted HOF
+    * `transform(sequence(0,K-1), i -> array_min(transform(__toks,
+    * t -> md5(concat(cast(i as string), ':', t)))))` — bit-identical
+    * (MinHashSigsSpec pins native == HOF on the real corpus; every
+    * md5-family oracle row re-checked green), one fused loop with K
+    * running 16-byte minima, hex-encoding only the K winners where
+    * the HOF hex-encoded every candidate hash of every token. */
+  private[ops] def minhashSig: org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.expr.MinHashSigsMd5(
+        org.apache.spark.sql.GraftBridge.expr(col("__toks")), K))
 
   private[ops] def withToks(df: DataFrame): DataFrame =
     df.withColumn("__toks", array_distinct(split(col("text"), " ")))

@@ -31,6 +31,35 @@ class MinHashSigsSpec extends AnyFunSuite {
     assert(edge.filter(not(col("n") <=> col("h"))).count() == 0)
   }
 
+  test("native md5 signature equals the HOF md5 formulation bit-for-bit") {
+    graft.expr.MinHashSigsMd5.register(spark)
+    val k = 12
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("__toks", array_distinct(split(col("text"), " ")))
+    val both = docs.select(
+      col("doc_id"),
+      call_function("minhash_sigs_md5", col("__toks"), lit(k)).as("native"),
+      expr(
+        s"""transform(sequence(0, ${k - 1}),
+           |  i -> array_min(transform(__toks,
+           |    t -> md5(concat(cast(i as string), ':', t)))))"""
+          .stripMargin).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // edges: empty token array -> k nulls; null tokens skipped like
+    // array_min skips the null hashes they map to
+    val edge = spark.sql(
+      s"SELECT minhash_sigs_md5(cast(array() as array<string>), $k) AS n, " +
+        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
+        s"cast(array() as array<string>), " +
+        s"t -> md5(concat(cast(i as string), ':', t))))) AS h, " +
+        s"minhash_sigs_md5(array('a', cast(null as string), 'b'), $k) AS n2, " +
+        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
+        s"array('a', cast(null as string), 'b'), " +
+        s"t -> md5(concat(cast(i as string), ':', t))))) AS h2")
+    assert(edge.filter(not(col("n") <=> col("h")) ||
+      not(col("n2") <=> col("h2"))).count() == 0)
+  }
+
   test("native simhash64 equals the explode + 64-SUM aggregation form") {
     graft.expr.SimHash64.register(spark)
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
