@@ -187,6 +187,22 @@ object Dedup {
     // recomputes its slice instead of failing the job
     val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     liveCaches.add(sig)
+    val pairs = lshCandidatePairs(sig, bandKeys, maxBucket)
+    val s1 = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    pairs.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"), estimate.as("est_jaccard"))
+  }
+
+  /** The banded candidate enumeration of [[lshPairs]] alone — deduped
+    * (d1, d2) pairs sharing a band, no signature re-join: the verified
+    * recall entries ([[minhashFastVerified]]) consume only the pair
+    * SET, so the two signature joins that exist to compute the
+    * estimate column are dead work there. `sig` must already be
+    * persisted by the caller. */
+  private def lshCandidatePairs(sig: DataFrame,
+      bandKeys: org.apache.spark.sql.Column,
+      maxBucket: Option[Int] = None): DataFrame = {
     val banded0 = sig.select(col("doc_id"), posexplode(bandKeys))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     // skew guard: the OVER-cap bucket list is usually metadata-sized
@@ -213,15 +229,11 @@ object Dedup {
       case None => banded0
     }
     val a = banded.as("a"); val b = banded.as("b")
-    val pairs = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val s1 = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
-    val s2 = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"))
-    pairs.join(s1, "d1").join(s2, "d2")
-      .select(col("d1"), col("d2"), estimate.as("est_jaccard"))
   }
 
   /** MinHash + LSH candidate pairs with estimated Jaccard (matching
@@ -1214,11 +1226,30 @@ object Dedup {
 
   /** Oracle-gated recall check of the production minhash: xxhash64-LSH
     * candidates restricted to identical-token-set pairs = ALL such pairs
-    * iff the pipeline is correct (see [[tokenSetPairs]]). */
-  def minhashFastVerified(s: SparkSession, dir: String): DataFrame =
-    minhashLshFast(s, dir).select(col("d1"), col("d2"))
+    * iff the pipeline is correct (see [[tokenSetPairs]]).
+    *
+    * r16: enumerates CANDIDATES only ([[lshCandidatePairs]]) — this
+    * entry never observes the est column (no threshold; projected
+    * away), so [[minhashLshFast]]'s two signature joins that exist to
+    * compute it were dead work here. The gated semantics are
+    * unchanged: the recall property quantifies over the candidate
+    * pair set, which is identical (the est joins are 1:1 inner joins
+    * on both endpoints of an already-enumerated pair). Same oracle. */
+  def minhashFastVerified(s: SparkSession, dir: String): DataFrame = {
+    graft.expr.MinHashSigs.register(s)
+    val k = 32; val bands = 4; val rows = k / bands
+    val sig0 = withToks(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        call_function("minhash_sigs", col("__toks"), lit(k)).as("sig"))
+    val sig = sig0.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    liveCaches.add(sig)
+    val bandKeys = expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         |  b -> xxhash64(slice(sig, b * $rows + 1, $rows)))""".stripMargin)
+    lshCandidatePairs(sig, bandKeys)
       .join(tokenSetPairs(s, dir), Seq("d1", "d2"))
       .select(col("d1"), col("d2"))
+  }
 
   /** Same provable-recall gate for the simhash pipeline: identical token
     * sets vote identical bits → hamming 0 → always within threshold. */
