@@ -1290,9 +1290,17 @@ object Dedup {
     * scope (thresholds from the measured shared-count distribution:
     * p90 = 44 on this corpus). */
   def winnowDedup(s: SparkSession, dir: String): DataFrame = {
+    // both self-join sides re-ran the per-character md5 k-gram pass
+    // (length(text) digests per document — the most hash-dense map in
+    // the repo) — persist the NARROW exploded fingerprint rows once
+    // (doc_id, source, f; no text), the lshPairs signature-persist
+    // case. DISK_ONLY: corpus-proportional rows must not pin
+    // block-manager memory.
     val fp = withKgramHashes(Tables.documents(s, dir)
         .filter(col("source").isin(jaccardSources: _*)))
       .select(col("doc_id"), col("source"), explode(winnowFp).as("f"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    liveCaches.add(fp)
     val a = fp.as("a"); val b = fp.as("b")
     a.join(b,
         col("a.f") === col("b.f") && col("a.source") === col("b.source") &&

@@ -259,10 +259,19 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("l_partkey").as("pk"), col("o_custkey").as("cust"))
       .distinct()
+    // the canonical edge list feeds FOUR plan branches (three triangle
+    // join legs + the edge count) and each recompute re-runs the
+    // lineitem⋈orders join plus the per-part self-join — persist the
+    // two-long-column rows once (r16; the narrow-cache case, not the
+    // rejected text-cache one). MEMORY_AND_DISK: edge count is bounded
+    // by co-purchase pairs, orders of magnitude under the wedge volume
+    // the query then enumerates.
     val edges = t.toDF("pk", "u")
       .join(t.toDF("pk", "v"), "pk")
       .where(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Dedup.registerCache(edges)
     val tri = edges.toDF("u", "v")
       .join(edges.toDF("v", "w"), "v")
       .join(edges.toDF("u", "w"), Seq("u", "w"))
