@@ -23,6 +23,15 @@ object MinHashSigsImpl {
     Array.tabulate(k)(i =>
       XxHash64Function.hash(i, IntegerType, 42L))
 
+  /** The HOF form's value for a NULL token array (r17, advice fix):
+    * `transform(null, ...)` is null, `array_min(null)` is null, and the
+    * OUTER transform still maps every seed — an array of k nulls, never
+    * a null array. The old nullSafeEval returned NULL for that input,
+    * diverging sig-grouping and est for null-text docs from the
+    * engine-portable formulation the oracle computes. */
+  def nullSigs(k: Int): ArrayData =
+    new GenericArrayData(Array.fill[Any](k)(null))
+
   def sigs(toks: ArrayData, seeds: Array[Long]): ArrayData = {
     val k = seeds.length
     val n = toks.numElements()
@@ -65,15 +74,28 @@ case class MinHashSigs(child: Expression, k: Int)
           s"minhash_sigs expects array<string>, got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(a: Any): Any =
-    MinHashSigsImpl.sigs(a.asInstanceOf[ArrayData], seedArr)
+  // null input yields k nulls (the HOF twin's value), so the expression
+  // itself is never null — see MinHashSigsImpl.nullSigs
+  override def nullable: Boolean = false
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) MinHashSigsImpl.nullSigs(k)
+    else MinHashSigsImpl.sigs(a.asInstanceOf[ArrayData], seedArr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
     val impl = MinHashSigsImpl.getClass.getName.stripSuffix("$")
     val seedsRef = ctx.addReferenceObj("mhSeeds", seedArr, "long[]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = $impl.sigs($a, $seedsRef);")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${c.isNull} ? $impl.nullSigs($k) : $impl.sigs(${c.value}, $seedsRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(
@@ -247,15 +269,29 @@ case class MinHashSigsMd5(child: Expression, k: Int)
           s"minhash_sigs_md5 expects array<string>, got ${other.simpleString}")
     }
 
-  override protected def nullSafeEval(a: Any): Any =
-    MinHashSigsMd5Impl.sigs(a.asInstanceOf[ArrayData], prefixArr)
+  // null input yields k nulls (the HOF twin's value), so the expression
+  // itself is never null — see MinHashSigsImpl.nullSigs
+  override def nullable: Boolean = false
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val a = child.eval(input)
+    if (a == null) MinHashSigsImpl.nullSigs(k)
+    else MinHashSigsMd5Impl.sigs(a.asInstanceOf[ArrayData], prefixArr)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper
     val impl = MinHashSigsMd5Impl.getClass.getName.stripSuffix("$")
+    val implX = MinHashSigsImpl.getClass.getName.stripSuffix("$")
     val pRef = ctx.addReferenceObj("mhMd5Prefixes", prefixArr, "byte[][]")
-    nullSafeCodeGen(ctx, ev, a =>
-      s"${ev.value} = $impl.sigs($a, $pRef);")
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        ${c.isNull} ? $implX.nullSigs($k) : $impl.sigs(${c.value}, $pRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(

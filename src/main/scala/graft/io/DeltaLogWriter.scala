@@ -139,18 +139,22 @@ object DeltaLogWriter {
       prior.filter(_.files.nonEmpty)
         .foreach(enforceAppendOnly(_, "overwrite"))
     prior.foreach(s => enforceConstraints(Some(s), aligned, "write"))
-    val cdc =
-      if (mode != "overwrite" || !prior.exists(cdfEnabled)) Nil
-      else {
-        val old = DeltaLogReader.read(spark, tablePath)
-          .withColumn("_change_type", lit("delete"))
-        val neu = aligned.withColumn("_change_type", lit("insert"))
-        cdcLines(writeDataFiles(
-          old.unionByName(neu, allowMissingColumns = true),
-          tablePath, partCols, physOf, fieldIds,
-          destPrefix = "_change_data"))
-      }
-    val adds = writeDataFiles(aligned, tablePath, partCols, physOf, fieldIds)
+    // the change-file write and the data write are independent jobs —
+    // overlap them when CDF demands both (r17, guide §2.6)
+    val (adds, cdc) =
+      if (mode != "overwrite" || !prior.exists(cdfEnabled))
+        (writeDataFiles(aligned, tablePath, partCols, physOf, fieldIds),
+          Nil)
+      else concurrently(
+        writeDataFiles(aligned, tablePath, partCols, physOf, fieldIds), {
+          val old = DeltaLogReader.read(spark, tablePath)
+            .withColumn("_change_type", lit("delete"))
+          val neu = aligned.withColumn("_change_type", lit("insert"))
+          cdcLines(writeDataFiles(
+            old.unionByName(neu, allowMissingColumns = true),
+            tablePath, partCols, physOf, fieldIds,
+            destPrefix = "_change_data"))
+        })
     val removes =
       if (mode == "overwrite") prior.map(_.files.map(_.path)).getOrElse(Nil)
       else Nil
@@ -597,6 +601,36 @@ object DeltaLogWriter {
       tablePath, partCols, physOf, fieldIds, destPrefix = "_change_data"))
   }
 
+  /** Run two independent data-file writes as concurrent driver jobs
+    * (guide §2.6 — the CDC change-file write and the merged-data write
+    * share no state: each stages under its own UUID dir): the small
+    * write back-fills the big write's task tail instead of paying the
+    * two jobs end-to-end. If either side fails the OTHER is awaited
+    * to completion first, so no write outlives the call (the
+    * trainPplModel-race lesson). */
+  private def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val fb = pool.submit(new java.util.concurrent.Callable[B] {
+      override def call(): B = b
+    })
+    def awaitB(): B =
+      try fb.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
+    try {
+      val ra =
+        try a
+        catch {
+          case t: Throwable =>
+            try awaitB() catch { case _: Throwable => () }
+            throw t
+        }
+      (ra, awaitB())
+    } finally pool.shutdown()
+  }
+
   /** Key-match condition: plain `=` by default, `<=>` with `matchNulls`
     * — the reference's `merge_match_nulls` (IS NOT DISTINCT FROM joins,
     * `athena/_write_iceberg.py:297-393`). Without it a null-keyed row
@@ -623,11 +657,17 @@ object DeltaLogWriter {
       val merged = current.join(srcAligned,
           keyCond(current, srcAligned, keys, matchNulls), "left_anti")
         .unionByName(srcAligned)
-      val cdc =
-        if (!cdfEnabled(snap)) Nil
-        else mergeCdc(current, srcAligned, keys, matchNulls, tablePath,
-          Nil, physOf, fieldIds)
-      val adds = writeDataFiles(merged, tablePath, Nil, physOf, fieldIds)
+      // the change-file write and the merged-data write are independent
+      // jobs — overlap them (r17, guide §2.6) instead of paying both
+      // end-to-end; CDF-off tables skip the pool entirely
+      val (adds, cdc) =
+        if (!cdfEnabled(snap))
+          (writeDataFiles(merged, tablePath, Nil, physOf, fieldIds),
+            Nil)
+        else concurrently(
+          writeDataFiles(merged, tablePath, Nil, physOf, fieldIds),
+          mergeCdc(current, srcAligned, keys, matchNulls, tablePath,
+            Nil, physOf, fieldIds))
       commitLoop(spark, tablePath, snap.schema, Nil, adds,
         snap.files.map(_.path), "MERGE", emitMeta = false,
         extraActions = cdc, priorConfig = Some(snap.configuration))
@@ -662,11 +702,15 @@ object DeltaLogWriter {
       // match state lives only in touched partitions (a key match
       // anywhere makes its partition touched), so touchedScan is the
       // complete "current" side for classifying changes
-      val cdc =
-        if (!cdfEnabled(snap)) Nil
-        else mergeCdc(touchedScan, srcAligned, keys, matchNulls, tablePath,
-          pcols, physOf, fieldIds)
-      val adds = writeDataFiles(merged, tablePath, pcols, physOf, fieldIds)
+      // same independent-writes overlap as the unpartitioned branch
+      val (adds, cdc) =
+        if (!cdfEnabled(snap))
+          (writeDataFiles(merged, tablePath, pcols, physOf, fieldIds),
+            Nil)
+        else concurrently(
+          writeDataFiles(merged, tablePath, pcols, physOf, fieldIds),
+          mergeCdc(touchedScan, srcAligned, keys, matchNulls, tablePath,
+            pcols, physOf, fieldIds))
       commitLoop(spark, tablePath, snap.schema, pcols, adds,
         snap.files.filter(touchedFile).map(_.path), "MERGE",
         emitMeta = false, extraActions = cdc,

@@ -33,6 +33,14 @@ object Curation {
   private[ops] def words =
     expr("filter(split(text, ' '), t -> length(t) > 0)")
 
+  /** The CCNet head/tail mean-log-prob cutoffs — ONE definition (r17,
+    * advice fix): [[perplexityBucketsOn]]'s defaults,
+    * [[pplSelectedDocIds]]'s tail gate and [[pplSqlCtes]]'s oracle CTEs
+    * must agree to the digit, or the proven keep-set ⟺
+    * `ppl_bucket != 'tail'` equivalence silently breaks. */
+  private[ops] val PplHeadCutoff = new java.math.BigDecimal("-3.390000")
+  private[ops] val PplTailCutoff = new java.math.BigDecimal("-3.430000")
+
   // ---------------------------------------------------------------- //
   // Gopher quality rules (word-level set)                            //
   // ---------------------------------------------------------------- //
@@ -578,10 +586,23 @@ object Curation {
                 |         i -> concat_ws(' ', slice(toks, i, 10))) END"""
                 .stripMargin)))
           .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("w"))
+        // the window-group table feeds BOTH downstream branches (tops
+        // and dup-coverage recompute `counts` each — no exchange reuse,
+        // see the counts note), and each recompute re-ran the wins
+        // explode + the FIRST shuffle (every window occurrence).
+        // Persist the aggregated groups once (r17): rows are DISTINCT
+        // windows — on a dup-dense corpus far fewer than occurrences —
+        // so this is the narrow-cache case the rejected r13 `counts`
+        // persist (9 prefix rows per window) was not. DISK_ONLY per the
+        // corpus-proportional convention; [[Dedup.releaseCaches]]
+        // lifecycle. Measured (r16_time, idle, min-of-N): sf0.1
+        // 6.08 -> 4.73 s, sf1 47.2 -> 41.9 s.
         val wgroups = wins
           .groupBy(col("doc_id"), col("w"))
           .agg(count(lit(1)).as("wcnt"), collect_list(col("i")).as("wps"))
           .withColumn("wtoks", split(col("w"), " "))
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        Dedup.registerCache(wgroups)
         wgroups.select(col("doc_id"), col("wcnt"), col("wps"),
             explode(expr(
               """transform(sequence(2, size(wtoks)), n ->
@@ -1082,8 +1103,8 @@ object Curation {
     * stage, no driver data.
     */
   def perplexityBuckets(s: SparkSession, dir: String,
-      headAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.390000"),
-      tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
+      headAvgLp: java.math.BigDecimal = PplHeadCutoff,
+      tailAvgLp: java.math.BigDecimal = PplTailCutoff)
       : DataFrame =
     perplexityBucketsOn(Tables.documents(s, dir), headAvgLp, tailAvgLp)
 
@@ -1091,8 +1112,8 @@ object Curation {
     * frame — shared by [[perplexityBuckets]] and
     * [[curatePipelineModern]]'s selection stage. */
   private[graft] def perplexityBucketsOn(docs: DataFrame,
-      headAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.390000"),
-      tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
+      headAvgLp: java.math.BigDecimal = PplHeadCutoff,
+      tailAvgLp: java.math.BigDecimal = PplTailCutoff)
       : DataFrame = {
     val base = docs
       .select(col("doc_id"), col("lang"), words.as("a"))
@@ -1114,20 +1135,35 @@ object Curation {
       .agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.registerCache(pd)
-    val lp = pd
-      .join(pplTypeWeights(pd), Seq("p", "c"))
+    // ONE fused doc-level aggregate produces lps AND (lang, n) — the
+    // weight join preserves every pd row (pplTypeWeights enumerates
+    // every (p, c) type of pd, so the inner join is total), lang is
+    // single-valued per doc and n = sum(k) (the pplSelectedDocIds
+    // algebra). The round-16 form ended in a left-outer SMJ against a
+    // re-tokenized `base` just to re-attach (lang, n); that join and
+    // its corpus tokenize pass are gone (r17) — only the n == 0 /
+    // null-text docs, which pd cannot see and which are 'tail' by
+    // definition, union in from the cheap character scan
+    // ([[pplEmptyDocs]]).
+    pd.join(pplTypeWeights(pd), Seq("p", "c"))
       .groupBy("doc_id")
-      .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
-        .cast("decimal(30,6)").as("lps"))
-    base.join(lp, Seq("doc_id"), "left")
+      .agg(max(col("lang")).as("lang"), sum(col("k")).as("n"),
+        sum((col("k") * col("w")).cast("decimal(30,6)"))
+          .cast("decimal(30,6)").as("lps"))
       .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
         col("lps").cast("double").as("lp_sum"),
-        when(col("n") === 0, lit("tail"))
-          .when(col("lps") >= lit(headAvgLp).cast("decimal(12,6)") * col("n"),
+        // n >= 1 on every pd doc, so the n == 0 arm of the round-16
+        // chain is provably dead here; the empty/null docs take the
+        // union branch below
+        when(col("lps") >= lit(headAvgLp).cast("decimal(12,6)") * col("n"),
             "head")
           .when(col("lps") >= lit(tailAvgLp).cast("decimal(12,6)") * col("n"),
             "middle")
           .otherwise("tail").as("ppl_bucket"))
+      .unionByName(pplEmptyDocs(docs)
+        .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+          lit(null).cast("double").as("lp_sum"),
+          lit("tail").as("ppl_bucket")))
   }
 
   // ---------------------------------------------------------------- //
@@ -1158,6 +1194,28 @@ object Curation {
       .agg(count(lit(1)).as("k"))
     (base, pd)
   }
+
+  /** The documents the per-doc bigram table `pd` CANNOT see — n == 0
+    * (all-spaces text) and n null (null text) — as (doc_id, lang, n),
+    * from a character-level scan instead of a tokenize pass (r17): the
+    * tokenizer splits on single spaces ([[words]]), so `n == 0` ⟺
+    * text is non-null and `translate` strips it to empty, and `n` is
+    * null ⟺ text is null (split/filter/size all propagate null).
+    * Both document classes are 'tail' with a null lp_sum in every
+    * scorer, so the scorers union this frame below their fused
+    * doc-level aggregate — the final "attach (lang, n) back to the
+    * scores" join of the round-16 form, which re-ran the tokenizer
+    * over the whole corpus just to recover (lang, n), is gone: for
+    * n >= 1 docs `lang` rides the lps aggregation (single-valued per
+    * doc) and `n = sum(k)` (every token contributes exactly one (p, c)
+    * event — the [[pplSelectedDocIds]] algebra, gated by the same
+    * oracles). */
+  private def pplEmptyDocs(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNull ||
+        length(translate(col("text"), " ", "")) === 0)
+      .select(col("doc_id"), col("lang"),
+        when(col("text").isNotNull, lit(0L)).as("n"))
 
   /** Bigram-weight formula shared by the in-line and pinned scorers:
     * Laplace ln((cbg+1)/(cpr+vsz)) rounded to 6 decimals and cast to
@@ -1215,7 +1273,7 @@ object Curation {
     * so the kept set is bit-identical — gated by the unchanged
     * stitched pipeline oracles. */
   private def pplSelectedDocIds(docs: DataFrame,
-      tailAvgLp: java.math.BigDecimal = new java.math.BigDecimal("-3.430000"))
+      tailAvgLp: java.math.BigDecimal = PplTailCutoff)
       : DataFrame = {
     val (_, pd0) = pplBaseAndCounts(docs)
     val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1266,7 +1324,7 @@ object Curation {
   def trainPplModel(docs: DataFrame, modelPath: String,
       nBuckets: Int = 16): Unit = {
     val spark = docs.sparkSession
-    val (base, pd0) = pplBaseAndCounts(docs)
+    val (_, pd0) = pplBaseAndCounts(docs)
     val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.registerCache(pd)
     // r16: the round-15 form re-aggregated pd into the en-slice type
@@ -1294,12 +1352,16 @@ object Curation {
       .withColumn("cpr", sum(col("cbg")).over(Window.partitionBy("p")))
       .crossJoin(broadcast(v))
       .select(col("p"), col("c"), pplWeightCol.as("w"))
-    val lps = pd
+    // the per-doc token count rides the SAME aggregation as the score
+    // (`sum(k) == n`, the [[pplEmptyDocs]] algebra; n == 0 docs have no
+    // pd rows and never scored here anyway), so the round-16 form's
+    // re-tokenized `base` join is gone — one tokenize pass in the
+    // whole train job (r17)
+    val avg6 = pd
       .join(w, Seq("p", "c"))
       .groupBy("doc_id")
       .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
-        .cast("decimal(30,6)").as("lps"))
-    val avg6 = base.filter(col("n") >= 1).join(lps, Seq("doc_id"))
+        .cast("decimal(30,6)").as("lps"), sum(col("k")).as("n"))
       .select(col("doc_id"),
         round(col("lps").cast("double") / col("n").cast("double"), 6)
           .cast("decimal(12,6)").as("avg6"))
@@ -1348,8 +1410,14 @@ object Curation {
         val fpr = scala.concurrent.Future(
           pr.withColumn("pb", pb).repartition(col("pb"))
             .write.partitionBy("pb").mode("overwrite").parquet(s"$t/pr"))
-        scala.concurrent.Await.result(ftr.zip(fpr),
+        // await BOTH completions (success or failure) before propagating
+        // the first error — a fail-fast zip would let publish abort and
+        // race snapshot cleanup with the sibling's in-flight write
+        val (rtr, rpr) = scala.concurrent.Await.result(
+          ftr.transform(scala.util.Success(_))
+            .zip(fpr.transform(scala.util.Success(_))),
           scala.concurrent.duration.Duration.Inf)
+        rtr.get; rpr.get
       } finally pool.shutdown()
       val p = new org.apache.hadoop.fs.Path(t, "_ppl_meta")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1394,7 +1462,7 @@ object Curation {
     val spark = docs.sparkSession
     val root = graft.table.SnapshotTree.root(spark, modelPath)
     val meta = readPplModelMeta(spark, root)
-    val (base, pd0) = pplBaseAndCounts(docs)
+    val (_, pd0) = pplBaseAndCounts(docs)
     val pd = pd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.registerCache(pd)
     val pbOf = pmod(xxhash64(col("p")), lit(meta.nBuckets.toLong))
@@ -1410,28 +1478,39 @@ object Curation {
       .join(pruned("pr"), Seq("p"), "left")
       .withColumn("vsz", lit(meta.vsz))
       .select(col("p"), col("c"), pplWeightCol.as("w"))
-    val lp = pd
-      .join(w, Seq("p", "c"))
-      .groupBy("doc_id")
-      .agg(sum((col("k") * col("w")).cast("decimal(30,6)"))
-        .cast("decimal(30,6)").as("lps"))
     val avg6 = round(col("lps").cast("double") / col("n").cast("double"), 6)
       .cast("decimal(12,6)")
-    base.join(lp, Seq("doc_id"), "left")
+    // ONE fused doc-level aggregate produces lps AND (lang, n) — `w`
+    // has exactly one row per batch (p, c) type (left joins off the
+    // batch's own distinct types), so the inner join preserves every
+    // pd row; lang is single-valued per doc and n = sum(k). The
+    // round-16 form ended in a left-outer join against a re-tokenized
+    // `base` just to re-attach (lang, n) — that join and its tokenize
+    // pass over the batch are gone (r17); the n == 0 / null-text docs,
+    // 'tail' by definition, union in from the cheap character scan
+    // ([[pplEmptyDocs]]).
+    pd.join(w, Seq("p", "c"))
+      .groupBy("doc_id")
+      .agg(max(col("lang")).as("lang"), sum(col("k")).as("n"),
+        sum((col("k") * col("w")).cast("decimal(30,6)"))
+          .cast("decimal(30,6)").as("lps"))
       .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
         col("lps").cast("double").as("lp_sum"),
-        when(col("n") === 0, lit("tail"))
-          .when(avg6 >= lit(meta.headCut).cast("decimal(12,6)"), "head")
+        when(avg6 >= lit(meta.headCut).cast("decimal(12,6)"), "head")
           .when(avg6 >= lit(meta.tailCut).cast("decimal(12,6)"), "middle")
           .otherwise("tail").as("ppl_bucket"))
+      .unionByName(pplEmptyDocs(docs)
+        .select(col("doc_id"), col("lang"), col("n").as("n_tokens"),
+          lit(null).cast("double").as("lp_sum"),
+          lit("tail").as("ppl_bucket")))
   }
 
   /** DuckDB CTE chain of the bigram-LM bucketing, rooted at `src`, CTE
     * names prefixed with `px`; `${px}pout` is the final
     * (doc_id, lang, n_tokens, lp_sum, ppl_bucket) relation. */
   private[graft] def pplSqlCtes(src: String, px: String = "",
-      headAvgLp: String = "-3.390000",
-      tailAvgLp: String = "-3.430000"): String =
+      headAvgLp: String = PplHeadCutoff.toPlainString,
+      tailAvgLp: String = PplTailCutoff.toPlainString): String =
     s"""${px}ptk AS (
        |  SELECT doc_id, lang,
        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS a

@@ -100,9 +100,17 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     val src = jaccardSources.map(x => s"'$x'").mkString(",")
+    // the exploded shingle table feeds THREE branches (both self-join
+    // sides + the per-doc sizes) and each recompute re-runs the
+    // per-character explode over the filtered corpus — persist the
+    // narrow (doc_id, source, 3-char gram) rows once (r17; the winnow
+    // exploded-fingerprint persist class, DISK_ONLY per the
+    // corpus-proportional convention, [[releaseCaches]] lifecycle)
     val sh = Tables.documents(s, dir)
       .filter(col("source").isin(jaccardSources: _*))
       .select(col("doc_id"), col("source"), explode(shingles).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    registerCache(sh)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val common = a.join(b,
@@ -1207,9 +1215,14 @@ object Dedup {
     * this set — a missing pair means a broken signature, banding, or
     * candidate join. */
   private def tokenSetPairs(s: SparkSession, dir: String): DataFrame = {
+    // both self-join sides re-ran the tokenize + sort + md5 key pass —
+    // persist the narrow (doc_id, 32-char key) rows once (r17;
+    // MEMORY_AND_DISK, doc-count-scale, [[releaseCaches]] lifecycle)
     val keyed = Tables.documents(s, dir).select(col("doc_id"),
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
         .as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(keyed)
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.tk") === col("b.tk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
@@ -1338,10 +1351,17 @@ object Dedup {
     // codegen'd map over the scan: zero exchanges before banding, where
     // the aggregation form paid a full shuffle on doc_id
     graft.expr.SimHash64.register(s)
+    // the signature frame feeds FOUR branches (both banded self-join
+    // sides + the s1/s2 hamming lookups) and each recompute re-runs the
+    // tokenize + 64-bit voting pass over the corpus — persist the
+    // narrow (doc_id, long) rows once (r17; MEMORY_AND_DISK, the
+    // doc-count-scale narrow-cache class, [[releaseCaches]] lifecycle)
     val sig = withToks(Tables.documents(s, dir))
       .select(col("doc_id"),
         call_function("simhash64", col("__toks")).as("sig"))
       .filter(col("sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerCache(sig)
     val bandKeys = expr(
       "transform(sequence(0, 3), b -> shiftright(sig, b * 16) & 65535L)")
     val banded = sig.select(col("doc_id"), posexplode(bandKeys))

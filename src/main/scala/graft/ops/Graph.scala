@@ -263,14 +263,17 @@ object Graph {
     // join legs + the edge count) and each recompute re-runs the
     // lineitem⋈orders join plus the per-part self-join — persist the
     // two-long-column rows once (r16; the narrow-cache case, not the
-    // rejected text-cache one). MEMORY_AND_DISK: edge count is bounded
-    // by co-purchase pairs, orders of magnitude under the wedge volume
-    // the query then enumerates.
+    // rejected text-cache one). DISK_ONLY (r17, the repo convention for
+    // corpus-proportional rows — Dedup's winnow fingerprints apply the
+    // same rule): edges are far under the wedge volume the query then
+    // enumerates, but at 100 TB a co-purchase edge list can still
+    // pressure the block manager, and the recompute being avoided is
+    // I/O-shaped either way.
     val edges = t.toDF("pk", "u")
       .join(t.toDF("pk", "v"), "pk")
       .where(col("u") < col("v"))
       .select(col("u"), col("v")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     graft.ops.Dedup.registerCache(edges)
     val tri = edges.toDF("u", "v")
       .join(edges.toDF("v", "w"), "v")

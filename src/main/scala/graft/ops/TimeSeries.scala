@@ -329,11 +329,19 @@ object TimeSeries {
     * sum and the interpolation arithmetic is the same IEEE expression
     * on both sides. */
   def interpolate(s: SparkSession, dir: String): DataFrame = {
+    // the bucket aggregate feeds TWO branches — the per-series grid
+    // bounds and the left-join probe — and each recompute is a full
+    // events scan + window-bucket aggregation. Persist the bucket-level
+    // rows once (r17; narrow (event_type, b, v) rows, aggregate-sized —
+    // the narrow-cache case, not the rejected text-cache one) under the
+    // [[graft.ops.Dedup.releaseCaches]] per-query lifecycle.
     val bucketed = Tables.events(s, dir)
       .groupBy(window(col("ts"), "15 minutes").as("w"), col("event_type"))
       .agg((sum(col("value").cast("decimal(10,2)")).cast("double") /
         count(lit(1)).cast("double")).as("v"))
       .select(col("event_type"), col("w.start").as("b"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.Dedup.registerCache(bucketed)
     val grid = bucketed.groupBy(col("event_type"))
       .agg(min(col("b")).as("lo"), max(col("b")).as("hi"))
       .select(col("event_type"),

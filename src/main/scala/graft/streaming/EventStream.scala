@@ -29,6 +29,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Release the persisted blocks of a localCheckpoint'ed Dataset
+    * (r17, advice fix): the checkpoint RDD is persisted DIRECTLY (not
+    * through the CacheManager), so `Dataset.unpersist()` on it is a
+    * no-op and each micro-batch's checkpoint blocks would linger until
+    * ContextCleaner GC in a long-running stream. Unpersist the
+    * underlying RDD instead; non-checkpointed plans fall through to the
+    * regular unpersist. */
+  private def releaseLocalCheckpoint(
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** File-source stream over event parquet files, ts normalized to µs
     * TimestampType. `dir` may be a testdata sf directory (only
     * `events.parquet` is read — globbing the whole directory would apply
@@ -412,8 +427,8 @@ object EventStream {
           // commits (see runToDeltaExactlyOnce)
           if (c.numFiles == 0) batch.queryExecution.toRdd.count()
         } finally {
-          admitted.unpersist()
-          if (checkpointGated) deduped.unpersist()
+          releaseLocalCheckpoint(admitted)
+          if (checkpointGated) releaseLocalCheckpoint(deduped)
         }
         ()
       }

@@ -23,12 +23,18 @@ class MinHashSigsSpec extends AnyFunSuite {
            |  i -> array_min(transform(__toks,
            |                 t -> xxhash64(i, t))))""".stripMargin).as("hof"))
     assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
-    // edge: empty token array -> k nulls, matching array_min of empty
+    // edge: empty token array -> k nulls, matching array_min of empty;
+    // NULL token array -> k nulls too (r17 advice fix: the HOF's outer
+    // transform still maps every seed over array_min(transform(null)))
     val edge = spark.sql(
       s"SELECT minhash_sigs(cast(array() as array<string>), $k) AS n, " +
         s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
-        s"cast(array() as array<string>), t -> xxhash64(i, t)))) AS h")
-    assert(edge.filter(not(col("n") <=> col("h"))).count() == 0)
+        s"cast(array() as array<string>), t -> xxhash64(i, t)))) AS h, " +
+        s"minhash_sigs(cast(null as array<string>), $k) AS n2, " +
+        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
+        s"cast(null as array<string>), t -> xxhash64(i, t)))) AS h2")
+    assert(edge.filter(not(col("n") <=> col("h")) ||
+      not(col("n2") <=> col("h2"))).count() == 0)
   }
 
   test("native md5 signature equals the HOF md5 formulation bit-for-bit") {
@@ -55,9 +61,16 @@ class MinHashSigsSpec extends AnyFunSuite {
         s"minhash_sigs_md5(array('a', cast(null as string), 'b'), $k) AS n2, " +
         s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
         s"array('a', cast(null as string), 'b'), " +
-        s"t -> md5(concat(cast(i as string), ':', t))))) AS h2")
+        s"t -> md5(concat(cast(i as string), ':', t))))) AS h2, " +
+        // NULL token array -> k nulls (r17 advice fix), matching the
+        // HOF whose outer transform still maps every seed
+        s"minhash_sigs_md5(cast(null as array<string>), $k) AS n3, " +
+        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
+        s"cast(null as array<string>), " +
+        s"t -> md5(concat(cast(i as string), ':', t))))) AS h3")
     assert(edge.filter(not(col("n") <=> col("h")) ||
-      not(col("n2") <=> col("h2"))).count() == 0)
+      not(col("n2") <=> col("h2")) ||
+      not(col("n3") <=> col("h3"))).count() == 0)
   }
 
   test("native simhash64 equals the explode + 64-SUM aggregation form") {

@@ -1,6 +1,6 @@
 // Dump .explain("formatted") for the named declared queries into
-// plans/r16/<name>_<tag>.txt - the judge's evidence files for the
-// round-16 plan claims.
+// plans/r17/<name>_<tag>.txt - the judge's evidence files for the
+// round-17 plan claims.
 //
 // Run note: constructing curate_pipeline_v2/v3 (and curate_ppl_pinned's
 // model fixture) executes corpus-scale work EAGERLY at declaration
@@ -17,7 +17,7 @@ val tag = sys.env.getOrElse("TAG", "before")
 val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 val names = sys.env.getOrElse("QUERIES", "").split(",").map(_.trim)
   .filter(_.nonEmpty).toSeq
-val out = java.nio.file.Paths.get("plans/r16")
+val out = java.nio.file.Paths.get("plans/r17")
 java.nio.file.Files.createDirectories(out)
 for (n <- names) {
   val fn = graft.SparkEntry.queries(n)
